@@ -1,0 +1,499 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One registered query: the Spark implementation and (when the semantics
+  * are ANSI-SQL-expressible) the equivalent DuckDB oracle SQL the driver
+  * hash-compares against. Queries without an oracle get a rows-only check.
+  *
+  * Cross-engine determinism rules applied to every oracle-checked query:
+  *  - aggregated doubles go through Cols.detSum/detAvg (decimal-exact,
+  *    partition-order independent) and the oracle mirrors the same
+  *    CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) shape;
+  *  - timestamps are emitted as TIMESTAMP_NTZ (microseconds) on the Spark
+  *    side — DuckDB's naive TIMESTAMP matches bit-for-bit under the UTC
+  *    session pin;
+  *  - computed integers are cast to the same width on both sides;
+  *  - every query ends in an ORDER BY over non-null keys (Spark sorts
+  *    nulls first on ASC, DuckDB last — non-null keys sidestep it);
+  *  - per-row double arithmetic (IEEE 754) is identical in both engines
+  *    given identical inputs, so derived columns need no rounding.
+  */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Registry {
+
+  // ---- DuckDB-side adapter CTE bodies (mirror graft.TestdataAdapter) ----
+  // CAST(ts AS TIMESTAMP) truncates the nanosecond parquet column to µs,
+  // matching the Spark side's integer DIV 1000.
+  private val VEH =
+    "SELECT event_type AS route_id, CAST(user_id AS VARCHAR) AS vehicle_id, CAST(ts AS TIMESTAMP) AS observed_at FROM events"
+  private val TRIP =
+    "SELECT event_type AS route_id, CAST(ts AS TIMESTAMP) AS observed_at, value AS delay_seconds FROM events"
+  private val FLOW =
+    "SELECT CAST(user_id AS VARCHAR) AS stop_id, CAST(ts AS TIMESTAMP) AS observed_at, value AS estimated_passengers FROM events"
+  private val WEA =
+    "SELECT CAST(ts AS TIMESTAMP) AS observed_at, value AS temperature_c, value/10.0 AS precipitation_mm, value/100.0 AS wind_speed_mps FROM events"
+  private val S2R =
+    "SELECT DISTINCT CAST(user_id AS VARCHAR) AS stop_id, event_type AS route_id FROM events"
+
+  /** Decimal-exact SUM returned as double — oracle twin of Cols.detSum. */
+  private def dsum(e: String) = s"CAST(SUM(CAST(($e) AS DECIMAL(28,6))) AS DOUBLE)"
+
+  /** Decimal-exact AVG — oracle twin of Cols.detAvg. */
+  private def davg(e: String) = s"${dsum(e)} / COUNT($e)"
+
+  // ---- hourly-view SQL bodies (composed into several oracles) ----
+  private val DEMAND_BODY =
+    s"""SELECT r.route_id AS route_id, date_trunc('hour', f.observed_at) AS hour_ts,
+       |  ${dsum("f.estimated_passengers")} AS passengers
+       |FROM f JOIN s2r r USING (stop_id)
+       |GROUP BY 1, 2""".stripMargin
+
+  private val DELAY_BODY =
+    s"""SELECT route_id, date_trunc('hour', observed_at) AS hour_ts,
+       |  COUNT(*) AS trip_update_events, ${davg("delay_seconds")} AS avg_delay_seconds
+       |FROM t GROUP BY 1, 2""".stripMargin
+
+  private val VEHICLE_BODY =
+    """SELECT route_id, date_trunc('hour', observed_at) AS hour_ts,
+      |  COUNT(*) AS vehicle_events
+      |FROM v GROUP BY 1, 2""".stripMargin
+
+  private val WEATHER_BODY =
+    s"""SELECT date_trunc('hour', observed_at) AS hour_ts,
+       |  ${davg("temperature_c")} AS temperature_c,
+       |  ${davg("precipitation_mm")} AS precipitation_mm,
+       |  ${davg("wind_speed_mps")} AS wind_speed_mps
+       |FROM wx GROUP BY 1""".stripMargin
+
+  private val ML_DATASET_SQL =
+    s"""WITH s2r AS ($S2R), f AS ($FLOW), t AS ($TRIP), v AS ($VEH), wx AS ($WEA),
+       |d AS ($DEMAND_BODY),
+       |dl AS ($DELAY_BODY),
+       |vh AS ($VEHICLE_BODY),
+       |wh AS ($WEATHER_BODY)
+       |SELECT d.route_id, d.hour_ts, d.passengers,
+       |  COALESCE(dl.trip_update_events, 0) AS trip_update_events,
+       |  COALESCE(dl.avg_delay_seconds, 0.0) AS avg_delay_seconds,
+       |  COALESCE(vh.vehicle_events, 0) AS vehicle_events,
+       |  COALESCE(wh.temperature_c, 0.0) AS temperature_c,
+       |  COALESCE(wh.precipitation_mm, 0.0) AS precipitation_mm,
+       |  COALESCE(wh.wind_speed_mps, 0.0) AS wind_speed_mps,
+       |  CAST(EXTRACT(HOUR FROM d.hour_ts) AS INTEGER) AS hour,
+       |  CAST(dayofweek(d.hour_ts) AS INTEGER) AS day_of_week,
+       |  CAST(CASE WHEN EXTRACT(HOUR FROM d.hour_ts) BETWEEN 7 AND 9
+       |       OR EXTRACT(HOUR FROM d.hour_ts) BETWEEN 16 AND 18 THEN 1 ELSE 0 END AS INTEGER) AS is_peak
+       |FROM d
+       |LEFT JOIN dl ON d.route_id = dl.route_id AND d.hour_ts = dl.hour_ts
+       |LEFT JOIN vh ON d.route_id = vh.route_id AND d.hour_ts = vh.hour_ts
+       |LEFT JOIN wh ON d.hour_ts = wh.hour_ts
+       |ORDER BY d.route_id, d.hour_ts""".stripMargin
+
+  // ---- KPI SQL bodies ----
+  private val KPI_ACTIVE_BODY =
+    """SELECT route_id, date_trunc('hour', observed_at) AS hour_ts,
+      |  COUNT(DISTINCT vehicle_id) AS active_vehicles
+      |FROM v WHERE route_id IS NOT NULL GROUP BY 1, 2""".stripMargin
+
+  // Integer-µs headway (mirrors graft.views.Kpi.headwayHourly: exact long
+  // sums, floor to whole µs, one double division — no double→decimal
+  // rounding anywhere, which is engine-specific at half-boundaries).
+  private val KPI_HEADWAY_BODY =
+    """SELECT route_id, hour_ts,
+      |  CAST(floor(CAST(SUM(gap_us) AS DOUBLE) / COUNT(gap_us)) AS BIGINT) AS avg_headway_us,
+      |  CAST(floor(CAST(SUM(gap_us) AS DOUBLE) / COUNT(gap_us)) AS BIGINT) / 60000000.0 AS avg_headway_min
+      |FROM (
+      |  SELECT route_id, hour_ts,
+      |    CASE WHEN gap BETWEEN 30000000 AND 3600000000 THEN gap END AS gap_us
+      |  FROM (
+      |    SELECT route_id, hour_ts,
+      |      epoch_us(first_seen) - epoch_us(LAG(first_seen) OVER
+      |        (PARTITION BY route_id, hour_ts ORDER BY first_seen)) AS gap
+      |    FROM (
+      |      SELECT route_id, date_trunc('hour', observed_at) AS hour_ts, vehicle_id,
+      |        MIN(observed_at) AS first_seen
+      |      FROM v WHERE route_id IS NOT NULL GROUP BY 1, 2, 3)))
+      |GROUP BY 1, 2""".stripMargin
+
+  private val KPI_DELAY_BODY =
+    s"""SELECT route_id, date_trunc('hour', observed_at) AS hour_ts,
+       |  COUNT(*) AS trip_update_events, ${davg("delay_seconds")} AS avg_delay_seconds
+       |FROM t WHERE route_id IS NOT NULL GROUP BY 1, 2""".stripMargin
+
+  private val PRED_BODY =
+    "SELECT route_id, hour_ts, passengers * 0.95 AS y_pred, passengers AS y_true FROM d"
+
+  /** kpi_hourly as CTE `k` (mirrors graft.views.Kpi.kpiHourly over the
+    * deterministic pseudo-predictions of graft.Pipelines.predictions).
+    */
+  private val KPI_CTES =
+    s"""WITH s2r AS ($S2R), f AS ($FLOW), t AS ($TRIP), v AS ($VEH),
+       |d AS ($DEMAND_BODY),
+       |p AS ($PRED_BODY),
+       |av AS ($KPI_ACTIVE_BODY),
+       |hw AS ($KPI_HEADWAY_BODY),
+       |dl AS ($KPI_DELAY_BODY),
+       |k AS (
+       |  SELECT p.route_id, p.hour_ts,
+       |    p.y_pred AS predicted_passengers, p.y_true AS observed_passengers,
+       |    COALESCE(av.active_vehicles, 0) AS active_vehicles,
+       |    hw.avg_headway_min,
+       |    hw.avg_headway_us,
+       |    COALESCE(dl.trip_update_events, 0) AS trip_update_events,
+       |    COALESCE(dl.avg_delay_seconds, 0.0) AS avg_delay_seconds,
+       |    CAST(EXTRACT(HOUR FROM p.hour_ts) AS INTEGER) AS hour_of_day,
+       |    CAST(CASE WHEN EXTRACT(HOUR FROM p.hour_ts) BETWEEN 7 AND 9
+       |         OR EXTRACT(HOUR FROM p.hour_ts) BETWEEN 16 AND 18 THEN 1 ELSE 0 END AS INTEGER) AS is_peak_hour
+       |  FROM p
+       |  LEFT JOIN av ON p.route_id = av.route_id AND p.hour_ts = av.hour_ts
+       |  LEFT JOIN hw ON p.route_id = hw.route_id AND p.hour_ts = hw.hour_ts
+       |  LEFT JOIN dl ON p.route_id = dl.route_id AND p.hour_ts = dl.hour_ts)""".stripMargin
+
+  private val KPI_HOURLY_SQL =
+    s"$KPI_CTES SELECT * FROM k ORDER BY route_id, hour_ts"
+
+  /** Suggestion decision chain as CTEs ending in `s9` (mirrors
+    * graft.suggest.Suggestions.suggest step by step).
+    */
+  private val SUGG_CTES =
+    s"""$KPI_CTES,
+       |s1 AS (SELECT *,
+       |  CASE WHEN avg_headway_min IS NOT NULL AND avg_headway_min BETWEEN 0.5 AND 60.0 THEN avg_headway_min
+       |       WHEN COALESCE(active_vehicles, 0) > 0 THEN LEAST(GREATEST(60.0 / CAST(active_vehicles AS DOUBLE), 3.0), 30.0)
+       |       ELSE 12.0 END AS current_headway_min
+       |  FROM k),
+       |s2 AS (SELECT *, CASE WHEN current_headway_min > 0 THEN 60.0 / current_headway_min END AS trips_per_hour_est FROM s1),
+       |s3 AS (SELECT *, CASE WHEN trips_per_hour_est > 0 THEN 60.0 * trips_per_hour_est END AS capacity_est FROM s2),
+       |s4 AS (SELECT *,
+       |  CASE WHEN capacity_est > 0 AND predicted_passengers IS NOT NULL THEN predicted_passengers / capacity_est END AS load_factor,
+       |  CASE WHEN trips_per_hour_est > 0 AND predicted_passengers IS NOT NULL THEN predicted_passengers / trips_per_hour_est END AS passengers_per_trip_est
+       |  FROM s3),
+       |s5 AS (SELECT *,
+       |  CASE WHEN load_factor IS NULL OR isnan(load_factor) THEN 0.70
+       |       ELSE LEAST(GREATEST(1.0 - abs(load_factor - 1.0) * 0.35, 0.55), 1.0) END AS confidence
+       |  FROM s4),
+       |s6 AS (SELECT *,
+       |  (passengers_per_trip_est IS NULL OR trips_per_hour_est IS NULL) AS missing,
+       |  COALESCE(is_peak_hour, 0) AS peak,
+       |  COALESCE(predicted_passengers, 0.0) AS pred0
+       |  FROM s5),
+       |s7 AS (SELECT *,
+       |  COALESCE(NOT missing AND passengers_per_trip_est > 45.0, FALSE) AS is_increase,
+       |  COALESCE(NOT missing AND NOT (passengers_per_trip_est > 45.0) AND passengers_per_trip_est < 24.0 AND peak = 0, FALSE) AS is_decrease,
+       |  pred0 / 45.0 AS tphr_target
+       |  FROM s6),
+       |s8 AS (SELECT *,
+       |  LEAST(GREATEST(CASE WHEN tphr_target IS NOT NULL AND tphr_target > 0 THEN 60.0 / tphr_target ELSE current_headway_min * 0.85 END, 3.0), 30.0) AS raw_inc,
+       |  LEAST(GREATEST(CASE WHEN tphr_target IS NOT NULL AND tphr_target > 0 THEN 60.0 / tphr_target ELSE current_headway_min * 1.15 END, 3.0), 30.0) AS raw_dec,
+       |  CASE WHEN passengers_per_trip_est IS NOT NULL THEN LEAST(GREATEST((passengers_per_trip_est - 45.0) / 45.0, 0.0), 1.0) ELSE 0.0 END AS over_f,
+       |  LEAST(GREATEST(COALESCE(avg_delay_seconds, 0.0) / 600.0, 0.0), 1.0) AS delay_norm
+       |  FROM s7),
+       |s9 AS (SELECT *,
+       |  CASE WHEN is_increase THEN 'increase_frequency' WHEN is_decrease THEN 'decrease_frequency' ELSE 'keep' END AS action,
+       |  CASE WHEN missing THEN 'missing trip estimate'
+       |       WHEN is_increase THEN 'ppt > cap_target'
+       |       WHEN is_decrease THEN 'ppt < cap_low and off-peak'
+       |       ELSE 'within normal range' END AS rule,
+       |  CASE WHEN is_increase THEN LEAST(GREATEST(current_headway_min * (1.0 - 0.35 * confidence) + raw_inc * (0.35 * confidence), 3.0), 30.0)
+       |       WHEN is_decrease THEN LEAST(GREATEST(current_headway_min * (1.0 - 0.30 * confidence) + raw_dec * (0.30 * confidence), 3.0), 30.0)
+       |       ELSE current_headway_min END AS recommended_headway_min,
+       |  LEAST(GREATEST(0.60 * over_f + 0.20 * peak + 0.20 * delay_norm, 0.0), 1.0) AS priority_score
+       |  FROM s8)""".stripMargin
+
+  private val SUGGESTIONS_SQL =
+    s"""$SUGG_CTES
+       |SELECT route_id, hour_ts, predicted_passengers, observed_passengers, active_vehicles,
+       |  avg_headway_min, trip_update_events, avg_delay_seconds, hour_of_day, is_peak_hour,
+       |  current_headway_min, trips_per_hour_est, capacity_est, load_factor,
+       |  passengers_per_trip_est, confidence, action, rule, recommended_headway_min, priority_score
+       |FROM s9 WHERE action <> 'keep'
+       |ORDER BY route_id, hour_ts""".stripMargin
+
+  private val SUGG_HIST_SQL =
+    s"""$SUGG_CTES
+       |SELECT action, COUNT(*) AS n FROM s9 WHERE action <> 'keep'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private val LATEST_SNAPSHOT_SQL =
+    s"""$SUGG_CTES,
+       |mx AS (SELECT MAX(hour_ts) AS hour_ts FROM k),
+       |sg AS (SELECT route_id, hour_ts, action, recommended_headway_min, priority_score
+       |       FROM s9 WHERE action <> 'keep')
+       |SELECT k.route_id, k.hour_ts, k.predicted_passengers, k.observed_passengers,
+       |  k.active_vehicles, k.avg_headway_min, k.is_peak_hour,
+       |  COALESCE(sg.action, 'needs_data') AS action,
+       |  sg.recommended_headway_min,
+       |  COALESCE(sg.priority_score, 0.0) AS priority_score
+       |FROM k JOIN mx ON k.hour_ts = mx.hour_ts
+       |LEFT JOIN sg ON sg.route_id = k.route_id AND sg.hour_ts = k.hour_ts
+       |ORDER BY k.route_id""".stripMargin
+
+  private val PEAK_ROLLUP_SQL =
+    s"""$KPI_CTES,
+       |latest AS (SELECT MAX(hour_ts) AS max_ts FROM k),
+       |win AS (SELECT * FROM k WHERE hour_ts >= (SELECT max_ts FROM latest) - INTERVAL 24 HOURS)
+       |SELECT CAST(EXTRACT(HOUR FROM hour_ts) AS INTEGER) AS hour_of_day,
+       |  CAST(COUNT(*) AS INTEGER) AS n_routes,
+       |  ${davg("predicted_passengers")} AS avg_predicted_passengers,
+       |  ${davg("observed_passengers")} AS avg_observed_passengers,
+       |  ${davg("CASE WHEN active_vehicles > 0 THEN CAST(active_vehicles AS DOUBLE) END")} AS avg_active_vehicles,
+       |  (CAST(SUM(avg_headway_us) AS DOUBLE) / COUNT(avg_headway_us)) / 60000000.0 AS avg_headway_min,
+       |  CAST(SUM(CASE WHEN is_peak_hour = 1 THEN 1 ELSE 0 END) AS INTEGER) AS peak_routes
+       |FROM win GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private val VALIDATION_SQL =
+    s"""WITH s2r AS ($S2R), f AS ($FLOW), d AS ($DEMAND_BODY), p AS ($PRED_BODY)
+       |SELECT COUNT(*) AS n,
+       |  ${davg("abs(y_pred - y_true)")} AS mae,
+       |  sqrt(${davg("(y_pred - y_true) * (y_pred - y_true)")}) AS rmse,
+       |  ${davg("2.0 * abs(y_pred - y_true) / GREATEST(abs(y_true) + abs(y_pred), 0.000001)")} * 100.0 AS smape_pct,
+       |  ${davg("y_pred - y_true")} AS bias
+       |FROM p WHERE y_true IS NOT NULL AND y_pred IS NOT NULL
+       |  AND NOT isnan(y_true) AND NOT isnan(y_pred)""".stripMargin
+
+  private val VALIDATION_BY_ROUTE_SQL =
+    s"""WITH s2r AS ($S2R), f AS ($FLOW), d AS ($DEMAND_BODY), p AS ($PRED_BODY)
+       |SELECT route_id, COUNT(*) AS n,
+       |  ${davg("abs(y_pred - y_true)")} AS mae,
+       |  ${davg("y_pred - y_true")} AS bias,
+       |  ${davg("y_true")} AS mean_true,
+       |  ${davg("y_pred")} AS mean_pred
+       |FROM p WHERE y_true IS NOT NULL AND y_pred IS NOT NULL
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private val LABEL_LEAD_SQL =
+    s"""WITH s2r AS ($S2R), f AS ($FLOW), d AS ($DEMAND_BODY)
+       |SELECT route_id, hour_ts, passengers,
+       |  LEAD(passengers, 1) OVER (PARTITION BY route_id ORDER BY hour_ts) AS label_next_hour
+       |FROM d ORDER BY route_id, hour_ts""".stripMargin
+
+  // ---- query registrations ----
+
+  private def ntzCol(c: String) = col(c).cast("timestamp_ntz").as(c)
+
+  import Pipelines._
+  import graft.rel.Relational
+  import graft.export.Export
+
+  private def suggestionsFlat(s: SparkSession, dir: String): DataFrame =
+    suggestions(s, dir, onlyChanges = true)
+      .select(col("route_id"), ntzCol("hour_ts"), col("predicted_passengers"),
+        col("observed_passengers"), col("active_vehicles"), col("avg_headway_min"),
+        col("trip_update_events"), col("avg_delay_seconds"), col("hour_of_day"),
+        col("is_peak_hour"), col("current_headway_min"), col("trips_per_hour_est"),
+        col("capacity_est"), col("load_factor"), col("passengers_per_trip_est"),
+        col("confidence"), col("action"), col("rule"),
+        col("recommended_headway_min"), col("priority_score"))
+      .orderBy("route_id", "hour_ts")
+
+  val reference: Seq[Q] = Seq(
+    Q("stop_to_route",
+      (s, dir) => TestdataAdapter.stopToRouteMapping(s, dir).orderBy("stop_id", "route_id"),
+      Some(s"$S2R ORDER BY stop_id, route_id")),
+
+    Q("demand_hourly",
+      (s, dir) => demandHourly(s, dir)
+        .select(col("route_id"), ntzCol("hour_ts"), col("passengers"))
+        .orderBy("route_id", "hour_ts"),
+      Some(s"WITH s2r AS ($S2R), f AS ($FLOW) $DEMAND_BODY ORDER BY 1, 2")),
+
+    Q("delay_hourly",
+      (s, dir) => delayHourly(s, dir)
+        .select(col("route_id"), ntzCol("hour_ts"),
+          col("trip_update_events"), col("avg_delay_seconds"))
+        .orderBy("route_id", "hour_ts"),
+      Some(s"WITH t AS ($TRIP) $DELAY_BODY ORDER BY 1, 2")),
+
+    Q("vehicle_hourly",
+      (s, dir) => vehicleHourly(s, dir)
+        .select(col("route_id"), ntzCol("hour_ts"), col("vehicle_events"))
+        .orderBy("route_id", "hour_ts"),
+      Some(s"WITH v AS ($VEH) $VEHICLE_BODY ORDER BY 1, 2")),
+
+    Q("weather_hourly",
+      (s, dir) => weatherHourly(s, dir)
+        .select(ntzCol("hour_ts"), col("temperature_c"),
+          col("precipitation_mm"), col("wind_speed_mps"))
+        .orderBy("hour_ts"),
+      Some(s"WITH wx AS ($WEA) $WEATHER_BODY ORDER BY 1")),
+
+    Q("ml_dataset_hourly",
+      (s, dir) => mlDataset(s, dir)
+        .withColumn("hour_ts", col("hour_ts").cast("timestamp_ntz"))
+        .orderBy("route_id", "hour_ts"),
+      Some(ML_DATASET_SQL)),
+
+    Q("kpi_active_vehicles",
+      (s, dir) => kpiActiveVehicles(s, dir)
+        .select(col("route_id"), ntzCol("hour_ts"), col("active_vehicles"))
+        .orderBy("route_id", "hour_ts"),
+      Some(s"WITH v AS ($VEH) $KPI_ACTIVE_BODY ORDER BY 1, 2")),
+
+    Q("kpi_headway",
+      (s, dir) => kpiHeadway(s, dir)
+        .select(col("route_id"), ntzCol("hour_ts"),
+          col("avg_headway_us"), col("avg_headway_min"))
+        .orderBy("route_id", "hour_ts"),
+      Some(s"WITH v AS ($VEH) $KPI_HEADWAY_BODY ORDER BY 1, 2")),
+
+    Q("kpi_delay",
+      (s, dir) => kpiDelay(s, dir)
+        .select(col("route_id"), ntzCol("hour_ts"),
+          col("trip_update_events"), col("avg_delay_seconds"))
+        .orderBy("route_id", "hour_ts"),
+      Some(s"WITH t AS ($TRIP) $KPI_DELAY_BODY ORDER BY 1, 2")),
+
+    Q("kpi_hourly",
+      (s, dir) => kpiHourly(s, dir)
+        .withColumn("hour_ts", col("hour_ts").cast("timestamp_ntz"))
+        .orderBy("route_id", "hour_ts"),
+      Some(KPI_HOURLY_SQL)),
+
+    Q("suggestions", suggestionsFlat, Some(SUGGESTIONS_SQL)),
+
+    // Full suggestions frame incl. the reasons JSON column — rows-only
+    // (JSON text layout is engine-specific).
+    Q("suggestions_full",
+      (s, dir) => suggestions(s, dir, onlyChanges = false)
+        .withColumn("hour_ts", col("hour_ts").cast("timestamp_ntz"))
+        .orderBy("route_id", "hour_ts"),
+      None),
+
+    Q("latest_hour_snapshot",
+      (s, dir) => Export.latestHourSnapshot(kpiHourly(s, dir), suggestions(s, dir))
+        .withColumn("hour_ts", col("hour_ts").cast("timestamp_ntz"))
+        .orderBy("route_id"),
+      Some(LATEST_SNAPSHOT_SQL)),
+
+    Q("peak_hours_rollup",
+      (s, dir) => Export.peakHoursRollup(kpiHourly(s, dir)),
+      Some(PEAK_ROLLUP_SQL)),
+
+    Q("action_histogram",
+      (s, dir) => Export.actionHistogram(suggestions(s, dir)),
+      Some(SUGG_HIST_SQL)),
+
+    Q("validation_metrics",
+      (s, dir) => Export.validationMetrics(predictions(s, dir)),
+      Some(VALIDATION_SQL)),
+
+    Q("validation_by_route",
+      (s, dir) => Export.validationByRoute(predictions(s, dir)),
+      Some(VALIDATION_BY_ROUTE_SQL)),
+
+    Q("label_lead",
+      (s, dir) => Relational.labelLead(demandHourly(s, dir))
+        .withColumn("hour_ts", col("hour_ts").cast("timestamp_ntz")),
+      Some(LABEL_LEAD_SQL)),
+  )
+
+  val relational: Seq[Q] = Seq(
+    Q("q1_pricing", Relational.q1Pricing,
+      Some(
+        s"""SELECT l_returnflag, l_linestatus,
+           |  ${dsum("l_quantity")} AS sum_qty,
+           |  ${dsum("l_extendedprice")} AS sum_base_price,
+           |  ${dsum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+           |  ${dsum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+           |  ${davg("l_quantity")} AS avg_qty,
+           |  ${davg("l_extendedprice")} AS avg_price,
+           |  ${davg("l_discount")} AS avg_disc,
+           |  COUNT(*) AS count_order
+           |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    Q("q3_top_revenue", Relational.q3TopRevenue,
+      Some(
+        s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+           |  ${dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+           |FROM lineitem
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |WHERE c_mktsegment = 'BUILDING'
+           |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+           |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+           |GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)),
+
+    Q("q5_region_revenue", Relational.q5RegionRevenue,
+      Some(
+        s"""SELECT n_name, ${dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+           |FROM lineitem
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           |JOIN nation ON s_nationkey = n_nationkey
+           |JOIN region ON n_regionkey = r_regionkey
+           |WHERE r_name = 'ASIA'
+           |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+           |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("top_order_per_customer", Relational.topOrderPerCustomer,
+      Some(
+        """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+          |  SELECT o_custkey, o_orderkey, o_totalprice,
+          |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          |  FROM orders) WHERE rn = 1 ORDER BY o_custkey""".stripMargin)),
+
+    Q("customers_without_orders", Relational.customersWithoutOrders,
+      Some(
+        """SELECT c_custkey, c_name, c_mktsegment FROM customer
+          |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          |ORDER BY c_custkey""".stripMargin)),
+
+    Q("suppliers_with_sales", Relational.suppliersWithSales,
+      Some(
+        """SELECT s_suppkey, s_name, s_nationkey FROM supplier
+          |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+          |ORDER BY s_suppkey""".stripMargin)),
+
+    Q("stop_to_route_j1", Relational.stopToRouteJ1,
+      Some(
+        """SELECT DISTINCT l_partkey AS stop_id, o_orderpriority AS route_id
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |ORDER BY stop_id, route_id""".stripMargin)),
+
+    Q("geo_chain", Relational.geoChain,
+      Some(
+        """SELECT DISTINCT r_name, n_name, s_suppkey, s_name
+          |FROM supplier
+          |JOIN nation ON s_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |ORDER BY r_name, n_name, s_suppkey LIMIT 1000""".stripMargin)),
+
+    Q("latest_event_per_user", Relational.latestEventPerUser,
+      Some(
+        """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM (
+          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    Q("upsert_latest_wins", Relational.upsertLatestWins,
+      Some(
+        """SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM (
+          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+          |  FROM events) WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin)),
+
+    Q("upsert_do_nothing", Relational.upsertDoNothing,
+      Some(
+        """SELECT event_id, user_id, event_type, value FROM events
+          |WHERE event_id >= 5000 AND event_id < 7500 ORDER BY event_id""".stripMargin)),
+
+    Q("gtfs_time_parse", Relational.gtfsTimeParse,
+      Some(
+        """SELECT event_id,
+          |  CAST(CAST(floor(value * 100) AS BIGINT) % 108000 AS INTEGER) AS seconds_in,
+          |  printf('%02d:%02d:%02d',
+          |    CAST(CAST(floor(value * 100) AS BIGINT) % 108000 AS BIGINT) // 3600,
+          |    (CAST(CAST(floor(value * 100) AS BIGINT) % 108000 AS BIGINT) % 3600) // 60,
+          |    CAST(CAST(floor(value * 100) AS BIGINT) % 108000 AS BIGINT) % 60) AS gtfs_time,
+          |  CAST(CAST(floor(value * 100) AS BIGINT) % 108000 AS INTEGER) AS seconds_parsed
+          |FROM events ORDER BY event_id""".stripMargin)),
+  )
+
+  def all: Seq[Q] = reference ++ relational
+}

@@ -1,56 +1,77 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Adapters from the driver's synthetic testdata (TESTDATA.md: TPC-H-ish
   * star schema + an `events` stream) into the reference engine's input
   * schemas (SURVEY.md §1), so the library modules (views.Hourly, views.Kpi,
-  * suggest.Suggestions, …) are exercised end-to-end by the DuckDB-oracle
-  * harness on real parquet inputs.
+  * suggest.Suggestions, …) run end-to-end on real parquet inputs and are
+  * registered in SparkEntry.queries against the DuckDB oracle.
   *
-  * All timestamps are normalized to TIMESTAMP_NTZ: the testdata parquet is
-  * written timezone-naive and the DuckDB oracle reads it naive, so keeping
-  * NTZ end-to-end removes any UTC-adjustment ambiguity in the compare.
+  * Timestamp notes:
+  *  - `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4.1 cannot map
+  *    to a timestamp type; with spark.sql.legacy.parquet.nanosAsLong it
+  *    reads as a long of nanos, converted here with an integer-exact
+  *    DIV 1000 → timestamp_micros → TIMESTAMP_NTZ (the oracle's
+  *    CAST(ts AS TIMESTAMP) truncates ns→µs identically).
+  *  - Downstream date_trunc/hour arithmetic implicitly casts NTZ to
+  *    session-TZ TIMESTAMP (Spark 4.1 behavior), so wall-clock correctness
+  *    relies on the UTC session-timezone pin in build.sbt/Verify; query
+  *    outputs are re-cast to NTZ at the edge before the oracle compare.
   */
 object TestdataAdapter {
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Settable per-session at runtime; required before any scan of
+    // events.parquet (TIMESTAMP(NANOS)). Harmless for the other tables.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
-  private def ntz(c: org.apache.spark.sql.Column) = c.cast("timestamp_ntz")
+  /** long nanos → TIMESTAMP_NTZ at microsecond precision. The DIV 1000 is
+    * done in decimal so the full 19-digit nanos value stays exact (a double
+    * division would lose precision above 2^53).
+    */
+  private def ntzFromNanos(c: Column): Column =
+    timestamp_micros(floor(c.cast("decimal(38,0)") / 1000).cast("long"))
+      .cast("timestamp_ntz")
 
   /** events → vehicle_positions shape: route=event_type, vehicle=user_id. */
   def vehiclePositions(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events").select(
       col("event_type").as("route_id"),
       col("user_id").cast("string").as("vehicle_id"),
-      ntz(col("ts")).as("observed_at"))
+      ntzFromNanos(col("ts")).as("observed_at"))
 
   /** events → trip_updates shape: delay measured by `value`. */
   def tripUpdates(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events").select(
       col("event_type").as("route_id"),
-      ntz(col("ts")).as("observed_at"),
+      ntzFromNanos(col("ts")).as("observed_at"),
       col("value").as("delay_seconds"))
 
   /** events → passenger_flow_events shape: stop=user_id, demand=`value`. */
   def flowEvents(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events").select(
       col("user_id").cast("string").as("stop_id"),
-      ntz(col("ts")).as("observed_at"),
+      ntzFromNanos(col("ts")).as("observed_at"),
       col("value").as("estimated_passengers"))
 
-  /** customer → stop_to_route-shaped mapping: stop=custkey, route=mktsegment. */
+  /** stop_to_route-shaped mapping: stop=user_id, route=event_type — the
+    * DISTINCT pairs observed in the stream, so demand/delay/vehicle views
+    * share one route-id key space and a stop genuinely fans out to several
+    * routes (the J2 double-counting quirk, SURVEY §7.4 item 11).
+    */
   def stopToRouteMapping(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "customer").select(
-      col("c_custkey").cast("string").as("stop_id"),
-      col("c_mktsegment").as("route_id")).distinct()
+    table(spark, dir, "events").select(
+      col("user_id").cast("string").as("stop_id"),
+      col("event_type").as("route_id")).distinct()
 
   /** events → weather_observations shape (deterministic derived metrics). */
   def weather(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events").select(
-      ntz(col("ts")).as("observed_at"),
+      ntzFromNanos(col("ts")).as("observed_at"),
       col("value").as("temperature_c"),
       (col("value") / 10.0).as("precipitation_mm"),
       (col("value") / 100.0).as("wind_speed_mps"))

@@ -1,0 +1,116 @@
+package graft.export
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Cols._
+
+/** Export-side views (SURVEY.md §2.3 J5, §2.4 A9-A11, §2.9 D7-D9): the
+  * latest-hour snapshot, the trailing-24h peak-hours rollup, the action
+  * histogram, and the prediction-validation metrics.
+  *
+  * Scale notes: the MAX(hour_ts) scalar is computed as a 1-row aggregate
+  * joined back via broadcast — no collect() on the driver, and the snapshot
+  * join stays a broadcast-hash join at any fact size (SURVEY §7.4 item 10:
+  * one plan computes both the max and the join, so there is no
+  * read-snapshot race).
+  */
+object Export {
+
+  /** J5 + D7 (flat) — KPI rows at the latest hour, LEFT JOIN suggestions,
+    * needs_data defaults. Ref: src/dag/export-suggestions-json-job.py:66-120.
+    */
+  def latestHourSnapshot(kpi: DataFrame, suggestions: DataFrame): DataFrame = {
+    val latest = kpi.agg(max("hour_ts").as("hour_ts"))
+    val sug = suggestions.select(
+      col("route_id"), col("hour_ts"), col("action"),
+      col("recommended_headway_min"), col("priority_score"))
+    kpi.join(broadcast(latest), Seq("hour_ts"))
+      .join(sug, Seq("route_id", "hour_ts"), "left")
+      .select(
+        col("route_id"), col("hour_ts"),
+        col("predicted_passengers"), col("observed_passengers"),
+        col("active_vehicles"), col("avg_headway_min"), col("is_peak_hour"),
+        coalesce(col("action"), lit("needs_data")).as("action"),
+        col("recommended_headway_min"),
+        coalesce(col("priority_score"), lit(0.0)).as("priority_score"))
+      .orderBy("hour_ts", "route_id")
+  }
+
+  /** A9 — trailing-24h rollup by hour-of-day.
+    * Ref: src/dag/export-suggestions-json-job.py:122-143
+    * (AVG(CASE WHEN active_vehicles>0 ...) keeps zeros out of both the
+    * numerator and denominator — detAvg over a when() mask preserves that).
+    */
+  def peakHoursRollup(kpi: DataFrame): DataFrame = {
+    val latest = kpi.agg(max("hour_ts").as("max_ts"))
+    kpi.crossJoin(broadcast(latest))
+      .filter(col("hour_ts") >= col("max_ts") - expr("INTERVAL 24 HOURS"))
+      .groupBy(hour(col("hour_ts")).cast("int").as("hour_of_day"))
+      .agg(
+        count(lit(1)).cast("int").as("n_routes"),
+        detAvg(col("predicted_passengers")).as("avg_predicted_passengers"),
+        detAvg(col("observed_passengers")).as("avg_observed_passengers"),
+        detAvg(when(col("active_vehicles") > 0, col("active_vehicles").cast("double")))
+          .as("avg_active_vehicles"),
+        // averaged in the exact integer-µs domain (see Kpi.headwayHourly),
+        // one double division at the edge
+        ((sum(col("avg_headway_us")).cast("double") / count(col("avg_headway_us")))
+          / lit(6.0e7)).as("avg_headway_min"),
+        sum(when(col("is_peak_hour") === 1, 1).otherwise(0)).cast("int").as("peak_routes"))
+      .orderBy("hour_of_day")
+  }
+
+  /** A10 — suggestions-per-action histogram.
+    * Ref: src/optimization/export_suggestions_json.py:274-277.
+    */
+  def actionHistogram(suggestions: DataFrame): DataFrame =
+    suggestions.groupBy("action").agg(count(lit(1)).as("n")).orderBy("action")
+
+  /** A11 — global validation metrics over (y_true, y_pred) pairs.
+    * Ref: src/optimization/validate_predictions.py:28-50 (MAE, RMSE,
+    * sMAPE% with 1e-6 denominator floor, bias = mean(pred - true)).
+    */
+  def validationMetrics(predictions: DataFrame): DataFrame = {
+    val valid = predictions.filter(
+      col("y_true").isNotNull && col("y_pred").isNotNull &&
+        !isnan(col("y_true")) && !isnan(col("y_pred")))
+    val diff = col("y_pred") - col("y_true")
+    valid.agg(
+      count(lit(1)).as("n"),
+      detAvg(abs(diff)).as("mae"),
+      sqrt(detAvg(diff * diff)).as("rmse"),
+      (detAvg(lit(2.0) * abs(diff) /
+        greatest(abs(col("y_true")) + abs(col("y_pred")), lit(1e-6))) * 100.0)
+        .as("smape_pct"),
+      detAvg(diff).as("bias"))
+  }
+
+  /** A11 grouped — per-route MAE/bias breakdown.
+    * Ref: validate_predictions.py:66-76 (ordered by route for determinism
+    * rather than the reference's MAE-desc print order).
+    */
+  def validationByRoute(predictions: DataFrame): DataFrame = {
+    val diff = col("y_pred") - col("y_true")
+    predictions
+      .filter(col("y_true").isNotNull && col("y_pred").isNotNull)
+      .groupBy("route_id")
+      .agg(
+        count(lit(1)).as("n"),
+        detAvg(abs(diff)).as("mae"),
+        detAvg(diff).as("bias"),
+        detAvg(col("y_true")).as("mean_true"),
+        detAvg(col("y_pred")).as("mean_pred"))
+      .orderBy("route_id")
+  }
+
+  /** D9 — geo grouping: stops collected under each route as an ordered
+    * array of structs. Ref: src/dag/export-routes-geo-job.py:77-104.
+    * Rows-only check (nested schema is not DuckDB-oracle comparable).
+    */
+  def geoGrouping(stopsPerRoute: DataFrame): DataFrame =
+    stopsPerRoute
+      .groupBy("route_id")
+      .agg(sort_array(collect_list(struct(
+        col("stop_id"), col("stop_name"), col("lat"), col("lon")))).as("stops"))
+      .orderBy("route_id")
+}

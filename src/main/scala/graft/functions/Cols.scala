@@ -32,10 +32,41 @@ object Cols {
 
   /** F4/W1 — exact minutes between two timestamps as double (microsecond
     * precision, no float drift: integer micros difference, one division).
+    * Accepts TIMESTAMP and TIMESTAMP_NTZ: unix_micros rejects NTZ input
+    * (DATATYPE_MISMATCH on Spark 4.1), so cast explicitly first — safe
+    * under the UTC session timezone pinned in build.sbt/Verify.
     * Ref: kpi_views.sql:45 (EXTRACT(EPOCH FROM a-b)/60).
     */
   def minutesBetween(a: Column, b: Column): Column =
-    (unix_micros(a) - unix_micros(b)) / lit(6.0e7)
+    microsBetween(a, b) / lit(6.0e7)
+
+  /** Exact microseconds between two timestamps as a long. Time math should
+    * stay in this integer domain as long as possible: integer sums are
+    * associative (partition-order independent) and cross-engine exact,
+    * whereas any double→decimal rounding of a derived minutes value is
+    * engine-specific at half-boundaries (Δµs ≡ 30 mod 60 puts Δµs/6e7
+    * exactly on a 6-decimal half — 1 in 60 gaps!).
+    */
+  def microsBetween(a: Column, b: Column): Column =
+    unix_micros(a.cast("timestamp")) - unix_micros(b.cast("timestamp"))
+
+  /** Deterministic SUM of a double expression: round each row to `scale`
+    * decimals (exact decimal cast), sum exactly, return double. Plain
+    * double sums are order-dependent (partial aggregation vs. a sequential
+    * engine differ in final bits), which would break cross-engine
+    * hash-verification; the decimal path is associative and therefore
+    * byte-identical on any partitioning — at 100 TB the result no longer
+    * depends on the cluster layout. Still codegen'd (no UDF).
+    */
+  def detSum(c: Column, scale: Int = 6): Column =
+    sum(c.cast(s"decimal(28,$scale)")).cast("double")
+
+  /** Deterministic AVG: exact decimal sum / non-null count (one double
+    * division at the end). Matches AVG semantics (nulls excluded from both
+    * numerator and denominator). See [[detSum]] for why.
+    */
+  def detAvg(c: Column, scale: Int = 6): Column =
+    sum(c.cast(s"decimal(28,$scale)")).cast("double") / count(c)
 
   /** F8 — GTFS clock "HH:MM:SS" → integer seconds-since-midnight.
     * Hours may exceed 23 (e.g. "25:10:00"); empty/blank → null.
@@ -65,10 +96,11 @@ object Cols {
 
   /** A7 — AVG(x) FILTER (WHERE x BETWEEN lo AND hi): avg ignores nulls, so
     * masking with when() reproduces FILTER exactly (numerator and
-    * denominator both exclude masked rows). Ref: kpi_views.sql:50-57.
+    * denominator both exclude masked rows); computed via [[detAvg]] so the
+    * value is partition-order independent. Ref: kpi_views.sql:50-57.
     */
   def avgFiltered(x: Column, lo: Double, hi: Double): Column =
-    avg(when(x.between(lo, hi), x))
+    detAvg(when(x.between(lo, hi), x))
 
   /** A8 — base-demand seeding LEAST(50, GREATEST(5, n*3)).
     * Ref: initdb/init-postgis.sql:170-176.

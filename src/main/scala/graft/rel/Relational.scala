@@ -1,0 +1,204 @@
+package graft.rel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.TestdataAdapter.table
+import graft.functions.Cols._
+
+/** Relational operator workout over the TPC-H-ish star schema: every join
+  * flavor, aggregation style, window, sort/limit, and upsert rewrite from
+  * SURVEY.md §2 exercised on the driver's testdata tables, each with a
+  * DuckDB oracle (see graft.Registry).
+  *
+  * Scale notes: dims (region, nation, supplier, customer at this ratio)
+  * broadcast; fact-side scans push filters/projection into parquet.
+  * Aggregate values use detSum/detAvg (decimal-exact, partition-order
+  * independent) so results are identical on any cluster layout.
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary: scan-filter-agg with partial maps.
+    * Exercises A1/A2-style grouped aggregation + F-series arithmetic.
+    */
+  def q1Pricing(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        detSum(col("l_quantity")).as("sum_qty"),
+        detSum(col("l_extendedprice")).as("sum_base_price"),
+        detSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        detSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        detAvg(col("l_quantity")).as("avg_qty"),
+        detAvg(col("l_extendedprice")).as("avg_price"),
+        detAvg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3-style: selective dim filter → fact joins → top-N by revenue.
+    * customer is broadcast (dim-sized); lineitem never shuffles for the
+    * orders join under AQE broadcast planning.
+    */
+  def q3TopRevenue(s: SparkSession, dir: String): DataFrame = {
+    val cust = table(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord = table(s, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01"))
+    val li = table(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-01-01"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(detSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style: 5-way join through region→nation→customer→orders→
+    * lineitem→supplier with the co-nation constraint, grouped revenue.
+    */
+  def q5RegionRevenue(s: SparkSession, dir: String): DataFrame = {
+    val region = table(s, dir, "region").filter(col("r_name") === "ASIA")
+    val nation = table(s, dir, "nation")
+    val cust = table(s, dir, "customer")
+    val ord = table(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
+    val li = table(s, dir, "lineitem")
+    val supp = table(s, dir, "supplier")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(detSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("n_name"))
+  }
+
+  /** W2-style row_number window: each customer's highest-value order
+    * (deterministic tie-break on o_orderkey, SURVEY §7.4 item 3).
+    */
+  def topOrderPerCustomer(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    table(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey")
+  }
+
+  /** Anti join (P2 family): customers with no orders. */
+  def customersWithoutOrders(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "customer")
+      .join(table(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  /** Semi join (P2 — the reference's isin RI filter): suppliers with sales. */
+  def suppliersWithSales(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "supplier")
+      .join(table(s, dir, "lineitem"), col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name", "s_nationkey")
+      .orderBy("s_suppkey")
+
+  /** J1 on star-schema stand-ins: stop_times→lineitem (trip=orderkey,
+    * stop=partkey), trips→orders (route=orderpriority); DISTINCT mapping.
+    * Ref: initdb/init-postgis.sql:182-185.
+    */
+  def stopToRouteJ1(s: SparkSession, dir: String): DataFrame = {
+    val stopTimes = table(s, dir, "lineitem")
+      .select(col("l_orderkey").as("trip_id"), col("l_partkey").as("stop_id"))
+    val trips = table(s, dir, "orders")
+      .select(col("o_orderkey").as("trip_id"), col("o_orderpriority").as("route_id"))
+    graft.views.Hourly.stopToRoute(stopTimes, trips)
+      .orderBy("stop_id", "route_id")
+  }
+
+  /** J6-style geo chain: 3-way dim join + DISTINCT + ORDER BY + LIMIT 1000
+    * (the LIMIT applies to the pre-grouping row set — reference quirk).
+    * Ref: src/dag/export-routes-geo-job.py:36-53.
+    */
+  def geoChain(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "supplier")
+      .join(broadcast(table(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(table(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .select("r_name", "n_name", "s_suppkey", "s_name")
+      .distinct()
+      .orderBy("r_name", "n_name", "s_suppkey")
+      .limit(1000)
+
+  /** W2 — DISTINCT ON emulation: latest event per user, deterministic
+    * tie-break (ts DESC, event_id DESC). Ref: kpi_views.sql:136-148.
+    */
+  def latestEventPerUser(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.TestdataAdapter.table(s, dir, "events")
+    val ts = timestampMicrosFromNanos(col("ts"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), ts.as("ts"),
+        col("event_type"), col("value"))
+      .orderBy("user_id")
+  }
+
+  /** S10 — latest-wins upsert as merge-by-rewrite: union "stored" and
+    * "incoming" halves of the stream, keep the newest row per
+    * (user_id, event_type) with a deterministic tie-break.
+    * Ref: ingestor.py:100-103,128-133 (ON CONFLICT DO UPDATE).
+    */
+  def upsertLatestWins(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.TestdataAdapter.table(s, dir, "events")
+    val stored = ev.filter(col("event_id") % 2 === 0)
+    val incoming = ev.filter(col("event_id") % 2 === 1)
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    stored.unionByName(incoming)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        timestampMicrosFromNanos(col("ts")).as("ts"), col("value"))
+      .orderBy("user_id", "event_type")
+  }
+
+  /** S9 — idempotent append (ON CONFLICT DO NOTHING): incoming rows whose
+    * PK is not already stored, via left_anti. Ref: ingestor.py:71.
+    */
+  def upsertDoNothing(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.TestdataAdapter.table(s, dir, "events")
+    val stored = ev.filter(col("event_id") < 5000)
+    val incoming = ev.filter(col("event_id") < 7500)
+    incoming.join(stored, Seq("event_id"), "left_anti")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .orderBy("event_id")
+  }
+
+  /** F8 — GTFS clock parse round-trip: build "HH:MM:SS" strings (hours may
+    * exceed 23) from event values, parse back to seconds with
+    * Cols.gtfsTimeToSeconds. Ref: src/dag/gtfs-static-job.py:182-186.
+    */
+  def gtfsTimeParse(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.TestdataAdapter.table(s, dir, "events")
+    val secs = (floor(col("value") * 100).cast("long") % 108000L).cast("int")
+    ev.select(col("event_id"), secs.as("seconds_in"),
+      format_string("%02d:%02d:%02d",
+        (secs / 3600).cast("int"), ((secs % 3600) / 60).cast("int"), (secs % 60).cast("int"))
+        .as("gtfs_time"))
+      .withColumn("seconds_parsed", gtfsTimeToSeconds(col("gtfs_time")))
+      .orderBy("event_id")
+  }
+
+  /** A12/W3 — next-hour label via lead() per route over the hourly demand
+    * series. Ref: src/ml/train_predict.py:149-150.
+    */
+  def labelLead(demandHourly: DataFrame): DataFrame = {
+    val w = Window.partitionBy("route_id").orderBy("hour_ts")
+    demandHourly
+      .withColumn("label_next_hour", lead(col("passengers"), 1).over(w))
+      .orderBy("route_id", "hour_ts")
+  }
+
+  /** long nanos → TIMESTAMP_NTZ (µs), integer-exact. */
+  private def timestampMicrosFromNanos(c: org.apache.spark.sql.Column) =
+    timestamp_micros(floor(c.cast("decimal(38,0)") / 1000).cast("long"))
+      .cast("timestamp_ntz")
+}

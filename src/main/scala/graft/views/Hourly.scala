@@ -33,7 +33,7 @@ object Hourly {
     flowEvents
       .join(broadcast(stopToRoute), "stop_id")
       .groupBy(col("route_id"), hourTs(col("observed_at")).as("hour_ts"))
-      .agg(sum("estimated_passengers").cast("double").as("passengers"))
+      .agg(detSum(col("estimated_passengers")).as("passengers"))
 
   /** A2 — hourly trip-update delay stats. Ref: initdb/init-postgis.sql:196-203. */
   def delayHourly(tripUpdates: DataFrame): DataFrame =
@@ -41,7 +41,7 @@ object Hourly {
       .groupBy(col("route_id"), hourTs(col("observed_at")).as("hour_ts"))
       .agg(
         count(lit(1)).as("trip_update_events"),
-        avg("delay_seconds").cast("double").as("avg_delay_seconds"))
+        detAvg(col("delay_seconds")).as("avg_delay_seconds"))
 
   /** A3 — hourly vehicle-position event counts. Ref: initdb/init-postgis.sql:205-211. */
   def vehicleHourly(vehiclePositions: DataFrame): DataFrame =
@@ -54,9 +54,9 @@ object Hourly {
     weather
       .groupBy(hourTs(col("observed_at")).as("hour_ts"))
       .agg(
-        avg("temperature_c").cast("double").as("temperature_c"),
-        avg("precipitation_mm").cast("double").as("precipitation_mm"),
-        avg("wind_speed_mps").cast("double").as("wind_speed_mps"))
+        detAvg(col("temperature_c")).as("temperature_c"),
+        detAvg(col("precipitation_mm")).as("precipitation_mm"),
+        detAvg(col("wind_speed_mps")).as("wind_speed_mps"))
 
   /** J3 — ml_dataset_hourly: demand LEFT JOIN delay, vehicles on
     * (route_id, hour_ts); LEFT JOIN weather on hour_ts; COALESCE(_, 0)

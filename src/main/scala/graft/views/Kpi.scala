@@ -29,8 +29,16 @@ object Kpi {
       .agg(countDistinct("vehicle_id").as("active_vehicles"))
 
   /** A6 + W1 + A7 — headway estimate: per-vehicle first-seen per hour,
-    * LAG over (route,hour) ordered by first_seen → gap minutes, then
-    * AVG FILTER (BETWEEN 0.5 AND 60). Ref: kpi_views.sql:28-57.
+    * LAG over (route,hour) ordered by first_seen → gap, then
+    * AVG FILTER (BETWEEN 0.5 AND 60 minutes). Ref: kpi_views.sql:28-57.
+    *
+    * Computed in integer microseconds (see Cols.microsBetween): the masked
+    * sum is an exact long, the average is floored to whole µs
+    * (avg_headway_us, sub-µs truncation ≤1µs vs. the reference), and the
+    * minutes value is one double division — bit-identical on any partition
+    * layout and in any engine. The filter bounds 0.5/60 min map exactly to
+    * 3e7/3.6e9 µs (both dyadic-exact), so integer-domain filtering is
+    * equivalent to the reference's minute-domain FILTER.
     */
   def headwayHourly(vehiclePositions: DataFrame): DataFrame = {
     val firstSeen = vehiclePositions
@@ -40,11 +48,14 @@ object Kpi {
         col("vehicle_id"))
       .agg(min("observed_at").as("first_seen"))
     val w = Window.partitionBy("route_id", "hour_ts").orderBy("first_seen")
+    val gapUs = microsBetween(col("first_seen"), lag("first_seen", 1).over(w))
+    val masked = when(gapUs.between(30000000L, 3600000000L), gapUs)
     firstSeen
-      .withColumn("headway_min",
-        minutesBetween(col("first_seen"), lag("first_seen", 1).over(w)))
+      .withColumn("gap_us", masked)
       .groupBy("route_id", "hour_ts")
-      .agg(avgFiltered(col("headway_min"), 0.5, 60.0).as("avg_headway_min"))
+      .agg(floor(sum(col("gap_us")).cast("double") / count(col("gap_us")))
+        .cast("long").as("avg_headway_us"))
+      .withColumn("avg_headway_min", col("avg_headway_us") / lit(6.0e7))
   }
 
   /** A2 (KPI variant) — delay per route/hour. Ref: kpi_views.sql:60-68. */
@@ -55,7 +66,7 @@ object Kpi {
         hourTs(col("observed_at")).as("hour_ts"))
       .agg(
         count(lit(1)).as("trip_update_events"),
-        avg("delay_seconds").cast("double").as("avg_delay_seconds"))
+        detAvg(col("delay_seconds")).as("avg_delay_seconds"))
 
   /** J4 — kpi_hourly: predictions LEFT JOIN the three KPI sub-views on
     * (route_id::text, hour_ts), COALESCE defaults, hour-of-day and peak
@@ -80,6 +91,7 @@ object Kpi {
         col("y_true").as("observed_passengers"),
         coalesce(col("active_vehicles"), lit(0L)).as("active_vehicles"),
         col("avg_headway_min"),
+        col("avg_headway_us"),
         coalesce(col("trip_update_events"), lit(0L)).as("trip_update_events"),
         coalesce(col("avg_delay_seconds"), lit(0.0)).cast("double").as("avg_delay_seconds"),
         hour(col("hour_ts")).cast("int").as("hour_of_day"),
