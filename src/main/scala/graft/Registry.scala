@@ -495,5 +495,43 @@ object Registry {
           |FROM events ORDER BY event_id""".stripMargin)),
   )
 
-  def all: Seq[Q] = reference ++ relational
+  /** Training-data pipeline operators (text analysis, dedup family,
+    * similarity search, multimodal plumbing) — every one oracle-checked.
+    */
+  val llm: Seq[Q] = {
+    import graft.text.TextOps
+    import graft.dedup.Dedup
+    import graft.sim.Knn
+    import graft.multimodal.Multimodal
+    def docs(s: SparkSession, dir: String) = TestdataAdapter.table(s, dir, "documents")
+    def embs(s: SparkSession, dir: String) = TestdataAdapter.table(s, dir, "embeddings")
+    Seq(
+      Q("text_stats", (s, d) => TextOps.textStats(docs(s, d)), Some(TextOps.textStatsSql)),
+      Q("lang_id", (s, d) => TextOps.languageId(docs(s, d)), Some(TextOps.languageIdSql)),
+      Q("doc_fingerprint", (s, d) => TextOps.fingerprint(docs(s, d)), Some(TextOps.fingerprintSql)),
+      Q("doc_simhash", (s, d) => TextOps.simhash(docs(s, d)), Some(TextOps.simhashSql)),
+      Q("dedup_exact", (s, d) => Dedup.exact(docs(s, d)), Some(Dedup.exactSql)),
+      Q("dedup_keep", (s, d) => Dedup.dedupKeep(docs(s, d)), Some(Dedup.dedupKeepSql)),
+      Q("minhash_signatures", (s, d) => Dedup.minhashSignatures(docs(s, d)),
+        Some(Dedup.minhashSignaturesSql)),
+      Q("dedup_minhash_pairs", (s, d) => Dedup.minhashPairs(docs(s, d)),
+        Some(Dedup.minhashPairsSql)),
+      Q("dedup_ngram_jaccard", (s, d) => Dedup.ngramJaccard(docs(s, d)),
+        Some(Dedup.ngramJaccardSql)),
+      Q("dedup_simhash_pairs", (s, d) => Dedup.simhashPairs(docs(s, d)),
+        Some(Dedup.simhashPairsSql())),
+      Q("knn_bruteforce", (s, d) => Knn.bruteForceTopK(embs(s, d)),
+        Some(Knn.bruteForceTopKSql())),
+      Q("knn_bucketed", (s, d) => Knn.bucketedTopK(embs(s, d)),
+        Some(Knn.bucketedTopKSql())),
+      Q("embedding_near_dup", (s, d) => Knn.nearDupPairs(embs(s, d)),
+        Some(Knn.nearDupPairsSql())),
+      Q("embedding_label_stats", (s, d) => Knn.labelStats(embs(s, d)),
+        Some(Knn.labelStatsSql)),
+      Q("multimodal_features", (s, d) => Multimodal.extractFeatures(docs(s, d)),
+        Some(Multimodal.extractFeaturesSql)),
+    )
+  }
+
+  def all: Seq[Q] = reference ++ relational ++ llm
 }

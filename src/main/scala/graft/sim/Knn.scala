@@ -1,0 +1,174 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (Array[Float], dim 64):
+  * brute-force cosine top-k as the baseline, sign-bit-bucketed (LSH/IVF
+  * style) variants as the scale path, plus embedding-cosine near-dup
+  * detection.
+  *
+  * Cross-engine determinism: the dot product / squared norm are generated
+  * as an explicit 64-term left-associated sum of per-element double
+  * products. float×float is exact in double (24+24 ≤ 53 mantissa bits) and
+  * the addition order is fixed by the parse tree, so Spark and DuckDB
+  * produce bit-identical cosines — ranking ties are then broken by vec_id.
+  *
+  * Scale design: queries are broadcast against the candidate stream (no
+  * shuffle of the big side) for brute force; the bucketed variants turn
+  * search into an equality join on a small bucket key. Norms are computed
+  * once per vector, not per pair.
+  */
+object Knn {
+
+  val Dim = 64
+
+  /** Explicit left-assoc Σ aᵢ·bᵢ over two array columns (0-based Spark). */
+  private def dot(a: String, b: String): Column =
+    (0 until Dim).map(i =>
+      col(a).getItem(i).cast("double") * col(b).getItem(i).cast("double"))
+      .reduceLeft(_ + _)
+
+  /** Same expression for DuckDB (1-based subscripts). */
+  private def dotSql(a: String, b: String): String =
+    (1 to Dim).map(i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)")
+      .mkString(" + ")
+
+  /** Vectors + squared norm, zero-norm vectors dropped (cosine undefined). */
+  private def withNorm(embeddings: DataFrame): DataFrame =
+    embeddings
+      .withColumn("n2", dot("embedding", "embedding"))
+      .filter(col("n2") > 0)
+
+  private val NORM_CTE =
+    s"""n AS (SELECT vec_id, embedding, label, ${dotSql("embedding", "embedding")} AS n2
+       |       FROM embeddings),
+       |e AS (SELECT * FROM n WHERE n2 > 0)""".stripMargin
+
+  /** Sign-bit bucket over the first 8 dimensions (IVF-style coarse
+    * quantization: 256 cells, equality-joinable).
+    */
+  private def bucket(arr: String): Column =
+    (0 until 8).map(j =>
+      when(col(arr).getItem(j) >= 0f, lit(1 << j)).otherwise(lit(0)))
+      .reduceLeft(_ + _)
+
+  private def bucketSql(arr: String): String =
+    (0 until 8).map(j =>
+      s"CASE WHEN $arr[${j + 1}] >= 0 THEN ${1 << j} ELSE 0 END")
+      .mkString(" + ")
+
+  /** Brute-force cosine top-k for the query set (vec_id < nQueries over
+    * all candidates). The baseline every approximate method is judged
+    * against.
+    */
+  def bruteForceTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val e = withNorm(embeddings)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("n2").as("qn2"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("n2").as("cn2"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", dot("qe", "ce") / (sqrt(col("qn2")) * sqrt(col("cn2"))))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  def bruteForceTopKSql(nQueries: Int = 10, k: Int = 5): String =
+    s"""WITH $NORM_CTE,
+       |q AS (SELECT vec_id AS query_id, embedding AS qe, n2 AS qn2 FROM e WHERE vec_id < $nQueries),
+       |s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+       |        (${dotSql("q.qe", "c.embedding")}) / (sqrt(q.qn2) * sqrt(c.n2)) AS cosine
+       |      FROM q, e c WHERE c.vec_id <> q.query_id),
+       |r AS (SELECT query_id, neighbor_id, cosine,
+       |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+       |      FROM s)
+       |SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS "rank", cosine
+       |FROM r WHERE rn <= $k ORDER BY query_id, "rank"""".stripMargin
+
+  /** Bucketed ANN: candidates restricted to the query's sign-bucket —
+    * the scale path (equality join on the bucket key instead of a cross
+    * join; recall is approximate by construction).
+    */
+  def bucketedTopK(embeddings: DataFrame, nQueries: Int = 50, k: Int = 3): DataFrame = {
+    val e = withNorm(embeddings).withColumn("bucket", bucket("embedding").cast("int"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("n2").as("qn2"), col("bucket"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+      col("n2").as("cn2"), col("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", dot("qe", "ce") / (sqrt(col("qn2")) * sqrt(col("cn2"))))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("bucket"), col("neighbor_id"), col("rank"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  def bucketedTopKSql(nQueries: Int = 50, k: Int = 3): String =
+    s"""WITH $NORM_CTE,
+       |b AS (SELECT *, CAST(${bucketSql("embedding")} AS INTEGER) AS bucket FROM e),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe, n2 AS qn2, bucket
+       |      FROM b WHERE vec_id < $nQueries),
+       |s AS (SELECT q.query_id, q.bucket, c.vec_id AS neighbor_id,
+       |        (${dotSql("q.qe", "c.embedding")}) / (sqrt(q.qn2) * sqrt(c.n2)) AS cosine
+       |      FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.query_id),
+       |r AS (SELECT query_id, bucket, neighbor_id, cosine,
+       |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+       |      FROM s)
+       |SELECT query_id, bucket, neighbor_id, CAST(rn AS INTEGER) AS "rank", cosine
+       |FROM r WHERE rn <= $k ORDER BY query_id, "rank"""".stripMargin
+
+  /** Embedding-cosine near-dup pairs above `threshold`, bucketed by sign
+    * bits (candidates share a 256-cell bucket — approximate, linear-ish;
+    * the honest trade-off every 100 TB near-dup pass makes vs. the n²
+    * exact pair join).
+    */
+  def nearDupPairs(embeddings: DataFrame, threshold: Double = 0.3): DataFrame = {
+    val e = withNorm(embeddings).withColumn("bucket", bucket("embedding").cast("int"))
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      col("n2").as("na"), col("bucket"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      col("n2").as("nb"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine", dot("ea", "eb") / (sqrt(col("na")) * sqrt(col("nb"))))
+      .filter(col("cosine") > threshold)
+      .select(col("vec_a"), col("vec_b"), col("bucket"), col("cosine"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  def nearDupPairsSql(threshold: Double = 0.3): String =
+    s"""WITH $NORM_CTE,
+       |b AS (SELECT *, CAST(${bucketSql("embedding")} AS INTEGER) AS bucket FROM e),
+       |p AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.bucket,
+       |        (${dotSql("x.embedding", "y.embedding")}) / (sqrt(x.n2) * sqrt(y.n2)) AS cosine
+       |      FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+       |SELECT vec_a, vec_b, bucket, cosine FROM p WHERE cosine > $threshold
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** Per-label embedding statistics: count + norm aggregates (norms are
+    * per-row deterministic doubles; min/max are order-independent).
+    */
+  def labelStats(embeddings: DataFrame): DataFrame =
+    withNorm(embeddings)
+      .withColumn("norm", sqrt(col("n2")))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        min("norm").as("min_norm"),
+        max("norm").as("max_norm"))
+      .orderBy("label")
+
+  val labelStatsSql: String =
+    s"""WITH $NORM_CTE
+       |SELECT label, COUNT(*) AS n, MIN(sqrt(n2)) AS min_norm, MAX(sqrt(n2)) AS max_norm
+       |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+}

@@ -1,0 +1,233 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline over
+  * the `documents` table: token counting, quality scoring, language-ID
+  * (n-gram/marker heuristic), fingerprinting, and 32-bit SimHash.
+  *
+  * Every operator is pure narrow column algebra (no UDFs, no shuffle except
+  * the SimHash token aggregation) — embarrassingly parallel over document
+  * partitions at any scale. Each ships with a DuckDB oracle twin
+  * (the *Sql vals) built from the same arithmetic so results are
+  * bit-identical cross-engine:
+  *  - counts are integers (exact);
+  *  - ratios are single IEEE divisions of integers (deterministic);
+  *  - hashes are md5 hex strings (lexicographic min is engine-agnostic).
+  */
+object TextOps {
+
+  /** Whitespace tokens of the lower-cased, trimmed text. */
+  def toks(c: Column): Column = split(trim(lower(c)), "\\s+")
+
+  private def occurrencesChars(padded: Column, marker: String): Column =
+    length(padded) - length(regexp_replace(padded, marker, " "))
+
+  private def occurrencesCharsSql(padded: String, marker: String): String =
+    s"length($padded) - length(replace($padded, '$marker', ' '))"
+
+  // marker n-grams per language (space-padded so they only match whole
+  // words); scores are total characters matched — integer-exact.
+  private val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " is "),
+    "de" -> Seq(" der ", " und ", " die "),
+    "fr" -> Seq(" le ", " et ", " les "),
+    "es" -> Seq(" el ", " los ", " y "))
+
+  /** Token/character statistics + a deterministic quality score.
+    * Cheap single-pass heuristics (length, punctuation/digit ratios,
+    * stopword density) of the kind used to filter web corpora.
+    */
+  def textStats(documents: DataFrame): DataFrame = {
+    val t = col("text")
+    val padded = concat(lit(" "), lower(t), lit(" "))
+    val nChars = length(t).cast("long")
+    val nTokens = size(toks(t)).cast("long")
+    val noSpace = length(regexp_replace(trim(t), "\\s+", "")).cast("long")
+    val punct = (length(t) - length(regexp_replace(t, "[.,!?;:]", ""))).cast("long")
+    val digit = (length(t) - length(regexp_replace(t, "[0-9]", ""))).cast("long")
+    val stopChars = occurrencesChars(padded, " the ") + occurrencesChars(padded, " a ") +
+      occurrencesChars(padded, " and ")
+    documents.select(
+      col("doc_id"),
+      nTokens.as("n_tokens"),
+      nChars.as("n_chars_computed"),
+      (noSpace.cast("double") / nTokens).as("avg_token_len"),
+      punct.as("punct_count"),
+      (punct.cast("double") / nChars).as("punct_ratio"),
+      digit.as("digit_count"),
+      (digit.cast("double") / nChars).as("digit_ratio"),
+      stopChars.cast("long").as("stopword_chars"),
+      (stopChars.cast("double") / nChars).as("stopword_density"),
+      // quality: inside [0,1]; rewards length up to 100 tokens and
+      // penalizes punctuation/digit-heavy text
+      least(lit(1.0), nTokens.cast("double") / 100.0)
+        .multiply(lit(1.0) - least(lit(1.0), punct.cast("double") / nChars * 5.0))
+        .multiply(lit(1.0) - least(lit(1.0), digit.cast("double") / nChars * 5.0))
+        .as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  val textStatsSql: String = {
+    val padded = "(' ' || lower(text) || ' ')"
+    val stop = Seq(" the ", " a ", " and ")
+      .map(m => s"(${occurrencesCharsSql(padded, m)})").mkString(" + ")
+    raw"""SELECT doc_id,
+       |  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens,
+       |  CAST(length(text) AS BIGINT) AS n_chars_computed,
+       |  CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+       |    / len(string_split_regex(trim(lower(text)), '\s+')) AS avg_token_len,
+       |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS punct_count,
+       |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+       |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS digit_count,
+       |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text) AS digit_ratio,
+       |  CAST($stop AS BIGINT) AS stopword_chars,
+       |  CAST($stop AS DOUBLE) / length(text) AS stopword_density,
+       |  LEAST(1.0, CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) / 100.0)
+       |    * (1.0 - LEAST(1.0, CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text) * 5.0))
+       |    * (1.0 - LEAST(1.0, CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text) * 5.0))
+       |    AS quality_score
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Marker-word language identification (fixed-priority decision tree;
+    * CJK detection first via codepoint-range count). The testdata's `lang`
+    * labels are synthetic — the prediction is compared for determinism,
+    * not accuracy.
+    */
+  def languageId(documents: DataFrame): DataFrame = {
+    val padded = concat(lit(" "), lower(col("text")), lit(" "))
+    val cjk = length(col("text")) - length(regexp_replace(col("text"), "[一-鿿]", ""))
+    val scores = Markers.map { case (lang, ms) =>
+      lang -> ms.map(m => occurrencesChars(padded, m)).reduceLeft(_ + _)
+    }.toMap
+    val en = scores("en"); val de = scores("de"); val fr = scores("fr"); val es = scores("es")
+    documents.select(
+      col("doc_id"), col("lang"),
+      cjk.cast("long").as("cjk_chars"),
+      en.cast("long").as("en_score"), de.cast("long").as("de_score"),
+      fr.cast("long").as("fr_score"), es.cast("long").as("es_score"),
+      when(cjk > 0, "zh")
+        .when(de > en && de > fr && de > es, "de")
+        .when(fr > en && fr >= de && fr > es, "fr")
+        .when(es > en && es >= de && es >= fr, "es")
+        .when(en + de + fr + es > 0, "en")
+        .otherwise("und").as("predicted_lang"))
+      .withColumn("is_match", (col("predicted_lang") === col("lang")).cast("boolean"))
+      .orderBy("doc_id")
+  }
+
+  val languageIdSql: String = {
+    val padded = "(' ' || lower(text) || ' ')"
+    def sc(lang: String) = Markers.toMap.apply(lang)
+      .map(m => s"(${occurrencesCharsSql(padded, m)})").mkString(" + ")
+    s"""WITH s AS (SELECT doc_id, lang,
+       |  CAST(length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) AS BIGINT) AS cjk_chars,
+       |  CAST(${sc("en")} AS BIGINT) AS en_score,
+       |  CAST(${sc("de")} AS BIGINT) AS de_score,
+       |  CAST(${sc("fr")} AS BIGINT) AS fr_score,
+       |  CAST(${sc("es")} AS BIGINT) AS es_score
+       |FROM documents)
+       |SELECT doc_id, lang, cjk_chars, en_score, de_score, fr_score, es_score,
+       |  CASE WHEN cjk_chars > 0 THEN 'zh'
+       |       WHEN de_score > en_score AND de_score > fr_score AND de_score > es_score THEN 'de'
+       |       WHEN fr_score > en_score AND fr_score >= de_score AND fr_score > es_score THEN 'fr'
+       |       WHEN es_score > en_score AND es_score >= de_score AND es_score >= fr_score THEN 'es'
+       |       WHEN en_score + de_score + fr_score + es_score > 0 THEN 'en'
+       |       ELSE 'und' END AS predicted_lang,
+       |  (CASE WHEN cjk_chars > 0 THEN 'zh'
+       |       WHEN de_score > en_score AND de_score > fr_score AND de_score > es_score THEN 'de'
+       |       WHEN fr_score > en_score AND fr_score >= de_score AND fr_score > es_score THEN 'fr'
+       |       WHEN es_score > en_score AND es_score >= de_score AND es_score >= fr_score THEN 'es'
+       |       WHEN en_score + de_score + fr_score + es_score > 0 THEN 'en'
+       |       ELSE 'und' END) = lang AS is_match
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  /** Content fingerprint: md5 of whitespace-normalized lower-cased text
+    * (plus a short prefix for bucketing/sharding).
+    */
+  def fingerprint(documents: DataFrame): DataFrame = {
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    documents.select(
+      col("doc_id"),
+      md5(norm).as("fingerprint"),
+      substring(md5(norm), 1, 8).as("fp_prefix"))
+      .orderBy("doc_id")
+  }
+
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+      |  substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 8) AS fp_prefix
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- 32-bit SimHash ----
+  // Per token: h = md5(token); bit b comes from hex digit j = b / 4 of h
+  // (value via an explicit 16-branch CASE — no engine-specific hex
+  // parsing), bit index (3 - b % 4) within the digit. Per doc, per bit:
+  // sum of ±1 over tokens; signature bit = (sum > 0).
+
+  private val hexDigits = "0123456789abcdef"
+
+  def hexVal(ch: Column): Column =
+    hexDigits.zipWithIndex.tail.foldLeft(lit(0)) { case (acc, (c, v)) =>
+      when(ch === c.toString, v).otherwise(acc)
+    }
+
+  def hexValSql(ch: String): String =
+    "CASE " + hexDigits.zipWithIndex
+      .map { case (c, v) => s"WHEN $ch = '$c' THEN $v" }
+      .mkString(" ") + " ELSE 0 END"
+
+  /** doc_id → 32-bit SimHash as BIGINT. */
+  def simhash(documents: DataFrame): DataFrame = {
+    val tok = documents
+      .select(col("doc_id"), explode(toks(col("text"))).as("t"))
+      .withColumn("h", md5(col("t")))
+    val withDigits = (0 until 8).foldLeft(tok) { (df, j) =>
+      df.withColumn(s"d$j", hexVal(substring(col("h"), j + 1, 1)))
+    }
+    val sums = (0 until 32).map { b =>
+      val d = col(s"d${b / 4}")
+      val bit = (d / lit(1 << (3 - b % 4))).cast("int") % 2
+      sum(when(bit === 1, 1).otherwise(-1)).as(s"v$b")
+    }
+    val sig = (0 until 32)
+      .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduceLeft(_ + _)
+    withDigits
+      .groupBy("doc_id")
+      .agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), sig.cast("long").as("simhash32"))
+      .orderBy("doc_id")
+  }
+
+  /** CTE chain ending in `simsel(doc_id, simhash32)` — composable into
+    * larger oracle queries (see graft.dedup.Dedup.simhashPairsSql).
+    */
+  val simhashCteBody: String = {
+    val digits = (0 until 8)
+      .map(j => s"${hexValSql(s"substr(h, ${j + 1}, 1)")} AS d$j").mkString(",\n  ")
+    val sums = (0 until 32).map { b =>
+      s"SUM(CASE WHEN (d${b / 4} // ${1 << (3 - b % 4)}) % 2 = 1 THEN 1 ELSE -1 END) AS v$b"
+    }.mkString(",\n  ")
+    val sig = (0 until 32)
+      .map(b => s"CASE WHEN v$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END")
+      .mkString(" + ")
+    raw"""tok AS (
+       |  SELECT doc_id, md5(unnest(string_split_regex(trim(lower(text)), '\s+'))) AS h
+       |  FROM documents),
+       |dig AS (SELECT doc_id,
+       |  $digits
+       |FROM tok),
+       |v AS (SELECT doc_id,
+       |  $sums
+       |FROM dig GROUP BY doc_id),
+       |simsel AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash32 FROM v)""".stripMargin
+  }
+
+  val simhashSql: String =
+    s"WITH $simhashCteBody SELECT doc_id, simhash32 FROM simsel ORDER BY doc_id"
+}
