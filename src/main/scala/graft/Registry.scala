@@ -533,5 +533,46 @@ object Registry {
     )
   }
 
-  def all: Seq[Q] = reference ++ relational ++ llm
+  /** Streaming + ML + generator queries. The streaming aggregations are
+    * checked against the SAME batch oracle SQL — stream and batch answers
+    * must be identical. RF metrics and the seeded generator are rows-only
+    * (tree ensembles and rand() are engine-specific by design).
+    */
+  val dynamic: Seq[Q] = {
+    import graft.streaming.Streams
+    import graft.ml.DemandModel
+    import graft.mockflow.MockFlow
+    Seq(
+      Q("streaming_vehicle_hourly",
+        (s, d) => Streams.vehicleHourlyStream(s, d),
+        Some(s"WITH v AS ($VEH) $VEHICLE_BODY ORDER BY 1, 2")),
+
+      Q("streaming_upsert_latest",
+        (s, d) => Streams.upsertLatestWinsStream(s, d),
+        Some(
+          """SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM (
+            |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+            |  FROM events) WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin)),
+
+      Q("rf_demand_mae",
+        (s, d) => DemandModel.runMetrics(mlDataset(s, d)),
+        None),
+
+      Q("mockflow_events",
+        (s, d) => {
+          val stops = MockFlow.seedBaseDemand(TestdataAdapter.flowEvents(s, d))
+          val hours = weatherHourly(s, d)
+            .join(delayHourly(s, d).groupBy("hour_ts")
+              .agg(avg("avg_delay_seconds").as("avg_delay_seconds")), Seq("hour_ts"), "left")
+            .orderBy("hour_ts").limit(6)
+          MockFlow.generate(stops, hours)
+            .select(col("stop_id"), col("observed_at").cast("timestamp_ntz").as("observed_at"),
+              col("estimated_passengers"), col("components"))
+            .orderBy("stop_id", "observed_at")
+        },
+        None),
+    )
+  }
+
+  def all: Seq[Q] = reference ++ relational ++ llm ++ dynamic
 }

@@ -1,0 +1,102 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import graft.functions.Cols._
+
+/** Static GTFS ingestion (SURVEY.md §2.1 S2/S3, §2.2 P1-P4, §2.8 F8,
+  * §2.4 A8): all-string CSV scan, ID normalization, referential-integrity
+  * semi-join filters, typed casts, key dedup, GTFS clock parsing, and
+  * base-demand seeding — the reference's pandas `process` step
+  * (src/dag/gtfs-static-job.py:46-145) as pure DataFrame functions.
+  *
+  * Scale notes: RI filtering is four left_semi joins in the reference's
+  * order — at scale the dimension side (routes/calendar/trips keys)
+  * broadcasts; stop_times (the fact table) never shuffles.
+  */
+object GtfsStatic {
+
+  /** S2 — all-string CSV read ("" and " " → null, schema-on-write happens
+    * in the typed-cast step). Ref: gtfs-static-job.py:61-76.
+    */
+  def readCsv(spark: SparkSession, path: String, columns: Seq[String]): DataFrame =
+    spark.read
+      .schema(StructType(columns.map(StructField(_, StringType, nullable = true))))
+      .option("header", "true")
+      .option("nullValue", "")
+      .csv(path)
+      // pandas na_values also nulls single-space cells
+      .select(columns.map(c => when(trim(col(c)) === "", lit(null)).otherwise(col(c)).as(c)): _*)
+
+  /** P1 — ID normalization: trim + string cast. Ref: :111-121. */
+  def normalizeIds(df: DataFrame, idCols: Seq[String]): DataFrame =
+    idCols.foldLeft(df)((d, c) => d.withColumn(c, trim(col(c).cast("string"))))
+
+  /** P2 — referential integrity, reference order (:123-126): trips whose
+    * route exists, stop_times whose trip and stop exist, trips whose
+    * service exists.
+    */
+  def referentialFilter(
+      routes: DataFrame, stops: DataFrame, trips: DataFrame,
+      stopTimes: DataFrame, calendar: DataFrame): (DataFrame, DataFrame) = {
+    val t1 = trips.join(routes.select("route_id"), Seq("route_id"), "left_semi")
+    val st = stopTimes
+      .join(t1.select("trip_id"), Seq("trip_id"), "left_semi")
+      .join(stops.select("stop_id"), Seq("stop_id"), "left_semi")
+    val t2 = t1.join(calendar.select("service_id"), Seq("service_id"), "left_semi")
+    (t2, st)
+  }
+
+  /** P3 + F8 — typed casts for stops/stop_times: lat/lon double,
+    * stop_sequence int, GTFS clocks to seconds-since-midnight (>24:00:00
+    * preserved as integers — never TimestampType). Ref: :128-131,182-186.
+    */
+  def typedStops(stops: DataFrame): DataFrame =
+    stops
+      .withColumn("stop_lat", col("stop_lat").cast("double"))
+      .withColumn("stop_lon", col("stop_lon").cast("double"))
+
+  def typedStopTimes(stopTimes: DataFrame): DataFrame =
+    stopTimes
+      .withColumn("stop_sequence", col("stop_sequence").cast("int"))
+      .withColumn("arrival_seconds", gtfsTimeToSeconds(col("arrival_time")))
+      .withColumn("departure_seconds", gtfsTimeToSeconds(col("departure_time")))
+
+  /** P4 — key dedup, deterministic representative (min natural order of
+    * remaining columns is unnecessary — reference drop_duplicates keeps
+    * the first row; file order is meaningless post-shuffle, so any
+    * representative is acceptable and dropDuplicates is the idiomatic
+    * choice). Ref: :140-145.
+    */
+  def dedupKeys(
+      routes: DataFrame, stops: DataFrame, trips: DataFrame,
+      stopTimes: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) =
+    (routes.dropDuplicates("route_id"),
+      stops.dropDuplicates("stop_id"),
+      trips.dropDuplicates("trip_id"),
+      stopTimes.dropDuplicates("trip_id", "stop_id", "stop_sequence"))
+
+  /** F20 — calendar day flags "1"/"0" → boolean (only the day columns
+    * actually present). Ref: :276-282.
+    */
+  def typedCalendar(calendar: DataFrame): DataFrame =
+    Seq("monday", "tuesday", "wednesday", "thursday", "friday", "saturday", "sunday")
+      .filter(calendar.columns.contains)
+      .foldLeft(calendar)((d, c) => d.withColumn(c, col(c) === "1"))
+
+  /** S3 — feed version identity: sha256 hex of the raw feed bytes
+    * (driver-side, the zip is one small file). Ref: :79-84.
+    */
+  def sha256Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(bytes).map("%02x".format(_)).mkString
+
+  /** A8 — base-demand seeding: LEAST(50, GREATEST(5, stop_time_count*3)).
+    * Ref: initdb/init-postgis.sql:170-176.
+    */
+  def stopBaseDemand(stopTimes: DataFrame): DataFrame =
+    stopTimes.groupBy("stop_id")
+      .agg(count(lit(1)).as("n"))
+      .select(col("stop_id"), baseDemandWeight(col("n")).as("base_demand"))
+}

@@ -1,0 +1,132 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.views.Hourly
+
+/** Structured-Streaming re-expression of the reference's realtime path
+  * (SURVEY.md §2.11, §3.2): file-source micro-batches stand in for the
+  * Kafka topics (same envelope → normalize → aggregate/upsert shape; a
+  * production deployment swaps `readStream.parquet` for
+  * `readStream.format("kafka")` + from_json — everything downstream is
+  * unchanged).
+  *
+  * Delivery semantics: checkpointed sources + idempotent/latest-wins
+  * foreachBatch sinks reproduce the reference's at-least-once + PK-upsert
+  * behavior (ingestor.py:38,71,100-133) with exactly-once file output.
+  *
+  * The streaming aggregations run with Trigger.AvailableNow and complete
+  * output into a memory sink so they can be verified against the *batch*
+  * DuckDB oracle — the strongest check available: stream and batch answers
+  * must be bit-identical. At 100 TB the same pipelines run in update mode
+  * with watermarks into a keyed store; the transformation code is shared.
+  */
+object Streams {
+
+  /** Streaming read of the events table (schema pinned from a batch read —
+    * file streams require an explicit schema).
+    */
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // The file source requires a directory; stage the single parquet file
+    // into a temp dir (a production pipeline streams a landing directory
+    // or Kafka — this is test plumbing only).
+    val staged = Files.createTempDirectory("graft_events_stream")
+    Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged.resolve("events.parquet"))
+    spark.readStream.schema(schema).parquet(staged.toString)
+  }
+
+  private def ntzFromNanos(c: org.apache.spark.sql.Column) =
+    timestamp_micros(floor(c.cast("decimal(38,0)") / 1000).cast("long"))
+      .cast("timestamp_ntz")
+
+  /** Run a streaming DF to completion (AvailableNow) into a memory sink
+    * and return the final table.
+    */
+  private def runToTable(df: DataFrame, mode: String): DataFrame = {
+    val name = "graft_stream_" + UUID.randomUUID.toString.replace("-", "")
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  /** A3 as a stream: hourly vehicle-event counts — identical to the batch
+    * view (same Hourly.vehicleHourly code), verified against the same
+    * oracle SQL.
+    */
+  def vehicleHourlyStream(spark: SparkSession, dir: String): DataFrame = {
+    val veh = eventsStream(spark, dir).select(
+      col("event_type").as("route_id"),
+      col("user_id").cast("string").as("vehicle_id"),
+      ntzFromNanos(col("ts")).as("observed_at"))
+    runToTable(Hourly.vehicleHourly(veh), mode = "complete")
+      .select(col("route_id"), col("hour_ts").cast("timestamp_ntz").as("hour_ts"),
+        col("vehicle_events"))
+      .orderBy("route_id", "hour_ts")
+  }
+
+  /** S10 as a stream: latest-wins upsert via checkpointed foreachBatch
+    * merge-by-rewrite — each micro-batch unions the sink state with the
+    * batch, keeps row_number()=1 per PK ordered by recency, and rewrites.
+    * Returns the final sink state. Ref: ingestor.py:100-103,128-133.
+    */
+  def upsertLatestWinsStream(spark: SparkSession, dir: String): DataFrame = {
+    val sink = Files.createTempDirectory("graft_upsert_sink").toString
+    val checkpoint = Files.createTempDirectory("graft_upsert_ckpt").toString
+    val ev = eventsStream(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"), col("value"))
+    // Driver-side pointer to the current state version: each batch reads
+    // version N, writes N+1 (never overwriting what it reads). A durable
+    // deployment persists this pointer (e.g. a _latest marker file or a
+    // table catalog); the checkpoint already makes batch replay safe since
+    // the merge is idempotent.
+    var current: Option[String] = None
+    val q = ev.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val existing = current
+          .map(p => s.read.parquet(p))
+          .getOrElse(s.createDataFrame(
+            s.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema))
+        val w = Window.partitionBy("user_id", "event_type")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val next = s"$sink/v$batchId"
+        existing.unionByName(batch)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .drop("rn")
+          .write.mode("overwrite").parquet(next)
+        current = Some(next)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val state = spark.read.parquet(current.getOrElse(
+      sys.error("streaming upsert produced no batches")))
+    state.select(col("user_id"), col("event_type"), col("event_id"),
+      ntzFromNanos(col("ts")).as("ts"), col("value"))
+      .orderBy("user_id", "event_type")
+  }
+
+  /** S9 as a stream: idempotent append (DO NOTHING) — anti-join each batch
+    * against the sink before appending. Ref: ingestor.py:71. Used by the
+    * streaming spec; same rewrite pattern as above.
+    */
+  def appendDoNothing(existing: DataFrame, batch: DataFrame, keys: Seq[String]): DataFrame =
+    existing.unionByName(batch.join(existing, keys, "left_anti"))
+}

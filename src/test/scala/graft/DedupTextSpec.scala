@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.text.TextOps
+
+class DedupTextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog", "en", "s0", 43L),
+    (1L, "the quick brown fox jumps over the lazy dog", "en", "s1", 43L), // exact dup of 0
+    (2L, "the quick brown fox jumps over a sleepy dog", "en", "s2", 43L), // near dup
+    (3L, "completely different words appear in this one here", "en", "s3", 50L),
+    (4L, "ab", "en", "s4", 2L)) // too short for shingles
+    .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("exact dedup groups identical content, keeps min doc_id") {
+    val r = Dedup.exact(docs).filter(col("n_copies") > 1).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("keep_doc_id") == 0L)
+    assert(r.head.getAs[Long]("n_copies") == 2L)
+    assert(Dedup.dedupKeep(docs).count() == 4) // one of the twins dropped
+  }
+
+  test("minhash: identical docs share all bands; near-dups become candidates") {
+    val sigs = Dedup.minhashSignatures(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (0 until 4).map(j => r.getAs[String](s"band$j")))
+      .toMap
+    assert(sigs(0L) == sigs(1L)) // identical text → identical signature
+    assert(!sigs.contains(4L))   // <3 tokens → no signature
+    val pairs = Dedup.minhashPairs(docs).as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L }) // unrelated doc not a candidate
+  }
+
+  test("ngram jaccard: identical docs score 1.0, near-dups in (0,1)") {
+    val j = Dedup.ngramJaccard(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("jaccard"))
+      .toMap
+    assert(j((0L, 1L)) == 1.0)
+    j.get((0L, 2L)).foreach(v => assert(v > 0.0 && v < 1.0))
+  }
+
+  test("simhash: identical docs have hamming 0; pairs surface via byte bands") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 32).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Int]("hamming"))
+      .toMap
+    assert(pairs((0L, 1L)) == 0)
+    pairs.get((0L, 2L)).foreach(h => assert(h > 0))
+  }
+
+  test("text stats: counts on a crafted doc") {
+    val one = Seq((9L, "Hello, world! 42 is the answer.", "en", "s", 31L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextOps.textStats(one).collect().head
+    assert(r.getAs[Long]("n_tokens") == 6L)
+    assert(r.getAs[Long]("punct_count") == 3L) // comma, bang, final period
+    assert(r.getAs[Long]("digit_count") == 2L)
+    assert(r.getAs[Double]("quality_score") >= 0.0 && r.getAs[Double]("quality_score") <= 1.0)
+  }
+
+  test("language id is deterministic and favors marker density") {
+    val sample = Seq(
+      (1L, "der hund und die katze und der vogel", "de", "s", 36L),
+      (2L, "the cat and the dog is here", "en", "s", 27L),
+      (3L, "你好世界", "zh", "s", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextOps.languageId(sample)
+      .select("doc_id", "predicted_lang").as[(Long, String)].collect().toMap
+    assert(r(1L) == "de")
+    assert(r(2L) == "en")
+    assert(r(3L) == "zh")
+  }
+
+  test("fingerprint is whitespace/case insensitive") {
+    val pair = Seq(
+      (1L, "Hello   World", "en", "s", 13L),
+      (2L, "hello world", "en", "s", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val fps = TextOps.fingerprint(pair).select("fingerprint").as[String].collect()
+    assert(fps(0) == fps(1))
+  }
+}

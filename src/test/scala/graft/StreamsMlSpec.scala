@@ -1,0 +1,57 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.streaming.Streams
+import graft.ml.DemandModel
+
+class StreamsMlSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("S9 appendDoNothing is idempotent (twice ≡ once)") {
+    val existing = Seq((1L, "a"), (2L, "b")).toDF("event_id", "payload")
+    val batch = Seq((2L, "b2"), (3L, "c")).toDF("event_id", "payload")
+    val once = Streams.appendDoNothing(existing, batch, Seq("event_id"))
+    val twice = Streams.appendDoNothing(once, batch, Seq("event_id"))
+    assert(once.count() == 3)
+    assert(twice.count() == 3) // replayed batch adds nothing
+    // conflict keeps the EXISTING payload (DO NOTHING, not DO UPDATE)
+    assert(once.filter(col("event_id") === 2L).select("payload").as[String].head() == "b")
+  }
+
+  test("streaming vehicle_hourly equals the batch view on sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val stream = Streams.vehicleHourlyStream(spark, dir)
+      .select("route_id", "hour_ts", "vehicle_events")
+    val batch = Pipelines.vehicleHourly(spark, dir)
+      .select(col("route_id"), col("hour_ts").cast("timestamp_ntz").as("hour_ts"),
+        col("vehicle_events"))
+    assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty)
+  }
+
+  test("W3 label is the next hour's passengers per route") {
+    val d = Seq(
+      ("r1", Timestamp.valueOf("2024-01-01 10:00:00"), 5.0),
+      ("r1", Timestamp.valueOf("2024-01-01 11:00:00"), 7.0),
+      ("r2", Timestamp.valueOf("2024-01-01 10:00:00"), 9.0))
+      .toDF("route_id", "hour_ts", "passengers")
+    val l = DemandModel.withLabel(d).select("route_id", "label").as[(String, Double)].collect()
+    assert(l.toSeq == Seq(("r1", 7.0))) // last-per-route rows drop (no next hour)
+  }
+
+  test("temporal split is 80/20 by time order and disjoint") {
+    val d = (0 until 100).map(i =>
+      ("r1", new Timestamp(1700000000000L + i * 3600000L), i.toDouble))
+      .toDF("route_id", "hour_ts", "passengers")
+    val (train, test) = DemandModel.temporalSplit(d)
+    assert(train.count() == 80 && test.count() == 20)
+    assert(train.agg(max("hour_ts")).head.getTimestamp(0)
+      .before(test.agg(min("hour_ts")).head.getTimestamp(0)))
+  }
+
+  test("RF demand model trains and evaluates on sf0.001 (MAE finite)") {
+    val ds = Pipelines.mlDataset(spark, "/root/testdata/sf0.001")
+    val (_, mae) = DemandModel.trainPredict(DemandModel.withLabel(ds), numTrees = 10)
+    assert(!mae.isNaN && mae >= 0.0)
+  }
+}
