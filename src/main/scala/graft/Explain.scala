@@ -1,0 +1,31 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Dev utility: print the formatted physical plan and steady-state timing
+  * for named queries. Usage: Explain <sfDir> <name> [name...]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    args.drop(1).foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      println(s"==== $name ====")
+      df.explain("formatted")
+      (1 to 2).foreach { i =>
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        println(f"run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+    }
+    spark.stop()
+  }
+}

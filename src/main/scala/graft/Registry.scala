@@ -365,13 +365,19 @@ object Registry {
       None),
 
     Q("latest_hour_snapshot",
-      (s, dir) => Export.latestHourSnapshot(kpiHourly(s, dir), suggestions(s, dir))
-        .withColumn("hour_ts", col("hour_ts").cast("timestamp_ntz"))
-        .orderBy("route_id"),
+      (s, dir) => {
+        // one persisted kpi frame feeds both the snapshot join and the
+        // suggestions side — without it the whole KPI pipeline executes
+        // three times (kpi + its MAX(hour_ts) scalar + suggestions)
+        val k = kpiHourly(s, dir).persist()
+        Export.latestHourSnapshot(k, graft.suggest.Suggestions.suggest(k))
+          .withColumn("hour_ts", col("hour_ts").cast("timestamp_ntz"))
+          .orderBy("route_id")
+      },
       Some(LATEST_SNAPSHOT_SQL)),
 
     Q("peak_hours_rollup",
-      (s, dir) => Export.peakHoursRollup(kpiHourly(s, dir)),
+      (s, dir) => Export.peakHoursRollup(kpiHourly(s, dir).persist()),
       Some(PEAK_ROLLUP_SQL)),
 
     Q("action_histogram",

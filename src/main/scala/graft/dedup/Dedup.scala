@@ -73,9 +73,13 @@ object Dedup {
   val minhashSignaturesSql: String =
     s"WITH $SIG_CTE SELECT * FROM sig ORDER BY doc_id"
 
-  /** LSH candidate pairs: docs sharing any of the 4 band keys (a < b). */
+  /** LSH candidate pairs: docs sharing any of the 4 band keys (a < b).
+    * The signature frame is persisted before the four band self-joins —
+    * otherwise the whole shingle→minhash pipeline re-executes once per
+    * join side (8×).
+    */
   def minhashPairs(documents: DataFrame): DataFrame = {
-    val sigs = minhashSignatures(documents)
+    val sigs = minhashSignatures(documents).persist()
     (0 until Bands).map { j =>
       sigs.as("x").join(sigs.as("y"),
         col(s"x.band$j") === col(s"y.band$j") && col("x.doc_id") < col("y.doc_id"))
@@ -99,9 +103,9 @@ object Dedup {
     * intersection join never goes quadratic).
     */
   def ngramJaccard(documents: DataFrame): DataFrame = {
-    val ss = shingles(documents).distinct()
+    val ss = shingles(documents).distinct().persist()
     val sizes = ss.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-    val cand = minhashPairs(documents)
+    val cand = minhashPairs(documents).persist()
     val inter = cand
       .join(ss.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
       .join(ss.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
@@ -139,7 +143,10 @@ object Dedup {
     * never all-pairs.
     */
   def simhashPairs(documents: DataFrame, maxHamming: Int = 10): DataFrame = {
-    val sig = TextOps.simhash(documents)
+    // persist: the signature aggregation (32 bit-sums over exploded
+    // tokens) would otherwise re-execute once per side of each of the
+    // four band self-joins
+    val sig = TextOps.simhash(documents).persist()
     val withBytes = (0 until 4).foldLeft(sig) { (df, j) =>
       df.withColumn(s"byte$j", shiftright(col("simhash32"), 8 * j).bitwiseAND(255))
     }

@@ -48,29 +48,39 @@ object DemandModel {
     (idx.filter(col("rn") <= cut).drop("rn"), idx.filter(col("rn") > cut).drop("rn"))
   }
 
-  /** Train RF(numTrees, seed) and return (test predictions, MAE).
+  /** Train RF(numTrees, seed) and return (test predictions, MAE, n_train,
+    * n_test). The split halves are persisted: the RF fitter makes many
+    * passes over the training frame, and without the cache each pass
+    * re-executes the lead-window + global-sort lineage.
     * Ref: train_predict.py:155-164.
     */
   def trainPredict(
       labeled: DataFrame,
       numTrees: Int = 200,
-      seed: Long = 42L): (DataFrame, Double) = {
-    val (train, test) = temporalSplit(labeled)
-    val pipeline = new Pipeline().setStages(Array(
-      new VectorAssembler()
-        .setInputCols(FeatureCols.toArray)
-        .setOutputCol("features"),
-      new RandomForestRegressor()
-        .setLabelCol("label")
-        .setFeaturesCol("features")
-        .setNumTrees(numTrees)
-        .setSeed(seed)))
-    val model = pipeline.fit(train)
-    val pred = model.transform(test)
-    val mae = new RegressionEvaluator()
-      .setLabelCol("label").setPredictionCol("prediction").setMetricName("mae")
-      .evaluate(pred)
-    (pred, mae)
+      seed: Long = 42L): (DataFrame, Double, Long, Long) = {
+    val (train0, test0) = temporalSplit(labeled)
+    val train = train0.persist()
+    val test = test0.persist()
+    try {
+      val pipeline = new Pipeline().setStages(Array(
+        new VectorAssembler()
+          .setInputCols(FeatureCols.toArray)
+          .setOutputCol("features"),
+        new RandomForestRegressor()
+          .setLabelCol("label")
+          .setFeaturesCol("features")
+          .setNumTrees(numTrees)
+          .setSeed(seed)))
+      val model = pipeline.fit(train)
+      val pred = model.transform(test)
+      val mae = new RegressionEvaluator()
+        .setLabelCol("label").setPredictionCol("prediction").setMetricName("mae")
+        .evaluate(pred)
+      (pred, mae, train.count(), test.count())
+    } finally {
+      train.unpersist(blocking = false)
+      test.unpersist(blocking = false)
+    }
   }
 
   /** Rows-only registry query: one row of run metrics (the reference's
@@ -79,10 +89,8 @@ object DemandModel {
   def runMetrics(mlDataset: DataFrame, numTrees: Int = 200): DataFrame = {
     val spark = mlDataset.sparkSession
     import spark.implicits._
-    val labeled = withLabel(mlDataset)
-    val (train, test) = temporalSplit(labeled)
-    val (_, mae) = trainPredict(labeled, numTrees)
-    Seq((train.count(), test.count(), mae, numTrees))
+    val (_, mae, nTrain, nTest) = trainPredict(withLabel(mlDataset), numTrees)
+    Seq((nTrain, nTest, mae, numTrees))
       .toDF("n_train", "n_test", "mae", "num_trees")
   }
 }

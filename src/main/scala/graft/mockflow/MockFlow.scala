@@ -75,15 +75,16 @@ object MockFlow {
     *                 avg_delay_seconds context columns, may be null)
     */
   /** Deterministic uniform(0,1) from a hashed key: 48 bits of
-    * md5 — unlike rand()/randn(), re-evaluation anywhere in the plan
+    * xxhash64 — unlike rand()/randn(), re-evaluation anywhere in the plan
     * (projection vs. window aggregate) and any partition layout yield the
     * same draw, which both fixes the classic non-deterministic-expression
     * double-evaluation hazard and makes fixtures reproduce exactly
-    * (SURVEY §7.4 item 7).
+    * (SURVEY §7.4 item 7). xxhash64 is codegen'd and hashes native values
+    * directly (no md5-hex string round-trip in the hot path).
     */
   private def hashUniform(seed: Long, cols: Column*): Column =
-    conv(substring(md5(concat_ws("|", (lit(seed) +: cols): _*)), 1, 12), 16, 10)
-      .cast("double") / lit(math.pow(16.0, 12))
+    pmod(xxhash64((lit(seed) +: cols): _*), lit(1L << 48)).cast("double") /
+      lit((1L << 48).toDouble)
 
   /** Deterministic N(0,1) via Box-Muller over two hash uniforms. */
   private def hashNormal(seed: Long, cols: Column*): Column = {
@@ -100,7 +101,10 @@ object MockFlow {
       .withColumn("df", dowFactor(pgDow(col("hour_ts"))))
       .withColumn("wf", weatherFactor(col("temperature_c"), col("precipitation_mm")))
       .withColumn("rf", delayFactor(col("avg_delay_seconds")))
-    val perStopHour = stopBase.crossJoin(ctx)
+    // ctx is hours-context-sized (small by contract) — broadcast it, else
+    // the cartesian product re-evaluates the whole context pipeline once
+    // per left-side partition (observed 8× wall-time at bench scale).
+    val perStopHour = stopBase.crossJoin(broadcast(ctx))
       .withColumn("stop_noise",
         hashNormal(seed, col("stop_id"), col("hour_ts")) * 0.10)
       .withColumn("hourly_demand",

@@ -96,7 +96,10 @@ object Knn {
     * join; recall is approximate by construction).
     */
   def bucketedTopK(embeddings: DataFrame, nQueries: Int = 50, k: Int = 3): DataFrame = {
+    // persisted: both join sides derive from it (the 64-term norm/bucket
+    // projection would otherwise run twice)
     val e = withNorm(embeddings).withColumn("bucket", bucket("embedding").cast("int"))
+      .persist()
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("n2").as("qn2"), col("bucket"))

@@ -51,7 +51,8 @@ class StreamsMlSpec extends SparkSpec {
 
   test("RF demand model trains and evaluates on sf0.001 (MAE finite)") {
     val ds = Pipelines.mlDataset(spark, "/root/testdata/sf0.001")
-    val (_, mae) = DemandModel.trainPredict(DemandModel.withLabel(ds), numTrees = 10)
+    val (_, mae, nTrain, nTest) = DemandModel.trainPredict(DemandModel.withLabel(ds), numTrees = 10)
     assert(!mae.isNaN && mae >= 0.0)
+    assert(nTrain > 0 && nTest > 0)
   }
 }
