@@ -580,5 +580,106 @@ object Registry {
     )
   }
 
-  def all: Seq[Q] = reference ++ relational ++ llm ++ dynamic
+  /** Remaining SURVEY §2 inventory items: event-envelope validation
+    * (P6/P7), JSON field access (F12), trailing-window context lookups
+    * (J7), export shaping (O3/D8/D9), per-hour validation breakdown (A11).
+    */
+  val coverage: Seq[Q] = {
+    import graft.streaming.Envelope
+    Seq(
+      Q("envelope_vehicle",
+        (s, d) => Envelope.vehicleEnvelope(TestdataAdapter.table(s, d, "events")),
+        Some(Envelope.vehicleEnvelopeSql)),
+
+      Q("json_extract_props",
+        (s, d) => TestdataAdapter.table(s, d, "events")
+          .select(col("event_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .orderBy("event_id"),
+        Some(
+          """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            |FROM events ORDER BY event_id""".stripMargin)),
+
+      Q("trailing_context",
+        (s, d) => {
+          val trips = TestdataAdapter.tripUpdates(s, d)
+          val wx = TestdataAdapter.weather(s, d)
+          val mx = trips.agg(max("observed_at").as("max_ts"))
+          val avgDelay = trips.crossJoin(broadcast(mx))
+            .filter(col("observed_at") >= col("max_ts") - expr("INTERVAL 1 HOUR"))
+            .agg(graft.functions.Cols.detAvg(col("delay_seconds")).as("avg_delay_trailing_1h"))
+          val latest = wx
+            .agg(max(struct(col("observed_at"), col("temperature_c"))).as("w"))
+            .select(col("w.observed_at").cast("timestamp_ntz").as("latest_observed_at"),
+              col("w.temperature_c").as("latest_temperature_c"))
+          avgDelay.crossJoin(latest)
+        },
+        Some(
+          s"""WITH t AS ($TRIP), wx AS ($WEA),
+             |mx AS (SELECT MAX(observed_at) AS max_ts FROM t)
+             |SELECT
+             |  (SELECT ${davg("delay_seconds")} FROM t, mx
+             |   WHERE observed_at >= max_ts - INTERVAL 1 HOUR) AS avg_delay_trailing_1h,
+             |  (SELECT observed_at FROM wx ORDER BY observed_at DESC, temperature_c DESC LIMIT 1) AS latest_observed_at,
+             |  (SELECT temperature_c FROM wx ORDER BY observed_at DESC, temperature_c DESC LIMIT 1) AS latest_temperature_c""".stripMargin)),
+
+      Q("export_top_priority",
+        (s, dir) => {
+          val k = kpiHourly(s, dir).persist()
+          Export.topPriority(graft.suggest.Suggestions.suggest(k))
+            .withColumn("hour_ts", col("hour_ts").cast("timestamp_ntz"))
+        },
+        Some(
+          s"""$SUGG_CTES
+             |SELECT route_id, hour_ts, action, priority_score, recommended_headway_min, confidence
+             |FROM s9 WHERE action <> 'keep'
+             |ORDER BY priority_score DESC, route_id, hour_ts LIMIT 20""".stripMargin)),
+
+      Q("export_summary",
+        (s, dir) => {
+          val k = kpiHourly(s, dir).persist()
+          Export.summary(Export.latestHourSnapshot(k, graft.suggest.Suggestions.suggest(k)))
+        },
+        Some(
+          s"""$SUGG_CTES,
+             |mx AS (SELECT MAX(hour_ts) AS hour_ts FROM k),
+             |sg AS (SELECT route_id, hour_ts, action, priority_score FROM s9 WHERE action <> 'keep'),
+             |snap AS (
+             |  SELECT COALESCE(sg.action, 'needs_data') AS action,
+             |    COALESCE(sg.priority_score, 0.0) AS priority_score
+             |  FROM k JOIN mx ON k.hour_ts = mx.hour_ts
+             |  LEFT JOIN sg ON sg.route_id = k.route_id AND sg.hour_ts = k.hour_ts)
+             |SELECT COUNT(*) AS n_routes,
+             |  CAST(SUM(CASE WHEN action = 'increase_frequency' THEN 1 ELSE 0 END) AS BIGINT) AS n_increase,
+             |  CAST(SUM(CASE WHEN action = 'decrease_frequency' THEN 1 ELSE 0 END) AS BIGINT) AS n_decrease,
+             |  CAST(SUM(CASE WHEN action = 'needs_data' THEN 1 ELSE 0 END) AS BIGINT) AS n_needs_data,
+             |  ${davg("priority_score")} AS avg_priority
+             |FROM snap""".stripMargin)),
+
+      Q("validation_by_hour",
+        (s, dir) => Export.validationByHour(predictions(s, dir)),
+        Some(
+          s"""WITH s2r AS ($S2R), f AS ($FLOW), d AS ($DEMAND_BODY), p AS ($PRED_BODY)
+             |SELECT CAST(EXTRACT(HOUR FROM hour_ts) AS INTEGER) AS hour_of_day, COUNT(*) AS n,
+             |  ${davg("abs(y_pred - y_true)")} AS mae,
+             |  ${davg("y_pred - y_true")} AS bias
+             |FROM p WHERE y_true IS NOT NULL AND y_pred IS NOT NULL
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+      // D9 nested geo grouping — rows-only (array-of-struct schema)
+      Q("geo_grouped",
+        (s, d) => {
+          val stops = TestdataAdapter.table(s, d, "customer").select(
+            col("c_mktsegment").as("route_id"),
+            col("c_custkey").cast("string").as("stop_id"),
+            col("c_name").as("stop_name"),
+            (col("c_acctbal") / 100.0).as("lat"),
+            col("c_nationkey").cast("double").as("lon"))
+          Export.geoGrouping(stops)
+        },
+        None),
+    )
+  }
+
+  def all: Seq[Q] = reference ++ relational ++ llm ++ dynamic ++ coverage
 }

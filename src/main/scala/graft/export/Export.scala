@@ -103,6 +103,21 @@ object Export {
       .orderBy("route_id")
   }
 
+  /** A11 grouped — per-hour-of-day MAE/bias breakdown.
+    * Ref: validate_predictions.py:52-58.
+    */
+  def validationByHour(predictions: DataFrame): DataFrame = {
+    val diff = col("y_pred") - col("y_true")
+    predictions
+      .filter(col("y_true").isNotNull && col("y_pred").isNotNull)
+      .groupBy(hour(col("hour_ts")).cast("int").as("hour_of_day"))
+      .agg(
+        count(lit(1)).as("n"),
+        detAvg(abs(diff)).as("mae"),
+        detAvg(diff).as("bias"))
+      .orderBy("hour_of_day")
+  }
+
   /** D9 — geo grouping: stops collected under each route as an ordered
     * array of structs. Ref: src/dag/export-routes-geo-job.py:77-104.
     * Rows-only check (nested schema is not DuckDB-oracle comparable).
@@ -113,4 +128,39 @@ object Export {
       .agg(sort_array(collect_list(struct(
         col("stop_id"), col("stop_name"), col("lat"), col("lon")))).as("stops"))
       .orderBy("route_id")
+
+  /** O3 — top-N by priority with deterministic tie-breaks (the clamp puts
+    * many rows at exactly 1.0). Ref: export_suggestions_json.py:269-272.
+    */
+  def topPriority(suggestions: DataFrame, n: Int = 20): DataFrame =
+    suggestions
+      .select("route_id", "hour_ts", "action", "priority_score",
+        "recommended_headway_min", "confidence")
+      .orderBy(col("priority_score").desc, col("route_id"), col("hour_ts"))
+      .limit(n)
+
+  /** D8 — flat summary object: row totals, action counts, needs-data
+    * count over the latest-hour snapshot.
+    * Ref: export_suggestions_json.py:279-296.
+    */
+  def summary(snapshot: DataFrame): DataFrame =
+    snapshot.agg(
+      count(lit(1)).as("n_routes"),
+      sum(when(col("action") === "increase_frequency", 1).otherwise(0)).as("n_increase"),
+      sum(when(col("action") === "decrease_frequency", 1).otherwise(0)).as("n_decrease"),
+      sum(when(col("action") === "needs_data", 1).otherwise(0)).as("n_needs_data"),
+      detAvg(col("priority_score")).as("avg_priority"))
+
+  /** S11 — JSON file sink: the result rows as one pretty-printed JSON
+    * array (NaN/Inf scrubbed to null by the caller's schema, timestamps
+    * already ISO via Cols.isoTs columns). Export results are
+    * route-count-sized, so a driver-side write is the right tool — this is
+    * the one deliberate non-distributed step, matching the reference's
+    * single JSON artifact per export. Ref: export_suggestions_json.py:31-83.
+    */
+  def writeJsonArray(df: DataFrame, path: String): Unit = {
+    val rows = df.toJSON.collect()
+    val json = rows.mkString("[\n  ", ",\n  ", "\n]")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
+  }
 }

@@ -11,6 +11,15 @@ import graft.functions.Cols._
   * projection over kpi_hourly — no shuffle at all).
   *
   * Ref: src/optimization/generate_suggestions.py:25-201.
+  *
+  * Known, intentional deviation from the reference (only observable with
+  * onlyChanges=false): when predicted_passengers is null, pandas carries
+  * NaN into passengers_per_trip_est and falls through to the
+  * 'within normal range' rule with over=1.0, while this implementation
+  * takes the 'missing trip estimate' branch with over=0.0 — i.e. we treat
+  * missing data as missing rather than silently maxing the priority term.
+  * The saved output (onlyChanges=true) is identical either way because
+  * both paths produce action='keep'.
   */
 object Suggestions {
 
