@@ -1,0 +1,52 @@
+package graft.rel
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale mechanics that don't exist in the reference (single-node pandas
+  * never needed them) but are load-bearing at 100 TB:
+  *
+  *  - salted equi-joins for skewed keys: AQE's skew-join handles sort-merge
+  *    skew automatically, but a pathologically hot key joined against a
+  *    non-broadcastable dim still serializes one reducer — salting splits
+  *    the hot key across `salts` reducers deterministically;
+  *  - date-partitioned storage layout: the reference's btree indexes on
+  *    observed_at/route_id become hive-style event_date partitions +
+  *    parquet min/max pruning, so time-bounded queries (every hourly view)
+  *    scan only the touched partitions.
+  */
+object Scale {
+
+  /** Inner equi-join where `fact`'s `key` may be heavily skewed: the fact
+    * side gets a deterministic salt in [0, salts), the dim side is
+    * replicated once per salt value, and the join key becomes (key, salt).
+    * Result is exactly the plain join (salting only changes partitioning).
+    * The fact salt hashes all fact columns so a hot key spreads evenly and
+    * the plan stays deterministic (no rand()).
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int): DataFrame = {
+    require(salts > 0)
+    val factCols = fact.columns.map(col)
+    val salted = fact.withColumn("__salt",
+      pmod(xxhash64(factCols: _*), lit(salts)).cast("int"))
+    val replicated = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Events written as hive-partitioned parquet by event date — the scan
+    * layout every hourly view wants: partition pruning on date, min/max
+    * row-group pruning within a day.
+    */
+  def writePartitionedByDay(events: DataFrame, tsCol: String, path: String): Unit =
+    events
+      .withColumn("event_date", to_date(col(tsCol)))
+      .repartition(col("event_date"))
+      .write.partitionBy("event_date").mode("overwrite").parquet(path)
+
+  /** Read back one day; the date predicate must show up as a partition
+    * filter (no full scan).
+    */
+  def readDay(spark: SparkSession, path: String, day: String): DataFrame =
+    spark.read.parquet(path).filter(col("event_date") === lit(day))
+}

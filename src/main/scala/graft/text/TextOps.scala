@@ -169,17 +169,16 @@ object TextOps {
   // parsing), bit index (3 - b % 4) within the digit. Per doc, per bit:
   // sum of ±1 over tokens; signature bit = (sum > 0).
 
-  private val hexDigits = "0123456789abcdef"
 
+  /** Value of a lowercase hex digit via ascii arithmetic (identical in
+    * Spark and DuckDB; one branch instead of a 16-way CASE — measurably
+    * faster when evaluated 8× per token row).
+    */
   def hexVal(ch: Column): Column =
-    hexDigits.zipWithIndex.tail.foldLeft(lit(0)) { case (acc, (c, v)) =>
-      when(ch === c.toString, v).otherwise(acc)
-    }
+    when(ascii(ch) >= 97, ascii(ch) - 87).otherwise(ascii(ch) - 48)
 
   def hexValSql(ch: String): String =
-    "CASE " + hexDigits.zipWithIndex
-      .map { case (c, v) => s"WHEN $ch = '$c' THEN $v" }
-      .mkString(" ") + " ELSE 0 END"
+    s"(CASE WHEN ascii($ch) >= 97 THEN ascii($ch) - 87 ELSE ascii($ch) - 48 END)"
 
   /** doc_id → 32-bit SimHash as BIGINT. */
   def simhash(documents: DataFrame): DataFrame = {
