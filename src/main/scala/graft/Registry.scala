@@ -564,6 +564,13 @@ object Registry {
         (s, d) => DemandModel.runMetrics(mlDataset(s, d)),
         None),
 
+      // k-means over embeddings — rows-only (k-means|| centroids are not
+      // SQL-expressible; determinism is seed+layout dependent)
+      Q("kmeans_clusters",
+        (s, d) => graft.sim.Knn.kmeansClusterSizes(
+          TestdataAdapter.table(s, d, "embeddings")),
+        None),
+
       Q("mockflow_events",
         (s, d) => {
           val stops = MockFlow.seedBaseDemand(TestdataAdapter.flowEvents(s, d))

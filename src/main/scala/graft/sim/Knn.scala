@@ -158,6 +158,28 @@ object Knn {
        |SELECT vec_a, vec_b, bucket, cosine FROM p WHERE cosine > $threshold
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** K-means clustering over the embedding column (MLlib; array<float> →
+    * Vector via array_to_vector, k-means|| init, fixed seed). Returns
+    * cluster sizes + per-cluster norm range — the IVF coarse-quantizer
+    * building block (bucketedTopK's sign-buckets are the degenerate
+    * no-training version of these centroids).
+    */
+  def kmeansClusterSizes(embeddings: DataFrame, k: Int = 10, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = withNorm(embeddings)
+      .withColumn("features", array_to_vector(col("embedding")))
+      .persist()
+    val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("features")
+      .fit(feats)
+    model.transform(feats)
+      .groupBy(col("prediction").as("cluster"))
+      .agg(count(lit(1)).as("n"),
+        min(sqrt(col("n2"))).as("min_norm"),
+        max(sqrt(col("n2"))).as("max_norm"))
+      .orderBy("cluster")
+  }
+
   /** Per-label embedding statistics: count + norm aggregates (norms are
     * per-row deterministic doubles; min/max are order-independent).
     */

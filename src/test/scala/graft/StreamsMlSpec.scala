@@ -29,6 +29,33 @@ class StreamsMlSpec extends SparkSpec {
     assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty)
   }
 
+  test("windowed aggregation with watermark (SURVEY §2.11 extension)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val staged = java.nio.file.Files.createTempDirectory("graft_wm_stream")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged.resolve("events.parquet"))
+    val veh = spark.readStream.schema(schema).parquet(staged.toString)
+      .select(col("event_type").as("route_id"),
+        timestamp_micros(floor(col("ts").cast("decimal(38,0)") / 1000).cast("long"))
+          .as("observed_at"))
+      .withWatermark("observed_at", "1 hour")
+      .groupBy(window(col("observed_at"), "1 hour"), col("route_id"))
+      .count()
+    val q = veh.writeStream.format("memory").queryName("graft_wm")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("graft_wm")
+      .select(col("window.start").as("hour_ts"), col("route_id"), col("count"))
+    val want = Pipelines.vehicleHourly(spark, dir)
+      .select(col("hour_ts").cast("timestamp").as("hour_ts"), col("route_id"),
+        col("vehicle_events").as("count"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("W3 label is the next hour's passengers per route") {
     val d = Seq(
       ("r1", Timestamp.valueOf("2024-01-01 10:00:00"), 5.0),
