@@ -489,6 +489,42 @@ object Registry {
         """SELECT event_id, user_id, event_type, value FROM events
           |WHERE event_id >= 5000 AND event_id < 7500 ORDER BY event_id""".stripMargin)),
 
+    Q("orders_above_customer_avg", Relational.ordersAboveCustomerAvg,
+      Some(
+        s"""WITH ca AS (SELECT o_custkey, ${davg("o_totalprice")} AS avg_price
+           |            FROM orders GROUP BY 1)
+           |SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, ca.avg_price
+           |FROM orders o JOIN ca USING (o_custkey)
+           |WHERE o.o_totalprice > ca.avg_price
+           |ORDER BY o.o_orderkey""".stripMargin)),
+
+    Q("q4_order_priority", Relational.q4OrderPriority,
+      Some(
+        """SELECT o_orderpriority, COUNT(*) AS order_count FROM orders o
+          |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+          |  AND EXISTS (SELECT 1 FROM lineitem
+          |              WHERE l_orderkey = o.o_orderkey AND l_shipdate > o.o_orderdate)
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("running_demand_total",
+      (s, dir) => Relational.runningDemandTotal(demandHourly(s, dir))
+        .withColumn("hour_ts", col("hour_ts").cast("timestamp_ntz")),
+      Some(
+        s"""WITH s2r AS ($S2R), f AS ($FLOW), d AS ($DEMAND_BODY)
+           |SELECT route_id, hour_ts, passengers,
+           |  CAST(SUM(CAST(passengers AS DECIMAL(28,6))) OVER (PARTITION BY route_id ORDER BY hour_ts
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_passengers
+           |FROM d ORDER BY route_id, hour_ts""".stripMargin)),
+
+    Q("priority_rollup", Relational.priorityRollup,
+      Some(
+        s"""SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+           |  COALESCE(o_orderstatus, 'ALL') AS status,
+           |  COUNT(*) AS n, ${dsum("o_totalprice")} AS total_price
+           |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+           |ORDER BY 1, 2""".stripMargin)),
+
     Q("gtfs_time_parse", Relational.gtfsTimeParse,
       Some(
         """SELECT event_id,

@@ -197,6 +197,67 @@ object Relational {
       .orderBy("route_id", "hour_ts")
   }
 
+  /** Correlated-scalar-subquery shape (TPC-H Q17/Q2 flavor), decorrelated
+    * the way Catalyst would: orders priced above their customer's average
+    * — per-key deterministic average joined back to the fact rows.
+    */
+  def ordersAboveCustomerAvg(s: SparkSession, dir: String): DataFrame = {
+    val orders = table(s, dir, "orders")
+    val custAvg = orders.groupBy("o_custkey")
+      .agg(detAvg(col("o_totalprice")).as("avg_price"))
+    orders.join(custAvg, Seq("o_custkey"))
+      .filter(col("o_totalprice") > col("avg_price"))
+      .select("o_orderkey", "o_custkey", "o_totalprice", "avg_price")
+      .orderBy("o_orderkey")
+  }
+
+  /** TPC-H Q4 shape: EXISTS with a cross-table inequality — orders in a
+    * quarter having any late-shipping lineitem, counted by priority.
+    * left_semi with a compound condition keeps lineitem un-aggregated.
+    */
+  def q4OrderPriority(s: SparkSession, dir: String): DataFrame = {
+    val orders = table(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01") &&
+        col("o_orderdate") < lit("1997-04-01"))
+    val li = table(s, dir, "lineitem")
+    orders.join(li,
+      col("o_orderkey") === col("l_orderkey") && col("l_shipdate") > col("o_orderdate"),
+      "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Running total with an explicit frame (ROWS UNBOUNDED PRECEDING):
+    * cumulative demand per route over hours. The window sum runs in the
+    * exact decimal domain: engines disagree on window-aggregate addition
+    * order (DuckDB uses a segment tree, Spark a running buffer), so a
+    * double prefix sum is not reproducible — the decimal one is
+    * associative and therefore identical anywhere.
+    */
+  def runningDemandTotal(demandHourly: DataFrame): DataFrame = {
+    val w = Window.partitionBy("route_id").orderBy("hour_ts")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    demandHourly
+      .withColumn("cum_passengers",
+        sum(col("passengers").cast("decimal(28,6)")).over(w).cast("double"))
+      .orderBy("route_id", "hour_ts")
+  }
+
+  /** GROUP BY ROLLUP over (priority, status) with subtotal keys coalesced
+    * to 'ALL' so the output carries no nulls (sidesteps the Spark-vs-DuckDB
+    * null-ordering mismatch entirely).
+    */
+  def priorityRollup(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "orders")
+      .rollup("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("n"), detSum(col("o_totalprice")).as("total_price"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("n"), col("total_price"))
+      .orderBy("priority", "status")
+
   /** long nanos → TIMESTAMP_NTZ (µs), integer-exact. */
   private def timestampMicrosFromNanos(c: org.apache.spark.sql.Column) =
     timestamp_micros(floor(c.cast("decimal(38,0)") / 1000).cast("long"))
