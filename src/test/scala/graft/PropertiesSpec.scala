@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import graft.functions.Cols._
+import graft.suggest.Suggestions
+
+/** Property tests (SURVEY §5 plan): invariants over generated inputs,
+  * evaluated as single Spark jobs over the whole sample batch (one job per
+  * property, not per case).
+  */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], n: Int = 200): Seq[A] =
+    Iterator.continually(g.sample).flatten.take(n).toSeq
+
+  test("property: clamp always lands in [lo, hi]") {
+    val xs = sample(Gen.chooseNum(-1e9, 1e9))
+    val out = xs.toDF("x")
+      .select(clamp(col("x"), 3.0, 30.0).as("c")).as[Double].collect()
+    assert(out.forall(c => c >= 3.0 && c <= 30.0))
+  }
+
+  test("property: GTFS clock formatting round-trips through the parser") {
+    val gen = for {
+      h <- Gen.chooseNum(0, 47) // past-midnight clocks included
+      m <- Gen.chooseNum(0, 59)
+      s <- Gen.chooseNum(0, 59)
+    } yield (h, m, s)
+    val cases = sample(gen)
+    val out = cases.toDF("h", "m", "s")
+      .select((col("h") * 3600 + col("m") * 60 + col("s")).as("expected"),
+        gtfsTimeToSeconds(format_string("%02d:%02d:%02d", col("h"), col("m"), col("s")))
+          .as("parsed"))
+      .as[(Int, Int)].collect()
+    assert(out.forall { case (e, p) => e == p })
+  }
+
+  test("property: base-demand seeding stays in [5, 50]") {
+    val ns = sample(Gen.chooseNum(0L, 100000L))
+    val out = ns.toDF("n")
+      .select(baseDemandWeight(col("n")).as("w")).as[Long].collect()
+    assert(out.forall(w => w >= 5L && w <= 50L))
+  }
+
+  test("property: suggestion bounds hold for arbitrary KPI rows") {
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 12:00:00")
+    val gen = for {
+      pred <- Gen.option(Gen.chooseNum(0.0, 5000.0))
+      veh <- Gen.chooseNum(0L, 40L)
+      hw <- Gen.option(Gen.chooseNum(0.0, 120.0))
+      delay <- Gen.chooseNum(0.0, 3000.0)
+      peak <- Gen.oneOf(0, 1)
+    } yield (pred.map(Double.box).orNull, veh, hw.map(Double.box).orNull, delay, peak)
+    val rows = sample(gen, 300).zipWithIndex.map { case ((p, v, h, d, pk), i) =>
+      (s"r$i", ts, p, p, Long.box(v), h,
+        Option(h).map(x => (x.doubleValue * 6e7).toLong).map(Long.box).orNull,
+        Long.box(1L), Double.box(d), 12, pk)
+    }
+    val kpi = rows.toDF("route_id", "hour_ts", "predicted_passengers",
+      "observed_passengers", "active_vehicles", "avg_headway_min",
+      "avg_headway_us", "trip_update_events", "avg_delay_seconds",
+      "hour_of_day", "is_peak_hour")
+    val out = Suggestions.suggest(kpi, onlyChanges = false)
+      .select("confidence", "priority_score", "recommended_headway_min",
+        "action", "current_headway_min")
+      .as[(Double, Double, Double, String, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (c, p, rec, action, cur) =>
+      assert(c >= 0.55 && c <= 1.0, s"confidence $c")
+      assert(p >= 0.0 && p <= 1.0, s"priority $p")
+      if (action == "keep") assert(rec == cur)
+      else assert(rec >= Suggestions.MinHeadway && rec <= Suggestions.MaxHeadway)
+      assert(cur >= 0.5 && cur <= 60.0, s"current headway $cur")
+    }
+  }
+
+  test("property: S9 append is idempotent for any batch/state pair") {
+    val gen = Gen.listOfN(30, Gen.chooseNum(0L, 20L))
+    (1 to 5).foreach { _ =>
+      val existing = sample(gen, 1).head.distinct.map(k => (k, s"e$k")).toDF("k", "v")
+      val batch = sample(gen, 1).head.distinct.map(k => (k, s"b$k")).toDF("k", "v")
+      val once = graft.streaming.Streams.appendDoNothing(existing, batch, Seq("k"))
+      val twice = graft.streaming.Streams.appendDoNothing(once, batch, Seq("k"))
+      assert(once.count() == twice.count())
+      assert(once.exceptAll(twice).isEmpty)
+    }
+  }
+}
