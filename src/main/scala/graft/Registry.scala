@@ -525,6 +525,25 @@ object Registry {
            |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
            |ORDER BY 1, 2""".stripMargin)),
 
+    // Exact (sort-based) percentiles — both engines sort and linearly
+    // interpolate, so the values are reproducible; the approx sketch
+    // (approx_percentile/t-digest) is the 100 TB path but is
+    // engine-specific by construction.
+    Q("value_percentiles",
+      (s, dir) => TestdataAdapter.table(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.9)").as("p90"),
+          expr("percentile(value, 0.99)").as("p99"))
+        .orderBy("event_type"),
+      Some(
+        """SELECT event_type,
+          |  quantile_cont(value, 0.5) AS p50,
+          |  quantile_cont(value, 0.9) AS p90,
+          |  quantile_cont(value, 0.99) AS p99
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("gtfs_time_parse", Relational.gtfsTimeParse,
       Some(
         """SELECT event_id,
