@@ -728,7 +728,11 @@ object Registry {
              |FROM p WHERE y_true IS NOT NULL AND y_pred IS NOT NULL
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
-      // D9 nested geo grouping — rows-only (array-of-struct schema)
+      // D9 geo grouping, verified flat: the nested sort_array(collect_list
+      // (struct)) runs first, then posexplode flattens it back so the
+      // array CONTENTS AND ORDER are hash-compared against a DuckDB
+      // row_number oracle (the nested frame itself is not pandas-sortable
+      // in the driver harness — r02/r03 'unhashable numpy.ndarray').
       Q("geo_grouped",
         (s, d) => {
           val stops = TestdataAdapter.table(s, d, "customer").select(
@@ -738,8 +742,23 @@ object Registry {
             (col("c_acctbal") / 100.0).as("lat"),
             col("c_nationkey").cast("double").as("lon"))
           Export.geoGrouping(stops)
+            .select(col("route_id"), posexplode(col("stops")).as(Seq("pos", "st")))
+            .select(col("route_id"), col("pos").cast("int").as("pos"),
+              col("st.stop_id").as("stop_id"), col("st.stop_name").as("stop_name"),
+              col("st.lat").as("lat"), col("st.lon").as("lon"))
+            .orderBy("route_id", "pos")
         },
-        None),
+        Some(
+          """WITH stops AS (
+            |  SELECT c_mktsegment AS route_id, CAST(c_custkey AS VARCHAR) AS stop_id,
+            |    c_name AS stop_name, c_acctbal / 100.0 AS lat,
+            |    CAST(c_nationkey AS DOUBLE) AS lon
+            |  FROM customer)
+            |SELECT route_id,
+            |  CAST(ROW_NUMBER() OVER (PARTITION BY route_id
+            |    ORDER BY stop_id, stop_name, lat, lon) - 1 AS INTEGER) AS pos,
+            |  stop_id, stop_name, lat, lon
+            |FROM stops ORDER BY route_id, pos""".stripMargin)),
     )
   }
 
