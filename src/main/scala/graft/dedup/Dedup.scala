@@ -9,13 +9,22 @@ import graft.text.TextOps
   * exact (hash-groupBy), MinHash+LSH (shingle → minhash → band → bucket
   * join), n-gram Jaccard verification of candidates, and SimHash banding.
   *
-  * Scale design: nothing here compares all pairs. Exact dedup is one
-  * hash aggregation on the fingerprint; MinHash/SimHash turn near-dup
-  * search into equality joins on band/bucket keys (shuffle on small keys,
-  * candidate sets ~linear for non-adversarial corpora); Jaccard runs only
-  * over LSH candidates. All hashing is md5-hex (engine-agnostic,
-  * lexicographic min is well-defined) so every stage has an exact DuckDB
-  * oracle twin.
+  * Scale design: nothing here compares all pairs, and nothing hashes a
+  * shingle more than once.
+  *  - Exact dedup is one hash aggregation on the fingerprint.
+  *  - MinHash computes ONE md5 per distinct (doc, shingle) and derives
+  *    the 8 permutation hashes arithmetically (hex-string rotations — a
+  *    bijection of the hash space per permutation, so each induces an
+  *    independent-enough ordering); the old shape paid 8 md5 calls per
+  *    shingle, which was the dominant pipeline cost.
+  *  - The hashed-shingle frame is ONE persisted lineage threaded through
+  *    signatures → LSH pairs → Jaccard verification; nothing re-derives
+  *    shingles from raw text twice.
+  *  - SimHash banding is 16-bit bands over a 64-bit signature: 65,536
+  *    buckets per band, so per-bucket candidate lists stay tiny as the
+  *    corpus grows (8-bit bands cap at 256 buckets → quadratic at 100 TB).
+  * All hashing is md5-hex (engine-agnostic, lexicographic min is
+  * well-defined) so every stage has an exact DuckDB oracle twin.
   */
 object Dedup {
 
@@ -45,47 +54,73 @@ object Dedup {
         "transform(sequence(1, size(w) - 2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"))
         .as("shingle"))
 
+  /** Distinct (doc_id, shingle) + its md5 — the single hashed-shingle
+    * lineage every MinHash/Jaccard stage derives from. Distinct BEFORE
+    * hashing so duplicate shingles within a doc are hashed once (the
+    * MinHash min over distinct shingles equals the min over all).
+    */
+  def hashedShingles(documents: DataFrame): DataFrame =
+    shingles(documents).distinct().withColumn("h", md5(col("shingle")))
+
   private val SHINGLES_CTE =
     """toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
       |sh AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-      |       FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM toks))""".stripMargin
+      |       FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM toks)),
+      |hs AS (SELECT doc_id, shingle, md5(shingle) AS h
+      |       FROM (SELECT DISTINCT doc_id, shingle FROM sh))""".stripMargin
 
-  /** MinHash signatures (8 md5-min hashes) + 4 LSH band keys per doc. */
-  def minhashSignatures(documents: DataFrame): DataFrame = {
-    val aggs = (0 until NumHashes).map(k =>
-      min(md5(concat(lit(s"$k|"), col("shingle")))).as(s"mh$k"))
-    val sigs = shingles(documents).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  /** Permutation k of a 32-hex-char md5: rotate left by 4k characters.
+    * One md5 per shingle; the 8 orderings come from these rotations.
+    */
+  private def perm(k: Int, h: Column): Column =
+    if (k == 0) h
+    else concat(substring(h, 4 * k + 1, 32 - 4 * k), substring(h, 1, 4 * k))
+
+  private def permSql(k: Int): String =
+    if (k == 0) "h" else s"(substr(h, ${4 * k + 1}) || substr(h, 1, ${4 * k}))"
+
+  /** MinHash signatures + 4 LSH band keys from a hashed-shingle frame. */
+  private def minhashSignaturesFrom(hashed: DataFrame): DataFrame = {
+    val aggs = (0 until NumHashes).map(k => min(perm(k, col("h"))).as(s"mh$k"))
+    val sigs = hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
     (0 until Bands).foldLeft(sigs) { (df, j) =>
       df.withColumn(s"band$j", concat(col(s"mh${2 * j}"), col(s"mh${2 * j + 1}")))
-    }.orderBy("doc_id")
+    }
   }
+
+  /** MinHash signatures (8 rotation-permuted min-hashes) + 4 LSH band
+    * keys per doc.
+    */
+  def minhashSignatures(documents: DataFrame): DataFrame =
+    minhashSignaturesFrom(hashedShingles(documents)).orderBy("doc_id")
 
   private val SIG_CTE = {
     val mh = (0 until NumHashes)
-      .map(k => s"MIN(md5('$k|' || shingle)) AS mh$k").mkString(", ")
+      .map(k => s"MIN(${permSql(k)}) AS mh$k").mkString(", ")
     val bands = (0 until Bands)
       .map(j => s"mh${2 * j} || mh${2 * j + 1} AS band$j").mkString(", ")
     s"""$SHINGLES_CTE,
-       |sig0 AS (SELECT doc_id, $mh FROM sh GROUP BY doc_id),
+       |sig0 AS (SELECT doc_id, $mh FROM hs GROUP BY doc_id),
        |sig AS (SELECT *, $bands FROM sig0)""".stripMargin
   }
 
   val minhashSignaturesSql: String =
     s"WITH $SIG_CTE SELECT * FROM sig ORDER BY doc_id"
 
-  /** LSH candidate pairs: docs sharing any of the 4 band keys (a < b).
-    * The signature frame is persisted before the four band self-joins —
-    * otherwise the whole shingle→minhash pipeline re-executes once per
-    * join side (8×).
+  /** LSH candidate pairs from a signature frame. The caller must persist
+    * the signature frame — otherwise the whole shingle→minhash pipeline
+    * re-executes once per side of each of the four band self-joins (8×).
     */
-  def minhashPairs(documents: DataFrame): DataFrame = {
-    val sigs = minhashSignatures(documents).persist()
+  private def minhashPairsFrom(sigs: DataFrame): DataFrame =
     (0 until Bands).map { j =>
       sigs.as("x").join(sigs.as("y"),
         col(s"x.band$j") === col(s"y.band$j") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
     }.reduce(_ unionByName _).distinct().orderBy("doc_a", "doc_b")
-  }
+
+  /** LSH candidate pairs: docs sharing any of the 4 band keys (a < b). */
+  def minhashPairs(documents: DataFrame): DataFrame =
+    minhashPairsFrom(minhashSignaturesFrom(hashedShingles(documents)).persist())
 
   private val PAIRS_CTE = {
     val sels = (0 until Bands).map(j =>
@@ -98,14 +133,16 @@ object Dedup {
   val minhashPairsSql: String =
     s"WITH $PAIRS_CTE SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b"
 
-  /** n-gram Jaccard similarity, computed only for LSH candidate pairs
-    * (the scalable shape: candidates are near-linear, so the set
-    * intersection join never goes quadratic).
+  /** n-gram Jaccard similarity for LSH candidate pairs, computed over ONE
+    * shared lineage: the persisted hashed-shingle frame feeds the
+    * signatures (→ candidates) AND the set-intersection join, so raw text
+    * is tokenized/hashed exactly once (the scalable shape: candidates are
+    * near-linear, so the intersection join never goes quadratic).
     */
   def ngramJaccard(documents: DataFrame): DataFrame = {
-    val ss = shingles(documents).distinct().persist()
+    val ss = hashedShingles(documents).persist()
+    val cand = minhashPairsFrom(minhashSignaturesFrom(ss).persist())
     val sizes = ss.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-    val cand = minhashPairs(documents).persist()
     val inter = cand
       .join(ss.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
       .join(ss.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
@@ -122,13 +159,12 @@ object Dedup {
 
   val ngramJaccardSql: String =
     s"""WITH $PAIRS_CTE,
-       |ss AS (SELECT DISTINCT doc_id, shingle FROM sh),
-       |sz AS (SELECT doc_id, COUNT(*) AS nsh FROM ss GROUP BY 1),
+       |sz AS (SELECT doc_id, COUNT(*) AS nsh FROM hs GROUP BY 1),
        |inter AS (
        |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
        |  FROM cand c
-       |  JOIN ss a ON a.doc_id = c.doc_a
-       |  JOIN ss b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+       |  JOIN hs a ON a.doc_id = c.doc_a
+       |  JOIN hs b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
        |  GROUP BY 1, 2)
        |SELECT i.doc_a, i.doc_b, i.n_inter, sa.nsh AS n_a, sb.nsh AS n_b,
        |  CAST(i.n_inter AS DOUBLE) / (sa.nsh + sb.nsh - i.n_inter) AS jaccard
@@ -137,46 +173,54 @@ object Dedup {
        |JOIN sz sb ON sb.doc_id = i.doc_b
        |ORDER BY i.doc_a, i.doc_b""".stripMargin
 
-  /** SimHash near-dup candidates via byte banding: docs sharing any of the
-    * four 8-bit bytes of their 32-bit SimHash are candidates; report pairs
-    * with Hamming distance ≤ maxHamming. Equality joins on byte buckets —
-    * never all-pairs.
+  /** SimHash near-dup candidates via 16-bit banding of the 64-bit
+    * signature: docs sharing any of the four 16-bit bands are candidates
+    * (65,536 buckets per band); report pairs with Hamming distance ≤
+    * maxHamming over all 64 bits. Equality joins on band buckets — never
+    * all-pairs, and per-bucket populations stay sub-linear at scale.
     */
-  def simhashPairs(documents: DataFrame, maxHamming: Int = 10): DataFrame = {
-    // persist: the signature aggregation (32 bit-sums over exploded
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 20): DataFrame = {
+    // persist: the signature aggregation (64 bit-sums over exploded
     // tokens) would otherwise re-execute once per side of each of the
     // four band self-joins
-    val sig = TextOps.simhash(documents).persist()
-    val withBytes = (0 until 4).foldLeft(sig) { (df, j) =>
-      df.withColumn(s"byte$j", shiftright(col("simhash32"), 8 * j).bitwiseAND(255))
-    }
+    val sig = TextOps.simhash64(documents).persist()
+    val withBands = sig
+      .withColumn("band0", col("sim_lo").bitwiseAND(65535))
+      .withColumn("band1", shiftright(col("sim_lo"), 16))
+      .withColumn("band2", col("sim_hi").bitwiseAND(65535))
+      .withColumn("band3", shiftright(col("sim_hi"), 16))
     val cand = (0 until 4).map { j =>
-      withBytes.as("x").join(withBytes.as("y"),
-        col(s"x.byte$j") === col(s"y.byte$j") && col("x.doc_id") < col("y.doc_id"))
+      withBands.as("x").join(withBands.as("y"),
+        col(s"x.band$j") === col(s"y.band$j") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-          col("x.simhash32").as("sig_a"), col("y.simhash32").as("sig_b"))
+          col("x.sim_hi").as("hi_a"), col("x.sim_lo").as("lo_a"),
+          col("y.sim_hi").as("hi_b"), col("y.sim_lo").as("lo_b"))
     }.reduce(_ unionByName _).distinct()
     cand
       .withColumn("hamming",
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int"))
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
   }
 
-  def simhashPairsSql(maxHamming: Int = 10): String = {
+  def simhashPairsSql(maxHamming: Int = 20): String = {
     val sels = (0 until 4).map(j =>
-      s"SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.simhash32 AS sig_a, y.simhash32 AS sig_b " +
-        s"FROM bytes x JOIN bytes y ON x.byte$j = y.byte$j AND x.doc_id < y.doc_id")
+      s"SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.sim_hi AS hi_a, x.sim_lo AS lo_a, " +
+        s"y.sim_hi AS hi_b, y.sim_lo AS lo_b " +
+        s"FROM bands x JOIN bands y ON x.band$j = y.band$j AND x.doc_id < y.doc_id")
       .mkString(" UNION ALL ")
-    s"""WITH ${TextOps.simhashCteBody},
-       |bytes AS (SELECT doc_id, simhash32,
-       |  (simhash32 >> 0) & 255 AS byte0, (simhash32 >> 8) & 255 AS byte1,
-       |  (simhash32 >> 16) & 255 AS byte2, (simhash32 >> 24) & 255 AS byte3
-       |FROM simsel),
-       |cand AS (SELECT DISTINCT doc_a, doc_b, sig_a, sig_b FROM ($sels))
-       |SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
-       |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= $maxHamming
+    s"""WITH ${TextOps.simhash64CteBody},
+       |bands AS (SELECT doc_id, sim_hi, sim_lo,
+       |  sim_lo & 65535 AS band0, sim_lo >> 16 AS band1,
+       |  sim_hi & 65535 AS band2, sim_hi >> 16 AS band3
+       |FROM simsel64),
+       |cand AS (SELECT DISTINCT doc_a, doc_b, hi_a, lo_a, hi_b, lo_b FROM ($sels))
+       |SELECT doc_a, doc_b,
+       |  CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS INTEGER) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= $maxHamming
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 

@@ -203,6 +203,66 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** doc_id → 64-bit SimHash as two unsigned 32-bit halves (`sim_hi` =
+    * bits 32..63, `sim_lo` = bits 0..31, both BIGINT in [0, 2³²)). Split
+    * halves instead of one 64-bit value because bit 63 would make the
+    * signature negative / overflow-prone, and signed-overflow behavior is
+    * engine-specific; two positive halves compare and XOR identically in
+    * Spark and DuckDB. 16-bit banding over the halves gives 65,536
+    * buckets per band — the 100 TB candidate-generation path (the 8-bit
+    * bands of the 32-bit variant cap at 256 buckets, which goes quadratic
+    * per bucket as the corpus grows).
+    */
+  def simhash64(documents: DataFrame): DataFrame = {
+    val tok = documents
+      .select(col("doc_id"), explode(toks(col("text"))).as("t"))
+      .withColumn("h", md5(col("t")))
+    val withDigits = (0 until 16).foldLeft(tok) { (df, j) =>
+      df.withColumn(s"d$j", hexVal(substring(col("h"), j + 1, 1)))
+    }
+    val sums = (0 until 64).map { b =>
+      val d = col(s"d${b / 4}")
+      val bit = (d / lit(1 << (3 - b % 4))).cast("int") % 2
+      sum(when(bit === 1, 1).otherwise(-1)).as(s"v$b")
+    }
+    def half(bits: Range, off: Int) = bits
+      .map(b => when(col(s"v$b") > 0, lit(1L << (b - off))).otherwise(lit(0L)))
+      .reduceLeft(_ + _)
+    withDigits
+      .groupBy("doc_id")
+      .agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"),
+        half(32 until 64, 32).cast("long").as("sim_hi"),
+        half(0 until 32, 0).cast("long").as("sim_lo"))
+  }
+
+  /** CTE chain ending in `simsel64(doc_id, sim_hi, sim_lo)` — the DuckDB
+    * twin of [[simhash64]], composable into larger oracle queries.
+    */
+  val simhash64CteBody: String = {
+    val digits = (0 until 16)
+      .map(j => s"${hexValSql(s"substr(h, ${j + 1}, 1)")} AS d$j").mkString(",\n  ")
+    val sums = (0 until 64).map { b =>
+      s"SUM(CASE WHEN (d${b / 4} // ${1 << (3 - b % 4)}) % 2 = 1 THEN 1 ELSE -1 END) AS v$b"
+    }.mkString(",\n  ")
+    def half(bits: Range, off: Int) = bits
+      .map(b => s"CASE WHEN v$b > 0 THEN CAST(${1L << (b - off)} AS BIGINT) ELSE 0 END")
+      .mkString(" + ")
+    raw"""tok64 AS (
+       |  SELECT doc_id, md5(unnest(string_split_regex(trim(lower(text)), '\s+'))) AS h
+       |  FROM documents),
+       |dig64 AS (SELECT doc_id,
+       |  $digits
+       |FROM tok64),
+       |v64 AS (SELECT doc_id,
+       |  $sums
+       |FROM dig64 GROUP BY doc_id),
+       |simsel64 AS (SELECT doc_id,
+       |  CAST(${half(32 until 64, 32)} AS BIGINT) AS sim_hi,
+       |  CAST(${half(0 until 32, 0)} AS BIGINT) AS sim_lo
+       |FROM v64)""".stripMargin
+  }
+
   /** CTE chain ending in `simsel(doc_id, simhash32)` — composable into
     * larger oracle queries (see graft.dedup.Dedup.simhashPairsSql).
     */
