@@ -233,6 +233,62 @@ object Registry {
        |LEFT JOIN sg ON sg.route_id = k.route_id AND sg.hour_ts = k.hour_ts
        |ORDER BY k.route_id""".stripMargin
 
+  /** D7 export-row CTE chain ending in `xr` (mirrors Export.exportRows:
+    * latest-hour KPI rows LEFT JOIN suggestions + status/message/deltas).
+    */
+  private val EXPORT_ROWS_CTES =
+    s"""$SUGG_CTES,
+       |mx AS (SELECT MAX(hour_ts) AS hour_ts FROM k),
+       |sg AS (SELECT route_id, hour_ts, action, current_headway_min,
+       |       recommended_headway_min, priority_score, confidence
+       |       FROM s9 WHERE action <> 'keep'),
+       |jx AS (
+       |  SELECT k.route_id, k.hour_ts, k.predicted_passengers, k.observed_passengers,
+       |    k.active_vehicles, k.avg_headway_min, k.is_peak_hour,
+       |    COALESCE(sg.action, 'needs_data') AS action,
+       |    sg.current_headway_min, sg.recommended_headway_min,
+       |    COALESCE(sg.priority_score, 0.0) AS priority_score,
+       |    COALESCE(sg.confidence, 0.0) AS confidence,
+       |    (COALESCE(k.active_vehicles, 0) > 0) AS has_veh,
+       |    (k.avg_headway_min IS NOT NULL AND NOT isnan(k.avg_headway_min)) AS has_hw
+       |  FROM k JOIN mx ON k.hour_ts = mx.hour_ts
+       |  LEFT JOIN sg ON sg.route_id = k.route_id AND sg.hour_ts = k.hour_ts),
+       |xr AS (
+       |  SELECT route_id, hour_ts, predicted_passengers, observed_passengers,
+       |    active_vehicles, avg_headway_min, is_peak_hour, action,
+       |    CASE WHEN has_veh AND has_hw THEN 'ok'
+       |         WHEN NOT has_veh AND NOT has_hw THEN 'missing_both'
+       |         WHEN NOT has_veh THEN 'missing_vehicles'
+       |         ELSE 'missing_headway' END AS status,
+       |    CASE WHEN NOT (has_veh AND has_hw) AND action = 'needs_data'
+       |           THEN 'Needs data (no vehicles/headway for this route-hour)'
+       |         WHEN action = 'increase_frequency' THEN 'Increase frequency (over capacity target)'
+       |         WHEN action = 'decrease_frequency' THEN 'Decrease frequency (under-utilized, off-peak)'
+       |         ELSE 'Keep current frequency' END AS message,
+       |    current_headway_min, recommended_headway_min,
+       |    CASE WHEN current_headway_min IS NOT NULL AND recommended_headway_min IS NOT NULL
+       |           AND current_headway_min > 0
+       |         THEN recommended_headway_min - current_headway_min END AS delta_headway_min,
+       |    CASE WHEN current_headway_min IS NOT NULL AND recommended_headway_min IS NOT NULL
+       |           AND current_headway_min > 0
+       |         THEN (recommended_headway_min / current_headway_min - 1.0) * 100.0 END AS delta_headway_pct,
+       |    priority_score, confidence
+       |  FROM jx)""".stripMargin
+
+  private val EXPORT_ROWS_SQL =
+    s"""$EXPORT_ROWS_CTES
+       |SELECT route_id, hour_ts, predicted_passengers, observed_passengers,
+       |  active_vehicles, avg_headway_min, is_peak_hour, action, status, message,
+       |  current_headway_min, recommended_headway_min, delta_headway_min,
+       |  delta_headway_pct, priority_score, confidence
+       |FROM xr ORDER BY route_id""".stripMargin
+
+  private val SUMMARY_TOP_SQL =
+    s"""$EXPORT_ROWS_CTES
+       |SELECT route_id, priority_score, action, message
+       |FROM xr WHERE action <> 'needs_data'
+       |ORDER BY priority_score DESC, route_id LIMIT 10""".stripMargin
+
   private val PEAK_ROLLUP_SQL =
     s"""$KPI_CTES,
        |latest AS (SELECT MAX(hour_ts) AS max_ts FROM k),
@@ -701,22 +757,55 @@ object Registry {
         (s, dir) => {
           val k = kpiHourly(s, dir).persist()
           Export.summary(Export.latestHourSnapshot(k, graft.suggest.Suggestions.suggest(k)))
+            .withColumn("hour_ts", col("hour_ts").cast("timestamp_ntz"))
         },
         Some(
           s"""$SUGG_CTES,
              |mx AS (SELECT MAX(hour_ts) AS hour_ts FROM k),
              |sg AS (SELECT route_id, hour_ts, action, priority_score FROM s9 WHERE action <> 'keep'),
              |snap AS (
-             |  SELECT COALESCE(sg.action, 'needs_data') AS action,
+             |  SELECT k.hour_ts, COALESCE(sg.action, 'needs_data') AS action,
              |    COALESCE(sg.priority_score, 0.0) AS priority_score
              |  FROM k JOIN mx ON k.hour_ts = mx.hour_ts
              |  LEFT JOIN sg ON sg.route_id = k.route_id AND sg.hour_ts = k.hour_ts)
-             |SELECT COUNT(*) AS n_routes,
+             |SELECT MAX(hour_ts) AS hour_ts, COUNT(*) AS n_routes,
              |  CAST(SUM(CASE WHEN action = 'increase_frequency' THEN 1 ELSE 0 END) AS BIGINT) AS n_increase,
              |  CAST(SUM(CASE WHEN action = 'decrease_frequency' THEN 1 ELSE 0 END) AS BIGINT) AS n_decrease,
              |  CAST(SUM(CASE WHEN action = 'needs_data' THEN 1 ELSE 0 END) AS BIGINT) AS n_needs_data,
+             |  CAST(SUM(CASE WHEN action <> 'needs_data' THEN 1 ELSE 0 END) AS BIGINT) AS n_suggestions,
              |  ${davg("priority_score")} AS avg_priority
              |FROM snap""".stripMargin)),
+
+      // D7 — full frontend export rows (status/message/deltas), flat for
+      // the hash compare; the nested {kpi,suggestion} twin is spec-covered.
+      Q("export_rows",
+        (s, dir) => {
+          val k = kpiHourly(s, dir).persist()
+          Export.exportRows(k, graft.suggest.Suggestions.suggest(k))
+            .withColumn("hour_ts", col("hour_ts").cast("timestamp_ntz"))
+        },
+        Some(EXPORT_ROWS_SQL)),
+
+      // D8 — the summary's top-10 priority embed
+      Q("export_summary_top",
+        (s, dir) => {
+          val k = kpiHourly(s, dir).persist()
+          Export.summaryTop(Export.exportRows(k, graft.suggest.Suggestions.suggest(k)))
+        },
+        Some(SUMMARY_TOP_SQL)),
+
+      // A11 — peak vs off-peak validation breakdown
+      Q("validation_by_peak",
+        (s, dir) => Export.validationByPeak(predictions(s, dir)),
+        Some(
+          s"""WITH s2r AS ($S2R), f AS ($FLOW), d AS ($DEMAND_BODY), p AS ($PRED_BODY)
+             |SELECT CAST(CASE WHEN EXTRACT(HOUR FROM hour_ts) BETWEEN 7 AND 9
+             |    OR EXTRACT(HOUR FROM hour_ts) BETWEEN 16 AND 18 THEN 1 ELSE 0 END AS INTEGER) AS is_peak_hour,
+             |  COUNT(*) AS n,
+             |  ${davg("abs(y_pred - y_true)")} AS mae,
+             |  ${davg("y_pred - y_true")} AS bias
+             |FROM p WHERE y_true IS NOT NULL AND y_pred IS NOT NULL
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
       Q("validation_by_hour",
         (s, dir) => Export.validationByHour(predictions(s, dir)),

@@ -103,6 +103,21 @@ object Export {
       .orderBy("route_id")
   }
 
+  /** A11 grouped — peak vs off-peak MAE/bias breakdown.
+    * Ref: validate_predictions.py:60-64.
+    */
+  def validationByPeak(predictions: DataFrame): DataFrame = {
+    val diff = col("y_pred") - col("y_true")
+    predictions
+      .filter(col("y_true").isNotNull && col("y_pred").isNotNull)
+      .groupBy(isPeakHour(col("hour_ts")).as("is_peak_hour"))
+      .agg(
+        count(lit(1)).as("n"),
+        detAvg(abs(diff)).as("mae"),
+        detAvg(diff).as("bias"))
+      .orderBy("is_peak_hour")
+  }
+
   /** A11 grouped — per-hour-of-day MAE/bias breakdown.
     * Ref: validate_predictions.py:52-58.
     */
@@ -117,6 +132,79 @@ object Export {
         detAvg(diff).as("bias"))
       .orderBy("hour_of_day")
   }
+
+  /** D7 — frontend export rows over the latest-hour snapshot, carrying
+    * the suggestion-side derivations the reference's build_route_rows
+    * computes per row: data-availability `status`, human `message`, and
+    * headway deltas. Flat columns (one per payload field) so the whole
+    * shape is DuckDB-hash-checkable; [[exportRowsNested]] folds them into
+    * the reference's {kpi{}, suggestion{}} JSON structure.
+    * Ref: src/optimization/export_suggestions_json.py:88-117 (SQL_LATEST_ROWS),
+    * :149-177 (compute_status/compute_message), :204-252 (build_route_rows).
+    */
+  def exportRows(kpi: DataFrame, suggestions: DataFrame): DataFrame = {
+    val latest = kpi.agg(max("hour_ts").as("hour_ts"))
+    val sug = suggestions.select(
+      col("route_id"), col("hour_ts"), col("action"),
+      col("current_headway_min"), col("recommended_headway_min"),
+      col("priority_score"), col("confidence"))
+    val joined = kpi
+      .select("route_id", "hour_ts", "predicted_passengers", "observed_passengers",
+        "active_vehicles", "avg_headway_min", "is_peak_hour")
+      .join(broadcast(latest), Seq("hour_ts"))
+      .join(sug, Seq("route_id", "hour_ts"), "left")
+      .withColumn("action", coalesce(col("action"), lit("needs_data")))
+      .withColumn("priority_score", coalesce(col("priority_score"), lit(0.0)))
+      // confidence rides in the reasons JSON; absent suggestion → 0.0
+      // (get_confidence of the fallback reasons object)
+      .withColumn("confidence", coalesce(col("confidence"), lit(0.0)))
+    val hasVeh = coalesce(col("active_vehicles"), lit(0L)) > 0
+    val hasHw = col("avg_headway_min").isNotNull && !isnan(col("avg_headway_min"))
+    val status = when(hasVeh && hasHw, "ok")
+      .when(!hasVeh && !hasHw, "missing_both")
+      .when(!hasVeh, "missing_vehicles")
+      .otherwise("missing_headway")
+    val deltaOk = col("current_headway_min").isNotNull &&
+      col("recommended_headway_min").isNotNull && col("current_headway_min") > 0
+    joined
+      .withColumn("status", status)
+      .withColumn("message",
+        when(col("status") =!= "ok" && col("action") === "needs_data",
+          "Needs data (no vehicles/headway for this route-hour)")
+          .when(col("action") === "increase_frequency",
+            "Increase frequency (over capacity target)")
+          .when(col("action") === "decrease_frequency",
+            "Decrease frequency (under-utilized, off-peak)")
+          .otherwise("Keep current frequency"))
+      .withColumn("delta_headway_min",
+        when(deltaOk, col("recommended_headway_min") - col("current_headway_min")))
+      .withColumn("delta_headway_pct",
+        when(deltaOk,
+          (col("recommended_headway_min") / col("current_headway_min") - 1.0) * 100.0))
+      .select("route_id", "hour_ts", "predicted_passengers", "observed_passengers",
+        "active_vehicles", "avg_headway_min", "is_peak_hour", "action", "status",
+        "message", "current_headway_min", "recommended_headway_min",
+        "delta_headway_min", "delta_headway_pct", "priority_score", "confidence")
+      .orderBy("route_id")
+  }
+
+  /** D7 nested — the reference's exact {route_id, hour_ts, kpi{...},
+    * suggestion{...}} payload shape over [[exportRows]] output (kept out
+    * of the oracle registry: struct columns are not pandas-hashable in
+    * the driver harness; the flat twin checks every leaf value instead).
+    * Ref: export_suggestions_json.py:226-250.
+    */
+  def exportRowsNested(rows: DataFrame): DataFrame =
+    rows.select(
+      col("route_id"), col("hour_ts"),
+      struct(
+        col("predicted_passengers"), col("observed_passengers"),
+        col("active_vehicles"), col("avg_headway_min"), col("is_peak_hour")).as("kpi"),
+      struct(
+        col("action"), col("status"), col("message"),
+        col("current_headway_min"), col("recommended_headway_min"),
+        col("delta_headway_min"), col("delta_headway_pct"),
+        col("priority_score"), col("confidence")).as("suggestion"))
 
   /** D9 — geo grouping: stops collected under each route as an ordered
     * array of structs. Ref: src/dag/export-routes-geo-job.py:77-104.
@@ -139,17 +227,34 @@ object Export {
       .orderBy(col("priority_score").desc, col("route_id"), col("hour_ts"))
       .limit(n)
 
-  /** D8 — flat summary object: row totals, action counts, needs-data
-    * count over the latest-hour snapshot.
-    * Ref: export_suggestions_json.py:279-296.
+  /** D8 — flat summary object: the snapshot hour, row totals, action
+    * counts, needs-data vs real-suggestion split.
+    * Ref: export_suggestions_json.py:279-296 (hour_ts, total_routes,
+    * needs_data, suggestions, actions).
     */
   def summary(snapshot: DataFrame): DataFrame =
     snapshot.agg(
+      max("hour_ts").as("hour_ts"), // snapshot is single-hour by construction
       count(lit(1)).as("n_routes"),
       sum(when(col("action") === "increase_frequency", 1).otherwise(0)).as("n_increase"),
       sum(when(col("action") === "decrease_frequency", 1).otherwise(0)).as("n_decrease"),
       sum(when(col("action") === "needs_data", 1).otherwise(0)).as("n_needs_data"),
+      sum(when(col("action") =!= "needs_data", 1).otherwise(0)).as("n_suggestions"),
       detAvg(col("priority_score")).as("avg_priority"))
+
+  /** D8 — the summary's top_priority embed: top-N real suggestions
+    * (action ≠ needs_data) by priority, with the per-row payload fields
+    * the reference carries (route_id, priority_score, action, message).
+    * Deterministic tie-breaks on route_id (pandas' stable sort order is
+    * input-order dependent; ours is keyed).
+    * Ref: export_suggestions_json.py:285-293.
+    */
+  def summaryTop(rows: DataFrame, n: Int = 10): DataFrame =
+    rows
+      .filter(col("action") =!= "needs_data")
+      .select("route_id", "priority_score", "action", "message")
+      .orderBy(col("priority_score").desc, col("route_id"))
+      .limit(n)
 
   /** S11 — JSON file sink: the result rows as one pretty-printed JSON
     * array (NaN/Inf scrubbed to null by the caller's schema, timestamps

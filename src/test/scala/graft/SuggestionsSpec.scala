@@ -89,6 +89,62 @@ class SuggestionsSpec extends SparkSpec {
     assert(keepAll.count() == 1 && keepChanged.count() == 0)
   }
 
+  test("D7 export rows: status, message, deltas; nested payload shape") {
+    import graft.export.Export
+    // r_inc: vehicles+headway → ok + increase; r_nd: no vehicles, no
+    // headway → missing_both + needs_data (no suggestion row survives
+    // onlyChanges because ppt is within range)
+    val k = kpi(Seq(
+      kpiRow("r_inc", 600.0, 5L, 10.0, 0.0, 0),
+      // default headway 12 → 5 trips/h; pred 150 → ppt 30 ∈ [24,45] → keep
+      // → dropped by onlyChanges → needs_data in the export
+      kpiRow("r_nd", 150.0, 0L, null, 0.0, 0)))
+    val rows = Export.exportRows(k, Suggestions.suggest(k))
+    val byRoute = rows.collect().map(r => r.getAs[String]("route_id") -> r).toMap
+
+    val inc = byRoute("r_inc")
+    assert(inc.getAs[String]("status") == "ok")
+    assert(inc.getAs[String]("action") == "increase_frequency")
+    assert(inc.getAs[String]("message") == "Increase frequency (over capacity target)")
+    // delta = recommended - current, and pct consistent with it
+    val delta = inc.getAs[Double]("delta_headway_min")
+    assert(delta == inc.getAs[Double]("recommended_headway_min") - inc.getAs[Double]("current_headway_min"))
+    assert(delta < 0) // increase → shorter headway
+    assert(inc.getAs[Double]("delta_headway_pct") < 0)
+    assert(inc.getAs[Double]("confidence") >= 0.55)
+
+    val nd = byRoute("r_nd")
+    assert(nd.getAs[String]("status") == "missing_both")
+    assert(nd.getAs[String]("action") == "needs_data")
+    assert(nd.getAs[String]("message") == "Needs data (no vehicles/headway for this route-hour)")
+    assert(nd.isNullAt(nd.fieldIndex("delta_headway_min")))
+    assert(nd.getAs[Double]("priority_score") == 0.0)
+    assert(nd.getAs[Double]("confidence") == 0.0)
+
+    // nested twin: same leaves under {kpi{}, suggestion{}}
+    val nested = Export.exportRowsNested(rows)
+    assert(nested.schema.fieldNames.toSeq == Seq("route_id", "hour_ts", "kpi", "suggestion"))
+    val nrow = nested.filter(col("route_id") === "r_inc").collect().head
+    val sug = nrow.getStruct(nrow.fieldIndex("suggestion"))
+    assert(sug.getAs[String]("status") == "ok")
+    assert(sug.getAs[Double]("recommended_headway_min") == inc.getAs[Double]("recommended_headway_min"))
+    val kpiStruct = nrow.getStruct(nrow.fieldIndex("kpi"))
+    assert(kpiStruct.getAs[Long]("active_vehicles") == 5L)
+  }
+
+  test("D8 summary top: needs_data excluded, priority-desc order, capped at n") {
+    import graft.export.Export
+    val k = kpi((1 to 15).map(i =>
+      kpiRow(s"r$i", double2Double(600.0 + i), 5L, 10.0, double2Double(i * 60.0), 0))
+      ++ Seq(kpiRow("r_nd", 100.0, 0L, null, 0.0, 0)))
+    val rows = Export.exportRows(k, Suggestions.suggest(k))
+    val top = Export.summaryTop(rows).collect()
+    assert(top.length == 10)
+    assert(top.forall(_.getAs[String]("action") != "needs_data"))
+    val scores = top.map(_.getAs[Double]("priority_score")).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
   test("D6 reasons JSON carries the rule and null fields explicitly") {
     val json = Suggestions.suggest(kpi(Seq(kpiRow("r", 600.0, 5L, 10.0, 0.0, 0))))
       .select("reasons").as[String].collect().head
