@@ -675,6 +675,43 @@ object Registry {
         (s, d) => DemandModel.runMetrics(mlDataset(s, d)),
         None),
 
+      // ml_runs lineage record — rows-only (MAE comes from the RF, which
+      // is engine-specific by design; the MAE band is spec-asserted)
+      Q("ml_run_record",
+        (s, d) => DemandModel.runRecord(mlDataset(s, d)),
+        None),
+
+      // predictions history → latest upsert, oracle-checked over two
+      // deterministic pseudo-runs (run 2 re-predicts afternoon hours
+      // only, so the latest table mixes both runs per the upsert rule)
+      Q("predictions_latest",
+        (s, d) => {
+          val base = predictions(s, d) // route_id, hour_ts, y_pred=0.95x, y_true
+          def run(seq: Long, factor: Double, version: String) =
+            base.select(col("route_id"), col("hour_ts"), col("y_true"),
+              (col("y_true") * factor).as("y_pred"), lit(seq).as("run_seq"),
+              lit("rf_demand").as("model_name"), lit(version).as("model_version"))
+          val history = run(1L, 0.9, "1")
+            .unionByName(run(2L, 0.95, "2").filter(hour(col("hour_ts")) >= 12))
+          DemandModel.predictionsLatest(history)
+            .withColumn("hour_ts", col("hour_ts").cast("timestamp_ntz"))
+        },
+        Some(
+          s"""WITH s2r AS ($S2R), f AS ($FLOW), d AS ($DEMAND_BODY),
+             |hist AS (
+             |  SELECT route_id, hour_ts, passengers AS y_true, passengers * 0.9 AS y_pred,
+             |    CAST(1 AS BIGINT) AS run_seq, 'rf_demand' AS model_name, '1' AS model_version
+             |  FROM d
+             |  UNION ALL
+             |  SELECT route_id, hour_ts, passengers, passengers * 0.95,
+             |    CAST(2 AS BIGINT), 'rf_demand', '2'
+             |  FROM d WHERE EXTRACT(HOUR FROM hour_ts) >= 12)
+             |SELECT route_id, hour_ts, y_true, y_pred, run_seq, model_name, model_version
+             |FROM (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY route_id, hour_ts ORDER BY run_seq DESC) AS rn
+             |  FROM hist) WHERE rn = 1
+             |ORDER BY route_id, hour_ts""".stripMargin)),
+
       // k-means over embeddings — rows-only (k-means|| centroids are not
       // SQL-expressible; determinism is seed+layout dependent)
       Q("kmeans_clusters",

@@ -34,18 +34,28 @@ object DemandModel {
       .filter(col("label").isNotNull)
   }
 
-  /** Temporal 80/20 split by global hour_ts row order (reference sorts by
-    * hour_ts then slices at 0.8·n; the row_number tiebreak on route_id
-    * makes our slice deterministic — SURVEY §7.4 item 6). The global
-    * window is verify-scale only; at 100 TB the cutoff comes from
-    * approxQuantile on hour_ts instead (same semantics, no global sort).
+  /** Temporal 80/20 split at an hour boundary. The cutoff hour comes from
+    * the per-hour row histogram — one shuffle keyed on hour_ts producing
+    * a time-bounded frame (even years of data is <100k distinct hours),
+    * scanned on the driver; the split itself is then two pushdown-able
+    * filters. No global single-partition sort, no full count, and the
+    * result is partition-layout independent (exact integer counts, keyed
+    * order). Semantics vs the reference's row-index slice: splitting at
+    * the hour containing the 0.8 point means the train fraction lands
+    * within one hour's row share of the target — and never splits a
+    * single hour across train and test (the reference's slice can, which
+    * leaks same-hour context across the temporal boundary).
     */
   def temporalSplit(labeled: DataFrame, trainFraction: Double = 0.8): (DataFrame, DataFrame) = {
-    val n = labeled.count()
-    val cut = math.floor(trainFraction * n).toLong
-    val w = Window.orderBy("hour_ts", "route_id")
-    val idx = labeled.withColumn("rn", row_number().over(w))
-    (idx.filter(col("rn") <= cut).drop("rn"), idx.filter(col("rn") > cut).drop("rn"))
+    val hist = labeled.groupBy("hour_ts").agg(count(lit(1)).as("n"))
+      .orderBy("hour_ts").collect()
+    require(hist.nonEmpty, "temporalSplit: empty input")
+    val target = trainFraction * hist.map(_.getAs[Long]("n")).sum
+    var acc = 0L
+    var cut = hist.head.get(0)
+    for (r <- hist if acc < target) { acc += r.getAs[Long]("n"); cut = r.get(0) }
+    (labeled.filter(col("hour_ts") <= lit(cut)),
+      labeled.filter(col("hour_ts") > lit(cut)))
   }
 
   /** Train RF(numTrees, seed) and return (test predictions, MAE, n_train,
@@ -92,5 +102,40 @@ object DemandModel {
     val (_, mae, nTrain, nTest) = trainPredict(withLabel(mlDataset), numTrees)
     Seq((nTrain, nTest, mae, numTrees))
       .toDF("n_train", "n_test", "mae", "num_trees")
+  }
+
+  /** The reference's full ml_runs lineage record: run_id, model
+    * name/version, rows_used, split_ratio, MAE, features JSON. run_id is
+    * a deterministic name-UUID of (model, version, trees, seed, split
+    * sizes, features) — the reference uses uuid4, but a content-derived
+    * id is the idempotency key its ON CONFLICT (run_id) DO NOTHING
+    * insert actually wants, and it keeps the rows-only check stable.
+    * Ref: src/ml/train_predict.py:84-95,173-195.
+    */
+  def runRecord(mlDataset: DataFrame, numTrees: Int = 200, seed: Long = 42L): DataFrame = {
+    val spark = mlDataset.sparkSession
+    import spark.implicits._
+    val (_, mae, nTrain, nTest) = trainPredict(withLabel(mlDataset), numTrees, seed)
+    val featuresJson = FeatureCols.mkString("[\"", "\",\"", "\"]")
+    val runId = java.util.UUID.nameUUIDFromBytes(
+      s"rf_demand|1|$numTrees|$seed|$nTrain|$nTest|$featuresJson".getBytes("UTF-8")).toString
+    Seq((runId, "rf_demand", "1", nTrain + nTest, 0.8, mae, featuresJson, numTrees))
+      .toDF("run_id", "model_name", "model_version", "rows_used",
+        "split_ratio", "mae", "features", "num_trees")
+  }
+
+  /** Predictions history → latest table: the reference keeps an
+    * append-only demand_predictions_history plus a latest-wins
+    * demand_predictions upserted ON CONFLICT (route_id, hour_ts); this
+    * is that upsert as one deterministic window (S10 shape, newest
+    * run_seq wins per key). Ref: train_predict.py:197-217.
+    */
+  def predictionsLatest(history: DataFrame): DataFrame = {
+    val w = Window.partitionBy("route_id", "hour_ts").orderBy(col("run_seq").desc)
+    history
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+      .orderBy("route_id", "hour_ts")
   }
 }

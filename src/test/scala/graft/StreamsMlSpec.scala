@@ -76,6 +76,23 @@ class StreamsMlSpec extends SparkSpec {
       .before(test.agg(min("hour_ts")).head.getTimestamp(0)))
   }
 
+  test("temporal split never divides an hour and stays near the target fraction") {
+    // 5 routes × 50 hours — multiple rows per hour
+    val d = (for (r <- 0 until 5; i <- 0 until 50) yield
+      (s"r$r", new Timestamp(1700000000000L + i * 3600000L), i.toDouble))
+      .toDF("route_id", "hour_ts", "passengers")
+    val (train, test) = DemandModel.temporalSplit(d)
+    val (nTrain, nTest) = (train.count(), test.count())
+    assert(nTrain + nTest == 250)
+    val frac = nTrain.toDouble / 250
+    // within one hour's row share (5/250) of 0.8
+    assert(frac >= 0.8 && frac <= 0.8 + 5.0 / 250)
+    // no hour on both sides
+    val trainHours = train.select("hour_ts").distinct().as[Timestamp].collect().toSet
+    val testHours = test.select("hour_ts").distinct().as[Timestamp].collect().toSet
+    assert(trainHours.intersect(testHours).isEmpty)
+  }
+
   test("RF demand model trains and evaluates on sf0.001 (MAE finite)") {
     val ds = Pipelines.mlDataset(spark, "/root/testdata/sf0.001")
     val (_, mae, nTrain, nTest) = DemandModel.trainPredict(DemandModel.withLabel(ds), numTrees = 10)
