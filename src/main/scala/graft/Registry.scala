@@ -641,6 +641,9 @@ object Registry {
         Some(Knn.bruteForceTopKSql())),
       Q("knn_bucketed", (s, d) => Knn.bucketedTopK(embs(s, d)),
         Some(Knn.bucketedTopKSql())),
+      // IVF with trained centroids — rows-only (k-means‖ is not
+      // SQL-expressible; exactness is spec-asserted against brute force)
+      Q("knn_ivf", (s, d) => Knn.ivfTopK(embs(s, d)), None),
       Q("embedding_near_dup", (s, d) => Knn.nearDupPairs(embs(s, d)),
         Some(Knn.nearDupPairsSql())),
       Q("embedding_label_stats", (s, d) => Knn.labelStats(embs(s, d)),

@@ -180,6 +180,62 @@ object Knn {
       .orderBy("cluster")
   }
 
+  /** IVF ANN: k-means centroids as the trained coarse quantizer (the
+    * production upgrade of [[bucketedTopK]]'s untrained sign-buckets).
+    * Every vector is assigned to its nearest centroid; a query probes its
+    * `nprobe` nearest cells and scores only those cells' members. Cell
+    * populations track the data distribution — ~n/numCells per cell with
+    * numCells chosen ~√n at scale — so the per-cell join stays sub-linear
+    * in n, and nprobe trades recall for cost. Tie-breaks are pinned
+    * everywhere (cell id on equal centroid distance, neighbor id on equal
+    * cosine). Rows-only in the registry: k-means‖ centroids are not
+    * SQL-expressible; the spec checks exact agreement with bruteForceTopK
+    * on separated clusters plus cell balance on the testdata.
+    */
+  def ivfTopK(
+      embeddings: DataFrame, nQueries: Int = 50, k: Int = 3,
+      numCells: Int = 16, nprobe: Int = 2, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    // persisted: the k-means fit iterates over it, then both join sides
+    // (queries + candidates) derive from the assigned frame
+    val e = withNorm(embeddings)
+      .withColumn("features", array_to_vector(col("embedding")))
+      .persist()
+    val model = new KMeans().setK(numCells).setSeed(seed)
+      .setFeaturesCol("features").fit(e)
+    val assigned = model.transform(e)
+      .select(col("vec_id"), col("embedding"), col("n2"),
+        col("prediction").cast("int").as("cell"))
+      .persist()
+    val centroids = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toArray) }.toDF("cell", "centroid")
+    // nprobe nearest cells per query: the centroid table is numCells rows,
+    // so the distance scan is a broadcast cross join, never a shuffle
+    val q = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("n2").as("qn2"))
+    val qd = q.crossJoin(broadcast(centroids))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(qe, centroid, (a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)), 0D, (acc, x) -> acc + x)"))
+    val wp = Window.partitionBy("query_id").orderBy(col("d2"), col("cell"))
+    val probes = qd.withColumn("pr", row_number().over(wp))
+      .filter(col("pr") <= nprobe)
+      .select("query_id", "qe", "qn2", "cell")
+    val c = assigned.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ce"), col("n2").as("cn2"), col("cell"))
+    val scored = c.join(broadcast(probes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", dot("qe", "ce") / (sqrt(col("qn2")) * sqrt(col("cn2"))))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cell"), col("neighbor_id"), col("rank"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Per-label embedding statistics: count + norm aggregates (norms are
     * per-row deterministic doubles; min/max are order-independent).
     */

@@ -49,6 +49,35 @@ class KnnSpec extends SparkSpec {
     assert(r == Set(1L)) // the negative-bucket vector is never considered
   }
 
+  test("IVF with separated clusters matches brute force exactly") {
+    // 40 vectors in 4 orthogonal clusters (vec i → cluster i%4): within a
+    // cluster cosine ≈ 1, across ≈ 0, so each query's true top-3 live in
+    // its own cell and nprobe=1 loses nothing
+    val e = (0 until 40).map { i =>
+      val a = Array.fill(64)(0f)
+      a(i % 4) = 1f
+      a(10 + i % 5) = 0.05f * (i % 3 + 1)
+      (i.toLong, a, i % 4)
+    }.toDF("vec_id", "embedding", "label")
+    val brute = Knn.bruteForceTopK(e, nQueries = 4, k = 3)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val ivf = Knn.ivfTopK(e, nQueries = 4, k = 3, numCells = 4, nprobe = 1)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(ivf == brute)
+  }
+
+  test("IVF cells stay balanced on the testdata embeddings") {
+    val e = TestdataAdapter.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val n = e.count()
+    // assignment balance via the cluster-size query (same quantizer)
+    val sizes = Knn.kmeansClusterSizes(e, k = 16)
+      .select("n").as[Long].collect()
+    assert(sizes.sum == n)
+    // no cell degenerates to a majority bucket — the per-cell join stays
+    // sub-linear (the sign-bucket path cannot guarantee this)
+    assert(sizes.max < n / 3)
+  }
+
   test("near-dup pairs threshold and symmetry (a<b once)") {
     val e = Seq((0L, unit(0), 0), (1L, scaled(0, 3f), 0), (2L, unit(5), 0))
       .toDF("vec_id", "embedding", "label")
