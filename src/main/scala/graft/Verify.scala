@@ -30,12 +30,14 @@ object Verify {
     val selected = SparkEntry.queries.filter { case (n, _) => only.isEmpty || only(n) }
     val pool = Executors.newFixedThreadPool(math.min(8, selected.size.max(1)))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val futures = selected.toSeq.map { case (name, fn) =>
       Future {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.toString.take(500)}")
+          failures.add(name)
         }
       }
     }
@@ -57,5 +59,12 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // Exit non-zero AFTER all outputs + oracle_sql.json are written: a
+    // broken query must be loud, not silently absent from the compare.
+    if (!failures.isEmpty) {
+      System.err.println(s"[verify] ${failures.size} queries failed: " +
+        String.join(", ", failures))
+      sys.exit(1)
+    }
   }
 }

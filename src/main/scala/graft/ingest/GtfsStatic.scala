@@ -92,6 +92,33 @@ object GtfsStatic {
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(bytes).map("%02x".format(_)).mkString
 
+  /** S3 versioned flow — stamp every row with the feed's version_id (the
+    * sha256 of the raw feed, [[sha256Hex]]): the reference keeps a
+    * gtfs_versions registry and a version_id column on every static
+    * table so multiple feed snapshots coexist.
+    * Ref: initdb/init-postgis.sql:4-12, src/dag/gtfs-static-job.py:79-84.
+    */
+  def stampVersion(df: DataFrame, versionId: String): DataFrame =
+    df.withColumn("version_id", lit(versionId))
+
+  /** Versioned parquet sink: append partitioned by version_id, so each
+    * feed snapshot lands in its own partition directory and a
+    * version-pinned read prunes to one directory at the scan (no data
+    * from other versions is even listed, let alone read) — the parquet
+    * re-expression of the reference's per-version upsert tables.
+    * Ref: src/dag/gtfs-static-job.py:204-244.
+    */
+  def writeVersioned(df: DataFrame, versionId: String, path: String): Unit =
+    stampVersion(df, versionId)
+      .write.mode("append").partitionBy("version_id").parquet(path)
+
+  /** Version-pinned read: the version_id equality lands in the scan's
+    * PartitionFilters (spec-asserted), making the read cost proportional
+    * to one version regardless of how many snapshots the table holds.
+    */
+  def readVersion(spark: SparkSession, path: String, versionId: String): DataFrame =
+    spark.read.parquet(path).filter(col("version_id") === versionId)
+
   /** A8 — base-demand seeding: LEAST(50, GREATEST(5, stop_time_count*3)).
     * Ref: initdb/init-postgis.sql:170-176.
     */

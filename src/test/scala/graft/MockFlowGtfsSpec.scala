@@ -46,6 +46,28 @@ class MockFlowGtfsSpec extends SparkSpec {
     assert(wf.toSeq == Seq(1.25, 1.15, 0.85, 0.9, 1.0))
   }
 
+  test("S3 versioned flow: two feed versions coexist; a pinned read prunes") {
+    val path = Files.createTempDirectory("gtfs_versions").toString + "/routes"
+    val v1 = GtfsStatic.sha256Hex("feed-v1".getBytes("UTF-8"))
+    val v2 = GtfsStatic.sha256Hex("feed-v2".getBytes("UTF-8"))
+    assert(v1 != v2 && v1.length == 64)
+    val routesV1 = Seq(("r1", "Route 1"), ("r2", "Route 2")).toDF("route_id", "route_name")
+    val routesV2 = Seq(("r1", "Route 1 renamed"), ("r3", "Route 3")).toDF("route_id", "route_name")
+    GtfsStatic.writeVersioned(routesV1, v1, path)
+    GtfsStatic.writeVersioned(routesV2, v2, path)
+
+    val all = spark.read.parquet(path)
+    assert(all.count() == 4)
+    assert(all.select("version_id").distinct().count() == 2)
+
+    val pinned = GtfsStatic.readVersion(spark, path, v2)
+    assert(pinned.select("route_id").as[String].collect().sorted.toSeq == Seq("r1", "r3"))
+    // the version equality must prune at the scan (partition filter, not
+    // a post-scan row filter over every version's data)
+    val plan = pinned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("version_id"))
+  }
+
   test("GTFS static ingest end-to-end on CSV fixtures") {
     val dir = Files.createTempDirectory("gtfs").toString
     def write(name: String, content: String): String = {
