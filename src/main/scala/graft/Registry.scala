@@ -624,6 +624,7 @@ object Registry {
     def embs(s: SparkSession, dir: String) = TestdataAdapter.table(s, dir, "embeddings")
     Seq(
       Q("text_stats", (s, d) => TextOps.textStats(docs(s, d)), Some(TextOps.textStatsSql)),
+      Q("token_counts", (s, d) => TextOps.tokenCounts(docs(s, d)), Some(TextOps.tokenCountsSql)),
       Q("lang_id", (s, d) => TextOps.languageId(docs(s, d)), Some(TextOps.languageIdSql)),
       Q("doc_fingerprint", (s, d) => TextOps.fingerprint(docs(s, d)), Some(TextOps.fingerprintSql)),
       Q("doc_simhash", (s, d) => TextOps.simhash(docs(s, d)), Some(TextOps.simhashSql)),
@@ -666,6 +667,19 @@ object Registry {
       Q("streaming_vehicle_hourly",
         (s, d) => Streams.vehicleHourlyStream(s, d),
         Some(s"WITH v AS ($VEH) $VEHICLE_BODY ORDER BY 1, 2")),
+
+      // A3 windowed + watermarked (bounded state, update mode) — same
+      // batch oracle as the complete-mode twin
+      Q("streaming_windowed_vehicle",
+        (s, d) => Streams.vehicleHourlyWindowedStream(s, d),
+        Some(s"WITH v AS ($VEH) $VEHICLE_BODY ORDER BY 1, 2")),
+
+      // mapGroupsWithState custom state, oracle = batch GROUP BY
+      Q("streaming_user_state",
+        (s, d) => Streams.userStateStream(s, d),
+        Some(
+          """SELECT user_id, COUNT(*) AS n_events, MAX(CAST(ts AS TIMESTAMP)) AS last_ts
+            |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
       Q("streaming_upsert_latest",
         (s, d) => Streams.upsertLatestWinsStream(s, d),

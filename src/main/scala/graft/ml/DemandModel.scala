@@ -64,13 +64,27 @@ object DemandModel {
     * re-executes the lead-window + global-sort lineage.
     * Ref: train_predict.py:155-164.
     */
+  /** Partition-layout pin for RF inputs: MLlib's bootstrap sampling is
+    * seeded per (seed, partitionId) over the rows in partition order, so
+    * the model — and its MAE — is only reproducible if the training
+    * frame's layout is. A fixed-count hash repartition on the (unique)
+    * key plus an in-partition sort makes the layout a pure function of
+    * the data, independent of cluster size or upstream lineage. 32 here
+    * is a determinism constant, not a parallelism tunable — at 100 TB
+    * raise it (any fixed value keeps reproducibility).
+    */
+  private val TrainPartitions = 32
+  private def pinLayout(df: DataFrame): DataFrame =
+    df.repartition(TrainPartitions, col("route_id"), col("hour_ts"))
+      .sortWithinPartitions("route_id", "hour_ts")
+
   def trainPredict(
       labeled: DataFrame,
       numTrees: Int = 200,
       seed: Long = 42L): (DataFrame, Double, Long, Long) = {
     val (train0, test0) = temporalSplit(labeled)
-    val train = train0.persist()
-    val test = test0.persist()
+    val train = pinLayout(train0).persist()
+    val test = pinLayout(test0).persist()
     try {
       val pipeline = new Pipeline().setStages(Array(
         new VectorAssembler()

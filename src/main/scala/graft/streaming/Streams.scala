@@ -86,6 +86,73 @@ object Streams {
       .orderBy("route_id", "hour_ts")
   }
 
+  /** A3 with event-time windows + watermark in update mode — the bounded-
+    * state streaming shape for 100 TB feeds: the watermark lets Spark
+    * evict window state older than the lateness bound instead of keeping
+    * every window forever (the complete-mode twin keeps all state), and
+    * update mode emits per-batch deltas. Counts are monotone, so the
+    * final answer per window is its largest emission — reduced with a
+    * deterministic max. With the testdata's in-order feed nothing is
+    * late-dropped, so the result equals the batch aggregation, which is
+    * the oracle.
+    */
+  def vehicleHourlyWindowedStream(spark: SparkSession, dir: String): DataFrame = {
+    val veh = eventsStream(spark, dir).select(
+      col("event_type").as("route_id"),
+      ntzFromNanos(col("ts")).cast("timestamp").as("observed_at"))
+    val agg = veh
+      .withWatermark("observed_at", "2 hours")
+      .groupBy(col("route_id"), window(col("observed_at"), "1 hour"))
+      .agg(count(lit(1)).as("vehicle_events"))
+      .select(col("route_id"), col("window.start").as("hour_ts"), col("vehicle_events"))
+    runToTable(agg, mode = "update")
+      .groupBy("route_id", "hour_ts")
+      .agg(max("vehicle_events").as("vehicle_events"))
+      .select(col("route_id"), col("hour_ts").cast("timestamp_ntz").as("hour_ts"),
+        col("vehicle_events"))
+      .orderBy("route_id", "hour_ts")
+  }
+
+  /** §2.11 custom state: per-user running profile (event count + latest
+    * event time) via KeyValueGroupedDataset.mapGroupsWithState — the
+    * arbitrary-state operator for logic windowed aggs can't express.
+    * State per key is one (count, max_ts) pair; both updates are
+    * order-independent, so emissions are deterministic whatever the
+    * within-group iterator order. Update-mode emissions accumulate in the
+    * sink; the final per-user row is the emission with the largest count
+    * (monotone), which for a single availableNow pass equals the batch
+    * GROUP BY — the oracle.
+    */
+  def userStateStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val ev = eventsStream(spark, dir)
+      .select(col("user_id").cast("long").as("user_id"),
+        ntzFromNanos(col("ts")).cast("timestamp").as("ts"))
+      .as[(Long, java.sql.Timestamp)]
+    val updated = ev
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, java.sql.Timestamp), (Long, Long, java.sql.Timestamp)](
+        GroupStateTimeout.NoTimeout) { (user, events, state) =>
+        var (n, maxTs) = state.getOption.getOrElse((0L, new java.sql.Timestamp(0L)))
+        events.foreach { e =>
+          n += 1
+          if (e._2.after(maxTs)) maxTs = e._2
+        }
+        state.update((n, maxTs))
+        (user, n, maxTs)
+      }
+      .toDF("user_id", "n_events", "last_ts")
+    runToTable(updated, mode = "update")
+      .groupBy("user_id")
+      // n_events is monotone per user; max(struct) picks the newest
+      // emission and its timestamp together
+      .agg(max(struct(col("n_events"), col("last_ts"))).as("s"))
+      .select(col("user_id"), col("s.n_events").as("n_events"),
+        col("s.last_ts").cast("timestamp_ntz").as("last_ts"))
+      .orderBy("user_id")
+  }
+
   /** S10 as a stream: latest-wins upsert via checkpointed foreachBatch
     * merge-by-rewrite — each micro-batch unions the sink state with the
     * batch, keeps row_number()=1 per PK ordered by recency, and rewrites.

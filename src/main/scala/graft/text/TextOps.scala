@@ -91,6 +91,33 @@ object TextOps {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Token counting: whitespace tokens plus a BPE-ish subword proxy —
+    * letter runs, single digits, and single other-marks (the
+    * pre-tokenization classes BPE vocabularies split on). The regex count
+    * is a deterministic, engine-agnostic approximation of tokenizer load
+    * (the number a corpus token budget is planned in); chars_per_token is
+    * the usual compression diagnostic.
+    */
+  def tokenCounts(documents: DataFrame): DataFrame = {
+    val t = col("text")
+    val bpe = regexp_count(t, lit("\\p{L}+|\\p{N}|[^\\s\\p{L}\\p{N}]"))
+    documents.select(
+      col("doc_id"),
+      size(toks(t)).cast("long").as("n_ws_tokens"),
+      bpe.cast("long").as("n_bpe_tokens"),
+      when(bpe > 0, length(t).cast("double") / bpe).as("chars_per_token"))
+      .orderBy("doc_id")
+  }
+
+  val tokenCountsSql: String = {
+    val bpe = raw"len(regexp_extract_all(text, '\p{L}+|\p{N}|[^\s\p{L}\p{N}]'))"
+    raw"""SELECT doc_id,
+       |  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_ws_tokens,
+       |  CAST($bpe AS BIGINT) AS n_bpe_tokens,
+       |  CASE WHEN $bpe > 0 THEN CAST(length(text) AS DOUBLE) / $bpe END AS chars_per_token
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   /** Marker-word language identification (fixed-priority decision tree;
     * CJK detection first via codepoint-range count). The testdata's `lang`
     * labels are synthetic — the prediction is compared for determinism,

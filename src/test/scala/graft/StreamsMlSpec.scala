@@ -29,6 +29,23 @@ class StreamsMlSpec extends SparkSpec {
     assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty)
   }
 
+  test("watermarked windowed stream and mapGroupsWithState equal their batch twins") {
+    val dir = "/root/testdata/sf0.001"
+    val win = Streams.vehicleHourlyWindowedStream(spark, dir)
+    val batchWin = Pipelines.vehicleHourly(spark, dir)
+      .select(col("route_id"), col("hour_ts").cast("timestamp_ntz").as("hour_ts"),
+        col("vehicle_events"))
+    assert(win.exceptAll(batchWin).isEmpty && batchWin.exceptAll(win).isEmpty)
+
+    val st = Streams.userStateStream(spark, dir)
+    val batchSt = TestdataAdapter.table(spark, dir, "events")
+      .groupBy(col("user_id").cast("long").as("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(timestamp_micros(floor(col("ts").cast("decimal(38,0)") / 1000).cast("long"))
+          .cast("timestamp_ntz")).as("last_ts"))
+    assert(st.exceptAll(batchSt).isEmpty && batchSt.exceptAll(st).isEmpty)
+  }
+
   test("windowed aggregation with watermark (SURVEY §2.11 extension)") {
     import org.apache.spark.sql.streaming.Trigger
     val dir = "/root/testdata/sf0.001"
