@@ -630,6 +630,10 @@ object Registry {
       Q("doc_simhash", (s, d) => TextOps.simhash(docs(s, d)), Some(TextOps.simhashSql)),
       Q("dedup_exact", (s, d) => Dedup.exact(docs(s, d)), Some(Dedup.exactSql)),
       Q("dedup_keep", (s, d) => Dedup.dedupKeep(docs(s, d)), Some(Dedup.dedupKeepSql)),
+      // end-to-end corpus filter: dedup representative → quality floor →
+      // language allowlist, one shuffle total
+      Q("corpus_filter", (s, d) => Dedup.corpusFilter(docs(s, d)),
+        Some(Dedup.corpusFilterSql())),
       Q("minhash_signatures", (s, d) => Dedup.minhashSignatures(docs(s, d)),
         Some(Dedup.minhashSignaturesSql)),
       Q("dedup_minhash_pairs", (s, d) => Dedup.minhashPairs(docs(s, d)),

@@ -242,4 +242,48 @@ object Dedup {
       |  SELECT doc_id, lang, source, n_chars,
       |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
       |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  /** The shipped corpus filter — the end-to-end composition a
+    * training-data run applies before tokenization: one representative
+    * per distinct content (min doc_id wins), a quality floor, a language
+    * allowlist. Shape at scale: one window over the content hash plus one
+    * narrow codegen'd projection (the quality and language scores are
+    * shared Column expressions, not re-joined stages), so the whole
+    * filter is a single shuffle regardless of corpus size.
+    */
+  def corpusFilter(
+      documents: DataFrame, minQuality: Double = 0.2,
+      langs: Seq[String] = Seq("en")): DataFrame = {
+    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    documents
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("doc_id"), col("source"), col("n_chars"),
+        size(TextOps.toks(col("text"))).cast("long").as("n_tokens"),
+        TextOps.qualityScore(col("text")).as("quality_score"),
+        TextOps.predictedLang(col("text")).as("predicted_lang"))
+      .filter(col("quality_score") >= minQuality &&
+        col("predicted_lang").isInCollection(langs))
+      .orderBy("doc_id")
+  }
+
+  def corpusFilterSql(minQuality: Double = 0.2, langs: Seq[String] = Seq("en")): String = {
+    val langList = langs.map(l => s"'$l'").mkString(", ")
+    raw"""WITH kept AS (
+       |  SELECT doc_id, text, source, n_chars FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |    FROM documents) WHERE rn = 1),
+       |s AS (SELECT doc_id, source, n_chars,
+       |  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens,
+       |  ${TextOps.qualityScoreSqlExpr} AS quality_score,
+       |  ${TextOps.langScoreColsSql}
+       |FROM kept)
+       |SELECT doc_id, source, n_chars, n_tokens, quality_score,
+       |  ${TextOps.langCaseSql} AS predicted_lang
+       |FROM s
+       |WHERE quality_score >= $minQuality
+       |  AND (${TextOps.langCaseSql}) IN ($langList)
+       |ORDER BY doc_id""".stripMargin
+  }
 }

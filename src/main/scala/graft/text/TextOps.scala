@@ -35,6 +35,27 @@ object TextOps {
     "fr" -> Seq(" le ", " et ", " les "),
     "es" -> Seq(" el ", " los ", " y "))
 
+  /** Quality score of a text column, inside [0,1]: rewards length up to
+    * 100 tokens and penalizes punctuation/digit-heavy text. Shared by
+    * [[textStats]] and the corpus filter so both stages score
+    * identically.
+    */
+  def qualityScore(t: Column): Column = {
+    val nChars = length(t)
+    val nTokens = size(toks(t))
+    val punct = length(t) - length(regexp_replace(t, "[.,!?;:]", ""))
+    val digit = length(t) - length(regexp_replace(t, "[0-9]", ""))
+    least(lit(1.0), nTokens.cast("double") / 100.0)
+      .multiply(lit(1.0) - least(lit(1.0), punct.cast("double") / nChars * 5.0))
+      .multiply(lit(1.0) - least(lit(1.0), digit.cast("double") / nChars * 5.0))
+  }
+
+  /** DuckDB twin of [[qualityScore]] over a column named `text`. */
+  private[graft] val qualityScoreSqlExpr: String =
+    raw"""LEAST(1.0, CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) / 100.0)
+       |    * (1.0 - LEAST(1.0, CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text) * 5.0))
+       |    * (1.0 - LEAST(1.0, CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text) * 5.0))""".stripMargin
+
   /** Token/character statistics + a deterministic quality score.
     * Cheap single-pass heuristics (length, punctuation/digit ratios,
     * stopword density) of the kind used to filter web corpora.
@@ -60,12 +81,7 @@ object TextOps {
       (digit.cast("double") / nChars).as("digit_ratio"),
       stopChars.cast("long").as("stopword_chars"),
       (stopChars.cast("double") / nChars).as("stopword_density"),
-      // quality: inside [0,1]; rewards length up to 100 tokens and
-      // penalizes punctuation/digit-heavy text
-      least(lit(1.0), nTokens.cast("double") / 100.0)
-        .multiply(lit(1.0) - least(lit(1.0), punct.cast("double") / nChars * 5.0))
-        .multiply(lit(1.0) - least(lit(1.0), digit.cast("double") / nChars * 5.0))
-        .as("quality_score"))
+      qualityScore(t).as("quality_score"))
       .orderBy("doc_id")
   }
 
@@ -118,6 +134,47 @@ object TextOps {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Predicted language of a text column (fixed-priority decision tree
+    * over the marker scores; CJK first via codepoint-range count).
+    * Shared by [[languageId]] and the corpus filter.
+    */
+  def predictedLang(t: Column): Column = {
+    val padded = concat(lit(" "), lower(t), lit(" "))
+    val cjk = length(t) - length(regexp_replace(t, "[一-鿿]", ""))
+    val scores = Markers.map { case (lang, ms) =>
+      lang -> ms.map(m => occurrencesChars(padded, m)).reduceLeft(_ + _)
+    }.toMap
+    val en = scores("en"); val de = scores("de"); val fr = scores("fr"); val es = scores("es")
+    when(cjk > 0, "zh")
+      .when(de > en && de > fr && de > es, "de")
+      .when(fr > en && fr >= de && fr > es, "fr")
+      .when(es > en && es >= de && es >= fr, "es")
+      .when(en + de + fr + es > 0, "en")
+      .otherwise("und")
+  }
+
+  /** DuckDB twins of [[predictedLang]]: the score projections (over a
+    * column named `text`) and the decision CASE (over the score names).
+    */
+  private[graft] val langScoreColsSql: String = {
+    val padded = "(' ' || lower(text) || ' ')"
+    def sc(lang: String) = Markers.toMap.apply(lang)
+      .map(m => s"(${occurrencesCharsSql(padded, m)})").mkString(" + ")
+    s"""CAST(length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) AS BIGINT) AS cjk_chars,
+       |  CAST(${sc("en")} AS BIGINT) AS en_score,
+       |  CAST(${sc("de")} AS BIGINT) AS de_score,
+       |  CAST(${sc("fr")} AS BIGINT) AS fr_score,
+       |  CAST(${sc("es")} AS BIGINT) AS es_score""".stripMargin
+  }
+
+  private[graft] val langCaseSql: String =
+    """CASE WHEN cjk_chars > 0 THEN 'zh'
+      |       WHEN de_score > en_score AND de_score > fr_score AND de_score > es_score THEN 'de'
+      |       WHEN fr_score > en_score AND fr_score >= de_score AND fr_score > es_score THEN 'fr'
+      |       WHEN es_score > en_score AND es_score >= de_score AND es_score >= fr_score THEN 'es'
+      |       WHEN en_score + de_score + fr_score + es_score > 0 THEN 'en'
+      |       ELSE 'und' END""".stripMargin
+
   /** Marker-word language identification (fixed-priority decision tree;
     * CJK detection first via codepoint-range count). The testdata's `lang`
     * labels are synthetic — the prediction is compared for determinism,
@@ -135,42 +192,19 @@ object TextOps {
       cjk.cast("long").as("cjk_chars"),
       en.cast("long").as("en_score"), de.cast("long").as("de_score"),
       fr.cast("long").as("fr_score"), es.cast("long").as("es_score"),
-      when(cjk > 0, "zh")
-        .when(de > en && de > fr && de > es, "de")
-        .when(fr > en && fr >= de && fr > es, "fr")
-        .when(es > en && es >= de && es >= fr, "es")
-        .when(en + de + fr + es > 0, "en")
-        .otherwise("und").as("predicted_lang"))
+      predictedLang(col("text")).as("predicted_lang"))
       .withColumn("is_match", (col("predicted_lang") === col("lang")).cast("boolean"))
       .orderBy("doc_id")
   }
 
-  val languageIdSql: String = {
-    val padded = "(' ' || lower(text) || ' ')"
-    def sc(lang: String) = Markers.toMap.apply(lang)
-      .map(m => s"(${occurrencesCharsSql(padded, m)})").mkString(" + ")
+  val languageIdSql: String =
     s"""WITH s AS (SELECT doc_id, lang,
-       |  CAST(length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) AS BIGINT) AS cjk_chars,
-       |  CAST(${sc("en")} AS BIGINT) AS en_score,
-       |  CAST(${sc("de")} AS BIGINT) AS de_score,
-       |  CAST(${sc("fr")} AS BIGINT) AS fr_score,
-       |  CAST(${sc("es")} AS BIGINT) AS es_score
+       |  $langScoreColsSql
        |FROM documents)
        |SELECT doc_id, lang, cjk_chars, en_score, de_score, fr_score, es_score,
-       |  CASE WHEN cjk_chars > 0 THEN 'zh'
-       |       WHEN de_score > en_score AND de_score > fr_score AND de_score > es_score THEN 'de'
-       |       WHEN fr_score > en_score AND fr_score >= de_score AND fr_score > es_score THEN 'fr'
-       |       WHEN es_score > en_score AND es_score >= de_score AND es_score >= fr_score THEN 'es'
-       |       WHEN en_score + de_score + fr_score + es_score > 0 THEN 'en'
-       |       ELSE 'und' END AS predicted_lang,
-       |  (CASE WHEN cjk_chars > 0 THEN 'zh'
-       |       WHEN de_score > en_score AND de_score > fr_score AND de_score > es_score THEN 'de'
-       |       WHEN fr_score > en_score AND fr_score >= de_score AND fr_score > es_score THEN 'fr'
-       |       WHEN es_score > en_score AND es_score >= de_score AND es_score >= fr_score THEN 'es'
-       |       WHEN en_score + de_score + fr_score + es_score > 0 THEN 'en'
-       |       ELSE 'und' END) = lang AS is_match
+       |  $langCaseSql AS predicted_lang,
+       |  ($langCaseSql) = lang AS is_match
        |FROM s ORDER BY doc_id""".stripMargin
-  }
 
   /** Content fingerprint: md5 of whitespace-normalized lower-cased text
     * (plus a short prefix for bucketing/sharding).

@@ -50,6 +50,22 @@ class DedupTextSpec extends SparkSpec {
     pairs.get((0L, 2L)).foreach(h => assert(h > 0))
   }
 
+  test("corpus filter: dedups content, drops low-quality and off-language docs") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog and runs on", "en", "s0", 55L),
+      (1L, "the quick brown fox jumps over the lazy dog and runs on", "en", "s1", 55L), // dup of 0
+      (2L, "1 2 3 4 5 6 7 8 9 0 1 2 3 4 5", "en", "s2", 29L),                // digit-heavy → quality 0
+      (3L, "der hund und die katze und der vogel laufen", "de", "s3", 44L))  // German → filtered
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // quality ≈ n_tokens/100 on clean text → 12 tokens ≈ 0.12
+    val kept = Dedup.corpusFilter(corpus, minQuality = 0.1).collect()
+    assert(kept.map(_.getAs[Long]("doc_id")).toSeq == Seq(0L)) // min-id rep, en, decent quality
+    val r = kept.head
+    assert(r.getAs[String]("predicted_lang") == "en")
+    assert(r.getAs[Double]("quality_score") >= 0.1)
+    assert(r.getAs[Long]("n_tokens") == 12L)
+  }
+
   test("text stats: counts on a crafted doc") {
     val one = Seq((9L, "Hello, world! 42 is the answer.", "en", "s", 31L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
