@@ -135,22 +135,31 @@ object Dedup {
 
   /** n-gram Jaccard similarity for LSH candidate pairs, computed over ONE
     * shared lineage: the persisted hashed-shingle frame feeds the
-    * signatures (→ candidates) AND the set-intersection join, so raw text
-    * is tokenized/hashed exactly once (the scalable shape: candidates are
-    * near-linear, so the intersection join never goes quadratic).
+    * signatures (→ candidates) AND the per-doc shingle sets. The
+    * intersection is size(array_intersect) over the two docs' collected
+    * hash sets — two narrow joins of compact arrays onto the candidate
+    * frame — instead of re-exploding every shingle of every candidate
+    * doc through a (doc, shingle)-keyed shuffle (which materializes
+    * |pairs|×|shingles/doc| rows and was the measured cost center). Set
+    * sizes are bounded by document length, candidates are near-linear,
+    * so nothing here scales super-linearly in the corpus.
     */
   def ngramJaccard(documents: DataFrame): DataFrame = {
     val ss = hashedShingles(documents).persist()
     val cand = minhashPairsFrom(minhashSignaturesFrom(ss).persist())
-    val sizes = ss.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-    val inter = cand
-      .join(ss.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
-      .join(ss.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("nsh").as("n_a")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("nsh").as("n_b")), Seq("doc_b"))
+    // collect_set over the md5s (distinct by construction): one compact
+    // array per doc, reused for both sides of every candidate pair
+    val sets = ss.groupBy("doc_id").agg(collect_set(col("h")).as("sh")).persist()
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sa")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("n_inter"),
+        size(col("sa")).cast("long").as("n_a"),
+        size(col("sb")).cast("long").as("n_b"))
+      // the exploded-join formulation only surfaced pairs sharing ≥1
+      // shingle; keep that contract (and the oracle) unchanged
+      .filter(col("n_inter") > 0)
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"), col("n_b"),
         (col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
           .as("jaccard"))
