@@ -69,11 +69,14 @@ object DemandModel {
     * the model — and its MAE — is only reproducible if the training
     * frame's layout is. A fixed-count hash repartition on the (unique)
     * key plus an in-partition sort makes the layout a pure function of
-    * the data, independent of cluster size or upstream lineage. 32 here
-    * is a determinism constant, not a parallelism tunable — at 100 TB
-    * raise it (any fixed value keeps reproducibility).
+    * the data, independent of cluster size or upstream lineage. 8 here
+    * is a determinism constant, not a parallelism tunable — the training
+    * frame is route×hour-sized (thousands of rows however big the raw
+    * feed), and tree training schedules many small jobs per iteration,
+    * so fewer/fatter partitions beat scheduler overhead; at a genuinely
+    * large training set raise it (any fixed value keeps reproducibility).
     */
-  private val TrainPartitions = 32
+  private val TrainPartitions = 8
   private def pinLayout(df: DataFrame): DataFrame =
     df.repartition(TrainPartitions, col("route_id"), col("hour_ts"))
       .sortWithinPartitions("route_id", "hour_ts")
@@ -82,7 +85,11 @@ object DemandModel {
       labeled: DataFrame,
       numTrees: Int = 200,
       seed: Long = 42L): (DataFrame, Double, Long, Long) = {
-    val (train0, test0) = temporalSplit(labeled)
+    // persisted: the hour histogram, the train filter, and the test
+    // filter each consume this frame — without the cache the upstream
+    // pipeline (joins + aggregations + label window) executes three times
+    val l = labeled.persist()
+    val (train0, test0) = temporalSplit(l)
     val train = pinLayout(train0).persist()
     val test = pinLayout(test0).persist()
     try {
@@ -104,6 +111,7 @@ object DemandModel {
     } finally {
       train.unpersist(blocking = false)
       test.unpersist(blocking = false)
+      l.unpersist(blocking = false)
     }
   }
 
