@@ -34,6 +34,14 @@ class DedupTextSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L }) // unrelated doc not a candidate
   }
 
+  test("minhash signatures pay exactly one md5 per shingle (plan-verified)") {
+    // the 8 permutation hashes must be derived (hex rotations), not 8
+    // separate md5 calls — count md5 invocations in the physical plan
+    val plan = Dedup.minhashSignatures(docs).queryExecution.executedPlan.toString
+    val md5Calls = "md5\\(".r.findAllIn(plan).length
+    assert(md5Calls <= 2, s"expected ≤2 md5 call sites in plan, found $md5Calls")
+  }
+
   test("ngram jaccard: identical docs score 1.0, near-dups in (0,1)") {
     val j = Dedup.ngramJaccard(docs).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("jaccard"))
