@@ -678,6 +678,13 @@ object Registry {
         (s, d) => Streams.vehicleHourlyWindowedStream(s, d),
         Some(s"WITH v AS ($VEH) $VEHICLE_BODY ORDER BY 1, 2")),
 
+      // S9 streaming: redelivered input deduped to exactly-once counts
+      Q("streaming_exactly_once",
+        (s, d) => Streams.exactlyOnceDedupStream(s, d),
+        Some(
+          """SELECT event_type, COUNT(*) AS n_events
+            |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
       // mapGroupsWithState custom state, oracle = batch GROUP BY
       Q("streaming_user_state",
         (s, d) => Streams.userStateStream(s, d),

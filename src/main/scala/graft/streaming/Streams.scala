@@ -153,6 +153,34 @@ object Streams {
       .orderBy("user_id")
   }
 
+  /** S9 as a true stream: at-least-once delivery deduplicated to
+    * exactly-once output. The same events file is staged TWICE into the
+    * source directory — a redelivered batch — and streaming
+    * dropDuplicates keyed on event_id suppresses the second copy
+    * (keyed state; at 100 TB bound it with
+    * dropDuplicatesWithinWatermark so state ages out with event time).
+    * The per-type counts over the deduped output equal the batch GROUP
+    * BY over the ORIGINAL single-copy table — the oracle — proving
+    * redelivery doubled nothing. Ref: ingestor.py:38,71 (ON CONFLICT DO
+    * NOTHING under at-least-once Kafka delivery).
+    */
+  def exactlyOnceDedupStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val staged = Files.createTempDirectory("graft_dup_stream")
+    Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged.resolve("events_a.parquet"))
+    Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged.resolve("events_b.parquet"))
+    val deduped = spark.readStream.schema(schema).parquet(staged.toString)
+      .select(col("event_id"), col("event_type"))
+      .dropDuplicates("event_id")
+    runToTable(deduped, mode = "append")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+  }
+
   /** S10 as a stream: latest-wins upsert via checkpointed foreachBatch
     * merge-by-rewrite — each micro-batch unions the sink state with the
     * batch, keeps row_number()=1 per PK ordered by recency, and rewrites.
