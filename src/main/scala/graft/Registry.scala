@@ -882,6 +882,36 @@ object Registry {
              |FROM p WHERE y_true IS NOT NULL AND y_pred IS NOT NULL
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+      // S4/S5 round trip: vehicle events → per-hour protobuf FeedMessage
+      // frames (producer-side encoder) → wire-format decode → aggregate;
+      // oracle = the same aggregation straight off the events table, so
+      // the binary encode/decode provably loses nothing
+      Q("protobuf_roundtrip_vehicle",
+        (s, d) => {
+          import s.implicits._
+          import graft.streaming.GtfsRt
+          val veh = TestdataAdapter.vehiclePositions(s, d)
+            .select(col("route_id"), col("vehicle_id"),
+              unix_micros(col("observed_at").cast("timestamp")).as("ts_us"))
+            .as[(String, String, Long)]
+          val feeds = veh.groupByKey(_._3 / 3600000000L)
+            .mapGroups { (_, it) =>
+              GtfsRt.encodeVehicleFeed(it.toSeq.map { case (r, v, t) =>
+                GtfsRt.VehicleRecord(v, Some(v), None, Some(r),
+                  Some(44.43f), Some(26.10f), None, None, Some(t / 1000000L))
+              })
+            }.toDF("payload")
+          GtfsRt.decodeVehicleFeed(feeds)
+            .groupBy("route_id")
+            .agg(count(lit(1)).as("n_events"),
+              countDistinct(col("vehicle_id")).as("n_vehicles"))
+            .orderBy("route_id")
+        },
+        Some(
+          s"""WITH v AS ($VEH)
+             |SELECT route_id, COUNT(*) AS n_events, COUNT(DISTINCT vehicle_id) AS n_vehicles
+             |FROM v GROUP BY 1 ORDER BY 1""".stripMargin)),
+
       // D9 geo grouping, verified flat: the nested sort_array(collect_list
       // (struct)) runs first, then posexplode flattens it back so the
       // array CONTENTS AND ORDER are hash-compared against a DuckDB

@@ -170,6 +170,66 @@ object GtfsRt {
     out.result()
   }
 
+  // ---- producer side (S5's payload construction) ----
+
+  private def wVi(out: java.io.ByteArrayOutputStream, n: Long): Unit = {
+    var v = n
+    var more = true
+    while (more) {
+      var x = (v & 0x7f).toInt
+      v = v >>> 7
+      if (v != 0) x |= 0x80 else more = false
+      out.write(x)
+    }
+  }
+  private def wKey(out: java.io.ByteArrayOutputStream, f: Int, wt: Int): Unit =
+    wVi(out, (f.toLong << 3) | wt)
+  private def wBytes(out: java.io.ByteArrayOutputStream, f: Int, p: Array[Byte]): Unit = {
+    wKey(out, f, 2); wVi(out, p.length); out.write(p, 0, p.length)
+  }
+  private def wStr(out: java.io.ByteArrayOutputStream, f: Int, s: String): Unit =
+    wBytes(out, f, s.getBytes("UTF-8"))
+  private def wF32(out: java.io.ByteArrayOutputStream, f: Int, v: Float): Unit = {
+    wKey(out, f, 5)
+    val bits = java.lang.Float.floatToIntBits(v)
+    out.write(bits & 0xff); out.write((bits >> 8) & 0xff)
+    out.write((bits >> 16) & 0xff); out.write((bits >> 24) & 0xff)
+  }
+
+  /** Rows → FeedMessage bytes: the producer-side twin of [[parseFeed]]
+    * (what the reference's Kafka path serializes before ingest). Field
+    * numbers follow the public gtfs-realtime proto; optional fields are
+    * emitted only when present, matching protobuf presence semantics.
+    */
+  def encodeVehicleFeed(records: Seq[VehicleRecord]): Array[Byte] = {
+    val feed = new java.io.ByteArrayOutputStream()
+    val header = new java.io.ByteArrayOutputStream()
+    wStr(header, 1, "2.0")
+    wBytes(feed, 1, header.toByteArray)
+    records.foreach { rec =>
+      val trip = new java.io.ByteArrayOutputStream()
+      rec.trip_id.foreach(wStr(trip, 1, _))
+      rec.route_id.foreach(wStr(trip, 5, _))
+      val pos = new java.io.ByteArrayOutputStream()
+      rec.latitude.foreach(wF32(pos, 1, _))
+      rec.longitude.foreach(wF32(pos, 2, _))
+      rec.bearing.foreach(wF32(pos, 3, _))
+      rec.speed.foreach(wF32(pos, 5, _))
+      val vdesc = new java.io.ByteArrayOutputStream()
+      rec.vehicle_id.foreach(wStr(vdesc, 1, _))
+      val vp = new java.io.ByteArrayOutputStream()
+      if (trip.size() > 0) wBytes(vp, 1, trip.toByteArray)
+      if (pos.size() > 0) wBytes(vp, 2, pos.toByteArray)
+      rec.timestamp.foreach { t => wKey(vp, 5, 0); wVi(vp, t) }
+      if (vdesc.size() > 0) wBytes(vp, 8, vdesc.toByteArray)
+      val entity = new java.io.ByteArrayOutputStream()
+      wStr(entity, 1, rec.entity_id)
+      wBytes(entity, 4, vp.toByteArray)
+      wBytes(feed, 2, entity.toByteArray)
+    }
+    feed.toByteArray
+  }
+
   /** Binary feed column → exploded vehicle rows, with the reference's
     * validity gate applied downstream-style: rows keep every decoded
     * field; callers compose `Envelope`-shape filters (vehicle id

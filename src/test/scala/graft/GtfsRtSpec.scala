@@ -66,6 +66,14 @@ class GtfsRtSpec extends SparkSpec {
     assert(min.vehicle_id.isEmpty && min.latitude.isEmpty && min.timestamp.contains(5L))
   }
 
+  test("encoder round-trips through the decoder field-for-field") {
+    val recs = Seq(
+      GtfsRt.VehicleRecord("e1", Some("bus-1"), Some("t1"), Some("R9"),
+        Some(44.1f), Some(26.2f), Some(180f), Some(8.25f), Some(1700000123L)),
+      GtfsRt.VehicleRecord("e2", None, None, None, None, None, None, None, None))
+    assert(GtfsRt.parseFeed(GtfsRt.encodeVehicleFeed(recs)) == recs)
+  }
+
   test("DataFrame decode explodes feeds to rows; validity gate composes as predicates") {
     val feeds = Seq(sampleFeed, sampleFeed).toDF("payload")
     val rows = GtfsRt.decodeVehicleFeed(feeds)
