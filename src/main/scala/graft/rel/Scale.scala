@@ -49,4 +49,23 @@ object Scale {
     */
   def readDay(spark: SparkSession, path: String, day: String): DataFrame =
     spark.read.parquet(path).filter(col("event_date") === lit(day))
+
+  /** Incremental hourly-view refresh — the reference's hourly DAG
+    * semantics (recompute the recent window, upsert into the serving
+    * table) on parquet: DYNAMIC partition overwrite replaces exactly the
+    * hour partitions present in `slice` and leaves every other partition
+    * byte-untouched. At 100 TB this is the difference between an hourly
+    * job that rewrites one hour and one that rewrites the table.
+    * The caller computes `slice` (e.g. the trailing 2 hours of a view);
+    * this function owns only the layout contract.
+    */
+  def overwriteHourPartitions(slice: DataFrame, tsCol: String, path: String): Unit =
+    slice
+      .withColumn("hour_part", date_format(col(tsCol), "yyyy-MM-dd-HH"))
+      .repartition(col("hour_part"))
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("hour_part")
+      .parquet(path)
 }

@@ -24,6 +24,34 @@ class ScaleSpec extends SparkSpec {
     assert(spread > 4)
   }
 
+  test("incremental refresh overwrites only the touched hour partitions") {
+    val dir = Files.createTempDirectory("graft_incr").toString
+    val full = Seq(
+      ("r1", java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 10.0),
+      ("r1", java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 11.0),
+      ("r2", java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 20.0))
+      .toDF("route_id", "hour_ts", "passengers")
+    Scale.overwriteHourPartitions(full, "hour_ts", dir)
+    assert(spark.read.parquet(dir).count() == 3)
+
+    // capture the untouched partition's file listing before the refresh
+    val h10 = new java.io.File(s"$dir/hour_part=2024-01-01-10")
+    val before = h10.listFiles().map(f => f.getName -> f.lastModified).toMap
+
+    // recompute ONLY hour 11 with a corrected value
+    val slice = Seq(("r1", java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 99.0))
+      .toDF("route_id", "hour_ts", "passengers")
+    Scale.overwriteHourPartitions(slice, "hour_ts", dir)
+
+    val after = spark.read.parquet(dir)
+    assert(after.count() == 3) // hour 10 rows survived the refresh
+    assert(after.filter(col("passengers") === 99.0).count() == 1)
+    assert(after.filter(col("passengers") === 11.0).count() == 0) // replaced
+    // hour-10 files are byte-untouched (same names, same mtimes)
+    val unchanged = h10.listFiles().map(f => f.getName -> f.lastModified).toMap
+    assert(unchanged == before)
+  }
+
   test("date-partitioned layout prunes partitions on read") {
     val dir = Files.createTempDirectory("graft_layout").toString
     val ev = TestdataAdapter.vehiclePositions(spark, "/root/testdata/sf0.001")
