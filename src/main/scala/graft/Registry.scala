@@ -678,6 +678,12 @@ object Registry {
         (s, d) => Streams.vehicleHourlyWindowedStream(s, d),
         Some(s"WITH v AS ($VEH) $VEHICLE_BODY ORDER BY 1, 2")),
 
+      // A1 as a stream-static broadcast enrichment join — same batch
+      // demand oracle as the batch view
+      Q("streaming_demand_hourly",
+        (s, d) => Streams.demandHourlyStream(s, d),
+        Some(s"WITH s2r AS ($S2R), f AS ($FLOW) $DEMAND_BODY ORDER BY 1, 2")),
+
       // S9 streaming: redelivered input deduped to exactly-once counts
       Q("streaming_exactly_once",
         (s, d) => Streams.exactlyOnceDedupStream(s, d),

@@ -153,6 +153,29 @@ object Streams {
       .orderBy("user_id")
   }
 
+  /** A1 as a stream-static join: the streaming passenger-flow events are
+    * enriched against the (static, broadcast-sized) stop→route mapping
+    * BEFORE the demand aggregation — the canonical enrichment shape for
+    * unbounded feeds. The static side is a plain batch frame: Spark
+    * re-resolves it per micro-batch, so a dim refresh is picked up
+    * without restarting the stream, and at fact scale the join stays a
+    * broadcast-hash join with no shuffle of the stream. Transformation
+    * code is the batch view itself (Hourly.passengerDemandHourly), so
+    * stream and batch answers are bit-identical — the batch demand
+    * oracle checks the streaming result.
+    */
+  def demandHourlyStream(spark: SparkSession, dir: String): DataFrame = {
+    val flow = eventsStream(spark, dir).select(
+      col("user_id").cast("string").as("stop_id"),
+      ntzFromNanos(col("ts")).as("observed_at"),
+      col("value").as("estimated_passengers"))
+    val s2r = graft.TestdataAdapter.stopToRouteMapping(spark, dir)
+    runToTable(graft.views.Hourly.passengerDemandHourly(flow, s2r), mode = "complete")
+      .select(col("route_id"), col("hour_ts").cast("timestamp_ntz").as("hour_ts"),
+        col("passengers"))
+      .orderBy("route_id", "hour_ts")
+  }
+
   /** S9 as a true stream: at-least-once delivery deduplicated to
     * exactly-once output. The same events file is staged TWICE into the
     * source directory — a redelivered batch — and streaming
