@@ -780,6 +780,31 @@ object Registry {
         (s, d) => Envelope.vehicleEnvelope(TestdataAdapter.table(s, d, "events")),
         Some(Envelope.vehicleEnvelopeSql)),
 
+      // S6 payload format: the reference's ingestor consumes JSON event
+      // envelopes off Kafka — serialize events to JSON text, parse back
+      // with schema-on-read from_json, aggregate; oracle = the same
+      // aggregation straight off the table (the JSON hop loses nothing)
+      Q("json_roundtrip_events",
+        (s, d) => {
+          val ev = TestdataAdapter.table(s, d, "events")
+            .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+          val packed = ev.select(to_json(struct(
+            col("event_id"), col("user_id"), col("event_type"), col("value"))).as("payload"))
+          val parsed = packed.select(from_json(col("payload"),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")).as("e"))
+            .select("e.*")
+          parsed.groupBy("event_type")
+            .agg(count(lit(1)).as("n"),
+              countDistinct(col("user_id")).as("n_users"),
+              graft.functions.Cols.detSum(col("value")).as("total_value"))
+            .orderBy("event_type")
+        },
+        Some(
+          s"""SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+             |  ${dsum("value")} AS total_value
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
       Q("json_extract_props",
         (s, d) => TestdataAdapter.table(s, d, "events")
           .select(col("event_id"),
