@@ -37,6 +37,31 @@ class PropertiesSpec extends SparkSpec {
     assert(out.forall { case (e, p) => e == p })
   }
 
+  test("property: quality score in [0,1], predicted language in the closed set, bpe ≥ ws tokens") {
+    import graft.text.TextOps
+    // printable-ish text with words, digits, punctuation, whitespace runs
+    val word = Gen.oneOf(
+      Gen.alphaStr.suchThat(_.nonEmpty), Gen.numStr.suchThat(_.nonEmpty),
+      Gen.oneOf(",", ".", "!", "der", "the", "le", "el", "und", "and", "42"))
+    val text = Gen.nonEmptyListOf(word).map(_.mkString(" ")).suchThat(_.trim.nonEmpty)
+    val docs = sample(text).zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = docs.select(
+      TextOps.qualityScore(col("text")).as("q"),
+      TextOps.predictedLang(col("text")).as("pl")).collect()
+    val langs = Set("en", "de", "fr", "es", "zh", "und")
+    out.foreach { r =>
+      val q = r.getDouble(0)
+      assert(q >= 0.0 && q <= 1.0, s"quality $q out of range")
+      assert(langs.contains(r.getString(1)))
+    }
+    // every whitespace token contains ≥1 matchable char → n_bpe ≥ n_ws
+    val counts = TextOps.tokenCounts(docs)
+      .select("n_ws_tokens", "n_bpe_tokens").as[(Long, Long)].collect()
+    assert(counts.forall { case (ws, bpe) => bpe >= ws })
+  }
+
   test("property: base-demand seeding stays in [5, 50]") {
     val ns = sample(Gen.chooseNum(0L, 100000L))
     val out = ns.toDF("n")
