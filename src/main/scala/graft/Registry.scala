@@ -655,6 +655,10 @@ object Registry {
         Some(Knn.labelStatsSql)),
       Q("multimodal_features", (s, d) => Multimodal.extractFeatures(docs(s, d)),
         Some(Multimodal.extractFeaturesSql)),
+      // frame sampling: binary payload → exploded frames table (stub
+      // slicer; real generator/partitioning/metadata plumbing)
+      Q("multimodal_frames", (s, d) => Multimodal.sampleFrames(docs(s, d)),
+        Some(Multimodal.sampleFramesSql())),
     )
   }
 

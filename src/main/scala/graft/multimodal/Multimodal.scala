@@ -84,6 +84,67 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Frame sampling for video/audio payloads: one media row explodes to
+    * its sampled frames (doc_id, frame_idx, frame_bytes, frame_sha).
+    * STUB SLICER: a "frame" is a deterministic fixed-stride byte slice of
+    * the payload (no video codec in this container); the Spark-side
+    * contract is real — explode to a frames table via a generator over a
+    * binary column, per-frame metadata as codegen'd expressions — and a
+    * real demuxer drops into the slice lambda. `stride` is the sampling
+    * interval ("every Nth frame"), `frameBytes` the stub frame size.
+    */
+  def sampleFrames(
+      documents: DataFrame, frameLen: Int = 16,
+      stride: Int = 2, maxFrames: Int = 4): DataFrame =
+    documents
+      .select(col("doc_id"), col("text").as("payload"))
+      .withColumn("n_frames",
+        least(lit(maxFrames),
+          (length(col("payload")) / (frameLen * stride) + 1).cast("int")))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, n_frames - 1), " +
+            s"i -> substring(payload, i * $frameLen * $stride + 1, $frameLen))"))
+          .as(Seq("frame_idx", "frame")))
+      .select(
+        col("doc_id"), col("frame_idx").cast("int").as("frame_idx"),
+        length(col("frame")).cast("int").as("frame_len"),
+        sha2(col("frame"), 256).as("frame_sha"))
+      .filter(col("frame_len") > 0) // trailing empty slices drop
+      .orderBy("doc_id", "frame_idx")
+
+  /** Oracle twin of [[sampleFrames]] (substring slicing is identical in
+    * both engines; the corpus is ASCII so positions are byte positions).
+    */
+  def sampleFramesSql(frameLen: Int = 16, stride: Int = 2, maxFrames: Int = 4): String =
+    s"""WITH p AS (
+       |  SELECT doc_id, text AS payload,
+       |    LEAST($maxFrames, CAST(length(text) // ($frameLen * $stride) + 1 AS INTEGER)) AS n_frames
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+       |    substring(payload, CAST(i * $frameLen * $stride + 1 AS INTEGER), $frameLen) AS frame
+       |  FROM (SELECT doc_id, payload, unnest(generate_series(0, n_frames - 1)) AS i FROM p))
+       |SELECT doc_id, frame_idx,
+       |  CAST(length(frame) AS INTEGER) AS frame_len,
+       |  sha256(frame) AS frame_sha
+       |FROM f WHERE length(frame) > 0
+       |ORDER BY doc_id, frame_idx""".stripMargin
+
+  /** Resize metadata for decoded media: the dimension arithmetic a real
+    * resizer applies (halve and clamp to even, floor ≥1), as pure column
+    * expressions over [[extractFeatures]] output. The pixel transform
+    * itself belongs in [[extractFeaturesWithCodec]]'s iterator once a
+    * codec exists; the metadata contract is engine-side and testable now.
+    */
+  def resizeMeta(features: DataFrame, factor: Int = 2): DataFrame =
+    features.select(
+      col("doc_id"),
+      col("width"), col("height"),
+      greatest(lit(1), (col("width") / factor).cast("int")).as("out_width"),
+      greatest(lit(1), (col("height") / factor).cast("int")).as("out_height"))
+      .orderBy("doc_id")
+
   /** Oracle twin: the stub decode's width/height are (first hash byte)+1 /
     * (second hash byte)+1 — reproduced from the sha256 hex digits via the
     * hex-digit ascii arithmetic.
