@@ -818,6 +818,33 @@ object Registry {
           """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
             |FROM events ORDER BY event_id""".stripMargin)),
 
+      // As-of temporal enrichment: every event matched to the latest
+      // weather reading at-or-before it, with the weather feed thinned to
+      // every 3rd hour so the as-of genuinely spans hours (lookback 3
+      // covers the max staleness). Oracle = DuckDB's native ASOF JOIN.
+      Q("asof_weather_enrich",
+        (s, d) => {
+          val probes = TestdataAdapter.timedEvents(s, d)
+          val quotes = weatherHourly(s, d)
+            .filter(hour(col("hour_ts")) % 3 === 0)
+            .select(col("hour_ts").cast("timestamp_ntz").as("hour_ts"),
+              col("temperature_c"))
+          Relational.asofJoinHourly(probes, "observed_at", "event_id",
+            quotes, "hour_ts", lookbackHours = 3)
+            .select(col("event_id"), col("route_id"), col("observed_at"),
+              col("hour_ts").as("weather_hour_ts"), col("temperature_c"))
+            .orderBy("event_id")
+        },
+        Some(
+          s"""WITH wx AS ($WEA),
+             |wh0 AS ($WEATHER_BODY),
+             |wh AS (SELECT hour_ts, temperature_c FROM wh0 WHERE EXTRACT(HOUR FROM hour_ts) % 3 = 0),
+             |e AS (SELECT event_id, event_type AS route_id, CAST(ts AS TIMESTAMP) AS observed_at FROM events)
+             |SELECT e.event_id, e.route_id, e.observed_at,
+             |  w.hour_ts AS weather_hour_ts, w.temperature_c
+             |FROM e ASOF JOIN wh w ON e.observed_at >= w.hour_ts
+             |ORDER BY e.event_id""".stripMargin)),
+
       Q("trailing_context",
         (s, d) => {
           val trips = TestdataAdapter.tripUpdates(s, d)

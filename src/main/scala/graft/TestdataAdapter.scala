@@ -75,4 +75,13 @@ object TestdataAdapter {
       col("value").as("temperature_c"),
       (col("value") / 10.0).as("precipitation_mm"),
       (col("value") / 100.0).as("wind_speed_mps"))
+
+  /** Raw events keyed by event_id with the µs-truncated NTZ timestamp —
+    * the probe side for temporal (as-of) lookups.
+    */
+  def timedEvents(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events").select(
+      col("event_id"),
+      col("event_type").as("route_id"),
+      ntzFromNanos(col("ts")).as("observed_at"))
 }

@@ -258,6 +258,35 @@ object Relational {
         col("n"), col("total_price"))
       .orderBy("priority", "status")
 
+  /** As-of join without a global sort: each probe row is matched to the
+    * LATEST quote at-or-before its timestamp, under a bounded-staleness
+    * contract of `lookbackHours`. Scalable shape: every quote is exploded
+    * to the lookbackHours+1 probe-hour buckets it can serve, the join is
+    * a plain equality join on the bucket (shuffle on hour keys — never a
+    * range join, never a single-partition ordering), and a per-probe-key
+    * row_number keeps the newest surviving quote. Probe rows with no
+    * quote inside the lookback drop — identical to inner ASOF JOIN
+    * semantics whenever quote gaps are bounded by the lookback (the
+    * caller's contract; feeds with hourly-ish cadence satisfy it by
+    * construction). DuckDB's native ASOF JOIN is the oracle twin.
+    */
+  def asofJoinHourly(
+      probes: DataFrame, probeTs: String, probeKey: String,
+      quotes: DataFrame, quoteTs: String, lookbackHours: Int): DataFrame = {
+    val served = quotes.withColumn("__bucket",
+      explode(expr(
+        s"transform(sequence(0, $lookbackHours), " +
+          s"i -> date_trunc('HOUR', $quoteTs) + make_interval(0, 0, 0, 0, i, 0, 0))")))
+    val w = Window.partitionBy(probeKey).orderBy(col(quoteTs).desc)
+    probes
+      .withColumn("__bucket", date_trunc("hour", col(probeTs)))
+      .join(served, Seq("__bucket"))
+      .filter(col(quoteTs) <= col(probeTs))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__bucket", "__rn")
+  }
+
   /** long nanos → TIMESTAMP_NTZ (µs), integer-exact. */
   private def timestampMicrosFromNanos(c: org.apache.spark.sql.Column) =
     timestamp_micros(floor(c.cast("decimal(38,0)") / 1000).cast("long"))

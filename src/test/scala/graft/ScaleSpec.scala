@@ -24,6 +24,23 @@ class ScaleSpec extends SparkSpec {
     assert(spread > 4)
   }
 
+  test("as-of join picks the latest quote at-or-before; pre-quote probes drop") {
+    import graft.rel.Relational
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s:00")
+    val probes = Seq(
+      (1L, ts("10:30")), // between quotes → 09:30 quote
+      (2L, ts("13:10")), // after second → 12:00 quote
+      (3L, ts("09:00")), // before any quote → dropped (inner as-of)
+      (4L, ts("12:00"))) // exactly at a quote → that quote
+      .toDF("event_id", "observed_at")
+    val quotes = Seq((ts("09:30"), 1.0), (ts("12:00"), 2.0))
+      .toDF("hour_ts", "temperature_c")
+    val out = Relational.asofJoinHourly(
+      probes, "observed_at", "event_id", quotes, "hour_ts", lookbackHours = 3)
+      .select("event_id", "temperature_c").as[(Long, Double)].collect().toMap
+    assert(out == Map(1L -> 1.0, 2L -> 2.0, 4L -> 2.0))
+  }
+
   test("incremental refresh overwrites only the touched hour partitions") {
     val dir = Files.createTempDirectory("graft_incr").toString
     val full = Seq(
