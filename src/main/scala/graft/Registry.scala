@@ -333,7 +333,7 @@ object Registry {
   private def ntzCol(c: String) = col(c).cast("timestamp_ntz").as(c)
 
   import Pipelines._
-  import graft.rel.Relational
+  import graft.rel.{Relational, Sessionize}
   import graft.export.Export
 
   private def suggestionsFlat(s: SparkSession, dir: String): DataFrame =
@@ -599,6 +599,12 @@ object Registry {
           |  quantile_cont(value, 0.9) AS p90,
           |  quantile_cont(value, 0.99) AS p99
           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Gap-based sessionization: one shuffle (user_id), running-sum
+    // session ids, grouped session stats — see rel.Sessionize scaladoc.
+    Q("sessionize_events",
+      (s, dir) => Sessionize.sessions(TestdataAdapter.table(s, dir, "events")),
+      Some(Sessionize.sessionsSql)),
 
     Q("gtfs_time_parse", Relational.gtfsTimeParse,
       Some(

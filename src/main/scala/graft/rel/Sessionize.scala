@@ -1,0 +1,95 @@
+package graft.rel
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Cols.detSum
+
+/** Gap-based sessionization of the event stream — the standard
+  * "split each user's clickstream into sessions at inactivity gaps"
+  * operator every training-data / behavioral pipeline needs (session
+  * boundaries feed dialogue-turn grouping, page-visit documents, and
+  * per-session labels).
+  *
+  * Algorithm: per user, order events by time; an event starts a new
+  * session when it is the user's first or arrives more than [[GapUs]]
+  * after the previous one; the session index is the running count of
+  * session-starts; session rows are then a plain grouped aggregation.
+  *
+  * Scale shape: ONE shuffle total. The lag/running-sum windows are
+  * partitioned by `user_id` (no global sort — each user's timeline sorts
+  * independently inside its partition), and the final
+  * `groupBy(user_id, session_idx)` reuses that clustering
+  * (`HashPartitioning(user_id)` satisfies the aggregation's
+  * `ClusteredDistribution(user_id, session_idx)`), so Catalyst plans no
+  * second exchange. Skew bound: the busiest user's full timeline must fit
+  * one task — at 100 TB that is the usual per-entity sessionization bound,
+  * and a salting pre-split on (user_id, day) with a boundary-merge pass is
+  * the escape hatch if a single entity outgrows it.
+  *
+  * Determinism: time math in integer µs (nanos floored exactly as DuckDB's
+  * `CAST(ts AS TIMESTAMP)` truncates), ordering tie-broken by event_id,
+  * value sums decimal-exact via detSum.
+  */
+object Sessionize {
+
+  /** Inactivity gap that closes a session: 12 h in µs. (The classic web
+    * value is 30 min; the synthetic feed averages one event per user per
+    * ~7 h, so 12 h yields a meaningful mix — ~3 events/session.)
+    */
+  val GapUs: Long = 12L * 3600 * 1000000
+
+  /** long nanos → long µs, integer-exact floor. */
+  private def usFromNanos(c: Column): Column =
+    floor(c.cast("decimal(38,0)") / 1000).cast("long")
+
+  /** events(ts: long nanos) → one row per (user_id, session_idx) with
+    * start/end, event/type counts, duration, and exact value total.
+    */
+  def sessions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val e = events.select(
+      col("user_id"), col("event_id"), col("event_type"), col("value"),
+      usFromNanos(col("ts")).as("ts_us"))
+    val flagged = e
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > GapUs, 1L)
+          .otherwise(0L))
+    flagged
+      .withColumn("session_idx",
+        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_idx")
+      .agg(
+        timestamp_micros(min("ts_us")).cast("timestamp_ntz").as("session_start"),
+        timestamp_micros(max("ts_us")).cast("timestamp_ntz").as("session_end"),
+        count(lit(1)).as("n_events"),
+        countDistinct("event_type").as("n_event_types"),
+        ((max("ts_us") - min("ts_us")).cast("double") / 1000000).as("duration_sec"),
+        detSum(col("value")).as("total_value"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  /** DuckDB oracle twin of [[sessions]]. */
+  val sessionsSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type, value,
+       |         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+       |  FROM events),
+       |f AS (
+       |  SELECT *, CASE WHEN LAG(ts_us) OVER w IS NULL
+       |                   OR ts_us - LAG(ts_us) OVER w > $GapUs THEN 1 ELSE 0 END AS new_s
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+       |g AS (
+       |  SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+       |  FROM f)
+       |SELECT user_id, session_idx,
+       |  make_timestamp(MIN(ts_us)) AS session_start,
+       |  make_timestamp(MAX(ts_us)) AS session_end,
+       |  COUNT(*) AS n_events,
+       |  COUNT(DISTINCT event_type) AS n_event_types,
+       |  CAST(MAX(ts_us) - MIN(ts_us) AS DOUBLE) / 1000000 AS duration_sec,
+       |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+       |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+}
