@@ -659,6 +659,12 @@ object Registry {
         Some(Knn.nearDupPairsSql())),
       Q("embedding_label_stats", (s, d) => Knn.labelStats(embs(s, d)),
         Some(Knn.labelStatsSql)),
+      // Deterministic hash split / stratified sample — narrow, rerun- and
+      // append-stable, reproducible cross-engine (see ml.HashSplit).
+      Q("hash_split_assign", (s, d) => graft.ml.HashSplit.splitAssign(docs(s, d)),
+        Some(graft.ml.HashSplit.splitAssignSql)),
+      Q("stratified_sample", (s, d) => graft.ml.HashSplit.stratifiedSample(docs(s, d)),
+        Some(graft.ml.HashSplit.stratifiedSampleSql())),
       Q("multimodal_features", (s, d) => Multimodal.extractFeatures(docs(s, d)),
         Some(Multimodal.extractFeaturesSql)),
       // frame sampling: binary payload → exploded frames table (stub

@@ -1,0 +1,85 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextOps.{hexVal, hexValSql}
+
+/** Deterministic hash-based dataset splitting and stratified sampling —
+  * how a training-data pipeline assigns every example to
+  * train/validation/test (and draws reproducible subsamples) WITHOUT a
+  * global shuffle, a stored assignment table, or any RNG state.
+  *
+  * The assignment is a pure function of the key: bucket =
+  * int(md5(key)[0:6 hex]) % 100. That makes it (a) embarrassingly
+  * parallel — a narrow projection, no shuffle, no coordination across
+  * 1000 executors; (b) stable under reruns, repartitioning, and
+  * incremental appends (new rows land in the same split forever — the
+  * property `randomSplit` does NOT have); (c) joinable — any derived
+  * table (embeddings, labels) splits identically by hashing the same key.
+  *
+  * Cross-engine determinism: the hex→int conversion is explicit ascii
+  * arithmetic (TextOps.hexVal) rather than an engine-specific
+  * parse-hex builtin, so DuckDB reproduces the buckets bit-for-bit.
+  */
+object HashSplit {
+
+  /** First 6 hex digits of md5(key) as a long in [0, 2²⁴), mod nBuckets.
+    * 6 digits keep the arithmetic in small-integer range in every engine
+    * while leaving bucket-occupancy skew < 0.1% for nBuckets ≤ 1000.
+    */
+  def hashBucket(key: Column, nBuckets: Int): Column = {
+    val h = md5(key.cast("string"))
+    (0 until 6)
+      .map(j => hexVal(substring(h, j + 1, 1)).cast("long") * lit(1L << (4 * (5 - j))))
+      .reduce(_ + _) % nBuckets
+  }
+
+  /** DuckDB twin of [[hashBucket]] over an expression `key`. */
+  def hashBucketSql(key: String, nBuckets: Int): String = {
+    val h = s"md5(CAST($key AS VARCHAR))"
+    val v = (0 until 6)
+      .map(j => s"CAST(${hexValSql(s"substr($h, ${j + 1}, 1)")} AS BIGINT) * ${1L << (4 * (5 - j))}")
+      .mkString(" + ")
+    s"(($v) % $nBuckets)"
+  }
+
+  /** Per-document split assignment: bucket ∈ [0,100), train < 80 ≤ val
+    * < 90 ≤ test. Narrow (shuffle-free) — the ORDER BY is presentation
+    * only.
+    */
+  def splitAssign(documents: DataFrame): DataFrame = {
+    val b = hashBucket(col("doc_id"), 100)
+    documents.select(
+      col("doc_id"),
+      b.as("bucket"),
+      when(b < 80, "train").when(b < 90, "val").otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
+  val splitAssignSql: String = {
+    val b = hashBucketSql("doc_id", 100)
+    s"""SELECT doc_id, $b AS bucket,
+       |  CASE WHEN $b < 80 THEN 'train' WHEN $b < 90 THEN 'val' ELSE 'test' END AS split
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Stratified deterministic sample: keep `pct`% of each stratum (here
+    * `lang`), by hashing (stratum, key) so (a) the draw is independent
+    * across strata and (b) changing the rate only ever grows/shrinks the
+    * kept set monotonically. Narrow filter — no shuffle, no sampleBy
+    * RNG.
+    */
+  def stratifiedSample(documents: DataFrame, pct: Int = 30): DataFrame = {
+    val b = hashBucket(concat(col("lang"), lit("|"), col("doc_id").cast("string")), 100)
+    documents
+      .filter(b < pct)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  def stratifiedSampleSql(pct: Int = 30): String = {
+    val b = hashBucketSql("lang || '|' || CAST(doc_id AS VARCHAR)", 100)
+    s"""SELECT doc_id, lang, source, n_chars FROM documents
+       |WHERE $b < $pct ORDER BY doc_id""".stripMargin
+  }
+}

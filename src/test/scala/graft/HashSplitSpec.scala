@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ml.HashSplit
+
+class HashSplitSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ids(n: Int) = (0L until n.toLong).toDF("doc_id")
+    .withColumn("lang", when(col("doc_id") % 3 === 0, "en").otherwise("de"))
+    .withColumn("source", lit("s"))
+    .withColumn("n_chars", lit(1L))
+
+  test("split fractions land near 80/10/10 and partition the keys") {
+    val a = HashSplit.splitAssign(ids(5000)).cache()
+    val counts = a.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(a.count() == 5000)                        // total preserved: a partition
+    assert(math.abs(counts("train") - 4000L) < 200)  // ±5% of expected
+    assert(math.abs(counts("val") - 500L) < 100)
+    assert(math.abs(counts("test") - 500L) < 100)
+    a.unpersist()
+  }
+
+  test("assignment is stable under repartitioning and re-evaluation") {
+    val base = ids(1000)
+    val once = HashSplit.splitAssign(base).collect().toSeq
+    val again = HashSplit.splitAssign(base.repartition(17)).collect().toSeq
+    assert(once == again)
+  }
+
+  test("appending rows never moves an existing row's split") {
+    val before = HashSplit.splitAssign(ids(500)).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val after = HashSplit.splitAssign(ids(800)).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(before.forall { case (k, v) => after(k) == v })
+  }
+
+  test("stratified sample rate holds per stratum and is monotone in pct") {
+    val d = ids(6000)
+    val s30 = HashSplit.stratifiedSample(d, 30)
+    val s50 = HashSplit.stratifiedSample(d, 50)
+    val perLang = s30.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val totals = d.groupBy("lang").count().as[(String, Long)].collect().toMap
+    for ((lang, total) <- totals) {
+      val rate = perLang(lang).toDouble / total
+      assert(math.abs(rate - 0.30) < 0.05, s"$lang rate $rate")
+    }
+    // monotone: everything kept at 30% is kept at 50%
+    val kept30 = s30.select("doc_id").as[Long].collect().toSet
+    val kept50 = s50.select("doc_id").as[Long].collect().toSet
+    assert(kept30.subsetOf(kept50))
+  }
+
+  test("splitAssign plan is shuffle-free apart from the presentation sort") {
+    val plan = HashSplit.splitAssign(ids(100)).queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"expected at most the final-sort exchange:\n$plan")
+  }
+}
