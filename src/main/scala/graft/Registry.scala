@@ -633,6 +633,8 @@ object Registry {
       Q("token_counts", (s, d) => TextOps.tokenCounts(docs(s, d)), Some(TextOps.tokenCountsSql)),
       Q("lang_id", (s, d) => TextOps.languageId(docs(s, d)), Some(TextOps.languageIdSql)),
       Q("doc_fingerprint", (s, d) => TextOps.fingerprint(docs(s, d)), Some(TextOps.fingerprintSql)),
+      Q("tfidf_top_terms", (s, d) => TextOps.tfidfTopTerms(docs(s, d)),
+        Some(TextOps.tfidfTopTermsSql())),
       Q("doc_simhash", (s, d) => TextOps.simhash(docs(s, d)), Some(TextOps.simhashSql)),
       Q("dedup_exact", (s, d) => Dedup.exact(docs(s, d)), Some(Dedup.exactSql)),
       Q("dedup_keep", (s, d) => Dedup.dedupKeep(docs(s, d)), Some(Dedup.dedupKeepSql)),

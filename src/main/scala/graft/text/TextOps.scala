@@ -224,6 +224,56 @@ object TextOps {
       |  substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 8) AS fp_prefix
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** TF-IDF top-k terms per document (smoothed sklearn-style idf:
+    * ln((1+N)/(1+df)) + 1) — the classic keyword/topic signal a corpus
+    * pipeline derives per document for search, clustering labels, and
+    * near-topic dedup.
+    *
+    * Scale shape: explode → tf groupBy (shuffle on (doc_id, term)) →
+    * df groupBy (shuffle on term, map-side partials first) → tf⋈df on
+    * term (shuffle join — the term dictionary is NOT broadcastable at
+    * corpus scale) → per-doc window (shuffle on doc_id). Four exchanges,
+    * each on a high-cardinality key: the canonical distributed TF-IDF
+    * plan. N arrives as a broadcast 1-row aggregate, not a collect.
+    *
+    * Determinism: tf/df are exact longs; Java's Math.log and DuckDB's ln
+    * are bit-identical over these rational inputs (verified for the whole
+    * df range); ties broken by term.
+    */
+  def tfidfTopTerms(documents: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = documents.select(col("doc_id"), explode(toks(col("text"))).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = documents.agg(count(lit(1)).as("n"))
+    val scored = tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf").cast("double") *
+          (log((lit(1.0) + col("n")) / (lit(1.0) + col("df"))) + lit(1.0)))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+      .orderBy("doc_id", "rank")
+  }
+
+  def tfidfTopTermsSql(k: Int = 3): String =
+    raw"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       |    CAST(tf.tf AS DOUBLE) * (ln((1.0 + n.n) / (1.0 + df.df)) + 1.0) AS tfidf
+       |  FROM tf JOIN df USING (term) CROSS JOIN n),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+       |      FROM scored)
+       |SELECT doc_id, term, tf, df, tfidf, rank FROM r WHERE rank <= $k
+       |ORDER BY doc_id, rank""".stripMargin
+
   // ---- 32-bit SimHash ----
   // Per token: h = md5(token); bit b comes from hex digit j = b / 4 of h
   // (value via an explicit 16-branch CASE — no engine-specific hex
