@@ -635,6 +635,11 @@ object Registry {
       Q("doc_fingerprint", (s, d) => TextOps.fingerprint(docs(s, d)), Some(TextOps.fingerprintSql)),
       Q("tfidf_top_terms", (s, d) => TextOps.tfidfTopTerms(docs(s, d)),
         Some(TextOps.tfidfTopTermsSql())),
+      Q("bigram_topk", (s, d) => TextOps.bigramTopK(docs(s, d)),
+        Some(TextOps.bigramTopKSql())),
+      Q("props_redacted",
+        (s, d) => TextOps.redactDigits(TestdataAdapter.table(s, d, "events"), "props"),
+        Some(TextOps.redactDigitsSql("props"))),
       Q("doc_simhash", (s, d) => TextOps.simhash(docs(s, d)), Some(TextOps.simhashSql)),
       Q("dedup_exact", (s, d) => Dedup.exact(docs(s, d)), Some(Dedup.exactSql)),
       Q("dedup_keep", (s, d) => Dedup.dedupKeep(docs(s, d)), Some(Dedup.dedupKeepSql)),

@@ -274,6 +274,62 @@ object TextOps {
        |SELECT doc_id, term, tf, df, tfidf, rank FROM r WHERE rank <= $k
        |ORDER BY doc_id, rank""".stripMargin
 
+  /** Corpus bigram statistics: top-k word bigrams by frequency — the
+    * vocabulary/corpus-statistics pass of tokenizer training and n-gram
+    * LM estimation.
+    *
+    * Scale shape: bigram generation is a NARROW per-row list transform
+    * (no posexplode+window — adjacent pairs come straight from the token
+    * array), then one count aggregation (map-side partials on the
+    * high-cardinality bigram key) and a TakeOrderedAndProject top-k (per
+    * partition top-k, driver merge of k·partitions rows — never a global
+    * sort).
+    */
+  def bigramTopK(documents: DataFrame, k: Int = 50): DataFrame = {
+    val t = toks(col("text"))
+    val bigrams = when(size(t) >= 2,
+      transform(sequence(lit(0), size(t) - 2),
+        i => concat(element_at(t, i + 1), lit(" "), element_at(t, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    documents
+      .select(explode(bigrams).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(k)
+  }
+
+  def bigramTopKSql(k: Int = 50): String =
+    raw"""WITH b AS (
+       |  SELECT unnest(list_transform(
+       |    generate_series(1, len(string_split_regex(trim(lower(text)), '\s+')) - 1),
+       |    i -> string_split_regex(trim(lower(text)), '\s+')[i] || ' ' ||
+       |         string_split_regex(trim(lower(text)), '\s+')[i + 1])) AS bigram
+       |  FROM documents)
+       |SELECT bigram, COUNT(*) AS n FROM b GROUP BY 1
+       |ORDER BY n DESC, bigram LIMIT $k""".stripMargin
+
+  /** Pattern redaction — the scrub-before-training pass (PII masking,
+    * number normalization). Pure narrow regexp column algebra; the
+    * pattern here masks digit runs (the only sensitive-shaped content in
+    * the synthetic feed — swap the regex for email/phone/SSN patterns on
+    * a real corpus; the mechanics are identical). Returns the redacted
+    * text plus the per-row match count that an audit/DQ report needs.
+    */
+  def redactDigits(df: DataFrame, column: String): DataFrame =
+    df.select(
+      col("event_id"),
+      col(column).as("original"),
+      regexp_replace(col(column), "[0-9]+", "#").as("redacted"),
+      regexp_count(col(column), lit("[0-9]+")).cast("long").as("n_redacted"))
+      .orderBy("event_id")
+
+  def redactDigitsSql(column: String): String =
+    s"""SELECT event_id, $column AS original,
+       |  regexp_replace($column, '[0-9]+', '#', 'g') AS redacted,
+       |  CAST(len(regexp_extract_all($column, '[0-9]+')) AS BIGINT) AS n_redacted
+       |FROM events ORDER BY event_id""".stripMargin
+
   // ---- 32-bit SimHash ----
   // Per token: h = md5(token); bit b comes from hex digit j = b / 4 of h
   // (value via an explicit 16-branch CASE — no engine-specific hex
