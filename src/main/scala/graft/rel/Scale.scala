@@ -50,6 +50,26 @@ object Scale {
   def readDay(spark: SparkSession, path: String, day: String): DataFrame =
     spark.read.parquet(path).filter(col("event_date") === lit(day))
 
+  /** Write a table bucketed (and sorted) by the join key — the layout
+    * that makes repeated fact⋈fact joins exchange-free: both sides
+    * pre-hashed into the same bucket count means the sort-merge join
+    * reads co-located buckets with NO shuffle at query time. At 100 TB
+    * this converts the nightly "re-shuffle both tables" cost into a
+    * one-time write-layout cost amortized over every subsequent join;
+    * it is Spark's equivalent of the reference's btree-indexed join
+    * columns.
+    */
+  def writeBucketed(df: DataFrame, key: String, buckets: Int, table: String): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+
+  /** Inner equi-join of two tables bucketed on `key` with the same bucket
+    * count — plans as a zero-exchange sort-merge join (asserted by spec).
+    */
+  def bucketedJoin(spark: SparkSession, left: String, right: String, key: String): DataFrame =
+    spark.table(left).join(spark.table(right), key)
+
   /** Incremental hourly-view refresh — the reference's hourly DAG
     * semantics (recompute the recent window, upsert into the serving
     * table) on parquet: DYNAMIC partition overwrite replaces exactly the

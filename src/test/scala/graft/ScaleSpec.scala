@@ -69,6 +69,34 @@ class ScaleSpec extends SparkSpec {
     assert(unchanged == before)
   }
 
+  test("bucketed tables join with zero exchanges and match the plain join") {
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      val orders = (1 to 2000).map(i => (i.toLong % 97, i.toLong, i * 1.5))
+        .toDF("custkey", "orderkey", "total")
+      val cust = (0L until 97L).map(i => (i, s"c$i")).toDF("custkey", "name")
+      Scale.writeBucketed(orders, "custkey", 8, "orders_b")
+      Scale.writeBucketed(cust, "custkey", 8, "cust_b")
+
+      val joined = Scale.bucketedJoin(spark, "orders_b", "cust_b", "custkey")
+      val plain = orders.join(cust, "custkey")
+      assert(joined.count() == plain.count())
+      assert(joined.exceptAll(plain).isEmpty && plain.exceptAll(joined).isEmpty)
+
+      // both scans read pre-bucketed data: the sort-merge join needs no shuffle
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      assert(plan.contains("SortMergeJoin") && plan.contains("Bucketed: true"),
+        s"expected bucketed sort-merge join:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS cust_b")
+    }
+  }
+
   test("date-partitioned layout prunes partitions on read") {
     val dir = Files.createTempDirectory("graft_layout").toString
     val ev = TestdataAdapter.vehiclePositions(spark, "/root/testdata/sf0.001")
