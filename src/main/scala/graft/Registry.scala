@@ -333,7 +333,7 @@ object Registry {
   private def ntzCol(c: String) = col(c).cast("timestamp_ntz").as(c)
 
   import Pipelines._
-  import graft.rel.{Relational, Sessionize}
+  import graft.rel.{Relational, Sessionize, Sketches}
   import graft.export.Export
 
   private def suggestionsFlat(s: SparkSession, dir: String): DataFrame =
@@ -599,6 +599,12 @@ object Registry {
           |  quantile_cont(value, 0.9) AS p90,
           |  quantile_cont(value, 0.99) AS p99
           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // HLL++/t-digest sketches vs their exact forms — rows-only (sketch
+    // values are engine-specific); accuracy bound spec-asserted.
+    Q("sketch_stats",
+      (s, dir) => Sketches.sketchStats(TestdataAdapter.table(s, dir, "events")),
+      None),
 
     // Gap-based sessionization: one shuffle (user_id), running-sum
     // session ids, grouped session stats — see rel.Sessionize scaladoc.

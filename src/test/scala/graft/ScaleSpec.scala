@@ -97,6 +97,23 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("sketch stats stay within advertised error of the exact forms") {
+    val ev = ((1 to 20000).map(i => ("click", (i % 3777).toLong, i.toDouble)) ++
+      (1 to 5000).map(i => ("view", (i % 991).toLong, i * 2.0)))
+      .toDF("event_type", "user_id", "value")
+    val r = graft.rel.Sketches.sketchStats(ev).collect()
+    assert(r.length == 2)
+    for (row <- r) {
+      assert(row.getAs[Double]("users_rel_err") < 0.05,
+        s"HLL off by ${row.getAs[Double]("users_rel_err")} for ${row.getString(0)}")
+      assert(row.getAs[Double]("p50_rel_err") < 0.01,
+        s"t-digest off by ${row.getAs[Double]("p50_rel_err")} for ${row.getString(0)}")
+    }
+    // exact legs really are exact
+    val click = r.find(_.getString(0) == "click").get
+    assert(click.getAs[Long]("users_exact") == 3777L)
+  }
+
   test("date-partitioned layout prunes partitions on read") {
     val dir = Files.createTempDirectory("graft_layout").toString
     val ev = TestdataAdapter.vehiclePositions(spark, "/root/testdata/sf0.001")
