@@ -24,11 +24,14 @@ object Knn {
 
   val Dim = 64
 
-  /** Explicit left-assoc Σ aᵢ·bᵢ over two array columns (0-based Spark). */
+  /** Σ aᵢ·bᵢ via the native fused-loop expression (graft.functions
+    * .DotProductFloat) — bit-identical to the explicit left-assoc
+    * 64-term sum it replaced (same ascending order, same exact
+    * float→double products; equivalence spec-asserted in KnnSpec), but
+    * one tight codegen loop instead of a 64-node expression tree.
+    */
   private def dot(a: String, b: String): Column =
-    (0 until Dim).map(i =>
-      col(a).getItem(i).cast("double") * col(b).getItem(i).cast("double"))
-      .reduceLeft(_ + _)
+    graft.functions.DotProductFloat.dotProduct(col(a), col(b))
 
   /** Same expression for DuckDB (1-based subscripts). */
   private def dotSql(a: String, b: String): String =
