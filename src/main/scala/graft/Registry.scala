@@ -721,6 +721,31 @@ object Registry {
             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
       // mapGroupsWithState custom state, oracle = batch GROUP BY
+      // Gap sessionization as a stream: native session_window (mergeable
+      // keyed state, watermark-bounded) vs a window-function oracle with
+      // session_window's ≥-gap split convention
+      Q("streaming_sessions",
+        (s, d) => Streams.sessionizedStream(s, d),
+        Some(
+          s"""WITH e AS (
+             |  SELECT user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+             |  FROM events),
+             |f AS (
+             |  SELECT *, CASE WHEN LAG(ts_us) OVER w IS NULL
+             |                   OR ts_us - LAG(ts_us) OVER w >= ${graft.rel.Sessionize.GapUs}
+             |                 THEN 1 ELSE 0 END AS new_s
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+             |g AS (
+             |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+             |    ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM f)
+             |SELECT user_id,
+             |  make_timestamp(MIN(ts_us)) AS session_start,
+             |  make_timestamp(MAX(ts_us)) AS session_end,
+             |  COUNT(*) AS n_events,
+             |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+             |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)),
+
       Q("streaming_user_state",
         (s, d) => Streams.userStateStream(s, d),
         Some(

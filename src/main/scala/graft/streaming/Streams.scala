@@ -153,6 +153,47 @@ object Streams {
       .orderBy("user_id")
   }
 
+  /** Gap-based sessionization as a STREAM via the native session_window
+    * operator — the stateful form of rel.Sessionize: Spark keeps one
+    * mergeable window per (user, open session), extends it while events
+    * arrive within the gap, and the watermark bounds how long a session
+    * can stay open (state eviction — the property that makes this run
+    * forever on an unbounded feed, where the batch form needs the whole
+    * timeline).
+    *
+    * session_window closes a session when the next event is ≥ gap after
+    * the previous (batch Sessionize uses strict >); the oracle SQL below
+    * mirrors the ≥ form exactly, so the check does not depend on the two
+    * conventions agreeing on boundary-exact gaps.
+    */
+  def sessionizedStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Cols.detSum
+    val ev = eventsStream(spark, dir).select(
+      col("user_id"),
+      ntzFromNanos(col("ts")).cast("timestamp").as("ts"),
+      col("value"))
+    val agg = ev
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "12 hours"))
+      .agg(
+        min("ts").as("session_start"),
+        max("ts").as("session_end"),
+        count(lit(1)).as("n_events"),
+        detSum(col("value")).as("total_value"))
+      .select("user_id", "session_start", "session_end", "n_events", "total_value")
+    // session_window aggregations stream in append (watermark-finalized —
+    // the unbounded production mode) or complete; update is unsupported.
+    // Complete over the finite AvailableNow input yields exactly the
+    // final sessions; on an unbounded feed switch to append and let the
+    // watermark close sessions.
+    runToTable(agg, mode = "complete")
+      .select(col("user_id"),
+        col("session_start").cast("timestamp_ntz").as("session_start"),
+        col("session_end").cast("timestamp_ntz").as("session_end"),
+        col("n_events"), col("total_value"))
+      .orderBy("user_id", "session_start")
+  }
+
   /** A1 as a stream-static join: the streaming passenger-flow events are
     * enriched against the (static, broadcast-sized) stop→route mapping
     * BEFORE the demand aggregation — the canonical enrichment shape for

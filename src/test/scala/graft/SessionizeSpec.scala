@@ -44,6 +44,30 @@ class SessionizeSpec extends SparkSpec {
     assert(s.forall(_.getAs[Double]("duration_sec") == 0.0))
   }
 
+  test("batch sessions agree with streaming session_window off boundary-exact gaps") {
+    import org.apache.spark.sql.functions._
+    // session_window splits at diff >= gap, batch at diff > gap; away from
+    // the exact boundary the two conventions produce identical sessions
+    val df = ev(
+      (0L, 1L, 1L, "a", 1.0),
+      (2L * H, 1L, 2L, "a", 1.0),
+      (20L * H, 1L, 3L, "a", 1.0))
+    val batch = Sessionize.sessions(df)
+      .select("user_id", "session_start", "session_end", "n_events").collect()
+    val viaWindow = df
+      .select(col("user_id"),
+        timestamp_micros(floor(col("ts").cast("decimal(38,0)") / 1000).cast("long")).as("ts"))
+      .groupBy(col("user_id"), session_window(col("ts"), "12 hours"))
+      .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_start").cast("timestamp_ntz").as("session_start"),
+        col("session_end").cast("timestamp_ntz").as("session_end"),
+        col("n_events"))
+      .orderBy("session_start").collect()
+    assert(batch.map(_.toString).toSeq == viaWindow.map(_.toString).toSeq)
+  }
+
   test("plan shuffles once on user_id (no second exchange for the groupBy)") {
     val df = ev((0L, 1L, 1L, "a", 1.0), (H, 1L, 2L, "b", 2.0))
     // drop the presentation orderBy — its range exchange is output-only
