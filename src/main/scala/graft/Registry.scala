@@ -606,6 +606,17 @@ object Registry {
       (s, dir) => Sketches.sketchStats(TestdataAdapter.table(s, dir, "events")),
       None),
 
+    // Dense global numbering without a single-partition window (range
+    // repartition + zipWithIndex) — oracle is the window form it avoids
+    Q("global_index",
+      (s, dir) => graft.rel.Scale.globalIndex(
+        TestdataAdapter.table(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        "doc_id").orderBy("doc_id"),
+      Some(
+        """SELECT doc_id, lang, n_chars,
+          |  ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS global_idx
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Gap-based sessionization: one shuffle (user_id), running-sum
     // session ids, grouped session stats — see rel.Sessionize scaladoc.
     Q("sessionize_events",
