@@ -17,8 +17,10 @@ import graft.functions.DotProductFloat
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
+  }
 }
 
 object GraftExtensions {
@@ -33,8 +35,12 @@ object GraftExtensions {
       (children: Seq[Expression]) => DotProductFloat(children.head, children(1))))
 
   /** Post-hoc registration on an already-built session (idempotent). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (ident, inf, builder) =>
       spark.sessionState.functionRegistry.registerFunction(ident, inf, builder)
     }
+    if (!spark.experimental.extraStrategies.contains(graft.plans.TopKPerGroupStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.TopKPerGroupStrategy
+  }
 }

@@ -606,6 +606,27 @@ object Registry {
       (s, dir) => Sketches.sketchStats(TestdataAdapter.table(s, dir, "events")),
       None),
 
+    // Top-k per group via the custom bounded-heap physical operator
+    // (plans.TopKPerGroup: LogicalPlan+Strategy+SparkPlan, no sort) —
+    // oracle is the window+filter form it replaces
+    Q("topk_events_per_user",
+      (s, dir) => {
+        graft.GraftExtensions.register(s)
+        graft.plans.TopKPerGroup.topK(
+          TestdataAdapter.table(s, dir, "events")
+            .select("user_id", "event_id", "event_type", "value"),
+          groupCols = Seq("user_id"),
+          orderCols = Seq("value" -> true, "event_id" -> false),
+          k = 3)
+          .orderBy(col("user_id"), col("value").desc, col("event_id"))
+      },
+      Some(
+        """SELECT user_id, event_id, event_type, value FROM (
+          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+          |    ORDER BY value DESC, event_id) AS rn
+          |  FROM events) WHERE rn <= 3
+          |ORDER BY user_id, value DESC, event_id""".stripMargin)),
+
     // Dense global numbering without a single-partition window (range
     // repartition + zipWithIndex) — oracle is the window form it avoids
     Q("global_index",
