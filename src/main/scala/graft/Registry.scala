@@ -606,6 +606,31 @@ object Registry {
       (s, dir) => Sketches.sketchStats(TestdataAdapter.table(s, dir, "events")),
       None),
 
+    // Snapshot diff: full-outer change classification between a table
+    // and a deterministically perturbed next version
+    Q("events_diff", Relational.eventsDiff,
+      Some(
+        """WITH o AS (SELECT event_id, event_type, value FROM events),
+          |n AS (
+          |  SELECT event_id, event_type,
+          |    CASE WHEN event_id % 7 = 0 THEN value * 2 ELSE value END AS value
+          |  FROM events WHERE event_id % 97 <> 0
+          |  UNION ALL
+          |  SELECT event_id + 10000000, event_type, value
+          |  FROM events WHERE event_id % 89 = 0),
+          |j AS (SELECT o.event_id AS ok, n.event_id AS nk,
+          |        o.event_type AS ot, n.event_type AS nt,
+          |        o.value AS ov, n.value AS nv
+          |      FROM o FULL OUTER JOIN n ON o.event_id = n.event_id),
+          |c AS (SELECT COALESCE(ok, nk) AS event_id,
+          |        CASE WHEN nk IS NULL THEN 'removed'
+          |             WHEN ok IS NULL THEN 'added'
+          |             WHEN ot IS DISTINCT FROM nt
+          |               OR ov IS DISTINCT FROM nv THEN 'changed' END AS change_type
+          |      FROM j)
+          |SELECT event_id, change_type FROM c
+          |WHERE change_type IS NOT NULL ORDER BY event_id""".stripMargin)),
+
     // Top-k per group via the custom bounded-heap physical operator
     // (plans.TopKPerGroup: LogicalPlan+Strategy+SparkPlan, no sort) —
     // oracle is the window+filter form it replaces

@@ -287,6 +287,49 @@ object Relational {
       .drop("__bucket", "__rn")
   }
 
+  /** Snapshot diff — the change-detection pass of any versioned-table /
+    * incremental-export flow (what changed between yesterday's corpus
+    * snapshot and today's): one full-outer join on the key classifies
+    * every row as added / removed / changed (any compared column differs,
+    * null-safely) and drops the unchanged majority. One shuffle on the
+    * key; at 100 TB both sides are bucketed on the key (Scale
+    * .writeBucketed) and the join is exchange-free.
+    */
+  def tableDiff(oldDf: DataFrame, newDf: DataFrame, key: String,
+                compareCols: Seq[String]): DataFrame = {
+    val o = oldDf.select((key +: compareCols).map(col): _*).as("o")
+    val n = newDf.select((key +: compareCols).map(col): _*).as("n")
+    val changed = compareCols
+      .map(c => !(col(s"o.$c") <=> col(s"n.$c")))
+      .reduceLeft(_ || _)
+    o.join(n, col(s"o.$key") === col(s"n.$key"), "full_outer")
+      .withColumn("change_type",
+        when(col(s"n.$key").isNull, "removed")
+          .when(col(s"o.$key").isNull, "added")
+          .when(changed, "changed"))
+      .filter(col("change_type").isNotNull)
+      .select(
+        coalesce(col(s"o.$key"), col(s"n.$key")).as(key),
+        col("change_type"))
+      .orderBy(key)
+  }
+
+  /** Diff the event table against a deterministically perturbed copy:
+    * drop event_id % 97 = 0 (removals), shift ids by +10000 for
+    * event_id % 89 = 0 (additions), double value where event_id % 7 = 0
+    * (changes).
+    */
+  def eventsDiff(s: SparkSession, dir: String): DataFrame = {
+    val ev = table(s, dir, "events").select("event_id", "event_type", "value")
+    val newVersion = ev
+      .filter(col("event_id") % 97 =!= 0)
+      .withColumn("value",
+        when(col("event_id") % 7 === 0, col("value") * 2).otherwise(col("value")))
+      .unionByName(ev.filter(col("event_id") % 89 === 0)
+        .withColumn("event_id", col("event_id") + 10000000))
+    tableDiff(ev, newVersion, "event_id", Seq("event_type", "value"))
+  }
+
   /** long nanos → TIMESTAMP_NTZ (µs), integer-exact. */
   private def timestampMicrosFromNanos(c: org.apache.spark.sql.Column) =
     timestamp_micros(floor(c.cast("decimal(38,0)") / 1000).cast("long"))

@@ -71,6 +71,36 @@ object Scale {
   def bucketedJoin(spark: SparkSession, left: String, right: String, key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
 
+  /** Small-file compaction — the maintenance pass every long-running
+    * ingestion layout needs: streaming/hourly writers leave thousands of
+    * tiny files per partition, and scan throughput dies on open/seek
+    * overhead (at 100 TB the NameNode/listing cost alone matters). Rewrite
+    * into ~`targetRecordsPerFile`-row files, range-clustered by `key` so
+    * the compacted files also carry min/max pruning on the clustering key.
+    * Two passes by design (count, then write) — exactly what table-format
+    * OPTIMIZE jobs do.
+    */
+  def compact(spark: SparkSession, path: String, key: String,
+              targetRecordsPerFile: Long): Unit = {
+    val df = spark.read.parquet(path)
+    val files = math.max(1, math.ceil(df.count().toDouble / targetRecordsPerFile).toInt)
+    val tmp = path.stripSuffix("/") + "__compacting"
+    df.repartitionByRange(files, col(key))
+      .sortWithinPartitions(key)
+      .write.mode("overwrite").parquet(tmp)
+    // atomic-ish swap (same filesystem): a production table format makes
+    // this a metadata commit instead
+    val fs = new java.io.File(path)
+    val bak = new java.io.File(path + "__old")
+    require(fs.renameTo(bak), s"could not stage $path aside")
+    require(new java.io.File(tmp).renameTo(fs), s"could not activate $tmp")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete()
+    }
+    rm(bak)
+  }
+
   /** Dense global row numbering in sort order WITHOUT a single-partition
     * window — `ROW_NUMBER() OVER (ORDER BY key)` funnels the entire table
     * through one task; this is the distributed form every sharding/

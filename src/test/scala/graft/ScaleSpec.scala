@@ -97,6 +97,19 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("compaction shrinks the file count and preserves the data exactly") {
+    val dir = Files.createTempDirectory("graft_compact").resolve("t").toString
+    val df = (1 to 10000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    df.repartition(40).write.parquet(dir) // 40 small files
+    def parquetFiles = new java.io.File(dir).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles == 40)
+    Scale.compact(spark, dir, "id", targetRecordsPerFile = 5000L)
+    assert(parquetFiles == 2, s"expected 2 compacted files, got $parquetFiles")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 10000)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+  }
+
   test("sketch stats stay within advertised error of the exact forms") {
     val ev = ((1 to 20000).map(i => ("click", (i % 3777).toLong, i.toDouble)) ++
       (1 to 5000).map(i => ("view", (i % 991).toLong, i * 2.0)))
