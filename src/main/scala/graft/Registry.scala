@@ -600,6 +600,17 @@ object Registry {
           |  quantile_cont(value, 0.99) AS p99
           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Equi-width histogram with data-driven bounds (broadcast min/max)
+    Q("value_histogram",
+      (s, dir) => Sketches.valueHistogram(TestdataAdapter.table(s, dir, "events")),
+      Some(Sketches.valueHistogramSql())),
+
+    // Column-profile / data-quality summary: one aggregation pass,
+    // unpivoted to a row per column
+    Q("events_profile",
+      (s, dir) => Sketches.profileEvents(TestdataAdapter.table(s, dir, "events")),
+      Some(Sketches.profileEventsSql)),
+
     // HLL++/t-digest sketches vs their exact forms — rows-only (sketch
     // values are engine-specific); accuracy bound spec-asserted.
     Q("sketch_stats",

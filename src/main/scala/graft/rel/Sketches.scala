@@ -23,6 +23,75 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
+  /** Equi-width histogram of `value` with data-driven bounds — the
+    * profiling pass before outlier clipping / feature binning. The
+    * min/max come from a broadcast 1-row aggregate (no collect), the bin
+    * assignment is a narrow projection, and the final count groups on
+    * ≤ nBins keys. Bin edges use exact double arithmetic shared with the
+    * oracle; the top edge folds into the last bin.
+    */
+  def valueHistogram(events: DataFrame, nBins: Int = 10): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val bounds = events.agg(min("value").as("lo"), max("value").as("hi"))
+    val bin = least(
+      floor((col("value") - col("lo")) / ((col("hi") - col("lo")) / nBins)).cast("long"),
+      lit(nBins - 1L))
+    events.crossJoin(broadcast(bounds))
+      .withColumn("bin", bin)
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n"),
+        min("value").as("bin_min"),
+        max("value").as("bin_max"))
+      .orderBy("bin")
+  }
+
+  def valueHistogramSql(nBins: Int = 10): String =
+    s"""WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+       |a AS (SELECT value,
+       |        LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / $nBins)) AS BIGINT),
+       |              ${nBins - 1}) AS bin
+       |      FROM events CROSS JOIN b)
+       |SELECT bin, COUNT(*) AS n, MIN(value) AS bin_min, MAX(value) AS bin_max
+       |FROM a GROUP BY bin ORDER BY bin""".stripMargin
+
+  /** Column-profile summary — the data-quality gate a pipeline runs
+    * before training ingestion: one row per profiled column with null
+    * rate, distinct count, and min/max rendered as strings. Spark
+    * computes all columns in ONE aggregation pass (no per-column scans);
+    * the unpivot to rows is a literal stack.
+    */
+  def profileEvents(events: DataFrame): DataFrame = {
+    val cols = Seq("event_id", "user_id", "event_type", "value", "props")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}_n"),
+        count(when(col(c).isNull, 1)).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_distinct"),
+        min(col(c)).cast("string").as(s"${c}_min"),
+        max(col(c)).cast("string").as(s"${c}_max"))
+    }
+    val one = events.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map { c =>
+      struct(lit(c).as("column_name"), col(s"${c}_n").as("n_non_null"),
+        col(s"${c}_nulls").as("n_null"), col(s"${c}_distinct").as("n_distinct"),
+        col(s"${c}_min").as("min_repr"), col(s"${c}_max").as("max_repr"))
+    }
+    one.select(explode(array(stacked: _*)).as("p"))
+      .select("p.*")
+      .orderBy("column_name")
+  }
+
+  val profileEventsSql: String = {
+    val cols = Seq("event_id", "user_id", "event_type", "value", "props")
+    cols.map { c =>
+      s"""SELECT '$c' AS column_name, COUNT($c) AS n_non_null,
+         |  COUNT(*) - COUNT($c) AS n_null, COUNT(DISTINCT $c) AS n_distinct,
+         |  CAST(MIN($c) AS VARCHAR) AS min_repr, CAST(MAX($c) AS VARCHAR) AS max_repr
+         |FROM events""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
+
   /** Per-event-type exact vs sketch cardinality + median, with relative
     * errors. Exact columns are themselves deterministic (integer count,
     * sort-based percentile), so the rows-only gate still exercises them.
