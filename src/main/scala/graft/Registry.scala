@@ -711,6 +711,8 @@ object Registry {
         Some(TextOps.tfidfTopTermsSql())),
       Q("bigram_topk", (s, d) => TextOps.bigramTopK(docs(s, d)),
         Some(TextOps.bigramTopKSql())),
+      Q("repetition_stats", (s, d) => TextOps.repetitionStats(docs(s, d)),
+        Some(TextOps.repetitionStatsSql)),
       Q("props_redacted",
         (s, d) => TextOps.redactDigits(TestdataAdapter.table(s, d, "events"), "props"),
         Some(TextOps.redactDigitsSql("props"))),

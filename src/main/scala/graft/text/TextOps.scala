@@ -309,6 +309,84 @@ object TextOps {
        |SELECT bigram, COUNT(*) AS n FROM b GROUP BY 1
        |ORDER BY n DESC, bigram LIMIT $k""".stripMargin
 
+  /** Gopher-style repetition signals (Rae et al. 2021, appendix A —
+    * public paper): the repetition family of web-corpus quality filters.
+    * Documents dominated by a few repeated phrases are boilerplate/spam
+    * and get dropped before training. The synthetic corpus carries no
+    * line structure, so the signals are token-level: duplicate-token
+    * fraction, the share of bigram occurrences taken by the single most
+    * frequent bigram, and the share of bigram occurrences that are
+    * repeats.
+    *
+    * Scale shape: token stats are NARROW per-row list algebra
+    * (size/array_distinct — zero shuffle); bigram stats are one explode
+    * plus two map-side-combinable aggregations keyed by (doc_id, bigram)
+    * then doc_id — linear and fully distributed at 100 TB, no windows,
+    * no driver loops. Docs with <2 tokens surface NULL bigram columns
+    * (left join) rather than fabricated zeros.
+    */
+  def repetitionStats(documents: DataFrame): DataFrame = {
+    val w = toks(col("text"))
+    val base = documents.select(col("doc_id"), w.as("w"))
+    val tokenStats = base.select(
+      col("doc_id"),
+      size(col("w")).cast("long").as("n_tokens"),
+      size(array_distinct(col("w"))).cast("long").as("distinct_tokens"))
+    val bigrams = when(size(col("w")) >= 2,
+      transform(sequence(lit(0), size(col("w")) - 2),
+        i => concat(element_at(col("w"), i + 1), lit(" "), element_at(col("w"), i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val perBigram = base
+      .select(col("doc_id"), explode(bigrams).as("bigram"))
+      .groupBy("doc_id", "bigram")
+      .agg(count(lit(1)).as("cnt"))
+    val bigramStats = perBigram
+      .groupBy("doc_id")
+      .agg(
+        sum("cnt").cast("long").as("n_bigrams"),
+        max("cnt").cast("long").as("top_bigram_n"),
+        coalesce(sum(when(col("cnt") > 1, col("cnt"))), lit(0L)).cast("long")
+          .as("dup_bigram_occ"))
+    tokenStats
+      .join(bigramStats, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("distinct_tokens"),
+        ((col("n_tokens") - col("distinct_tokens")).cast("double") / col("n_tokens"))
+          .as("dup_token_frac"),
+        col("n_bigrams"),
+        col("top_bigram_n"),
+        (col("top_bigram_n").cast("double") / col("n_bigrams")).as("top_bigram_frac"),
+        (col("dup_bigram_occ").cast("double") / col("n_bigrams")).as("dup_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of [[repetitionStats]]. */
+  val repetitionStatsSql: String =
+    raw"""WITH tk AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+       |bg AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |    generate_series(1, len(w) - 1),
+       |    i -> w[i] || ' ' || w[i + 1])) AS bigram
+       |  FROM tk),
+       |bc AS (SELECT doc_id, bigram, COUNT(*) AS cnt FROM bg GROUP BY 1, 2),
+       |bs AS (SELECT doc_id,
+       |  CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+       |  CAST(MAX(cnt) AS BIGINT) AS top_bigram_n,
+       |  CAST(COALESCE(SUM(CASE WHEN cnt > 1 THEN cnt END), 0) AS BIGINT) AS dup_bigram_occ
+       |  FROM bc GROUP BY 1)
+       |SELECT t.doc_id,
+       |  CAST(len(w) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_distinct(w)) AS BIGINT) AS distinct_tokens,
+       |  CAST(len(w) - len(list_distinct(w)) AS DOUBLE) / len(w) AS dup_token_frac,
+       |  bs.n_bigrams, bs.top_bigram_n,
+       |  CAST(bs.top_bigram_n AS DOUBLE) / bs.n_bigrams AS top_bigram_frac,
+       |  CAST(bs.dup_bigram_occ AS DOUBLE) / bs.n_bigrams AS dup_bigram_frac
+       |FROM tk t LEFT JOIN bs USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   /** Pattern redaction — the scrub-before-training pass (PII masking,
     * number normalization). Pure narrow regexp column algebra; the
     * pattern here masks digit runs (the only sensitive-shaped content in

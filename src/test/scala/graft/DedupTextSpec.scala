@@ -105,4 +105,26 @@ class DedupTextSpec extends SparkSpec {
     val fps = TextOps.fingerprint(pair).select("fingerprint").as[String].collect()
     assert(fps(0) == fps(1))
   }
+
+  test("repetition stats: spam doc scores high on every signal, varied doc low") {
+    val reps = Seq(
+      (1L, "buy now buy now buy now buy now", "en", "s", 31L), // pure repetition
+      (2L, "each word here appears exactly once only", "en", "s", 40L), // no repeats
+      (3L, "x", "en", "s", 1L)) // single token → no bigrams
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextOps.repetitionStats(reps).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    // doc 1: 8 tokens, 2 distinct → dup_token_frac 0.75; 7 bigrams, top
+    // ("buy now" ×4) → 4/7; every bigram occurrence repeats → 7/7
+    assert(r(1L).getAs[Double]("dup_token_frac") == 0.75)
+    assert(r(1L).getAs[Long]("top_bigram_n") == 4L)
+    assert(r(1L).getAs[Double]("dup_bigram_frac") == 1.0)
+    // doc 2: all 7 tokens distinct, all 6 bigrams unique
+    assert(r(2L).getAs[Double]("dup_token_frac") == 0.0)
+    assert(r(2L).getAs[Double]("top_bigram_frac") == 1.0 / 6.0)
+    assert(r(2L).getAs[Double]("dup_bigram_frac") == 0.0)
+    // doc 3: no bigrams → NULL bigram columns, token stats intact
+    assert(r(3L).getAs[Long]("n_tokens") == 1L)
+    assert(r(3L).isNullAt(r(3L).fieldIndex("n_bigrams")))
+  }
 }
