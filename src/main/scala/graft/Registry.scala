@@ -748,6 +748,22 @@ object Registry {
         Some(graft.ml.HashSplit.splitAssignSql)),
       Q("stratified_sample", (s, d) => graft.ml.HashSplit.stratifiedSample(docs(s, d)),
         Some(graft.ml.HashSplit.stratifiedSampleSql())),
+      // Quality-tier bucketing: exact NTILE(10) by quality score with no
+      // single-partition window (distributed numbering + positional rule)
+      Q("quality_tiers",
+        (s, d) => {
+          val scored = docs(s, d).select(
+            col("doc_id"), TextOps.qualityScore(col("text")).as("quality_score"))
+          graft.rel.Scale.ntileExact(scored, 10, Seq("quality_score", "doc_id"))
+            .select(col("doc_id"), col("quality_score"),
+              col("tier").cast("int").as("tier"))
+            .orderBy("doc_id")
+        },
+        Some(
+          s"""WITH s AS (SELECT doc_id, ${TextOps.qualityScoreSqlExpr} AS quality_score FROM documents)
+             |SELECT doc_id, quality_score,
+             |  CAST(NTILE(10) OVER (ORDER BY quality_score, doc_id) AS INTEGER) AS tier
+             |FROM s ORDER BY doc_id""".stripMargin)),
       Q("multimodal_features", (s, d) => Multimodal.extractFeatures(docs(s, d)),
         Some(Multimodal.extractFeaturesSql)),
       // frame sampling: binary payload → exploded frames table (stub

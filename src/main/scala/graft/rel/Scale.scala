@@ -112,11 +112,46 @@ object Scale {
     * layout-dependent. One of the two sanctioned RDD drops in the repo
     * (genuine per-partition imperative logic: the offset stamp).
     */
-  def globalIndex(df: DataFrame, key: String, partitions: Int = 32): DataFrame = {
+  def globalIndex(df: DataFrame, key: String, partitions: Int = 32): DataFrame =
+    globalIndex(df, Seq(key), partitions)
+
+  /** Multi-key form: the keys together must be a total order (append a
+    * unique tiebreak column), for the same layout-independence reason as
+    * the single-key contract.
+    */
+  def globalIndex(df: DataFrame, keys: Seq[String], partitions: Int): DataFrame = {
     val spark = df.sparkSession
-    val sorted = df.repartitionByRange(partitions, col(key)).sortWithinPartitions(key)
+    val sorted = df.repartitionByRange(partitions, keys.map(col): _*)
+      .sortWithinPartitions(keys.map(col): _*)
     val indexed = sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
     spark.createDataFrame(indexed, sorted.schema.add("global_idx", LongType, nullable = false))
+  }
+
+  /** Exact `NTILE(n) OVER (ORDER BY keys)` without the single-partition
+    * window that plan shape funnels into: distributed range-sort global
+    * numbering ([[globalIndex]]) plus one broadcast 1-row total, then the
+    * positional NTILE rule computed per row (the first `count % n`
+    * buckets hold one extra row). Matches SQL NTILE bit-for-bit while
+    * every step stays distributed — the shape quality-tier bucketing of
+    * a corpus needs (curriculum buckets, per-tier sampling rates), where
+    * `ntile().over(Window.orderBy(...))` would drag 100 TB through one
+    * task. Keys must be a total order (include a unique tiebreak), which
+    * the window form needs for determinism anyway.
+    */
+  def ntileExact(df: DataFrame, n: Int, keys: Seq[String], partitions: Int = 32): DataFrame = {
+    val indexed = globalIndex(df, keys, partitions)
+    val total = indexed.agg(count(lit(1)).as("__total"))
+    indexed
+      .crossJoin(broadcast(total))
+      .withColumn("__q", expr(s"__total DIV $n"))
+      .withColumn("__m", expr(s"__total % $n"))
+      // rows where __q = 0 all land in the first branch (global_idx <
+      // __m = __total), so the __q divisor below is never 0 when used
+      .withColumn("tier",
+        when(col("global_idx") < col("__m") * (col("__q") + 1),
+          expr("global_idx DIV (__q + 1) + 1"))
+          .otherwise(expr("(global_idx - __m * (__q + 1)) DIV __q + __m + 1")))
+      .drop("__total", "__q", "__m")
   }
 
   /** Incremental hourly-view refresh — the reference's hourly DAG

@@ -139,4 +139,23 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("event_date"),
       s"no partition pruning in plan:\n$plan")
   }
+
+  test("distributed ntile matches the window NTILE exactly, uneven buckets included") {
+    import org.apache.spark.sql.expressions.Window
+    // 103 rows into 10 tiers: first 3 tiers get 11 rows, the rest 10
+    val df = (1 to 103).map(i => (i.toLong, (i * 37 % 103).toDouble)).toDF("id", "score")
+    val dist = Scale.ntileExact(df, 10, Seq("score", "id"), partitions = 7)
+      .select(col("id"), col("tier").cast("int").as("tier"))
+    val window = df.select(col("id"),
+      ntile(10).over(Window.orderBy(col("score"), col("id"))).as("tier"))
+    assert(dist.exceptAll(window).isEmpty && window.exceptAll(dist).isEmpty)
+    val sizes = dist.groupBy("tier").count().orderBy("tier")
+      .select("count").as[Long].collect().toSeq
+    assert(sizes == Seq(11L, 11L, 11L, 10L, 10L, 10L, 10L, 10L, 10L, 10L))
+    // fewer rows than tiers: buckets 1..n each take one row, no div-by-zero
+    val tiny = (1 to 3).map(i => (i.toLong, i.toDouble)).toDF("id", "score")
+    val tinyTiers = Scale.ntileExact(tiny, 10, Seq("score", "id"))
+      .select("tier").as[Long].collect().toSeq.sorted
+    assert(tinyTiers == Seq(1L, 2L, 3L))
+  }
 }
