@@ -832,6 +832,22 @@ object Registry {
              |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
              |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)),
 
+      // Stream-stream inner join (watermarked both sides): AvailableNow
+      // over the in-order feed equals the batch join — the oracle. The
+      // hour-bucket equality makes the Spark-side ±1 h range condition a
+      // no-op on results (state-eviction bound only), so it is absent
+      // from the SQL.
+      Q("streaming_join_enrich",
+        (s, d) => Streams.vehicleWeatherJoinStream(s, d),
+        Some(
+          """WITH v AS (SELECT CAST(user_id AS VARCHAR) AS vehicle_id, CAST(ts AS TIMESTAMP) AS observed_at
+            |           FROM events WHERE event_type = 'click'),
+            |w AS (SELECT CAST(ts AS TIMESTAMP) AS weather_at, value AS temperature_c
+            |      FROM events WHERE value > 200)
+            |SELECT vehicle_id, observed_at, weather_at, temperature_c
+            |FROM v JOIN w ON date_trunc('hour', observed_at) = date_trunc('hour', weather_at)
+            |ORDER BY vehicle_id, observed_at, weather_at, temperature_c""".stripMargin)),
+
       Q("streaming_user_state",
         (s, d) => Streams.userStateStream(s, d),
         Some(

@@ -113,6 +113,46 @@ object Streams {
       .orderBy("route_id", "hour_ts")
   }
 
+  /** Stream-stream inner join with watermark-bounded state — the shape a
+    * realtime enrichment (vehicle positions ⋈ co-temporal weather
+    * extremes) takes when BOTH inputs are unbounded feeds: watermarks on
+    * the two event-time columns plus an hour-bucket equality AND a ±1 h
+    * range condition let Spark key the join state by hour bucket and
+    * evict a bucket once both watermarks pass it, so state stays bounded
+    * no matter how long the streams run. Inner joins emit eagerly (no
+    * watermark-finalization delay), so the AvailableNow pass over the
+    * in-order test feed yields exactly the batch join — the oracle. The
+    * ±1 h range predicate is implied by hour-bucket equality, so it
+    * changes no results; it exists to hand the state-eviction bound to
+    * the stream planner.
+    */
+  def vehicleWeatherJoinStream(spark: SparkSession, dir: String): DataFrame = {
+    val veh = eventsStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(
+        col("user_id").cast("string").as("vehicle_id"),
+        ntzFromNanos(col("ts")).cast("timestamp").as("observed_at"))
+      .withWatermark("observed_at", "2 hours")
+    val wea = eventsStream(spark, dir)
+      .filter(col("value") > 200.0)
+      .select(
+        ntzFromNanos(col("ts")).cast("timestamp").as("weather_at"),
+        col("value").as("temperature_c"))
+      .withWatermark("weather_at", "2 hours")
+    val joined = veh.join(
+      wea,
+      date_trunc("hour", col("observed_at")) === date_trunc("hour", col("weather_at")) &&
+        col("weather_at") >= col("observed_at") - expr("INTERVAL 1 HOUR") &&
+        col("weather_at") <= col("observed_at") + expr("INTERVAL 1 HOUR"))
+    runToTable(joined, mode = "append")
+      .select(
+        col("vehicle_id"),
+        col("observed_at").cast("timestamp_ntz").as("observed_at"),
+        col("weather_at").cast("timestamp_ntz").as("weather_at"),
+        col("temperature_c"))
+      .orderBy("vehicle_id", "observed_at", "weather_at", "temperature_c")
+  }
+
   /** §2.11 custom state: per-user running profile (event count + latest
     * event time) via KeyValueGroupedDataset.mapGroupsWithState — the
     * arbitrary-state operator for logic windowed aggs can't express.
