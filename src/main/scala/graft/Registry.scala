@@ -729,6 +729,8 @@ object Registry {
         Some(Dedup.minhashPairsSql)),
       Q("dedup_ngram_jaccard", (s, d) => Dedup.ngramJaccard(docs(s, d)),
         Some(Dedup.ngramJaccardSql)),
+      Q("dedup_clusters", (s, d) => Dedup.dedupClusters(docs(s, d)),
+        Some(Dedup.dedupClustersSql)),
       Q("dedup_simhash_pairs", (s, d) => Dedup.simhashPairs(docs(s, d)),
         Some(Dedup.simhashPairsSql())),
       Q("knn_bruteforce", (s, d) => Knn.bruteForceTopK(embs(s, d)),

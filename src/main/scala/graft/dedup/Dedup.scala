@@ -252,6 +252,83 @@ object Dedup {
       |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
       |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  /** Connected components over an undirected edge list via distributed
+    * min-label propagation (the DataFrame form of the classic map-reduce
+    * algorithm): every vertex starts labeled with its own id; each round
+    * every vertex adopts the minimum label among itself and its
+    * neighbors; the fixpoint label is the per-component minimum id. The
+    * driver loop runs O(component diameter) rounds — near-dup clusters
+    * are shallow — and each round is two key-partitioned shuffles, fully
+    * distributed; the driver sees only a 1-row convergence aggregate per
+    * round (the label sum, strictly decreasing until fixpoint), never
+    * the data.
+    */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame): DataFrame = {
+    val bidir = edges
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("cluster_id"))).head.getLong(0)
+    var labels = vertices
+      .select(col("doc_id"), col("doc_id").as("cluster_id")).persist()
+    var cur = labelSum(labels)
+    var prev = cur + 1
+    var rounds = 0
+    while (cur != prev && rounds < 50) {
+      val msgs = bidir.join(labels, bidir("src") === labels("doc_id"))
+        .groupBy(bidir("dst"))
+        .agg(min(col("cluster_id")).as("nbr_min"))
+        .withColumnRenamed("dst", "doc_id")
+      val next = labels.join(msgs, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .persist()
+      prev = cur
+      cur = labelSum(next) // materializes next into the cache
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    require(cur == prev, s"connectedComponents: no fixpoint after $rounds rounds")
+    bidir.unpersist()
+    labels
+  }
+
+  /** Duplicate CLUSTERS — the step after candidate pairs that a real
+    * dedup pipeline needs before it can keep one representative per
+    * duplicate group: LSH pair (a,b) and (b,c) must collapse to ONE
+    * cluster {a,b,c} even though (a,c) never surfaced as a pair.
+    * Transitive closure via [[connectedComponents]]; cluster_id is the
+    * minimum doc_id of the cluster (the kept representative), and
+    * singletons keep themselves.
+    */
+  def dedupClusters(documents: DataFrame): DataFrame = {
+    val labels = connectedComponents(
+      documents.select("doc_id"), minhashPairs(documents))
+    val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of [[dedupClusters]]: transitive closure as a recursive
+    * CTE (per-node set of reaching roots; MIN root = component id).
+    */
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE $PAIRS_CTE,
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM cand UNION ALL SELECT doc_b, doc_a FROM cand),
+       |reach AS (
+       |  SELECT doc_id AS node, doc_id AS root FROM documents
+       |  UNION
+       |  SELECT e.b, reach.root FROM reach JOIN e ON e.a = reach.node),
+       |lab AS (SELECT node AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY 1),
+       |cs AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1)
+       |SELECT l.doc_id, l.cluster_id, cs.cluster_size
+       |FROM lab l JOIN cs USING (cluster_id)
+       |ORDER BY doc_id""".stripMargin
+
   /** The shipped corpus filter — the end-to-end composition a
     * training-data run applies before tokenization: one representative
     * per distinct content (min doc_id wins), a quality floor, a language

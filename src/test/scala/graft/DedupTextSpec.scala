@@ -106,6 +106,26 @@ class DedupTextSpec extends SparkSpec {
     assert(fps(0) == fps(1))
   }
 
+  test("connected components collapse pair chains transitively; singletons survive") {
+    // chain 1-2, 2-3, plus island 4-5 and singleton 6: components
+    // {1,2,3}→1, {4,5}→4, {6}→6 — (1,3) never appears as an edge
+    val verts = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val r = Dedup.connectedComponents(verts, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+  }
+
+  test("dedup clusters: exact twins share a cluster, unrelated doc is a singleton") {
+    val r = Dedup.dedupClusters(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("cluster_id"), x.getAs[Long]("cluster_size"))).toMap
+    assert(r(0L)._1 == 0L && r(1L)._1 == 0L) // identical docs cluster under min id
+    assert(r(1L)._2 >= 2L)
+    assert(r(3L) == (3L, 1L)) // unrelated doc stays its own cluster
+    assert(r.size == 5) // every doc gets a row, pairless ones included
+  }
+
   test("repetition stats: spam doc scores high on every signal, varied doc low") {
     val reps = Seq(
       (1L, "buy now buy now buy now buy now", "en", "s", 31L), // pure repetition
