@@ -713,6 +713,15 @@ object Registry {
         Some(TextOps.bigramTopKSql())),
       Q("repetition_stats", (s, d) => TextOps.repetitionStats(docs(s, d)),
         Some(TextOps.repetitionStatsSql)),
+      Q("domain_mixture", (s, d) => TextOps.domainMixture(docs(s, d)),
+        Some(TextOps.domainMixtureSql)),
+      // benchmark = doc_id % 100 = 7 stands in for a real eval-suite
+      // table; the operator takes any two document frames
+      Q("decontamination",
+        (s, d) => Dedup.contaminationReport(
+          docs(s, d).filter(col("doc_id") % 100 =!= 7),
+          docs(s, d).filter(col("doc_id") % 100 === 7)),
+        Some(Dedup.contaminationReportSql)),
       Q("props_redacted",
         (s, d) => TextOps.redactDigits(TestdataAdapter.table(s, d, "events"), "props"),
         Some(TextOps.redactDigitsSql("props"))),

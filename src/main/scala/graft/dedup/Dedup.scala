@@ -296,6 +296,36 @@ object Dedup {
     labels
   }
 
+  /** Benchmark decontamination — the train/test-leakage check a training
+    * pipeline runs before any corpus ships: flag training documents that
+    * share word 3-grams with a held-out benchmark set. Same hashed
+    * 3-shingle lineage as the minhash family; the benchmark side is the
+    * small one by construction (eval suites are thousands of docs, the
+    * corpus is billions), so its distinct shingle set broadcasts and the
+    * check is one narrow broadcast-hash join + one aggregation — no
+    * all-pairs anything.
+    */
+  def contaminationReport(training: DataFrame, benchmark: DataFrame): DataFrame = {
+    val tr = hashedShingles(training).select(col("doc_id"), col("h"))
+    val ev = hashedShingles(benchmark).select(col("h")).distinct()
+    tr.join(broadcast(ev), "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared_shingles"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of the registered contamination query (benchmark =
+    * doc_id % 100 = 7 — a stand-in for a real eval-suite table; the
+    * operator itself takes any two frames).
+    */
+  val contaminationReportSql: String =
+    s"""WITH $SHINGLES_CTE,
+       |ev AS (SELECT DISTINCT h FROM hs WHERE doc_id % 100 = 7),
+       |tr AS (SELECT doc_id, h FROM hs WHERE doc_id % 100 <> 7)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_shingles
+       |FROM tr JOIN ev USING (h)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Duplicate CLUSTERS — the step after candidate pairs that a real
     * dedup pipeline needs before it can keep one representative per
     * duplicate group: LSH pair (a,b) and (b,c) must collapse to ONE

@@ -362,6 +362,42 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Domain-mixture statistics — the per-source token accounting a
+    * corpus mixer needs: document/token counts per source, each source's
+    * share of the total token budget, and the resampling weight that
+    * would equalize the mixture (weight > 1 ⇒ upsample). One map-side-
+    * combinable aggregation keyed by source plus a broadcast 1-row total
+    * — the per-source frame is domains-sized (tiny), so the share/weight
+    * arithmetic never shuffles the corpus again.
+    */
+  def domainMixture(documents: DataFrame): DataFrame = {
+    val per = documents
+      .select(col("source"), size(toks(col("text"))).cast("long").as("n_toks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+    val tot = per.agg(
+      sum("n_tokens").as("total_tokens"), count(lit(1)).as("n_sources"))
+    per.crossJoin(broadcast(tot))
+      .select(
+        col("source"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("total_tokens")).as("token_share"),
+        ((col("total_tokens").cast("double") / col("n_sources")) / col("n_tokens"))
+          .as("resample_weight"))
+      .orderBy("source")
+  }
+
+  /** DuckDB twin of [[domainMixture]]. */
+  val domainMixtureSql: String =
+    raw"""WITH per AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM(len(string_split_regex(trim(lower(text)), '\s+'))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens, COUNT(*) AS n_sources FROM per)
+       |SELECT source, n_docs, n_tokens,
+       |  CAST(n_tokens AS DOUBLE) / total_tokens AS token_share,
+       |  (CAST(total_tokens AS DOUBLE) / n_sources) / n_tokens AS resample_weight
+       |FROM per, tot ORDER BY source""".stripMargin
+
   /** DuckDB twin of [[repetitionStats]]. */
   val repetitionStatsSql: String =
     raw"""WITH tk AS (

@@ -106,6 +106,35 @@ class DedupTextSpec extends SparkSpec {
     assert(fps(0) == fps(1))
   }
 
+  test("contamination report counts shared shingles; clean docs stay absent") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog", "en", "b", 43L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Dedup.contaminationReport(docs, bench)
+      .as[(Long, Long)].collect().toMap
+    // docs 0/1 are the benchmark text verbatim: all 7 of its 3-shingles
+    assert(r(0L) == 7L && r(1L) == 7L)
+    assert(r.contains(2L)) // near-dup shares a prefix of shingles
+    assert(r(2L) < 7L)
+    assert(!r.contains(3L)) // unrelated doc: no overlap, no row
+  }
+
+  test("domain mixture: shares sum to 1, uniform weight inverts token share") {
+    val mix = Seq(
+      (1L, "one two three four five six seven eight", "en", "web", 39L),
+      (2L, "one two", "en", "web", 7L),
+      (3L, "alpha beta", "en", "books", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextOps.domainMixture(mix).collect()
+      .map(x => x.getAs[String]("source") -> x).toMap
+    assert(r("web").getAs[Long]("n_docs") == 2L)
+    assert(r("web").getAs[Long]("n_tokens") == 10L)
+    assert(r("books").getAs[Long]("n_tokens") == 2L)
+    assert(math.abs(r.values.map(_.getAs[Double]("token_share")).sum - 1.0) < 1e-12)
+    // 12 tokens over 2 sources → uniform target 6: books upsamples ×3
+    assert(r("books").getAs[Double]("resample_weight") == 3.0)
+    assert(r("web").getAs[Double]("resample_weight") == 0.6)
+  }
+
   test("connected components collapse pair chains transitively; singletons survive") {
     // chain 1-2, 2-3, plus island 4-5 and singleton 6: components
     // {1,2,3}→1, {4,5}→4, {6}→6 — (1,3) never appears as an edge
