@@ -759,6 +759,27 @@ object Registry {
         Some(graft.ml.HashSplit.splitAssignSql)),
       Q("stratified_sample", (s, d) => graft.ml.HashSplit.stratifiedSample(docs(s, d)),
         Some(graft.ml.HashSplit.stratifiedSampleSql())),
+      // Token-budget sharding: global prefix sum in doc order via the
+      // two-pass distributed form (no single-partition window), then a
+      // shard cut every 2000 tokens
+      Q("token_shards",
+        (s, d) => {
+          val toks = docs(s, d).select(
+            col("doc_id"), size(TextOps.toks(col("text"))).cast("long").as("n_toks"))
+          graft.rel.Scale.prefixSumShards(toks, "doc_id", "n_toks", budget = 2000L)
+            .select(col("doc_id"), col("n_toks"), col("cum_tokens"),
+              col("shard_id").cast("int").as("shard_id"))
+            .orderBy("doc_id")
+        },
+        Some(
+          raw"""WITH t AS (SELECT doc_id,
+             |  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_toks
+             |  FROM documents),
+             |c AS (SELECT doc_id, n_toks,
+             |  CAST(SUM(n_toks) OVER (ORDER BY doc_id) AS BIGINT) AS cum_tokens FROM t)
+             |SELECT doc_id, n_toks, cum_tokens,
+             |  CAST((cum_tokens - n_toks) // 2000 AS INTEGER) AS shard_id
+             |FROM c ORDER BY doc_id""".stripMargin)),
       // Quality-tier bucketing: exact NTILE(10) by quality score with no
       // single-partition window (distributed numbering + positional rule)
       Q("quality_tiers",

@@ -127,6 +127,38 @@ object Scale {
     spark.createDataFrame(indexed, sorted.schema.add("global_idx", LongType, nullable = false))
   }
 
+  /** Distributed global prefix sum + budgeted sharding — the
+    * sequence-packing step of a training pipeline: walk the corpus in
+    * key order, accumulate per-row weights (token counts), cut a new
+    * shard every `budget` tokens. `SUM(w) OVER (ORDER BY key)` plans to
+    * a single-partition window; this is the classic two-pass distributed
+    * form instead: range-partition on the key, per-partition local
+    * cumsum (window keyed by the physical partition id), then add each
+    * partition's broadcast running offset. The only global window runs
+    * over the `partitions`-row totals frame — driver-sized by
+    * construction. Key must be a unique total order; weights must be
+    * non-negative.
+    */
+  def prefixSumShards(
+      df: DataFrame, key: String, valueCol: String,
+      budget: Long, partitions: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val local = df.repartitionByRange(partitions, col(key))
+      .sortWithinPartitions(key)
+      .withColumn("__pid", spark_partition_id())
+    val w = Window.partitionBy("__pid").orderBy(key)
+    val localSum = local.withColumn("__local_cum", sum(col(valueCol)).over(w))
+    val wo = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offs = local.groupBy("__pid").agg(sum(col(valueCol)).as("__ptotal"))
+      .withColumn("__offset", coalesce(sum("__ptotal").over(wo), lit(0L)))
+      .select("__pid", "__offset")
+    localSum.join(broadcast(offs), "__pid")
+      .withColumn("cum_tokens", (col("__local_cum") + col("__offset")).cast("long"))
+      .withColumn("shard_id",
+        expr(s"(cum_tokens - $valueCol) DIV $budget"))
+      .drop("__pid", "__local_cum", "__offset")
+  }
+
   /** Exact `NTILE(n) OVER (ORDER BY keys)` without the single-partition
     * window that plan shape funnels into: distributed range-sort global
     * numbering ([[globalIndex]]) plus one broadcast 1-row total, then the

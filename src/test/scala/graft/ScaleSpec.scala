@@ -140,6 +140,23 @@ class ScaleSpec extends SparkSpec {
       s"no partition pruning in plan:\n$plan")
   }
 
+  test("distributed prefix sum equals the global window cumsum; shards respect the budget") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 200).map(i => (i.toLong, (i % 13 + 1).toLong)).toDF("id", "w")
+      .repartition(9) // scrambled input layout; result must not care
+    val r = Scale.prefixSumShards(df, "id", "w", budget = 50L, partitions = 7)
+    val expected = df.withColumn("cum_tokens",
+      sum("w").over(Window.orderBy("id")).cast("long"))
+      .withColumn("shard_id", expr("(cum_tokens - w) DIV 50"))
+    val got = r.select("id", "w", "cum_tokens", "shard_id")
+    val want = expected.select("id", "w", "cum_tokens", "shard_id")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // each shard's token load stays within budget + one max-doc overhang
+    val loads = r.groupBy("shard_id").agg(sum("w").as("load"))
+      .select("load").as[Long].collect()
+    assert(loads.forall(_ <= 50 + 13))
+  }
+
   test("distributed ntile matches the window NTILE exactly, uneven buckets included") {
     import org.apache.spark.sql.expressions.Window
     // 103 rows into 10 tiers: first 3 tiers get 11 rows, the rest 10
