@@ -759,6 +759,8 @@ object Registry {
         Some(graft.ml.HashSplit.splitAssignSql)),
       Q("stratified_sample", (s, d) => graft.ml.HashSplit.stratifiedSample(docs(s, d)),
         Some(graft.ml.HashSplit.stratifiedSampleSql())),
+      Q("mixture_resample", (s, d) => graft.ml.HashSplit.mixtureResample(docs(s, d)),
+        Some(graft.ml.HashSplit.mixtureResampleSql)),
       // Token-budget sharding: global prefix sum in doc order via the
       // two-pass distributed form (no single-partition window), then a
       // shard cut every 2000 tokens

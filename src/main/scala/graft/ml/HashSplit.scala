@@ -82,4 +82,55 @@ object HashSplit {
     s"""SELECT doc_id, lang, source, n_chars FROM documents
        |WHERE $b < $pct ORDER BY doc_id""".stripMargin
   }
+
+  /** Deterministic mixture resampling — materialize the copy list that
+    * realizes [[graft.text.TextOps.domainMixture]]'s uniform-target
+    * weights: every document appears `floor(w)` times plus one more copy
+    * iff its hash bucket falls under the fractional part (so a source
+    * with weight 2.3 upsamples ×2 everywhere and ×3 for a deterministic
+    * 30% of its docs; weight 0.6 keeps a deterministic 60%). No RNG —
+    * rerun-, layout- and append-stable like every sampler here. The
+    * weights frame is domains-sized, so the join broadcasts; the copy
+    * fan-out is a narrow per-row sequence explode.
+    */
+  def mixtureResample(documents: DataFrame): DataFrame = {
+    val weights = graft.text.TextOps.domainMixture(documents)
+      .select(col("source"), col("resample_weight"))
+    val whole = floor(col("resample_weight"))
+    val frac = col("resample_weight") - whole
+    val extra = when(
+      hashBucket(col("doc_id"), 1000).cast("double") < frac * 1000.0, 1L)
+      .otherwise(0L)
+    documents.join(broadcast(weights), "source")
+      .withColumn("n_copies", whole + extra)
+      .withColumn("copy_idx",
+        explode(when(col("n_copies") > 0, sequence(lit(1L), col("n_copies")))
+          .otherwise(array().cast("array<long>"))))
+      .select(col("doc_id"), col("source"),
+        col("copy_idx").cast("int").as("copy_idx"), col("n_copies"))
+      .orderBy("doc_id", "copy_idx")
+  }
+
+  /** DuckDB twin of [[mixtureResample]] (inlines the domain-mixture
+    * weight expression so both engines derive w identically).
+    */
+  val mixtureResampleSql: String = {
+    val b = hashBucketSql("doc_id", 1000)
+    raw"""WITH per AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM(len(string_split_regex(trim(lower(text)), '\s+'))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens, COUNT(*) AS n_sources FROM per),
+       |w AS (SELECT source,
+       |  (CAST(total_tokens AS DOUBLE) / n_sources) / n_tokens AS resample_weight
+       |  FROM per, tot),
+       |j AS (SELECT d.doc_id, d.source,
+       |  CAST(floor(resample_weight) AS BIGINT)
+       |    + CASE WHEN CAST($b AS DOUBLE) < (resample_weight - floor(resample_weight)) * 1000.0
+       |           THEN 1 ELSE 0 END AS n_copies
+       |  FROM documents d JOIN w USING (source))
+       |SELECT doc_id, source,
+       |  CAST(unnest(generate_series(1, n_copies)) AS INTEGER) AS copy_idx, n_copies
+       |FROM j ORDER BY doc_id, copy_idx""".stripMargin
+  }
 }

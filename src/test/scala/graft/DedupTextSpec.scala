@@ -135,6 +135,27 @@ class DedupTextSpec extends SparkSpec {
     assert(r("web").getAs[Double]("resample_weight") == 0.6)
   }
 
+  test("mixture resample: whole part replicates every doc, fraction is hash-gated") {
+    val mix = Seq(
+      (1L, "one two three four five six seven eight", "en", "web", 39L),
+      (2L, "one two", "en", "web", 7L),
+      (3L, "alpha beta", "en", "books", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // weights from domainMixture: web 0.6 (drop ~40%), books 3.0 (×3 exactly)
+    val r = graft.ml.HashSplit.mixtureResample(mix).collect()
+    val byDoc = r.groupBy(_.getAs[Long]("doc_id")).view.mapValues(_.length).toMap
+    assert(byDoc.getOrElse(3L, 0) == 3) // integral weight → exact copy count
+    for (d <- Seq(1L, 2L)) assert(byDoc.getOrElse(d, 0) <= 1) // w<1 → keep or drop
+    // copy indices are 1..n and n_copies is consistent
+    r.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Int]("copy_idx")).sorted.toSeq == (1 to rows.length))
+      assert(rows.forall(_.getAs[Long]("n_copies") == rows.length.toLong))
+    }
+    // determinism: a second evaluation returns the identical multiset
+    val again = graft.ml.HashSplit.mixtureResample(mix).collect()
+    assert(r.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+  }
+
   test("connected components collapse pair chains transitively; singletons survive") {
     // chain 1-2, 2-3, plus island 4-5 and singleton 6: components
     // {1,2,3}→1, {4,5}→4, {6}→6 — (1,3) never appears as an edge
