@@ -715,6 +715,8 @@ object Registry {
         Some(TextOps.repetitionStatsSql)),
       Q("domain_mixture", (s, d) => TextOps.domainMixture(docs(s, d)),
         Some(TextOps.domainMixtureSql)),
+      Q("doc_chunks", (s, d) => TextOps.chunkDocuments(docs(s, d)),
+        Some(TextOps.chunkDocumentsSql())),
       // benchmark = doc_id % 100 = 7 stands in for a real eval-suite
       // table; the operator takes any two document frames
       Q("decontamination",

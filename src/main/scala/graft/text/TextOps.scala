@@ -362,6 +362,47 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Document chunking into overlapping token windows — the step that
+    * turns variable-length documents into trainable context-window
+    * pieces (chunk k covers tokens [k·stride+1, k·stride+chunkTokens],
+    * stride = chunkTokens − overlap, until the document is consumed).
+    * Pure NARROW per-row list algebra: one sequence explode + slice/join
+    * per chunk, no shuffle anywhere — the shape that matters when the
+    * corpus is 100 TB and chunking must not cost a repartition.
+    */
+  def chunkDocuments(
+      documents: DataFrame, chunkTokens: Int = 50, overlap: Int = 10): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens, "need 0 <= overlap < chunkTokens")
+    val stride = chunkTokens - overlap
+    documents.select(col("doc_id"), toks(col("text")).as("w"))
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0L), expr(s"CAST((size(w) - 1) DIV $stride AS BIGINT)"))))
+      .select(
+        col("doc_id"),
+        col("chunk_idx").cast("int").as("chunk_idx"),
+        expr(s"CAST(LEAST($chunkTokens, size(w) - chunk_idx * $stride) AS BIGINT)")
+          .as("n_chunk_tokens"),
+        array_join(
+          slice(col("w"), (col("chunk_idx") * stride + 1).cast("int"), lit(chunkTokens)), " ")
+          .as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** DuckDB twin of [[chunkDocuments]]. */
+  def chunkDocumentsSql(chunkTokens: Int = 50, overlap: Int = 10): String = {
+    val stride = chunkTokens - overlap
+    raw"""WITH tk AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+       |ch AS (SELECT doc_id, w,
+       |  unnest(generate_series(0, (len(w) - 1) // $stride)) AS chunk_idx FROM tk)
+       |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       |  CAST(LEAST($chunkTokens, len(w) - chunk_idx * $stride) AS BIGINT) AS n_chunk_tokens,
+       |  array_to_string(
+       |    list_slice(w, chunk_idx * $stride + 1,
+       |               LEAST(chunk_idx * $stride + $chunkTokens, len(w))), ' ') AS chunk_text
+       |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
   /** Domain-mixture statistics — the per-source token accounting a
     * corpus mixer needs: document/token counts per source, each source's
     * share of the total token budget, and the resampling weight that

@@ -135,6 +135,22 @@ class DedupTextSpec extends SparkSpec {
     assert(r("web").getAs[Double]("resample_weight") == 0.6)
   }
 
+  test("chunking tiles tokens with the configured overlap; short docs get one chunk") {
+    val d = Seq(
+      (1L, (1 to 95).map(i => s"t$i").mkString(" "), "en", "s", 0L), // 95 tokens
+      (2L, "tiny doc", "en", "s", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextOps.chunkDocuments(d, chunkTokens = 50, overlap = 10).collect()
+    val c1 = r.filter(_.getAs[Long]("doc_id") == 1L)
+    // stride 40 over 95 tokens → starts 1, 41, 81 → 3 chunks of 50/50/15
+    assert(c1.map(_.getAs[Int]("chunk_idx")).toSeq == Seq(0, 1, 2))
+    assert(c1.map(_.getAs[Long]("n_chunk_tokens")).toSeq == Seq(50L, 50L, 15L))
+    val chunk1 = c1(1).getAs[String]("chunk_text").split(" ")
+    assert(chunk1.head == "t41" && chunk1.last == "t90") // 10-token overlap with chunk 0
+    val c2 = r.filter(_.getAs[Long]("doc_id") == 2L)
+    assert(c2.length == 1 && c2.head.getAs[String]("chunk_text") == "tiny doc")
+  }
+
   test("mixture resample: whole part replicates every doc, fraction is hash-gated") {
     val mix = Seq(
       (1L, "one two three four five six seven eight", "en", "web", 39L),
