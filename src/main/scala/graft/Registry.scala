@@ -600,6 +600,43 @@ object Registry {
           |  quantile_cont(value, 0.99) AS p99
           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Winsorization (percentile clipping) — the outlier-clamp DQ pass:
+    // per-group exact p05/p95 bounds (groups-sized frame → broadcast)
+    // joined back and applied as LEAST/GREATEST
+    Q("value_winsorized",
+      (s, dir) => {
+        val ev = TestdataAdapter.table(s, dir, "events")
+        val bounds = ev.groupBy("event_type").agg(
+          expr("percentile(value, 0.05)").as("lo"),
+          expr("percentile(value, 0.95)").as("hi"))
+        ev.join(broadcast(bounds), "event_type")
+          .select(col("event_id"), col("event_type"), col("value"),
+            least(greatest(col("value"), col("lo")), col("hi")).as("value_winsorized"))
+          .orderBy("event_id")
+      },
+      Some(
+        """WITH b AS (SELECT event_type,
+          |  quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+          |  FROM events GROUP BY 1)
+          |SELECT event_id, event_type, value,
+          |  LEAST(GREATEST(value, lo), hi) AS value_winsorized
+          |FROM events JOIN b USING (event_type) ORDER BY event_id""".stripMargin)),
+
+    // Explicit INTERSECT (§2.7 set ops): sources publishing in both of
+    // the two largest languages
+    Q("sources_bilingual",
+      (s, dir) => {
+        val dd = TestdataAdapter.table(s, dir, "documents")
+        dd.filter(col("lang") === "en").select("source").distinct()
+          .intersect(dd.filter(col("lang") === "de").select("source").distinct())
+          .orderBy("source")
+      },
+      Some(
+        """SELECT DISTINCT source FROM documents WHERE lang = 'en'
+          |INTERSECT
+          |SELECT DISTINCT source FROM documents WHERE lang = 'de'
+          |ORDER BY source""".stripMargin)),
+
     // Equi-width histogram with data-driven bounds (broadcast min/max)
     Q("value_histogram",
       (s, dir) => Sketches.valueHistogram(TestdataAdapter.table(s, dir, "events")),
