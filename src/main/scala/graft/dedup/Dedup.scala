@@ -264,14 +264,20 @@ object Dedup {
     * the data.
     */
   def connectedComponents(vertices: DataFrame, edges: DataFrame): DataFrame = {
-    val bidir = edges
+    // localCheckpoint (not persist) everywhere in the loop: persist
+    // truncates re-EXECUTION but not the LOGICAL plan, so an iterative
+    // join would grow the plan every round and each job event would pay
+    // an ever-larger plan-string rendering (measured: minutes of driver
+    // CPU at 50 rounds). Checkpointing makes every round's frame a leaf.
+    val e = edges.localCheckpoint() // materializes the LSH pipeline once
+    val bidir = e
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist()
+      .unionByName(e.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
     def labelSum(df: DataFrame): Long =
       df.agg(sum(col("cluster_id"))).head.getLong(0)
     var labels = vertices
-      .select(col("doc_id"), col("doc_id").as("cluster_id")).persist()
+      .select(col("doc_id"), col("doc_id").as("cluster_id")).localCheckpoint()
     var cur = labelSum(labels)
     var prev = cur + 1
     var rounds = 0
@@ -280,19 +286,25 @@ object Dedup {
         .groupBy(bidir("dst"))
         .agg(min(col("cluster_id")).as("nbr_min"))
         .withColumnRenamed("dst", "doc_id")
-      val next = labels.join(msgs, Seq("doc_id"), "left")
+      val adopted = labels.join(msgs, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"))
-        .persist()
+      // pointer jumping: also follow my label's label, halving chain
+      // depth every round — O(log diameter) rounds instead of O(diameter)
+      val ptr = adopted
+        .select(col("doc_id").as("pid"), col("cluster_id").as("plabel"))
+      val next = adopted.join(ptr, adopted("cluster_id") === ptr("pid"), "left")
+        .select(adopted("doc_id"),
+          least(adopted("cluster_id"), coalesce(col("plabel"), adopted("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint()
       prev = cur
-      cur = labelSum(next) // materializes next into the cache
-      labels.unpersist()
+      cur = labelSum(next)
       labels = next
       rounds += 1
     }
     require(cur == prev, s"connectedComponents: no fixpoint after $rounds rounds")
-    bidir.unpersist()
     labels
   }
 
