@@ -24,4 +24,31 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r(1).getAs[Long]("n_redacted") == 0L)
     assert(r(1).getAs[String]("redacted") == """{"k": null}""")
   }
+
+  test("chunking plan is shuffle-free (narrow explode, no Exchange)") {
+    val docs = Seq((1L, (1 to 80).map("t" + _).mkString(" ")))
+      .toDF("doc_id", "text")
+    // drop the presentation orderBy: the operator body itself must not shuffle
+    val body = TextOps.chunkDocuments(docs).queryExecution.optimizedPlan.collect {
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sort => s
+    }
+    val plan = TextOps.chunkDocuments(docs)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    // the only exchange allowed is the final presentation sort's range
+    // partitioning; nothing upstream of it may shuffle
+    assert(exchanges <= 1, s"chunking shuffled more than the final sort:\n$plan")
+    assert(body.nonEmpty) // the one sort is the declared presentation order
+  }
+
+  test("decontamination plan broadcasts the benchmark side") {
+    val tr = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val ev = Seq((9L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val plan = graft.dedup.Dedup.contaminationReport(tr, ev)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark side not broadcast:\n$plan")
+  }
 }
