@@ -1070,6 +1070,84 @@ object Registry {
              |FROM e ASOF JOIN wh w ON e.observed_at >= w.hour_ts
              |ORDER BY e.event_id""".stripMargin)),
 
+      // Interval-overlap (range) join: deterministic 90-minute windows
+      // anchored 15 min past every 6th hour, each trip update matched to
+      // the window containing it, rolled up per window. Spark side is the
+      // bucketed equi-join shape (Relational.rangeJoinHourly — never a
+      // broadcast-nested-loop inequality join); DuckDB's native
+      // inequality join is the oracle twin.
+      Q("range_join_windows",
+        (s, d) => {
+          val t = TestdataAdapter.tripUpdates(s, d)
+          val w = t.filter(hour(col("observed_at")) % 6 === 0)
+            .select(date_trunc("hour", col("observed_at")).as("h")).distinct()
+            .select(
+              (col("h") + expr("INTERVAL 15 MINUTES")).as("window_start"),
+              (col("h") + expr("INTERVAL 105 MINUTES")).as("window_end"))
+          Relational.rangeJoinHourly(t, "observed_at", w, "window_start", "window_end")
+            .groupBy("window_start")
+            .agg(count(lit(1)).as("n_events"),
+              graft.functions.Cols.detSum(col("delay_seconds")).as("total_delay"))
+            .select(ntzCol("window_start"), col("n_events"), col("total_delay"))
+            .orderBy("window_start")
+        },
+        Some(
+          s"""WITH t AS ($TRIP),
+             |w AS (SELECT DISTINCT
+             |        date_trunc('hour', observed_at) + INTERVAL 15 MINUTE AS window_start,
+             |        date_trunc('hour', observed_at) + INTERVAL 105 MINUTE AS window_end
+             |      FROM t WHERE EXTRACT(HOUR FROM observed_at) % 6 = 0)
+             |SELECT w.window_start, COUNT(*) AS n_events,
+             |  ${dsum("t.delay_seconds")} AS total_delay
+             |FROM w JOIN t ON t.observed_at >= w.window_start AND t.observed_at < w.window_end
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+      // Skew-salted equi-join surfaced at the correctness gate: salting
+      // only changes partitioning (hot fact keys spread across 8
+      // reducers), so the result — and therefore the oracle — is exactly
+      // the plain join. Plan shape asserted separately in ScaleSpec.
+      Q("salted_join_user_stats",
+        (s, d) => {
+          val ev = TestdataAdapter.table(s, d, "events")
+            .select(col("event_id"), col("user_id"))
+          val dim = ev.groupBy("user_id").agg(count(lit(1)).as("user_events"))
+          graft.rel.Scale.saltedJoin(ev, dim, "user_id", salts = 8)
+            .select(col("event_id"), col("user_id"), col("user_events"))
+            .orderBy("event_id")
+        },
+        Some(
+          """WITH dim AS (SELECT user_id, COUNT(*) AS user_events FROM events GROUP BY 1)
+            |SELECT e.event_id, e.user_id, d.user_events
+            |FROM events e JOIN dim d USING (user_id)
+            |ORDER BY e.event_id""".stripMargin)),
+
+      // Feature-matrix reshaping: hourly demand pivoted to one row per
+      // route with a column per day-of-week (Postgres DOW numbering,
+      // Sunday=0). pivot() with explicit values keeps the plan a single
+      // groupBy (no distinct-values pre-job); empty cells default to 0.0
+      // like every other view. Oracle = conditional aggregation.
+      Q("demand_pivot_dow",
+        (s, d) => {
+          val base = demandHourly(s, d)
+            .withColumn("dow", graft.functions.Cols.pgDow(col("hour_ts")))
+          val p = base.groupBy("route_id")
+            .pivot("dow", 0 to 6)
+            .agg(graft.functions.Cols.detSum(col("passengers")))
+          p.select(col("route_id") +:
+              (0 to 6).map(i => coalesce(col(i.toString), lit(0.0)).as(s"dow_$i")): _*)
+            .orderBy("route_id")
+        },
+        Some {
+          val cells = (0 to 6).map(i =>
+            s"COALESCE(CAST(SUM(CASE WHEN dow = $i THEN CAST(passengers AS DECIMAL(28,6)) END) AS DOUBLE), 0.0) AS dow_$i")
+            .mkString(",\n             |  ")
+          s"""WITH s2r AS ($S2R), f AS ($FLOW), d AS ($DEMAND_BODY)
+             |SELECT route_id,
+             |  $cells
+             |FROM (SELECT route_id, dayofweek(hour_ts) AS dow, passengers FROM d)
+             |GROUP BY route_id ORDER BY route_id""".stripMargin
+        }),
+
       Q("trailing_context",
         (s, d) => {
           val trips = TestdataAdapter.tripUpdates(s, d)

@@ -287,6 +287,32 @@ object Relational {
       .drop("__bucket", "__rn")
   }
 
+  /** Interval-overlap (range) join without an inequality join: each
+    * interval is exploded to the hour buckets it spans, each point
+    * buckets to its own hour, and the match is a plain equality join on
+    * the bucket refined by the exact [start, end) predicate. A point's
+    * bucket is unique, so every surviving (point, interval) match
+    * surfaces exactly once — no dedup pass. Spark plans a raw
+    * `ts >= start AND ts < end` join as a broadcast-nested-loop (all
+    * pairs scanned — quadratic at scale); this shape instead shuffles on
+    * hour keys like any aggregation, and the explode factor is bounded
+    * by interval length over the hour grain, so short-interval workloads
+    * (promo windows, maintenance windows, sessions) stay linear.
+    * Contract: start <= end per interval. DuckDB's native inequality
+    * join is the oracle twin.
+    */
+  def rangeJoinHourly(points: DataFrame, pointTs: String,
+                      intervals: DataFrame, startTs: String, endTs: String): DataFrame = {
+    val exploded = intervals.withColumn("__bucket",
+      explode(expr(s"sequence(date_trunc('HOUR', $startTs), " +
+        s"date_trunc('HOUR', $endTs), interval 1 hour)")))
+    points
+      .withColumn("__bucket", date_trunc("hour", col(pointTs)))
+      .join(exploded, Seq("__bucket"))
+      .filter(col(pointTs) >= col(startTs) && col(pointTs) < col(endTs))
+      .drop("__bucket")
+  }
+
   /** Snapshot diff — the change-detection pass of any versioned-table /
     * incremental-export flow (what changed between yesterday's corpus
     * snapshot and today's): one full-outer join on the key classifies
