@@ -788,6 +788,10 @@ object Registry {
       // IVF with trained centroids — rows-only (k-means‖ is not
       // SQL-expressible; exactness is spec-asserted against brute force)
       Q("knn_ivf", (s, d) => Knn.ivfTopK(embs(s, d)), None),
+      // Product quantization ADC top-k — rows-only (trained codebooks are
+      // not SQL-expressible; exactness on separated clusters and the
+      // compressed-code contract are spec-asserted in KnnSpec)
+      Q("pq_topk", (s, d) => Knn.pqTopK(embs(s, d)), None),
       Q("embedding_near_dup", (s, d) => Knn.nearDupPairs(embs(s, d)),
         Some(Knn.nearDupPairsSql())),
       Q("embedding_label_stats", (s, d) => Knn.labelStats(embs(s, d)),

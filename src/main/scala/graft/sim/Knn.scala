@@ -313,6 +313,87 @@ object Knn {
       .orderBy("query_id", "rank")
   }
 
+  /** Product quantization top-k: the compression half of a production
+    * IVF-PQ index ([[ivfTopK]] is the routing half). The Dim-dim vector
+    * splits into `m` subvectors; each subspace trains its own k-means
+    * codebook (`codebookSize` centroids, fixed seed, layout-pinned input
+    * — MLlib init is partition-layout sensitive), and every vector is
+    * encoded as `m` small integer codes: 64 floats (256 B) → 8 codes
+    * (8 B here), a 32× compression, which is what lets a 100 TB corpus'
+    * index live in cluster memory. Scoring is asymmetric (ADC): each
+    * query precomputes an `m × codebookSize` lookup table of partial
+    * squared distances to every sub-centroid, and a candidate's
+    * approximate distance is m table reads + adds instead of Dim
+    * multiplies — candidates are scanned compressed, never decoded.
+    * Encoding is a pure codegen expression over driver-side centroid
+    * literals (argmin over codebookSize per-subspace distances), not a
+    * per-subspace transform/join chain. Rows-only in the registry
+    * (k-means centroids are not SQL-expressible); the spec pins exact
+    * agreement with the uncompressed L2 top-k on separated clusters.
+    */
+  def pqTopK(
+      embeddings: DataFrame, nQueries: Int = 20, k: Int = 3,
+      m: Int = 8, codebookSize: Int = 16, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(Dim % m == 0, s"m=$m must divide Dim=$Dim")
+    val subDim = Dim / m
+    // layout pin (fixed partition count + in-partition sort on the unique
+    // key): k-means|| seeding samples per (seed, partition), so codebooks
+    // are only reproducible if the training layout is a pure function of
+    // the data — same contract as DemandModel.pinLayout
+    val e = withNorm(embeddings)
+      .repartition(8, col("vec_id")).sortWithinPartitions("vec_id")
+      .persist()
+    // one codebook per subspace, trained independently (m small fits; the
+    // training set is a sample at real scale — codebooks are KB-sized)
+    val codebooks: Array[Array[Array[Double]]] = (0 until m).toArray.map { j =>
+      val sub = e.select(
+        array_to_vector(slice(col("embedding"), j * subDim + 1, subDim)).as("features"))
+      new KMeans().setK(codebookSize).setSeed(seed + j).setFeaturesCol("features")
+        .fit(sub).clusterCenters.map(_.toArray)
+    }
+    // per-subspace squared distance to one centroid: subDim exact
+    // float-as-double terms, addition order pinned by the parse tree
+    def d2(j: Int, cen: Array[Double]): Column =
+      (0 until subDim).map { i =>
+        val t = col("embedding").getItem(j * subDim + i).cast("double") - lit(cen(i))
+        t * t
+      }.reduceLeft(_ + _)
+    // codebooks(j).length, not codebookSize: k-means can return fewer
+    // centers than k when the training data has fewer distinct points
+    def lutArr(j: Int): Column = array(codebooks(j).indices.map(c => d2(j, codebooks(j)(c))): _*)
+    // code = argmin over the subspace's centroid distances (first index on
+    // ties — deterministic; array_position compares the min to itself, so
+    // double equality is exact)
+    def codeCol(j: Int): Column = {
+      val a = lutArr(j)
+      (array_position(a, array_min(a)) - 1).cast("int")
+    }
+    val cand = (0 until m).foldLeft(
+      e.select(col("vec_id").as("neighbor_id"), col("embedding"))) {
+      (df, j) => df.withColumn(s"code$j", codeCol(j))
+    }.drop("embedding")
+    val q = (0 until m).foldLeft(
+      e.filter(col("vec_id") < nQueries).select(col("vec_id").as("query_id"), col("embedding"))) {
+      (df, j) => df.withColumn(s"lut$j", lutArr(j))
+    }.drop("embedding")
+    // ADC scan: broadcast the per-query LUTs over the compressed
+    // candidate stream — m element_at reads per pair
+    val adist = (0 until m)
+      .map(j => element_at(col(s"lut$j"), col(s"code$j") + 1))
+      .reduceLeft(_ + _)
+    val scored = cand.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adist", adist)
+    val w = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("adist"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Per-label embedding statistics: count + norm aggregates (norms are
     * per-row deterministic doubles; min/max are order-independent).
     */

