@@ -779,6 +779,28 @@ object Registry {
         Some(Dedup.ngramJaccardSql)),
       Q("dedup_clusters", (s, d) => Dedup.dedupClusters(docs(s, d)),
         Some(Dedup.dedupClustersSql)),
+      // one representative per near-dup cluster — the keep list the
+      // approximate-dedup pipeline actually ships
+      Q("near_dedup_keep", (s, d) => Dedup.nearDedupKeep(docs(s, d)),
+        Some(Dedup.nearDedupKeepSql)),
+      // boilerplate hotspots: 3-grams shared across the most documents
+      Q("duplicate_shingles", (s, d) => Dedup.duplicateShingles(docs(s, d)),
+        Some(Dedup.duplicateShinglesSql())),
+      // incremental batch-vs-corpus dedup via a broadcast Bloom filter —
+      // rows-only (the sketch's false-positive set is not
+      // SQL-expressible; no-false-negative + FPR bounds are
+      // spec-asserted; corpus = doc_id%3≠0, batch = doc_id%3=0)
+      Q("bloom_new_docs",
+        (s, d) => Dedup.bloomNewDocs(
+          docs(s, d).filter(col("doc_id") % 3 =!= 0),
+          docs(s, d).filter(col("doc_id") % 3 === 0)),
+        None),
+      // learned quality model (hashed BoW → logistic regression) —
+      // rows-only (iterative fitter; AUC band + determinism are
+      // spec-asserted in QualityClassifierSpec)
+      Q("quality_classifier",
+        (s, d) => graft.ml.QualityClassifier.trainEval(docs(s, d)),
+        None),
       Q("dedup_simhash_pairs", (s, d) => Dedup.simhashPairs(docs(s, d)),
         Some(Dedup.simhashPairsSql())),
       Q("knn_bruteforce", (s, d) => Knn.bruteForceTopK(embs(s, d)),

@@ -62,12 +62,15 @@ object Dedup {
   def hashedShingles(documents: DataFrame): DataFrame =
     shingles(documents).distinct().withColumn("h", md5(col("shingle")))
 
-  private val SHINGLES_CTE =
+  private val RAW_SHINGLES_CTE =
     """toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
       |sh AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-      |       FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM toks)),
-      |hs AS (SELECT doc_id, shingle, md5(shingle) AS h
-      |       FROM (SELECT DISTINCT doc_id, shingle FROM sh))""".stripMargin
+      |       FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM toks))""".stripMargin
+
+  private val SHINGLES_CTE =
+    s"""$RAW_SHINGLES_CTE,
+       |hs AS (SELECT doc_id, shingle, md5(shingle) AS h
+       |       FROM (SELECT DISTINCT doc_id, shingle FROM sh))""".stripMargin
 
   /** Permutation k of a 32-hex-char md5: rotate left by 4k characters.
     * One md5 per shingle; the 8 orderings come from these rotations.
@@ -393,6 +396,98 @@ object Dedup {
         TextOps.predictedLang(col("text")).as("predicted_lang"))
       .filter(col("quality_score") >= minQuality &&
         col("predicted_lang").isInCollection(langs))
+      .orderBy("doc_id")
+  }
+
+  /** Boilerplate / duplicated-span hotspot report: the word 3-grams that
+    * appear in the most distinct documents (site chrome, license headers,
+    * template text — the spans a curation pass strips before training).
+    * One explode + one hash aggregation + a bounded TakeOrdered top-k:
+    * per-shingle cardinality is what shrinks here, so the aggregate
+    * output is vocabulary-sized, not corpus-sized, and the top-k never
+    * materializes a global sort. Order is fully deterministic (shingle
+    * is unique per group, so the three-key sort has no ties).
+    */
+  def duplicateShingles(documents: DataFrame, minDocs: Int = 2, topK: Int = 100): DataFrame =
+    shingles(documents)
+      .groupBy("shingle")
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("n_occurrences").desc, col("shingle"))
+      .limit(topK)
+
+  def duplicateShinglesSql(minDocs: Int = 2, topK: Int = 100): String =
+    s"""WITH $RAW_SHINGLES_CTE
+       |SELECT shingle,
+       |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(*) AS BIGINT) AS n_occurrences
+       |FROM sh GROUP BY 1
+       |HAVING COUNT(DISTINCT doc_id) >= $minDocs
+       |ORDER BY n_docs DESC, n_occurrences DESC, shingle
+       |LIMIT $topK""".stripMargin
+
+  /** Near-dedup KEEP list — the final artifact of the approximate-dedup
+    * pipeline (pairs → transitive clusters → one representative per
+    * cluster): the minimum doc_id of each cluster survives, tagged with
+    * how many near-duplicates it stands for. Composes
+    * [[dedupClusters]]; no extra shuffle beyond it (the representative
+    * filter is cluster_id == doc_id on the already-labeled frame).
+    */
+  def nearDedupKeep(documents: DataFrame): DataFrame =
+    dedupClusters(documents)
+      .filter(col("doc_id") === col("cluster_id"))
+      .select(col("doc_id"), col("cluster_size"))
+      .orderBy("doc_id")
+
+  val nearDedupKeepSql: String =
+    s"""WITH RECURSIVE $PAIRS_CTE,
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM cand UNION ALL SELECT doc_b, doc_a FROM cand),
+       |reach AS (
+       |  SELECT doc_id AS node, doc_id AS root FROM documents
+       |  UNION
+       |  SELECT e.b, reach.root FROM reach JOIN e ON e.a = reach.node),
+       |lab AS (SELECT node AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY 1),
+       |cs AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1)
+       |SELECT l.doc_id, cs.cluster_size
+       |FROM lab l JOIN cs USING (cluster_id)
+       |WHERE l.doc_id = l.cluster_id
+       |ORDER BY doc_id""".stripMargin
+
+  /** Incremental dedup at corpus scale: filter an incoming batch down to
+    * documents whose content is (probably) NOT already in the corpus,
+    * without joining the batch against 100 TB. The corpus side collapses
+    * to a Bloom filter — built by `DataFrameStatFunctions.bloomFilter`,
+    * a distributed mergeable-sketch aggregation (per-partition bitsets
+    * OR-merged up a tree), sized `expectedItems × ~10 bits` — which then
+    * broadcasts to every executor, making the batch-side check a narrow,
+    * shuffle-free scan. Guarantees: NO false negatives (a text present
+    * in the corpus is always dropped — the dedup-safety direction);
+    * false positives at rate ≤ fpp drop a few genuinely-new docs, the
+    * standard trade a first-pass filter makes before an exact residual
+    * check. Bit positions are ORs of per-item Murmur3 hashes, so the
+    * filter — and this query's output — is independent of partition
+    * layout and insertion order.
+    *
+    * The membership probe is a Scala UDF by necessity: Spark's public
+    * sketch API (`org.apache.spark.util.sketch.BloomFilter`) has no
+    * Column-expression form (`might_contain` exists only as an internal
+    * runtime-filtering expression). The UDF is a pure in-memory bitset
+    * probe on an already-computed md5, so nothing expensive leaves
+    * codegen.
+    */
+  def bloomNewDocs(
+      corpus: DataFrame, batch: DataFrame,
+      expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val bf = corpus.select(md5(col("text")).as("h")).stat
+      .bloomFilter("h", expectedItems, fpp)
+    val bc = corpus.sparkSession.sparkContext.broadcast(bf)
+    val isNovel = udf((h: String) => !bc.value.mightContainString(h))
+    batch
+      .withColumn("h", md5(col("text")))
+      .filter(isNovel(col("h")))
+      .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
   }
 

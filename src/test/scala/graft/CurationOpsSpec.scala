@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.ml.QualityClassifier
+
+/** New curation operators: bloom incremental dedup, duplicate-shingle
+  * hotspots, near-dedup keep list, learned quality classifier.
+  */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog", "en", "s0", 43L),
+    (1L, "the quick brown fox jumps over the lazy dog", "en", "s1", 43L),
+    (2L, "the quick brown fox jumps over a sleepy dog", "en", "s2", 43L),
+    (3L, "completely different words appear in this one here", "en", "s3", 50L),
+    (4L, "ab", "en", "s4", 2L))
+    .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("duplicate shingles: shared 3-grams ranked by doc reach") {
+    val r = Dedup.duplicateShingles(docs).collect()
+    // docs 0,1,2 share the prefix "the quick brown ..." — those shingles
+    // reach 3 docs; nothing from doc 3 is shared
+    assert(r.nonEmpty)
+    val top = r.head
+    assert(top.getAs[Long]("n_docs") == 3L)
+    assert(r.forall(_.getAs[Long]("n_docs") >= 2L))
+    val shingles = r.map(_.getAs[String]("shingle")).toSet
+    assert(shingles.contains("the quick brown"))
+    assert(!shingles.exists(_.contains("completely")))
+  }
+
+  test("near-dedup keep: transitive cluster keeps one representative") {
+    val keep = Dedup.nearDedupKeep(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_size")).toMap
+    // 0-1 exact dups and 2 near-dup chain into one cluster, rep = 0
+    assert(keep(0L) == 3L)
+    assert(!keep.contains(1L) && !keep.contains(2L))
+    assert(keep(3L) == 1L) // singleton keeps itself
+    assert(keep(4L) == 1L) // shingle-less doc is its own cluster
+  }
+
+  test("bloom incremental dedup: no false negatives, bounded false positives") {
+    // corpus = 300 docs; batch = 150 overlapping + 150 genuinely new
+    val corpus = (0 until 300)
+      .map(i => (i.toLong, s"corpus document number $i with shared words", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dupBatch = (0 until 150)
+      .map(i => (1000L + i, s"corpus document number $i with shared words", "en", "s", 10L))
+    val newBatch = (0 until 150)
+      .map(i => (2000L + i, s"novel batch content item $i never seen", "en", "s", 10L))
+    val batch = (dupBatch ++ newBatch)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    val kept = Dedup.bloomNewDocs(corpus, batch, expectedItems = 1000L, fpp = 0.01)
+      .select("doc_id").as[Long].collect().toSet
+    // safety direction is absolute: every true duplicate must be dropped
+    assert(kept.forall(_ >= 2000L), "a known-duplicate text survived the bloom filter")
+    // false positives only lose a small fraction of genuinely-new docs
+    assert(kept.size >= 140, s"lost ${150 - kept.size} new docs to false positives (fpp=0.01)")
+  }
+
+  test("bloom result is independent of partition layout") {
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+    val a = Dedup.bloomNewDocs(corpus.repartition(1), batch.repartition(1))
+      .select("doc_id").as[Long].collect().toSeq
+    val b = Dedup.bloomNewDocs(corpus.repartition(7), batch.repartition(3))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(a == b)
+  }
+
+  test("quality classifier learns the heuristic signal (AUC band) on testdata") {
+    val d = TestdataAdapter.table(spark, "/root/testdata/sf0.001", "documents")
+    val m = QualityClassifier.trainEval(d).collect().head
+    val auc = m.getAs[Double]("auc")
+    val pos = m.getAs[Double]("train_pos_rate")
+    assert(m.getAs[Long]("n_train") + m.getAs[Long]("n_test") == 500L)
+    // weak labels come from token-level heuristics; hashed BoW + LR must
+    // recover most of that signal on held-out docs
+    assert(auc > 0.7, s"held-out AUC $auc too low")
+    assert(pos > 0.3 && pos < 0.7, s"weak-label classes unbalanced: $pos")
+  }
+
+  test("quality scores cover the corpus and stay in [0,1]") {
+    val d = TestdataAdapter.table(spark, "/root/testdata/sf0.001", "documents")
+    val s = QualityClassifier.scoreDocuments(d)
+    assert(s.count() == 500L)
+    assert(s.filter(col("p_quality") < 0 || col("p_quality") > 1).isEmpty)
+  }
+}
