@@ -333,7 +333,7 @@ object Registry {
   private def ntzCol(c: String) = col(c).cast("timestamp_ntz").as(c)
 
   import Pipelines._
-  import graft.rel.{Relational, Sessionize, Sketches}
+  import graft.rel.{Analytics, Relational, Sessionize, Sketches}
   import graft.export.Export
 
   private def suggestionsFlat(s: SparkSession, dir: String): DataFrame =
@@ -678,6 +678,20 @@ object Registry {
           |      FROM j)
           |SELECT event_id, change_type FROM c
           |WHERE change_type IS NOT NULL ORDER BY event_id""".stripMargin)),
+
+    // Dense hourly gap-fill with forward-filled averages (time-series
+    // completion for the ML feature grid)
+    Q("hourly_gap_fill",
+      (s, dir) => Analytics.hourlyGapFill(TestdataAdapter.userEvents(s, dir)),
+      Some(Analytics.hourlyGapFillSql)),
+    // Ordered 3-step funnel conversion over user activity
+    Q("funnel_signup_purchase",
+      (s, dir) => Analytics.funnel(TestdataAdapter.userEvents(s, dir)),
+      Some(Analytics.funnelSql)),
+    // Weekly cohort retention matrix
+    Q("cohort_retention",
+      (s, dir) => Analytics.cohortRetention(TestdataAdapter.userEvents(s, dir)),
+      Some(Analytics.cohortRetentionSql)),
 
     // Top-k per group via the custom bounded-heap physical operator
     // (plans.TopKPerGroup: LogicalPlan+Strategy+SparkPlan, no sort) —

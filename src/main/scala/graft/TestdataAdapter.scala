@@ -84,4 +84,14 @@ object TestdataAdapter {
       col("event_id"),
       col("event_type").as("route_id"),
       ntzFromNanos(col("ts")).as("observed_at"))
+
+  /** User-activity shape (funnel / cohort / gap-fill analytics): who did
+    * what when, with the measure column along for aggregation.
+    */
+  def userEvents(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events").select(
+      col("user_id"),
+      col("event_type"),
+      ntzFromNanos(col("ts")).as("observed_at"),
+      col("value"))
 }

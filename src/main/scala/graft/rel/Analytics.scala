@@ -1,0 +1,155 @@
+package graft.rel
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Cols
+
+/** Time-series and product-analytics operators over the events stream:
+  * dense hourly gap-fill with forward-fill, ordered funnel conversion,
+  * and weekly cohort retention. All three are classic warehouse queries
+  * a reference-engine user runs daily; each has an exact DuckDB oracle.
+  *
+  * Scale notes:
+  *  - Gap-fill's dense grid is time-bounded, not data-bounded: series ×
+  *    hours is ~10⁴ rows per series-year however big the raw stream, so
+  *    the explode side of the left join stays trivially small while the
+  *    event side aggregates BEFORE joining (map-side combinable count /
+  *    decimal sum per (series, hour)). The forward-fill window partitions
+  *    by series — parallel across series, never a single-partition sort.
+  *  - Funnel steps are per-user MIN aggregations chained by two
+  *    user_id-keyed joins — each a co-partitioned shuffle on the same
+  *    key, no windows, no fan-out beyond one row per user per step.
+  *  - Cohort retention is two hash aggregations (first-seen per user,
+  *    then distinct users per (cohort, offset)) joined on user_id.
+  */
+object Analytics {
+
+  /** Dense per-type hourly series over the full observed range: missing
+    * hours appear with n_events = 0 and carry the last seen hourly
+    * average forward (`avg_value` stays null before a series' first
+    * observation — nothing to carry).
+    */
+  def hourlyGapFill(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("observed_at")).as("hour_ts"))
+      .agg(count(lit(1)).as("n_events"), Cols.detAvg(col("value")).as("avg_raw"))
+    val bounds = hourly.agg(
+      min(col("hour_ts")).as("min_h"), max(col("hour_ts")).as("max_h"))
+    val grid = events.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(expr("sequence(min_h, max_h, interval 1 hour)")).as("hour_ts"))
+    val w = Window.partitionBy("event_type").orderBy("hour_ts")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("event_type", "hour_ts"), "left")
+      .select(
+        col("event_type"),
+        col("hour_ts").cast("timestamp_ntz").as("hour_ts"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("avg_raw"), ignoreNulls = true).over(w).as("avg_value"))
+      .orderBy("event_type", "hour_ts")
+  }
+
+  val hourlyGapFillSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(ts AS TIMESTAMP) AS observed_at, value FROM events),
+      |hourly AS (
+      |  SELECT event_type, date_trunc('hour', observed_at) AS hour_ts,
+      |    CAST(COUNT(*) AS BIGINT) AS n_events,
+      |    CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(value) AS avg_raw
+      |  FROM ev GROUP BY 1, 2),
+      |bounds AS (SELECT MIN(hour_ts) AS min_h, MAX(hour_ts) AS max_h FROM hourly),
+      |grid AS (
+      |  SELECT t.event_type, unnest(generate_series(b.min_h, b.max_h, INTERVAL 1 HOUR)) AS hour_ts
+      |  FROM (SELECT DISTINCT event_type FROM ev) t CROSS JOIN bounds b)
+      |SELECT g.event_type, g.hour_ts,
+      |  COALESCE(h.n_events, 0) AS n_events,
+      |  LAST_VALUE(h.avg_raw IGNORE NULLS) OVER (
+      |    PARTITION BY g.event_type ORDER BY g.hour_ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_value
+      |FROM grid g LEFT JOIN hourly h
+      |  ON h.event_type = g.event_type AND h.hour_ts = g.hour_ts
+      |ORDER BY g.event_type, g.hour_ts""".stripMargin
+
+  /** Ordered 3-step funnel signup → view → purchase: a user converts a
+    * step only with an event strictly after their previous step's first
+    * qualifying event. One summary row of reach counts and rates.
+    */
+  def funnel(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ev = events.select(col("user_id"), col("event_type"), col("observed_at"))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("observed_at").as("t_signup"))
+    val s2 = ev.filter(col("event_type") === "view").as("e")
+      .join(s1.as("s"), col("e.user_id") === col("s.user_id") &&
+        col("e.observed_at") > col("t_signup"))
+      .groupBy(col("s.user_id")).agg(min("observed_at").as("t_view"))
+    val s3 = ev.filter(col("event_type") === "purchase").as("e")
+      .join(s2.as("v"), col("e.user_id") === col("v.user_id") &&
+        col("e.observed_at") > col("t_view"))
+      .groupBy(col("v.user_id")).agg(min("observed_at").as("t_purchase"))
+    val total = ev.select("user_id").distinct().count()
+    val n1 = s1.count(); val n2 = s2.count(); val n3 = s3.count()
+    Seq((total, n1, n2, n3,
+      n1.toDouble / total, if (n1 == 0) 0.0 else n2.toDouble / n1,
+      if (n2 == 0) 0.0 else n3.toDouble / n2))
+      .toDF("n_users", "n_signup", "n_view_after_signup", "n_purchase_after_view",
+        "rate_signup", "rate_view", "rate_purchase")
+  }
+
+  val funnelSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS observed_at FROM events),
+      |s1 AS (SELECT user_id, MIN(observed_at) AS t_signup FROM ev
+      |       WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, MIN(e.observed_at) AS t_view
+      |       FROM ev e JOIN s1 ON s1.user_id = e.user_id AND e.observed_at > s1.t_signup
+      |       WHERE e.event_type = 'view' GROUP BY 1),
+      |s3 AS (SELECT e.user_id, MIN(e.observed_at) AS t_purchase
+      |       FROM ev e JOIN s2 ON s2.user_id = e.user_id AND e.observed_at > s2.t_view
+      |       WHERE e.event_type = 'purchase' GROUP BY 1)
+      |SELECT
+      |  (SELECT COUNT(DISTINCT user_id) FROM ev) AS n_users,
+      |  (SELECT COUNT(*) FROM s1) AS n_signup,
+      |  (SELECT COUNT(*) FROM s2) AS n_view_after_signup,
+      |  (SELECT COUNT(*) FROM s3) AS n_purchase_after_view,
+      |  CAST((SELECT COUNT(*) FROM s1) AS DOUBLE) / (SELECT COUNT(DISTINCT user_id) FROM ev) AS rate_signup,
+      |  CASE WHEN (SELECT COUNT(*) FROM s1) = 0 THEN 0.0
+      |       ELSE CAST((SELECT COUNT(*) FROM s2) AS DOUBLE) / (SELECT COUNT(*) FROM s1) END AS rate_view,
+      |  CASE WHEN (SELECT COUNT(*) FROM s2) = 0 THEN 0.0
+      |       ELSE CAST((SELECT COUNT(*) FROM s3) AS DOUBLE) / (SELECT COUNT(*) FROM s2) END AS rate_purchase""".stripMargin
+
+  /** Weekly cohort retention: users grouped by first-seen week; for each
+    * (cohort week, week offset) the count of cohort members active that
+    * week. Offsets are exact (both ends Monday-truncated).
+    */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val ev = events.select(col("user_id"), col("observed_at"))
+    val cohorts = ev.groupBy("user_id")
+      .agg(date_trunc("week", min(col("observed_at"))).as("cohort_week"))
+    ev.withColumn("activity_week", date_trunc("week", col("observed_at")))
+      .join(cohorts, "user_id")
+      .groupBy(col("cohort_week"), floor(
+        datediff(col("activity_week"), col("cohort_week")) / 7).cast("int")
+        .as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .select(col("cohort_week").cast("timestamp_ntz").as("cohort_week"),
+        col("week_offset"), col("n_active"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val cohortRetentionSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS observed_at FROM events),
+      |cohorts AS (
+      |  SELECT user_id, CAST(date_trunc('week', MIN(observed_at)) AS TIMESTAMP) AS cohort_week
+      |  FROM ev GROUP BY 1)
+      |SELECT c.cohort_week,
+      |  CAST(date_diff('day', CAST(c.cohort_week AS DATE),
+      |    date_trunc('week', e.observed_at)) // 7 AS INTEGER) AS week_offset,
+      |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+      |FROM ev e JOIN cohorts c USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+}

@@ -1,0 +1,79 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.rel.Analytics
+
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("gap fill: missing hours appear with zero count and carried-forward average") {
+    val ev = Seq(
+      (1L, "click", ts("2024-01-01 00:10:00"), 10.0),
+      (1L, "click", ts("2024-01-01 00:40:00"), 20.0),
+      // hours 01 and 02 missing for click
+      (1L, "click", ts("2024-01-01 03:10:00"), 40.0),
+      (2L, "view", ts("2024-01-01 02:15:00"), 5.0))
+      .toDF("user_id", "event_type", "observed_at", "value")
+    val r = Analytics.hourlyGapFill(ev).collect()
+      .map(x => (x.getAs[String]("event_type"),
+        x.getAs[java.time.LocalDateTime]("hour_ts").toString.replace('T', ' ').take(13)) ->
+        (x.getAs[Long]("n_events"), Option(x.getAs[java.lang.Double]("avg_value")).map(_.doubleValue())))
+      .toMap
+    // grid spans 00..03 for both types
+    assert(r.size == 8)
+    assert(r(("click", "2024-01-01 00")) == ((2L, Some(15.0))))
+    assert(r(("click", "2024-01-01 01")) == ((0L, Some(15.0)))) // forward-filled
+    assert(r(("click", "2024-01-01 02")) == ((0L, Some(15.0))))
+    assert(r(("click", "2024-01-01 03")) == ((1L, Some(40.0))))
+    // view has no data before 02: null average, zero count
+    assert(r(("view", "2024-01-01 00")) == ((0L, None)))
+    assert(r(("view", "2024-01-01 02")) == ((1L, Some(5.0))))
+  }
+
+  test("funnel: steps only count events strictly after the previous step") {
+    val ev = Seq(
+      // u1 completes the funnel in order
+      (1L, "signup", ts("2024-01-01 00:00:00"), 0.0),
+      (1L, "view", ts("2024-01-01 01:00:00"), 0.0),
+      (1L, "purchase", ts("2024-01-01 02:00:00"), 0.0),
+      // u2 viewed BEFORE signup only → stops at signup
+      (2L, "view", ts("2024-01-01 00:00:00"), 0.0),
+      (2L, "signup", ts("2024-01-01 01:00:00"), 0.0),
+      // u3 purchase before view-after-signup → purchase step not reached
+      (3L, "signup", ts("2024-01-01 00:00:00"), 0.0),
+      (3L, "purchase", ts("2024-01-01 00:30:00"), 0.0),
+      (3L, "view", ts("2024-01-01 01:00:00"), 0.0),
+      // u4 never signs up
+      (4L, "view", ts("2024-01-01 00:00:00"), 0.0))
+      .toDF("user_id", "event_type", "observed_at", "value")
+    val r = Analytics.funnel(ev).collect().head
+    assert(r.getAs[Long]("n_users") == 4L)
+    assert(r.getAs[Long]("n_signup") == 3L)           // u1, u2, u3
+    assert(r.getAs[Long]("n_view_after_signup") == 2L) // u1, u3
+    assert(r.getAs[Long]("n_purchase_after_view") == 1L) // u1 only
+    assert(r.getAs[Double]("rate_purchase") == 0.5)
+  }
+
+  test("cohort retention: offsets measured from first-seen week") {
+    val ev = Seq(
+      (1L, "click", ts("2024-01-01 10:00:00"), 0.0), // Mon wk0
+      (1L, "click", ts("2024-01-10 10:00:00"), 0.0), // wk+1
+      (1L, "click", ts("2024-01-17 10:00:00"), 0.0), // wk+2
+      (2L, "click", ts("2024-01-03 10:00:00"), 0.0), // same cohort wk0
+      (2L, "click", ts("2024-01-09 10:00:00"), 0.0), // wk+1
+      (3L, "click", ts("2024-01-09 10:00:00"), 0.0)) // cohort of Jan 8
+      .toDF("user_id", "event_type", "observed_at", "value")
+    val r = Analytics.cohortRetention(ev).collect()
+      .map(x => (x.getAs[java.time.LocalDateTime]("cohort_week").toString.take(10),
+        x.getAs[Int]("week_offset")) ->
+        x.getAs[Long]("n_active")).toMap
+    assert(r(("2024-01-01", 0)) == 2L) // u1+u2 active in their first week
+    assert(r(("2024-01-01", 1)) == 2L)
+    assert(r(("2024-01-01", 2)) == 1L) // only u1
+    assert(r(("2024-01-08", 0)) == 1L) // u3's own cohort
+    assert(r.size == 4)
+  }
+}
