@@ -762,6 +762,10 @@ object Registry {
         Some(TextOps.tfidfTopTermsSql())),
       Q("bigram_topk", (s, d) => TextOps.bigramTopK(docs(s, d)),
         Some(TextOps.bigramTopKSql())),
+      // Zipf / vocab-coverage curve: top-k vocabulary + cumulative share
+      // of all token occurrences (tokenizer-vocab sizing)
+      Q("vocab_coverage", (s, d) => TextOps.vocabCoverage(docs(s, d)),
+        Some(TextOps.vocabCoverageSql())),
       Q("repetition_stats", (s, d) => TextOps.repetitionStats(docs(s, d)),
         Some(TextOps.repetitionStatsSql)),
       Q("domain_mixture", (s, d) => TextOps.domainMixture(docs(s, d)),
@@ -828,6 +832,10 @@ object Registry {
       // not SQL-expressible; exactness on separated clusters and the
       // compressed-code contract are spec-asserted in KnnSpec)
       Q("pq_topk", (s, d) => Knn.pqTopK(embs(s, d)), None),
+      // PCA reduced-space ANN recall vs full-space brute force —
+      // rows-only (trained projection not SQL-expressible; recall band
+      // spec-asserted)
+      Q("pca_recall", (s, d) => Knn.pcaRecall(embs(s, d)), None),
       Q("embedding_near_dup", (s, d) => Knn.nearDupPairs(embs(s, d)),
         Some(Knn.nearDupPairsSql())),
       Q("embedding_label_stats", (s, d) => Knn.labelStats(embs(s, d)),

@@ -331,27 +331,63 @@ object Knn {
     * (k-means centroids are not SQL-expressible); the spec pins exact
     * agreement with the uncompressed L2 top-k on separated clusters.
     */
+  /** Deterministic driver-side Lloyd's iteration for PQ codebooks:
+    * init = evenly spaced points of the (vec_id-ordered) sample,
+    * nearest-center assignment with lowest-index tie-break, empty
+    * clusters keep their previous center. Pure double arithmetic in a
+    * fixed order — byte-reproducible regardless of cluster layout.
+    */
+  private def lloyd(pts: Array[Array[Double]], k: Int, iters: Int = 20): Array[Array[Double]] = {
+    val n = pts.length
+    val d = pts.head.length
+    val kk = math.min(k, n)
+    var centers = Array.tabulate(kk)(t => pts(t * n / kk).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(centers.length)(new Array[Double](d))
+      val counts = new Array[Long](centers.length)
+      var i = 0
+      while (i < n) {
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < centers.length) {
+          var dist = 0.0; var t = 0
+          while (t < d) { val x = pts(i)(t) - centers(c)(t); dist += x * x; t += 1 }
+          if (dist < bestD) { bestD = dist; best = c }
+          c += 1
+        }
+        var t = 0
+        while (t < d) { sums(best)(t) += pts(i)(t); t += 1 }
+        counts(best) += 1
+        i += 1
+      }
+      centers = centers.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old
+        else Array.tabulate(d)(t => sums(c)(t) / counts(c))
+      }
+    }
+    centers
+  }
+
   def pqTopK(
       embeddings: DataFrame, nQueries: Int = 20, k: Int = 3,
-      m: Int = 8, codebookSize: Int = 16, seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+      m: Int = 8, codebookSize: Int = 16, sampleN: Int = 2048): DataFrame = {
     require(Dim % m == 0, s"m=$m must divide Dim=$Dim")
     val subDim = Dim / m
-    // layout pin (fixed partition count + in-partition sort on the unique
-    // key): k-means|| seeding samples per (seed, partition), so codebooks
-    // are only reproducible if the training layout is a pure function of
-    // the data — same contract as DemandModel.pinLayout
-    val e = withNorm(embeddings)
-      .repartition(8, col("vec_id")).sortWithinPartitions("vec_id")
-      .persist()
-    // one codebook per subspace, trained independently (m small fits; the
-    // training set is a sample at real scale — codebooks are KB-sized)
+    val e = withNorm(embeddings).persist()
+    // Codebooks are KB-sized and train on a BOUNDED sample (the standard
+    // product-quantization recipe: fit on ~10⁵ sampled vectors
+    // in-memory, encode the full corpus distributed). The sample is the
+    // first `sampleN` vectors in vec_id order — a pure function of the
+    // data, so codebooks are byte-reproducible across any cluster
+    // layout, and the driver does m tiny Lloyd's runs instead of m
+    // iterative distributed fits (which cost more in job scheduling
+    // than arithmetic at any scale).
+    val sample: Array[Array[Float]] = e.orderBy("vec_id")
+      .select("embedding").limit(sampleN)
+      .collect().map(_.getSeq[Float](0).toArray)
     val codebooks: Array[Array[Array[Double]]] = (0 until m).toArray.map { j =>
-      val sub = e.select(
-        array_to_vector(slice(col("embedding"), j * subDim + 1, subDim)).as("features"))
-      new KMeans().setK(codebookSize).setSeed(seed + j).setFeaturesCol("features")
-        .fit(sub).clusterCenters.map(_.toArray)
+      val pts = sample.map(v => Array.tabulate(subDim)(i => v(j * subDim + i).toDouble))
+      lloyd(pts, codebookSize)
     }
     // per-subspace squared distance to one centroid: subDim exact
     // float-as-double terms, addition order pinned by the parse tree
@@ -410,4 +446,75 @@ object Knn {
     s"""WITH $NORM_CTE
        |SELECT label, COUNT(*) AS n, MIN(sqrt(n2)) AS min_norm, MAX(sqrt(n2)) AS max_norm
        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** PCA shortlist + full-space rerank — the two-stage ANN a reduced
+    * representation is actually used for at scale: project 64-dim
+    * vectors to `dimOut` principal components, scan the CHEAP reduced
+    * space for a `shortlistFactor × k` candidate shortlist per query,
+    * then rerank only the shortlist with exact full-space cosine. The
+    * reduced vectors are what a 100 TB deployment stores and shuffles
+    * (dimOut/Dim of the bytes; the scan cost drops by the same factor);
+    * the full vectors are touched for shortlist×k rows per query, not
+    * n. Reported: variance kept and recall@k of the reranked result
+    * against full-space brute force.
+    *
+    * Shape: covariance is one treeAggregate pass (all-reduce, no data
+    * shuffle); the eigendecomposition is a driver-side Dim×Dim solve;
+    * projection is a narrow per-row matmul; the rerank join is keyed by
+    * neighbor_id. The layout pin fixes covariance summation order,
+    * making components — and recall — byte-reproducible across cluster
+    * sizes. Rows-only in the registry (trained projection not
+    * SQL-expressible); recall band spec-asserted.
+    */
+  def pcaRecall(
+      embeddings: DataFrame, nQueries: Int = 50, k: Int = 5,
+      dimOut: Int = 16, shortlistFactor: Int = 8): DataFrame = {
+    import org.apache.spark.ml.feature.PCA
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val e = withNorm(embeddings)
+      .repartition(8, col("vec_id")).sortWithinPartitions("vec_id")
+      .withColumn("features", array_to_vector(col("embedding")))
+      .persist()
+    try {
+      val model = new PCA().setK(dimOut).setInputCol("features")
+        .setOutputCol("pc").fit(e)
+      val explained = model.explainedVariance.toArray.sum
+      val red = model.transform(e)
+        .select(col("vec_id"), vector_to_array(col("pc")).as("re"))
+      val rdot = expr("aggregate(zip_with(qe, ce, (x, y) -> x * y), 0D, (a, x) -> a + x)")
+      val qn = expr("aggregate(zip_with(qe, qe, (x, y) -> x * y), 0D, (a, x) -> a + x)")
+      val cn = expr("aggregate(zip_with(ce, ce, (x, y) -> x * y), 0D, (a, x) -> a + x)")
+      val q = red.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("re").as("qe"))
+      val c = red.select(col("vec_id").as("neighbor_id"), col("re").as("ce"))
+      val wr = Window.partitionBy("query_id").orderBy(col("rcos").desc, col("neighbor_id"))
+      val shortlist = c.crossJoin(broadcast(q))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("rcos", rdot / (sqrt(qn) * sqrt(cn)))
+        .withColumn("srank", row_number().over(wr))
+        .filter(col("srank") <= k * shortlistFactor)
+        .select("query_id", "neighbor_id")
+      // full-space rerank of the shortlist only: two keyed joins to pull
+      // the exact vectors, one bounded per-query window
+      val full = e.select(col("vec_id"), col("embedding"), col("n2"))
+      val reranked = shortlist
+        .join(full.select(col("vec_id").as("query_id"),
+          col("embedding").as("qfe"), col("n2").as("qn2")), Seq("query_id"))
+        .join(full.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("cfe"), col("n2").as("cn2")), Seq("neighbor_id"))
+        .withColumn("cosine", dot("qfe", "cfe") / (sqrt(col("qn2")) * sqrt(col("cn2"))))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
+        .filter(col("rank") <= k)
+        .select("query_id", "neighbor_id")
+      val exact = bruteForceTopK(embeddings, nQueries, k)
+        .select("query_id", "neighbor_id")
+      val hits = reranked.join(exact, Seq("query_id", "neighbor_id")).count()
+      val denom = exact.count()
+      Seq((Dim, dimOut, k * shortlistFactor, explained, hits.toDouble / denom, denom))
+        .toDF("dim_in", "dim_out", "shortlist", "explained_variance", "recall_at_k", "n_pairs")
+    } finally e.unpersist(blocking = false)
+  }
 }

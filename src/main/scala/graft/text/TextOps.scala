@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a large-scale training-data pipeline over
@@ -611,4 +612,50 @@ object TextOps {
 
   val simhashSql: String =
     s"WITH $simhashCteBody SELECT doc_id, simhash32 FROM simsel ORDER BY doc_id"
+
+  /** Zipf / vocabulary-coverage curve: the top-k corpus vocabulary with
+    * each token's count and the cumulative share of ALL token
+    * occurrences covered by the vocabulary up to that rank — the "how
+    * big must the tokenizer vocab be" curve.
+    *
+    * Scale shape: one explode + one map-side-combinable hash aggregation
+    * (output is vocabulary-sized, sublinear in corpus), a bounded
+    * TakeOrdered top-k (never a global sort of the vocabulary), and the
+    * corpus token total as a broadcast 1-row aggregate. The ranking
+    * window then runs over the k retained rows only — its single
+    * partition is bounded by construction (k), not by data.
+    */
+  def vocabCoverage(documents: DataFrame, topK: Int = 200): DataFrame = {
+    val counts = documents
+      .select(explode(toks(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total"))
+    val top = counts.orderBy(col("n").desc, col("token")).limit(topK)
+    val w = Window.orderBy(col("n").desc, col("token"))
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum_tokens", sum(col("n")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("rank"), col("token"), col("n"),
+        col("cum_tokens"),
+        (col("cum_tokens").cast("double") / col("total")).as("cum_share"))
+      .orderBy("rank")
+  }
+
+  def vocabCoverageSql(topK: Int = 200): String =
+    raw"""WITH tok AS (
+       |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+       |  FROM documents),
+       |counts AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY 1),
+       |total AS (SELECT SUM(n) AS total FROM counts),
+       |top AS (SELECT token, n FROM counts ORDER BY n DESC, token LIMIT $topK)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS INTEGER) AS rank,
+       |  token, n,
+       |  CAST(SUM(n) OVER (ORDER BY n DESC, token
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+       |  CAST(SUM(n) OVER (ORDER BY n DESC, token
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / t.total AS cum_share
+       |FROM top, total t
+       |ORDER BY rank""".stripMargin
 }

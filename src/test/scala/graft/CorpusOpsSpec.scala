@@ -15,6 +15,19 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r == Seq(("a b", 3L), ("b a", 1L)))
   }
 
+  test("vocabCoverage: ranks by frequency, cumulative share reaches 1.0") {
+    val docs = Seq(
+      (0L, "a a a b b c"),
+      (1L, "a b")).toDF("doc_id", "text")
+    val r = TextOps.vocabCoverage(docs, topK = 10).collect()
+      .map(x => (x.getAs[Int]("rank"), x.getAs[String]("token"),
+        x.getAs[Long]("n"), x.getAs[Long]("cum_tokens"), x.getAs[Double]("cum_share")))
+    assert(r.toSeq == Seq(
+      (1, "a", 4L, 4L, 0.5),
+      (2, "b", 3L, 7L, 0.875),
+      (3, "c", 1L, 8L, 1.0)))
+  }
+
   test("redactDigits masks digit runs and counts them") {
     val ev = Seq((1L, """{"k": 69, "v": 1234}"""), (2L, """{"k": null}"""))
       .toDF("event_id", "props")

@@ -103,6 +103,18 @@ class KnnSpec extends SparkSpec {
     assert(r.forall { case (_, d) => !d.isNaN && !d.isInfinite && d >= 0 })
   }
 
+  test("PCA shortlist + rerank recovers most of the exact top-k") {
+    val e = TestdataAdapter.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val r = Knn.pcaRecall(e, nQueries = 20, k = 5).collect().head
+    val ev = r.getAs[Double]("explained_variance")
+    val recall = r.getAs[Double]("recall_at_k")
+    assert(ev > 0.0 && ev <= 1.0)
+    // near-isotropic synthetic vectors are PCA's worst case; even there
+    // the 16-dim shortlist must beat coin-flip recall by a wide margin
+    assert(recall > 0.5, s"two-stage recall $recall too low")
+    assert(r.getAs[Long]("n_pairs") == 100L)
+  }
+
   test("IVF cells stay balanced on the testdata embeddings") {
     val e = TestdataAdapter.table(spark, "/root/testdata/sf0.001", "embeddings")
     val n = e.count()
