@@ -926,6 +926,13 @@ object Registry {
         Some(
           """SELECT event_type, COUNT(*) AS n_events
             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+      // watermark-bounded dedup state (the unbounded-stream form of
+      // exactly-once; same redelivery setup, same batch oracle)
+      Q("streaming_dedup_watermark",
+        (s, d) => Streams.dedupWatermarkStream(s, d),
+        Some(
+          """SELECT event_type, COUNT(*) AS n_events
+            |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
       // mapGroupsWithState custom state, oracle = batch GROUP BY
       // Gap sessionization as a stream: native session_window (mergeable

@@ -285,6 +285,36 @@ object Streams {
       .orderBy("event_type")
   }
 
+  /** The 100 TB form of [[exactlyOnceDedupStream]]: dedup state BOUNDED
+    * by an event-time watermark instead of growing forever. Plain
+    * streaming dropDuplicates keeps every seen key in state for the
+    * life of the query — untenable on an unbounded stream;
+    * dropDuplicatesWithinWatermark ages keys out once the watermark
+    * passes them, so state size tracks the delay window (here 2 h of
+    * event time), not stream history. Redelivered copies land within
+    * the window, so the exactly-once contract — per-type counts equal
+    * the batch GROUP BY over the single-copy table — holds unchanged,
+    * and the oracle is the same.
+    */
+  def dedupWatermarkStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val staged = Files.createTempDirectory("graft_dupwm_stream")
+    Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged.resolve("events_a.parquet"))
+    Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged.resolve("events_b.parquet"))
+    val deduped = spark.readStream.schema(schema).parquet(staged.toString)
+      .select(col("event_id"), col("event_type"),
+        ntzFromNanos(col("ts")).cast("timestamp").as("observed_at"))
+      .withWatermark("observed_at", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+    runToTable(deduped, mode = "append")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+  }
+
   /** S10 as a stream: latest-wins upsert via checkpointed foreachBatch
     * merge-by-rewrite — each micro-batch unions the sink state with the
     * batch, keeps row_number()=1 per PK ordered by recency, and rewrites.

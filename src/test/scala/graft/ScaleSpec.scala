@@ -24,6 +24,43 @@ class ScaleSpec extends SparkSpec {
     assert(spread > 4)
   }
 
+  test("AQE splits a skewed shuffle-join partition at runtime") {
+    // The alternative to manual salting: adaptive execution detects the
+    // oversized partition post-shuffle and splits it into parallel
+    // sub-reads. Thresholds are lowered so the ~MB hot key trips the
+    // same detection that a multi-GB partition would at 100 TB.
+    val prev = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // keep it a shuffle join
+      val left = spark.range(200000)
+        .select(when(col("id") < 190000, lit(0L)).otherwise(col("id")).as("k"),
+          col("id").as("v"))
+      val right = spark.range(200).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val j = left.join(right, "k")
+      // collect() drives THIS DataFrame's query execution (count() would
+      // plan a separate one and leave j's adaptive plan unexecuted)
+      assert(j.collect().length == 190000) // only the hot key (k=0) matches the dim
+      val finalPlan = j.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"expected a skew-split join in the adaptive plan:\n$finalPlan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("as-of join picks the latest quote at-or-before; pre-quote probes drop") {
     import graft.rel.Relational
     def ts(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s:00")

@@ -29,6 +29,16 @@ class StreamsMlSpec extends SparkSpec {
     assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty)
   }
 
+  test("watermark-bounded dedup suppresses redelivery (counts equal single-copy batch)") {
+    val dir = "/root/testdata/sf0.001"
+    val stream = Streams.dedupWatermarkStream(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = TestdataAdapter.table(spark, dir, "events")
+      .groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stream == batch) // doubled input, single-copy output
+  }
+
   test("watermarked windowed stream and mapGroupsWithState equal their batch twins") {
     val dir = "/root/testdata/sf0.001"
     val win = Streams.vehicleHourlyWindowedStream(spark, dir)
