@@ -186,6 +186,54 @@ object Scale {
       .drop("__total", "__q", "__m")
   }
 
+  /** Morton interleave of two `bits`-bit bucket columns: bit b of x
+    * lands at position 2b, bit b of y at 2b+1 — locality in z-value
+    * implies locality in BOTH dimensions.
+    */
+  private def morton(x: Column, y: Column, bits: Int): Column =
+    (0 until bits).map { b =>
+      shiftleft(shiftright(x, b).bitwiseAND(lit(1L)), 2 * b) +
+        shiftleft(shiftright(y, b).bitwiseAND(lit(1L)), 2 * b + 1)
+    }.reduce(_ + _)
+
+  /** Z-order clustered write — multi-column data skipping for the
+    * filters partitioning can't serve. Partitioning prunes on ONE
+    * hierarchy (date); min/max stats prune within it, but only if the
+    * layout makes per-file ranges tight. Sorting by a single column
+    * gives tight ranges on that column and full-span ranges on every
+    * other; clustering by the Morton interleave of two columns gives
+    * each file a small bounding BOX, so selective predicates on EITHER
+    * column skip most files at the footer level — the OPTIMIZE ZORDER
+    * lever of lakehouse tables, as a plain parquet write.
+    *
+    * Buckets are QUANTILE-based (approxQuantile boundaries), not linear
+    * min/max bins: real columns are skewed, and equal-width bins would
+    * pile the mass into a few cells and cluster nothing — rank
+    * normalization is what production z-ordering does. Shape: two
+    * driver-side quantile sketches (one distributed pass each), then
+    * narrow codegen bucketing + interleave, then one range repartition
+    * on the z-value — the same machinery as any global sort, parallel
+    * at any scale.
+    */
+  def zorderWrite(df: DataFrame, c1: String, c2: String, path: String,
+      nFiles: Int = 8, bits: Int = 4): Unit = {
+    val nb = 1 << bits
+    val probs = (1 until nb).map(_.toDouble / nb).toArray
+    def boundaries(c: String): Array[Double] =
+      df.select(col(c).cast("double").as("__v"))
+        .stat.approxQuantile("__v", probs, 0.001)
+    def bucket(c: String, bs: Array[Double]): Column =
+      bs.foldLeft(lit(0L))((acc, th) =>
+        acc + when(col(c).cast("double") > lit(th), 1L).otherwise(0L))
+    val cols = df.columns
+    df.withColumn("__z", morton(
+        bucket(c1, boundaries(c1)), bucket(c2, boundaries(c2)), bits))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .select(cols.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Incremental hourly-view refresh — the reference's hourly DAG
     * semantics (recompute the recent window, upsert into the serving
     * table) on parquet: DYNAMIC partition overwrite replaces exactly the

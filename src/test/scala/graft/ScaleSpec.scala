@@ -24,6 +24,38 @@ class ScaleSpec extends SparkSpec {
     assert(spread > 4)
   }
 
+  test("z-order layout gives per-file bounding boxes that skip on BOTH columns") {
+    val ev = TestdataAdapter.table(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "user_id", "value")
+    val zDir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val sDir = java.nio.file.Files.createTempDirectory("graft_sorted").toString
+    Scale.zorderWrite(ev, "user_id", "value", zDir, nFiles = 8)
+    // baseline: single-column sort — tight on user_id, full-span on value
+    ev.repartitionByRange(8, col("user_id")).sortWithinPartitions("user_id")
+      .write.mode("overwrite").parquet(sDir)
+
+    def fileRanges(dir: String): Seq[(Double, Double)] =
+      new java.io.File(dir).listFiles.filter(_.getName.endsWith(".parquet")).toSeq
+        .map { f =>
+          val r = spark.read.parquet(f.getAbsolutePath)
+            .agg(min("value"), max("value")).head
+          (r.getDouble(0), r.getDouble(1))
+        }
+    // a narrow predicate on `value` — the column the baseline layout
+    // cannot skip on: count files whose [min,max] intersects it
+    val bounds = ev.agg(min("value"), max("value")).head
+    val q = bounds.getDouble(0) + (bounds.getDouble(1) - bounds.getDouble(0)) * 0.1
+    def hits(rs: Seq[(Double, Double)]) = rs.count { case (lo, hi) => lo <= q && q <= hi }
+    val zHits = hits(fileRanges(zDir))
+    val sHits = hits(fileRanges(sDir))
+    assert(sHits == 8, s"baseline should span value everywhere, got $sHits/8")
+    assert(zHits <= 4, s"z-order should skip most files on value, hit $zHits/8")
+    // and the data survives the relayout intact
+    val back = spark.read.parquet(zDir)
+    assert(back.count() == ev.count())
+    assert(back.exceptAll(ev).isEmpty && ev.exceptAll(back).isEmpty)
+  }
+
   test("AQE splits a skewed shuffle-join partition at runtime") {
     // The alternative to manual salting: adaptive execution detects the
     // oversized partition post-shuffle and splits it into parallel
