@@ -653,6 +653,12 @@ object Registry {
     Q("sketch_stats",
       (s, dir) => Sketches.sketchStats(TestdataAdapter.table(s, dir, "events")),
       None),
+    // Count-Min heavy hitters vs exact top-k — rows-only (sketch values
+    // are implementation-specific; ≥-exact and error-bound contracts
+    // spec-asserted)
+    Q("heavy_hitters",
+      (s, dir) => Sketches.heavyHitters(TestdataAdapter.table(s, dir, "events")),
+      None),
 
     // Snapshot diff: full-outer change classification between a table
     // and a deterministically perturbed next version

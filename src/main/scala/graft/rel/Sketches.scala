@@ -92,6 +92,37 @@ object Sketches {
     }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
   }
 
+  /** Heavy hitters via Count-Min Sketch — the frequency sketch that
+    * completes the family (HLL++ cardinality, t-digest quantiles, Bloom
+    * membership, CMS counts): fixed `O(1/eps × ln 1/δ)` counter state,
+    * mergeable map-side like the others, built through the public
+    * `DataFrameStatFunctions.countMinSketch` distributed aggregation.
+    * The report joins the sketch estimate onto the exact top-k (the
+    * audit ride-along, same contract as [[sketchStats]]): CMS
+    * guarantees estimate ≥ exact, within eps·N with probability δ.
+    * Counter adds are order-independent and the hash seed is fixed, so
+    * the output is deterministic across any partition layout. The
+    * estimate probe touches only the k retained keys on the driver.
+    */
+  def heavyHitters(events: DataFrame, k: Int = 10): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val cms = events.stat.countMinSketch(
+      col("user_id"), eps = 0.001, confidence = 0.99, seed = 42)
+    val exactTop = events.groupBy("user_id")
+      .agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("user_id"))
+      .limit(k)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_exact")))
+    exactTop.toSeq
+      .map { case (uid, n) =>
+        val est = cms.estimateCount(uid)
+        (uid, n, est, (est - n).toDouble / n)
+      }
+      .toDF("user_id", "n_exact", "n_cms", "rel_overestimate")
+  }
+
   /** Per-event-type exact vs sketch cardinality + median, with relative
     * errors. Exact columns are themselves deterministic (integer count,
     * sort-based percentile), so the rows-only gate still exercises them.

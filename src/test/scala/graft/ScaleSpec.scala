@@ -196,6 +196,22 @@ class ScaleSpec extends SparkSpec {
     assert(click.getAs[Long]("users_exact") == 3777L)
   }
 
+  test("count-min heavy hitters: estimates dominate exact counts within the eps bound") {
+    // one dominant key + a long tail
+    val ev = ((1 to 8000).map(_ => 7L) ++ (1 to 12000).map(i => (i % 500).toLong))
+      .map(u => (u, "click", u.toDouble)).toDF("user_id", "event_type", "value")
+    val r = graft.rel.Sketches.heavyHitters(ev, k = 5).collect()
+    assert(r.length == 5)
+    assert(r.head.getAs[Long]("user_id") == 7L) // the hot key ranks first
+    for (row <- r) {
+      val exact = row.getAs[Long]("n_exact")
+      val est = row.getAs[Long]("n_cms")
+      assert(est >= exact, "CMS never underestimates")
+      assert(est - exact <= (0.001 * 20000 * 3).toLong,
+        s"estimate $est too far above exact $exact")
+    }
+  }
+
   test("date-partitioned layout prunes partitions on read") {
     val dir = Files.createTempDirectory("graft_layout").toString
     val ev = TestdataAdapter.vehiclePositions(spark, "/root/testdata/sf0.001")
