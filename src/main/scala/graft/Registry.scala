@@ -581,6 +581,14 @@ object Registry {
            |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
            |ORDER BY 1, 2""".stripMargin)),
 
+    Q("priority_cube", Relational.priorityCube,
+      Some(
+        s"""SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+           |  COALESCE(o_orderstatus, 'ALL') AS status,
+           |  COUNT(*) AS n, ${dsum("o_totalprice")} AS total_price
+           |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+           |ORDER BY 1, 2""".stripMargin)),
+
     // Exact (sort-based) percentiles — both engines sort and linearly
     // interpolate, so the values are reproducible; the approx sketch
     // (approx_percentile/t-digest) is the 100 TB path but is

@@ -258,6 +258,20 @@ object Relational {
         col("n"), col("total_price"))
       .orderBy("priority", "status")
 
+  /** CUBE over the same two dimensions — all four grouping sets
+    * ((p,s), (p), (s), ()) in one pass (Spark expands grouping sets
+    * map-side; one shuffle regardless of the set count).
+    */
+  def priorityCube(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "orders")
+      .cube("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("n"), detSum(col("o_totalprice")).as("total_price"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("n"), col("total_price"))
+      .orderBy("priority", "status")
+
   /** As-of join without a global sort: each probe row is matched to the
     * LATEST quote at-or-before its timestamp, under a bounded-staleness
     * contract of `lookbackHours`. Scalable shape: every quote is exploded
