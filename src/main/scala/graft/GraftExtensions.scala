@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.DotProductFloat
+import graft.functions.{DotProductFloat, SimHash64Expr}
 
 /** Session extension that registers graft's native expressions with the
   * SQL function registry, so `SELECT graft_dot(a.embedding, b.embedding)`
@@ -32,7 +32,11 @@ object GraftExtensions {
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_dot"),
       info("graft_dot", "graft_dot(a, b) - dot product of two float vectors (fused codegen loop)"),
-      (children: Seq[Expression]) => DotProductFloat(children.head, children(1))))
+      (children: Seq[Expression]) => DotProductFloat(children.head, children(1))),
+    (FunctionIdentifier("graft_simhash64"),
+      info("graft_simhash64",
+        "graft_simhash64(text) - 64-bit SimHash as array(sim_hi, sim_lo), fused tokenize/md5/vote"),
+      (children: Seq[Expression]) => SimHash64Expr(children.head)))
 
   /** Post-hoc registration on an already-built session (idempotent). */
   def register(spark: SparkSession): Unit = {

@@ -536,7 +536,27 @@ object TextOps {
     * bands of the 32-bit variant cap at 256 buckets, which goes quadratic
     * per bucket as the corpus grows).
     */
+  /** 64-bit SimHash per document via the native fused expression
+    * (graft.functions.SimHash64Expr): tokenize → md5 → bit-vote →
+    * signature in ONE narrow per-row call — no explode, no 64-column
+    * aggregation, no shuffle. The signature stage of near-dup detection
+    * is a pure map at any scale; bit-identical to the composed
+    * explode/aggregate form (equivalence spec-asserted) and to the
+    * DuckDB oracle twin.
+    */
   def simhash64(documents: DataFrame): DataFrame = {
+    val sh = graft.functions.SimHash64Expr.simhash64(col("text"))
+    documents.select(col("doc_id"),
+      element_at(sh, 1).as("sim_hi"),
+      element_at(sh, 2).as("sim_lo"))
+  }
+
+  /** The composed built-in form simhash64 replaced (explode → hex-digit
+    * columns → 64 bit-vote SUMs → sign). Kept as the reference
+    * implementation for the equivalence spec — the custom expression
+    * must never drift from what these built-ins compute.
+    */
+  private[graft] def simhash64Composed(documents: DataFrame): DataFrame = {
     val tok = documents
       .select(col("doc_id"), explode(toks(col("text"))).as("t"))
       .withColumn("h", md5(col("t")))
