@@ -504,25 +504,17 @@ object TextOps {
     s"(CASE WHEN ascii($ch) >= 97 THEN ascii($ch) - 87 ELSE ascii($ch) - 48 END)"
 
   /** doc_id → 32-bit SimHash as BIGINT. */
+  /** The 32-bit signature votes on md5 hex digits 0-7 — exactly the low
+    * half of the 64-bit signature's bit numbering — so it reads straight
+    * off the native fused expression: one narrow per-row call, no
+    * explode, no shuffle (equality with the historical composed form is
+    * covered transitively by the simhash64 equivalence spec plus the
+    * unchanged DuckDB oracle).
+    */
   def simhash(documents: DataFrame): DataFrame = {
-    val tok = documents
-      .select(col("doc_id"), explode(toks(col("text"))).as("t"))
-      .withColumn("h", md5(col("t")))
-    val withDigits = (0 until 8).foldLeft(tok) { (df, j) =>
-      df.withColumn(s"d$j", hexVal(substring(col("h"), j + 1, 1)))
-    }
-    val sums = (0 until 32).map { b =>
-      val d = col(s"d${b / 4}")
-      val bit = (d / lit(1 << (3 - b % 4))).cast("int") % 2
-      sum(when(bit === 1, 1).otherwise(-1)).as(s"v$b")
-    }
-    val sig = (0 until 32)
-      .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduceLeft(_ + _)
-    withDigits
-      .groupBy("doc_id")
-      .agg(sums.head, sums.tail: _*)
-      .select(col("doc_id"), sig.cast("long").as("simhash32"))
+    val sh = graft.functions.SimHash64Expr.simhash64(col("text"))
+    documents
+      .select(col("doc_id"), element_at(sh, 2).as("simhash32"))
       .orderBy("doc_id")
   }
 
