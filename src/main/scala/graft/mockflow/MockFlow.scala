@@ -112,19 +112,28 @@ object MockFlow {
           (lit(1.0) + col("stop_noise")))
       .withColumn("hourly_passengers",
         greatest(lit(0), round(col("hourly_demand")).cast("int")))
+    // Bucket weights as an ARRAY on the un-exploded row: the per-bucket
+    // noisy bump weight is a pure function of (stop, hour, i), so the
+    // 100 weights and their sum are computed narrowly (transform +
+    // aggregate, ascending-i left-assoc — the same addition order the
+    // old window sum produced) BEFORE the fan-out, and the normalizing
+    // total rides along through posexplode. This removes the generator's
+    // only shuffle (the (stop,hour) window): event synthesis is now a
+    // pure map end-to-end, at any scale. minute(bucket_ts) ≡ i %% 60
+    // (hour_ts is hour-truncated and IntervalMinutes = 1).
+    val wArr = transform(sequence(lit(0), lit(EventsPerHour - 1)), i =>
+      greatest(lit(0.05),
+        withinHourFactor(i % 60) *
+          (lit(1.0) + hashNormal(seed + 7L, col("stop_id"), col("hour_ts"), i) * 0.12)))
     val buckets = perStopHour
-      .withColumn("i", explode(sequence(lit(0), lit(EventsPerHour - 1))))
+      .withColumn("ws", wArr)
+      .withColumn("total_w",
+        aggregate(col("ws"), lit(0.0), (a, x) => a + x))
+      .select(col("*"), posexplode(col("ws")).as(Seq("i", "w")))
       .withColumn("bucket_ts",
         col("hour_ts") + make_interval(lit(0), lit(0), lit(0), lit(0), lit(0),
           col("i") * IntervalMinutes))
-      .withColumn("minute", minute(col("bucket_ts")))
-      .withColumn("w",
-        greatest(lit(0.05),
-          withinHourFactor(col("minute")) *
-            (lit(1.0) + hashNormal(seed + 7L, col("stop_id"), col("hour_ts"), col("i")) * 0.12)))
-    val wWin = Window.partitionBy("stop_id", "hour_ts")
     buckets
-      .withColumn("total_w", sum("w").over(wWin))
       .withColumn("estimated_passengers",
         greatest(lit(0),
           round(col("hourly_passengers") * (col("w") / col("total_w"))).cast("int")))
