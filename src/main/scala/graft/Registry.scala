@@ -667,6 +667,11 @@ object Registry {
     Q("heavy_hitters",
       (s, dir) => Sketches.heavyHitters(TestdataAdapter.table(s, dir, "events")),
       None),
+    // Declarative data-quality gate: a rule set compiled into ONE
+    // aggregation pass (Deequ-style), unpivoted to a per-rule report
+    Q("dq_report",
+      (s, dir) => graft.rel.Quality.eventsReport(TestdataAdapter.table(s, dir, "events")),
+      Some(graft.rel.Quality.eventsReportSql)),
 
     // Snapshot diff: full-outer change classification between a table
     // and a deterministically perturbed next version

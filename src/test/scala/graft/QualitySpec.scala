@@ -1,0 +1,49 @@
+package graft
+
+import graft.rel.Quality
+import graft.rel.Quality._
+
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("each rule counts exactly its violations in one pass") {
+    val df = Seq(
+      (Some(1L), Some("click"), Some(10.0), Some("""{"k":1}""")),
+      (Some(1L), Some("view"), Some(-5.0), Some("not json")), // dup id, range, regex
+      (None, Some("bogus"), None, None),                      // null id, bad type
+      (Some(3L), None, Some(2e6), Some("""{"k":2}""")))       // null type, range
+      .toDF("event_id", "event_type", "value", "props")
+    val r = Quality.check(df, Seq(
+      NotNull("event_id"),
+      Unique("event_id"),
+      NotNull("event_type"),
+      InRange("value", 0, 1e6),
+      InSet("event_type", Seq("click", "view")),
+      Matches("props", "^\\{.*\\}$")))
+      .collect()
+      .map(x => x.getAs[String]("rule") ->
+        ((x.getAs[Long]("n_violations"), x.getAs[Boolean]("pass")))).toMap
+
+    assert(r("not_null(event_id)") == ((1L, false)))
+    assert(r("unique(event_id)") == ((1L, false)))   // two rows share id 1
+    assert(r("not_null(event_type)") == ((1L, false)))
+    assert(r("in_range(value, 0.0, 1000000.0)") == ((2L, false))) // -5 and 2e6
+    assert(r("in_set(event_type)") == ((1L, false))) // 'bogus'; nulls don't count
+    assert(r("matches(props)") == ((1L, false)))     // 'not json'; nulls don't count
+    assert(r.values.forall(_._1 <= 4))
+  }
+
+  test("clean data passes every registered events rule") {
+    val ev = TestdataAdapter.table(spark, "/root/testdata/sf0.001", "events")
+    val r = Quality.eventsReport(ev).collect()
+    assert(r.length == 8)
+    assert(r.forall(_.getAs[Boolean]("pass")), "driver testdata must be clean")
+  }
+
+  test("the whole rule set compiles to a single aggregation (no per-rule scans)") {
+    val ev = TestdataAdapter.table(spark, "/root/testdata/sf0.001", "events")
+    val plan = Quality.eventsReport(ev).queryExecution.executedPlan.toString
+    // one scan of the parquet input, however many rules ride on it
+    assert("FileScan parquet".r.findAllIn(plan).length == 1, plan)
+  }
+}
