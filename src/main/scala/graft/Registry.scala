@@ -785,6 +785,10 @@ object Registry {
       // of all token occurrences (tokenizer-vocab sizing)
       Q("vocab_coverage", (s, d) => TextOps.vocabCoverage(docs(s, d)),
         Some(TextOps.vocabCoverageSql())),
+      // BPE merge-pair counting: char-pair frequencies weighted by word
+      // frequency — the argmax step of tokenizer training
+      Q("bpe_merge_pairs", (s, d) => TextOps.bpeMergePairs(docs(s, d)),
+        Some(TextOps.bpeMergePairsSql())),
       Q("repetition_stats", (s, d) => TextOps.repetitionStats(docs(s, d)),
         Some(TextOps.repetitionStatsSql)),
       Q("domain_mixture", (s, d) => TextOps.domainMixture(docs(s, d)),

@@ -655,6 +655,44 @@ object TextOps {
       .orderBy("rank")
   }
 
+  /** BPE merge-pair counting — the argmax step of byte-pair-encoding
+    * tokenizer training: adjacent character-pair frequencies over the
+    * corpus, weighted by word frequency. The heavy reduction happens
+    * FIRST (corpus → word-frequency table, vocabulary-sized and
+    * sublinear in corpus); the char-pair explosion then runs over
+    * distinct words only, so a 100 TB corpus pays one word-count
+    * aggregation plus work proportional to |vocab| × word length. The
+    * winning pair is what a BPE trainer would merge next; the top-k
+    * table is the trainer's working set.
+    */
+  def bpeMergePairs(documents: DataFrame, topK: Int = 50): DataFrame = {
+    val words = documents
+      .select(explode(toks(col("text"))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("n"))
+      .filter(length(col("word")) >= 2)
+    words
+      .select(col("n"), explode(expr(
+        "transform(sequence(1, length(word) - 1), " +
+          "i -> concat(substr(word, i, 1), substr(word, i + 1, 1)))")).as("pair"))
+      .groupBy("pair")
+      .agg(sum(col("n")).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("pair"))
+      .limit(topK)
+  }
+
+  def bpeMergePairsSql(topK: Int = 50): String =
+    raw"""WITH w AS (
+       |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+       |  FROM documents),
+       |wc AS (SELECT word, COUNT(*) AS n FROM w GROUP BY 1 HAVING len(word) >= 2),
+       |p AS (SELECT n, unnest(list_transform(generate_series(1, len(word) - 1),
+       |        i -> substr(word, i, 1) || substr(word, i + 1, 1))) AS pair
+       |      FROM wc)
+       |SELECT pair, CAST(SUM(n) AS BIGINT) AS n_occurrences
+       |FROM p GROUP BY 1
+       |ORDER BY n_occurrences DESC, pair LIMIT $topK""".stripMargin
+
   def vocabCoverageSql(topK: Int = 200): String =
     raw"""WITH tok AS (
        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token

@@ -15,6 +15,16 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r == Seq(("a b", 3L), ("b a", 1L)))
   }
 
+  test("bpeMergePairs: char pairs weighted by word frequency; 1-char words drop") {
+    val docs = Seq(
+      (0L, "abc abc ab"), // "ab": 3 (2×abc + 1×ab), "bc": 2
+      (1L, "abc a"))      // +1 "ab","bc"; "a" too short
+      .toDF("doc_id", "text")
+    val r = TextOps.bpeMergePairs(docs, topK = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(r == Seq(("ab", 4L), ("bc", 3L)))
+  }
+
   test("vocabCoverage: ranks by frequency, cumulative share reaches 1.0") {
     val docs = Seq(
       (0L, "a a a b b c"),
