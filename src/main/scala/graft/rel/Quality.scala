@@ -59,6 +59,25 @@ object Quality {
       .orderBy("rule")
   }
 
+  /** The in-flight form of [[check]]: rules attached to a DataFrame via
+    * `observe` (CollectMetrics), so violation counts are collected AS A
+    * SIDE EFFECT of whatever action the pipeline was already running —
+    * the 100 TB ingest write audits itself with zero extra scans.
+    * Distinct-based rules (Unique) are not expressible as observed
+    * metrics (Spark disallows distinct aggregates in CollectMetrics) —
+    * run those through [[check]]'s dedicated pass instead. Read results
+    * from the returned Observation after the first action completes.
+    */
+  def observed(df: DataFrame, rules: Seq[Rule]):
+      (DataFrame, org.apache.spark.sql.Observation) = {
+    require(!rules.exists(_.isInstanceOf[Unique]),
+      "Unique rules need a distinct aggregate — unsupported in observe(); use check()")
+    val obs = org.apache.spark.sql.Observation()
+    val aggs = rules.map(r => violations(r).cast("long").as(r.name)) :+
+      count(lit(1)).cast("long").as("n_rows")
+    (df.observe(obs, aggs.head, aggs.tail: _*), obs)
+  }
+
   /** The registered gate over `events` — the checks its consumers
     * (hourly views, sessionization, exports) implicitly rely on.
     */

@@ -40,6 +40,26 @@ class QualitySpec extends SparkSpec {
     assert(r.forall(_.getAs[Boolean]("pass")), "driver testdata must be clean")
   }
 
+  test("observed rules audit an existing action with zero extra scans") {
+    val ev = TestdataAdapter.table(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "event_type", "value")
+    val (audited, obs) = Quality.observed(ev, Seq(
+      NotNull("event_id"),
+      InRange("value", 0, 1e6),
+      InSet("event_type", Seq("click", "view", "signup", "purchase", "error"))))
+    // the pipeline's own action (here a write) drives metric collection
+    audited.write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    assert(m("n_rows") == 1000L)
+    assert(m("not_null(event_id)") == 0L)
+    assert(m("in_range(value, 0.0, 1000000.0)") == 0L)
+    assert(m("in_set(event_type)") == 0L)
+    // Unique needs a distinct aggregate — rejected up front
+    intercept[IllegalArgumentException] {
+      Quality.observed(ev, Seq(Unique("event_id")))
+    }
+  }
+
   test("the whole rule set compiles to a single aggregation (no per-rule scans)") {
     val ev = TestdataAdapter.table(spark, "/root/testdata/sf0.001", "events")
     val plan = Quality.eventsReport(ev).queryExecution.executedPlan.toString
