@@ -789,6 +789,10 @@ object Registry {
       // frequency — the argmax step of tokenizer training
       Q("bpe_merge_pairs", (s, d) => TextOps.bpeMergePairs(docs(s, d)),
         Some(TextOps.bpeMergePairsSql())),
+      // full BPE trainer: one distributed word-count pass + driver-side
+      // merge loop over the vocab-sized working set — rows-only
+      // (iterative; spec pins hand-computed merges + step-1 ≡ argmax)
+      Q("bpe_train", (s, d) => TextOps.bpeTrain(docs(s, d)), None),
       Q("repetition_stats", (s, d) => TextOps.repetitionStats(docs(s, d)),
         Some(TextOps.repetitionStatsSql)),
       Q("domain_mixture", (s, d) => TextOps.domainMixture(docs(s, d)),

@@ -693,6 +693,59 @@ object TextOps {
        |FROM p GROUP BY 1
        |ORDER BY n_occurrences DESC, pair LIMIT $topK""".stripMargin
 
+  /** Full BPE training — the iterative loop on top of the
+    * [[bpeMergePairs]] argmax: repeatedly merge the most frequent
+    * adjacent symbol pair and re-count. The corpus-scale work is the ONE
+    * distributed word-count aggregation; the merge loop then runs on the
+    * driver over the vocabulary-sized working set (exactly how real BPE
+    * trainers work — the corpus is only ever touched once, the
+    * iterations touch the vocab table). Ties break lexicographically;
+    * output is the ordered merge table a tokenizer ships. Rows-only in
+    * the registry (an iterative trainer is not SQL-expressible); the
+    * spec hand-computes merges and pins step 1 to the distributed
+    * argmax.
+    */
+  def bpeTrain(documents: DataFrame, numMerges: Int = 20): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val vocab0: Array[(Array[String], Long)] = documents
+      .select(explode(toks(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .filter(length(col("word")) >= 2)
+      .orderBy("word") // deterministic driver-side iteration order
+      .as[(String, Long)].collect()
+      .map { case (w, n) => (w.split("").filter(_.nonEmpty), n) }
+    var vocab = vocab0
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 1
+    while (step <= numMerges) {
+      val counts = scala.collection.mutable.LinkedHashMap.empty[(String, String), Long]
+      for ((syms, n) <- vocab; i <- 0 until syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        counts(p) = counts.getOrElse(p, 0L) + n
+      }
+      if (counts.isEmpty) step = numMerges + 1
+      else {
+        val ((l, r), c) = counts.toSeq
+          .maxBy { case ((l, r), c) => (c, l, r) } (
+            Ordering.Tuple3(Ordering.Long, Ordering.String.reverse, Ordering.String.reverse))
+        merges += ((step, l, r, c))
+        vocab = vocab.map { case (syms, n) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+              out += (l + r); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.toArray, n)
+        }
+        step += 1
+      }
+    }
+    merges.toSeq.toDF("step", "left", "right", "pair_count")
+  }
+
   def vocabCoverageSql(topK: Int = 200): String =
     raw"""WITH tok AS (
        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token

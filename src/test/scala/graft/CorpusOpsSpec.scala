@@ -25,6 +25,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r == Seq(("ab", 4L), ("bc", 3L)))
   }
 
+  test("bpeTrain: merges the most frequent pair each step, ties lexicographic") {
+    val docs = Seq((0L, "abab abab abab ab ab")).toDF("doc_id", "text")
+    // vocab: abab×3 (pairs ab,ba,ab), ab×2 → counts: ab=8, ba=3
+    val m = TextOps.bpeTrain(docs, numMerges = 3)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(m.head == ((1, "a", "b", 8L)))
+    // after merging "ab": abab→[ab,ab]×3 → pair (ab,ab)=3; ab→[ab] done
+    assert(m(1) == ((2, "ab", "ab", 3L)))
+    // after merging "abab": no adjacent pairs remain anywhere
+    assert(m.length == 2)
+  }
+
+  test("bpeTrain step 1 equals the distributed merge-pair argmax on testdata") {
+    val d = TestdataAdapter.table(spark, "/root/testdata/sf0.001", "documents")
+    val top = TextOps.bpeMergePairs(d, topK = 1)
+      .as[(String, Long)].collect().head
+    val first = TextOps.bpeTrain(d, numMerges = 1)
+      .as[(Int, String, String, Long)].collect().head
+    assert(first._2 + first._3 == top._1)
+    assert(first._4 == top._2)
+  }
+
   test("vocabCoverage: ranks by frequency, cumulative share reaches 1.0") {
     val docs = Seq(
       (0L, "a a a b b c"),
