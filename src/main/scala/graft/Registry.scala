@@ -673,6 +673,11 @@ object Registry {
       (s, dir) => graft.rel.Quality.eventsReport(TestdataAdapter.table(s, dir, "events")),
       Some(graft.rel.Quality.eventsReportSql)),
 
+    // SCD type 2: validity-interval dimension history maintained by one
+    // full-outer merge of the open slice against a new snapshot
+    Q("scd2_customers", Relational.scd2Customers,
+      Some(Relational.scd2CustomersSql)),
+
     // Snapshot diff: full-outer change classification between a table
     // and a deterministically perturbed next version
     Q("events_diff", Relational.eventsDiff,

@@ -1,6 +1,6 @@
 package graft.rel
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.TestdataAdapter.table
@@ -353,6 +353,89 @@ object Relational {
         col("change_type"))
       .orderBy(key)
   }
+
+  /** Slowly-changing-dimension type 2 — dimension history with validity
+    * intervals, maintained incrementally: apply a new full snapshot to
+    * the history table, closing rows whose values changed (or whose key
+    * left the snapshot) at `asOf`, opening new versions for changed and
+    * brand-new keys, and passing unchanged/already-closed rows through
+    * untouched. The merge is ONE full-outer join keyed on the dimension
+    * key between the open slice and the snapshot — the same
+    * co-partitioned shuffle an upsert pays, independent of history
+    * depth (closed rows never join).
+    */
+  def scd2Apply(
+      history: DataFrame, snapshot: DataFrame, key: String,
+      valueCols: Seq[String], asOf: Column): DataFrame = {
+    val open = history.filter(col("valid_to").isNull)
+    val closed = history.filter(col("valid_to").isNotNull)
+    val o = open.as("o")
+    val n = snapshot.select((key +: valueCols).map(col): _*).as("n")
+    val differs = valueCols
+      .map(c => !(col(s"o.$c") <=> col(s"n.$c")))
+      .reduceLeft(_ || _)
+    val j = o.join(n, col(s"o.$key") === col(s"n.$key"), "full_outer")
+    // open rows that survive unchanged
+    val unchanged = j.filter(col(s"o.$key").isNotNull && col(s"n.$key").isNotNull && !differs)
+      .select((Seq(col(s"o.$key").as(key)) ++ valueCols.map(c => col(s"o.$c").as(c)) :+
+        col("o.valid_from").as("valid_from") :+ col("o.valid_to").as("valid_to")): _*)
+    // open rows closed at asOf: value drift or key retired from the snapshot
+    val toClose = j.filter(col(s"o.$key").isNotNull && (col(s"n.$key").isNull || differs))
+      .select((Seq(col(s"o.$key").as(key)) ++ valueCols.map(c => col(s"o.$c").as(c)) :+
+        col("o.valid_from").as("valid_from") :+ asOf.as("valid_to")): _*)
+    // fresh open versions: changed values or brand-new keys
+    val opened = j.filter(col(s"n.$key").isNotNull && (col(s"o.$key").isNull || differs))
+      .select((Seq(col(s"n.$key").as(key)) ++ valueCols.map(c => col(s"n.$c").as(c)) :+
+        asOf.as("valid_from") :+ lit(null).cast("timestamp_ntz").as("valid_to")): _*)
+    closed.unionByName(unchanged).unionByName(toClose).unionByName(opened)
+      .orderBy(col(key), col("valid_from"))
+  }
+
+  /** Registered SCD2 run over `customer`: initial load valid from
+    * 2024-01-01, then a 2024-02-01 snapshot where custkey %% 7 = 0 got a
+    * doubled balance (changed), %% 97 = 0 disappeared (retired), and
+    * mirrored keys (custkey + 10^7 for %% 89 = 0) joined (new).
+    */
+  def scd2Customers(s: SparkSession, dir: String): DataFrame = {
+    val c = table(s, dir, "customer").select("c_custkey", "c_acctbal")
+    val history = c
+      .withColumn("valid_from", lit("2024-01-01 00:00:00").cast("timestamp_ntz"))
+      .withColumn("valid_to", lit(null).cast("timestamp_ntz"))
+    val snapshot = c
+      .filter(col("c_custkey") % 97 =!= 0)
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 7 === 0, col("c_acctbal") * 2).otherwise(col("c_acctbal")))
+      .unionByName(c.filter(col("c_custkey") % 89 === 0)
+        .select((col("c_custkey") + 10000000).as("c_custkey"), col("c_acctbal")))
+    scd2Apply(history, snapshot, "c_custkey", Seq("c_acctbal"),
+      lit("2024-02-01 00:00:00").cast("timestamp_ntz"))
+  }
+
+  val scd2CustomersSql: String =
+    """WITH h AS (
+      |  SELECT c_custkey, c_acctbal,
+      |    TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+      |    CAST(NULL AS TIMESTAMP) AS valid_to
+      |  FROM customer),
+      |snap AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 7 = 0 THEN c_acctbal * 2 ELSE c_acctbal END AS c_acctbal
+      |  FROM customer WHERE c_custkey % 97 <> 0
+      |  UNION ALL
+      |  SELECT c_custkey + 10000000, c_acctbal FROM customer WHERE c_custkey % 89 = 0),
+      |j AS (
+      |  SELECT h.c_custkey AS ok, snap.c_custkey AS nk,
+      |    h.c_acctbal AS ov, snap.c_acctbal AS nv, h.valid_from
+      |  FROM h FULL OUTER JOIN snap ON h.c_custkey = snap.c_custkey)
+      |SELECT ok AS c_custkey, ov AS c_acctbal, valid_from, CAST(NULL AS TIMESTAMP) AS valid_to
+      |FROM j WHERE ok IS NOT NULL AND nk IS NOT NULL AND ov IS NOT DISTINCT FROM nv
+      |UNION ALL
+      |SELECT ok, ov, valid_from, TIMESTAMP '2024-02-01 00:00:00'
+      |FROM j WHERE ok IS NOT NULL AND (nk IS NULL OR ov IS DISTINCT FROM nv)
+      |UNION ALL
+      |SELECT nk, nv, TIMESTAMP '2024-02-01 00:00:00', CAST(NULL AS TIMESTAMP)
+      |FROM j WHERE nk IS NOT NULL AND (ok IS NULL OR ov IS DISTINCT FROM nv)
+      |ORDER BY c_custkey, valid_from""".stripMargin
 
   /** Diff the event table against a deterministically perturbed copy:
     * drop event_id % 97 = 0 (removals), shift ids by +10000 for

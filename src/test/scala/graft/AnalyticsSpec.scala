@@ -57,6 +57,33 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Double]("rate_purchase") == 0.5)
   }
 
+  test("scd2: changed rows close and reopen, retired rows close, new rows open") {
+    import graft.rel.Relational
+    val t0 = "2024-01-01 00:00:00"
+    val t1 = "2024-02-01 00:00:00"
+    val history = Seq(
+      (1L, 10.0, ts(t0), None: Option[Timestamp]),      // unchanged
+      (2L, 20.0, ts(t0), None),                          // will change
+      (3L, 30.0, ts(t0), None),                          // retired
+      (4L, 5.0, ts("2023-06-01 00:00:00"), Some(ts(t0))) // already closed — untouched
+    ).toDF("k", "v", "valid_from", "valid_to")
+      .withColumn("valid_from", col("valid_from").cast("timestamp_ntz"))
+      .withColumn("valid_to", col("valid_to").cast("timestamp_ntz"))
+    val snapshot = Seq((1L, 10.0), (2L, 25.0), (5L, 50.0)).toDF("k", "v")
+    val r = Relational.scd2Apply(history, snapshot, "k", Seq("v"),
+      lit(t1).cast("timestamp_ntz")).collect()
+      .map(x => (x.getAs[Long]("k"), x.getAs[Double]("v"),
+        Option(x.getAs[java.time.LocalDateTime]("valid_to")).map(_.toString.take(7))))
+    assert(r.toSet == Set(
+      (1L, 10.0, None),            // unchanged open row
+      (2L, 20.0, Some("2024-02")), // old version closed
+      (2L, 25.0, None),            // new version open
+      (3L, 30.0, Some("2024-02")), // retired: closed, no reopen
+      (4L, 5.0, Some("2024-01")),  // historical row untouched
+      (5L, 50.0, None)))           // brand-new key
+    assert(r.length == 6)
+  }
+
   test("cohort retention: offsets measured from first-seen week") {
     val ev = Seq(
       (1L, "click", ts("2024-01-01 10:00:00"), 0.0), // Mon wk0
