@@ -677,6 +677,9 @@ object Registry {
     // full-outer merge of the open slice against a new snapshot
     Q("scd2_customers", Relational.scd2Customers,
       Some(Relational.scd2CustomersSql)),
+    // point-in-time lookup against the SCD2 history ("balance as of T")
+    Q("scd2_pit_lookup", Relational.scd2PitLookup,
+      Some(Relational.scd2PitLookupSql)),
 
     // Snapshot diff: full-outer change classification between a table
     // and a deterministically perturbed next version

@@ -437,6 +437,47 @@ object Relational {
       |FROM j WHERE nk IS NOT NULL AND (ok IS NULL OR ov IS DISTINCT FROM nv)
       |ORDER BY c_custkey, valid_from""".stripMargin
 
+  /** Point-in-time lookup against an SCD2 history: each (key, ts) probe
+    * gets the dimension version whose validity interval contains ts —
+    * "the account balance as it was when the event happened", the query
+    * an SCD2 table exists to answer. Equality join on the dimension key
+    * (co-partitioned shuffle; the per-key version list is short by
+    * construction) + a narrow interval filter — no range join, no sort.
+    */
+  def scd2Lookup(history: DataFrame, probes: DataFrame, key: String,
+      tsCol: String): DataFrame =
+    probes.join(history, key)
+      .filter(col(tsCol) >= col("valid_from") &&
+        (col("valid_to").isNull || col(tsCol) < col("valid_to")))
+
+  /** Registered PIT lookup: every key in [[scd2Customers]]'s history
+    * probed at mid-January (only the initial versions exist) and
+    * mid-February 2024 (post-snapshot state — retired keys drop, new
+    * keys appear).
+    */
+  def scd2PitLookup(s: SparkSession, dir: String): DataFrame = {
+    val history = scd2Customers(s, dir)
+    val probes = history.select("c_custkey").distinct()
+      .withColumn("probe_ts", explode(array(
+        lit("2024-01-15 00:00:00").cast("timestamp_ntz"),
+        lit("2024-02-15 00:00:00").cast("timestamp_ntz"))))
+    scd2Lookup(history, probes, "c_custkey", "probe_ts")
+      .select("c_custkey", "probe_ts", "c_acctbal")
+      .orderBy("c_custkey", "probe_ts")
+  }
+
+  val scd2PitLookupSql: String =
+    s"""WITH hist AS (${scd2CustomersSql.replace("ORDER BY c_custkey, valid_from", "")}),
+       |probes AS (
+       |  SELECT c_custkey, unnest([TIMESTAMP '2024-01-15 00:00:00',
+       |                            TIMESTAMP '2024-02-15 00:00:00']) AS probe_ts
+       |  FROM (SELECT DISTINCT c_custkey FROM hist))
+       |SELECT p.c_custkey, p.probe_ts, h.c_acctbal
+       |FROM probes p JOIN hist h ON h.c_custkey = p.c_custkey
+       |WHERE p.probe_ts >= h.valid_from
+       |  AND (h.valid_to IS NULL OR p.probe_ts < h.valid_to)
+       |ORDER BY p.c_custkey, p.probe_ts""".stripMargin
+
   /** Diff the event table against a deterministically perturbed copy:
     * drop event_id % 97 = 0 (removals), shift ids by +10000 for
     * event_id % 89 = 0 (additions), double value where event_id % 7 = 0
