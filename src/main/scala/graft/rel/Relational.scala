@@ -456,7 +456,9 @@ object Relational {
     * keys appear).
     */
   def scd2PitLookup(s: SparkSession, dir: String): DataFrame = {
-    val history = scd2Customers(s, dir)
+    // persisted: both the probe-key distinct and the lookup join consume
+    // the history — without the cache the full-outer merge runs twice
+    val history = scd2Customers(s, dir).persist()
     val probes = history.select("c_custkey").distinct()
       .withColumn("probe_ts", explode(array(
         lit("2024-01-15 00:00:00").cast("timestamp_ntz"),
