@@ -581,6 +581,14 @@ object Registry {
            |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
            |ORDER BY 1, 2""".stripMargin)),
 
+    // monthly revenue trend + MoM delta (window over the time-bounded
+    // months frame — bounded by construction, not by data volume)
+    Q("monthly_revenue_trend", Relational.monthlyRevenueTrend,
+      Some(Relational.monthlyRevenueTrendSql)),
+    // RFM segmentation via exact-percentile thresholds (broadcast 1-row
+    // agg + narrow comparisons — no global numbering of customers)
+    Q("rfm_scores", Relational.rfmScores,
+      Some(Relational.rfmScoresSql)),
     Q("priority_cube", Relational.priorityCube,
       Some(
         s"""SELECT COALESCE(o_orderpriority, 'ALL') AS priority,

@@ -354,6 +354,90 @@ object Relational {
       .orderBy(key)
   }
 
+  /** Monthly revenue trend with month-over-month delta: one month-keyed
+    * aggregation (map-side combinable), then a LAG over the months frame
+    * — which is time-bounded (one row per month regardless of data
+    * volume), so the unpartitioned window is bounded by construction.
+    */
+  def monthlyRevenueTrend(s: SparkSession, dir: String): DataFrame = {
+    val monthly = table(s, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n_orders"), detSum(col("o_totalprice")).as("revenue"))
+    val w = Window.orderBy("month")
+    monthly
+      .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+      .withColumn("mom_delta", col("revenue") - col("prev_revenue"))
+      .select(col("month").cast("timestamp_ntz").as("month"),
+        col("n_orders"), col("revenue"), col("prev_revenue"), col("mom_delta"))
+      .orderBy("month")
+  }
+
+  val monthlyRevenueTrendSql: String = {
+    val rev = "CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)"
+    s"""WITH m AS (
+       |  SELECT date_trunc('month', o_orderdate) AS month,
+       |    CAST(COUNT(*) AS BIGINT) AS n_orders, $rev AS revenue
+       |  FROM orders GROUP BY 1)
+       |SELECT CAST(month AS TIMESTAMP) AS month, n_orders, revenue,
+       |  LAG(revenue, 1) OVER (ORDER BY month) AS prev_revenue,
+       |  revenue - LAG(revenue, 1) OVER (ORDER BY month) AS mom_delta
+       |FROM m ORDER BY month""".stripMargin
+  }
+
+  /** RFM customer scoring — recency/frequency/monetary segmentation, the
+    * classic CRM analytics operator: per-customer aggregates, then each
+    * dimension bucketed into thirds by EXACT percentile thresholds.
+    * Thresholds come from one broadcast 1-row aggregate (sort-based
+    * `percentile` — reproducible cross-engine, unlike NTILE's
+    * row-number arithmetic which would need a global numbering); the
+    * bucketing itself is a narrow comparison, so nothing here needs a
+    * single-partition window over the customer table.
+    */
+  def rfmScores(s: SparkSession, dir: String): DataFrame = {
+    val perCust = table(s, dir, "orders")
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(
+        datediff(max(col("o_orderdate")).cast("date"), lit("1970-01-01").cast("date"))
+          .as("last_order_day"),
+        count(lit(1)).as("frequency"),
+        detSum(col("o_totalprice")).as("monetary"))
+    val thresholds = perCust.agg(
+      expr("percentile(frequency, 0.33)").as("f33"),
+      expr("percentile(frequency, 0.66)").as("f66"),
+      expr("percentile(monetary, 0.33)").as("m33"),
+      expr("percentile(monetary, 0.66)").as("m66"),
+      expr("percentile(last_order_day, 0.33)").as("r33"),
+      expr("percentile(last_order_day, 0.66)").as("r66"))
+    def score(c: Column, lo: Column, hi: Column): Column =
+      when(c <= lo, 1).when(c <= hi, 2).otherwise(3)
+    perCust.crossJoin(broadcast(thresholds))
+      .select(
+        col("c_custkey"), col("last_order_day"), col("frequency"), col("monetary"),
+        score(col("last_order_day"), col("r33"), col("r66")).as("r_score"),
+        score(col("frequency"), col("f33"), col("f66")).as("f_score"),
+        score(col("monetary"), col("m33"), col("m66")).as("m_score"))
+      .orderBy("c_custkey")
+  }
+
+  val rfmScoresSql: String = {
+    val mon = "CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)"
+    s"""WITH pc AS (
+       |  SELECT o_custkey AS c_custkey,
+       |    CAST(CAST(MAX(o_orderdate) AS DATE) - DATE '1970-01-01' AS INTEGER) AS last_order_day,
+       |    CAST(COUNT(*) AS BIGINT) AS frequency, $mon AS monetary
+       |  FROM orders GROUP BY 1),
+       |th AS (SELECT
+       |  quantile_cont(frequency, 0.33) AS f33, quantile_cont(frequency, 0.66) AS f66,
+       |  quantile_cont(monetary, 0.33) AS m33, quantile_cont(monetary, 0.66) AS m66,
+       |  quantile_cont(last_order_day, 0.33) AS r33, quantile_cont(last_order_day, 0.66) AS r66
+       |FROM pc)
+       |SELECT c_custkey, last_order_day, frequency, monetary,
+       |  CASE WHEN last_order_day <= r33 THEN 1 WHEN last_order_day <= r66 THEN 2 ELSE 3 END AS r_score,
+       |  CASE WHEN frequency <= f33 THEN 1 WHEN frequency <= f66 THEN 2 ELSE 3 END AS f_score,
+       |  CASE WHEN monetary <= m33 THEN 1 WHEN monetary <= m66 THEN 2 ELSE 3 END AS m_score
+       |FROM pc, th ORDER BY c_custkey""".stripMargin
+  }
+
   /** Slowly-changing-dimension type 2 — dimension history with validity
     * intervals, maintained incrementally: apply a new full snapshot to
     * the history table, closing rows whose values changed (or whose key

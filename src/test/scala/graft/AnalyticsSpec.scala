@@ -57,6 +57,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Double]("rate_purchase") == 0.5)
   }
 
+  test("monthly trend: first month has null delta; deltas reconcile with revenue") {
+    import graft.rel.Relational
+    val r = Relational.monthlyRevenueTrend(spark, "/root/testdata/sf0.001").collect()
+    assert(r.length > 12)
+    assert(r.head.isNullAt(r.head.fieldIndex("prev_revenue")))
+    for (i <- 1 until r.length) {
+      val d = r(i).getAs[Double]("mom_delta")
+      assert(d == r(i).getAs[Double]("revenue") - r(i - 1).getAs[Double]("revenue"))
+    }
+  }
+
+  test("rfm: scores in 1..3, every bucket populated, monotone in the metric") {
+    import graft.rel.Relational
+    val r = Relational.rfmScores(spark, "/root/testdata/sf0.001").collect()
+    assert(r.nonEmpty)
+    for (c <- Seq("r_score", "f_score", "m_score")) {
+      val scores = r.map(_.getAs[Int](c))
+      assert(scores.forall(s => s >= 1 && s <= 3))
+      assert(scores.toSet == Set(1, 2, 3), s"$c missing a bucket")
+    }
+    // monotone: sorting by monetary must sort m_score non-decreasingly
+    val byMon = r.sortBy(_.getAs[Double]("monetary")).map(_.getAs[Int]("m_score"))
+    assert(byMon.sameElements(byMon.sorted))
+  }
+
   test("scd2: changed rows close and reopen, retired rows close, new rows open") {
     import graft.rel.Relational
     val t0 = "2024-01-01 00:00:00"
