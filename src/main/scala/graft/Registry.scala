@@ -762,6 +762,11 @@ object Registry {
 
     // Gap-based sessionization: one shuffle (user_id), running-sum
     // session ids, grouped session stats — see rel.Sessionize scaladoc.
+    // per-user behavioral profile over the session frame (bounce rate,
+    // mean session length) — the report sessionization feeds
+    Q("session_stats",
+      (s, dir) => Sessionize.sessionStats(TestdataAdapter.table(s, dir, "events")),
+      Some(Sessionize.sessionStatsSql)),
     Q("sessionize_events",
       (s, dir) => Sessionize.sessions(TestdataAdapter.table(s, dir, "events")),
       Some(Sessionize.sessionsSql)),

@@ -70,6 +70,49 @@ object Sessionize {
       .orderBy("user_id", "session_idx")
   }
 
+  /** Per-user behavioral profile on top of [[sessions]] — the report
+    * sessionization exists to feed: session counts, mean session length
+    * (events and seconds), bounce share (single-event sessions), and
+    * exact value totals. One extra hash aggregation keyed on user_id,
+    * reusing the session frame's existing user_id clustering (no new
+    * exchange). Mean columns divide exact integer/decimal sums by exact
+    * counts, so cross-engine doubles match bit-for-bit.
+    */
+  def sessionStats(events: DataFrame): DataFrame =
+    sessions(events)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("total_events"),
+        (sum(col("n_events")).cast("double") / count(lit(1))).as("avg_events_per_session"),
+        // duration re-summed in integer µs (double addition order is
+        // engine-dependent; the µs round-trip is exact in both)
+        // explicit round() before the long cast: the double µs value
+        // sits an epsilon off the integer, and Spark's cast truncates
+        // where DuckDB's rounds — rounding in both recovers the exact µs
+        (sum(round(col("duration_sec") * 1000000).cast("long")).cast("double")
+          / lit(1000000) / count(lit(1))).as("avg_duration_sec"),
+        (count(when(col("n_events") === 1, 1)).cast("double") / count(lit(1)))
+          .as("bounce_rate"),
+        detSum(col("total_value")).as("total_value"))
+      .orderBy("user_id")
+
+  /** DuckDB oracle twin of [[sessionStats]]: same session CTE chain, one
+    * more grouped SELECT.
+    */
+  lazy val sessionStatsSql: String = {
+    val inner = sessionsSql.replace("ORDER BY 1, 2", "")
+    s"""WITH s AS ($inner)
+       |SELECT user_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       |  CAST(SUM(n_events) AS BIGINT) AS total_events,
+       |  CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS avg_events_per_session,
+       |  CAST(SUM(CAST(round(duration_sec * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 / COUNT(*) AS avg_duration_sec,
+       |  CAST(COUNT(CASE WHEN n_events = 1 THEN 1 END) AS DOUBLE) / COUNT(*) AS bounce_rate,
+       |  CAST(SUM(CAST(total_value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+       |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** DuckDB oracle twin of [[sessions]]. */
   val sessionsSql: String =
     s"""WITH e AS (

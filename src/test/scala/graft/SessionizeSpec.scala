@@ -44,6 +44,24 @@ class SessionizeSpec extends SparkSpec {
     assert(s.forall(_.getAs[Double]("duration_sec") == 0.0))
   }
 
+  test("session stats: bounce rate and averages from hand-built sessions") {
+    val df = ev(
+      (0L * H, 1L, 1L, "view", 1.0),
+      (1L * H, 1L, 2L, "click", 2.0),  // session 1: 2 events, 1h
+      (20L * H, 1L, 3L, "view", 3.0),  // session 2: bounce
+      (0L * H, 2L, 4L, "view", 4.0))   // user 2: one bounce session
+    val s = Sessionize.sessionStats(df).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    val u1 = s(1L)
+    assert(u1.getAs[Long]("n_sessions") == 2L)
+    assert(u1.getAs[Long]("total_events") == 3L)
+    assert(u1.getAs[Double]("avg_events_per_session") == 1.5)
+    assert(u1.getAs[Double]("avg_duration_sec") == 1800.0) // (3600 + 0) / 2
+    assert(u1.getAs[Double]("bounce_rate") == 0.5)
+    assert(u1.getAs[Double]("total_value") == 6.0)
+    assert(s(2L).getAs[Double]("bounce_rate") == 1.0)
+  }
+
   test("batch sessions agree with streaming session_window off boundary-exact gaps") {
     import org.apache.spark.sql.functions._
     // session_window splits at diff >= gap, batch at diff > gap; away from
