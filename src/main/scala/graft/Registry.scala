@@ -867,6 +867,11 @@ object Registry {
       Q("quality_classifier",
         (s, d) => graft.ml.QualityClassifier.trainEval(docs(s, d)),
         None),
+      // operating-point sweep for the learned filter — rows-only
+      // (model scores; precision/recall identities spec-asserted)
+      Q("quality_threshold_sweep",
+        (s, d) => graft.ml.QualityClassifier.thresholdSweep(docs(s, d)),
+        None),
       Q("dedup_simhash_pairs", (s, d) => Dedup.simhashPairs(docs(s, d)),
         Some(Dedup.simhashPairsSql())),
       Q("knn_bruteforce", (s, d) => Knn.bruteForceTopK(embs(s, d)),

@@ -94,6 +94,40 @@ object QualityClassifier {
     }
   }
 
+  /** Precision/recall/F1 of the learned filter at a threshold grid —
+    * how an operating point for `p_quality ≥ τ` gets picked before the
+    * filter ships. All thresholds are evaluated in ONE aggregation pass
+    * over the scored corpus (3 conditional counters per threshold in
+    * the same agg), then unpivoted; the scored frame is computed once.
+    */
+  def thresholdSweep(
+      documents: DataFrame,
+      thresholds: Seq[Double] = (1 to 9).map(_ / 10.0)): DataFrame = {
+    // the scored frame feeds exactly ONE aggregation — no persist needed
+    val scored = scoreDocuments(documents)
+    val aggs = thresholds.zipWithIndex.flatMap { case (t, i) =>
+      Seq(
+        count(when(col("p_quality") >= t && col("label") === 1.0, 1))
+          .cast("long").as(s"tp$i"),
+        count(when(col("p_quality") >= t && col("label") === 0.0, 1))
+          .cast("long").as(s"fp$i"),
+        count(when(col("p_quality") < t && col("label") === 1.0, 1))
+          .cast("long").as(s"fn$i"))
+    }
+    val one = scored.agg(aggs.head, aggs.tail: _*)
+    val rows = thresholds.zipWithIndex.map { case (t, i) =>
+      val (tp, fp, fn) = (col(s"tp$i"), col(s"fp$i"), col(s"fn$i"))
+      val prec = when(tp + fp === 0, 0.0).otherwise(tp.cast("double") / (tp + fp))
+      val rec = when(tp + fn === 0, 0.0).otherwise(tp.cast("double") / (tp + fn))
+      struct(lit(t).as("threshold"), tp.as("tp"), fp.as("fp"), fn.as("fn"),
+        prec.as("precision"), rec.as("recall"),
+        when(prec + rec === 0, 0.0)
+          .otherwise(lit(2.0) * prec * rec / (prec + rec)).as("f1"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select("r.*")
+      .orderBy("threshold")
+  }
+
   /** Per-document learned quality probability over the full corpus —
     * the artifact downstream filtering consumes (`p_quality ≥ τ` as a
     * cheaper, learned stand-in for the heuristic filter chain). Model

@@ -83,6 +83,21 @@ class CurationOpsSpec extends SparkSpec {
     assert(pos > 0.3 && pos < 0.7, s"weak-label classes unbalanced: $pos")
   }
 
+  test("threshold sweep: recall falls as threshold rises; counts reconcile") {
+    val d = TestdataAdapter.table(spark, "/root/testdata/sf0.001", "documents")
+    val r = QualityClassifier.thresholdSweep(d, thresholds = Seq(0.2, 0.5, 0.8)).collect()
+    assert(r.length == 3)
+    val recalls = r.map(_.getAs[Double]("recall"))
+    assert(recalls.sameElements(recalls.sorted.reverse), "recall must be non-increasing")
+    for (row <- r) {
+      val (tp, fn) = (row.getAs[Long]("tp"), row.getAs[Long]("fn"))
+      assert(tp + fn > 0 && tp + fn == r.head.getAs[Long]("tp") + r.head.getAs[Long]("fn"),
+        "tp+fn is the positive-class size at every threshold")
+      val p = row.getAs[Double]("precision")
+      assert(p >= 0.0 && p <= 1.0)
+    }
+  }
+
   test("quality scores cover the corpus and stay in [0,1]") {
     val d = TestdataAdapter.table(spark, "/root/testdata/sf0.001", "documents")
     val s = QualityClassifier.scoreDocuments(d)
