@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRule)
   }
 }
 
@@ -38,7 +39,13 @@ object GraftExtensions {
         "graft_simhash64(text) - 64-bit SimHash as array(sim_hi, sim_lo), fused tokenize/md5/vote"),
       (children: Seq[Expression]) => SimHash64Expr(children.head)))
 
-  /** Post-hoc registration on an already-built session (idempotent). */
+  /** Post-hoc registration on an already-built session (idempotent).
+    * The optimizer rule lands in `experimental.extraOptimizations`
+    * (late batch) here; the extensions path injects it into the
+    * operator-optimization batch — both run before the single-distinct
+    * aggregate reaches the physical planner, which is what the rewrite
+    * needs.
+    */
   def register(spark: SparkSession): Unit = {
     functions.foreach { case (ident, inf, builder) =>
       spark.sessionState.functionRegistry.registerFunction(ident, inf, builder)
@@ -46,5 +53,8 @@ object GraftExtensions {
     if (!spark.experimental.extraStrategies.contains(graft.plans.TopKPerGroupStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.TopKPerGroupStrategy
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.ApproxDistinctRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.ApproxDistinctRule
   }
 }
