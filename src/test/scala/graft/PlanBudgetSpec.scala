@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Shuffle-budget regression guard: every headline query carries a
+  * maximum Exchange count, asserted against its physical plan. A
+  * refactor that silently adds a shuffle — the unit of cost that
+  * matters at 100 TB — fails here before it ever reaches a cluster.
+  * Budgets are the CURRENT plan shapes (verified by inspection), not
+  * aspirations; lower them if a plan improves, never raise them
+  * without a scaladoc'd reason.
+  */
+class PlanBudgetSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def exchanges(name: String): Int = {
+    val plan = SparkEntry.queries(name)(spark, dir)
+      .queryExecution.executedPlan.toString
+    // shuffle exchanges only — BroadcastExchange is the cheap kind the
+    // plans are supposed to prefer
+    "Exchange (hash|range|Single)".r.findAllIn(plan).length
+  }
+
+  // (query, max Exchanges) — one sort for output ordering typically adds
+  // one rangepartitioning Exchange on top of the aggregation shuffles
+  private val budgets = Seq(
+    "doc_simhash" -> 1,          // fused expression: narrow + output sort only
+    "text_stats" -> 1,
+    "lang_id" -> 1,
+    "doc_chunks" -> 1,           // narrow explode; the 1 is the output sort
+    "hash_split_assign" -> 1,
+    "dedup_exact" -> 2,          // hash agg + output sort
+    "demand_hourly" -> 3,
+    "vehicle_hourly" -> 2,
+    "q1_pricing" -> 2,
+    "dq_report" -> 2,            // single-pass agg (+ distinct leg) — no per-rule scans
+    "vocab_coverage" -> 3,
+    "hourly_gap_fill" -> 4,
+    "monthly_revenue_trend" -> 2,
+    "session_stats" -> 2)        // sessionize's single user shuffle + output sort
+
+  for ((q, budget) <- budgets)
+    test(s"$q stays within its shuffle budget ($budget)") {
+      val n = exchanges(q)
+      assert(n <= budget, s"$q plans $n Exchanges, budget $budget — a shuffle crept in")
+    }
+}
