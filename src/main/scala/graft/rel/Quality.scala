@@ -78,6 +78,38 @@ object Quality {
     (df.observe(obs, aggs.head, aggs.tail: _*), obs)
   }
 
+  /** Write-audit-publish — the ingestion pattern quality gates exist
+    * for (Iceberg/Delta "WAP"): the batch is written to a STAGING path,
+    * the rule set runs against what was actually written (not what was
+    * intended — serialization itself is under audit), and only a fully
+    * passing batch swaps into the live path; a failing batch leaves the
+    * live table byte-untouched and the staging dir behind for
+    * inspection. Returns the per-rule report either way. The swap is a
+    * same-filesystem rename here; a production table format makes it a
+    * metadata commit — the sequencing contract is the point.
+    */
+  def writeAuditPublish(
+      df: DataFrame, rules: Seq[Rule], path: String): (Boolean, DataFrame) = {
+    val staging = path.stripSuffix("/") + "__staging"
+    df.write.mode("overwrite").parquet(staging)
+    val spark = df.sparkSession
+    val written = spark.read.parquet(staging)
+    val report = check(written, rules)
+    val allPass = report.agg(min(col("pass"))).head.getBoolean(0)
+    if (allPass) {
+      val live = new java.io.File(path)
+      val bak = new java.io.File(path + "__old")
+      if (live.exists) require(live.renameTo(bak), s"could not stage $path aside")
+      require(new java.io.File(staging).renameTo(live), s"could not activate $staging")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete()
+      }
+      if (bak.exists) rm(bak)
+    }
+    (allPass, report)
+  }
+
   /** The registered gate over `events` — the checks its consumers
     * (hourly views, sessionization, exports) implicitly rely on.
     */

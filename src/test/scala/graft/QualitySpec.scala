@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import graft.rel.Quality
 import graft.rel.Quality._
 
@@ -38,6 +39,24 @@ class QualitySpec extends SparkSpec {
     val r = Quality.eventsReport(ev).collect()
     assert(r.length == 8)
     assert(r.forall(_.getAs[Boolean]("pass")), "driver testdata must be clean")
+  }
+
+  test("write-audit-publish: passing batch publishes, failing batch leaves target untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wap").toString + "/t"
+    val rules = Seq(NotNull("event_id"), InRange("value", 0, 100))
+    val good = Seq((Some(1L), 10.0), (Some(2L), 20.0)).toDF("event_id", "value")
+    val (ok1, _) = Quality.writeAuditPublish(good, rules, dir)
+    assert(ok1)
+    assert(spark.read.parquet(dir).count() == 2)
+
+    val bad = Seq((Some(3L), 999.0), (None: Option[Long], 4.0)).toDF("event_id", "value")
+    val (ok2, report) = Quality.writeAuditPublish(bad, rules, dir)
+    assert(!ok2)
+    // live table is byte-untouched; staging left behind for inspection
+    assert(spark.read.parquet(dir).count() == 2)
+    assert(spark.read.parquet(dir + "__staging").count() == 2)
+    val failed = report.filter(!col("pass")).collect().map(_.getAs[String]("rule")).toSet
+    assert(failed == Set("not_null(event_id)", "in_range(value, 0.0, 100.0)"))
   }
 
   test("observed rules audit an existing action with zero extra scans") {
