@@ -852,6 +852,11 @@ object Registry {
       // boilerplate hotspots: 3-grams shared across the most documents
       Q("duplicate_shingles", (s, d) => Dedup.duplicateShingles(docs(s, d)),
         Some(Dedup.duplicateShinglesSql())),
+      // span-level boilerplate REMOVAL: rewrite docs with tokens covered
+      // by any cross-document duplicated 3-gram stripped (ExactSubstr at
+      // shingle granularity)
+      Q("boilerplate_scrub", (s, d) => Dedup.boilerplateScrub(docs(s, d)),
+        Some(Dedup.boilerplateScrubSql())),
       // incremental batch-vs-corpus dedup via a broadcast Bloom filter —
       // rows-only (the sketch's false-positive set is not
       // SQL-expressible; no-false-negative + FPR bounds are

@@ -509,4 +509,89 @@ object Dedup {
        |  AND (${TextOps.langCaseSql}) IN ($langList)
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** [[shingles]] with the 1-based token position each shingle starts at
+    * (shingle i covers tokens i..i+2) — the positional lineage span-level
+    * scrubbing needs that plain shingles discard.
+    */
+  def positionedShingles(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("w", TextOps.toks(col("text")))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 2), i -> struct(i AS i, concat_ws(' ', w[i-1], w[i], w[i+1]) AS shingle))"))
+        .as("s"))
+      .select(col("doc_id"), col("s.i").as("i"), col("s.shingle").as("shingle"))
+
+  /** Span-level boilerplate REMOVAL — the curation step after
+    * [[duplicateShingles]]'s report: rewrite every document with the
+    * tokens covered by any cross-document duplicated 3-gram stripped out
+    * (site chrome, license headers, template text — the repeated-substring
+    * scrub of training corpora, at shingle granularity instead of suffix
+    * arrays). A token survives iff NO duplicated shingle covers its
+    * position.
+    *
+    * Scale shape: one aggregation finds the duplicated-shingle set
+    * (vocabulary-sized output), one equality join marks the covered
+    * shingle starts, one aggregation folds them into a per-doc covered
+    * position set (positions-within-doc-sized, never corpus-wide), and
+    * the rewrite itself is NARROW per-row list algebra over the token
+    * array — no explode of the corpus at reconstruction time. Nothing is
+    * all-pairs; everything keys on shingle or doc_id.
+    */
+  def boilerplateScrub(documents: DataFrame, minDocs: Int = 2): DataFrame = {
+    val st = positionedShingles(documents)
+    val dup = st.groupBy("shingle")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select("shingle")
+    // covered positions = union of [i, i+2] over duplicated-shingle starts;
+    // collect_set dedups overlapping spans inside the aggregation buffers
+    val cov = st.join(dup, "shingle")
+      .select(col("doc_id"), explode(expr("sequence(i, i + 2)")).as("p"))
+      .groupBy("doc_id")
+      .agg(collect_set(col("p")).as("cov"))
+    documents.select(col("doc_id"), TextOps.toks(col("text")).as("w"))
+      .join(cov, Seq("doc_id"), "left")
+      .withColumn("cov", coalesce(col("cov"), expr("CAST(array() AS ARRAY<INT>)")))
+      .select(
+        col("doc_id"),
+        size(col("w")).cast("long").as("n_toks"),
+        size(col("cov")).cast("long").as("n_removed"),
+        (size(col("w")) - size(col("cov"))).cast("long").as("n_kept"),
+        expr("""array_join(
+                 filter(
+                   transform(sequence(1, size(w)),
+                     p -> IF(array_contains(cov, p), CAST(NULL AS STRING), element_at(w, p))),
+                   t -> t IS NOT NULL), ' ')""").as("cleaned_text"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of [[boilerplateScrub]] (string_agg reconstruction;
+    * COALESCE('') matches Spark's empty-array → '' join for fully-scrubbed
+    * docs).
+    */
+  def boilerplateScrubSql(minDocs: Int = 2): String =
+    raw"""WITH $RAW_SHINGLES_CTE,
+       |stp AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle, i
+       |        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM toks)),
+       |dup AS (SELECT shingle FROM stp GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= $minDocs),
+       |cov AS (SELECT DISTINCT stp.doc_id, stp.i + d.d AS p
+       |        FROM stp JOIN dup USING (shingle)
+       |        CROSS JOIN (SELECT unnest([0, 1, 2]) AS d) d),
+       |covn AS (SELECT doc_id, COUNT(*) AS n_removed FROM cov GROUP BY 1),
+       |pos AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS p FROM toks),
+       |kept AS (SELECT pos.doc_id, pos.p, pos.w[pos.p] AS tok
+       |         FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+       |         WHERE cov.p IS NULL),
+       |cleaned AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS cleaned_text
+       |            FROM kept GROUP BY 1)
+       |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_toks,
+       |  CAST(COALESCE(c.n_removed, 0) AS BIGINT) AS n_removed,
+       |  CAST(len(t.w) - COALESCE(c.n_removed, 0) AS BIGINT) AS n_kept,
+       |  COALESCE(cl.cleaned_text, '') AS cleaned_text
+       |FROM toks t
+       |LEFT JOIN covn c USING (doc_id)
+       |LEFT JOIN cleaned cl USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin
 }

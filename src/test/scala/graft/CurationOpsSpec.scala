@@ -31,6 +31,25 @@ class CurationOpsSpec extends SparkSpec {
     assert(!shingles.exists(_.contains("completely")))
   }
 
+  test("boilerplate scrub: duplicated spans removed, unique text intact") {
+    val r = Dedup.boilerplateScrub(docs).collect()
+      .map(row => row.getAs[Long]("doc_id") -> row).toMap
+    // identical docs 0/1: every shingle is duplicated → fully scrubbed
+    assert(r(0L).getAs[String]("cleaned_text") == "")
+    assert(r(0L).getAs[Long]("n_kept") == 0L)
+    // doc 2 shares its 4 leading shingles with 0/1 (covering tokens 1-6);
+    // the unique tail "a sleepy dog" survives
+    assert(r(2L).getAs[String]("cleaned_text") == "a sleepy dog")
+    assert(r(2L).getAs[Long]("n_removed") == 6L)
+    // unique doc 3 and shingle-less doc 4 are untouched
+    assert(r(3L).getAs[String]("cleaned_text") ==
+      "completely different words appear in this one here")
+    assert(r(4L).getAs[String]("cleaned_text") == "ab")
+    assert(r.values.forall(row =>
+      row.getAs[Long]("n_kept") + row.getAs[Long]("n_removed") ==
+        row.getAs[Long]("n_toks")))
+  }
+
   test("near-dedup keep: transitive cluster keeps one representative") {
     val keep = Dedup.nearDedupKeep(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_size")).toMap
