@@ -719,6 +719,13 @@ object Registry {
     Q("hourly_gap_fill",
       (s, dir) => Analytics.hourlyGapFill(TestdataAdapter.userEvents(s, dir)),
       Some(Analytics.hourlyGapFillSql)),
+    // Incremental view maintenance: history + latest-hour increment
+    // partially aggregated separately, merged via associative decimal
+    // partials; oracle recomputes from scratch — equality proves the
+    // incremental path exact
+    Q("incremental_hourly_merge",
+      (s, dir) => rel.Incremental.incrementalHourlyMerge(TestdataAdapter.userEvents(s, dir)),
+      Some(rel.Incremental.incrementalHourlyMergeSql)),
     // Ordered 3-step funnel conversion over user activity
     Q("funnel_signup_purchase",
       (s, dir) => Analytics.funnel(TestdataAdapter.userEvents(s, dir)),

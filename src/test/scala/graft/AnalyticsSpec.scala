@@ -128,4 +128,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(r(("2024-01-08", 0)) == 1L) // u3's own cohort
     assert(r.size == 4)
   }
+
+  test("incremental merge: any partial split finalizes identically to full recompute") {
+    import graft.rel.Incremental
+    val ev = Seq(
+      (1L, "click", ts("2024-01-01 00:10:00"), 10.5),
+      (2L, "click", ts("2024-01-01 00:40:00"), 20.25),
+      (1L, "click", ts("2024-01-01 01:05:00"), 1.0),
+      (3L, "view", ts("2024-01-01 01:30:00"), 7.75),
+      (2L, "view", ts("2024-01-01 02:59:00"), 2.0))
+      .toDF("user_id", "event_type", "observed_at", "value")
+    val full = Incremental.finalizeHourly(Incremental.hourlyPartial(ev)).collect().toSeq
+    // end-to-end split-at-latest-hour scenario
+    val inc = Incremental.incrementalHourlyMerge(ev).collect().toSeq
+    assert(inc == full)
+    // arbitrary 3-way split merges to the same rows
+    val parts = Seq(0, 1, 2).map(k =>
+      Incremental.hourlyPartial(ev.filter(col("user_id") % 3 === k)))
+    assert(Incremental.finalizeHourly(Incremental.mergePartials(parts)).collect().toSeq == full)
+    // merging an empty increment is the identity
+    val withEmpty = Incremental.mergePartials(Seq(
+      Incremental.hourlyPartial(ev), Incremental.hourlyPartial(ev.filter(lit(false)))))
+    assert(Incremental.finalizeHourly(withEmpty).collect().toSeq == full)
+  }
 }
