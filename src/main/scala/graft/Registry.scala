@@ -893,6 +893,11 @@ object Registry {
       // IVF with trained centroids — rows-only (k-means‖ is not
       // SQL-expressible; exactness is spec-asserted against brute force)
       Q("knn_ivf", (s, d) => Knn.ivfTopK(embs(s, d)), None),
+      // SemDeDup-style cluster-then-prune semantic dedup — rows-only
+      // (trained centroids not SQL-expressible; prune rule spec-asserted)
+      // tau=0.3 matches embedding_near_dup's threshold — the synthetic
+      // embeddings' planted near-dups live at cosine ~0.3-0.4
+      Q("semdedup_keep", (s, d) => Knn.semDedupKeep(embs(s, d), tau = 0.3), None),
       // Product quantization ADC top-k — rows-only (trained codebooks are
       // not SQL-expressible; exactness on separated clusters and the
       // compressed-code contract are spec-asserted in KnnSpec)

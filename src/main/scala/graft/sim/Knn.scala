@@ -517,4 +517,66 @@ object Knn {
         .toDF("dim_in", "dim_out", "shortlist", "explained_variance", "recall_at_k", "n_pairs")
     } finally e.unpersist(blocking = false)
   }
+
+  /** SemDeDup-style semantic dedup: k-means the embedding space, then
+    * prune within each cluster — a vector is DROPPED when some lower-id
+    * member of its own cluster sits above the cosine threshold, so each
+    * semantic-duplicate group keeps exactly its minimum surviving id
+    * (pinned, deterministic tie-break). This is the cluster-then-prune
+    * recipe that makes semantic dedup tractable at corpus scale: the
+    * quadratic comparison never crosses cluster boundaries, so with
+    * numClusters grown ~n/1000 the per-cell self-join stays bounded
+    * (~cluster-size² per cell, embarrassingly parallel across cells)
+    * instead of n² — the same reason [[ivfTopK]] beats brute force.
+    * Complements [[nearDupPairs]] (LSH finds textual near-copies at high
+    * cosine; trained clusters catch semantic redundancy at lower
+    * thresholds where random-projection bands lose recall).
+    *
+    * Determinism: the k-means input layout is pinned (fixed-count hash
+    * repartition + in-partition sort — MLlib init is layout-sensitive),
+    * cosine is the fused [[graft.functions.DotProductFloat]] expression,
+    * and drop decisions compare ids, so output is byte-identical across
+    * cluster layouts. Rows-only in the registry (trained centroids are
+    * not SQL-expressible); the prune rule is spec-asserted.
+    */
+  def semDedupKeep(
+      embeddings: DataFrame, numClusters: Int = 16, tau: Double = 0.7,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    // cluster the NORMALIZED vectors: cosine geometry lives on the unit
+    // sphere, and raw-magnitude k-means would split a semantic group by
+    // scale before direction
+    val e = withNorm(embeddings)
+      .repartition(8, col("vec_id")).sortWithinPartitions("vec_id")
+      .withColumn("features", array_to_vector(
+        expr("transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(n2))")))
+      .persist()
+    try {
+      val model = new KMeans().setK(numClusters).setSeed(seed)
+        .setFeaturesCol("features").fit(e)
+      val assigned = model.transform(e)
+        .select(col("vec_id"), col("embedding"), col("n2"),
+          col("prediction").cast("int").as("cell"))
+        .persist()
+      val a = assigned.select(col("cell"), col("vec_id"),
+        col("embedding").as("ea"), col("n2").as("na"))
+      val b = assigned.select(col("cell"), col("vec_id").as("vec_b"),
+        col("embedding").as("eb"), col("n2").as("nb"))
+      val near = a.join(b, Seq("cell"))
+        .filter(col("vec_b") < col("vec_id"))
+        .withColumn("cosine", dot("ea", "eb") / (sqrt(col("na")) * sqrt(col("nb"))))
+        .filter(col("cosine") >= tau)
+        .groupBy("cell", "vec_id")
+        .agg(min("vec_b").as("dup_of"), count(lit(1)).as("n_near"))
+      assigned.select("vec_id", "cell")
+        .join(near, Seq("cell", "vec_id"), "left")
+        .select(
+          col("vec_id"), col("cell"),
+          col("dup_of").isNull.as("keep"),
+          col("dup_of"),
+          coalesce(col("n_near"), lit(0L)).as("n_near"))
+        .orderBy("vec_id")
+    } finally e.unpersist(blocking = false)
+  }
 }

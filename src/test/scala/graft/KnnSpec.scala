@@ -134,4 +134,24 @@ class KnnSpec extends SparkSpec {
       .select("vec_a", "vec_b").as[(Long, Long)].collect()
     assert(r.toSeq == Seq((0L, 1L)))
   }
+
+  test("semdedup: within-cluster duplicates drop to the min id, distinct vectors keep") {
+    // two tight semantic groups (parallel vectors → cosine 1 within,
+    // 0 across) plus a lone orthogonal vector
+    val e = Seq(
+      (0L, unit(0), 0), (1L, scaled(0, 2f), 0), (5L, scaled(0, 0.5f), 0), // group A
+      (2L, unit(1), 1), (7L, scaled(1, 3f), 1),                           // group B
+      (9L, unit(2), 2))                                                   // lone
+      .toDF("vec_id", "embedding", "label")
+    val r = Knn.semDedupKeep(e, numClusters = 3, tau = 0.9).collect()
+      .map(x => x.getAs[Long]("vec_id") ->
+        (x.getAs[Boolean]("keep"), Option(x.getAs[java.lang.Long]("dup_of")).map(_.longValue())))
+      .toMap
+    assert(r(0L) == ((true, None)))
+    assert(r(1L) == ((false, Some(0L))))
+    assert(r(5L) == ((false, Some(0L))))
+    assert(r(2L) == ((true, None)))
+    assert(r(7L) == ((false, Some(2L))))
+    assert(r(9L) == ((true, None)))
+  }
 }
