@@ -827,6 +827,10 @@ object Registry {
         Some(TextOps.domainMixtureSql)),
       Q("doc_chunks", (s, d) => TextOps.chunkDocuments(docs(s, d)),
         Some(TextOps.chunkDocumentsSql())),
+      // concat-and-cut sequence packing: per-doc context-window placement
+      // + fragmentation flags (distributed prefix sum, no global window)
+      Q("packed_sequences", (s, d) => TextOps.packedSequences(docs(s, d)),
+        Some(TextOps.packedSequencesSql())),
       // benchmark = doc_id % 100 = 7 stands in for a real eval-suite
       // table; the operator takes any two document frames
       Q("decontamination",

@@ -389,6 +389,46 @@ object TextOps {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Sequence-packing accounting — the concat-and-cut packing step that
+    * turns a tokenized corpus into fixed-length training sequences
+    * (documents concatenated in doc_id order, a cut every `seqLen`
+    * tokens): per document, which sequences it lands in and whether a
+    * context-window boundary splits it. `n_seqs > 1` is the
+    * document-fragmentation signal a pipeline tunes seqLen / shuffling
+    * against (a split document bleeds context across training examples);
+    * `sum(n_toks)/ (max(last_seq)+1)·seqLen` is the packing efficiency.
+    * The global token offsets come from [[graft.rel.Scale.prefixSumShards]]'s
+    * two-pass distributed prefix sum — no single-partition window
+    * anywhere, so the accounting itself runs at corpus scale.
+    */
+  def packedSequences(documents: DataFrame, seqLen: Int = 128): DataFrame = {
+    val counts = documents.select(
+      col("doc_id"), size(toks(col("text"))).cast("long").as("n_toks"))
+    graft.rel.Scale.prefixSumShards(counts, "doc_id", "n_toks", budget = seqLen.toLong)
+      .select(
+        col("doc_id"), col("n_toks"),
+        (col("cum_tokens") - col("n_toks")).as("start_tok"),
+        col("shard_id").cast("int").as("first_seq"),
+        expr(s"CAST((cum_tokens - 1) DIV $seqLen AS INT)").as("last_seq"))
+      .withColumn("n_seqs", (col("last_seq") - col("first_seq") + 1).cast("long"))
+      .withColumn("crosses_boundary", col("last_seq") > col("first_seq"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of [[packedSequences]]. */
+  def packedSequencesSql(seqLen: Int = 128): String =
+    raw"""WITH t AS (SELECT doc_id,
+       |  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_toks
+       |  FROM documents),
+       |c AS (SELECT doc_id, n_toks,
+       |  CAST(SUM(n_toks) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM t)
+       |SELECT doc_id, n_toks, CAST(cum - n_toks AS BIGINT) AS start_tok,
+       |  CAST((cum - n_toks) // $seqLen AS INTEGER) AS first_seq,
+       |  CAST((cum - 1) // $seqLen AS INTEGER) AS last_seq,
+       |  CAST((cum - 1) // $seqLen - (cum - n_toks) // $seqLen + 1 AS BIGINT) AS n_seqs,
+       |  ((cum - 1) // $seqLen) > ((cum - n_toks) // $seqLen) AS crosses_boundary
+       |FROM c ORDER BY doc_id""".stripMargin
+
   /** DuckDB twin of [[chunkDocuments]]. */
   def chunkDocumentsSql(chunkTokens: Int = 50, overlap: Int = 10): String = {
     val stride = chunkTokens - overlap

@@ -86,6 +86,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(body.nonEmpty) // the one sort is the declared presentation order
   }
 
+  test("packed sequences: placement, fragmentation flags, offsets reconcile") {
+    // token counts 5, 5, 4, 10 with seqLen 8:
+    // doc 0 [0,5) seq 0; doc 1 [5,10) seqs 0-1 (split);
+    // doc 2 [10,14) seq 1; doc 3 [14,24) seqs 1-2 (split)
+    val docs = Seq(
+      (0L, (1 to 5).map("a" + _).mkString(" ")),
+      (1L, (1 to 5).map("b" + _).mkString(" ")),
+      (2L, (1 to 4).map("c" + _).mkString(" ")),
+      (3L, (1 to 10).map("d" + _).mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = TextOps.packedSequences(docs, seqLen = 8).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("start_tok"), x.getAs[Int]("first_seq"),
+          x.getAs[Int]("last_seq"), x.getAs[Boolean]("crosses_boundary")))
+      .toMap
+    assert(r(0L) == ((0L, 0, 0, false)))
+    assert(r(1L) == ((5L, 0, 1, true)))
+    assert(r(2L) == ((10L, 1, 1, false)))
+    assert(r(3L) == ((14L, 1, 2, true)))
+  }
+
   test("decontamination plan broadcasts the benchmark side") {
     val tr = Seq((1L, "the quick brown fox jumps over the lazy dog"))
       .toDF("doc_id", "text")
