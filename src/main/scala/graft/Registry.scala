@@ -563,6 +563,26 @@ object Registry {
           |              WHERE l_orderkey = o.o_orderkey AND l_shipdate > o.o_orderdate)
           |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Q2-style correlated MIN kept correlated in the oracle; the Spark
+    // side decorrelates it to a window MIN over the part key
+    Q("q2_min_cost_supplier", Relational.q2MinCostSupplier,
+      Some(
+        """WITH offers AS (
+          |  SELECT l_partkey, l_suppkey, s_name, n_name,
+          |    MIN(l_extendedprice / l_quantity) AS unit_cost
+          |  FROM lineitem
+          |  JOIN supplier ON l_suppkey = s_suppkey
+          |  JOIN nation ON s_nationkey = n_nationkey
+          |  JOIN region ON n_regionkey = r_regionkey
+          |  WHERE r_name = 'EUROPE'
+          |  GROUP BY 1, 2, 3, 4)
+          |SELECT p_partkey, p_name, l_suppkey AS s_suppkey, s_name, n_name, unit_cost
+          |FROM offers o JOIN part p ON o.l_partkey = p.p_partkey
+          |WHERE p.p_size <= 15
+          |  AND o.unit_cost = (SELECT MIN(o2.unit_cost) FROM offers o2
+          |                     WHERE o2.l_partkey = o.l_partkey)
+          |ORDER BY p_partkey, s_suppkey""".stripMargin)),
+
     Q("running_demand_total",
       (s, dir) => Relational.runningDemandTotal(demandHourly(s, dir))
         .withColumn("hour_ts", col("hour_ts").cast("timestamp_ntz")),

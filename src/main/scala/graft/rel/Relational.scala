@@ -74,6 +74,37 @@ object Relational {
       .orderBy(col("n_name"))
   }
 
+  /** TPC-H Q2-style correlated MIN: for each small part, the EUROPE
+    * supplier(s) offering the minimum observed unit cost, with lineitem
+    * as the part↔supplier bridge (the testdata carries no partsupp). The
+    * oracle keeps the correlated `= (SELECT MIN ... WHERE same part)`
+    * subquery; here it decorrelates to a window MIN over the part key —
+    * one shuffle on l_partkey, already clustered by the preceding
+    * group-by, while supplier/nation/region stay broadcast dims. MIN of
+    * a per-row double division is order-independent (no summation), so
+    * the equality filter is bit-exact cross-engine.
+    */
+  def q2MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    val region = table(s, dir, "region").filter(col("r_name") === "EUROPE")
+    val nation = table(s, dir, "nation")
+    val supp = table(s, dir, "supplier")
+    val part = table(s, dir, "part").filter(col("p_size") <= 15)
+    val offers = table(s, dir, "lineitem")
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"), col("s_name"), col("n_name"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+    val w = Window.partitionBy("l_partkey")
+    offers
+      .withColumn("min_cost", min(col("unit_cost")).over(w))
+      .filter(col("unit_cost") === col("min_cost"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_name"), col("l_suppkey").as("s_suppkey"),
+        col("s_name"), col("n_name"), col("unit_cost"))
+      .orderBy("p_partkey", "s_suppkey")
+  }
+
   /** W2-style row_number window: each customer's highest-value order
     * (deterministic tie-break on o_orderkey, SURVEY §7.4 item 3).
     */
