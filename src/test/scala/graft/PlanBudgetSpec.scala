@@ -38,7 +38,16 @@ class PlanBudgetSpec extends SparkSpec {
     "vocab_coverage" -> 3,
     "hourly_gap_fill" -> 4,
     "monthly_revenue_trend" -> 2,
-    "session_stats" -> 2)        // sessionize's single user shuffle + output sort
+    "session_stats" -> 2,        // sessionize's single user shuffle + output sort
+    // dup-shingle agg + cov join + per-doc agg + output sort
+    "boilerplate_scrub" -> 4,
+    // prefix-sum: range repartition + pid window + totals agg/window
+    // (32-row frame) + output sort
+    "packed_sequences" -> 6,
+    // two partial-agg scans + cut agg + merge agg + output sort
+    "incremental_hourly_merge" -> 5,
+    // offers agg + part-key window + output sort (dims broadcast)
+    "q2_min_cost_supplier" -> 3)
 
   for ((q, budget) <- budgets)
     test(s"$q stays within its shuffle budget ($budget)") {
