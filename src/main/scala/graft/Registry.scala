@@ -843,6 +843,10 @@ object Registry {
       Q("bpe_train", (s, d) => TextOps.bpeTrain(docs(s, d)), None),
       Q("repetition_stats", (s, d) => TextOps.repetitionStats(docs(s, d)),
         Some(TextOps.repetitionStatsSql)),
+      // CCNet-style LM quality signal: per-doc cross-entropy under the
+      // corpus-trained add-1 bigram model
+      Q("bigram_lm_nll", (s, d) => TextOps.bigramLmScore(docs(s, d)),
+        Some(TextOps.bigramLmScoreSql)),
       Q("domain_mixture", (s, d) => TextOps.domainMixture(docs(s, d)),
         Some(TextOps.domainMixtureSql)),
       Q("doc_chunks", (s, d) => TextOps.chunkDocuments(docs(s, d)),

@@ -310,6 +310,71 @@ object TextOps {
        |SELECT bigram, COUNT(*) AS n FROM b GROUP BY 1
        |ORDER BY n DESC, bigram LIMIT $k""".stripMargin
 
+  /** CCNet-style LM quality scoring (Wenzek et al. 2020 uses a trained
+    * Kneser-Ney model; this is the self-contained corpus-trained
+    * variant): score every document by its per-bigram cross-entropy
+    * under the corpus' own add-1-smoothed bigram model,
+    * P(w2|w1) = (c(w1,w2)+1) / (c(w1)+V). Low avg_nll = the corpus has
+    * seen these transitions many times (boilerplate, template text,
+    * spam repeats — prune-or-downweight candidates); high avg_nll =
+    * rare content. The standard LM-perplexity quality filter with the
+    * model training and the scoring as ONE distributed pipeline.
+    *
+    * Scale shape: model "training" is two map-side-combinable
+    * aggregations (unigram + bigram counts — vocabulary-sized outputs);
+    * scoring joins each bigram instance to its two counts by key
+    * (equality joins, never all-pairs) and folds per doc. Cross-engine
+    * exactness: each instance's -ln P is computed identically per row
+    * (same IEEE division + libm log on identical integer counts), then
+    * ROUNDED to 6 dp before the per-doc decimal sum — the rounded value
+    * sits on the 6-dp grid, so the decimal cast is unambiguous in both
+    * engines and the sum is associative (partition-order independent),
+    * per the detSum rule that raw double sums can never be
+    * hash-verified.
+    */
+  def bigramLmScore(documents: DataFrame): DataFrame = {
+    val base = documents.select(col("doc_id"), toks(col("text")).as("w"))
+    val inst = base
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val tokens = base.select(explode(col("w")).as("tok"))
+    val uni = tokens.groupBy(col("tok").as("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = tokens.agg(countDistinct(col("tok")).as("v"))
+    val scored = inst
+      .join(inst.groupBy("w1", "w2").agg(count(lit(1)).as("c12")), Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("nll", round(
+        -log((col("c12") + lit(1).cast("double")) / (col("c1") + col("v"))), 6))
+    scored.groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        (sum(col("nll").cast("decimal(28,6)")).cast("double") / count(lit(1)))
+          .as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
+  val bigramLmScoreSql: String =
+    raw"""WITH tk AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+       |           FROM documents),
+       |inst AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+       |         FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+       |               FROM tk WHERE len(w) >= 2)),
+       |toke AS (SELECT unnest(w) AS tok FROM tk),
+       |uni AS (SELECT tok AS w1, COUNT(*) AS c1 FROM toke GROUP BY 1),
+       |vocab AS (SELECT COUNT(DISTINCT tok) AS v FROM toke),
+       |big AS (SELECT w1, w2, COUNT(*) AS c12 FROM inst GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT inst.doc_id,
+       |    ROUND(-ln((big.c12 + CAST(1 AS DOUBLE)) / (uni.c1 + vocab.v)), 6) AS nll
+       |  FROM inst JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN vocab)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |  CAST(SUM(CAST(nll AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_nll
+       |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   /** Gopher-style repetition signals (Rae et al. 2021, appendix A —
     * public paper): the repetition family of web-corpus quality filters.
     * Documents dominated by a few repeated phrases are boilerplate/spam

@@ -86,6 +86,19 @@ class CorpusOpsSpec extends SparkSpec {
     assert(body.nonEmpty) // the one sort is the declared presentation order
   }
 
+  test("bigram LM: hand-computed add-1 cross-entropy; repeated text scores lower") {
+    // tokens: a×3 b×2 c×1 → V=3, c1(a)=3; bigrams: (a,b)×2, (a,c)×1
+    // P(b|a)=(2+1)/(3+3)=1/2 → nll=ln 2;  P(c|a)=(1+1)/6=1/3 → nll=ln 3
+    val docs = Seq((0L, "a b"), (1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
+    val r = TextOps.bigramLmScore(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_bigrams"), x.getAs[Double]("avg_nll"))).toMap
+    assert(r(0L)._1 == 1L)
+    assert(math.abs(r(0L)._2 - math.log(2.0)) < 1e-6)
+    assert(math.abs(r(2L)._2 - math.log(3.0)) < 1e-6)
+    assert(r(0L)._2 < r(2L)._2) // the repeated transition is less surprising
+  }
+
   test("packed sequences: placement, fragmentation flags, offsets reconcile") {
     // token counts 5, 5, 4, 10 with seqLen 8:
     // doc 0 [0,5) seq 0; doc 1 [5,10) seqs 0-1 (split);
