@@ -841,6 +841,10 @@ object Registry {
       // merge loop over the vocab-sized working set — rows-only
       // (iterative; spec pins hand-computed merges + step-1 ≡ argmax)
       Q("bpe_train", (s, d) => TextOps.bpeTrain(docs(s, d)), None),
+      // tokenizer APPLY: encode the corpus with the trained merges —
+      // rows-only (trained merge table not SQL-expressible; encode
+      // correctness hand-asserted in spec)
+      Q("bpe_encode_stats", (s, d) => TextOps.bpeEncodeStats(docs(s, d)), None),
       Q("repetition_stats", (s, d) => TextOps.repetitionStats(docs(s, d)),
         Some(TextOps.repetitionStatsSql)),
       // CCNet-style LM quality signal: per-doc cross-entropy under the

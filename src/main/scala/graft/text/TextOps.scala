@@ -851,6 +851,72 @@ object TextOps {
     merges.toSeq.toDF("step", "left", "right", "pair_count")
   }
 
+  /** BPE ENCODE — the apply side of [[bpeTrain]]: tokenize the corpus
+    * with the trained merge table and report per-document token
+    * accounting under the trained tokenizer (words, characters, BPE
+    * tokens — the number that actually prices a document against a
+    * training token budget). Standard greedy apply: repeatedly merge
+    * the pair with the LOWEST merge rank present in the word, all
+    * occurrences left-to-right — which replays training exactly, so a
+    * word seen in training encodes to its trained representation.
+    *
+    * Scale shape: the merge table is vocabulary-sized and broadcast;
+    * encoding runs once per DISTINCT word (the same corpus→vocab
+    * reduction [[bpeTrain]] leans on — work ∝ |vocab| × word length,
+    * not corpus size), then instances join back by word and fold per
+    * doc. The per-word merge loop is genuine imperative iteration — the
+    * one place a typed map beats column algebra — and it never touches
+    * the corpus, only the vocab. Rows-only in the registry (trained
+    * merges are not SQL-expressible); encode correctness is
+    * spec-asserted by hand.
+    */
+  def bpeEncodeStats(documents: DataFrame, numMerges: Int = 20): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val ranks: Map[(String, String), Int] = bpeTrain(documents, numMerges)
+      .select("step", "left", "right").as[(Int, String, String)].collect()
+      .map { case (s, l, r) => (l, r) -> s }.toMap
+    val bc = spark.sparkContext.broadcast(ranks)
+    val encoded = documents
+      .select(explode(toks(col("text"))).as("word")).distinct()
+      .as[String].map { w =>
+        var syms = w.split("").filter(_.nonEmpty)
+        var done = syms.length < 2
+        while (!done) {
+          val rk = bc.value
+          var best = Int.MaxValue
+          var i = 0
+          while (i < syms.length - 1) {
+            val r = rk.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+            if (r < best) best = r
+            i += 1
+          }
+          if (best == Int.MaxValue) done = true
+          else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 &&
+                rk.getOrElse((syms(i), syms(i + 1)), Int.MaxValue) == best) {
+                out += (syms(i) + syms(i + 1)); i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            syms = out.toArray
+            done = syms.length < 2
+          }
+        }
+        (w, syms.length, syms.mkString(" "))
+      }.toDF("word", "n_bpe", "encoding")
+    documents.select(col("doc_id"), explode(toks(col("text"))).as("word"))
+      .join(encoded, Seq("word"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(length(col("word"))).cast("long").as("n_chars_tok"),
+        sum(col("n_bpe")).cast("long").as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
   def vocabCoverageSql(topK: Int = 200): String =
     raw"""WITH tok AS (
        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token

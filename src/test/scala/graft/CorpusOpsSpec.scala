@@ -37,6 +37,20 @@ class CorpusOpsSpec extends SparkSpec {
     assert(m.length == 2)
   }
 
+  test("bpeEncode: trained words collapse to one token; accounting reconciles") {
+    // merges on this corpus: 1:(a,b)→ab, 2:(ab,ab)→abab (see bpeTrain spec)
+    val docs = Seq((0L, "abab abab abab ab ab"), (1L, "ab ba")).toDF("doc_id", "text")
+    // numMerges=2 stops before (b,a) would merge, leaving "ba" split
+    val r = TextOps.bpeEncodeStats(docs, numMerges = 2).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_words"), x.getAs[Long]("n_chars_tok"),
+          x.getAs[Long]("n_bpe_tokens"))).toMap
+    // doc 0: abab→[abab] (1 tok ×3), ab→[ab] (1 tok ×2) → 5 words, 16 chars, 5 toks
+    assert(r(0L) == ((5L, 16L, 5L)))
+    // doc 1: ab→[ab]=1, ba has no merge → [b,a]=2 → 2 words, 4 chars, 3 toks
+    assert(r(1L) == ((2L, 4L, 3L)))
+  }
+
   test("bpeTrain step 1 equals the distributed merge-pair argmax on testdata") {
     val d = TestdataAdapter.table(spark, "/root/testdata/sf0.001", "documents")
     val top = TextOps.bpeMergePairs(d, topK = 1)
