@@ -876,6 +876,13 @@ object Registry {
       // language allowlist, one shuffle total
       Q("corpus_filter", (s, d) => Dedup.corpusFilter(docs(s, d)),
         Some(Dedup.corpusFilterSql())),
+      // the full curation pass fused into one plan: scrub → length floor
+      // → exact dedup of cleaned text → quality + language filters.
+      // minQuality=0.05: the synthetic corpus' tiny vocabulary makes the
+      // scrub strip ~92% of tokens, so the floor is set relative to the
+      // post-scrub token mass (quality ≈ n_tokens/100 here)
+      Q("corpus_curate", (s, d) => Dedup.curateCorpus(docs(s, d), minQuality = 0.05),
+        Some(Dedup.curateCorpusSql(minQuality = 0.05))),
       Q("minhash_signatures", (s, d) => Dedup.minhashSignatures(docs(s, d)),
         Some(Dedup.minhashSignaturesSql)),
       Q("dedup_minhash_pairs", (s, d) => Dedup.minhashPairs(docs(s, d)),

@@ -594,4 +594,68 @@ object Dedup {
        |LEFT JOIN covn c USING (doc_id)
        |LEFT JOIN cleaned cl USING (doc_id)
        |ORDER BY t.doc_id""".stripMargin
+
+  /** The full curation pass, end to end in ONE declarative chain:
+    * boilerplate-span scrub → minimum-surviving-length floor → exact
+    * dedup of the CLEANED text (scrubbing can make near-copies exact —
+    * dedup after scrub catches what dedup before it would miss) →
+    * quality floor and language allowlist scored on the cleaned text.
+    * This is the composition a reference-engine user actually ships:
+    * every stage is one of this library's audited operators, fused by
+    * Catalyst into a single plan — no intermediate materialization, and
+    * the whole chain keeps the per-stage scale shapes (shingle-keyed
+    * joins, one dedup window partitioned by content hash, narrow
+    * scoring).
+    */
+  def curateCorpus(
+      documents: DataFrame, minQuality: Double = 0.2,
+      langs: Seq[String] = Seq("en"), minTokens: Int = 5,
+      minDocs: Int = 2): DataFrame = {
+    val cleaned = boilerplateScrub(documents, minDocs)
+      .filter(col("n_kept") >= minTokens)
+      .join(documents.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("doc_id"), col("cleaned_text").as("text"), col("source"))
+    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    cleaned
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("doc_id"), col("source"),
+        size(TextOps.toks(col("text"))).cast("long").as("n_tokens"),
+        TextOps.qualityScore(col("text")).as("quality_score"),
+        TextOps.predictedLang(col("text")).as("predicted_lang"))
+      .filter(col("quality_score") >= minQuality &&
+        col("predicted_lang").isInCollection(langs))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of [[curateCorpus]] — the scrub oracle nested as a CTE,
+    * then the same dedup window / scoring / filters over the cleaned
+    * text.
+    */
+  def curateCorpusSql(
+      minQuality: Double = 0.2, langs: Seq[String] = Seq("en"),
+      minTokens: Int = 5, minDocs: Int = 2): String = {
+    val langList = langs.map(l => s"'$l'").mkString(", ")
+    raw"""WITH scrub AS (${boilerplateScrubSql(minDocs)}),
+       |cl AS (
+       |  SELECT s.doc_id, s.cleaned_text AS text, d.source
+       |  FROM scrub s JOIN documents d USING (doc_id)
+       |  WHERE s.n_kept >= $minTokens),
+       |kept AS (
+       |  SELECT doc_id, text, source FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |    FROM cl) WHERE rn = 1),
+       |sc AS (SELECT doc_id, source,
+       |  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens,
+       |  ${TextOps.qualityScoreSqlExpr} AS quality_score,
+       |  ${TextOps.langScoreColsSql}
+       |FROM kept)
+       |SELECT doc_id, source, n_tokens, quality_score,
+       |  ${TextOps.langCaseSql} AS predicted_lang
+       |FROM sc
+       |WHERE quality_score >= $minQuality
+       |  AND (${TextOps.langCaseSql}) IN ($langList)
+       |ORDER BY doc_id""".stripMargin
+  }
 }

@@ -50,6 +50,31 @@ class CurationOpsSpec extends SparkSpec {
         row.getAs[Long]("n_toks")))
   }
 
+  test("curate pipeline: boilerplate dies at scrub, dups dedup post-scrub, short docs floor out") {
+    val boiler = "the quick brown fox jumps over the lazy dog"
+    val cur = Seq(
+      (10L, s"$boiler alpha beta gamma", "s0"),
+      (11L, s"$boiler alpha beta gamma", "s1"),
+      (12L, s"$boiler alpha beta gamma", "s2"))
+      .toDF("doc_id", "text", "source")
+    // with minDocs=3: every shingle of these identical docs is in 3 docs
+    // → all three scrub to nothing → dropped by the length floor
+    val allBoiler = graft.dedup.Dedup.curateCorpus(
+      cur, minQuality = 0.01, langs = Seq("en", "und"), minTokens = 3, minDocs = 3)
+    assert(allBoiler.collect().isEmpty)
+    // distinct tails below the dup threshold survive the scrub and then
+    // exact-dedup: 20/21 share a cleaned text → min id 20 kept; 22 unique
+    val mixed = Seq(
+      (20L, s"$boiler one two three four five six seven", "s0"),
+      (21L, s"$boiler one two three four five six seven", "s1"),
+      (22L, s"$boiler something else entirely here now ok", "s2"))
+      .toDF("doc_id", "text", "source")
+    val r = graft.dedup.Dedup.curateCorpus(
+      mixed, minQuality = 0.01, langs = Seq("en", "und"), minTokens = 3, minDocs = 3)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(r == Set(20L, 22L)) // 21 deduped against 20's identical cleaned text
+  }
+
   test("near-dedup keep: transitive cluster keeps one representative") {
     val keep = Dedup.nearDedupKeep(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_size")).toMap
