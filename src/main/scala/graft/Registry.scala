@@ -866,6 +866,11 @@ object Registry {
           docs(s, d).filter(col("doc_id") % 100 =!= 7),
           docs(s, d).filter(col("doc_id") % 100 === 7)),
         Some(Dedup.contaminationReportSql)),
+      // C4-style mechanical normalization (quotes/dashes/control/ws) —
+      // identity on the already-clean synthetic corpus, behavior
+      // spec-asserted on dirty strings
+      Q("normalize_text", (s, d) => TextOps.normalizeText(docs(s, d)),
+        Some(TextOps.normalizeTextSql)),
       Q("props_redacted",
         (s, d) => TextOps.redactDigits(TestdataAdapter.table(s, d, "events"), "props"),
         Some(TextOps.redactDigitsSql("props"))),

@@ -591,6 +591,51 @@ object TextOps {
        |  CAST(len(regexp_extract_all($column, '[0-9]+')) AS BIGINT) AS n_redacted
        |FROM events ORDER BY event_id""".stripMargin
 
+  /** Mechanical text normalization — the C4-style cleanup every web
+    * corpus passes through before any scoring or dedup (so that "same
+    * text, different mojibake" hashes identically downstream):
+    * typographic quotes/dashes → ASCII, control + zero-width characters
+    * and NBSP → space, whitespace runs collapsed, edges trimmed. Pure
+    * narrow per-row regexp chains (codegen'd `regexp_replace`, zero
+    * shuffle); patterns are literal character classes that mean the same
+    * thing in Java regex and RE2, so the DuckDB twin is exact.
+    */
+  def normalizeText(documents: DataFrame): DataFrame = {
+    val quotes = regexp_replace(
+      regexp_replace(col("text"), "[\u2018\u2019]", "'"), "[\u201C\u201D]", "\"")
+    val dashes = regexp_replace(quotes, "[\u2013\u2014]", "-")
+    val ctrl = regexp_replace(
+      dashes,
+      "[\\x00-\\x1F\\x7F\u00A0\u200B-\u200D\uFEFF]", " ")
+    val collapsed = trim(regexp_replace(ctrl, " +", " "))
+    documents.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_raw"),
+      collapsed.as("clean_text"),
+      length(collapsed).cast("long").as("n_chars_clean"),
+      (collapsed =!= col("text")).as("changed"))
+      .orderBy("doc_id")
+  }
+
+  val normalizeTextSql: String =
+    raw"""WITH n AS (
+       |  SELECT doc_id, text,
+       |    trim(regexp_replace(
+       |      regexp_replace(
+       |        regexp_replace(
+       |          regexp_replace(
+       |            regexp_replace(text, '[\x{2018}\x{2019}]', '''', 'g'),
+       |          '[\x{201C}\x{201D}]', '"', 'g'),
+       |        '[\x{2013}\x{2014}]', '-', 'g'),
+       |      '[\x00-\x1F\x7F\x{00A0}\x{200B}-\x{200D}\x{FEFF}]', ' ', 'g'),
+       |    ' +', ' ', 'g')) AS clean_text
+       |  FROM documents)
+       |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_raw, clean_text,
+       |  CAST(length(clean_text) AS BIGINT) AS n_chars_clean,
+       |  clean_text <> text AS changed
+       |FROM n ORDER BY doc_id""".stripMargin
+
+
   // ---- 32-bit SimHash ----
   // Per token: h = md5(token); bit b comes from hex digit j = b / 4 of h
   // (value via an explicit 16-branch CASE — no engine-specific hex

@@ -100,6 +100,20 @@ class CorpusOpsSpec extends SparkSpec {
     assert(body.nonEmpty) // the one sort is the declared presentation order
   }
 
+  test("normalizeText: quotes/dashes/control/zero-width cleaned, whitespace collapsed") {
+    val dirty = Seq(
+      (0L, "\u201Chello\u201D \u2014 it\u2019s  fine\u200B here"),
+      (1L, "tabs\tand\u0007bells"),
+      (2L, "already clean"))
+      .toDF("doc_id", "text")
+    val r = TextOps.normalizeText(dirty).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[String]("clean_text"), x.getAs[Boolean]("changed"))).toMap
+    assert(r(0L) == (("\"hello\" - it's fine here", true)))
+    assert(r(1L) == (("tabs and bells", true)))
+    assert(r(2L) == (("already clean", false)))
+  }
+
   test("bigram LM: hand-computed add-1 cross-entropy; repeated text scores lower") {
     // tokens: a×3 b×2 c×1 → V=3, c1(a)=3; bigrams: (a,b)×2, (a,c)×1
     // P(b|a)=(2+1)/(3+3)=1/2 → nll=ln 2;  P(c|a)=(1+1)/6=1/3 → nll=ln 3
