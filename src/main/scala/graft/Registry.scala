@@ -900,6 +900,10 @@ object Registry {
       // approximate-dedup pipeline actually ships
       Q("near_dedup_keep", (s, d) => Dedup.nearDedupKeep(docs(s, d)),
         Some(Dedup.nearDedupKeepSql)),
+      // which sources copy from each other: near-dup pairs per unordered
+      // source pair (cluster-local self-join, |sources|²-sized output)
+      Q("source_overlap", (s, d) => Dedup.sourceOverlap(docs(s, d)),
+        Some(Dedup.sourceOverlapSql)),
       // boilerplate hotspots: 3-grams shared across the most documents
       Q("duplicate_shingles", (s, d) => Dedup.duplicateShingles(docs(s, d)),
         Some(Dedup.duplicateShinglesSql())),

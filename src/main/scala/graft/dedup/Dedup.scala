@@ -374,6 +374,54 @@ object Dedup {
        |FROM lab l JOIN cs USING (cluster_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Cross-source near-duplicate overlap matrix — the curation
+    * diagnostic that tells you WHICH sources copy from each other
+    * (mirrors, scrapes of the same upstream, license-text commons):
+    * count of near-dup pairs per unordered source pair, including the
+    * within-source diagonal. Composes [[dedupClusters]]; the pair
+    * expansion self-joins on cluster_id over multi-member clusters only,
+    * and cluster sizes are bounded by the LSH candidate structure, so
+    * the join is cluster-local — never corpus × corpus. Output is
+    * |sources|²-sized (tiny).
+    */
+  def sourceOverlap(documents: DataFrame): DataFrame = {
+    val lab = dedupClusters(documents)
+      .filter(col("cluster_size") > 1)
+      .join(documents.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("cluster_id"), col("doc_id"), col("source"))
+    val a = lab.select(col("cluster_id"),
+      col("doc_id").as("doc_a"), col("source").as("sa"))
+    val b = lab.select(col("cluster_id"),
+      col("doc_id").as("doc_b"), col("source").as("sb"))
+    a.join(b, Seq("cluster_id"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(
+        least(col("sa"), col("sb")).as("source_x"),
+        greatest(col("sa"), col("sb")).as("source_y"))
+      .groupBy("source_x", "source_y")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_x", "source_y")
+  }
+
+  val sourceOverlapSql: String =
+    s"""WITH RECURSIVE $PAIRS_CTE,
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM cand UNION ALL SELECT doc_b, doc_a FROM cand),
+       |reach AS (
+       |  SELECT doc_id AS node, doc_id AS root FROM documents
+       |  UNION
+       |  SELECT e.b, reach.root FROM reach JOIN e ON e.a = reach.node),
+       |lab AS (SELECT node AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY 1),
+       |cs AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1),
+       |m AS (
+       |  SELECT l.doc_id, l.cluster_id, d.source
+       |  FROM lab l JOIN cs USING (cluster_id) JOIN documents d USING (doc_id)
+       |  WHERE cs.cluster_size > 1)
+       |SELECT LEAST(a.source, b.source) AS source_x,
+       |  GREATEST(a.source, b.source) AS source_y,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |FROM m a JOIN m b ON a.cluster_id = b.cluster_id AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** The shipped corpus filter — the end-to-end composition a
     * training-data run applies before tokenization: one representative
     * per distinct content (min doc_id wins), a quality floor, a language

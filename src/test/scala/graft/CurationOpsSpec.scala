@@ -85,6 +85,15 @@ class CurationOpsSpec extends SparkSpec {
     assert(keep(4L) == 1L) // shingle-less doc is its own cluster
   }
 
+  test("source overlap: near-dup pairs counted per unordered source pair") {
+    // docs 0,1,2 (s0,s1,s2) form one near-dup cluster → 3 cross pairs;
+    // singletons contribute nothing
+    val r = Dedup.sourceOverlap(docs).collect()
+      .map(x => (x.getAs[String]("source_x"), x.getAs[String]("source_y")) ->
+        x.getAs[Long]("n_pairs")).toMap
+    assert(r == Map(("s0", "s1") -> 1L, ("s0", "s2") -> 1L, ("s1", "s2") -> 1L))
+  }
+
   test("bloom incremental dedup: no false negatives, bounded false positives") {
     // corpus = 300 docs; batch = 150 overlapping + 150 genuinely new
     val corpus = (0 until 300)
