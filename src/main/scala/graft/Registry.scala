@@ -563,6 +563,33 @@ object Registry {
           |              WHERE l_orderkey = o.o_orderkey AND l_shipdate > o.o_orderdate)
           |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Q6-style: pushed-down predicates + one decimal-exact scalar agg
+    Q("q6_revenue_delta", Relational.q6RevenueDelta,
+      Some(
+        s"""SELECT ${dsum("l_extendedprice * l_discount")} AS revenue
+           |FROM lineitem
+           |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+           |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin)),
+
+    // Q12-style late shipments per priority (no shipmode in testdata)
+    Q("late_shipment_priority", Relational.lateShipmentPriority,
+      Some(
+        """SELECT o_orderpriority, COUNT(*) AS n_late
+          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          |WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Q14-style promo revenue share (ratio of two exact decimal sums)
+    Q("q14_promo_share", Relational.q14PromoShare,
+      Some(
+        s"""SELECT
+           |  ${dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")} AS promo_revenue,
+           |  ${dsum("l_extendedprice * (1.0 - l_discount)")} AS total_revenue,
+           |  100.0 * ${dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")}
+           |    / ${dsum("l_extendedprice * (1.0 - l_discount)")} AS promo_share_pct
+           |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin)),
+
     // Q2-style correlated MIN kept correlated in the oracle; the Spark
     // side decorrelates it to a window MIN over the part key
     Q("q2_min_cost_supplier", Relational.q2MinCostSupplier,

@@ -74,6 +74,46 @@ object Relational {
       .orderBy(col("n_name"))
   }
 
+  /** TPC-H Q6-style forecasting-revenue filter: one table, three
+    * pushed-down predicates, one decimal-exact sum. The plan to look
+    * for: every filter in PushedFilters at the parquet scan, no shuffle
+    * except the single-row aggregate.
+    */
+  def q6RevenueDelta(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1998-01-01") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(detSum(col("l_extendedprice") * col("l_discount")).as("revenue"))
+
+  /** TPC-H Q12-style late-shipment accounting (the testdata has no
+    * shipmode, so the bucket key is order priority): lineitems shipped
+    * more than 90 days after their order date, counted per priority.
+    * One co-partitioned join on the order key, one hash aggregate.
+    */
+  def lateShipmentPriority(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "orders")
+      .join(table(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_late"))
+      .orderBy("o_orderpriority")
+
+  /** TPC-H Q14-style promo revenue share: broadcast the part dim, one
+    * conditional decimal sum over lineitem, one scalar division at the
+    * end (ratio of two exact decimal sums — deterministic).
+    */
+  def q14PromoShare(s: SparkSession, dir: String): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    table(s, dir, "lineitem")
+      .join(broadcast(table(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .agg(
+        detSum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))).as("promo_revenue"),
+        detSum(rev).as("total_revenue"))
+      .withColumn("promo_share_pct",
+        lit(100.0) * col("promo_revenue") / col("total_revenue"))
+  }
+
   /** TPC-H Q2-style correlated MIN: for each small part, the EUROPE
     * supplier(s) offering the minimum observed unit cost, with lineitem
     * as the part↔supplier bridge (the testdata carries no partsupp). The
