@@ -47,7 +47,13 @@ class PlanBudgetSpec extends SparkSpec {
     // two partial-agg scans + cut agg + merge agg + output sort
     "incremental_hourly_merge" -> 5,
     // offers agg + part-key window + output sort (dims broadcast)
-    "q2_min_cost_supplier" -> 3)
+    "q2_min_cost_supplier" -> 3,
+    "normalize_text" -> 1,       // narrow regexp chain; the 1 is the output sort
+    "q6_revenue_delta" -> 1,     // pushed-down filters + single-row agg
+    "late_shipment_priority" -> 2,
+    "q14_promo_share" -> 1,      // broadcast part dim + single-row agg
+    // uni/bigram model aggs + two scoring joins + per-doc fold + sort
+    "bigram_lm_nll" -> 6)
 
   for ((q, budget) <- budgets)
     test(s"$q stays within its shuffle budget ($budget)") {
