@@ -60,4 +60,17 @@ class PlanBudgetSpec extends SparkSpec {
       val n = exchanges(q)
       assert(n <= budget, s"$q plans $n Exchanges, budget $budget — a shuffle crept in")
     }
+
+  test("q6 predicates reach the parquet scan (PushedFilters)") {
+    val plan = SparkEntry.queries("q6_revenue_delta")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val pushed = plan.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("l_discount") && pushed.contains("l_quantity") &&
+      pushed.contains("l_shipdate"),
+      s"filters not pushed to the scan:\n$plan")
+    // and the scan must not read the whole row — only the 4 touched columns
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey") && readSchema.contains("l_extendedprice"),
+      s"column pruning failed:\n$readSchema")
+  }
 }
