@@ -1105,6 +1105,42 @@ object Registry {
              |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
              |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)),
 
+      // flatMapGroupsWithState custom state machine: completed sessions
+      // emitted exactly once (gap-close on a successor event;
+      // timeout-close when the ms-floored watermark strictly passes
+      // last + gap — the oracle mirrors both rules)
+      Q("streaming_closed_sessions",
+        (s, d) => Streams.closedSessionsStream(s, d),
+        Some(
+          s"""WITH e AS (
+             |  SELECT user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+             |  FROM events),
+             |mx AS (SELECT MAX(ts_us) // 1000 AS max_ms FROM e),
+             |f AS (
+             |  SELECT *, CASE WHEN LAG(ts_us) OVER w IS NULL
+             |                   OR ts_us - LAG(ts_us) OVER w > ${graft.rel.Sessionize.GapUs}
+             |                 THEN 1 ELSE 0 END AS new_s
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+             |g AS (
+             |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+             |    ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM f),
+             |s AS (
+             |  SELECT user_id, sid,
+             |    MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+             |    COUNT(*) AS n_events,
+             |    CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value,
+             |    sid = MAX(sid) OVER (PARTITION BY user_id) AS is_last
+             |  FROM g GROUP BY user_id, sid)
+             |SELECT user_id,
+             |  make_timestamp(start_us) AS session_start,
+             |  make_timestamp(end_us) AS session_end,
+             |  n_events, total_value
+             |FROM s, mx
+             |WHERE NOT is_last
+             |   OR mx.max_ms - 3600000 > end_us // 1000 + ${graft.rel.Sessionize.GapUs / 1000}
+             |ORDER BY user_id, session_start""".stripMargin)),
+
       // Stream-stream inner join (watermarked both sides): AvailableNow
       // over the in-order feed equals the batch join — the oracle. The
       // hour-bucket equality makes the Spark-side ±1 h range condition a

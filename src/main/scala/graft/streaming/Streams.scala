@@ -10,6 +10,13 @@ import org.apache.spark.sql.streaming.Trigger
 
 import graft.views.Hourly
 
+/** Open-session state for [[Streams.closedSessionsStream]]: value sum
+  * kept in exact integer micro-units so emission order can never perturb
+  * it. Top-level (not nested in the object) so the state encoder's
+  * generated code can construct it.
+  */
+private[streaming] case class OpenSess(startUs: Long, lastUs: Long, n: Long, sumMicros: Long)
+
 /** Structured-Streaming re-expression of the reference's realtime path
   * (SURVEY.md §2.11, §3.2): file-source micro-batches stand in for the
   * Kafka topics (same envelope → normalize → aggregate/upsert shape; a
@@ -366,4 +373,76 @@ object Streams {
     */
   def appendDoNothing(existing: DataFrame, batch: DataFrame, keys: Seq[String]): DataFrame =
     existing.unionByName(batch.join(existing, keys, "left_anti"))
+
+  /** Gap sessions via `flatMapGroupsWithState` — the fully-custom state
+    * machine Structured Streaming offers when `session_window`'s built-in
+    * shape isn't enough (here: emit each COMPLETED session exactly once,
+    * zero or many rows per invocation — `mapGroupsWithState`'s
+    * one-row-per-group contract can't express it). A session closes —
+    * and emits — either when a later event arrives more than the gap
+    * after it (gap-close) or when the event-time watermark passes
+    * last-event + gap (timeout-close via
+    * `GroupStateTimeout.EventTimeTimeout`; state is removed, which is
+    * what bounds state size on an unbounded feed — each user holds ONE
+    * open session, evicted by watermark).
+    *
+    * Determinism contract mirrored by the oracle: gap-closed sessions
+    * (every session that has a successor) always emit; a user's final
+    * session emits iff `watermark > last + gap`, with the watermark
+    * tracked in event-time MILLISECONDS (Spark floors event times to ms
+    * in its stats) — i.e. `max_ms − delay_ms > last_ms + gap_ms`,
+    * strictly. Value sums fold in integer micro-units in event-time
+    * order (exact, associative), matching the oracle's decimal sum. The
+    * per-(user, batch) sort buffer is batch-bounded; a 100 TB deployment
+    * pre-sorts with `repartitionAndSortWithinPartitions` feeding the
+    * state function instead.
+    */
+  def closedSessionsStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapUs = graft.rel.Sessionize.GapUs
+    val gapMs = gapUs / 1000
+    val ev = eventsStream(spark, dir)
+      .select(
+        col("user_id").cast("long").as("user_id"),
+        (col("ts").cast("decimal(38,0)") / 1000).cast("long").as("ts_us"),
+        col("value"))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "1 hour")
+      .as[(Long, Long, Double, java.sql.Timestamp)]
+    val closed = ev
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSess, (Long, Long, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (user, events, state: GroupState[OpenSess]) =>
+          def row(s: OpenSess) = (user, s.startUs, s.lastUs, s.n, s.sumMicros)
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(row(s))
+          } else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
+            var s = state.getOption.orNull
+            for (e <- events.toArray.sortBy(_._2)) {
+              val m = math.rint(e._3 * 1e6).toLong // ≤6-dp source → exact
+              if (s == null) s = OpenSess(e._2, e._2, 1L, m)
+              else if (e._2 - s.lastUs > gapUs) {
+                out += row(s); s = OpenSess(e._2, e._2, 1L, m)
+              } else s = OpenSess(s.startUs, e._2, s.n + 1L, s.sumMicros + m)
+            }
+            state.update(s)
+            state.setTimeoutTimestamp(s.lastUs / 1000 + gapMs)
+            out.iterator
+          }
+      }
+    runToTable(closed.toDF("user_id", "start_us", "end_us", "n_events", "sum_micros"),
+      mode = "append")
+      .select(
+        col("user_id"),
+        timestamp_micros(col("start_us")).cast("timestamp_ntz").as("session_start"),
+        timestamp_micros(col("end_us")).cast("timestamp_ntz").as("session_end"),
+        col("n_events"),
+        (col("sum_micros").cast("double") / 1e6).as("total_value"))
+      .orderBy("user_id", "session_start")
+  }
 }
