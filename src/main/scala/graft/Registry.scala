@@ -610,6 +610,13 @@ object Registry {
           |                     WHERE o2.l_partkey = o.l_partkey)
           |ORDER BY p_partkey, s_suppkey""".stripMargin)),
 
+    // z-score outlier hours per route — moments from associative decimal
+    // sums (squares in decimal, rounded to scale 6 so the sum stays
+    // double-representable), so even the boolean flag hash-matches
+    Q("delay_anomalies",
+      (s, dir) => Analytics.delayAnomalies(TestdataAdapter.tripUpdates(s, dir)),
+      Some(Analytics.delayAnomaliesSql())),
+
     Q("running_demand_total",
       (s, dir) => Relational.runningDemandTotal(demandHourly(s, dir))
         .withColumn("hour_ts", col("hour_ts").cast("timestamp_ntz")),

@@ -25,6 +25,76 @@ import graft.functions.Cols
   */
 object Analytics {
 
+  /** Per-route hourly delay anomalies — z-score outlier detection with
+    * HASH-VERIFIABLE moments: the route-level mean and E[x²] come from
+    * associative decimal sums (squares computed in decimal, then rounded
+    * to scale 6 so the sum stays double-representable), and every
+    * double appears only in per-row arithmetic AFTER aggregation —
+    * identical in both engines, so even the boolean flag hash-matches.
+    * Shape: two map-side-combinable aggregations over the same scan
+    * grain (hourly, then per-route) + one broadcast-sized join back
+    * (routes ≪ hours); nothing shuffles twice.
+    */
+  def delayAnomalies(tripUpdates: DataFrame, nSigma: Double = 2.0): DataFrame = {
+    val hourly = tripUpdates
+      .groupBy(col("route_id"), date_trunc("hour", col("observed_at")).as("hour_ts"))
+      .agg(count(lit(1)).as("n_events"), Cols.detAvg(col("delay_seconds")).as("avg_delay"))
+    val route = tripUpdates
+      .groupBy(col("route_id"))
+      .agg(
+        count(col("delay_seconds")).as("n"),
+        sum(col("delay_seconds").cast("decimal(28,6)")).cast("double").as("s1"),
+        // square IN decimal (double x·x re-rounds; its decimal cast is
+        // half-boundary-ambiguous cross-engine), then round each square
+        // back to scale 6 before summing: a scale-12 sum's scaled integer
+        // exceeds 2^53, and DuckDB's decimal→double would double-round
+        // where Spark rounds once — scale 6 keeps the sum exactly
+        // double-representable, so the final cast is single-rounded in
+        // both engines
+        sum((col("delay_seconds").cast("decimal(18,6)") *
+          col("delay_seconds").cast("decimal(18,6)")).cast("decimal(28,6)"))
+          .cast("double").as("s2"))
+      .select(
+        col("route_id"),
+        (col("s1") / col("n")).as("route_mean"),
+        sqrt(col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n")))
+          .as("route_std"))
+    hourly.join(broadcast(route), Seq("route_id"))
+      .select(
+        col("route_id"), col("hour_ts").cast("timestamp_ntz").as("hour_ts"),
+        col("n_events"), col("avg_delay"), col("route_mean"), col("route_std"),
+        (abs(col("avg_delay") - col("route_mean")) > lit(nSigma) * col("route_std"))
+          .as("is_anomaly"))
+      .orderBy("route_id", "hour_ts")
+  }
+
+  def delayAnomaliesSql(nSigma: Double = 2.0): String =
+    s"""WITH t AS (
+       |  SELECT event_type AS route_id, CAST(ts AS TIMESTAMP) AS observed_at,
+       |         value AS delay_seconds
+       |  FROM events),
+       |h AS (
+       |  SELECT route_id, date_trunc('hour', observed_at) AS hour_ts,
+       |    CAST(COUNT(*) AS BIGINT) AS n_events,
+       |    CAST(SUM(CAST(delay_seconds AS DECIMAL(28,6))) AS DOUBLE) / COUNT(delay_seconds)
+       |      AS avg_delay
+       |  FROM t GROUP BY 1, 2),
+       |r AS (
+       |  SELECT route_id,
+       |    CAST(SUM(CAST(delay_seconds AS DECIMAL(28,6))) AS DOUBLE) / COUNT(delay_seconds)
+       |      AS route_mean,
+       |    sqrt(
+       |      CAST(SUM(CAST(CAST(delay_seconds AS DECIMAL(18,6)) * CAST(delay_seconds AS DECIMAL(18,6)) AS DECIMAL(28,6))) AS DOUBLE)
+       |        / COUNT(delay_seconds)
+       |      - (CAST(SUM(CAST(delay_seconds AS DECIMAL(28,6))) AS DOUBLE) / COUNT(delay_seconds))
+       |        * (CAST(SUM(CAST(delay_seconds AS DECIMAL(28,6))) AS DOUBLE) / COUNT(delay_seconds)))
+       |      AS route_std
+       |  FROM t GROUP BY 1)
+       |SELECT h.route_id, h.hour_ts, h.n_events, h.avg_delay, r.route_mean, r.route_std,
+       |  abs(h.avg_delay - r.route_mean) > $nSigma * r.route_std AS is_anomaly
+       |FROM h JOIN r USING (route_id)
+       |ORDER BY h.route_id, h.hour_ts""".stripMargin
+
   /** Dense per-type hourly series over the full observed range: missing
     * hours appear with n_events = 0 and carry the last seen hourly
     * average forward (`avg_value` stays null before a series' first
