@@ -915,6 +915,10 @@ object Registry {
       // language allowlist, one shuffle total
       Q("corpus_filter", (s, d) => Dedup.corpusFilter(docs(s, d)),
         Some(Dedup.corpusFilterSql())),
+      // one-row corpus accounting: doc/token mass, dedup savings,
+      // quality+lang survival — the report a curation run prints
+      Q("corpus_stats", (s, d) => Dedup.corpusStats(docs(s, d)),
+        Some(Dedup.corpusStatsSql())),
       // the full curation pass fused into one plan: scrub → length floor
       // → exact dedup of cleaned text → quality + language filters.
       // minQuality=0.05: the synthetic corpus' tiny vocabulary makes the

@@ -643,6 +643,69 @@ object Dedup {
        |LEFT JOIN cleaned cl USING (doc_id)
        |ORDER BY t.doc_id""".stripMargin
 
+  /** Headline corpus accounting — the one-row report a curation run
+    * prints before/after shipping: document and token mass, how much of
+    * it exact dedup removes, and how much survives the quality floor and
+    * language allowlist. All counts reduce map-side (two aggregations
+    * over one scan lineage: per-doc flags first, then the global fold);
+    * the output is 1 row regardless of corpus size.
+    */
+  def corpusStats(
+      documents: DataFrame, minQuality: Double = 0.2,
+      langs: Seq[String] = Seq("en")): DataFrame = {
+    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    documents
+      .withColumn("rn", row_number().over(w))
+      .select(
+        col("doc_id"),
+        size(TextOps.toks(col("text"))).cast("long").as("n_toks"),
+        (col("rn") === 1).as("is_rep"),
+        (TextOps.qualityScore(col("text")) >= minQuality).as("q_ok"),
+        TextOps.predictedLang(col("text")).isInCollection(langs).as("lang_ok"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(when(col("is_rep"), 1L).otherwise(0L)).as("n_unique_docs"),
+        sum(when(col("is_rep"), col("n_toks")).otherwise(0L)).as("unique_token_mass"),
+        sum(when(col("is_rep") && col("q_ok") && col("lang_ok"), 1L).otherwise(0L))
+          .as("n_shippable_docs"),
+        sum(when(col("is_rep") && col("q_ok") && col("lang_ok"), col("n_toks"))
+          .otherwise(0L)).as("shippable_token_mass"))
+      .withColumn("dedup_savings_pct",
+        lit(100.0) * (col("n_tokens") - col("unique_token_mass")) / col("n_tokens"))
+  }
+
+  def corpusStatsSql(
+      minQuality: Double = 0.2, langs: Seq[String] = Seq("en")): String = {
+    val langList = langs.map(l => s"'$l'").mkString(", ")
+    raw"""WITH d AS (
+       |  SELECT doc_id, text,
+       |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_toks,
+       |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1 AS is_rep
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, n_toks, is_rep,
+       |    (${TextOps.qualityScoreSqlExpr}) >= $minQuality AS q_ok,
+       |    ${TextOps.langScoreColsSql}
+       |  FROM d),
+       |h AS (
+       |  SELECT doc_id, n_toks, is_rep, q_ok,
+       |    (${TextOps.langCaseSql}) IN ($langList) AS lang_ok
+       |  FROM f),
+       |g AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(CASE WHEN is_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_unique_docs,
+       |    CAST(SUM(CASE WHEN is_rep THEN n_toks ELSE 0 END) AS BIGINT) AS unique_token_mass,
+       |    CAST(SUM(CASE WHEN is_rep AND q_ok AND lang_ok THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_shippable_docs,
+       |    CAST(SUM(CASE WHEN is_rep AND q_ok AND lang_ok THEN n_toks ELSE 0 END) AS BIGINT)
+       |      AS shippable_token_mass
+       |  FROM h)
+       |SELECT *, 100.0 * (n_tokens - unique_token_mass) / n_tokens AS dedup_savings_pct
+       |FROM g""".stripMargin
+  }
+
   /** The full curation pass, end to end in ONE declarative chain:
     * boilerplate-span scrub → minimum-surviving-length floor → exact
     * dedup of the CLEANED text (scrubbing can make near-copies exact —
