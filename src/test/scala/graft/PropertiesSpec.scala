@@ -112,4 +112,70 @@ class PropertiesSpec extends SparkSpec {
       assert(once.exceptAll(twice).isEmpty)
     }
   }
+
+  test("property: boilerplate scrub conserves tokens; cleaned text ⊆ original tokens") {
+    val word = Gen.oneOf("spark", "join", "scan", "agg", "sort", "merge", "key")
+    val gen = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, word))
+    val docs = sample(gen, 120).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val orig = docs.select(col("doc_id"), graft.text.TextOps.toks(col("text")).as("w"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1)).toMap
+    val out = graft.dedup.Dedup.boilerplateScrub(docs).collect()
+    assert(out.length == 120)
+    out.foreach { r =>
+      val (nToks, nRemoved, nKept) = (r.getAs[Long]("n_toks"),
+        r.getAs[Long]("n_removed"), r.getAs[Long]("n_kept"))
+      assert(nKept + nRemoved == nToks)
+      val cleaned = r.getAs[String]("cleaned_text")
+      // split(-1) keeps the empty token an empty document tokenizes to
+      // (the suite-wide toks convention: split("", "\s+") = [""])
+      val kept = if (nKept == 0) Nil else cleaned.split(" ", -1).toSeq
+      assert(kept.size == nKept)
+      // cleaned tokens are a subsequence of the original token list
+      val w = orig(r.getAs[Long]("doc_id"))
+      var i = 0
+      kept.foreach { t =>
+        i = w.indexOf(t, i)
+        assert(i >= 0, s"token $t not in order in $w"); i += 1
+      }
+    }
+  }
+
+  test("property: packed sequences tile the token stream contiguously") {
+    val gen = Gen.chooseNum(1, 40)
+    val docs = sample(gen, 150).zipWithIndex
+      .map { case (n, i) => (i.toLong, (1 to n).map("t" + _).mkString(" ")) }
+      .toDF("doc_id", "text")
+    val r = graft.text.TextOps.packedSequences(docs, seqLen = 32)
+      .orderBy("doc_id").collect()
+    var expectedStart = 0L
+    r.foreach { row =>
+      assert(row.getAs[Long]("start_tok") == expectedStart) // contiguous, gap-free
+      expectedStart += row.getAs[Long]("n_toks")
+      val first = row.getAs[Int]("first_seq"); val last = row.getAs[Int]("last_seq")
+      assert(first <= last)
+      assert(row.getAs[Boolean]("crosses_boundary") == (last > first))
+      // the doc really does span exactly [first, last] in 32-token cuts
+      assert(first == row.getAs[Long]("start_tok") / 32)
+      assert(last == (row.getAs[Long]("start_tok") + row.getAs[Long]("n_toks") - 1) / 32)
+    }
+  }
+
+  test("property: incremental merge equals full recompute on random splits") {
+    import graft.rel.Incremental
+    val gen = for {
+      u <- Gen.chooseNum(1L, 20L)
+      t <- Gen.chooseNum(0L, 96L) // hours
+      v <- Gen.chooseNum(-1000000L, 1000000L)
+    } yield (u, "e" + (u % 3), new java.sql.Timestamp(t * 3600 * 1000), v / 1000.0)
+    val ev = sample(gen, 300).toDF("user_id", "event_type", "observed_at", "value")
+    val full = Incremental.finalizeHourly(Incremental.hourlyPartial(ev)).collect().toSeq
+    for (k <- 2 to 4) {
+      val parts = (0 until k).map(i =>
+        Incremental.hourlyPartial(ev.filter(pmod(col("user_id"), lit(k)) === i)))
+      assert(Incremental.finalizeHourly(Incremental.mergePartials(parts)).collect().toSeq
+        == full, s"$k-way split diverged")
+    }
+  }
 }
