@@ -563,6 +563,36 @@ object Registry {
           |              WHERE l_orderkey = o.o_orderkey AND l_shipdate > o.o_orderdate)
           |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Q10-style: returned-item revenue per customer, bounded top-20
+    Q("q10_returned_revenue", Relational.q10ReturnedRevenue,
+      Some(
+        s"""SELECT c_custkey, c_name, c_mktsegment,
+           |  ${dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+           |FROM lineitem
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |WHERE l_returnflag = 'R'
+           |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+           |  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+           |GROUP BY 1, 2, 3
+           |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+
+    // Q15-style top supplier — the oracle keeps the scalar-MAX subquery;
+    // the Spark side broadcasts the 1-row max back onto the revenue frame
+    Q("q15_top_supplier", Relational.q15TopSupplier,
+      Some(
+        s"""WITH rev AS (
+           |  SELECT l_suppkey,
+           |    ${dsum("l_extendedprice * (1.0 - l_discount)")} AS total_revenue
+           |  FROM lineitem
+           |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+           |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+           |  GROUP BY 1)
+           |SELECT s_suppkey, s_name, total_revenue
+           |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+           |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+           |ORDER BY s_suppkey""".stripMargin)),
+
     // Q6-style: pushed-down predicates + one decimal-exact scalar agg
     Q("q6_revenue_delta", Relational.q6RevenueDelta,
       Some(

@@ -114,6 +114,46 @@ object Relational {
         lit(100.0) * col("promo_revenue") / col("total_revenue"))
   }
 
+  /** TPC-H Q10-style returned-item report: customers ranked by revenue
+    * they generated on returned lineitems in a quarter. Orders filter
+    * first (time predicate pushed to the scan), lineitem keeps only
+    * returnflag = 'R'; the customer dim broadcasts; top-20 never sorts
+    * globally (TakeOrdered).
+    */
+  def q10ReturnedRevenue(s: SparkSession, dir: String): DataFrame = {
+    val ord = table(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01") &&
+        col("o_orderdate") < lit("1997-07-01"))
+    table(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(table(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name", "c_mktsegment")
+      .agg(detSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q15-style top supplier: per-supplier revenue for a quarter,
+    * then the supplier(s) achieving the maximum — the scalar-MAX
+    * correlated subquery shape. Here the MAX is a broadcast 1-row
+    * aggregate joined back (no second scan of lineitem, no window over
+    * the whole supplier set); the oracle keeps the subquery form.
+    */
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = table(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1997-04-01"))
+      .groupBy("l_suppkey")
+      .agg(detSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("total_revenue"))
+    val top = rev.agg(max("total_revenue").as("max_revenue"))
+    rev.crossJoin(broadcast(top))
+      .filter(col("total_revenue") === col("max_revenue"))
+      .join(broadcast(table(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
   /** TPC-H Q2-style correlated MIN: for each small part, the EUROPE
     * supplier(s) offering the minimum observed unit cost, with lineitem
     * as the part↔supplier bridge (the testdata carries no partsupp). The
