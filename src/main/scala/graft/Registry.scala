@@ -563,6 +563,18 @@ object Registry {
           |              WHERE l_orderkey = o.o_orderkey AND l_shipdate > o.o_orderdate)
           |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Q18-style: HAVING over an aggregate, qualifying keys joined back
+    Q("q18_large_orders", Relational.q18LargeOrders,
+      Some(
+        s"""SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+           |FROM orders
+           |JOIN (
+           |  SELECT l_orderkey, ${dsum("l_quantity")} AS total_qty
+           |  FROM lineitem GROUP BY 1
+           |  HAVING ${dsum("l_quantity")} > 250.0) b ON o_orderkey = b.l_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
+
     // Q10-style: returned-item revenue per customer, bounded top-20
     Q("q10_returned_revenue", Relational.q10ReturnedRevenue,
       Some(

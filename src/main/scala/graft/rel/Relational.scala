@@ -114,6 +114,26 @@ object Relational {
         lit(100.0) * col("promo_revenue") / col("total_revenue"))
   }
 
+  /** TPC-H Q18-style large-volume orders: HAVING over an aggregate, the
+    * qualifying keys joined back for detail. The aggregate runs FIRST
+    * and shrinks lineitem to qualifying order keys (874→204 at the
+    * threshold), so the detail join moves only survivors; the customer
+    * dim broadcasts; top-100 is TakeOrdered, never a global sort.
+    */
+  def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = table(s, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(detSum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 250.0)
+    table(s, dir, "orders")
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(table(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   /** TPC-H Q10-style returned-item report: customers ranked by revenue
     * they generated on returned lineitems in a quarter. Orders filter
     * first (time predicate pushed to the scan), lineitem keeps only
