@@ -1089,6 +1089,18 @@ object Registry {
       // slicer; real generator/partitioning/metadata plumbing)
       Q("multimodal_frames", (s, d) => Multimodal.sampleFrames(docs(s, d)),
         Some(Multimodal.sampleFramesSql())),
+      // REAL image decode: deterministic solid-color PNGs (dims/fill pure
+      // functions of doc_id) rendered per-partition, decoded back with
+      // the JRE's javax.imageio, pixel averages computed over the raster
+      // — oracle-exact because the synthesis formulas are known
+      Q("multimodal_image_decode",
+        (s, d) => Multimodal.imageFeatures(Multimodal.imageCorpus(docs(s, d))),
+        Some(Multimodal.imageFeaturesSql)),
+      // REAL pixel resize: decode → Graphics2D half-scale → re-encode →
+      // re-decode; solid fills survive interpolation exactly
+      Q("multimodal_image_resize",
+        (s, d) => Multimodal.resizeImages(Multimodal.imageCorpus(docs(s, d))),
+        Some(Multimodal.resizeImagesSql)),
     )
   }
 

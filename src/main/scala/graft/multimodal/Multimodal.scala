@@ -1,22 +1,32 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.text.TextOps
 
 /** Multimodal-column plumbing: media (image/audio/video) modeled as opaque
   * `binary` payloads + typed metadata.
   *
-  * The DECODE STEP IS STUBBED — this container has no image/audio codecs,
-  * so decoded "dimensions" are deterministic fakes derived from the
-  * payload's SHA-256. With the decode stubbed, every feature is a
-  * built-in expression (sha2, length, substring arithmetic), so the
-  * default path is pure whole-stage-codegen column algebra — no
-  * mapPartitions, no per-row JVM object churn. The partition-wise
-  * iterator shape a REAL codec needs (one native decoder instance per
-  * partition, streaming) is preserved as [[extractFeaturesWithCodec]];
-  * swapping in a codec is a one-function change and the spec pins both
-  * paths to identical output.
+  * Two decode paths exist side by side:
+  *
+  *   - TEXT payloads get a STUB decode (deterministic fake dimensions
+  *     derived from the payload's SHA-256) so every feature stays a
+  *     built-in expression (sha2, length, substring arithmetic) — pure
+  *     whole-stage-codegen column algebra, no mapPartitions, no per-row
+  *     JVM object churn ([[extractFeatures]]).
+  *   - IMAGE payloads get a REAL decode through the JDK's own
+  *     `javax.imageio` (PNG/JPEG/BMP/GIF ship in every JRE — no external
+  *     codec needed): [[imageCorpus]] renders deterministic solid-color
+  *     PNGs whose dimensions/colors are pure functions of `doc_id`,
+  *     [[imageFeatures]] decodes them back (dims + per-channel pixel
+  *     averages), and [[resizeImages]] does a real pixel resize
+  *     (Graphics2D) → re-encode → re-decode round trip. Because the
+  *     synthesis formulas are known, all of it is DuckDB-oracle-exact.
+  *
+  * The partition-wise iterator shape a native codec needs (one decoder
+  * instance per partition, streaming) is [[extractFeaturesWithCodec]];
+  * it runs the real ImageIO decode in the specs and the stub decode
+  * stays pinned ≡ the expression path.
   */
 object Multimodal {
 
@@ -28,6 +38,25 @@ object Multimodal {
   /** STUB decode: fake dimensions from the content hash (bytes 0/1). */
   def stubDecode(hash: Array[Byte]): (Int, Int) =
     ((hash(0) & 0xff) + 1, (hash(1) & 0xff) + 1)
+
+  /** Stub decode as a payload→dims codec (hash computed from payload),
+    * for running the stub through the codec-template path.
+    */
+  def stubCodec(payload: Array[Byte]): Option[(Int, Int)] = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    Some(stubDecode(md.digest(payload)))
+  }
+
+  /** REAL decode: dims via the JRE's built-in ImageIO readers. Returns
+    * None when the payload is not a decodable image (ImageIO yields
+    * null) instead of failing the task — at 100 TB some payloads WILL be
+    * corrupt, and one bad row must not kill a 1000-executor stage.
+    */
+  def imageDims(payload: Array[Byte]): Option[(Int, Int)] =
+    try {
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+        .map(img => (img.getWidth, img.getHeight))
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Byte i of a sha256 hex string as an int (two hex-digit extracts —
     * pure ascii arithmetic, codegen'd).
@@ -58,31 +87,182 @@ object Multimodal {
   /** The real-codec template: partition-wise batch processing over the
     * binary column with one decoder/digest instance per partition (the
     * Scala analogue of mapInPandas batch UDFs). Use this ONLY when the
-    * decode needs a native library that can't be a Catalyst expression;
-    * `decode` maps payload bytes → (width, height).
+    * decode can't be a Catalyst expression; `decode` maps payload bytes
+    * → Some((width, height)), or None for an undecodable payload
+    * (surfaced as decoded_ok=false, never a task failure).
     */
-  def extractFeaturesWithCodec(documents: DataFrame)(
-      decode: Array[Byte] => (Int, Int)): DataFrame = {
+  def extractFeaturesWithCodec(
+      documents: DataFrame,
+      payloadCol: String = "text",
+      mediaType: String = "text/plain")(
+      decode: Array[Byte] => Option[(Int, Int)]): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     documents
-      .select(col("doc_id"), col("text").cast("binary").as("payload"),
-        lit("text/plain").as("media_type"))
+      .select(col("doc_id"), col(payloadCol).cast("binary").as("payload"),
+        lit(mediaType).as("media_type"))
       .as[MediaIn]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("SHA-256")
         it.map { m =>
           md.reset()
-          val h = md.digest(m.payload)
-          val hex = h.map("%02x".format(_)).mkString
-          val (w, ht) = decode(h)
+          val hex = md.digest(m.payload).map("%02x".format(_)).mkString
+          val dims = decode(m.payload)
+          val (w, ht) = dims.getOrElse((0, 0))
           MediaFeatures(m.doc_id, m.media_type, m.payload.length.toLong,
-            hex, decoded_ok = true, width = w, height = ht)
+            hex, decoded_ok = dims.isDefined, width = w, height = ht)
         }
       }
       .toDF()
       .orderBy("doc_id")
   }
+
+  // ---------------------------------------------------------------- images
+
+  final case class ImagePayload(doc_id: Long, payload: Array[Byte])
+  final case class ImageFeatures(
+      doc_id: Long, decoded_ok: Boolean, width: Int, height: Int,
+      avg_r: Int, avg_g: Int, avg_b: Int)
+  final case class ImageResized(
+      doc_id: Long, width: Int, height: Int, out_width: Int, out_height: Int,
+      avg_r: Int, avg_g: Int, avg_b: Int)
+
+  /** Deterministic synthetic dims/fill for doc_id — the formulas the
+    * oracles reproduce in SQL.
+    */
+  def imageSpec(id: Long): (Int, Int, Int, Int, Int) =
+    ((id % 37 + 1).toInt, (id % 23 + 1).toInt,
+      (id % 256).toInt, (id * 7 % 256).toInt, (id * 13 % 256).toInt)
+
+  /** Render one solid-color PNG via the JDK encoder (lossless, so the
+    * decode round trip is pixel-exact).
+    */
+  def makePng(width: Int, height: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (r << 16) | (g << 8) | b
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Synthetic image corpus: one PNG per document, dims/fill a pure
+    * function of doc_id ([[imageSpec]]). Rendering happens inside
+    * mapPartitions — distributed, narrow, no driver involvement; at
+    * corpus scale each executor renders/encodes only its own partition.
+    */
+  def imageCorpus(documents: DataFrame): Dataset[ImagePayload] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val (w, h, r, g, b) = imageSpec(id)
+        ImagePayload(id, makePng(w, h, r, g, b))
+      }
+    }
+  }
+
+  /** Full pixel decode: ImageIO.read + per-channel averages over every
+    * pixel. Solid fills make the averages exact integers, which is what
+    * lets the oracle reproduce them from the doc_id formulas.
+    */
+  private def decodeStats(payload: Array[Byte]): Option[(Int, Int, Int, Int, Int)] =
+    try {
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))).map { img =>
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        (w, h, (sr / n).toInt, (sg / n).toInt, (sb / n).toInt)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** REAL image feature extraction: decode each binary payload with the
+    * JRE's ImageIO, emit dims + per-channel pixel averages. One decoder
+    * call per row inside mapPartitions; undecodable payloads surface as
+    * decoded_ok=false rather than failing the stage.
+    */
+  def imageFeatures(images: Dataset[ImagePayload]): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.mapPartitions { it =>
+      it.map { m =>
+        decodeStats(m.payload) match {
+          case Some((w, h, r, g, b)) => ImageFeatures(m.doc_id, decoded_ok = true, w, h, r, g, b)
+          case None => ImageFeatures(m.doc_id, decoded_ok = false, 0, 0, 0, 0, 0)
+        }
+      }
+    }.toDF().orderBy("doc_id")
+  }
+
+  /** Oracle twin of imageCorpus→imageFeatures: the decoded dims/averages
+    * must round-trip to the synthesis formulas exactly.
+    */
+  val imageFeaturesSql: String =
+    """SELECT doc_id, TRUE AS decoded_ok,
+      |  CAST(doc_id % 37 + 1 AS INTEGER) AS width,
+      |  CAST(doc_id % 23 + 1 AS INTEGER) AS height,
+      |  CAST(doc_id % 256 AS INTEGER) AS avg_r,
+      |  CAST((doc_id * 7) % 256 AS INTEGER) AS avg_g,
+      |  CAST((doc_id * 13) % 256 AS INTEGER) AS avg_b
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** REAL pixel resize: decode → Graphics2D half-scale (clamped ≥1) →
+    * re-encode PNG → decode AGAIN and report the round-tripped dims +
+    * averages. Solid fills survive any interpolation exactly, so the
+    * output is still oracle-exact. The double decode is deliberate: it
+    * proves the re-encoded bytes are a valid image, not just that the
+    * in-memory raster had the right size.
+    */
+  def resizeImages(images: Dataset[ImagePayload], factor: Int = 2): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.mapPartitions { it =>
+      it.flatMap { m =>
+        Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))).map { img =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          val (ow, oh) = (math.max(1, w / factor), math.max(1, h / factor))
+          val out = new java.awt.image.BufferedImage(
+            ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g2 = out.createGraphics()
+          g2.drawImage(img, 0, 0, ow, oh, null)
+          g2.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          val (w2, h2, ar, ag, ab) = decodeStats(bos.toByteArray)
+            .getOrElse(sys.error(s"re-encoded PNG failed to decode for doc ${m.doc_id}"))
+          ImageResized(m.doc_id, w, h, w2, h2, ar, ag, ab)
+        }
+      }
+    }.toDF().orderBy("doc_id")
+  }
+
+  /** Oracle twin of [[resizeImages]] at factor 2. */
+  val resizeImagesSql: String =
+    """SELECT doc_id,
+      |  CAST(doc_id % 37 + 1 AS INTEGER) AS width,
+      |  CAST(doc_id % 23 + 1 AS INTEGER) AS height,
+      |  CAST(GREATEST(1, (doc_id % 37 + 1) // 2) AS INTEGER) AS out_width,
+      |  CAST(GREATEST(1, (doc_id % 23 + 1) // 2) AS INTEGER) AS out_height,
+      |  CAST(doc_id % 256 AS INTEGER) AS avg_r,
+      |  CAST((doc_id * 7) % 256 AS INTEGER) AS avg_g,
+      |  CAST((doc_id * 13) % 256 AS INTEGER) AS avg_b
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Frame sampling for video/audio payloads: one media row explodes to
     * its sampled frames (doc_id, frame_idx, frame_bytes, frame_sha).

@@ -13,7 +13,7 @@ class MultimodalSpec extends SparkSpec {
 
   test("expression path and codec-template path produce identical features") {
     val expr = Multimodal.extractFeatures(docs)
-    val codec = Multimodal.extractFeaturesWithCodec(docs)(Multimodal.stubDecode)
+    val codec = Multimodal.extractFeaturesWithCodec(docs)(Multimodal.stubCodec)
     // same names+types (nullability flags differ between expression and
     // case-class encoders; the driver compare ignores them too)
     assert(expr.schema.map(f => (f.name, f.dataType)) ==
@@ -24,9 +24,64 @@ class MultimodalSpec extends SparkSpec {
   test("the default path stays in codegen (no object-iterator operators)") {
     val plan = Multimodal.extractFeatures(docs).queryExecution.executedPlan.toString
     assert(!plan.contains("MapPartitions") && !plan.contains("DeserializeToObject"))
-    val codecPlan = Multimodal.extractFeaturesWithCodec(docs)(Multimodal.stubDecode)
+    val codecPlan = Multimodal.extractFeaturesWithCodec(docs)(Multimodal.stubCodec)
       .queryExecution.executedPlan.toString
     assert(codecPlan.contains("MapPartitions")) // the template keeps the iterator shape
+  }
+
+  test("REAL ImageIO decode: synthetic PNGs round-trip dims and pixel averages") {
+    val images = Multimodal.imageCorpus(docs)
+    val feats = Multimodal.imageFeatures(images).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(feats.size == 3)
+    Seq(1L, 2L, 3L).foreach { id =>
+      val (w, h, r, g, b) = Multimodal.imageSpec(id)
+      val f = feats(id)
+      assert(f.getAs[Boolean]("decoded_ok"))
+      assert(f.getAs[Int]("width") == w && f.getAs[Int]("height") == h)
+      assert(f.getAs[Int]("avg_r") == r && f.getAs[Int]("avg_g") == g &&
+        f.getAs[Int]("avg_b") == b)
+    }
+  }
+
+  test("codec-template path runs a real ImageIO decode over PNG payloads") {
+    val images = Multimodal.imageCorpus(docs).toDF()
+    val out = Multimodal
+      .extractFeaturesWithCodec(images, payloadCol = "payload", mediaType = "image/png")(
+        Multimodal.imageDims)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    Seq(1L, 2L, 3L).foreach { id =>
+      val (w, h, _, _, _) = Multimodal.imageSpec(id)
+      assert(out(id).getAs[Boolean]("decoded_ok"))
+      assert(out(id).getAs[Int]("width") == w && out(id).getAs[Int]("height") == h)
+    }
+  }
+
+  test("undecodable payloads surface decoded_ok=false, not a task failure") {
+    val junk = Seq((9L, Array[Byte](1, 2, 3, 4))).toDF("doc_id", "payload")
+    val out = Multimodal
+      .extractFeaturesWithCodec(junk, payloadCol = "payload", mediaType = "image/png")(
+        Multimodal.imageDims)
+      .collect()
+    assert(out.length == 1 && !out(0).getAs[Boolean]("decoded_ok"))
+    assert(out(0).getAs[Int]("width") == 0 && out(0).getAs[Int]("height") == 0)
+    assert(Multimodal.imageDims(Array[Byte]()) == None)
+  }
+
+  test("REAL pixel resize: Graphics2D half-scale, re-encode, re-decode") {
+    val images = Multimodal.imageCorpus(docs)
+    val out = Multimodal.resizeImages(images).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    Seq(1L, 2L, 3L).foreach { id =>
+      val (w, h, r, g, b) = Multimodal.imageSpec(id)
+      val row = out(id)
+      assert(row.getAs[Int]("width") == w && row.getAs[Int]("height") == h)
+      assert(row.getAs[Int]("out_width") == math.max(1, w / 2))
+      assert(row.getAs[Int]("out_height") == math.max(1, h / 2))
+      // solid fill survives interpolation exactly
+      assert(row.getAs[Int]("avg_r") == r && row.getAs[Int]("avg_g") == g &&
+        row.getAs[Int]("avg_b") == b)
+    }
   }
 
   test("frame sampling: strided slices, capped count, no empty frames") {
