@@ -214,6 +214,38 @@ object Registry {
        |FROM s9 WHERE action <> 'keep'
        |ORDER BY route_id, hour_ts""".stripMargin
 
+  /** Full-frame suggestions oracle incl. the D6 reasons JSON, verified
+    * PER KEY: the Spark side re-parses its own `reasons` string with
+    * `from_json` (proving the serialized JSON carries the right value
+    * under the right key — Java shortest-roundtrip double text parses
+    * back bit-exact), and DuckDB computes each key's value directly from
+    * the decision chain. Covers all rows (keep included), all 14 base
+    * keys and the up-to-3 rule-branch keys of
+    * generate_suggestions.py:128-185.
+    */
+  private val SUGGESTIONS_FULL_SQL =
+    s"""$SUGG_CTES
+       |SELECT route_id, hour_ts, action, recommended_headway_min, priority_score,
+       |  predicted_passengers AS r_predicted_passengers,
+       |  observed_passengers AS r_observed_passengers,
+       |  CAST(active_vehicles AS BIGINT) AS r_active_vehicles,
+       |  avg_headway_min AS r_avg_headway_min,
+       |  current_headway_min AS r_current_headway_min,
+       |  trips_per_hour_est AS r_trips_per_hour_est,
+       |  capacity_est AS r_capacity_est_per_hour,
+       |  load_factor AS r_load_factor_per_hour,
+       |  passengers_per_trip_est AS r_passengers_per_trip_est,
+       |  45.0 AS r_cap_target_per_trip,
+       |  24.0 AS r_cap_low_per_trip,
+       |  COALESCE(avg_delay_seconds, 0.0) AS r_avg_delay_seconds,
+       |  CAST(peak AS INTEGER) AS r_is_peak_hour,
+       |  confidence AS r_confidence,
+       |  rule AS r_rule,
+       |  CASE WHEN is_increase OR is_decrease THEN tphr_target END AS r_trips_per_hour_target,
+       |  CASE WHEN is_increase THEN raw_inc WHEN is_decrease THEN raw_dec END
+       |    AS r_raw_recommended_headway_min
+       |FROM s9 ORDER BY route_id, hour_ts""".stripMargin
+
   private val SUGG_HIST_SQL =
     s"""$SUGG_CTES
        |SELECT action, COUNT(*) AS n FROM s9 WHERE action <> 'keep'
@@ -412,13 +444,46 @@ object Registry {
 
     Q("suggestions", suggestionsFlat, Some(SUGGESTIONS_SQL)),
 
-    // Full suggestions frame incl. the reasons JSON column — rows-only
-    // (JSON text layout is engine-specific).
+    // Full suggestions frame incl. the D6 reasons JSON — oracle-exact
+    // per key: the reasons string is re-parsed with from_json and every
+    // extracted field hash-matches DuckDB's direct computation (the JSON
+    // text layout itself stays engine-specific, its CONTENT does not).
     Q("suggestions_full",
-      (s, dir) => suggestions(s, dir, onlyChanges = false)
-        .withColumn("hour_ts", col("hour_ts").cast("timestamp_ntz"))
-        .orderBy("route_id", "hour_ts"),
-      None),
+      (s, dir) => {
+        val reasonsSchema =
+          """predicted_passengers DOUBLE, observed_passengers DOUBLE,
+            |active_vehicles BIGINT, avg_headway_min DOUBLE,
+            |current_headway_min DOUBLE, trips_per_hour_est DOUBLE,
+            |capacity_est_per_hour DOUBLE, load_factor_per_hour DOUBLE,
+            |passengers_per_trip_est DOUBLE, cap_target_per_trip DOUBLE,
+            |cap_low_per_trip DOUBLE, avg_delay_seconds DOUBLE,
+            |is_peak_hour INT, confidence DOUBLE, rule STRING,
+            |trips_per_hour_target DOUBLE, raw_recommended_headway_min DOUBLE""".stripMargin
+        suggestions(s, dir, onlyChanges = false)
+          .withColumn("r", from_json(col("reasons"),
+            org.apache.spark.sql.types.StructType.fromDDL(reasonsSchema.replace("\n", " "))))
+          .select(col("route_id"), ntzCol("hour_ts"), col("action"),
+            col("recommended_headway_min"), col("priority_score"),
+            col("r.predicted_passengers").as("r_predicted_passengers"),
+            col("r.observed_passengers").as("r_observed_passengers"),
+            col("r.active_vehicles").as("r_active_vehicles"),
+            col("r.avg_headway_min").as("r_avg_headway_min"),
+            col("r.current_headway_min").as("r_current_headway_min"),
+            col("r.trips_per_hour_est").as("r_trips_per_hour_est"),
+            col("r.capacity_est_per_hour").as("r_capacity_est_per_hour"),
+            col("r.load_factor_per_hour").as("r_load_factor_per_hour"),
+            col("r.passengers_per_trip_est").as("r_passengers_per_trip_est"),
+            col("r.cap_target_per_trip").as("r_cap_target_per_trip"),
+            col("r.cap_low_per_trip").as("r_cap_low_per_trip"),
+            col("r.avg_delay_seconds").as("r_avg_delay_seconds"),
+            col("r.is_peak_hour").as("r_is_peak_hour"),
+            col("r.confidence").as("r_confidence"),
+            col("r.rule").as("r_rule"),
+            col("r.trips_per_hour_target").as("r_trips_per_hour_target"),
+            col("r.raw_recommended_headway_min").as("r_raw_recommended_headway_min"))
+          .orderBy("route_id", "hour_ts")
+      },
+      Some(SUGGESTIONS_FULL_SQL)),
 
     Q("latest_hour_snapshot",
       (s, dir) => {

@@ -378,28 +378,36 @@ object Dedup {
     * diagnostic that tells you WHICH sources copy from each other
     * (mirrors, scrapes of the same upstream, license-text commons):
     * count of near-dup pairs per unordered source pair, including the
-    * within-source diagonal. Composes [[dedupClusters]]; the pair
-    * expansion self-joins on cluster_id over multi-member clusters only,
-    * and cluster sizes are bounded by the LSH candidate structure, so
-    * the join is cluster-local — never corpus × corpus. Output is
-    * |sources|²-sized (tiny).
+    * within-source diagonal. Composes [[dedupClusters]], but never
+    * materializes a doc pair: the cluster membership collapses to
+    * per-(cluster, source) COUNTS first, and pair counts fall out of
+    * combinatorics — `n_a · n_b` across two sources, `n·(n-1)/2` on the
+    * diagonal. The self-join therefore runs on the count table
+    * (|clusters| × |sources| rows), so a degenerate mega-cluster — one
+    * boilerplate string shared by 10⁶ docs — costs one aggregation row
+    * instead of 10¹² join rows. Output is |sources|²-sized (tiny).
     */
   def sourceOverlap(documents: DataFrame): DataFrame = {
-    val lab = dedupClusters(documents)
+    val counts = dedupClusters(documents)
       .filter(col("cluster_size") > 1)
       .join(documents.select(col("doc_id"), col("source")), Seq("doc_id"))
-      .select(col("cluster_id"), col("doc_id"), col("source"))
-    val a = lab.select(col("cluster_id"),
-      col("doc_id").as("doc_a"), col("source").as("sa"))
-    val b = lab.select(col("cluster_id"),
-      col("doc_id").as("doc_b"), col("source").as("sb"))
+      .groupBy(col("cluster_id"), col("source"))
+      .agg(count(lit(1)).as("n"))
+    val a = counts.select(col("cluster_id"), col("source").as("source_x"), col("n").as("na"))
+    val b = counts.select(col("cluster_id"), col("source").as("source_y"), col("n").as("nb"))
     a.join(b, Seq("cluster_id"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(
-        least(col("sa"), col("sb")).as("source_x"),
-        greatest(col("sa"), col("sb")).as("source_y"))
+      .filter(col("source_x") <= col("source_y"))
+      // n·(n-1) is even and cluster counts are far below 2^52, so the
+      // double division is exact; cast restores the BIGINT contract
+      .select(col("source_x"), col("source_y"),
+        when(col("source_x") === col("source_y"),
+          (col("na") * (col("na") - 1) / 2).cast("long"))
+          .otherwise(col("na") * col("nb")).as("pairs"))
+      // a single doc of a source inside a cluster contributes no
+      // within-source pair — drop the 0 rows the pair join never emitted
+      .filter(col("pairs") > 0)
       .groupBy("source_x", "source_y")
-      .agg(count(lit(1)).as("n_pairs"))
+      .agg(sum("pairs").as("n_pairs"))
       .orderBy("source_x", "source_y")
   }
 

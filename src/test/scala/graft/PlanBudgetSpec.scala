@@ -53,7 +53,11 @@ class PlanBudgetSpec extends SparkSpec {
     "late_shipment_priority" -> 2,
     "q14_promo_share" -> 1,      // broadcast part dim + single-row agg
     // uni/bigram model aggs + two scoring joins + per-doc fold + sort
-    "bigram_lm_nll" -> 6)
+    "bigram_lm_nll" -> 6,
+    // count-based combinatorics: per-(cluster,source) aggs on both legs
+    // of the counts self-join + final agg + output sort — crucially NO
+    // doc×doc pair expansion (the CC labels are a localCheckpoint leaf)
+    "source_overlap" -> 7)
 
   for ((q, budget) <- budgets)
     test(s"$q stays within its shuffle budget ($budget)") {
