@@ -1057,15 +1057,17 @@ object Registry {
       // shingle granularity)
       Q("boilerplate_scrub", (s, d) => Dedup.boilerplateScrub(docs(s, d)),
         Some(Dedup.boilerplateScrubSql())),
-      // incremental batch-vs-corpus dedup via a broadcast Bloom filter —
-      // rows-only (the sketch's false-positive set is not
-      // SQL-expressible; no-false-negative + FPR bounds are
-      // spec-asserted; corpus = doc_id%3≠0, batch = doc_id%3=0)
+      // incremental batch-vs-corpus dedup: Bloom pre-filter + exact
+      // residual join on the bloom-positive slice — the sketch's
+      // no-false-negative guarantee makes the composite verdict exact,
+      // so it hash-matches a DuckDB anti-join twin; the bloom column
+      // itself (engine-specific bits) is dropped here and spec-asserted
+      // (corpus = doc_id%3≠0, batch = doc_id%3=0)
       Q("bloom_new_docs",
         (s, d) => Dedup.bloomNewDocs(
           docs(s, d).filter(col("doc_id") % 3 =!= 0),
-          docs(s, d).filter(col("doc_id") % 3 === 0)),
-        None),
+          docs(s, d).filter(col("doc_id") % 3 === 0)).drop("is_new_bloom"),
+        Some(Dedup.bloomNewDocsSql("doc_id % 3 <> 0", "doc_id % 3 = 0"))),
       // learned quality model (hashed BoW → logistic regression) —
       // rows-only (iterative fitter; AUC band + determinism are
       // spec-asserted in QualityClassifierSpec)

@@ -511,41 +511,76 @@ object Dedup {
        |WHERE l.doc_id = l.cluster_id
        |ORDER BY doc_id""".stripMargin
 
-  /** Incremental dedup at corpus scale: filter an incoming batch down to
-    * documents whose content is (probably) NOT already in the corpus,
-    * without joining the batch against 100 TB. The corpus side collapses
-    * to a Bloom filter — built by `DataFrameStatFunctions.bloomFilter`,
-    * a distributed mergeable-sketch aggregation (per-partition bitsets
-    * OR-merged up a tree), sized `expectedItems × ~10 bits` — which then
-    * broadcasts to every executor, making the batch-side check a narrow,
-    * shuffle-free scan. Guarantees: NO false negatives (a text present
-    * in the corpus is always dropped — the dedup-safety direction);
-    * false positives at rate ≤ fpp drop a few genuinely-new docs, the
-    * standard trade a first-pass filter makes before an exact residual
-    * check. Bit positions are ORs of per-item Murmur3 hashes, so the
-    * filter — and this query's output — is independent of partition
-    * layout and insertion order.
+  /** Incremental dedup at corpus scale: classify an incoming batch
+    * against a corpus WITHOUT joining the batch against 100 TB. The
+    * corpus side collapses to a Bloom filter — built by the internal
+    * `BloomFilterAggregate`, a distributed mergeable-sketch aggregation
+    * (per-partition bitsets OR-merged up a tree), sized
+    * `expectedItems × ~10 bits` — and the batch-side probe is the
+    * codegen'd `BloomFilterMightContain` expression over `xxhash64` of
+    * the content md5 (no Scala UDF anywhere on the path).
     *
-    * The membership probe is a Scala UDF by necessity: Spark's public
-    * sketch API (`org.apache.spark.util.sketch.BloomFilter`) has no
-    * Column-expression form (`might_contain` exists only as an internal
-    * runtime-filtering expression). The UDF is a pure in-memory bitset
-    * probe on an already-computed md5, so nothing expensive leaves
-    * codegen.
+    * The bloom's no-false-negative guarantee makes the composite result
+    * EXACT, not approximate: a bloom-NEGATIVE doc is definitely absent
+    * from the corpus (trusted new, no join at all — the overwhelming
+    * majority of a mostly-novel batch), and only the bloom-POSITIVE
+    * slice — true duplicates plus the ≤fpp false positives — pays the
+    * exact membership join. `is_new_exact` therefore equals the plain
+    * anti-join verdict row-for-row (the DuckDB oracle twin), while the
+    * plan does a fraction of the join work. `is_new_bloom` rides along
+    * for the spec-asserted sketch contracts (is_new_bloom ⟹
+    * is_new_exact; false-positive rate ≤ fpp). Bit positions are ORs of
+    * per-item hashes, so the output is independent of partition layout
+    * and insertion order.
     */
   def bloomNewDocs(
       corpus: DataFrame, batch: DataFrame,
       expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
-    val bf = corpus.select(md5(col("text")).as("h")).stat
-      .bloomFilter("h", expectedItems, fpp)
-    val bc = corpus.sparkSession.sparkContext.broadcast(bf)
-    val isNovel = udf((h: String) => !bc.value.mightContainString(h))
-    batch
+    import org.apache.spark.sql.GraftSqlShims.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+
+    val corpusHash = corpus.select(md5(col("text")).as("h"))
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    val bfAgg = new BloomFilterAggregate(
+      new XxHash64(Seq(expression(col("h")))),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+    // the finished sketch is a driver-sized object by construction
+    // (~1.2 MB at 1M items / 1% fpp) and embeds as a foldable literal,
+    // so the probe stays inside whole-stage codegen
+    val bfBytes = corpusHash.select(column(bfAgg).as("bf")).head.getAs[Array[Byte]](0)
+    val bloomSeen = column(BloomFilterMightContain(
+      Literal.create(bfBytes, BinaryType),
+      new XxHash64(Seq(expression(col("h"))))))
+
+    val flagged = batch
       .withColumn("h", md5(col("text")))
-      .filter(isNovel(col("h")))
-      .select("doc_id", "lang", "source", "n_chars")
+      .withColumn("bloom_seen", bloomSeen)
+    val trustedNew = flagged.filter(!col("bloom_seen"))
+      .withColumn("is_new_exact", lit(true))
+    val residual = flagged.filter(col("bloom_seen"))
+      .join(corpusHash.distinct().withColumn("in_corpus", lit(true)), Seq("h"), "left")
+      .withColumn("is_new_exact", col("in_corpus").isNull)
+      .drop("in_corpus")
+    trustedNew.unionByName(residual)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        (!col("bloom_seen")).as("is_new_bloom"), col("is_new_exact"))
       .orderBy("doc_id")
   }
+
+  /** DuckDB twin of [[bloomNewDocs]]'s exact verdict (the bloom column
+    * is dropped at registration — sketch bits are engine-specific).
+    */
+  def bloomNewDocsSql(corpusPred: String, batchPred: String): String =
+    s"""WITH c AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE $corpusPred),
+       |b AS (SELECT doc_id, lang, source, n_chars, md5(text) AS h
+       |      FROM documents WHERE $batchPred)
+       |SELECT doc_id, lang, source, n_chars,
+       |  (c.h IS NULL) AS is_new_exact
+       |FROM b LEFT JOIN c USING (h)
+       |ORDER BY doc_id""".stripMargin
 
   def corpusFilterSql(minQuality: Double = 0.2, langs: Seq[String] = Seq("en")): String = {
     val langList = langs.map(l => s"'$l'").mkString(", ")

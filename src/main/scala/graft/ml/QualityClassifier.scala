@@ -138,10 +138,12 @@ object QualityClassifier {
     val train = pinLayout(all.filter(col("split") === "train")).persist()
     try {
       val model = fit(train)
-      val p1 = udf((v: org.apache.spark.ml.linalg.Vector) => v(1))
+      // vector_to_array + element_at keep the probability extraction a
+      // codegen'd built-in (no Scala UDF); index 2 is P(label=1)
       model.transform(all)
         .select(col("doc_id"), col("label"),
-          p1(col("probability")).as("p_quality"),
+          element_at(org.apache.spark.ml.functions.vector_to_array(col("probability")), 2)
+            .as("p_quality"),
           col("prediction").as("predicted_label"))
         .orderBy("doc_id")
     } finally train.unpersist(blocking = false)

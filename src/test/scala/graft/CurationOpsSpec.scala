@@ -106,21 +106,30 @@ class CurationOpsSpec extends SparkSpec {
     val batch = (dupBatch ++ newBatch)
       .toDF("doc_id", "text", "lang", "source", "n_chars")
 
-    val kept = Dedup.bloomNewDocs(corpus, batch, expectedItems = 1000L, fpp = 0.01)
-      .select("doc_id").as[Long].collect().toSet
-    // safety direction is absolute: every true duplicate must be dropped
-    assert(kept.forall(_ >= 2000L), "a known-duplicate text survived the bloom filter")
-    // false positives only lose a small fraction of genuinely-new docs
-    assert(kept.size >= 140, s"lost ${150 - kept.size} new docs to false positives (fpp=0.01)")
+    val rows = Dedup.bloomNewDocs(corpus, batch, expectedItems = 1000L, fpp = 0.01)
+      .select("doc_id", "is_new_bloom", "is_new_exact")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Boolean]("is_new_bloom"), r.getAs[Boolean]("is_new_exact")))
+    assert(rows.length == 300, "verdict must cover every batch row")
+    // exact verdict is ground truth: new iff doc_id >= 2000
+    assert(rows.forall { case (id, _, ex) => ex == (id >= 2000L) })
+    // safety direction is absolute: bloom-new implies truly-new
+    // (equivalently: every true duplicate is bloom-seen)
+    assert(rows.forall { case (_, bl, ex) => !bl || ex },
+      "bloom claimed novelty for a doc that exists in the corpus")
+    // false positives (truly new but bloom-seen) stay a small fraction
+    val fp = rows.count { case (_, bl, ex) => ex && !bl }
+    assert(fp <= 10, s"$fp of 150 new docs lost to bloom false positives (fpp=0.01)")
   }
 
   test("bloom result is independent of partition layout") {
     val corpus = docs.filter(col("doc_id") % 3 =!= 0)
     val batch = docs.filter(col("doc_id") % 3 === 0)
     val a = Dedup.bloomNewDocs(corpus.repartition(1), batch.repartition(1))
-      .select("doc_id").as[Long].collect().toSeq
+      .collect().map(_.toSeq).toSeq
     val b = Dedup.bloomNewDocs(corpus.repartition(7), batch.repartition(3))
-      .select("doc_id").as[Long].collect().toSeq
+      .collect().map(_.toSeq).toSeq
     assert(a == b)
   }
 
