@@ -830,12 +830,20 @@ object Registry {
     Q("sketch_stats",
       (s, dir) => Sketches.sketchStats(TestdataAdapter.table(s, dir, "events")),
       None),
+    // the exact cardinality+median leg of the sketch audit, hash-checked
+    Q("sketch_stats_exact",
+      (s, dir) => Sketches.sketchStatsExact(TestdataAdapter.table(s, dir, "events")),
+      Some(Sketches.sketchStatsExactSql)),
     // Count-Min heavy hitters vs exact top-k — rows-only (sketch values
     // are implementation-specific; ≥-exact and error-bound contracts
     // spec-asserted)
     Q("heavy_hitters",
       (s, dir) => Sketches.heavyHitters(TestdataAdapter.table(s, dir, "events")),
       None),
+    // the exact top-k frequency leg, hash-checked
+    Q("heavy_hitters_exact",
+      (s, dir) => Sketches.heavyHittersExact(TestdataAdapter.table(s, dir, "events")),
+      Some(Sketches.heavyHittersExactSql())),
     // Declarative data-quality gate: a rule set compiled into ONE
     // aggregation pass (Deequ-style), unpivoted to a per-rule report
     Q("dq_report",

@@ -123,6 +123,39 @@ object Sketches {
       .toDF("user_id", "n_exact", "n_cms", "rel_overestimate")
   }
 
+  /** Exact top-k frequency leg, split out of [[heavyHitters]] so it can
+    * be hash-verified against a DuckDB twin (the CMS estimates in the
+    * combined report are engine-specific and stay rows-only). One hash
+    * aggregation + a bounded TakeOrdered — no global sort.
+    */
+  def heavyHittersExact(events: DataFrame, k: Int = 10): DataFrame =
+    events.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("n_events").desc, col("user_id"))
+      .limit(k)
+
+  def heavyHittersExactSql(k: Int = 10): String =
+    s"""SELECT user_id, COUNT(*) AS n_events FROM events
+       |GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT $k""".stripMargin
+
+  /** Exact cardinality + median leg, split out of [[sketchStats]] for
+    * hash verification. The median goes through round(x, 6) on both
+    * sides so the two engines' linear-interpolation formulas (which can
+    * differ by an ulp) land on the same double — the documented
+    * cross-engine-safe pattern for derived doubles.
+    */
+  def sketchStatsExact(events: DataFrame): DataFrame =
+    events.groupBy("event_type")
+      .agg(
+        countDistinct("user_id").as("users_exact"),
+        round(expr("percentile(value, 0.5)"), 6).as("p50_exact"))
+      .orderBy("event_type")
+
+  val sketchStatsExactSql: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS users_exact,
+      |  round(quantile_cont(value, 0.5), 6) AS p50_exact
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Per-event-type exact vs sketch cardinality + median, with relative
     * errors. Exact columns are themselves deterministic (integer count,
     * sort-based percentile), so the rows-only gate still exercises them.
