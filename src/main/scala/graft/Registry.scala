@@ -1385,6 +1385,13 @@ object Registry {
         (s, d) => Envelope.vehicleEnvelope(TestdataAdapter.table(s, d, "events")),
         Some(Envelope.vehicleEnvelopeSql)),
 
+      // S5 producer wire record: the reference's Kafka envelope JSON,
+      // byte-verified against a string-built DuckDB twin (key order,
+      // null carriage, decimal scale and ISO timestamps all checked)
+      Q("kafka_envelope",
+        (s, d) => Envelope.producerEnvelope(TestdataAdapter.table(s, d, "events")),
+        Some(Envelope.producerEnvelopeSql)),
+
       // S6 payload format: the reference's ingestor consumes JSON event
       // envelopes off Kafka — serialize events to JSON text, parse back
       // with schema-on-read from_json, aggregate; oracle = the same

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Realtime event envelope normalization (SURVEY.md §2.2 P6/P7): the
@@ -41,4 +41,94 @@ object Envelope {
       |  AND value - 90.0 BETWEEN -90.0 AND 90.0
       |  AND value * 1.5 - 200.0 BETWEEN -180.0 AND 180.0
       |ORDER BY event_id""".stripMargin
+
+  /** The producer's wire record (SURVEY.md §2.1 S5): the exact JSON
+    * envelope the reference publishes to `gtfs.rt.vehicle_positions`,
+    * keyed by entity — `{event_type, entity_id, timestamp, ingested_at,
+    * source, payload:{vehicle_id, trip_id, route_id, latitude,
+    * longitude, bearing, speed}}` with absent protobuf fields carried as
+    * JSON nulls. Ref: src/gtfs-realtime-poller/poller.py:49-54,89-116.
+    *
+    * Built with `to_json(struct(...))` (key order = struct order =
+    * reference dict order; `ignoreNullFields=false` ≡ json.dumps(None)),
+    * so the record content is byte-verifiable against a DuckDB twin.
+    * Deterministic stand-ins for the wall-clock/feed-dependent parts:
+    * ingested_at = event time + 1.5 s (the reference stamps arrival
+    * time); trip presence / bearing / speed HasField patterns derive
+    * from event_id residues. Timestamps always carry a 6-digit fraction
+    * (python isoformat elides an all-zero one — fixed-width is the
+    * deliberate deviation, documented here). Numeric payload fields are
+    * DECIMAL(9,6): the source values are ≤3 dp, so the cast is exact
+    * cross-engine and the JSON text is scale-stable ("1.500000").
+    */
+  def producerEnvelope(events: DataFrame): DataFrame = {
+    val tsUs = floor(col("ts").cast("decimal(38,0)") / 1000).cast("long")
+    def iso(t: Column): Column =
+      date_format(t, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'+00:00'")
+    val hasTrip    = col("event_id") % 11 =!= 0
+    val hasBearing = col("event_id") % 5 =!= 0
+    val hasSpeed   = col("event_id") % 7 =!= 0
+    events
+      .select(
+        col("event_id"),
+        col("user_id").cast("string").as("entity_id"),
+        iso(timestamp_micros(tsUs)).as("ts_iso"),
+        iso(timestamp_micros(tsUs + lit(1500000L))).as("ing_iso"),
+        (col("value") - 90.0).cast("decimal(9,6)").as("latitude"),
+        (col("value") * 1.5 - 200.0).cast("decimal(9,6)").as("longitude"),
+        when(hasBearing, col("value").cast("decimal(9,6)")).as("bearing"),
+        when(hasSpeed, (col("value") / 2).cast("decimal(9,6)")).as("speed"),
+        when(hasTrip, concat(lit("trip_"), (col("user_id") % 100).cast("string"))).as("trip_id"),
+        when(hasTrip, concat(lit("route_"), (col("user_id") % 5).cast("string"))).as("route_id"),
+        col("value"))
+      .filter(col("entity_id").isNotNull &&
+        (col("value") - 90.0).between(-90.0, 90.0) &&
+        (col("value") * 1.5 - 200.0).between(-180.0, 180.0))
+      .select(
+        col("event_id"),
+        lit("gtfs.rt.vehicle_positions").as("topic"),
+        col("entity_id").as("kafka_key"),
+        to_json(struct(
+          lit("vehicle_position").as("event_type"),
+          col("entity_id"),
+          col("ts_iso").as("timestamp"),
+          col("ing_iso").as("ingested_at"),
+          lit("gtfs-realtime").as("source"),
+          struct(
+            col("entity_id").as("vehicle_id"),
+            col("trip_id"), col("route_id"),
+            col("latitude"), col("longitude"),
+            col("bearing"), col("speed")).as("payload")),
+          Map("ignoreNullFields" -> "false")).as("kafka_value"))
+      .orderBy("event_id")
+  }
+
+  val producerEnvelopeSql: String =
+    """WITH e AS (
+      |  SELECT event_id, CAST(user_id AS VARCHAR) AS entity_id,
+      |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S.%f') || '+00:00' AS ts_iso,
+      |    strftime(CAST(ts AS TIMESTAMP) + INTERVAL 1500 MILLISECOND,
+      |             '%Y-%m-%dT%H:%M:%S.%f') || '+00:00' AS ing_iso,
+      |    CAST(value - 90.0 AS DECIMAL(9,6)) AS lat,
+      |    CAST(value * 1.5 - 200.0 AS DECIMAL(9,6)) AS lon,
+      |    CASE WHEN event_id % 5 <> 0 THEN CAST(value AS DECIMAL(9,6)) END AS bearing,
+      |    CASE WHEN event_id % 7 <> 0 THEN CAST(value / 2 AS DECIMAL(9,6)) END AS speed,
+      |    CASE WHEN event_id % 11 <> 0 THEN 'trip_' || CAST(user_id % 100 AS VARCHAR) END AS trip_id,
+      |    CASE WHEN event_id % 11 <> 0 THEN 'route_' || CAST(user_id % 5 AS VARCHAR) END AS route_id
+      |  FROM events
+      |  WHERE CAST(user_id AS VARCHAR) IS NOT NULL
+      |    AND value - 90.0 BETWEEN -90.0 AND 90.0
+      |    AND value * 1.5 - 200.0 BETWEEN -180.0 AND 180.0)
+      |SELECT event_id, 'gtfs.rt.vehicle_positions' AS topic, entity_id AS kafka_key,
+      |  '{"event_type":"vehicle_position","entity_id":"' || entity_id ||
+      |  '","timestamp":"' || ts_iso || '","ingested_at":"' || ing_iso ||
+      |  '","source":"gtfs-realtime","payload":{"vehicle_id":"' || entity_id ||
+      |  '","trip_id":' || COALESCE('"' || trip_id || '"', 'null') ||
+      |  ',"route_id":' || COALESCE('"' || route_id || '"', 'null') ||
+      |  ',"latitude":' || CAST(lat AS VARCHAR) ||
+      |  ',"longitude":' || CAST(lon AS VARCHAR) ||
+      |  ',"bearing":' || COALESCE(CAST(bearing AS VARCHAR), 'null') ||
+      |  ',"speed":' || COALESCE(CAST(speed AS VARCHAR), 'null') ||
+      |  '}}' AS kafka_value
+      |FROM e ORDER BY event_id""".stripMargin
 }
