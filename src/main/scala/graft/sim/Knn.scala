@@ -538,26 +538,49 @@ object Knn {
     * and drop decisions compare ids, so output is byte-identical across
     * cluster layouts. Rows-only in the registry (trained centroids are
     * not SQL-expressible); the prune rule is spec-asserted.
+    *
+    * `numClusters = 0` (the default) auto-scales k ≈ max(16, n/1000)
+    * from a count, so the expected per-cell population — and with it the
+    * |cell|² prune cost — stays ~constant as the corpus grows instead of
+    * silently degrading to all-pairs at a fixed k. Pass an explicit k to
+    * pin it (tests do).
     */
-  def semDedupKeep(
-      embeddings: DataFrame, numClusters: Int = 16, tau: Double = 0.7,
-      seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
+  // normalized, layout-pinned k-means input: cosine geometry lives on
+  // the unit sphere, and raw-magnitude k-means would split a semantic
+  // group by scale before direction
+  private def kmeansInput(embeddings: DataFrame): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
-    // cluster the NORMALIZED vectors: cosine geometry lives on the unit
-    // sphere, and raw-magnitude k-means would split a semantic group by
-    // scale before direction
-    val e = withNorm(embeddings)
+    withNorm(embeddings)
       .repartition(8, col("vec_id")).sortWithinPartitions("vec_id")
       .withColumn("features", array_to_vector(
         expr("transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(n2))")))
-      .persist()
+  }
+
+  private def assignCells(e: DataFrame, numClusters: Int, seed: Long): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    val k = if (numClusters > 0) numClusters
+      else math.max(16L, e.count() / 1000L).toInt
+    val model = new KMeans().setK(k).setSeed(seed)
+      .setFeaturesCol("features").fit(e)
+    model.transform(e)
+      .select(col("vec_id"), col("embedding"), col("n2"),
+        col("prediction").cast("int").as("cell"))
+  }
+
+  /** The cell assignment alone (vec_id, cell) with the same auto-scaled
+    * k as [[semDedupKeep]] — the surface the cluster-size-bound spec
+    * asserts on without paying the within-cell prune.
+    */
+  def semDedupCells(
+      embeddings: DataFrame, numClusters: Int = 0, seed: Long = 42L): DataFrame =
+    assignCells(kmeansInput(embeddings), numClusters, seed).select("vec_id", "cell")
+
+  def semDedupKeep(
+      embeddings: DataFrame, numClusters: Int = 0, tau: Double = 0.7,
+      seed: Long = 42L): DataFrame = {
+    val e = kmeansInput(embeddings).persist()
     try {
-      val model = new KMeans().setK(numClusters).setSeed(seed)
-        .setFeaturesCol("features").fit(e)
-      val assigned = model.transform(e)
-        .select(col("vec_id"), col("embedding"), col("n2"),
-          col("prediction").cast("int").as("cell"))
+      val assigned = assignCells(e, numClusters, seed)
         .persist()
       val a = assigned.select(col("cell"), col("vec_id"),
         col("embedding").as("ea"), col("n2").as("na"))

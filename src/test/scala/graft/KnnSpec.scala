@@ -135,6 +135,34 @@ class KnnSpec extends SparkSpec {
     assert(r.toSeq == Seq((0L, 1L)))
   }
 
+  test("semdedup auto-k grows with n and keeps cells bounded on a mass-skewed corpus") {
+    // 90% of the mass lies on a wide arc inside span(dim0,dim1) — one
+    // "domain" dominating the corpus — with a thin tail over 6
+    // orthogonal directions. At n=24,000 the auto rule picks k=24
+    // (n/1000), and minimizing SSE forces k-means to slice the heavy
+    // arc, so no cell approaches corpus size and the |cell|² prune
+    // stays bounded. A fixed k=16 would also pass here, but the rule
+    // keeps E[|cell|] constant as n grows 1000× — that is what the
+    // assertion on k pins.
+    val n = 24000
+    val e = (0 until n).map { i =>
+      val a = Array.fill(64)(0f)
+      if (i % 10 != 0) {
+        val t = (i % 997).toFloat / 997f * 0.785f
+        a(0) = math.cos(t).toFloat
+        a(1) = math.sin(t).toFloat
+      } else {
+        a(2 + (i / 10) % 6) = 1f
+      }
+      (i.toLong, a, 0)
+    }.toDF("vec_id", "embedding", "label")
+    val sizes = Knn.semDedupCells(e).groupBy("cell").count()
+      .select("count").as[Long].collect()
+    assert(sizes.sum == n)
+    assert(sizes.length > 16, s"auto-k picked only ${sizes.length} cells at n=$n")
+    assert(sizes.max <= n / 4, s"largest cell ${sizes.max} of $n — prune no longer bounded")
+  }
+
   test("semdedup: within-cluster duplicates drop to the min id, distinct vectors keep") {
     // two tight semantic groups (parallel vectors → cosine 1 within,
     // 0 across) plus a lone orthogonal vector
