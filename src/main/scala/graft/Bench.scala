@@ -10,10 +10,17 @@ import org.apache.spark.sql.SparkSession
   * plans; noop materializes every output row/column. One untimed warmup
   * query absorbs JVM/codegen/filesystem warmup so per-query numbers
   * reflect steady state.
+  *
+  * Per-query time is the MEDIAN of SPARK_GRAFT_BENCH_RUNS (default 3)
+  * back-to-back runs: single-run numbers on a shared machine have
+  * swung ~13× round-over-round, which made every cross-round
+  * comparison noise-bound; the median absorbs one arbitrarily bad run
+  * per query while staying honest about steady-state cost.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.max(4, Runtime.getRuntime.availableProcessors()).toString)
     val spark = SparkSession.builder()
@@ -32,24 +39,34 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
+    def cleanup(): Unit = {
+      // untimed between-run cleanup: drop caches persisted by library
+      // pipelines and nudge the cleaner, so one run's leftovers don't
+      // tax the next run's GC
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      System.gc()
+    }
+
     try force("q1_pricing") catch { case _: Throwable => () } // warmup, untimed
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      val t0 = System.nanoTime()
-      val ok = try { force(name); true } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.toString.take(300)}"); false
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { force(name); true } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.toString.take(300)}"); false
+        }
+        val secs = (System.nanoTime() - t0) / 1e9
+        cleanup()
+        if (ok) secs else -1.0
       }
-      val secs = (System.nanoTime() - t0) / 1e9
-      // untimed between-query cleanup: drop caches persisted by library
-      // pipelines and nudge the cleaner, so one query's leftovers don't
-      // tax the next query's GC
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      System.gc()
-      name -> (if (ok) secs else -1.0)
+      val median =
+        if (times.contains(-1.0)) -1.0
+        else times.sorted.apply(times.length / 2)
+      name -> median
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"stat":"median"}""")
     spark.stop()
   }
 }

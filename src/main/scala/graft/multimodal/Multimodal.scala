@@ -40,7 +40,11 @@ object Multimodal {
     ((hash(0) & 0xff) + 1, (hash(1) & 0xff) + 1)
 
   /** Stub decode as a payload→dims codec (hash computed from payload),
-    * for running the stub through the codec-template path.
+    * for running the stub through the codec-template path. The payload
+    * is hashed a second time here on top of the template's own digest —
+    * accepted: the codec interface is payload→dims by design (a real
+    * demuxer needs the bytes, not a hash), and this stub path is
+    * spec-only.
     */
   def stubCodec(payload: Array[Byte]): Option[(Int, Int)] = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
@@ -124,7 +128,8 @@ object Multimodal {
       doc_id: Long, decoded_ok: Boolean, width: Int, height: Int,
       avg_r: Int, avg_g: Int, avg_b: Int)
   final case class ImageResized(
-      doc_id: Long, width: Int, height: Int, out_width: Int, out_height: Int,
+      doc_id: Long, decoded_ok: Boolean,
+      width: Int, height: Int, out_width: Int, out_height: Int,
       avg_r: Int, avg_g: Int, avg_b: Int)
 
   /** Deterministic synthetic dims/fill for doc_id — the formulas the
@@ -160,7 +165,9 @@ object Multimodal {
   def imageCorpus(documents: DataFrame): Dataset[ImagePayload] = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+    // drop null ids before the primitive-Long encoder (the parquet
+    // column is nullable BIGINT; a null would throw in the encoder)
+    documents.select(col("doc_id")).filter(col("doc_id").isNotNull).as[Long].mapPartitions { it =>
       it.map { id =>
         val (w, h, r, g, b) = imageSpec(id)
         ImagePayload(id, makePng(w, h, r, g, b))
@@ -228,33 +235,45 @@ object Multimodal {
     * output is still oracle-exact. The double decode is deliberate: it
     * proves the re-encoded bytes are a valid image, not just that the
     * in-memory raster had the right size.
+    *
+    * Robustness contract matches [[imageFeatures]]: any payload that
+    * throws or yields no image at ANY step (decode, resize, re-encode,
+    * re-decode) surfaces as one decoded_ok=false row — never a dropped
+    * row, never a task failure; at 100 TB some payloads WILL be corrupt
+    * and one bad row must not kill a 1000-executor stage.
     */
   def resizeImages(images: Dataset[ImagePayload], factor: Int = 2): DataFrame = {
     val spark = images.sparkSession
     import spark.implicits._
     images.mapPartitions { it =>
-      it.flatMap { m =>
-        Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))).map { img =>
-          val (w, h) = (img.getWidth, img.getHeight)
-          val (ow, oh) = (math.max(1, w / factor), math.max(1, h / factor))
-          val out = new java.awt.image.BufferedImage(
-            ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          val g2 = out.createGraphics()
-          g2.drawImage(img, 0, 0, ow, oh, null)
-          g2.dispose()
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(out, "png", bos)
-          val (w2, h2, ar, ag, ab) = decodeStats(bos.toByteArray)
-            .getOrElse(sys.error(s"re-encoded PNG failed to decode for doc ${m.doc_id}"))
-          ImageResized(m.doc_id, w, h, w2, h2, ar, ag, ab)
-        }
+      it.map { m =>
+        val roundTripped =
+          try {
+            Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload)))
+              .flatMap { img =>
+                val (w, h) = (img.getWidth, img.getHeight)
+                val (ow, oh) = (math.max(1, w / factor), math.max(1, h / factor))
+                val out = new java.awt.image.BufferedImage(
+                  ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+                val g2 = out.createGraphics()
+                g2.drawImage(img, 0, 0, ow, oh, null)
+                g2.dispose()
+                val bos = new java.io.ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(out, "png", bos)
+                decodeStats(bos.toByteArray).map { case (w2, h2, ar, ag, ab) =>
+                  ImageResized(m.doc_id, decoded_ok = true, w, h, w2, h2, ar, ag, ab)
+                }
+              }
+          } catch { case scala.util.control.NonFatal(_) => None }
+        roundTripped.getOrElse(
+          ImageResized(m.doc_id, decoded_ok = false, 0, 0, 0, 0, 0, 0, 0))
       }
     }.toDF().orderBy("doc_id")
   }
 
   /** Oracle twin of [[resizeImages]] at factor 2. */
   val resizeImagesSql: String =
-    """SELECT doc_id,
+    """SELECT doc_id, TRUE AS decoded_ok,
       |  CAST(doc_id % 37 + 1 AS INTEGER) AS width,
       |  CAST(doc_id % 23 + 1 AS INTEGER) AS height,
       |  CAST(GREATEST(1, (doc_id % 37 + 1) // 2) AS INTEGER) AS out_width,

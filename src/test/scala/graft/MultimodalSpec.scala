@@ -84,6 +84,16 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resize: corrupt payload surfaces decoded_ok=false, not a drop or failure") {
+    val junk = Seq(
+      Multimodal.ImagePayload(8L, Array[Byte](1, 2, 3, 4)),
+      Multimodal.ImagePayload(9L, Array.emptyByteArray)).toDS()
+    val out = Multimodal.resizeImages(junk).collect()
+    assert(out.length == 2, "corrupt rows must surface, not drop")
+    assert(out.forall(r => !r.getAs[Boolean]("decoded_ok")))
+    assert(out.forall(r => r.getAs[Int]("out_width") == 0))
+  }
+
   test("frame sampling: strided slices, capped count, no empty frames") {
     // 80-char payload; frameLen 16, stride 2 → slices at 0, 32, 64
     val media = Seq((1L, "x" * 80, "en", "s", 80L), (2L, "ab", "en", "s", 2L))
