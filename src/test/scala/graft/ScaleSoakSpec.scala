@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.Tag
+
+object Soak extends Tag("graft.Soak")
+
+/** Scale soak: the pipelines whose cost profile matters most at corpus
+  * scale (the near-dup dedup pair, sessionization, sequence packing)
+  * run against sf0.1 and against a 10×-amplified copy, asserting
+  *
+  *   1. the physical plan keeps the SAME shuffle-Exchange count — the
+  *      plan structure is scale-invariant, nothing degrades to a
+  *      different (wider) strategy at 10× the rows; and
+  *   2. wall-time grows sub-quadratically: t(10×) ≤ 25·t(1×) + 10 s.
+  *      A quadratic operator would pay ~100× — the generous band keeps
+  *      the assertion meaningful without being load-flaky.
+  *
+  * Amplification appends 9 shifted-id copies; document text is
+  * letter-rotated per copy so the clones are genuinely NEW content —
+  * cloning identical text would inflate every near-dup cluster 10× and
+  * make the dedup workload quadratic by construction rather than by
+  * plan defect. Inputs are materialized to parquet first so the timed
+  * run measures the operator, not a 10-way union scan.
+  *
+  * Measured on this container (local[4], sf0.1 → 10×): dedup_clusters
+  * 50k docs, simhash 50k docs, sessionize 1M events, packing 50k docs —
+  * ratios recorded in COVERAGE.md §soak.
+  */
+class ScaleSoakSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.1"
+  private val Copies = 10
+
+  private lazy val soakDir: String = {
+    val out = "/tmp/graft_soak"
+    val alpha = "aeiosnt"
+    def rot(k: Int) = alpha.drop(k % alpha.length) + alpha.take(k % alpha.length)
+    val docs = TestdataAdapter.table(spark, dir, "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val events = TestdataAdapter.table(spark, dir, "events")
+      .select("event_id", "user_id", "event_type", "value", "ts")
+    (0 until Copies).map { k =>
+      docs.select(
+        (col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+        (if (k == 0) col("text") else translate(col("text"), alpha, rot(k))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(s"$out/documents")
+    (0 until Copies).map { k =>
+      events.select(
+        (col("event_id") + lit(k * 100000000L)).as("event_id"),
+        (col("user_id") + lit(k * 10000000L)).as("user_id"),
+        col("event_type"), col("value"), col("ts"))
+    }.reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(s"$out/events")
+    out
+  }
+
+  private def baseDocs = TestdataAdapter.table(spark, dir, "documents")
+  private def baseEvents = TestdataAdapter.table(spark, dir, "events")
+  private def bigDocs = spark.read.parquet(s"$soakDir/documents")
+  private def bigEvents = spark.read.parquet(s"$soakDir/events")
+
+  // times plan CONSTRUCTION + execution: iterative pipelines
+  // (dedup_clusters) do their localCheckpoint rounds eagerly at
+  // construction, so a by-value parameter keeps that work inside the timer
+  private def force(df: => DataFrame): Double = {
+    val t0 = System.nanoTime()
+    df.write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def shuffles(df: DataFrame): Int =
+    "Exchange (hash|range|Single)".r
+      .findAllIn(df.queryExecution.executedPlan.toString).length
+
+  private def soak(name: String)(pipeline: DataFrame => DataFrame)(
+      base: => DataFrame, big: => DataFrame): Unit =
+    test(s"$name holds its plan and stays sub-quadratic at 10x data", Soak) {
+      assert(shuffles(pipeline(base)) == shuffles(pipeline(big)),
+        s"$name changes shuffle count at 10x: " +
+          s"${shuffles(pipeline(base))} -> ${shuffles(pipeline(big))}")
+      force(pipeline(base)) // warm code paths so t1 is steady-state, not codegen
+      val t1 = force(pipeline(base))
+      val t10 = force(pipeline(big))
+      info(f"$name: t1=$t1%.1fs t10=$t10%.1fs ratio=${t10 / t1}%.1f")
+      assert(t10 <= 25.0 * t1 + 10.0,
+        f"$name t(10x)=$t10%.1fs vs t(1x)=$t1%.1fs — super-linear blowup")
+    }
+
+  import graft.dedup.Dedup
+  import graft.rel.Sessionize
+  import graft.text.TextOps
+
+  soak("dedup_clusters")(Dedup.dedupClusters)(baseDocs, bigDocs)
+  soak("simhash_pairs")(d => Dedup.simhashPairs(d))(baseDocs, bigDocs)
+  soak("sessionize")(Sessionize.sessions)(baseEvents, bigEvents)
+  soak("packed_sequences")(d => TextOps.packedSequences(d))(baseDocs, bigDocs)
+}
