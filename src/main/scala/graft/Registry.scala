@@ -717,6 +717,118 @@ object Registry {
           |                     WHERE o2.l_partkey = o.l_partkey)
           |ORDER BY p_partkey, s_suppkey""".stripMargin)),
 
+    // Q7-style bidirectional nation-pair trade volume by ship year
+    Q("q7_nation_volume", Relational.q7NationVolume(_, _),
+      Some(
+        s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           |  CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS l_year,
+           |  ${dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+           |FROM lineitem
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN supplier ON l_suppkey = s_suppkey
+           |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+           |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+           |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+           |  AND TIMESTAMP '1997-12-31 00:00:00'
+           |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+           |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // Q8-style market share of one nation's suppliers inside one
+    // region's customers for one part type, by order year
+    Q("q8_market_share", Relational.q8MarketShare(_, _),
+      Some(
+        s"""SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+           |  ${dsum("CASE WHEN n1.n_name = 'NATION_3' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")}
+           |    / ${dsum("l_extendedprice * (1.0 - l_discount)")} AS mkt_share
+           |FROM lineitem
+           |JOIN part ON l_partkey = p_partkey
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+           |JOIN region ON n2.n_regionkey = r_regionkey
+           |JOIN supplier ON l_suppkey = s_suppkey
+           |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+           |WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+           |  AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+           |  AND TIMESTAMP '1997-12-31 00:00:00'
+           |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Q13-style customer order-count distribution (predicate inside the
+    // LEFT join so zero-order customers land in the c_count=0 bucket)
+    Q("q13_customer_distribution", Relational.q13CustomerDistribution,
+      Some(
+        """WITH co AS (
+          |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          |  FROM customer LEFT JOIN orders
+          |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          |  GROUP BY 1)
+          |SELECT c_count, COUNT(*) AS custdist
+          |FROM co GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    // Q17-style small-quantity revenue — the oracle keeps the correlated
+    // per-part AVG subquery; the Spark side decorrelates to one
+    // aggregate joined back
+    Q("q17_small_quantity_revenue", Relational.q17SmallQuantityRevenue(_, _),
+      Some(
+        s"""WITH branded AS (
+           |  SELECT l_partkey, l_quantity, l_extendedprice
+           |  FROM lineitem JOIN part ON l_partkey = p_partkey
+           |  WHERE p_brand = 'Brand#1' AND p_size < 10)
+           |SELECT ${dsum("l_extendedprice")} / 7.0 AS avg_yearly
+           |FROM branded b
+           |WHERE l_quantity < 0.2 * (
+           |  SELECT ${davg("l_quantity")} FROM branded b2
+           |  WHERE b2.l_partkey = b.l_partkey)""".stripMargin)),
+
+    // Q19-style disjunctive predicate blocks over the part join
+    Q("q19_discounted_revenue", Relational.q19DiscountedRevenue,
+      Some(
+        s"""SELECT ${dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+           |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+           |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin)),
+
+    // Q21-style sole-late-supplier count — the oracle keeps the
+    // EXISTS / NOT-EXISTS pair, proving the per-order-profile rewrite
+    Q("q21_waiting_supplier", Relational.q21WaitingSupplier(_, _),
+      Some(
+        """WITH l AS (
+          |  SELECT l_orderkey, l_suppkey,
+          |    (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |  WHERE o_orderstatus = 'F')
+          |SELECT s_name, COUNT(*) AS numwait
+          |FROM l l1
+          |JOIN supplier ON l1.l_suppkey = s_suppkey
+          |JOIN nation ON s_nationkey = n_nationkey
+          |WHERE n_name = 'NATION_5' AND l1.late
+          |  AND EXISTS (SELECT 1 FROM l l2
+          |              WHERE l2.l_orderkey = l1.l_orderkey
+          |                AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (SELECT 1 FROM l l3
+          |                  WHERE l3.l_orderkey = l1.l_orderkey
+          |                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+          |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin)),
+
+    // Q22-style dormant rich customers — the oracle keeps the scalar
+    // cohort-average subquery and NOT EXISTS; Spark broadcasts the
+    // 1-row average and anti-joins orders
+    Q("q22_global_sales", Relational.q22GlobalSales(_, _),
+      Some(
+        s"""SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+           |  ${dsum("c_acctbal")} AS totacctbal
+           |FROM customer c
+           |WHERE c_nationkey IN (1, 3, 5, 7, 9)
+           |  AND c_acctbal > (
+           |    SELECT ${davg("c_acctbal")} FROM customer
+           |    WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 3, 5, 7, 9))
+           |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey
+           |                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+           |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // z-score outlier hours per route — moments from associative decimal
     // sums (squares in decimal, rounded to scale 6 so the sum stays
     // double-representable), so even the boolean flag hash-matches

@@ -715,4 +715,178 @@ object Relational {
   private def timestampMicrosFromNanos(c: org.apache.spark.sql.Column) =
     timestamp_micros(floor(c.cast("decimal(38,0)") / 1000).cast("long"))
       .cast("timestamp_ntz")
+
+  // --------------------------------------------------- TPC-H depth (r6)
+
+  /** TPC-H Q7 shape: bidirectional nation-pair trade volume by ship
+    * year. Both nation dims are pre-filtered to the pair (so the
+    * broadcast semi-filters prune at the scans); only the final pair
+    * predicate — which spans both sides — evaluates post-join. The lone
+    * fact-fact shuffle is lineitem⋈orders; everything else broadcasts.
+    */
+  def q7NationVolume(
+      s: SparkSession, dir: String,
+      nationA: String = "NATION_1", nationB: String = "NATION_2"): DataFrame = {
+    val pair = Seq(nationA, nationB)
+    val ns = table(s, dir, "nation").filter(col("n_name").isInCollection(pair))
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val nc = table(s, dir, "nation").filter(col("n_name").isInCollection(pair))
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    table(s, dir, "lineitem")
+      .filter(col("l_shipdate").between(lit("1996-01-01"), lit("1997-12-31")))
+      .join(table(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(table(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(table(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(ns), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(nc), col("c_nationkey") === col("c_nk"))
+      .filter(
+        (col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+          (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(detSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q8 shape: one nation's market share inside one region's
+    * customers for one part type, by order year — the conditional-share
+    * pattern of [[q14PromoShare]] over a 6-way star join (every dim
+    * broadcast; the part filter prunes lineitem before the orders join).
+    */
+  def q8MarketShare(
+      s: SparkSession, dir: String, suppNation: String = "NATION_3",
+      regionName: String = "ASIA", partType: String = "ECONOMY"): DataFrame = {
+    val part = table(s, dir, "part").filter(col("p_type") === partType)
+    val region = table(s, dir, "region").filter(col("r_name") === regionName)
+    val natC = table(s, dir, "nation")
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("c_nk"))
+    val natS = table(s, dir, "nation")
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    table(s, dir, "lineitem")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(table(s, dir, "orders")
+        .filter(col("o_orderdate").between(lit("1996-01-01"), lit("1997-12-31"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(table(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(natC), col("c_nationkey") === col("c_nk"))
+      .join(broadcast(table(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(natS), col("s_nationkey") === col("s_nk"))
+      .withColumn("volume", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg((detSum(when(col("supp_nation") === suppNation, col("volume"))
+        .otherwise(lit(0.0))) / detSum(col("volume"))).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q13 shape: order-count distribution per customer through a
+    * LEFT join with the predicate INSIDE the join (zero-order customers
+    * survive into the c_count=0 bucket — a WHERE would delete them).
+    */
+  def q13CustomerDistribution(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "customer")
+      .join(table(s, dir, "orders").filter(col("o_orderpriority") =!= "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** TPC-H Q17 shape: lines far below their part's average quantity —
+    * the correlated scalar AVG decorrelated to ONE per-part aggregate
+    * joined back. The brand filter applies BEFORE the aggregate (the
+    * correlated subquery only ever targets the filtered parts), so the
+    * per-part average runs over the brand's lines, not the whole fact.
+    */
+  def q17SmallQuantityRevenue(
+      s: SparkSession, dir: String,
+      brand: String = "Brand#1", maxSize: Int = 10): DataFrame = {
+    val part = table(s, dir, "part")
+      .filter(col("p_brand") === brand && col("p_size") < maxSize)
+    val branded = table(s, dir, "lineitem")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+    val avgQ = branded.groupBy(col("l_partkey").as("avg_pk"))
+      .agg(detAvg(col("l_quantity")).as("avg_qty"))
+    branded
+      .join(broadcast(avgQ), col("l_partkey") === col("avg_pk"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg((detSum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
+  }
+
+  /** TPC-H Q19 shape: disjunctive brand/size/quantity predicate blocks —
+    * one broadcast part join; the OR-of-ANDs evaluates as a single
+    * codegen'd filter post-join (each disjunct alone could push, their
+    * union cannot).
+    */
+  def q19DiscountedRevenue(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .join(broadcast(table(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+      .agg(detSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+
+  /** TPC-H Q21 shape (lateness adapted to this schema's only date pair:
+    * shipped more than 60 days after the order date): suppliers in one
+    * nation who were the SOLE late supplier on a multi-supplier
+    * finished order. The classic EXISTS / NOT-EXISTS pair decorrelates
+    * to one per-order profile — distinct suppliers, distinct LATE
+    * suppliers — and a late line counts iff (n_supp > 1) ∧ (late set
+    * == {its supplier}); the DuckDB twin keeps the correlated form,
+    * proving the rewrite.
+    */
+  def q21WaitingSupplier(
+      s: SparkSession, dir: String,
+      nationName: String = "NATION_5", topK: Int = 20): DataFrame = {
+    val li = table(s, dir, "lineitem")
+      .join(table(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .select("l_orderkey", "l_suppkey", "late")
+    val profile = li.groupBy("l_orderkey")
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+    val supp = table(s, dir, "supplier")
+      .join(broadcast(table(s, dir, "nation").filter(col("n_name") === nationName)),
+        col("s_nationkey") === col("n_nationkey"))
+    li.filter(col("late"))
+      .join(profile, Seq("l_orderkey"))
+      .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(topK)
+  }
+
+  /** TPC-H Q22 shape (the schema has no phone column, so the "country
+    * code" is the customer nation key; and this dense synthetic data
+    * gives EVERY customer some order, so "dormant" means no order since
+    * 2000 — an all-time anti-join would be vacuously empty): positive-
+    * balance cohort average as a broadcast scalar, richer-than-average
+    * customers with no recent orders (anti-join), grouped per code.
+    */
+  def q22GlobalSales(
+      s: SparkSession, dir: String,
+      keys: Seq[Int] = Seq(1, 3, 5, 7, 9)): DataFrame = {
+    val cust = table(s, dir, "customer")
+      .filter(col("c_nationkey").isInCollection(keys))
+    val avgBal = cust.filter(col("c_acctbal") > 0.0)
+      .agg(detAvg(col("c_acctbal")).as("avg_bal"))
+    val recent = table(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("2000-01-01"))
+    cust.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").as("cntrycode"))
+      .agg(count(lit(1)).as("numcust"), detSum(col("c_acctbal")).as("totacctbal"))
+      .orderBy("cntrycode")
+  }
 }

@@ -57,7 +57,16 @@ class PlanBudgetSpec extends SparkSpec {
     // count-based combinatorics: per-(cluster,source) aggs on both legs
     // of the counts self-join + final agg + output sort — crucially NO
     // doc×doc pair expansion (the CC labels are a localCheckpoint leaf)
-    "source_overlap" -> 7)
+    "source_overlap" -> 7,
+    // TPC-H depth: every dim broadcasts; the budgets pin exactly the
+    // fact-side shuffles (lineitem⋈orders + the aggregations)
+    "q7_nation_volume" -> 2,
+    "q8_market_share" -> 2,
+    "q13_customer_distribution" -> 3,
+    "q17_small_quantity_revenue" -> 2,
+    "q19_discounted_revenue" -> 1,
+    "q21_waiting_supplier" -> 4,
+    "q22_global_sales" -> 3)
 
   for ((q, budget) <- budgets)
     test(s"$q stays within its shuffle budget ($budget)") {
