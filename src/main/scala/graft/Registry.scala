@@ -1305,6 +1305,12 @@ object Registry {
         (s, d) => Streams.vehicleHourlyStream(s, d),
         Some(s"WITH v AS ($VEH) $VEHICLE_BODY ORDER BY 1, 2")),
 
+      // S5 producer wire record as a stateless append-mode stream —
+      // same code and same byte-level JSON oracle as the batch twin
+      Q("streaming_kafka_envelope",
+        (s, d) => Streams.kafkaEnvelopeStream(s, d),
+        Some(graft.streaming.Envelope.producerEnvelopeSql)),
+
       // A3 windowed + watermarked (bounded state, update mode) — same
       // batch oracle as the complete-mode twin
       Q("streaming_windowed_vehicle",

@@ -61,7 +61,14 @@ object Envelope {
     * DECIMAL(9,6): the source values are ≤3 dp, so the cast is exact
     * cross-engine and the JSON text is scale-stable ("1.500000").
     */
-  def producerEnvelope(events: DataFrame): DataFrame = {
+  def producerEnvelope(events: DataFrame): DataFrame =
+    producerEnvelopeCols(events).orderBy("event_id")
+
+  /** The envelope transform without the output ordering — stateless
+    * per-row column algebra, so the SAME code runs as a streaming
+    * append-mode producer stage ([[Streams.kafkaEnvelopeStream]]).
+    */
+  def producerEnvelopeCols(events: DataFrame): DataFrame = {
     val tsUs = floor(col("ts").cast("decimal(38,0)") / 1000).cast("long")
     def iso(t: Column): Column =
       date_format(t, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'+00:00'")
@@ -100,7 +107,6 @@ object Envelope {
             col("latitude"), col("longitude"),
             col("bearing"), col("speed")).as("payload")),
           Map("ignoreNullFields" -> "false")).as("kafka_value"))
-      .orderBy("event_id")
   }
 
   val producerEnvelopeSql: String =

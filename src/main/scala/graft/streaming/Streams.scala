@@ -93,6 +93,18 @@ object Streams {
       .orderBy("route_id", "hour_ts")
   }
 
+  /** S5 as a stream: the Kafka producer's JSON wire record built on a
+    * live stream — stateless per-row column algebra in APPEND mode (no
+    * state at all: the cheapest streaming shape; a production deploy
+    * points the same plan at `writeStream.format("kafka")` with
+    * kafka_key/kafka_value as key/value). Identical code to the batch
+    * envelope ([[Envelope.producerEnvelopeCols]]), verified against the
+    * same byte-level oracle.
+    */
+  def kafkaEnvelopeStream(spark: SparkSession, dir: String): DataFrame =
+    runToTable(Envelope.producerEnvelopeCols(eventsStream(spark, dir)), mode = "append")
+      .orderBy("event_id")
+
   /** A3 with event-time windows + watermark in update mode — the bounded-
     * state streaming shape for 100 TB feeds: the watermark lets Spark
     * evict window state older than the lateness bound instead of keeping

@@ -94,6 +94,36 @@ class CurationOpsSpec extends SparkSpec {
     assert(r == Map(("s0", "s1") -> 1L, ("s0", "s2") -> 1L, ("s1", "s2") -> 1L))
   }
 
+  test("source overlap: count combinatorics equal the naive pair join on random corpora") {
+    // the production path never materializes doc pairs; this pits it
+    // against a literal pair-join reference on seeded random corpora
+    // (shared phrase pools force multi-source, multi-member clusters,
+    // including within-source duplicates exercising n*(n-1)/2)
+    import org.apache.spark.sql.functions.{col, least, greatest, count, lit}
+    for (seed <- Seq(7, 21, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val phrases = Vector.tabulate(6)(i => s"shared phrase pool number $i with plenty of overlapping tokens")
+      val corpus = (0 until 60).map { i =>
+        val base = phrases(rnd.nextInt(phrases.length))
+        val tail = if (rnd.nextBoolean()) "" else s" variant ${rnd.nextInt(3)}"
+        (i.toLong, s"$base$tail", s"s${rnd.nextInt(4)}")
+      }.toDF("doc_id", "text", "source")
+      val fast = Dedup.sourceOverlap(corpus).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_pairs")).toMap
+      val lab = Dedup.dedupClusters(corpus)
+        .filter(col("cluster_size") > 1)
+        .join(corpus.select("doc_id", "source"), Seq("doc_id"))
+      val naive = lab.select(col("cluster_id"), col("doc_id").as("a"), col("source").as("sa"))
+        .join(lab.select(col("cluster_id"), col("doc_id").as("b"), col("source").as("sb")),
+          Seq("cluster_id"))
+        .filter(col("a") < col("b"))
+        .groupBy(least(col("sa"), col("sb")).as("x"), greatest(col("sa"), col("sb")).as("y"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
+      assert(fast == naive, s"seed=$seed: combinatorics ${fast} != pair join ${naive}")
+    }
+  }
+
   test("bloom incremental dedup: no false negatives, bounded false positives") {
     // corpus = 300 docs; batch = 150 overlapping + 150 genuinely new
     val corpus = (0 until 300)
