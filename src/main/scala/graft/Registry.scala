@@ -1510,6 +1510,18 @@ object Registry {
         (s, d) => Envelope.producerEnvelope(TestdataAdapter.table(s, d, "events")),
         Some(Envelope.producerEnvelopeSql)),
 
+      // S5 topic 2: trip-update envelope with a NESTED ARRAY of
+      // per-stop structs in the payload — byte-verified
+      Q("kafka_envelope_trip",
+        (s, d) => Envelope.tripUpdateEnvelope(TestdataAdapter.table(s, d, "events")),
+        Some(Envelope.tripUpdateEnvelopeSql)),
+
+      // S5 topic 3: service-alert envelope (entity.id fallback,
+      // missing-translation description → null) — byte-verified
+      Q("kafka_envelope_alert",
+        (s, d) => Envelope.alertEnvelope(TestdataAdapter.table(s, d, "events")),
+        Some(Envelope.alertEnvelopeSql)),
+
       // S6 payload format: the reference's ingestor consumes JSON event
       // envelopes off Kafka — serialize events to JSON text, parse back
       // with schema-on-read from_json, aggregate; oracle = the same

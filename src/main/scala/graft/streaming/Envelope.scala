@@ -61,6 +61,14 @@ object Envelope {
     * DECIMAL(9,6): the source values are ≤3 dp, so the cast is exact
     * cross-engine and the JSON text is scale-stable ("1.500000").
     */
+  // shared wire-record helpers: event-time µs from the nanos long, the
+  // fixed-width ISO-8601 renderer, and the deterministic ingest lag
+  private val tsUs = floor(col("ts").cast("decimal(38,0)") / 1000).cast("long")
+  private def iso(t: Column): Column =
+    date_format(t, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'+00:00'")
+  private val tsIso  = iso(timestamp_micros(tsUs))
+  private val ingIso = iso(timestamp_micros(tsUs + lit(1500000L)))
+
   def producerEnvelope(events: DataFrame): DataFrame =
     producerEnvelopeCols(events).orderBy("event_id")
 
@@ -69,9 +77,6 @@ object Envelope {
     * append-mode producer stage ([[Streams.kafkaEnvelopeStream]]).
     */
   def producerEnvelopeCols(events: DataFrame): DataFrame = {
-    val tsUs = floor(col("ts").cast("decimal(38,0)") / 1000).cast("long")
-    def iso(t: Column): Column =
-      date_format(t, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'+00:00'")
     val hasTrip    = col("event_id") % 11 =!= 0
     val hasBearing = col("event_id") % 5 =!= 0
     val hasSpeed   = col("event_id") % 7 =!= 0
@@ -108,6 +113,128 @@ object Envelope {
             col("bearing"), col("speed")).as("payload")),
           Map("ignoreNullFields" -> "false")).as("kafka_value"))
   }
+
+  /** S5, topic 2 of 3: the trip-update wire record — `{event_type,
+    * entity_id, timestamp, ingested_at, source, payload:{trip_id,
+    * route_id, delay_seconds, stop_updates:[{stop_id, arrival_delay,
+    * departure_delay}, …]}}` with a NESTED ARRAY of per-stop structs
+    * (the reference accumulates stop_time_update entries).
+    * Ref: poller.py:118-157. Deterministic stand-ins: two stop updates
+    * per event, HasField absence patterns from event_id residues;
+    * entities without a trip (event_id % 13 = 0) are skipped, mirroring
+    * the `if not t.trip.trip_id: continue` guard.
+    */
+  def tripUpdateEnvelope(events: DataFrame): DataFrame = {
+    val tripId = concat(lit("trip_"), (col("user_id") % 100).cast("string"))
+    events
+      .filter(col("event_id") % 13 =!= 0)
+      .select(
+        col("event_id"),
+        lit("gtfs.rt.trip_updates").as("topic"),
+        tripId.as("kafka_key"),
+        to_json(struct(
+          lit("trip_update").as("event_type"),
+          tripId.as("entity_id"),
+          tsIso.as("timestamp"),
+          ingIso.as("ingested_at"),
+          lit("gtfs-realtime").as("source"),
+          struct(
+            tripId.as("trip_id"),
+            concat(lit("route_"), (col("user_id") % 5).cast("string")).as("route_id"),
+            ((col("event_id") % 1200) - 120).cast("int").as("delay_seconds"),
+            array(
+              struct(
+                concat(lit("stop_"), (col("user_id") % 50).cast("string")).as("stop_id"),
+                when(col("event_id") % 3 =!= 0, (col("event_id") % 300).cast("int"))
+                  .as("arrival_delay"),
+                when(col("event_id") % 4 =!= 0, (col("event_id") % 240).cast("int"))
+                  .as("departure_delay")),
+              struct(
+                concat(lit("stop_"), ((col("user_id") + 1) % 50).cast("string")).as("stop_id"),
+                when(col("event_id") % 5 =!= 0, (col("event_id") % 180).cast("int"))
+                  .as("arrival_delay"),
+                when(col("event_id") % 6 =!= 0, (col("event_id") % 120).cast("int"))
+                  .as("departure_delay"))).as("stop_updates")).as("payload")),
+          Map("ignoreNullFields" -> "false")).as("kafka_value"))
+      .orderBy("event_id")
+  }
+
+  val tripUpdateEnvelopeSql: String = {
+    def stu(stopExpr: String, arrMod: Int, arrRange: Int, depMod: Int, depRange: Int) =
+      s"""'{"stop_id":"stop_' || $stopExpr ||
+         |'","arrival_delay":' ||
+         |CASE WHEN event_id % $arrMod <> 0 THEN CAST(event_id % $arrRange AS VARCHAR) ELSE 'null' END ||
+         |',"departure_delay":' ||
+         |CASE WHEN event_id % $depMod <> 0 THEN CAST(event_id % $depRange AS VARCHAR) ELSE 'null' END || '}'"""
+        .stripMargin.replace("\n", "\n  ")
+    s"""SELECT event_id, 'gtfs.rt.trip_updates' AS topic,
+       |  'trip_' || CAST(user_id % 100 AS VARCHAR) AS kafka_key,
+       |  '{"event_type":"trip_update","entity_id":"trip_' || CAST(user_id % 100 AS VARCHAR) ||
+       |  '","timestamp":"' || strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S.%f') || '+00:00' ||
+       |  '","ingested_at":"' || strftime(CAST(ts AS TIMESTAMP) + INTERVAL 1500 MILLISECOND,
+       |                                  '%Y-%m-%dT%H:%M:%S.%f') || '+00:00' ||
+       |  '","source":"gtfs-realtime","payload":{"trip_id":"trip_' || CAST(user_id % 100 AS VARCHAR) ||
+       |  '","route_id":"route_' || CAST(user_id % 5 AS VARCHAR) ||
+       |  '","delay_seconds":' || CAST((event_id % 1200) - 120 AS VARCHAR) ||
+       |  ',"stop_updates":[' ||
+       |  ${stu("CAST(user_id % 50 AS VARCHAR)", 3, 300, 4, 240)} || ',' ||
+       |  ${stu("CAST((user_id + 1) % 50 AS VARCHAR)", 5, 180, 6, 120)} ||
+       |  ']}}' AS kafka_value
+       |FROM events WHERE event_id % 13 <> 0
+       |ORDER BY event_id""".stripMargin
+  }
+
+  /** S5, topic 3 of 3: the service-alert wire record — `{…,
+    * payload:{alert_id, cause, effect, description}}`, with the
+    * reference's `entity.id or "unknown"` fallback and a missing-
+    * translation description → null. Ref: poller.py:159-189.
+    */
+  def alertEnvelope(events: DataFrame): DataFrame = {
+    val alertId = when(col("event_id") % 17 === 0, lit("unknown"))
+      .otherwise(concat(lit("alert_"), (col("event_id") % 1000).cast("string")))
+    events
+      .filter(col("event_id") % 11 =!= 0)
+      .select(
+        col("event_id"),
+        lit("gtfs.rt.alerts").as("topic"),
+        alertId.as("kafka_key"),
+        to_json(struct(
+          lit("service_alert").as("event_type"),
+          alertId.as("entity_id"),
+          tsIso.as("timestamp"),
+          ingIso.as("ingested_at"),
+          lit("gtfs-realtime").as("source"),
+          struct(
+            alertId.as("alert_id"),
+            (col("user_id") % 12).cast("int").as("cause"),
+            (col("user_id") % 9).cast("int").as("effect"),
+            when(col("event_id") % 7 =!= 0,
+              concat(lit("Service alert "), (col("event_id") % 1000).cast("string")))
+              .as("description")).as("payload")),
+          Map("ignoreNullFields" -> "false")).as("kafka_value"))
+      .orderBy("event_id")
+  }
+
+  val alertEnvelopeSql: String =
+    """WITH a AS (
+      |  SELECT event_id, user_id, ts,
+      |    CASE WHEN event_id % 17 = 0 THEN 'unknown'
+      |         ELSE 'alert_' || CAST(event_id % 1000 AS VARCHAR) END AS alert_id
+      |  FROM events WHERE event_id % 11 <> 0)
+      |SELECT event_id, 'gtfs.rt.alerts' AS topic, alert_id AS kafka_key,
+      |  '{"event_type":"service_alert","entity_id":"' || alert_id ||
+      |  '","timestamp":"' || strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S.%f') || '+00:00' ||
+      |  '","ingested_at":"' || strftime(CAST(ts AS TIMESTAMP) + INTERVAL 1500 MILLISECOND,
+      |                                  '%Y-%m-%dT%H:%M:%S.%f') || '+00:00' ||
+      |  '","source":"gtfs-realtime","payload":{"alert_id":"' || alert_id ||
+      |  '","cause":' || CAST(user_id % 12 AS VARCHAR) ||
+      |  ',"effect":' || CAST(user_id % 9 AS VARCHAR) ||
+      |  ',"description":' ||
+      |  CASE WHEN event_id % 7 <> 0
+      |       THEN '"Service alert ' || CAST(event_id % 1000 AS VARCHAR) || '"'
+      |       ELSE 'null' END ||
+      |  '}}' AS kafka_value
+      |FROM a ORDER BY event_id""".stripMargin
 
   val producerEnvelopeSql: String =
     """WITH e AS (
