@@ -1522,6 +1522,60 @@ object Registry {
         (s, d) => Envelope.alertEnvelope(TestdataAdapter.table(s, d, "events")),
         Some(Envelope.alertEnvelopeSql)),
 
+      // S6 consumer leg: the ingestor's schema-on-read of the trip
+      // wire record — from_json with the full nested schema, the
+      // stop_updates array exploded to per-stop rows. Goes THROUGH the
+      // serialized JSON text; the oracle derives the same rows straight
+      // from the source, so any drift in either codec surfaces here.
+      Q("kafka_ingest_trip",
+        (s, d) => {
+          val wire = Envelope.tripUpdateEnvelope(TestdataAdapter.table(s, d, "events"))
+          val schema = org.apache.spark.sql.types.StructType.fromDDL(
+            "event_type STRING, entity_id STRING, timestamp STRING, " +
+              "ingested_at STRING, source STRING, " +
+              "payload STRUCT<trip_id: STRING, route_id: STRING, " +
+              "delay_seconds: INT, stop_updates: ARRAY<STRUCT<" +
+              "stop_id: STRING, arrival_delay: INT, departure_delay: INT>>>")
+          wire
+            .withColumn("r", from_json(col("kafka_value"), schema))
+            .select(col("event_id"),
+              col("r.payload.trip_id").as("trip_id"),
+              col("r.payload.route_id").as("route_id"),
+              col("r.payload.delay_seconds").as("delay_seconds"),
+              posexplode(col("r.payload.stop_updates")).as(Seq("stop_idx", "stu")))
+            .select(col("event_id"), col("trip_id"), col("route_id"),
+              col("delay_seconds"), col("stop_idx").cast("int").as("stop_idx"),
+              col("stu.stop_id").as("stop_id"),
+              col("stu.arrival_delay").as("arrival_delay"),
+              col("stu.departure_delay").as("departure_delay"))
+            .orderBy("event_id", "stop_idx")
+        },
+        Some(
+          """WITH t AS (SELECT event_id, user_id FROM events WHERE event_id % 13 <> 0),
+            |s AS (
+            |  SELECT event_id,
+            |    'trip_' || CAST(user_id % 100 AS VARCHAR) AS trip_id,
+            |    'route_' || CAST(user_id % 5 AS VARCHAR) AS route_id,
+            |    CAST((event_id % 1200) - 120 AS INTEGER) AS delay_seconds,
+            |    0 AS stop_idx,
+            |    'stop_' || CAST(user_id % 50 AS VARCHAR) AS stop_id,
+            |    CASE WHEN event_id % 3 <> 0 THEN CAST(event_id % 300 AS INTEGER) END AS arrival_delay,
+            |    CASE WHEN event_id % 4 <> 0 THEN CAST(event_id % 240 AS INTEGER) END AS departure_delay
+            |  FROM t
+            |  UNION ALL
+            |  SELECT event_id,
+            |    'trip_' || CAST(user_id % 100 AS VARCHAR),
+            |    'route_' || CAST(user_id % 5 AS VARCHAR),
+            |    CAST((event_id % 1200) - 120 AS INTEGER),
+            |    1,
+            |    'stop_' || CAST((user_id + 1) % 50 AS VARCHAR),
+            |    CASE WHEN event_id % 5 <> 0 THEN CAST(event_id % 180 AS INTEGER) END,
+            |    CASE WHEN event_id % 6 <> 0 THEN CAST(event_id % 120 AS INTEGER) END
+            |  FROM t)
+            |SELECT event_id, trip_id, route_id, delay_seconds,
+            |  CAST(stop_idx AS INTEGER) AS stop_idx, stop_id, arrival_delay, departure_delay
+            |FROM s ORDER BY event_id, stop_idx""".stripMargin)),
+
       // S6 payload format: the reference's ingestor consumes JSON event
       // envelopes off Kafka — serialize events to JSON text, parse back
       // with schema-on-read from_json, aggregate; oracle = the same
