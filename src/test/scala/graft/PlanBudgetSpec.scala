@@ -57,7 +57,10 @@ class PlanBudgetSpec extends SparkSpec {
     // count-based combinatorics: per-(cluster,source) aggs on both legs
     // of the counts self-join + final agg + output sort — crucially NO
     // doc×doc pair expansion (the CC labels are a localCheckpoint leaf)
-    "source_overlap" -> 7,
+    "source_overlap" -> 6,
+    // stateless wire-record projection: the 1 is the output sort
+    "kafka_envelope" -> 1,
+    "q10_returned_revenue" -> 1,
     // TPC-H depth: every dim broadcasts; the budgets pin exactly the
     // fact-side shuffles (lineitem⋈orders + the aggregations)
     "q7_nation_volume" -> 2,
@@ -73,6 +76,26 @@ class PlanBudgetSpec extends SparkSpec {
       val n = exchanges(q)
       assert(n <= budget, s"$q plans $n Exchanges, budget $budget — a shuffle crept in")
     }
+
+  test("kafka_envelope scan prunes to the 4 touched columns (no props)") {
+    val plan = SparkEntry.queries("kafka_envelope")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val scan = plan.linesIterator.find(_.contains("FileScan parquet")).getOrElse("")
+    assert(scan.contains("event_id") && scan.contains("ts") &&
+      scan.contains("user_id") && scan.contains("value"), s"missing column:\n$scan")
+    // the wide JSON props column must never reach the scan
+    assert(!scan.contains("props"), s"props not pruned:\n$scan")
+  }
+
+  test("q10 filters reach their scans (returnflag on lineitem, date range on orders)") {
+    val plan = SparkEntry.queries("q10_returned_revenue")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    assert(scans.exists(s => s.contains("l_returnflag") && s.contains("= R")),
+      s"returnflag filter not at the lineitem scan:\n${scans.mkString("\n")}")
+    assert(scans.exists(s => s.contains("o_orderdate") && s.contains(">= 1997-01-01")),
+      s"date range not at the orders scan:\n${scans.mkString("\n")}")
+  }
 
   test("q6 predicates reach the parquet scan (PushedFilters)") {
     val plan = SparkEntry.queries("q6_revenue_delta")(spark, dir)
