@@ -1844,6 +1844,95 @@ object Registry {
              |SELECT route_id, COUNT(*) AS n_events, COUNT(DISTINCT vehicle_id) AS n_vehicles
              |FROM v GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+      // S4 round trip, trip-update topic: events → per-hour protobuf
+      // FeedMessage frames (nested TripDescriptor + repeated
+      // StopTimeUpdate, NEGATIVE int32 delays as 10-byte sign-extended
+      // varints) → wire decode → aggregate; oracle = the same integer
+      // aggregation straight off the events table
+      Q("protobuf_roundtrip_trip",
+        (s, d) => {
+          import s.implicits._
+          import graft.streaming.GtfsRt
+          val ev = TestdataAdapter.table(s, d, "events")
+            .select(col("event_id"), col("user_id"),
+              floor(col("ts").cast("decimal(38,0)") / 1000).cast("long").as("ts_us"))
+            .as[(Long, Long, Long)]
+          val feeds = ev.groupByKey(_._3 / 3600000000L)
+            .mapGroups { (_, it) =>
+              GtfsRt.encodeTripFeed(it.toSeq.map { case (eid, uid, _) =>
+                val delay = (eid % 1200 - 120).toInt
+                GtfsRt.TripUpdateRecord(
+                  s"trip_${uid % 100}", Some(s"trip_${uid % 100}"),
+                  Some(s"route_${uid % 5}"), Some(delay),
+                  Seq(
+                    GtfsRt.StopTimeUpdateRecord(Some(s"stop_${uid % 50}"),
+                      if (eid % 3 != 0) Some(delay + 30) else None,
+                      if (eid % 4 != 0) Some(delay - 15) else None),
+                    GtfsRt.StopTimeUpdateRecord(Some(s"stop_${(uid + 1) % 50}"),
+                      if (eid % 5 != 0) Some((eid % 180).toInt) else None,
+                      if (eid % 6 != 0) Some((eid % 120).toInt) else None)))
+              })
+            }.toDF("payload")
+          GtfsRt.decodeTripFeed(feeds)
+            .groupBy("route_id")
+            .agg(
+              count(lit(1)).as("n_updates"),
+              sum(col("delay_seconds").cast("long")).as("sum_delay"),
+              sum(size(col("stop_updates")).cast("long")).as("n_stop_updates"),
+              sum(expr("aggregate(stop_updates, 0L, (a, x) -> a + coalesce(x.arrival_delay, 0))")).as("sum_arrival_delay"),
+              sum(expr("aggregate(stop_updates, 0L, (a, x) -> a + coalesce(x.departure_delay, 0))")).as("sum_departure_delay"))
+            .orderBy("route_id")
+        },
+        Some(
+          """WITH t AS (
+            |  SELECT 'route_' || CAST(user_id % 5 AS VARCHAR) AS route_id,
+            |    (event_id % 1200) - 120 AS delay,
+            |    CASE WHEN event_id % 3 <> 0 THEN (event_id % 1200) - 120 + 30 ELSE 0 END
+            |      + CASE WHEN event_id % 5 <> 0 THEN event_id % 180 ELSE 0 END AS arr,
+            |    CASE WHEN event_id % 4 <> 0 THEN (event_id % 1200) - 120 - 15 ELSE 0 END
+            |      + CASE WHEN event_id % 6 <> 0 THEN event_id % 120 ELSE 0 END AS dep
+            |  FROM events)
+            |SELECT route_id, COUNT(*) AS n_updates,
+            |  CAST(SUM(delay) AS BIGINT) AS sum_delay,
+            |  CAST(2 * COUNT(*) AS BIGINT) AS n_stop_updates,
+            |  CAST(SUM(arr) AS BIGINT) AS sum_arrival_delay,
+            |  CAST(SUM(dep) AS BIGINT) AS sum_departure_delay
+            |FROM t GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+      // S4 round trip, alerts topic: enum causes/effects + the
+      // TranslatedString header (translation[0].text) through the wire
+      // format; missing description ≡ absent field, decoded as null
+      Q("protobuf_roundtrip_alert",
+        (s, d) => {
+          import s.implicits._
+          import graft.streaming.GtfsRt
+          val ev = TestdataAdapter.table(s, d, "events")
+            .select(col("event_id"), col("user_id"),
+              floor(col("ts").cast("decimal(38,0)") / 1000).cast("long").as("ts_us"))
+            .as[(Long, Long, Long)]
+          val feeds = ev.groupByKey(_._3 / 3600000000L)
+            .mapGroups { (_, it) =>
+              GtfsRt.encodeAlertFeed(it.toSeq.map { case (eid, uid, _) =>
+                GtfsRt.AlertRecord(
+                  if (eid % 17 == 0) "unknown" else s"alert_${eid % 1000}",
+                  Some((uid % 12).toInt), Some((uid % 9).toInt),
+                  if (eid % 7 != 0) Some(s"Service alert ${eid % 1000}") else None)
+              })
+            }.toDF("payload")
+          GtfsRt.decodeAlertFeed(feeds)
+            .groupBy("cause")
+            .agg(
+              count(lit(1)).as("n_alerts"),
+              count(col("description")).as("n_with_description"),
+              sum(col("effect").cast("long")).as("sum_effect"))
+            .orderBy("cause")
+        },
+        Some(
+          """SELECT CAST(user_id % 12 AS INTEGER) AS cause, COUNT(*) AS n_alerts,
+            |  CAST(SUM(CASE WHEN event_id % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_description,
+            |  CAST(SUM(user_id % 9) AS BIGINT) AS sum_effect
+            |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
       // D9 geo grouping, verified flat: the nested sort_array(collect_list
       // (struct)) runs first, then posexplode flattens it back so the
       // array CONTENTS AND ORDER are hash-compared against a DuckDB

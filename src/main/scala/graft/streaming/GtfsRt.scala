@@ -170,6 +170,162 @@ object GtfsRt {
     out.result()
   }
 
+  // ---- TripUpdate / Alert entities (the reference's other two topics,
+  //      poller.py:118-189; field numbers per the public proto) ----
+
+  final case class StopTimeUpdateRecord(
+      stop_id: Option[String],
+      arrival_delay: Option[Int],
+      departure_delay: Option[Int])
+
+  final case class TripUpdateRecord(
+      entity_id: String,
+      trip_id: Option[String],
+      route_id: Option[String],
+      delay_seconds: Option[Int],
+      stop_updates: Seq[StopTimeUpdateRecord])
+
+  final case class AlertRecord(
+      entity_id: String,
+      cause: Option[Int],
+      effect: Option[Int],
+      description: Option[String])
+
+  /** StopTimeEvent: delay = 1 (int32 — negative delays arrive as
+    * 10-byte sign-extended varints; the Long→Int truncation is the
+    * spec-correct narrowing).
+    */
+  private def parseStopTimeEvent(r: Reader): Option[Int] = {
+    var delay: Option[Int] = None
+    while (r.hasNext) {
+      val key = r.varint(); val field = (key >> 3).toInt; val wt = (key & 7).toInt
+      (field, wt) match {
+        case (1, 0) => delay = Some(r.varint().toInt)
+        case _ => r.skip(wt)
+      }
+    }
+    delay
+  }
+
+  /** StopTimeUpdate: arrival = 2, departure = 3, stop_id = 4. */
+  private def parseStopTimeUpdate(r: Reader): StopTimeUpdateRecord = {
+    var stopId: Option[String] = None
+    var arr: Option[Int] = None; var dep: Option[Int] = None
+    while (r.hasNext) {
+      val key = r.varint(); val field = (key >> 3).toInt; val wt = (key & 7).toInt
+      (field, wt) match {
+        case (2, 2) => arr = parseStopTimeEvent(r.sub(r.varint().toInt))
+        case (3, 2) => dep = parseStopTimeEvent(r.sub(r.varint().toInt))
+        case (4, 2) => stopId = Some(r.utf8(r.varint().toInt))
+        case _ => r.skip(wt)
+      }
+    }
+    StopTimeUpdateRecord(stopId, arr, dep)
+  }
+
+  /** TripUpdate: trip = 1, stop_time_update = 2 repeated, delay = 5. */
+  private def parseTripUpdate(r: Reader, entityId: String): TripUpdateRecord = {
+    var trip: (Option[String], Option[String]) = (None, None)
+    var delay: Option[Int] = None
+    val stops = Seq.newBuilder[StopTimeUpdateRecord]
+    while (r.hasNext) {
+      val key = r.varint(); val field = (key >> 3).toInt; val wt = (key & 7).toInt
+      (field, wt) match {
+        case (1, 2) => trip = parseTrip(r.sub(r.varint().toInt))
+        case (2, 2) => stops += parseStopTimeUpdate(r.sub(r.varint().toInt))
+        case (5, 0) => delay = Some(r.varint().toInt)
+        case _ => r.skip(wt)
+      }
+    }
+    TripUpdateRecord(entityId, trip._1, trip._2, delay, stops.result())
+  }
+
+  /** TranslatedString: translation = 1 repeated {text = 1, language = 2};
+    * the reference takes translation[0].text (poller.py:176-179).
+    */
+  private def parseTranslatedString(r: Reader): Option[String] = {
+    var first: Option[String] = None
+    while (r.hasNext) {
+      val key = r.varint(); val field = (key >> 3).toInt; val wt = (key & 7).toInt
+      (field, wt) match {
+        case (1, 2) =>
+          val tr = r.sub(r.varint().toInt)
+          var text: Option[String] = None
+          while (tr.hasNext) {
+            val k2 = tr.varint(); val f2 = (k2 >> 3).toInt; val w2 = (k2 & 7).toInt
+            (f2, w2) match {
+              case (1, 2) => text = Some(tr.utf8(tr.varint().toInt))
+              case _ => tr.skip(w2)
+            }
+          }
+          if (first.isEmpty) first = text
+        case _ => r.skip(wt)
+      }
+    }
+    first
+  }
+
+  /** Alert: cause = 6 (enum), effect = 7 (enum), header_text = 10. */
+  private def parseAlert(r: Reader, entityId: String): AlertRecord = {
+    var cause: Option[Int] = None; var effect: Option[Int] = None
+    var desc: Option[String] = None
+    while (r.hasNext) {
+      val key = r.varint(); val field = (key >> 3).toInt; val wt = (key & 7).toInt
+      (field, wt) match {
+        case (6, 0) => cause = Some(r.varint().toInt)
+        case (7, 0) => effect = Some(r.varint().toInt)
+        case (10, 2) => desc = parseTranslatedString(r.sub(r.varint().toInt))
+        case _ => r.skip(wt)
+      }
+    }
+    AlertRecord(entityId, cause, effect, desc)
+  }
+
+  /** FeedEntity scan keyed on one message field (trip_update = 3 or
+    * alert = 5); entities carrying other message types yield None —
+    * the reference's HasField gates.
+    */
+  private def parseEntityFor[A](r: Reader, msgField: Int,
+      mk: (Reader, String) => A): Option[A] = {
+    var entityId = ""
+    var msg: Option[Reader] = None
+    while (r.hasNext) {
+      val key = r.varint(); val field = (key >> 3).toInt; val wt = (key & 7).toInt
+      (field, wt) match {
+        case (1, 2) => entityId = r.utf8(r.varint().toInt)
+        case (`msgField`, 2) => msg = Some(r.sub(r.varint().toInt))
+        case _ => r.skip(wt)
+      }
+    }
+    msg.map(mk(_, entityId))
+  }
+
+  def parseTripFeed(bytes: Array[Byte]): Seq[TripUpdateRecord] = {
+    val r = new Reader(bytes, 0, bytes.length)
+    val out = Seq.newBuilder[TripUpdateRecord]
+    while (r.hasNext) {
+      val key = r.varint(); val field = (key >> 3).toInt; val wt = (key & 7).toInt
+      (field, wt) match {
+        case (2, 2) => parseEntityFor(r.sub(r.varint().toInt), 3, parseTripUpdate).foreach(out += _)
+        case _ => r.skip(wt)
+      }
+    }
+    out.result()
+  }
+
+  def parseAlertFeed(bytes: Array[Byte]): Seq[AlertRecord] = {
+    val r = new Reader(bytes, 0, bytes.length)
+    val out = Seq.newBuilder[AlertRecord]
+    while (r.hasNext) {
+      val key = r.varint(); val field = (key >> 3).toInt; val wt = (key & 7).toInt
+      (field, wt) match {
+        case (2, 2) => parseEntityFor(r.sub(r.varint().toInt), 5, parseAlert).foreach(out += _)
+        case _ => r.skip(wt)
+      }
+    }
+    out.result()
+  }
+
   // ---- producer side (S5's payload construction) ----
 
   private def wVi(out: java.io.ByteArrayOutputStream, n: Long): Unit = {
@@ -242,6 +398,87 @@ object GtfsRt {
     feeds.select(col(payloadCol).cast("binary").as("bytes"))
       .as[Array[Byte]]
       .flatMap(parseFeed)
+      .toDF()
+  }
+
+  private def wI32(out: java.io.ByteArrayOutputStream, f: Int, v: Int): Unit = {
+    // int32 on the wire: negative values sign-extend to 64 bits first
+    // (the 10-byte varint form the spec mandates)
+    wKey(out, f, 0); wVi(out, v.toLong)
+  }
+
+  /** Rows → FeedMessage bytes for the trip-update topic. */
+  def encodeTripFeed(records: Seq[TripUpdateRecord]): Array[Byte] = {
+    val feed = new java.io.ByteArrayOutputStream()
+    val header = new java.io.ByteArrayOutputStream()
+    wStr(header, 1, "2.0")
+    wBytes(feed, 1, header.toByteArray)
+    records.foreach { rec =>
+      val trip = new java.io.ByteArrayOutputStream()
+      rec.trip_id.foreach(wStr(trip, 1, _))
+      rec.route_id.foreach(wStr(trip, 5, _))
+      val tu = new java.io.ByteArrayOutputStream()
+      if (trip.size() > 0) wBytes(tu, 1, trip.toByteArray)
+      rec.stop_updates.foreach { stu =>
+        val s = new java.io.ByteArrayOutputStream()
+        stu.arrival_delay.foreach { d =>
+          val e = new java.io.ByteArrayOutputStream(); wI32(e, 1, d); wBytes(s, 2, e.toByteArray)
+        }
+        stu.departure_delay.foreach { d =>
+          val e = new java.io.ByteArrayOutputStream(); wI32(e, 1, d); wBytes(s, 3, e.toByteArray)
+        }
+        stu.stop_id.foreach(wStr(s, 4, _))
+        wBytes(tu, 2, s.toByteArray)
+      }
+      rec.delay_seconds.foreach(wI32(tu, 5, _))
+      val entity = new java.io.ByteArrayOutputStream()
+      wStr(entity, 1, rec.entity_id)
+      wBytes(entity, 3, tu.toByteArray)
+      wBytes(feed, 2, entity.toByteArray)
+    }
+    feed.toByteArray
+  }
+
+  /** Rows → FeedMessage bytes for the alerts topic. */
+  def encodeAlertFeed(records: Seq[AlertRecord]): Array[Byte] = {
+    val feed = new java.io.ByteArrayOutputStream()
+    val header = new java.io.ByteArrayOutputStream()
+    wStr(header, 1, "2.0")
+    wBytes(feed, 1, header.toByteArray)
+    records.foreach { rec =>
+      val alert = new java.io.ByteArrayOutputStream()
+      rec.cause.foreach(wI32(alert, 6, _))
+      rec.effect.foreach(wI32(alert, 7, _))
+      rec.description.foreach { text =>
+        val tr = new java.io.ByteArrayOutputStream()
+        wStr(tr, 1, text); wStr(tr, 2, "en")
+        val ts = new java.io.ByteArrayOutputStream()
+        wBytes(ts, 1, tr.toByteArray)
+        wBytes(alert, 10, ts.toByteArray)
+      }
+      val entity = new java.io.ByteArrayOutputStream()
+      wStr(entity, 1, rec.entity_id)
+      wBytes(entity, 5, alert.toByteArray)
+      wBytes(feed, 2, entity.toByteArray)
+    }
+    feed.toByteArray
+  }
+
+  def decodeTripFeed(feeds: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    val spark = feeds.sparkSession
+    import spark.implicits._
+    feeds.select(col(payloadCol).cast("binary").as("bytes"))
+      .as[Array[Byte]]
+      .flatMap(parseTripFeed)
+      .toDF()
+  }
+
+  def decodeAlertFeed(feeds: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    val spark = feeds.sparkSession
+    import spark.implicits._
+    feeds.select(col(payloadCol).cast("binary").as("bytes"))
+      .as[Array[Byte]]
+      .flatMap(parseAlertFeed)
       .toDF()
   }
 }

@@ -74,6 +74,27 @@ class GtfsRtSpec extends SparkSpec {
     assert(GtfsRt.parseFeed(GtfsRt.encodeVehicleFeed(recs)) == recs)
   }
 
+  test("trip-update round trip: nested stop updates, NEGATIVE int32 delays, absence") {
+    val recs = Seq(
+      GtfsRt.TripUpdateRecord("e1", Some("t1"), Some("R9"), Some(-120),
+        Seq(
+          GtfsRt.StopTimeUpdateRecord(Some("s1"), Some(-45), Some(300)),
+          GtfsRt.StopTimeUpdateRecord(Some("s2"), None, Some(0)))),
+      GtfsRt.TripUpdateRecord("e2", None, None, None, Nil))
+    assert(GtfsRt.parseTripFeed(GtfsRt.encodeTripFeed(recs)) == recs)
+    // mixed-topic feed: a vehicle decoder must not see trip entities and
+    // vice versa (the HasField gates)
+    assert(GtfsRt.parseFeed(GtfsRt.encodeTripFeed(recs)).isEmpty)
+  }
+
+  test("alert round trip: enum ints, TranslatedString first-translation text, null description") {
+    val recs = Seq(
+      GtfsRt.AlertRecord("a1", Some(6), Some(8), Some("Detour on line 9")),
+      GtfsRt.AlertRecord("unknown", Some(0), Some(0), None))
+    assert(GtfsRt.parseAlertFeed(GtfsRt.encodeAlertFeed(recs)) == recs)
+    assert(GtfsRt.parseTripFeed(GtfsRt.encodeAlertFeed(recs)).isEmpty)
+  }
+
   test("DataFrame decode explodes feeds to rows; validity gate composes as predicates") {
     val feeds = Seq(sampleFeed, sampleFeed).toDF("payload")
     val rows = GtfsRt.decodeVehicleFeed(feeds)
