@@ -1229,6 +1229,10 @@ object Registry {
       // append-stable, reproducible cross-engine (see ml.HashSplit).
       Q("hash_split_assign", (s, d) => graft.ml.HashSplit.splitAssign(docs(s, d)),
         Some(graft.ml.HashSplit.splitAssignSql)),
+      // deterministic weighted sampling without replacement (A-ES
+      // ln(u)/w keys over hash uniforms, bounded TakeOrdered)
+      Q("weighted_sample", (s, d) => graft.ml.HashSplit.weightedSample(docs(s, d)),
+        Some(graft.ml.HashSplit.weightedSampleSql())),
       Q("stratified_sample", (s, d) => graft.ml.HashSplit.stratifiedSample(docs(s, d)),
         Some(graft.ml.HashSplit.stratifiedSampleSql())),
       Q("mixture_resample", (s, d) => graft.ml.HashSplit.mixtureResample(docs(s, d)),

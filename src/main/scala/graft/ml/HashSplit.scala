@@ -83,6 +83,39 @@ object HashSplit {
        |WHERE $b < $pct ORDER BY doc_id""".stripMargin
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    * Spirakis A-ES): each row gets key = ln(u)/w with u a hash-derived
+    * uniform and w its positive weight (here n_chars — "sample k docs
+    * with probability ∝ length", the shape a quality- or domain-weighted
+    * corpus draw takes); the sample is the top-k keys. Distributed cost
+    * is one narrow projection + a bounded TakeOrdered (per-partition
+    * heaps merged on the driver, no global sort) — the textbook
+    * one-pass distributed weighted sample.
+    *
+    * Determinism: u comes from the md5 bucket (rerun-, layout- and
+    * append-stable — appends can only displace, never reshuffle,
+    * existing keys), and the key rounds to 9 decimals so both engines'
+    * ln() land on the same double; ties break by doc_id.
+    */
+  def weightedSample(documents: DataFrame, k: Int = 100): DataFrame = {
+    val u = (hashBucket(col("doc_id"), 1 << 24).cast("double") + 0.5) / (1 << 24).toDouble
+    documents
+      .withColumn("samp_key", round(log(u) / col("n_chars").cast("double"), 9))
+      .orderBy(col("samp_key").desc, col("doc_id"))
+      .limit(k)
+      .select("doc_id", "source", "n_chars", "samp_key")
+  }
+
+  def weightedSampleSql(k: Int = 100): String = {
+    val b = hashBucketSql("doc_id", 1 << 24)
+    s"""WITH h AS (
+       |  SELECT doc_id, source, n_chars,
+       |    (($b) + 0.5) / 16777216.0 AS u
+       |  FROM documents)
+       |SELECT doc_id, source, n_chars, round(ln(u) / n_chars, 9) AS samp_key
+       |FROM h ORDER BY samp_key DESC, doc_id LIMIT $k""".stripMargin
+  }
+
   /** Deterministic mixture resampling — materialize the copy list that
     * realizes [[graft.text.TextOps.domainMixture]]'s uniform-target
     * weights: every document appears `floor(w)` times plus one more copy

@@ -52,6 +52,33 @@ class HashSplitSpec extends SparkSpec {
     assert(kept30.subsetOf(kept50))
   }
 
+  test("weighted sample: inclusion tracks weight, is deterministic and append-stable") {
+    // 2000 light docs (w=10) vs 2000 heavy docs (w=1000): A-ES keys
+    // ln(u)/w concentrate the top-k overwhelmingly on the heavy class
+    val docs = (0L until 4000L).toDF("doc_id")
+      .withColumn("source", when(col("doc_id") % 2 === 0, "light").otherwise("heavy"))
+      .withColumn("n_chars", when(col("doc_id") % 2 === 0, 10L).otherwise(1000L))
+      .withColumn("lang", lit("en"))
+    val sample = HashSplit.weightedSample(docs, k = 200).collect()
+    assert(sample.length == 200)
+    val heavy = sample.count(_.getAs[String]("source") == "heavy")
+    assert(heavy >= 180, s"only $heavy/200 heavy-weight docs sampled — weights ignored?")
+    // deterministic: identical rerun on a different layout
+    val again = HashSplit.weightedSample(docs.repartition(7), k = 200).collect()
+    assert(sample.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // append-stable: new rows can displace but never reshuffle — the
+    // surviving originals keep their relative order (keys are pure
+    // per-row functions; top-k membership is the only thing that moves)
+    val appended = docs.unionByName(
+      (4000L until 4400L).toDF("doc_id")
+        .withColumn("source", lit("new")).withColumn("n_chars", lit(1000L))
+        .withColumn("lang", lit("en")))
+    val after = HashSplit.weightedSample(appended, k = 200).collect()
+      .map(_.getAs[Long]("doc_id")).filter(_ < 4000L)
+    val before = sample.map(_.getAs[Long]("doc_id"))
+    assert(after.toSeq == before.filter(after.toSet).toSeq)
+  }
+
   test("splitAssign plan is shuffle-free apart from the presentation sort") {
     val plan = HashSplit.splitAssign(ids(100)).queryExecution.executedPlan.toString
     val exchanges = plan.linesIterator.count(_.contains("Exchange"))
