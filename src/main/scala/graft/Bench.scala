@@ -61,7 +61,11 @@ object Bench {
       }
       val median =
         if (times.contains(-1.0)) -1.0
-        else times.sorted.apply(times.length / 2)
+        else {
+          val s = times.sorted
+          if (s.length % 2 == 1) s(s.length / 2)
+          else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+        }
       name -> median
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -551,9 +551,14 @@ object Dedup {
     // (~1.2 MB at 1M items / 1% fpp) and embeds as a foldable literal,
     // so the probe stays inside whole-stage codegen
     val bfBytes = corpusHash.select(column(bfAgg).as("bf")).head.getAs[Array[Byte]](0)
-    val bloomSeen = column(BloomFilterMightContain(
-      Literal.create(bfBytes, BinaryType),
-      new XxHash64(Seq(expression(col("h"))))))
+    // an EMPTY corpus aggregates to a null sketch; might_contain(null)
+    // is null, which would silently drop every batch row — the correct
+    // verdict is "nothing is in the corpus, everything is new"
+    val bloomSeen =
+      if (bfBytes == null) lit(false)
+      else column(BloomFilterMightContain(
+        Literal.create(bfBytes, BinaryType),
+        new XxHash64(Seq(expression(col("h"))))))
 
     val flagged = batch
       .withColumn("h", md5(col("text")))

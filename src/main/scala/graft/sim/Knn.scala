@@ -572,8 +572,14 @@ object Knn {
     * asserts on without paying the within-cell prune.
     */
   def semDedupCells(
-      embeddings: DataFrame, numClusters: Int = 0, seed: Long = 42L): DataFrame =
-    assignCells(kmeansInput(embeddings), numClusters, seed).select("vec_id", "cell")
+      embeddings: DataFrame, numClusters: Int = 0, seed: Long = 42L): DataFrame = {
+    // persist the pinned k-means input (count + fit + transform all read
+    // it); the eager localCheckpoint makes the small (vec_id, cell)
+    // result a leaf so the input can unpersist before returning
+    val e = kmeansInput(embeddings).persist()
+    try assignCells(e, numClusters, seed).select("vec_id", "cell").localCheckpoint()
+    finally e.unpersist(blocking = false)
+  }
 
   def semDedupKeep(
       embeddings: DataFrame, numClusters: Int = 0, tau: Double = 0.7,

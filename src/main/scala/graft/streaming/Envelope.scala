@@ -84,8 +84,8 @@ object Envelope {
       .select(
         col("event_id"),
         col("user_id").cast("string").as("entity_id"),
-        iso(timestamp_micros(tsUs)).as("ts_iso"),
-        iso(timestamp_micros(tsUs + lit(1500000L))).as("ing_iso"),
+        tsIso.as("ts_iso"),
+        ingIso.as("ing_iso"),
         (col("value") - 90.0).cast("decimal(9,6)").as("latitude"),
         (col("value") * 1.5 - 200.0).cast("decimal(9,6)").as("longitude"),
         when(hasBearing, col("value").cast("decimal(9,6)")).as("bearing"),

@@ -153,6 +153,17 @@ class CurationOpsSpec extends SparkSpec {
     assert(fp <= 10, s"$fp of 150 new docs lost to bloom false positives (fpp=0.01)")
   }
 
+  test("bloom against an EMPTY corpus marks every batch doc new") {
+    val corpus = Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val batch = Seq((1L, "anything", "en", "s", 8L), (2L, "else", "en", "s", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.bloomNewDocs(corpus, batch).collect()
+    assert(out.length == 2, "empty corpus must not drop batch rows")
+    assert(out.forall(r => r.getAs[Boolean]("is_new_bloom") &&
+      r.getAs[Boolean]("is_new_exact")))
+  }
+
   test("bloom result is independent of partition layout") {
     val corpus = docs.filter(col("doc_id") % 3 =!= 0)
     val batch = docs.filter(col("doc_id") % 3 === 0)

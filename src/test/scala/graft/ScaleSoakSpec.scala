@@ -36,7 +36,10 @@ class ScaleSoakSpec extends SparkSpec {
 
   private lazy val soakDir: String = {
     val out = "/tmp/graft_soak"
-    val alpha = "aeiosnt"
+    // 10 letters → 10 DISTINCT rotations for the 10 copies; a shorter
+    // alphabet would cycle (rot(7)=rot(0) at length 7) and plant exact
+    // text twins, which is precisely the workload this fixture avoids
+    val alpha = "aeiousnrtl"
     def rot(k: Int) = alpha.drop(k % alpha.length) + alpha.take(k % alpha.length)
     val docs = TestdataAdapter.table(spark, dir, "documents")
       .select("doc_id", "text", "lang", "source", "n_chars")
@@ -66,7 +69,8 @@ class ScaleSoakSpec extends SparkSpec {
 
   // times plan CONSTRUCTION + execution: iterative pipelines
   // (dedup_clusters) do their localCheckpoint rounds eagerly at
-  // construction, so a by-value parameter keeps that work inside the timer
+  // construction, so the BY-NAME parameter defers evaluation until
+  // inside the timer — do not change it to a plain (by-value) parameter
   private def force(df: => DataFrame): Double = {
     val t0 = System.nanoTime()
     df.write.format("noop").mode("overwrite").save()
