@@ -59,13 +59,13 @@ object Bench {
         cleanup()
         if (ok) secs else -1.0
       }
+      // median of the runs that succeeded; -1 only when every run
+      // failed — one transient failure shouldn't discard usable timings
+      val s = times.filter(_ >= 0).sorted
       val median =
-        if (times.contains(-1.0)) -1.0
-        else {
-          val s = times.sorted
-          if (s.length % 2 == 1) s(s.length / 2)
-          else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
-        }
+        if (s.isEmpty) -1.0
+        else if (s.length % 2 == 1) s(s.length / 2)
+        else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
       name -> median
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -121,7 +121,12 @@ object Dedup {
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
     }.reduce(_ unionByName _).distinct().orderBy("doc_a", "doc_b")
 
-  /** LSH candidate pairs: docs sharing any of the 4 band keys (a < b). */
+  /** LSH candidate pairs: docs sharing any of the 4 band keys (a < b).
+    * The signature frame is persisted HERE, in the bare entry, so the
+    * shingle→minhash pipeline runs once regardless of caller — the 8×
+    * recompute the [[minhashPairsFrom]] contract warns about cannot
+    * reach a cluster (PlanBudgetSpec pins the single source scan).
+    */
   def minhashPairs(documents: DataFrame): DataFrame =
     minhashPairsFrom(minhashSignaturesFrom(hashedShingles(documents)).persist())
 
@@ -526,8 +531,15 @@ object Dedup {
     * majority of a mostly-novel batch), and only the bloom-POSITIVE
     * slice — true duplicates plus the ≤fpp false positives — pays the
     * exact membership join. `is_new_exact` therefore equals the plain
-    * anti-join verdict row-for-row (the DuckDB oracle twin), while the
-    * plan does a fraction of the join work. `is_new_bloom` rides along
+    * anti-join verdict row-for-row (the DuckDB oracle twin). What
+    * shrinks is the BATCH side of the residual join (and with it the
+    * join's shuffle volume and the risk of a skewed build side) — the
+    * corpus side still scans, hashes and distinct-shuffles once for the
+    * bloom build and once more for the residual join, the unavoidable
+    * price of an exact verdict without a persisted corpus-hash index;
+    * an incremental deployment would maintain that distinct-hash table
+    * (and the bloom) as running state instead of recomputing either
+    * (see [[graft.rel.Incremental]]). `is_new_bloom` rides along
     * for the spec-asserted sketch contracts (is_new_bloom ⟹
     * is_new_exact; false-positive rate ≤ fpp). Bit positions are ORs of
     * per-item hashes, so the output is independent of partition layout

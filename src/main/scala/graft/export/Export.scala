@@ -188,6 +188,21 @@ object Export {
       .orderBy("route_id")
   }
 
+  /** The suggestion `reasons` object's schema (17 keys — 14 base +
+    * rule + 2 branch keys, generate_suggestions.py:128-185), used to
+    * re-nest the JSON-string column into a typed struct for export.
+    */
+  val ReasonsSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "predicted_passengers DOUBLE, observed_passengers DOUBLE, " +
+        "active_vehicles BIGINT, avg_headway_min DOUBLE, " +
+        "current_headway_min DOUBLE, trips_per_hour_est DOUBLE, " +
+        "capacity_est_per_hour DOUBLE, load_factor_per_hour DOUBLE, " +
+        "passengers_per_trip_est DOUBLE, cap_target_per_trip DOUBLE, " +
+        "cap_low_per_trip DOUBLE, avg_delay_seconds DOUBLE, " +
+        "is_peak_hour INT, confidence DOUBLE, rule STRING, " +
+        "trips_per_hour_target DOUBLE, raw_recommended_headway_min DOUBLE")
+
   /** D7 nested — the reference's exact {route_id, hour_ts, kpi{...},
     * suggestion{...}} payload shape over [[exportRows]] output (kept out
     * of the oracle registry: struct columns are not pandas-hashable in
@@ -206,6 +221,74 @@ object Export {
         col("delta_headway_min"), col("delta_headway_pct"),
         col("priority_score"), col("confidence")).as("suggestion"))
 
+  /** D7/S11 — the per-route payload serialized EXACTLY as
+    * build_route_rows emits it (export_suggestions_json.py:202-250),
+    * reasons object included: real suggestions carry the 17-key reasons
+    * parsed back out of the suggestions frame's JSON column; rows the
+    * LEFT JOIN left without a suggestion carry the reference's
+    * `{"reason": "no data"}` fallback (:214). The two branches have
+    * different shapes (the reference's reasons dict is dynamic), so this
+    * serializes per-row with a conditional `to_json` — nulls kept,
+    * matching json.dump — into a `payload_json` string column that
+    * [[writeJsonArray]] splices verbatim. GoldenExportSpec diffs the
+    * key-paths against the reference's committed
+    * exports/route_suggestions_latest.json.
+    */
+  def routeRowsJson(rows: DataFrame, suggestions: DataFrame): DataFrame = {
+    val opts = Map("ignoreNullFields" -> "false")
+    val hourIso = date_format(col("hour_ts"), "yyyy-MM-dd'T'HH:mm:ss")
+    val kpiS = struct(
+      col("predicted_passengers"), col("observed_passengers"),
+      col("active_vehicles"), col("avg_headway_min"), col("is_peak_hour"))
+    def suggestionS(reasons: org.apache.spark.sql.Column) = struct(
+      col("action"), col("status"), col("message"),
+      col("current_headway_min"), col("recommended_headway_min"),
+      col("delta_headway_min"), col("delta_headway_pct"),
+      col("priority_score"), col("confidence"), reasons.as("reasons"))
+    def payload(reasons: org.apache.spark.sql.Column) = struct(
+      col("route_id"), hourIso.as("hour_ts"),
+      kpiS.as("kpi"), suggestionS(reasons).as("suggestion"))
+    rows
+      .join(suggestions.select(col("route_id"), col("hour_ts"), col("reasons")),
+        Seq("route_id", "hour_ts"), "left")
+      .withColumn("payload_json",
+        when(col("action") === "needs_data",
+          to_json(payload(struct(lit("no data").as("reason"))), opts))
+          .otherwise(to_json(payload(from_json(col("reasons"), ReasonsSchema)), opts)))
+      .select("route_id", "action", "payload_json")
+      .orderBy("route_id")
+  }
+
+  /** D8 — the summary artifact in the reference's exact nested shape
+    * (export_suggestions_json.py:279-296): {hour_ts, total_routes,
+    * needs_data, suggestions, actions:{action: count, …},
+    * top_priority:[{route_id, priority_score, action, message} × 10]}.
+    * One row; the action histogram folds into a dynamic-keyed map and
+    * the top-10 embed into an ordered struct array, so `to_json` of the
+    * single row IS the artifact object. The flat oracle twins
+    * (export_summary / export_summary_top / action_histogram) check the
+    * values; this shape exists for the golden key-path contract.
+    */
+  def summaryArtifact(rows: DataFrame): DataFrame = {
+    val counts = rows.groupBy("action").agg(count(lit(1)).as("n"))
+      .agg(map_from_entries(sort_array(collect_list(struct(col("action"), col("n")))))
+        .as("actions"))
+    val top = summaryTop(rows)
+      .agg(collect_list(struct(
+        col("route_id"), col("priority_score"), col("action"), col("message")))
+        .as("top_priority"))
+    rows.agg(
+      date_format(max(col("hour_ts")), "yyyy-MM-dd'T'HH:mm:ss").as("hour_ts"),
+      count(lit(1)).as("total_routes"),
+      sum(when(col("action") === "needs_data", 1).otherwise(0)).as("needs_data"),
+      sum(when(col("action") =!= "needs_data", 1).otherwise(0)).as("suggestions"))
+      .crossJoin(broadcast(counts))   // both sides are 1-row aggregates
+      .crossJoin(broadcast(top))
+      .select("hour_ts", "total_routes", "needs_data", "suggestions",
+        "actions", "top_priority")
+  }
+
+
   /** D9 — geo grouping: stops collected under each route as an ordered
     * array of structs. Ref: src/dag/export-routes-geo-job.py:77-104.
     * Rows-only check (nested schema is not DuckDB-oracle comparable).
@@ -215,6 +298,21 @@ object Export {
       .groupBy("route_id")
       .agg(sort_array(collect_list(struct(
         col("stop_id"), col("stop_name"), col("lat"), col("lon")))).as("stops"))
+      .orderBy("route_id")
+
+  /** D9 — the full routes_geo artifact row (export-routes-geo-job.py:
+    * 81-99): route_id plus the route-level names carried alongside the
+    * grouped stop array, exactly the `routes_map` entry shape the
+    * reference writes to exports/routes_geo_latest.json. Names ride in
+    * the group-by (functionally dependent on route_id), so the plan is
+    * the same single hash-aggregation as [[geoGrouping]].
+    */
+  def geoGroupingFull(stopsPerRoute: DataFrame): DataFrame =
+    stopsPerRoute
+      .groupBy("route_id", "route_short_name", "route_long_name")
+      .agg(sort_array(collect_list(struct(
+        col("stop_id"), col("stop_name"), col("lat"), col("lon")))).as("stops"))
+      .select("route_id", "route_short_name", "route_long_name", "stops")
       .orderBy("route_id")
 
   /** O3 — top-N by priority with deterministic tie-breaks (the clamp puts
@@ -264,8 +362,19 @@ object Export {
     * single JSON artifact per export. Ref: export_suggestions_json.py:31-83.
     */
   def writeJsonArray(df: DataFrame, path: String): Unit = {
-    val rows = df.toJSON.collect()
-    val json = rows.mkString("[\n  ", ",\n  ", "\n]")
+    // a single string column is treated as pre-serialized JSON rows
+    // (the [[routeRowsJson]] path — per-row conditional shapes that
+    // toJSON's fixed schema can't express) and spliced verbatim
+    val rows = df.schema.fields match {
+      case Array(f) if f.dataType == org.apache.spark.sql.types.StringType =>
+        df.collect().map(_.getString(0))
+      case _ => df.toJSON.collect()
+    }
+    // json.dump([]) is `[]` — the bracketed mkString would emit
+    // whitespace-only garbage for the empty frame (needs_data_latest is
+    // empty in the reference's own committed artifact)
+    val json =
+      if (rows.isEmpty) "[]" else rows.mkString("[\n  ", ",\n  ", "\n]")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
   }
 }

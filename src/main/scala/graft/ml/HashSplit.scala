@@ -96,10 +96,15 @@ object HashSplit {
     * append-stable — appends can only displace, never reshuffle,
     * existing keys), and the key rounds to 9 decimals so both engines'
     * ln() land on the same double; ties break by doc_id.
+    *
+    * Precondition: weights must be strictly positive (A-ES is undefined
+    * otherwise — w=0 gives key −Inf, w<0 flips the ranking), so rows
+    * with n_chars ≤ 0 are excluded from the draw here and in the twin.
     */
   def weightedSample(documents: DataFrame, k: Int = 100): DataFrame = {
     val u = (hashBucket(col("doc_id"), 1 << 24).cast("double") + 0.5) / (1 << 24).toDouble
     documents
+      .filter(col("n_chars") > 0)
       .withColumn("samp_key", round(log(u) / col("n_chars").cast("double"), 9))
       .orderBy(col("samp_key").desc, col("doc_id"))
       .limit(k)
@@ -111,7 +116,7 @@ object HashSplit {
     s"""WITH h AS (
        |  SELECT doc_id, source, n_chars,
        |    (($b) + 0.5) / 16777216.0 AS u
-       |  FROM documents)
+       |  FROM documents WHERE n_chars > 0)
        |SELECT doc_id, source, n_chars, round(ln(u) / n_chars, 9) AS samp_key
        |FROM h ORDER BY samp_key DESC, doc_id LIMIT $k""".stripMargin
   }

@@ -88,7 +88,10 @@ class ScaleSoakSpec extends SparkSpec {
         s"$name changes shuffle count at 10x: " +
           s"${shuffles(pipeline(base))} -> ${shuffles(pipeline(big))}")
       force(pipeline(base)) // warm code paths so t1 is steady-state, not codegen
-      val t1 = force(pipeline(base))
+      // median-of-3 t1: single-run timings on this shared box swing ~13×
+      // under load, and the whole band scales off t1 — mirror Bench's
+      // median methodology rather than widening the band further
+      val t1 = Seq.fill(3)(force(pipeline(base))).sorted.apply(1)
       val t10 = force(pipeline(big))
       info(f"$name: t1=$t1%.1fs t10=$t10%.1fs ratio=${t10 / t1}%.1f")
       assert(t10 <= 25.0 * t1 + 10.0,
