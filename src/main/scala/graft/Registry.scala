@@ -1580,6 +1580,25 @@ object Registry {
             |  CAST(stop_idx AS INTEGER) AS stop_idx, stop_id, arrival_delay, departure_delay
             |FROM s ORDER BY event_id, stop_idx""".stripMargin)),
 
+      // S7 consumer leg: Open-Meteo response bodies → normalize_weather's
+      // exact field mapping (request-constant lat/lon strings, km/h
+      // stored unconverted as mps — both reference quirks kept). Goes
+      // THROUGH rendered JSON text; the oracle derives the same rows
+      // straight from the source table.
+      Q("weather_ingest",
+        (s, d) => graft.ingest.OpenMeteo.weatherIngest(
+          TestdataAdapter.table(s, d, "events")),
+        Some(graft.ingest.OpenMeteo.weatherIngestSql)),
+
+      // S3 version stamp: sha256(feed bytes) as version_id, stamped on
+      // every ingested row — digest and stamp both in-plan, hex-equal
+      // across engines (sha2 vs sha256)
+      Q("gtfs_version_stamp",
+        (s, d) => graft.ingest.GtfsStatic.versionStamp(
+          TestdataAdapter.table(s, d, "region"),
+          TestdataAdapter.table(s, d, "nation")),
+        Some(graft.ingest.GtfsStatic.versionStampSql)),
+
       // S6 payload format: the reference's ingestor consumes JSON event
       // envelopes off Kafka — serialize events to JSON text, parse back
       // with schema-on-read from_json, aggregate; oracle = the same

@@ -119,6 +119,32 @@ object GtfsStatic {
   def readVersion(spark: SparkSession, path: String, versionId: String): DataFrame =
     spark.read.parquet(path).filter(col("version_id") === versionId)
 
+  /** S3 oracle leg — the version-stamp derivation end-to-end on engine
+    * data: the "feed file" is the region table rendered to canonical
+    * CSV-ish lines, its sha256 hex is the version_id ([[sha256Hex]]'s
+    * column-algebra twin — sha2() here, sha256() in DuckDB), and every
+    * nation row gets stamped with it ([[stampVersion]]). The digest is
+    * a 1-row aggregate broadcast onto the stamped table, so the stamp
+    * never shuffles the fact side.
+    * Ref: src/dag/gtfs-static-job.py:79-84.
+    */
+  def versionStamp(region: DataFrame, nation: DataFrame): DataFrame = {
+    val line = concat_ws(",", col("r_regionkey"), col("r_name"))
+    val feed = region.agg(
+      sha2(array_join(sort_array(collect_list(line)), "\n"), 256).as("version_id"))
+    nation.crossJoin(broadcast(feed))
+      .select(col("n_nationkey"), col("n_name"), col("version_id"))
+      .orderBy("n_nationkey")
+  }
+
+  val versionStampSql: String =
+    """WITH feed AS (
+      |  SELECT sha256(string_agg(r_regionkey || ',' || r_name,
+      |                           chr(10) ORDER BY r_regionkey)) AS version_id
+      |  FROM region)
+      |SELECT n_nationkey, n_name, version_id
+      |FROM nation, feed ORDER BY n_nationkey""".stripMargin
+
   /** A8 — base-demand seeding: LEAST(50, GREATEST(5, stop_time_count*3)).
     * Ref: initdb/init-postgis.sql:170-176.
     */
