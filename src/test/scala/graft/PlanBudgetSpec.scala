@@ -87,6 +87,25 @@ class PlanBudgetSpec extends SparkSpec {
     assert(!scan.contains("props"), s"props not pruned:\n$scan")
   }
 
+  test("dedup_minhash_pairs band joins read the persisted signatures, not the source") {
+    val plan = SparkEntry.queries("dedup_minhash_pairs")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the 4 band self-joins (2 sides each) must ALL hit the cached
+    // signature frame — an uncached lineage re-runs the whole
+    // shingle→md5→minhash pipeline 8×, which cannot reach a cluster
+    val cached = "InMemoryTableScan".r.findAllIn(plan).length
+    assert(cached >= 8, s"only $cached InMemoryTableScans — signature persist() lost:\n$plan")
+    // every FileScan in the printed tree must sit INSIDE an
+    // InMemoryRelation subtree (the cached plan echoes its child once
+    // per cache-scan print); a FileScan beyond that count is a join
+    // side reading the source directly
+    val fileScans = "FileScan parquet".r.findAllIn(plan).length
+    val cachedRelations = "InMemoryRelation".r.findAllIn(plan).length
+    assert(fileScans <= cachedRelations,
+      s"$fileScans FileScans vs $cachedRelations cached-relation prints — " +
+        s"a band-join side bypasses the cache:\n$plan")
+  }
+
   test("q10 filters reach their scans (returnflag on lineitem, date range on orders)") {
     val plan = SparkEntry.queries("q10_returned_revenue")(spark, dir)
       .queryExecution.executedPlan.toString

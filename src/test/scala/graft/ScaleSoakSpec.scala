@@ -106,4 +106,10 @@ class ScaleSoakSpec extends SparkSpec {
   soak("simhash_pairs")(d => Dedup.simhashPairs(d))(baseDocs, bigDocs)
   soak("sessionize")(Sessionize.sessions)(baseEvents, bigEvents)
   soak("packed_sequences")(d => TextOps.packedSequences(d))(baseDocs, bigDocs)
+  // the two operators rewritten in round 6 — lock their new scale
+  // shapes (count-based combinatorics; bloom prefilter + residual join)
+  soak("source_overlap")(Dedup.sourceOverlap)(baseDocs, bigDocs)
+  soak("bloom_new_docs")(d => Dedup.bloomNewDocs(
+    d.filter(col("doc_id") % 3 =!= 0), d.filter(col("doc_id") % 3 === 0)))(
+    baseDocs, bigDocs)
 }
