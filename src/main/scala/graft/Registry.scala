@@ -829,6 +829,87 @@ object Registry {
            |                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
            |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Q9-style profit by supplier nation and order year (supply cost
+    // stand-in 0.6×retail — no partsupp in this schema)
+    Q("q9_product_profit", Relational.q9ProductProfit(_, _),
+      Some(
+        s"""SELECT n_name AS nation,
+           |  CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+           |  ${dsum("l_extendedprice * (1.0 - l_discount) - 0.6 * p_retailprice * l_quantity")} AS sum_profit
+           |FROM lineitem
+           |JOIN part ON l_partkey = p_partkey
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN supplier ON l_suppkey = s_suppkey
+           |JOIN nation ON s_nationkey = n_nationkey
+           |WHERE p_name LIKE '%red%'
+           |GROUP BY 1, 2 ORDER BY 1, 2 DESC""".stripMargin)),
+
+    // Q11-style important-parts: the oracle keeps the correlated HAVING
+    // scalar the Spark side decorrelates to a broadcast 1-row aggregate
+    Q("q11_important_parts", Relational.q11ImportantParts(_, _),
+      Some(
+        s"""WITH lines AS (
+           |  SELECT p_partkey, 0.6 * p_retailprice * l_quantity AS value
+           |  FROM lineitem
+           |  JOIN supplier ON l_suppkey = s_suppkey
+           |  JOIN nation ON s_nationkey = n_nationkey
+           |  JOIN part ON l_partkey = p_partkey
+           |  WHERE n_name = 'NATION_4')
+           |SELECT p_partkey, ${dsum("value")} AS part_value
+           |FROM lines
+           |GROUP BY 1
+           |HAVING ${dsum("value")} > (SELECT ${dsum("value")} * 0.0005 FROM lines)
+           |ORDER BY part_value DESC, p_partkey""".stripMargin)),
+
+    // Q12-style ship-mode priority counts (mode = linenumber residue
+    // decode; late = shipped >45 days after order date)
+    Q("q12_shipmode_priority", Relational.q12ShipmodePriority(_, _),
+      Some(
+        """WITH l AS (
+          |  SELECT CASE l_linenumber % 3 WHEN 0 THEN 'MAIL' WHEN 1 THEN 'SHIP'
+          |         ELSE 'AIR' END AS l_shipmode, o_orderpriority
+          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |  WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
+          |    AND TIMESTAMP '1997-12-31 00:00:00'
+          |    AND l_shipdate > o_orderdate + INTERVAL 45 DAY)
+          |SELECT l_shipmode,
+          |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+          |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+          |FROM l WHERE l_shipmode IN ('MAIL', 'SHIP')
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Q16-style supplier counts per part bucket: the oracle keeps the
+    // NOT IN subquery the Spark side turns into a broadcast anti-join
+    Q("q16_part_supplier_counts", Relational.q16PartSupplierCounts(_, _),
+      Some(
+        """SELECT p_brand, p_type, p_size,
+          |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+          |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+          |JOIN part ON l_partkey = p_partkey
+          |WHERE p_brand <> 'Brand#5' AND p_type <> 'ECONOMY'
+          |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+          |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+          |GROUP BY 1, 2, 3
+          |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)),
+
+    // Q20-style excess-stock suppliers: the oracle keeps the nested IN
+    // + per-part window threshold the Spark side computes once
+    Q("q20_promo_suppliers", Relational.q20PromoSuppliers(_, _),
+      Some(
+        s"""WITH shipped AS (
+           |  SELECT l_partkey, l_suppkey, ${dsum("l_quantity")} AS qty
+           |  FROM lineitem JOIN part ON l_partkey = p_partkey
+           |  WHERE p_name LIKE 'blue%'
+           |    AND l_shipdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
+           |    AND TIMESTAMP '1997-12-31 00:00:00'
+           |  GROUP BY 1, 2),
+           |t AS (SELECT *, AVG(qty) OVER (PARTITION BY l_partkey) AS part_avg FROM shipped)
+           |SELECT s_name, s_acctbal
+           |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+           |WHERE n_name = 'NATION_7'
+           |  AND s_suppkey IN (SELECT l_suppkey FROM t WHERE qty > 0.5 * part_avg)
+           |ORDER BY s_name""".stripMargin)),
+
     // z-score outlier hours per route — moments from associative decimal
     // sums (squares in decimal, rounded to scale 6 so the sum stays
     // double-representable), so even the boolean flag hash-matches

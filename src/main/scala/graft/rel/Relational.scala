@@ -889,4 +889,147 @@ object Relational {
       .agg(count(lit(1)).as("numcust"), detSum(col("c_acctbal")).as("totacctbal"))
       .orderBy("cntrycode")
   }
+
+  // --------------------------------------------------- TPC-H depth (r7)
+  // The schema has no partsupp table and no l_shipmode/l_commitdate
+  // columns, so the four queries that need them take deterministic
+  // stand-ins, documented per query: supply cost ≔ 0.6 × p_retailprice,
+  // the part-supplier relation ≔ DISTINCT (l_partkey, l_suppkey) off
+  // lineitem, ship mode ≔ an l_linenumber residue decode, and lateness
+  // ≔ shipped > 45 days after the order date. Every query keeps its
+  // TPC-H plan shape: dims broadcast, correlated subqueries
+  // decorrelated, the single fact-fact shuffle on the join key.
+
+  /** TPC-H Q9 shape: per-nation, per-order-year profit on one part
+    * color, profit = revenue − supply cost (stand-in: 0.6 ×
+    * p_retailprice × quantity — keeps the two-term sum-of-products the
+    * real query aggregates). Part dim filtered + broadcast before the
+    * fact joins; lineitem⋈orders is the lone shuffle join.
+    */
+  def q9ProductProfit(s: SparkSession, dir: String, color: String = "red"): DataFrame =
+    table(s, dir, "lineitem")
+      .join(broadcast(table(s, dir, "part")
+        .filter(col("p_name").contains(color))
+        .select("p_partkey", "p_retailprice")),
+        col("l_partkey") === col("p_partkey"))
+      .join(table(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(table(s, dir, "supplier").select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(table(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .withColumn("amount",
+        col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+          lit(0.6) * col("p_retailprice") * col("l_quantity"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(detSum(col("amount")).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+
+  /** TPC-H Q11 shape: parts whose "stock value" (Σ supply-cost stand-in
+    * × shipped quantity over one nation's suppliers) exceeds an
+    * above-average fraction of the total — the correlated HAVING scalar
+    * decorrelated to a 1-row aggregate broadcast against the per-part
+    * frame. The threshold derives from the SAME base lines via one
+    * decimal-exact sum (not a re-sum of per-part doubles), so the
+    * comparison is bit-equal to the oracle's scalar subquery.
+    */
+  def q11ImportantParts(
+      s: SparkSession, dir: String,
+      nationName: String = "NATION_4", fraction: Double = 0.0005): DataFrame = {
+    val supp = table(s, dir, "supplier")
+      .join(broadcast(table(s, dir, "nation").filter(col("n_name") === nationName)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val lines = table(s, dir, "lineitem")
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(table(s, dir, "part").select("p_partkey", "p_retailprice")),
+        col("l_partkey") === col("p_partkey"))
+      .withColumn("value", lit(0.6) * col("p_retailprice") * col("l_quantity"))
+    val threshold = lines.agg((detSum(col("value")) * fraction).as("threshold"))
+    lines.groupBy("p_partkey")
+      .agg(detSum(col("value")).as("part_value"))
+      .crossJoin(broadcast(threshold))
+      .filter(col("part_value") > col("threshold"))
+      .select("p_partkey", "part_value")
+      .orderBy(col("part_value").desc, col("p_partkey"))
+  }
+
+  /** TPC-H Q12 shape: high- vs low-priority order counts per ship mode
+    * over late lines of one ship year — the CASE-sum conditional
+    * aggregation, with mode decoded from l_linenumber % 3 and lateness
+    * from the schema's only date pair.
+    */
+  def q12ShipmodePriority(s: SparkSession, dir: String): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    table(s, dir, "lineitem")
+      .filter(col("l_shipdate").between(lit("1997-01-01"), lit("1997-12-31")))
+      .join(table(s, dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 45 DAYS"))
+      .withColumn("l_shipmode",
+        when(col("l_linenumber") % 3 === 0, "MAIL")
+          .when(col("l_linenumber") % 3 === 1, "SHIP")
+          .otherwise("AIR"))
+      .filter(col("l_shipmode").isin("MAIL", "SHIP"))
+      .groupBy("l_shipmode")
+      .agg(
+        sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy("l_shipmode")
+  }
+
+  /** TPC-H Q16 shape: distinct-supplier counts per (brand, type, size)
+    * bucket of a constrained part slice, with "complaint" suppliers
+    * (negative balance stand-in) removed by a broadcast anti-join — the
+    * NOT IN subquery's join form. The part-supplier relation is the
+    * distinct (l_partkey, l_suppkey) projection of lineitem.
+    */
+  def q16PartSupplierCounts(
+      s: SparkSession, dir: String,
+      excludeBrand: String = "Brand#5", excludeType: String = "ECONOMY",
+      sizes: Seq[Int] = Seq(1, 4, 9, 14, 19, 23, 36, 45)): DataFrame = {
+    val part = table(s, dir, "part")
+      .filter(col("p_brand") =!= excludeBrand && col("p_type") =!= excludeType &&
+        col("p_size").isInCollection(sizes))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    table(s, dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(table(s, dir, "supplier").filter(col("s_acctbal") < 0)
+        .select("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** TPC-H Q20 shape: suppliers from one nation holding "excess stock"
+    * of some color-named part — shipped quantity above half the
+    * per-part cross-supplier average (the availqty stand-in). The
+    * nested IN + correlated scalar decorrelates to one per-(part,
+    * supplier) aggregate and a per-part window average; quantities are
+    * integer-valued, so the window mean is order-independent and the
+    * threshold compare is engine-exact.
+    */
+  def q20PromoSuppliers(
+      s: SparkSession, dir: String,
+      color: String = "blue", nationName: String = "NATION_7"): DataFrame = {
+    val shipped = table(s, dir, "lineitem")
+      .filter(col("l_shipdate").between(lit("1997-01-01"), lit("1997-12-31")))
+      .join(broadcast(table(s, dir, "part")
+        .filter(col("p_name").startsWith(color)).select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(detSum(col("l_quantity")).as("qty"))
+    val qualified = shipped
+      .withColumn("part_avg", avg(col("qty")).over(Window.partitionBy("l_partkey")))
+      .filter(col("qty") > lit(0.5) * col("part_avg"))
+      .select("l_suppkey").distinct()
+    table(s, dir, "supplier")
+      .join(broadcast(table(s, dir, "nation").filter(col("n_name") === nationName)),
+        col("s_nationkey") === col("n_nationkey"))
+      // qualified is supplier-bounded (one row per qualifying supplier),
+      // so the semi probe broadcasts — the dim side never shuffles
+      .join(broadcast(qualified), col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_name", "s_acctbal")
+      .orderBy("s_name")
+  }
 }
