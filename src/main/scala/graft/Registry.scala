@@ -1216,6 +1216,10 @@ object Registry {
       Q("props_redacted",
         (s, d) => TextOps.redactDigits(TestdataAdapter.table(s, d, "events"), "props"),
         Some(TextOps.redactDigitsSql("props"))),
+      // PII scrub: planted emails/IPs/phones detected, counted, and
+      // redacted; the whole scrubbed text is md5-compared cross-engine
+      Q("pii_scrub", (s, d) => graft.text.Pii.piiScrub(docs(s, d)),
+        Some(graft.text.Pii.piiScrubSql)),
       Q("doc_simhash", (s, d) => TextOps.simhash(docs(s, d)), Some(TextOps.simhashSql)),
       Q("dedup_exact", (s, d) => Dedup.exact(docs(s, d)), Some(Dedup.exactSql)),
       Q("dedup_keep", (s, d) => Dedup.dedupKeep(docs(s, d)), Some(Dedup.dedupKeepSql)),

@@ -49,6 +49,7 @@ class PlanBudgetSpec extends SparkSpec {
     // offers agg + part-key window + output sort (dims broadcast)
     "q2_min_cost_supplier" -> 3,
     "normalize_text" -> 1,       // narrow regexp chain; the 1 is the output sort
+    "pii_scrub" -> 1,            // three narrow regexp passes; the 1 is the output sort
     "q6_revenue_delta" -> 1,     // pushed-down filters + single-row agg
     "late_shipment_priority" -> 2,
     "q14_promo_share" -> 1,      // broadcast part dim + single-row agg
