@@ -66,11 +66,17 @@ object Bench {
         if (s.isEmpty) -1.0
         else if (s.length % 2 == 1) s(s.length / 2)
         else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
-      name -> median
+      (name, median, s.length)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"stat":"median"}""")
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
+    // flaky queries (some but not all runs failed) are reported, not
+    // hidden — a lone surviving sample on a ~13×-noise box is not a
+    // healthy median, and the -1 convention only covers total failure
+    val partial = results.collect { case (k, _, ok) if ok > 0 && ok < runs =>
+      "\"" + k + "\":" + ok
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"stat":"median","partial_ok":$partial}""")
     spark.stop()
   }
 }

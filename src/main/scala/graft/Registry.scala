@@ -1963,7 +1963,7 @@ object Registry {
           import graft.streaming.GtfsRt
           val ev = TestdataAdapter.table(s, d, "events")
             .select(col("event_id"), col("user_id"),
-              floor(col("ts").cast("decimal(38,0)") / 1000).cast("long").as("ts_us"))
+              graft.functions.Cols.microsFromNanos(col("ts")).as("ts_us"))
             .as[(Long, Long, Long)]
           val feeds = ev.groupByKey(_._3 / 3600000000L)
             .mapGroups { (_, it) =>
@@ -2016,7 +2016,7 @@ object Registry {
           import graft.streaming.GtfsRt
           val ev = TestdataAdapter.table(s, d, "events")
             .select(col("event_id"), col("user_id"),
-              floor(col("ts").cast("decimal(38,0)") / 1000).cast("long").as("ts_us"))
+              graft.functions.Cols.microsFromNanos(col("ts")).as("ts_us"))
             .as[(Long, Long, Long)]
           val feeds = ev.groupByKey(_._3 / 3600000000L)
             .mapGroups { (_, it) =>

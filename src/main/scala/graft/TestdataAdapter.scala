@@ -34,8 +34,7 @@ object TestdataAdapter {
     * division would lose precision above 2^53).
     */
   private def ntzFromNanos(c: Column): Column =
-    timestamp_micros(floor(c.cast("decimal(38,0)") / 1000).cast("long"))
-      .cast("timestamp_ntz")
+    graft.functions.Cols.ntzFromNanos(c)
 
   /** events → vehicle_positions shape: route=event_type, vehicle=user_id. */
   def vehiclePositions(spark: SparkSession, dir: String): DataFrame =

@@ -362,11 +362,15 @@ object Export {
     * single JSON artifact per export. Ref: export_suggestions_json.py:31-83.
     */
   def writeJsonArray(df: DataFrame, path: String): Unit = {
-    // a single string column is treated as pre-serialized JSON rows
-    // (the [[routeRowsJson]] path — per-row conditional shapes that
-    // toJSON's fixed schema can't express) and spliced verbatim
+    // pre-serialized rows are an EXPLICIT opt-in: only a lone column
+    // named payload_json (the [[routeRowsJson]] contract — per-row
+    // conditional shapes toJSON's fixed schema can't express) is
+    // spliced verbatim; any other single string column still goes
+    // through toJSON, so a plain projection can't silently produce
+    // bare unquoted tokens
     val rows = df.schema.fields match {
-      case Array(f) if f.dataType == org.apache.spark.sql.types.StringType =>
+      case Array(f) if f.name == "payload_json" &&
+          f.dataType == org.apache.spark.sql.types.StringType =>
         df.collect().map(_.getString(0))
       case _ => df.toJSON.collect()
     }

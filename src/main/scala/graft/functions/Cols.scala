@@ -87,6 +87,20 @@ object Cols {
     */
   def isoTs(ts: Column): Column = date_format(ts, "yyyy-MM-dd'T'HH:mm:ss")
 
+  /** The canonical long-nanos → microseconds conversion (the events
+    * parquet stores TIMESTAMP(NANOS), read as a long — see
+    * TestdataAdapter): integer floor-division in decimal(38,0) so the
+    * truncation is exact for any 64-bit nano count. Every module that
+    * needs event time derives through here (or [[ntzFromNanos]]) — the
+    * idiom is precision-critical and must not fork.
+    */
+  def microsFromNanos(c: Column): Column =
+    floor(c.cast("decimal(38,0)") / 1000).cast("long")
+
+  /** [[microsFromNanos]] materialized as a session-TZ-free timestamp. */
+  def ntzFromNanos(c: Column): Column =
+    timestamp_micros(microsFromNanos(c)).cast("timestamp_ntz")
+
   /** F21/P8 — NaN/Inf scrub to null (export hygiene).
     * Ref: src/optimization/export_suggestions_json.py:31-49.
     */

@@ -129,9 +129,15 @@ object GtfsStatic {
     * Ref: src/dag/gtfs-static-job.py:79-84.
     */
   def versionStamp(region: DataFrame, nation: DataFrame): DataFrame = {
-    val line = concat_ws(",", col("r_regionkey"), col("r_name"))
+    // sort the collected lines by the NUMERIC key (struct sort_array
+    // orders by the first field), matching the oracle's ORDER BY
+    // r_regionkey — sorting the rendered strings would diverge as soon
+    // as a key reaches 10 ("10,…" < "2,…" lexicographically)
+    val keyed = struct(col("r_regionkey"),
+      concat_ws(",", col("r_regionkey"), col("r_name")).as("line"))
     val feed = region.agg(
-      sha2(array_join(sort_array(collect_list(line)), "\n"), 256).as("version_id"))
+      sha2(array_join(transform(sort_array(collect_list(keyed)), _.getField("line")),
+        "\n"), 256).as("version_id"))
     nation.crossJoin(broadcast(feed))
       .select(col("n_nationkey"), col("n_name"), col("version_id"))
       .orderBy("n_nationkey")

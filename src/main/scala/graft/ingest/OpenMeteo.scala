@@ -55,7 +55,7 @@ object OpenMeteo {
           lit("km/h").as("wind_speed_10m"), lit("wmo code").as("weather_code"))
           .as("current_units"),
         struct(
-          date_format(timestamp_micros(floor(col("ts").cast("decimal(38,0)") / 1000).cast("long")),
+          date_format(graft.functions.Cols.ntzFromNanos(col("ts")),
             "yyyy-MM-dd'T'HH:mm").as("time"),
           lit(900).as("interval"),
           col("value").cast("decimal(9,6)").as("temperature_2m"),

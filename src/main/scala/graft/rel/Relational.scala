@@ -713,8 +713,7 @@ object Relational {
 
   /** long nanos → TIMESTAMP_NTZ (µs), integer-exact. */
   private def timestampMicrosFromNanos(c: org.apache.spark.sql.Column) =
-    timestamp_micros(floor(c.cast("decimal(38,0)") / 1000).cast("long"))
-      .cast("timestamp_ntz")
+    ntzFromNanos(c)
 
   // --------------------------------------------------- TPC-H depth (r6)
 

@@ -41,7 +41,7 @@ object Sessionize {
 
   /** long nanos → long µs, integer-exact floor. */
   private def usFromNanos(c: Column): Column =
-    floor(c.cast("decimal(38,0)") / 1000).cast("long")
+    graft.functions.Cols.microsFromNanos(c)
 
   /** events(ts: long nanos) → one row per (user_id, session_idx) with
     * start/end, event/type counts, duration, and exact value total.

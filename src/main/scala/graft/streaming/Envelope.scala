@@ -22,8 +22,7 @@ object Envelope {
         col("event_id"),
         col("event_type"),
         col("user_id").cast("string").as("entity_id"),
-        timestamp_micros(floor(col("ts").cast("decimal(38,0)") / 1000).cast("long"))
-          .cast("timestamp_ntz").as("event_ts"),
+        graft.functions.Cols.ntzFromNanos(col("ts")).as("event_ts"),
         lit("gtfs-rt-poller").as("source"),
         lat.as("lat"), lon.as("lon"), col("value"))
       // P6 — drop rows with out-of-range coordinates or missing ids
@@ -63,7 +62,7 @@ object Envelope {
     */
   // shared wire-record helpers: event-time µs from the nanos long, the
   // fixed-width ISO-8601 renderer, and the deterministic ingest lag
-  private val tsUs = floor(col("ts").cast("decimal(38,0)") / 1000).cast("long")
+  private val tsUs = graft.functions.Cols.microsFromNanos(col("ts"))
   private def iso(t: Column): Column =
     date_format(t, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'+00:00'")
   private val tsIso  = iso(timestamp_micros(tsUs))

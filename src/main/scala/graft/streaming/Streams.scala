@@ -60,8 +60,7 @@ object Streams {
   }
 
   private def ntzFromNanos(c: org.apache.spark.sql.Column) =
-    timestamp_micros(floor(c.cast("decimal(38,0)") / 1000).cast("long"))
-      .cast("timestamp_ntz")
+    graft.functions.Cols.ntzFromNanos(c)
 
   /** Run a streaming DF to completion (AvailableNow) into a memory sink
     * and return the final table.

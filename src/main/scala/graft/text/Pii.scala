@@ -22,7 +22,12 @@ object Pii {
 
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-  val PhoneRe = "\\+\\d[\\d -]{7,}\\d"
+  // international form: country code + 9 digits in up-to-3-digit groups.
+  // The group structure is FIXED (not an open-ended [\d -]{7,} run) so a
+  // match can never swallow an unrelated number that happens to follow
+  // the phone — "call +40 721 234 567 9000 units" redacts exactly the
+  // phone and leaves "9000 units" intact.
+  val PhoneRe = "\\+\\d{1,3}[ -]?\\d{3}[ -]?\\d{3}[ -]?\\d{3}\\b"
 
   /** Deterministic PII plant: e-mail on even doc_ids, an IP unless
     * doc_id % 5 = 0, a phone unless doc_id % 3 = 0 — appended so the
@@ -40,23 +45,25 @@ object Pii {
       concat(lit(" call +407"), lpad((col("doc_id") % 100000000).cast("string"), 8, "0")))
       .otherwise(lit("")))
 
-  /** Per-document scrub report: category counts on the planted text and
-    * the md5 of the fully redacted text (whole-text equality without
-    * hauling the corpus through the compare).
+  /** Per-document scrub report: category counts and the md5 of the
+    * fully redacted text (whole-text equality without hauling the
+    * corpus through the compare). Each category is counted on the text
+    * AS ITS PASS SEES IT (emails on the raw text, IPs after the email
+    * pass, phones after the IP pass), so every count equals the number
+    * of placeholders that pass actually wrote — an IP-shaped substring
+    * inside an e-mail local part is redacted once, as part of the
+    * e-mail, and is not double-reported as an IP.
     */
   def piiScrub(documents: DataFrame): DataFrame = {
     val t = planted
-    val scrubbed =
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(t, EmailRe, "<EMAIL>"),
-          Ipv4Re, "<IP>"),
-        PhoneRe, "<PHONE>")
+    val afterEmail = regexp_replace(t, EmailRe, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, Ipv4Re, "<IP>")
+    val scrubbed = regexp_replace(afterIp, PhoneRe, "<PHONE>")
     documents.select(
       col("doc_id"),
       size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
-      size(regexp_extract_all(t, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
-      size(regexp_extract_all(t, lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+      size(regexp_extract_all(afterEmail, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
+      size(regexp_extract_all(afterIp, lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
       md5(scrubbed).as("scrubbed_md5"))
       .orderBy("doc_id")
   }
@@ -71,15 +78,14 @@ object Pii {
         #  || CASE WHEN doc_id % 3 <> 0
         #     THEN ' call +407' || lpad(CAST(doc_id % 100000000 AS VARCHAR), 8, '0') ELSE '' END"""
         .stripMargin('#').linesIterator.map(_.trim).mkString(" ")
-    s"""WITH p AS (SELECT doc_id, $t AS t FROM documents)
+    s"""WITH p AS (SELECT doc_id, $t AS t FROM documents),
+       |s1 AS (SELECT doc_id, t, regexp_replace(t, '$EmailRe', '<EMAIL>', 'g') AS t1 FROM p),
+       |s2 AS (SELECT doc_id, t, t1, regexp_replace(t1, '$Ipv4Re', '<IP>', 'g') AS t2 FROM s1)
        |SELECT doc_id,
        |  CAST(len(regexp_extract_all(t, '$EmailRe')) AS BIGINT) AS n_emails,
-       |  CAST(len(regexp_extract_all(t, '$Ipv4Re')) AS BIGINT) AS n_ips,
-       |  CAST(len(regexp_extract_all(t, '$PhoneRe')) AS BIGINT) AS n_phones,
-       |  md5(regexp_replace(regexp_replace(regexp_replace(t,
-       |    '$EmailRe', '<EMAIL>', 'g'),
-       |    '$Ipv4Re', '<IP>', 'g'),
-       |    '$PhoneRe', '<PHONE>', 'g')) AS scrubbed_md5
-       |FROM p ORDER BY doc_id""".stripMargin
+       |  CAST(len(regexp_extract_all(t1, '$Ipv4Re')) AS BIGINT) AS n_ips,
+       |  CAST(len(regexp_extract_all(t2, '$PhoneRe')) AS BIGINT) AS n_phones,
+       |  md5(regexp_replace(t2, '$PhoneRe', '<PHONE>', 'g')) AS scrubbed_md5
+       |FROM s2 ORDER BY doc_id""".stripMargin
   }
 }
