@@ -1220,6 +1220,33 @@ object Registry {
       // redacted; the whole scrubbed text is md5-compared cross-engine
       Q("pii_scrub", (s, d) => graft.text.Pii.piiScrub(docs(s, d)),
         Some(graft.text.Pii.piiScrubSql)),
+      // Per-domain cap — "keep at most K best-quality docs per source",
+      // the curation rule that stops one domain from dominating a
+      // training mix — through the custom bounded-heap top-k operator
+      // (O(n log k), no per-partition sort at corpus scale); the oracle
+      // is the window+filter form it replaces
+      Q("domain_cap",
+        (s, d) => {
+          graft.GraftExtensions.register(s)
+          val scored = docs(s, d).select(
+            col("doc_id"), col("source"), col("n_chars"),
+            TextOps.qualityScore(col("text")).as("quality_score"))
+          graft.plans.TopKPerGroup.topK(scored,
+            groupCols = Seq("source"),
+            orderCols = Seq("quality_score" -> true, "doc_id" -> false),
+            k = 10)
+            .orderBy(col("source"), col("quality_score").desc, col("doc_id"))
+        },
+        Some(
+          s"""WITH s AS (
+             |  SELECT doc_id, source, n_chars,
+             |    ${TextOps.qualityScoreSqlExpr} AS quality_score
+             |  FROM documents)
+             |SELECT doc_id, source, n_chars, quality_score FROM (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+             |    ORDER BY quality_score DESC, doc_id) AS rn
+             |  FROM s) WHERE rn <= 10
+             |ORDER BY source, quality_score DESC, doc_id""".stripMargin)),
       Q("doc_simhash", (s, d) => TextOps.simhash(docs(s, d)), Some(TextOps.simhashSql)),
       Q("dedup_exact", (s, d) => Dedup.exact(docs(s, d)), Some(Dedup.exactSql)),
       Q("dedup_keep", (s, d) => Dedup.dedupKeep(docs(s, d)), Some(Dedup.dedupKeepSql)),

@@ -77,7 +77,10 @@ class PlanBudgetSpec extends SparkSpec {
     "q11_important_parts" -> 3,
     "q12_shipmode_priority" -> 2,
     "q16_part_supplier_counts" -> 4,
-    "q20_promo_suppliers" -> 4)
+    "q20_promo_suppliers" -> 4,
+    // bounded-heap top-k: ClusteredDistribution inserts ONE hash
+    // exchange (never a sort) + the output sort
+    "domain_cap" -> 2)
 
   for ((q, budget) <- budgets)
     test(s"$q stays within its shuffle budget ($budget)") {
