@@ -8,13 +8,18 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // ad-hoc conf overrides for experiments, e.g.
+    // SPARK_GRAFT_EXTRA_CONF="spark.sql.codegen.wholeStage=false"
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(',').foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     args.drop(1).foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)

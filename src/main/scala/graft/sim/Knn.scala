@@ -389,16 +389,21 @@ object Knn {
       val pts = sample.map(v => Array.tabulate(subDim)(i => v(j * subDim + i).toDouble))
       lloyd(pts, codebookSize)
     }
-    // per-subspace squared distance to one centroid: subDim exact
-    // float-as-double terms, addition order pinned by the parse tree
-    def d2(j: Int, cen: Array[Double]): Column =
-      (0 until subDim).map { i =>
-        val t = col("embedding").getItem(j * subDim + i).cast("double") - lit(cen(i))
-        t * t
-      }.reduceLeft(_ + _)
-    // codebooks(j).length, not codebookSize: k-means can return fewer
-    // centers than k when the training data has fewer distinct points
-    def lutArr(j: Int): Column = array(codebooks(j).indices.map(c => d2(j, codebooks(j)(c))): _*)
+    // per-subspace LUT: squared distance to every centroid, via
+    // higher-order functions over the codebook as a LITERAL nested
+    // array — a ~10-node expression with runtime loops instead of the
+    // fully unrolled 16×subDim×3-node tree, whose whole-stage codegen
+    // alone cost ~4.5 s of fixed overhead per run (measured; results
+    // are byte-identical: zip_with walks dims in index order and
+    // aggregate folds left exactly like the unrolled reduceLeft, with
+    // 0.0 + t0 == t0 for the non-negative squares)
+    def lutArr(j: Int): Column = {
+      val cb = typedLit(codebooks(j).map(_.toSeq).toSeq)
+      val sub = slice(col("embedding"), j * subDim + 1, subDim)
+      transform(cb, cen => aggregate(
+        zip_with(sub, cen, (x, c) => { val t = x.cast("double") - c; t * t }),
+        lit(0.0), (acc, e) => acc + e))
+    }
     // code = argmin over the subspace's centroid distances (first index on
     // ties — deterministic; array_position compares the min to itself, so
     // double equality is exact)
