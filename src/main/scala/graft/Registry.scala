@@ -1427,6 +1427,12 @@ object Registry {
         (s, d) => Streams.kafkaEnvelopeStream(s, d),
         Some(graft.streaming.Envelope.producerEnvelopeSql)),
 
+      // S7 weather render→parse as a stateless append-mode stream —
+      // same code and same oracle as the batch weather_ingest twin
+      Q("streaming_weather_ingest",
+        (s, d) => Streams.weatherIngestStream(s, d),
+        Some(graft.ingest.OpenMeteo.weatherIngestSql)),
+
       // A3 windowed + watermarked (bounded state, update mode) — same
       // batch oracle as the complete-mode twin
       Q("streaming_windowed_vehicle",

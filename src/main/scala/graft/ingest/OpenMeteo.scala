@@ -71,8 +71,12 @@ object OpenMeteo {
     "current STRUCT<time: STRING, temperature_2m: DOUBLE, " +
       "precipitation: DOUBLE, wind_speed_10m: DOUBLE, weather_code: INT>")
 
-  /** normalize_weather replayed over rendered response bodies. */
-  def weatherIngest(events: DataFrame): DataFrame =
+  /** normalize_weather replayed over rendered response bodies — the
+    * transform without the output ordering: stateless per-row column
+    * algebra, so the SAME code runs as a streaming append-mode parse
+    * stage ([[graft.streaming.Streams.weatherIngestStream]]).
+    */
+  def weatherIngestCols(events: DataFrame): DataFrame =
     apiResponses(events)
       .withColumn("r", from_json(col("body"), ResponseSchema))
       .select(
@@ -85,7 +89,9 @@ object OpenMeteo {
         col("r.current.precipitation").as("precipitation_mm"),
         col("r.current.wind_speed_10m").as("wind_speed_mps"),
         col("r.current.weather_code").cast("string").as("weather_code"))
-      .orderBy("event_id")
+
+  def weatherIngest(events: DataFrame): DataFrame =
+    weatherIngestCols(events).orderBy("event_id")
 
   /** DuckDB twin: the same normalized rows computed straight from the
     * events table (the JSON render→parse is Spark-side mechanics; the

@@ -104,6 +104,15 @@ object Streams {
     runToTable(Envelope.producerEnvelopeCols(eventsStream(spark, dir)), mode = "append")
       .orderBy("event_id")
 
+  /** S7 as a stream: the Open-Meteo render→parse leg running append-mode
+    * over the event stream — stateless schema-on-read, so the streaming
+    * result is row-identical to the batch twin (which is the oracle).
+    */
+  def weatherIngestStream(spark: SparkSession, dir: String): DataFrame =
+    runToTable(graft.ingest.OpenMeteo.weatherIngestCols(eventsStream(spark, dir)),
+      mode = "append")
+      .orderBy("event_id")
+
   /** A3 with event-time windows + watermark in update mode — the bounded-
     * state streaming shape for 100 TB feeds: the watermark lets Spark
     * evict window state older than the lateness bound instead of keeping
