@@ -44,6 +44,16 @@ object Registry {
   /** Decimal-exact SUM returned as double — oracle twin of Cols.detSum. */
   private def dsum(e: String) = s"CAST(SUM(CAST(($e) AS DECIMAL(28,6))) AS DOUBLE)"
 
+  /** The ingestor-side schema of the trip-update wire record (S6),
+    * shared by the direct consumer leg and the graftqueue round trip.
+    */
+  private val TRIP_WIRE_SCHEMA = org.apache.spark.sql.types.StructType.fromDDL(
+    "event_type STRING, entity_id STRING, timestamp STRING, " +
+      "ingested_at STRING, source STRING, " +
+      "payload STRUCT<trip_id: STRING, route_id: STRING, " +
+      "delay_seconds: INT, stop_updates: ARRAY<STRUCT<" +
+      "stop_id: STRING, arrival_delay: INT, departure_delay: INT>>>")
+
   /** Decimal-exact AVG — oracle twin of Cols.detAvg. */
   private def davg(e: String) = s"${dsum(e)} / COUNT($e)"
 
@@ -1652,14 +1662,8 @@ object Registry {
       Q("kafka_ingest_trip",
         (s, d) => {
           val wire = Envelope.tripUpdateEnvelope(TestdataAdapter.table(s, d, "events"))
-          val schema = org.apache.spark.sql.types.StructType.fromDDL(
-            "event_type STRING, entity_id STRING, timestamp STRING, " +
-              "ingested_at STRING, source STRING, " +
-              "payload STRUCT<trip_id: STRING, route_id: STRING, " +
-              "delay_seconds: INT, stop_updates: ARRAY<STRUCT<" +
-              "stop_id: STRING, arrival_delay: INT, departure_delay: INT>>>")
           wire
-            .withColumn("r", from_json(col("kafka_value"), schema))
+            .withColumn("r", from_json(col("kafka_value"), TRIP_WIRE_SCHEMA))
             .select(col("event_id"),
               col("r.payload.trip_id").as("trip_id"),
               col("r.payload.route_id").as("route_id"),
@@ -1697,6 +1701,40 @@ object Registry {
             |SELECT event_id, trip_id, route_id, delay_seconds,
             |  CAST(stop_idx AS INTEGER) AS stop_idx, stop_id, arrival_delay, departure_delay
             |FROM s ORDER BY event_id, stop_idx""".stripMargin)),
+
+      // S5→S6 THROUGH the broker seam: producer envelope bytes go into
+      // the graftqueue topic emulation via its V2 sink and come back
+      // through format("graftqueue") with Kafka's reader schema; the
+      // consumer aggregates what survived the wire. The oracle derives
+      // the same rollup straight from the source table, so a byte lost
+      // or mangled anywhere in the sink→segment→scan path breaks the
+      // hash. (The queue carries only key/value — per-event identity
+      // rides inside the payload, hence the per-route aggregate shape.)
+      Q("queue_roundtrip_trip",
+        (s, d) => {
+          val path = java.nio.file.Files.createTempDirectory("graftqueue").toString
+          Envelope.tripUpdateEnvelope(TestdataAdapter.table(s, d, "events"))
+            .select(col("kafka_key").cast("binary").as("key"),
+              col("kafka_value").cast("binary").as("value"))
+            .write.format("graftqueue").option("path", path)
+            .option("topic", "gtfs.rt.trip_updates").mode("append").save()
+          s.read.format("graftqueue").option("path", path)
+            .option("topic", "gtfs.rt.trip_updates").load()
+            .select(from_json(col("value").cast("string"), TRIP_WIRE_SCHEMA).as("r"))
+            .groupBy(col("r.payload.route_id").as("route_id"))
+            .agg(
+              count(lit(1)).as("n_updates"),
+              sum(size(col("r.payload.stop_updates"))).as("n_stop_updates"),
+              sum(col("r.payload.delay_seconds")).as("total_delay"))
+            .orderBy("route_id")
+        },
+        Some(
+          """SELECT 'route_' || CAST(user_id % 5 AS VARCHAR) AS route_id,
+            |  COUNT(*) AS n_updates,
+            |  CAST(COUNT(*) * 2 AS BIGINT) AS n_stop_updates,
+            |  CAST(SUM((event_id % 1200) - 120) AS BIGINT) AS total_delay
+            |FROM events WHERE event_id % 13 <> 0
+            |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
       // S7 consumer leg: Open-Meteo response bodies → normalize_weather's
       // exact field mapping (request-constant lat/lon strings, km/h

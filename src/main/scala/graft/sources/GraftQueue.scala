@@ -1,0 +1,219 @@
+package graft.sources
+
+import java.io.{DataInputStream, DataOutputStream, File, FileInputStream, FileOutputStream}
+import java.util
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A Spark DataSource V2 connector emulating the Kafka topic seam the
+  * sandbox cannot host (SURVEY §2.1 S5/S6: the reference produces to and
+  * consumes from 3 broker topics; this environment ships no broker and
+  * no kafka connector jars). `graftqueue` is an append-only, offset-
+  * tracked record queue over a directory — one subdirectory per topic,
+  * immutable segment files, offsets assigned in committed-segment order
+  * — exposing KAFKA'S READER SCHEMA (key/value binary, topic, partition,
+  * offset, timestamp), so the documented `format("kafka")` swap is
+  * EXECUTED, not just documented: the producer writes `producerEnvelope`
+  * bytes through a V2 BatchWrite, and the consumer reads them back with
+  * the same `.load().select(col("value").cast("string"))` + `from_json`
+  * code a Kafka source feeds, in both batch and micro-batch streaming
+  * (offset-range planning, AvailableNow-compatible).
+  *
+  * Deliberate divergences from a real broker, for sandbox determinism:
+  * `timestamp` is null (broker-assigned in Kafka), `partition` is the
+  * writer task's partition id, and offsets are globally consecutive in
+  * committed-segment order rather than per-partition. Segment files are
+  * named `segment-<uuid>-n<count>` — the record count rides in the name
+  * so offset arithmetic never opens a file.
+  */
+object GraftQueue {
+  val Schema: StructType = StructType(Seq(
+    StructField("key", BinaryType),
+    StructField("value", BinaryType),
+    StructField("topic", StringType),
+    StructField("partition", IntegerType),
+    StructField("offset", LongType),
+    StructField("timestamp", TimestampType)))
+
+  /** Writer-side schema: exactly what a Kafka producer sink accepts. */
+  val WriteSchema: StructType = StructType(Seq(
+    StructField("key", BinaryType),
+    StructField("value", BinaryType)))
+
+  private[sources] def topicDir(path: String, topic: String): File =
+    new File(path, topic)
+
+  private[sources] def segments(path: String, topic: String): Seq[File] = {
+    val d = topicDir(path, topic)
+    if (!d.isDirectory) Seq.empty
+    else d.listFiles().filter(_.getName.startsWith("segment-")).sortBy(_.getName).toSeq
+  }
+
+  private[sources] def countOf(f: File): Long =
+    f.getName.substring(f.getName.lastIndexOf('n') + 1).toLong
+
+  private[sources] def totalRecords(path: String, topic: String): Long =
+    segments(path, topic).map(countOf).sum
+}
+
+class GraftQueueProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graftqueue"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = GraftQueue.Schema
+  override def getTable(
+      schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new GraftQueueTable(properties.get("path"), properties.get("topic"))
+}
+
+final class GraftQueueTable(path: String, topic: String) extends Table
+    with SupportsRead with SupportsWrite {
+  require(path != null, "graftqueue requires option(\"path\", ...)")
+  require(topic != null, "graftqueue requires option(\"topic\", ...)")
+  override def name(): String = s"graftqueue:$path/$topic"
+  override def schema(): StructType = GraftQueue.Schema
+  override def capabilities(): util.Set[TableCapability] = util.EnumSet.of(
+    TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+    TableCapability.BATCH_WRITE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan with Batch {
+      override def build(): Scan = this
+      override def readSchema(): StructType = GraftQueue.Schema
+      override def toBatch: Batch = this
+      override def planInputPartitions(): Array[InputPartition] = {
+        // one partition per segment; start offsets are the running sum
+        var acc = 0L
+        GraftQueue.segments(path, topic).map { f =>
+          val p = QueueSegmentPartition(f.getAbsolutePath, topic, acc, GraftQueue.countOf(f))
+          acc += GraftQueue.countOf(f)
+          p: InputPartition
+        }.toArray
+      }
+      override def createReaderFactory(): PartitionReaderFactory = QueueReaderFactory
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new QueueMicroBatchStream(path, topic)
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // Spark resolves the producer frame against the table schema before
+    // this point (missing nullable columns arrive null-padded), so the
+    // contract check is on the two fields the sink persists
+    val in = info.schema()
+    require(in.length >= 2 &&
+      in.head.name == "key" && in.head.dataType == BinaryType &&
+      in(1).name == "value" && in(1).dataType == BinaryType,
+      s"graftqueue sink expects (key BINARY, value BINARY, ...), got $in")
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new BatchWrite {
+          override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+            QueueWriterFactory(path, topic)
+          // segments are self-committing (written to a temp name, renamed
+          // into place in the task commit); nothing to do at job level
+          override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+          override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+        }
+      }
+    }
+  }
+}
+
+private case class QueueSegmentPartition(
+    file: String, topic: String, startOffset: Long, count: Long) extends InputPartition
+
+/** Offset = total committed record count (a single logical log). */
+private case class QueueOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
+}
+
+private final class QueueMicroBatchStream(path: String, topic: String)
+    extends MicroBatchStream {
+  override def initialOffset(): Offset = QueueOffset(0L)
+  override def latestOffset(): Offset = QueueOffset(GraftQueue.totalRecords(path, topic))
+  override def deserializeOffset(json: String): Offset = QueueOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[QueueOffset].n
+    val hi = end.asInstanceOf[QueueOffset].n
+    // whole segments only: a segment is inside the batch iff its record
+    // range lies in [lo, hi) — counts are immutable once committed, so
+    // ranges never split
+    var acc = 0L
+    val out = ArrayBuffer.empty[InputPartition]
+    GraftQueue.segments(path, topic).foreach { f =>
+      val n = GraftQueue.countOf(f)
+      if (acc >= lo && acc + n <= hi)
+        out += QueueSegmentPartition(f.getAbsolutePath, topic, acc, n)
+      acc += n
+    }
+    out.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory = QueueReaderFactory
+}
+
+private object QueueReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[QueueSegmentPartition]
+    new PartitionReader[InternalRow] {
+      private val in = new DataInputStream(new FileInputStream(p.file))
+      private var i = 0L
+      private var row: InternalRow = _
+      override def next(): Boolean =
+        if (i >= p.count) false
+        else {
+          val part = in.readInt()
+          val key = new Array[Byte](in.readInt()); in.readFully(key)
+          val value = new Array[Byte](in.readInt()); in.readFully(value)
+          row = new GenericInternalRow(Array[Any](
+            key, value, UTF8String.fromString(p.topic), part,
+            p.startOffset + i, null))
+          i += 1
+          true
+        }
+      override def get(): InternalRow = row
+      override def close(): Unit = in.close()
+    }
+  }
+}
+
+private case class QueueWriterFactory(path: String, topic: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val dir = GraftQueue.topicDir(path, topic)
+      dir.mkdirs()
+      private val tmp = File.createTempFile("segment-inflight-", "", dir)
+      private val out = new DataOutputStream(new FileOutputStream(tmp))
+      private var n = 0L
+      override def write(record: InternalRow): Unit = {
+        out.writeInt(partitionId)
+        val key = if (record.isNullAt(0)) Array.empty[Byte] else record.getBinary(0)
+        out.writeInt(key.length); out.write(key)
+        val value = if (record.isNullAt(1)) Array.empty[Byte] else record.getBinary(1)
+        out.writeInt(value.length); out.write(value)
+        n += 1
+      }
+      override def commit(): WriterCommitMessage = {
+        out.close()
+        if (n == 0) { tmp.delete() }
+        else {
+          val f = new File(dir, s"segment-${java.util.UUID.randomUUID().toString.take(8)}-n$n")
+          require(tmp.renameTo(f), s"could not commit segment $f")
+        }
+        new WriterCommitMessage {}
+      }
+      override def abort(): Unit = { out.close(); tmp.delete() }
+      override def close(): Unit = ()
+    }
+}

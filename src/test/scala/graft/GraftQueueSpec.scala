@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.Envelope
+
+/** The Kafka-seam swap, EXECUTED: producer envelope bytes go through a
+  * V2 sink into the `graftqueue` topic emulation, come back through
+  * `format("graftqueue")` with Kafka's reader schema — batch and
+  * micro-batch — and feed the exact consumer parse the file-source twin
+  * uses. What a real deployment changes is ONE format string + broker
+  * options; everything upstream (envelope algebra) and downstream
+  * (schema-on-read) is the code these tests run.
+  */
+class GraftQueueSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def events = TestdataAdapter.table(spark, dir, "events")
+
+  private def freshPath = Files.createTempDirectory("graftqueue").toString
+
+  private def produce(path: String, topic: String): Long = {
+    val wire = Envelope.tripUpdateEnvelope(events)
+    wire.select(
+      col("kafka_key").cast("binary").as("key"),
+      col("kafka_value").cast("binary").as("value"))
+      .write.format("graftqueue")
+      .option("path", path).option("topic", topic)
+      .mode("append").save()
+    wire.count()
+  }
+
+  test("batch round trip: envelope bytes survive the queue byte-for-byte") {
+    val path = freshPath
+    val n = produce(path, "gtfs.rt.trip_updates")
+    val back = spark.read.format("graftqueue")
+      .option("path", path).option("topic", "gtfs.rt.trip_updates").load()
+    assert(back.schema.fieldNames.toSeq ==
+      Seq("key", "value", "topic", "partition", "offset", "timestamp"),
+      "reader schema must match Kafka's")
+    assert(back.count() == n)
+    assert(back.select(countDistinct(col("offset"))).head.getLong(0) == n,
+      "offsets must be unique and dense")
+    val sent = Envelope.tripUpdateEnvelope(events)
+      .select("kafka_key", "kafka_value").collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted
+    val got = back.select(col("key").cast("string"), col("value").cast("string"))
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(got.toSeq == sent.toSeq)
+  }
+
+  test("micro-batch stream: offset-range planning delivers every committed record once") {
+    val path = freshPath
+    val n = produce(path, "gtfs.rt.trip_updates")
+    val q = spark.readStream.format("graftqueue")
+      .option("path", path).option("topic", "gtfs.rt.trip_updates").load()
+      .select(col("value").cast("string").as("kafka_value"), col("offset"))
+      .writeStream.format("memory").queryName("queue_stream")
+      .option("checkpointLocation", s"$path/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("queue_stream")
+    assert(got.count() == n)
+    assert(got.select(countDistinct(col("offset"))).head.getLong(0) == n)
+    // the streamed bytes feed the SAME consumer parse as the batch twin
+    val parsed = got.select(
+      get_json_object(col("kafka_value"), "$.payload.trip_id").as("trip_id"))
+    assert(parsed.filter(col("trip_id").isNull).count() == 0)
+  }
+
+  test("the sink rejects non-Kafka writer schemas") {
+    import spark.implicits._
+    val path = freshPath
+    assertThrows[Exception] {
+      Seq(("a", "b")).toDF("x", "y")
+        .write.format("graftqueue")
+        .option("path", path).option("topic", "t").mode("append").save()
+    }
+  }
+}
