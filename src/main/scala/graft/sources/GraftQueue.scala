@@ -208,8 +208,15 @@ private case class QueueWriterFactory(path: String, topic: String) extends DataW
         out.close()
         if (n == 0) { tmp.delete() }
         else {
-          val f = new File(dir, s"segment-${java.util.UUID.randomUUID().toString.take(8)}-n$n")
-          require(tmp.renameTo(f), s"could not commit segment $f")
+          // name = zero-padded commit time + uuid: lexicographic order ≈
+          // commit order, so appending NEW segments never re-sorts (and
+          // thus never re-offsets) records a streaming reader already
+          // delivered — a pure-uuid name could sort before existing
+          // segments and shift their offsets after the fact
+          val stamp = f"${System.currentTimeMillis()}%014d"
+          val f2 = new File(dir,
+            s"segment-$stamp-${java.util.UUID.randomUUID().toString.take(8)}-n$n")
+          require(tmp.renameTo(f2), s"could not commit segment $f2")
         }
         new WriterCommitMessage {}
       }

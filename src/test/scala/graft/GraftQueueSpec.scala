@@ -69,6 +69,32 @@ class GraftQueueSpec extends SparkSpec {
     assert(parsed.filter(col("trip_id").isNull).count() == 0)
   }
 
+  test("checkpoint resume: an appended batch is delivered exactly once") {
+    val path = freshPath
+    // file sink (recoverable) — the memory sink refuses checkpoint resume
+    def run(): Unit = {
+      val q = spark.readStream.format("graftqueue")
+        .option("path", path).option("topic", "t").load()
+        .select(col("offset"))
+        .writeStream.format("parquet")
+        .option("path", s"$path/out")
+        .option("checkpointLocation", s"$path/ck")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    val n1 = produce(path, "t")
+    run()
+    assert(spark.read.parquet(s"$path/out").count() == n1)
+    produce(path, "t") // append a second batch of segments
+    run() // resumes from the committed offset
+    val all = spark.read.parquet(s"$path/out")
+    assert(all.count() == 2 * n1, "resume must deliver ONLY the appended batch, once")
+    // every offset delivered exactly once, and the appended segments
+    // took offsets strictly after the already-delivered ones
+    assert(all.select(countDistinct(col("offset"))).head.getLong(0) == 2 * n1)
+    assert(all.agg(max(col("offset"))).head.getLong(0) == 2 * n1 - 1)
+  }
+
   test("the sink rejects non-Kafka writer schemas") {
     import spark.implicits._
     val path = freshPath
