@@ -66,6 +66,14 @@ class GoldenExportSpec extends SparkSpec {
       .map("[]" + _)
     assert(ours == golden,
       s"drift — missing=${(golden -- ours).toSeq.sorted} extra=${(ours -- golden).toSeq.sorted}")
+    // and THROUGH the file writer: the verbatim payload_json splice must
+    // produce one valid JSON array whose shape still matches
+    val out = java.nio.file.Files.createTempFile("route_suggestions", ".json").toString
+    Export.writeJsonArray(
+      routeRows.filter(col("action") =!= "needs_data").select("payload_json"), out)
+    val written = paths(mapper.readTree(java.nio.file.Paths.get(out).toFile))
+    assert(written == golden,
+      s"writer drift — missing=${(golden -- written).toSeq.sorted} extra=${(written -- golden).toSeq.sorted}")
   }
 
   test("top_priority_latest: OUR per-route payload covers the golden artifact's shape") {
