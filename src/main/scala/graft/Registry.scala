@@ -1181,6 +1181,10 @@ object Registry {
         Some(TextOps.tfidfTopTermsSql())),
       Q("bigram_topk", (s, d) => TextOps.bigramTopK(docs(s, d)),
         Some(TextOps.bigramTopKSql())),
+      // BM25 retrieval: fixed query set scored against the corpus, top-k
+      // docs per query — query-term pruning pushed below the tf shuffle
+      Q("search_bm25", (s, d) => TextOps.searchBm25(docs(s, d)),
+        Some(TextOps.searchBm25Sql())),
       // Zipf / vocab-coverage curve: top-k vocabulary + cumulative share
       // of all token occurrences (tokenizer-vocab sizing)
       Q("vocab_coverage", (s, d) => TextOps.vocabCoverage(docs(s, d)),
