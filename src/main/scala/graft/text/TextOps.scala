@@ -330,34 +330,45 @@ object TextOps {
   def searchBm25(documents: DataFrame, queries: Seq[(Int, String)] = Bm25Queries,
       k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val spark = documents.sparkSession
+    graft.GraftExtensions.register(spark)
     import spark.implicits._
-    val qterm = queries.toDF("query_id", "qtext")
-      .select(col("query_id"), explode(toks(col("qtext"))).as("term"))
-      .distinct()
-    val tok = documents.select(col("doc_id"), explode(toks(col("text"))).as("term"))
+    // The query set is a literal KB-scale list: tokenize it driver-side so
+    // the plan carries no distinct/aggregate nodes for it — just one
+    // broadcast relation and an In-list filter on the token stream.
+    val qterms = queries
+      .flatMap { case (id, q) => q.trim.toLowerCase.split("\\s+").map(id -> _) }
+      .distinct
+    val qterm = qterms.toDF("query_id", "term")
+    // dl rides the explode as a grouping key (functionally dependent on
+    // doc_id), so no second corpus scan / doc_id join is ever needed
+    val tok = documents.select(col("doc_id"),
+      size(toks(col("text"))).cast("long").as("dl"),
+      explode(toks(col("text"))).as("term"))
     val tf = tok
-      .join(broadcast(qterm.select("term").distinct()), Seq("term"), "left_semi")
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .filter(col("term").isInCollection(qterms.map(_._2).distinct))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val dl = documents.select(col("doc_id"), size(toks(col("text"))).cast("long").as("dl"))
     val stats = documents.agg(
       count(lit(1)).as("n"), avg(size(toks(col("text"))).cast("long")).as("avgdl"))
     val idf = log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    val contrib = broadcast(qterm).join(tf, "term")
+    val scored = broadcast(qterm).join(tf, "term")
       .join(broadcast(df), "term")
-      .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("c", round(
         idf * (col("tf") * lit(k1 + 1.0)) /
           (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))),
         6))
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
-    contrib
       .groupBy("query_id", "doc_id")
       .agg(count(lit(1)).as("n_terms"),
         sum(col("c").cast("decimal(28,6)")).cast("double").as("score"))
+    // bounded-heap top-k per query (no per-query sort of the full matched
+    // set), then rank/order over the k·|queries|-row survivor set
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+    graft.plans.TopKPerGroup.topK(scored,
+      groupCols = Seq("query_id"),
+      orderCols = Seq("score" -> true, "doc_id" -> false),
+      k = k)
       .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
       .select("query_id", "doc_id", "n_terms", "score", "rank")
       .orderBy("query_id", "rank")
   }

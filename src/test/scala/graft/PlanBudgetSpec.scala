@@ -80,7 +80,13 @@ class PlanBudgetSpec extends SparkSpec {
     "q20_promo_suppliers" -> 4,
     // bounded-heap top-k: ClusteredDistribution inserts ONE hash
     // exchange (never a sort) + the output sort
-    "domain_cap" -> 2)
+    "domain_cap" -> 2,
+    // narrow zip_with pair transform + count agg; top-k is TakeOrdered
+    "bigram_topk" -> 1,
+    // tf agg + df agg + 1-row stats agg + score agg + top-k heap
+    // clustering + survivor-set rank window + output sort — query terms
+    // are driver-tokenized (no distinct nodes) and df/stats broadcast
+    "search_bm25" -> 7)
 
   for ((q, budget) <- budgets)
     test(s"$q stays within its shuffle budget ($budget)") {
