@@ -1207,6 +1207,10 @@ object Registry {
       // corpus-trained add-1 bigram model
       Q("bigram_lm_nll", (s, d) => TextOps.bigramLmScore(docs(s, d)),
         Some(TextOps.bigramLmScoreSql)),
+      // CCNet head/middle/tail perplexity terciles per predicted lang,
+      // tier cut by the distributed grouped NTILE (Scale.ntileExactBy)
+      Q("ccnet_buckets", (s, d) => TextOps.ccnetBuckets(docs(s, d)),
+        Some(TextOps.ccnetBucketsSql)),
       Q("domain_mixture", (s, d) => TextOps.domainMixture(docs(s, d)),
         Some(TextOps.domainMixtureSql)),
       Q("doc_chunks", (s, d) => TextOps.chunkDocuments(docs(s, d)),

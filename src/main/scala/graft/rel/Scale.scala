@@ -186,6 +186,32 @@ object Scale {
       .drop("__total", "__q", "__m")
   }
 
+  /** Exact `NTILE(n) OVER (PARTITION BY group ORDER BY keys)` with the
+    * same distributed shape as [[ntileExact]]: one group-major range
+    * sort for the global numbering, then each group's own zero-based
+    * index is recovered by subtracting the group's minimum global index
+    * (a groups-sized broadcast aggregate — no per-group single-reducer
+    * window anywhere). The positional NTILE rule then runs per row with
+    * per-group totals. Matches the window form bit-for-bit; `group ++
+    * keys` must be a total order (unique tiebreak in `keys`).
+    */
+  def ntileExactBy(df: DataFrame, n: Int, group: Seq[String], keys: Seq[String],
+      partitions: Int = 32): DataFrame = {
+    val indexed = globalIndex(df, group ++ keys, partitions)
+    val g = indexed.groupBy(group.map(col): _*)
+      .agg(min("global_idx").as("__g0"), count(lit(1)).as("__total"))
+    indexed
+      .join(broadcast(g), group)
+      .withColumn("__idx", col("global_idx") - col("__g0"))
+      .withColumn("__q", expr(s"__total DIV $n"))
+      .withColumn("__m", expr(s"__total % $n"))
+      .withColumn("tier",
+        when(col("__idx") < col("__m") * (col("__q") + 1),
+          expr("__idx DIV (__q + 1) + 1"))
+          .otherwise(expr("(__idx - __m * (__q + 1)) DIV __q + __m + 1")))
+      .drop("__g0", "__idx", "__total", "__q", "__m", "global_idx")
+  }
+
   /** Morton interleave of two `bits`-bit bucket columns: bit b of x
     * lands at position 2b, bit b of y at 2b+1 — locality in z-value
     * implies locality in BOTH dimensions.

@@ -448,14 +448,28 @@ object TextOps {
     * per the detSum rule that raw double sums can never be
     * hash-verified.
     */
-  def bigramLmScore(documents: DataFrame): DataFrame = {
-    val base = documents.select(col("doc_id"), toks(col("text")).as("w"))
+  def bigramLmScore(documents: DataFrame): DataFrame =
+    bigramNllCore(documents, carry = Nil).orderBy("doc_id")
+
+  /** Shared core of [[bigramLmScore]] / [[ccnetBuckets]]: per-doc
+    * add-1-smoothed bigram NLL, with optional extra per-doc columns
+    * (functionally dependent on doc_id) computed in the base projection
+    * and carried through the instance explode as grouping keys — no
+    * doc_id re-join for enrichment columns.
+    */
+  private def bigramNllCore(documents: DataFrame,
+      carry: Seq[(String, Column)]): DataFrame = {
+    val carryCols = carry.map { case (n, _) => col(n) }
+    val keyCols = col("doc_id") +: carryCols
+    val base = documents.select(
+      col("doc_id") +: carry.map { case (n, c) => c.as(n) } :+
+        toks(col("text")).as("w"): _*)
     val inst = base
       .filter(size(col("w")) >= 2)
-      .select(col("doc_id"), explode(expr(
+      .select(keyCols :+ explode(expr(
         "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))"))
-        .as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .as("b"): _*)
+      .select(keyCols :+ col("b.w1").as("w1") :+ col("b.w2").as("w2"): _*)
     val tokens = base.select(explode(col("w")).as("tok"))
     val uni = tokens.groupBy(col("tok").as("w1")).agg(count(lit(1)).as("c1"))
     val vocab = tokens.agg(countDistinct(col("tok")).as("v"))
@@ -465,12 +479,11 @@ object TextOps {
       .crossJoin(broadcast(vocab))
       .withColumn("nll", round(
         -log((col("c12") + lit(1).cast("double")) / (col("c1") + col("v"))), 6))
-    scored.groupBy("doc_id")
+    scored.groupBy(keyCols: _*)
       .agg(
         count(lit(1)).as("n_bigrams"),
         (sum(col("nll").cast("decimal(28,6)")).cast("double") / count(lit(1)))
           .as("avg_nll"))
-      .orderBy("doc_id")
   }
 
   val bigramLmScoreSql: String =
@@ -490,6 +503,64 @@ object TextOps {
        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
        |  CAST(SUM(CAST(nll AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_nll
        |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  /** CCNet-style head/middle/tail quality tiers (Wenzek et al. 2020 —
+    * public paper): language-ID every document, score it with the corpus
+    * bigram LM ([[bigramLmScore]]'s core), then cut each language's
+    * documents into perplexity terciles — `head` = lowest avg NLL. The
+    * standard curation split that decides what is trained on, sampled
+    * down, or dropped, as ONE distributed plan.
+    *
+    * Scale shape: predicted_lang is computed once in the base projection
+    * and carried through the NLL pipeline as a grouping key (no doc_id
+    * re-join); the tercile cut is [[graft.rel.Scale.ntileExactBy]] — a
+    * group-major range sort plus a groups-sized broadcast of per-group
+    * offsets — NOT `ntile().over(partitionBy(lang))`, which would drag
+    * each language through a single reducer at 100 TB. Docs with <2
+    * tokens have no LM score and are excluded (CCNet drops them too).
+    */
+  def ccnetBuckets(documents: DataFrame): DataFrame = {
+    val perDoc = bigramNllCore(documents,
+      carry = Seq("predicted_lang" -> predictedLang(col("text"))))
+    graft.rel.Scale.ntileExactBy(perDoc, n = 3,
+      group = Seq("predicted_lang"), keys = Seq("avg_nll", "doc_id"))
+      .withColumn("bucket",
+        when(col("tier") === 1, "head")
+          .when(col("tier") === 2, "middle")
+          .otherwise("tail"))
+      .select("doc_id", "predicted_lang", "avg_nll", "bucket")
+      .orderBy("doc_id")
+  }
+
+  val ccnetBucketsSql: String =
+    raw"""WITH s AS (SELECT doc_id, text,
+       |  $langScoreColsSql
+       |FROM documents),
+       |d AS (SELECT doc_id, $langCaseSql AS predicted_lang,
+       |        string_split_regex(trim(lower(text)), '\s+') AS w
+       |      FROM s),
+       |inst AS (SELECT doc_id, predicted_lang, w[i] AS w1, w[i+1] AS w2
+       |         FROM (SELECT doc_id, predicted_lang, w,
+       |                 unnest(generate_series(1, len(w) - 1)) AS i
+       |               FROM d WHERE len(w) >= 2)),
+       |toke AS (SELECT unnest(w) AS tok FROM d),
+       |uni AS (SELECT tok AS w1, COUNT(*) AS c1 FROM toke GROUP BY 1),
+       |vocab AS (SELECT COUNT(DISTINCT tok) AS v FROM toke),
+       |big AS (SELECT w1, w2, COUNT(*) AS c12 FROM inst GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT inst.doc_id, inst.predicted_lang,
+       |    ROUND(-ln((big.c12 + CAST(1 AS DOUBLE)) / (uni.c1 + vocab.v)), 6) AS nll
+       |  FROM inst JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN vocab),
+       |perdoc AS (
+       |  SELECT doc_id, predicted_lang,
+       |    CAST(SUM(CAST(nll AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_nll
+       |  FROM scored GROUP BY 1, 2),
+       |t AS (SELECT *, NTILE(3) OVER (
+       |        PARTITION BY predicted_lang ORDER BY avg_nll, doc_id) AS tier
+       |      FROM perdoc)
+       |SELECT doc_id, predicted_lang, avg_nll,
+       |  CASE tier WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+       |FROM t ORDER BY doc_id""".stripMargin
 
   /** Gopher-style repetition signals (Rae et al. 2021, appendix A —
     * public paper): the repetition family of web-corpus quality filters.

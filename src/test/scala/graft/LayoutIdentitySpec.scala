@@ -17,8 +17,12 @@ package graft
 class LayoutIdentitySpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
+  // plus two oracle-checked queries whose machinery is layout-sensitive
+  // by construction: ccnet_buckets (zipWithIndex global numbering) and
+  // search_bm25 (bounded-heap TopKPerGroup keep-set)
   private val names = Seq(
-    "kmeans_clusters", "knn_ivf", "pq_topk", "pca_recall", "quality_classifier")
+    "kmeans_clusters", "knn_ivf", "pq_topk", "pca_recall", "quality_classifier",
+    "ccnet_buckets", "search_bm25")
 
   /** Run `name` under the given layout knobs and collect its rows. */
   private def run(name: String, shufflePartitions: Int, splitBytes: String): Seq[String] = {

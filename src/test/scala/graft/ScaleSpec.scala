@@ -260,4 +260,18 @@ class ScaleSpec extends SparkSpec {
       .select("tier").as[Long].collect().toSeq.sorted
     assert(tinyTiers == Seq(1L, 2L, 3L))
   }
+
+  test("grouped distributed ntile matches the partitioned window NTILE exactly") {
+    import org.apache.spark.sql.expressions.Window
+    // uneven group sizes (29, 7, 1) exercise uneven buckets, a group
+    // smaller than n, and a singleton group
+    val df = ((1 to 29).map(i => ("a", i.toLong, (i * 37 % 29).toDouble)) ++
+      (1 to 7).map(i => ("b", 100L + i, i.toDouble)) ++
+      Seq(("c", 200L, 1.0))).toDF("g", "id", "score")
+    val dist = Scale.ntileExactBy(df, 3, Seq("g"), Seq("score", "id"), partitions = 5)
+      .select(col("g"), col("id"), col("tier").cast("int").as("tier"))
+    val window = df.select(col("g"), col("id"),
+      ntile(3).over(Window.partitionBy("g").orderBy(col("score"), col("id"))).as("tier"))
+    assert(dist.exceptAll(window).isEmpty && window.exceptAll(dist).isEmpty)
+  }
 }
