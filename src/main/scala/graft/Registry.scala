@@ -1289,6 +1289,10 @@ object Registry {
         Some(Dedup.minhashPairsSql)),
       Q("dedup_ngram_jaccard", (s, d) => Dedup.ngramJaccard(docs(s, d)),
         Some(Dedup.ngramJaccardSql)),
+      // overlap-coefficient leg over the same LSH candidates: the
+      // quote/excerpt (asymmetric containment) catches Jaccard misses
+      Q("dedup_containment", (s, d) => Dedup.containmentPairs(docs(s, d)),
+        Some(Dedup.containmentPairsSql())),
       Q("dedup_clusters", (s, d) => Dedup.dedupClusters(docs(s, d)),
         Some(Dedup.dedupClustersSql)),
       // one representative per near-dup cluster — the keep list the

@@ -174,6 +174,80 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Asymmetric containment (overlap coefficient) for quote/excerpt
+    * detection: `n_inter / min(n_a, n_b)`. Symmetric Jaccard — and the
+    * MinHash bands tuned for it — miss a short document quoted wholesale
+    * inside a long one (the intersection is ~all of the short doc but
+    * small relative to the union, so no band fires). Candidates here come
+    * from a rare-shingle inverted index instead: docs sharing any shingle
+    * with document frequency in [2, maxDf] pair up. A contained quote
+    * shares ALL its shingles, including its rare ones, so the bucket
+    * fires regardless of how lopsided the pair is.
+    *
+    * Scale shape: the posting self-join is bounded by construction —
+    * per-shingle bucket ≤ maxDf rows, so pairs-per-shingle ≤ maxDf²/2;
+    * ubiquitous (boilerplate) shingles are excluded by the df ceiling,
+    * which is also what keeps the join sub-quadratic (their mass is the
+    * [[boilerplateScrub]] operator's job). Intersections reuse the
+    * compact collect_set arrays of the shared hashed-shingle lineage,
+    * exactly like [[ngramJaccard]]. Pairs whose overlap clears
+    * `minOverlap` while Jaccard does not are flagged `asymmetric`.
+    */
+  def containmentPairs(documents: DataFrame, minOverlap: Double = 0.5,
+      maxDf: Int = 8): DataFrame = {
+    val ss = hashedShingles(documents).persist()
+    val rare = ss.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select("h")
+    val posting = ss.join(rare, "h")
+    val cand = posting.select(col("doc_id").as("doc_a"), col("h"))
+      .join(posting.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    val sets = ss.groupBy("doc_id").agg(collect_set(col("h")).as("sh"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sa")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("n_inter"),
+        size(col("sa")).cast("long").as("n_a"),
+        size(col("sb")).cast("long").as("n_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"), col("n_b"),
+        (col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+          .as("jaccard"),
+        (col("n_inter").cast("double") / least(col("n_a"), col("n_b"))).as("overlap"))
+      .filter(col("overlap") >= minOverlap)
+      .withColumn("asymmetric", (col("jaccard") < lit(minOverlap)).cast("boolean"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def containmentPairsSql(minOverlap: Double = 0.5, maxDf: Int = 8): String =
+    s"""WITH $SHINGLES_CTE,
+       |dfreq AS (SELECT h, COUNT(*) AS df FROM hs GROUP BY 1),
+       |rare AS (SELECT h FROM dfreq WHERE df BETWEEN 2 AND $maxDf),
+       |post AS (SELECT doc_id, h FROM hs WHERE h IN (SELECT h FROM rare)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM post a JOIN post b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |sz AS (SELECT doc_id, COUNT(*) AS nsh FROM hs GROUP BY 1),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+       |  FROM cand c
+       |  JOIN hs a ON a.doc_id = c.doc_a
+       |  JOIN hs b ON b.doc_id = c.doc_b AND b.h = a.h
+       |  GROUP BY 1, 2),
+       |j AS (
+       |  SELECT i.doc_a, i.doc_b, i.n_inter, sa.nsh AS n_a, sb.nsh AS n_b,
+       |    CAST(i.n_inter AS DOUBLE) / (sa.nsh + sb.nsh - i.n_inter) AS jaccard,
+       |    CAST(i.n_inter AS DOUBLE) / LEAST(sa.nsh, sb.nsh) AS overlap
+       |  FROM inter i
+       |  JOIN sz sa ON sa.doc_id = i.doc_a
+       |  JOIN sz sb ON sb.doc_id = i.doc_b)
+       |SELECT doc_a, doc_b, n_inter, n_a, n_b, jaccard, overlap,
+       |  jaccard < $minOverlap AS asymmetric
+       |FROM j WHERE overlap >= $minOverlap
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val ngramJaccardSql: String =
     s"""WITH $PAIRS_CTE,
        |sz AS (SELECT doc_id, COUNT(*) AS nsh FROM hs GROUP BY 1),

@@ -50,6 +50,21 @@ class DedupTextSpec extends SparkSpec {
     j.get((0L, 2L)).foreach(v => assert(v > 0.0 && v < 1.0))
   }
 
+  test("containment flags the asymmetric quote case jaccard misses") {
+    // doc 11 is a strict prefix of doc 10: every shingle of 11 is in 10,
+    // so overlap = 1.0 while jaccard stays well below it
+    val quote = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "s0", 60L),
+      (11L, "alpha beta gamma delta epsilon", "en", "s1", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Dedup.containmentPairs(quote).collect()
+    assert(r.length == 1)
+    val p = r.head
+    assert(p.getAs[Long]("doc_a") == 10L && p.getAs[Long]("doc_b") == 11L)
+    assert(p.getAs[Double]("overlap") == 1.0)
+    assert(p.getAs[Double]("jaccard") < 0.5 && p.getAs[Boolean]("asymmetric"))
+  }
+
   test("simhash: identical docs have hamming 0; pairs surface via byte bands") {
     val pairs = Dedup.simhashPairs(docs, maxHamming = 32).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Int]("hamming"))
