@@ -112,4 +112,9 @@ class ScaleSoakSpec extends SparkSpec {
   soak("bloom_new_docs")(d => Dedup.bloomNewDocs(
     d.filter(col("doc_id") % 3 =!= 0), d.filter(col("doc_id") % 3 === 0)))(
     baseDocs, bigDocs)
+  // round-7 additions with join machinery worth soaking: the df-ceiling
+  // bound on the containment posting self-join, and BM25's pruned-tf /
+  // bounded-heap pipeline
+  soak("dedup_containment")(d => Dedup.containmentPairs(d))(baseDocs, bigDocs)
+  soak("search_bm25")(d => TextOps.searchBm25(d))(baseDocs, bigDocs)
 }
