@@ -1149,6 +1149,11 @@ object Registry {
     Q("sessionize_events",
       (s, dir) => Sessionize.sessions(TestdataAdapter.table(s, dir, "events")),
       Some(Sessionize.sessionsSql)),
+    // SCD2 (Kimball type-2) state history: validity intervals of each
+    // user's event_type, one user_id shuffle for the whole build
+    Q("scd2_history",
+      (s, dir) => Sessionize.scd2History(TestdataAdapter.table(s, dir, "events")),
+      Some(Sessionize.scd2HistorySql)),
 
     Q("gtfs_time_parse", Relational.gtfsTimeParse,
       Some(

@@ -135,4 +135,56 @@ object Sessionize {
        |  CAST(MAX(ts_us) - MIN(ts_us) AS DOUBLE) / 1000000 AS duration_sec,
        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** SCD2 dimension-history build (Kimball type 2), event-stream form:
+    * collapse each user's event stream into validity intervals of their
+    * event_type "state" — a history row opens when the state changes,
+    * closes (exclusive) at the next change, and the open-ended interval
+    * is flagged current. Complements
+    * [[graft.rel.Relational.scd2Customers]], which APPLIES a snapshot
+    * batch to an existing history: this is the from-scratch rebuild out
+    * of a raw event log (change-point compression), the other is the
+    * incremental merge.
+    *
+    * Scale shape: the change filter and the interval lead share one
+    * (user_id)-keyed partitioning/ordering, so the whole build is a
+    * single hash exchange plus in-partition sorts; time math stays in
+    * integer µs until the output edge. Ties (same user, same µs) are
+    * broken by event_id inside the windows; the presentation sort adds
+    * `state` because two changes can legitimately share a timestamp.
+    */
+  def scd2History(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val e = events.select(
+      col("user_id"), col("event_id"), col("event_type"),
+      usFromNanos(col("ts")).as("ts_us"))
+    e.withColumn("prev_state", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_state").isNull || col("event_type") =!= col("prev_state"))
+      .withColumn("next_us", lead(col("ts_us"), 1).over(w))
+      .select(
+        col("user_id"),
+        col("event_type").as("state"),
+        timestamp_micros(col("ts_us")).cast("timestamp_ntz").as("valid_from"),
+        timestamp_micros(col("next_us")).cast("timestamp_ntz").as("valid_to"),
+        col("next_us").isNull.as("is_current"))
+      .orderBy("user_id", "valid_from", "state")
+  }
+
+  val scd2HistorySql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      |  FROM events),
+      |c AS (SELECT *, LAG(event_type) OVER (
+      |        PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_state
+      |      FROM e),
+      |ch AS (SELECT * FROM c WHERE prev_state IS NULL OR event_type <> prev_state),
+      |iv AS (SELECT user_id, event_type AS state, ts_us,
+      |         LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS next_us
+      |       FROM ch)
+      |SELECT user_id, state,
+      |  make_timestamp(ts_us) AS valid_from,
+      |  make_timestamp(next_us) AS valid_to,
+      |  next_us IS NULL AS is_current
+      |FROM iv ORDER BY user_id, valid_from, state""".stripMargin
 }

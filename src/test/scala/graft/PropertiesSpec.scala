@@ -162,6 +162,26 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: grouped exact ntile equals the partitioned window form") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.rel.Scale
+    val gen = for {
+      g <- Gen.oneOf("a", "b", "c", "d", "e")
+      s <- Gen.chooseNum(0, 9) // coarse scores force heavy ties
+    } yield (g, s.toDouble)
+    val rows = sample(gen, 300).zipWithIndex
+      .map { case ((g, s), i) => (g, i.toLong, s) }
+    for (n <- Seq(2, 3, 7)) {
+      val df = rows.toDF("g", "id", "score")
+      val dist = Scale.ntileExactBy(df, n, Seq("g"), Seq("score", "id"), partitions = 5)
+        .select(col("g"), col("id"), col("tier").cast("int").as("tier"))
+      val window = df.select(col("g"), col("id"),
+        ntile(n).over(Window.partitionBy("g").orderBy(col("score"), col("id"))).as("tier"))
+      assert(dist.exceptAll(window).isEmpty && window.exceptAll(dist).isEmpty,
+        s"n=$n diverged from the window form")
+    }
+  }
+
   test("property: incremental merge equals full recompute on random splits") {
     import graft.rel.Incremental
     val gen = for {
