@@ -1360,6 +1360,11 @@ object Registry {
       // rows-only (trained projection not SQL-expressible; recall band
       // spec-asserted)
       Q("pca_recall", (s, d) => Knn.pcaRecall(embs(s, d)), None),
+      // embedding-space benchmark leakage: cross-side SRP-band candidates
+      // against the carved benchmark slice, exact-cosine verified
+      Q("semantic_decontamination",
+        (s, d) => Knn.semanticDecontamination(embs(s, d)),
+        Some(Knn.semanticDecontaminationSql())),
       Q("embedding_near_dup", (s, d) => Knn.nearDupPairs(embs(s, d)),
         Some(Knn.nearDupPairsSql())),
       Q("embedding_label_stats", (s, d) => Knn.labelStats(embs(s, d)),

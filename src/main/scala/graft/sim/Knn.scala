@@ -235,6 +235,68 @@ object Knn {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  /** Semantic decontamination: flag corpus documents whose embedding is
+    * near a benchmark document's — the embedding-space complement of the
+    * exact-shingle [[graft.dedup.Dedup.decontamination]] (paraphrased or
+    * reformatted leakage that shares no 3-gram). The benchmark side is
+    * carved deterministically (`vec_id % benchMod = 0`, a stand-in for a
+    * real eval-set table). Candidates are CROSS-side SRP-band matches —
+    * the same 6×10-bit banding as [[nearDupPairs]], but only
+    * corpus×benchmark pairs survive, so the join output is bounded by
+    * band-bucket collision mass against the (small) benchmark side, never
+    * corpus×corpus. Exact cosine (fixed-associativity dot) verifies each
+    * candidate; per corpus doc the report carries how many benchmark
+    * neighbors cleared the threshold and the tightest match. The default
+    * threshold is calibrated to the synthetic embeddings (max cross-side
+    * cosine ~0.36), matching [[nearDupPairs]]; production data wants
+    * ~0.9+. Recall
+    * contract is the banding's, same as nearDupPairs (the oracle mirrors
+    * the identical candidate generation).
+    */
+  def semanticDecontamination(embeddings: DataFrame, benchMod: Int = 20,
+      threshold: Double = 0.3): DataFrame = {
+    val e = (0 until SrpBands).foldLeft(withNorm(embeddings)) { (df, j) =>
+      df.withColumn(s"band$j", srpBand("embedding", j).cast("int"))
+    }.withColumn("is_bench", col("vec_id") % benchMod === 0).persist()
+    val bench = e.filter(col("is_bench"))
+    val corpus = e.filter(!col("is_bench"))
+    val cand = (0 until SrpBands).map { j =>
+      corpus.as("x").join(bench.as("y"), col(s"x.band$j") === col(s"y.band$j"))
+        .select(col("x.vec_id").as("corpus_id"), col("y.vec_id").as("bench_id"))
+    }.reduce(_ unionByName _).distinct()
+    cand
+      .join(corpus.select(col("vec_id").as("corpus_id"), col("embedding").as("ea"),
+        col("n2").as("na")), Seq("corpus_id"))
+      .join(bench.select(col("vec_id").as("bench_id"), col("embedding").as("eb"),
+        col("n2").as("nb")), Seq("bench_id"))
+      .withColumn("cosine", dot("ea", "eb") / (sqrt(col("na")) * sqrt(col("nb"))))
+      .filter(col("cosine") >= threshold)
+      .groupBy("corpus_id")
+      .agg(count(lit(1)).as("n_matches"), max("cosine").as("max_cosine"))
+      .orderBy("corpus_id")
+  }
+
+  def semanticDecontaminationSql(benchMod: Int = 20, threshold: Double = 0.3): String = {
+    val bands = (0 until SrpBands)
+      .map(j => s"CAST(${srpBandSql("embedding", j)} AS INTEGER) AS band$j").mkString(",\n  ")
+    val sels = (0 until SrpBands).map(j =>
+      s"SELECT x.vec_id AS corpus_id, y.vec_id AS bench_id " +
+        s"FROM (SELECT * FROM b WHERE NOT is_bench) x " +
+        s"JOIN (SELECT * FROM b WHERE is_bench) y ON x.band$j = y.band$j")
+      .mkString(" UNION ALL ")
+    s"""WITH $NORM_CTE,
+       |b AS (SELECT *,
+       |  $bands,
+       |  (vec_id % $benchMod = 0) AS is_bench
+       |FROM e),
+       |cand AS (SELECT DISTINCT corpus_id, bench_id FROM ($sels)),
+       |p AS (SELECT c.corpus_id,
+       |        (${dotSql("x.embedding", "y.embedding")}) / (sqrt(x.n2) * sqrt(y.n2)) AS cosine
+       |      FROM cand c JOIN e x ON x.vec_id = c.corpus_id JOIN e y ON y.vec_id = c.bench_id)
+       |SELECT corpus_id, CAST(COUNT(*) AS BIGINT) AS n_matches, MAX(cosine) AS max_cosine
+       |FROM p WHERE cosine >= $threshold GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** K-means clustering over the embedding column (MLlib; array<float> →
     * Vector via array_to_vector, k-means|| init, fixed seed). Returns
     * cluster sizes + per-cluster norm range — the IVF coarse-quantizer

@@ -83,6 +83,9 @@ class PlanBudgetSpec extends SparkSpec {
     "domain_cap" -> 2,
     // narrow zip_with pair transform + count agg; top-k is TakeOrdered
     "bigram_topk" -> 1,
+    // one user_id exchange shared by the change filter + interval lead,
+    // plus the output sort
+    "scd2_history" -> 2,
     // tf agg + df agg + 1-row stats agg + score agg + top-k heap
     // clustering + survivor-set rank window + output sort — query terms
     // are driver-tokenized (no distinct nodes) and df/stats broadcast
