@@ -38,6 +38,21 @@ class KnnSpec extends SparkSpec {
     assert(r == 0) // only the zero vector would be a neighbor; it is dropped
   }
 
+  test("semantic decontamination flags only corpus vectors near a benchmark vector") {
+    // vec 0 and 20 are the benchmark slice (vec_id % 20 == 0); vec 1 is
+    // parallel to vec 0 (cosine 1.0, identical SRP bands), vec 2 is
+    // orthogonal to both benchmark vectors
+    val e = Seq(
+      (0L, unit(0), 0), (20L, unit(1), 0),
+      (1L, scaled(0, 3f), 0), (2L, unit(5), 0))
+      .toDF("vec_id", "embedding", "label")
+    val r = Knn.semanticDecontamination(e, threshold = 0.9).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("corpus_id") == 1L)
+    assert(r.head.getAs[Long]("n_matches") == 1L)
+    assert(r.head.getAs[Double]("max_cosine") == 1.0)
+  }
+
   test("bucketed ANN only searches the query's sign-bucket") {
     val pos = unit(0)                          // bucket: dim0 positive
     val neg = { val a = Array.fill(64)(0f); a(0) = -1f; a(1) = 0.1f; a }
