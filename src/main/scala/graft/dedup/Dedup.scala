@@ -152,9 +152,14 @@ object Dedup {
     * sizes are bounded by document length, candidates are near-linear,
     * so nothing here scales super-linearly in the corpus.
     */
-  def ngramJaccard(documents: DataFrame): DataFrame = {
-    val ss = hashedShingles(documents).persist()
-    val cand = minhashPairsFrom(minhashSignaturesFrom(ss).persist())
+  /** Shared pair-scoring block for the shingle-set operators
+    * ([[ngramJaccard]], [[containmentPairs]]): join each (doc_a, doc_b)
+    * candidate onto per-doc collect_set arrays — one compact array per
+    * doc (persisted; both sides of every pair reuse it) — and emit
+    * intersection/set sizes plus Jaccard. Callers layer their own extra
+    * scores and filters on top.
+    */
+  private def pairSetScores(cand: DataFrame, ss: DataFrame): DataFrame = {
     // collect_set over the md5s (distinct by construction): one compact
     // array per doc, reused for both sides of every candidate pair
     val sets = ss.groupBy("doc_id").agg(collect_set(col("h")).as("sh")).persist()
@@ -165,12 +170,17 @@ object Dedup {
         size(array_intersect(col("sa"), col("sb"))).cast("long").as("n_inter"),
         size(col("sa")).cast("long").as("n_a"),
         size(col("sb")).cast("long").as("n_b"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+  }
+
+  def ngramJaccard(documents: DataFrame): DataFrame = {
+    val ss = hashedShingles(documents).persist()
+    val cand = minhashPairsFrom(minhashSignaturesFrom(ss).persist())
+    pairSetScores(cand, ss)
       // the exploded-join formulation only surfaced pairs sharing ≥1
       // shingle; keep that contract (and the oracle) unchanged
       .filter(col("n_inter") > 0)
-      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"), col("n_b"),
-        (col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
-          .as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -205,18 +215,9 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
-    val sets = ss.groupBy("doc_id").agg(collect_set(col("h")).as("sh"))
-    cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sa")), Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sb")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("sa"), col("sb"))).cast("long").as("n_inter"),
-        size(col("sa")).cast("long").as("n_a"),
-        size(col("sb")).cast("long").as("n_b"))
-      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"), col("n_b"),
-        (col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
-          .as("jaccard"),
-        (col("n_inter").cast("double") / least(col("n_a"), col("n_b"))).as("overlap"))
+    pairSetScores(cand, ss)
+      .withColumn("overlap",
+        col("n_inter").cast("double") / least(col("n_a"), col("n_b")))
       .filter(col("overlap") >= minOverlap)
       .withColumn("asymmetric", (col("jaccard") < lit(minOverlap)).cast("boolean"))
       .orderBy("doc_a", "doc_b")

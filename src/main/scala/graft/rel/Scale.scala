@@ -171,7 +171,9 @@ object Scale {
     * the window form needs for determinism anyway.
     */
   def ntileExact(df: DataFrame, n: Int, keys: Seq[String], partitions: Int = 32): DataFrame = {
-    val indexed = globalIndex(df, keys, partitions)
+    // persisted: the total aggregate and the final projection would each
+    // re-run the range sort + index stamp otherwise
+    val indexed = globalIndex(df, keys, partitions).persist()
     val total = indexed.agg(count(lit(1)).as("__total"))
     indexed
       .crossJoin(broadcast(total))
@@ -193,15 +195,24 @@ object Scale {
     * (a groups-sized broadcast aggregate — no per-group single-reducer
     * window anywhere). The positional NTILE rule then runs per row with
     * per-group totals. Matches the window form bit-for-bit; `group ++
-    * keys` must be a total order (unique tiebreak in `keys`).
+    * keys` must be a total order (unique tiebreak in `keys`). The join
+    * back onto the group aggregate is null-SAFE (`<=>`), so rows with a
+    * NULL group key tier as their own partition exactly like
+    * `PARTITION BY` treats them; `indexed` is persisted because three
+    * actions (offset count job, group aggregate, final join) would
+    * otherwise each re-run the range sort + index stamp.
     */
   def ntileExactBy(df: DataFrame, n: Int, group: Seq[String], keys: Seq[String],
       partitions: Int = 32): DataFrame = {
-    val indexed = globalIndex(df, group ++ keys, partitions)
+    val indexed = globalIndex(df, group ++ keys, partitions).persist()
     val g = indexed.groupBy(group.map(col): _*)
       .agg(min("global_idx").as("__g0"), count(lit(1)).as("__total"))
+    val gAliased = g.select(
+      group.map(c => col(c).as(s"__gk_$c")) ++ Seq(col("__g0"), col("__total")): _*)
+    val joinCond = group.map(c => col(c) <=> col(s"__gk_$c")).reduce(_ && _)
     indexed
-      .join(broadcast(g), group)
+      .join(broadcast(gAliased), joinCond)
+      .drop(group.map(c => s"__gk_$c"): _*)
       .withColumn("__idx", col("global_idx") - col("__g0"))
       .withColumn("__q", expr(s"__total DIV $n"))
       .withColumn("__m", expr(s"__total % $n"))

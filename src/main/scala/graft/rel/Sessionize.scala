@@ -151,7 +151,9 @@ object Sessionize {
     * single hash exchange plus in-partition sorts; time math stays in
     * integer µs until the output edge. Ties (same user, same µs) are
     * broken by event_id inside the windows; the presentation sort adds
-    * `state` because two changes can legitimately share a timestamp.
+    * `state` and `is_current` because two changes can legitimately share
+    * a µs timestamp (nanos→µs truncation), and an A→B→A flip inside one
+    * µs would otherwise leave the tied rows' order engine-dependent.
     */
   def scd2History(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
@@ -167,7 +169,7 @@ object Sessionize {
         timestamp_micros(col("ts_us")).cast("timestamp_ntz").as("valid_from"),
         timestamp_micros(col("next_us")).cast("timestamp_ntz").as("valid_to"),
         col("next_us").isNull.as("is_current"))
-      .orderBy("user_id", "valid_from", "state")
+      .orderBy("user_id", "valid_from", "state", "is_current")
   }
 
   val scd2HistorySql: String =
@@ -186,5 +188,5 @@ object Sessionize {
       |  make_timestamp(ts_us) AS valid_from,
       |  make_timestamp(next_us) AS valid_to,
       |  next_us IS NULL AS is_current
-      |FROM iv ORDER BY user_id, valid_from, state""".stripMargin
+      |FROM iv ORDER BY user_id, valid_from, state, is_current""".stripMargin
 }

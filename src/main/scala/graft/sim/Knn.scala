@@ -194,38 +194,68 @@ object Knn {
     * ceiling, and with recall tunable by band count instead of being
     * pinned to the embedding dimension.
     */
-  def nearDupPairs(embeddings: DataFrame, threshold: Double = 0.3): DataFrame = {
-    // persisted: 8 band self-joins (16 sides) + the vector join-back all
-    // re-derive this frame otherwise
-    val e = (0 until SrpBands).foldLeft(withNorm(embeddings)) { (df, j) =>
+  /** Band-stamp an embedding frame with the `SrpBands` SRP band columns
+    * (plus the squared norm). Callers persist — every band join and the
+    * vector join-back re-derive this frame otherwise.
+    */
+  private def srpBanded(embeddings: DataFrame): DataFrame =
+    (0 until SrpBands).foldLeft(withNorm(embeddings)) { (df, j) =>
       df.withColumn(s"band$j", srpBand("embedding", j).cast("int"))
-    }.persist()
+    }
+
+  /** Shared SRP-LSH candidate + verify scaffolding: per-band equality
+    * joins between two banded sides (OR-amplified across bands, deduped),
+    * then the exact fixed-associativity cosine joined back from each
+    * side's vectors. `pairCond` narrows the per-band join (e.g. the
+    * `a < b` half-matrix for self-joins); both near-dup and
+    * decontamination are thin layers over this one copy.
+    */
+  private def srpPairCosines(left: DataFrame, right: DataFrame,
+      leftId: String, rightId: String,
+      pairCond: (Column, Column) => Column): DataFrame = {
     val cand = (0 until SrpBands).map { j =>
-      e.as("x").join(e.as("y"),
-        col(s"x.band$j") === col(s"y.band$j") && col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      left.as("x").join(right.as("y"),
+        col(s"x.band$j") === col(s"y.band$j") &&
+          pairCond(col("x.vec_id"), col("y.vec_id")))
+        .select(col("x.vec_id").as(leftId), col("y.vec_id").as(rightId))
     }.reduce(_ unionByName _).distinct()
     cand
-      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
-        col("n2").as("na")), Seq("vec_a"))
-      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
-        col("n2").as("nb")), Seq("vec_b"))
+      .join(left.select(col("vec_id").as(leftId), col("embedding").as("ea"),
+        col("n2").as("na")), Seq(leftId))
+      .join(right.select(col("vec_id").as(rightId), col("embedding").as("eb"),
+        col("n2").as("nb")), Seq(rightId))
       .withColumn("cosine", dot("ea", "eb") / (sqrt(col("na")) * sqrt(col("nb"))))
+  }
+
+  def nearDupPairs(embeddings: DataFrame, threshold: Double = 0.3): DataFrame = {
+    val e = srpBanded(embeddings).persist()
+    srpPairCosines(e, e, "vec_a", "vec_b", _ < _)
       .filter(col("cosine") > threshold)
       .select(col("vec_a"), col("vec_b"), col("cosine"))
       .orderBy("vec_a", "vec_b")
   }
 
-  def nearDupPairsSql(threshold: Double = 0.3): String = {
-    val bands = (0 until SrpBands)
+  /** SQL twin of [[srpBanded]]: the banded-column list of the `b` CTE. */
+  private def srpBandedSqlCols: String =
+    (0 until SrpBands)
       .map(j => s"CAST(${srpBandSql("embedding", j)} AS INTEGER) AS band$j").mkString(",\n  ")
-    val sels = (0 until SrpBands).map(j =>
-      s"SELECT x.vec_id AS vec_a, y.vec_id AS vec_b FROM b x JOIN b y " +
-        s"ON x.band$j = y.band$j AND x.vec_id < y.vec_id")
+
+  /** SQL twin of [[srpPairCosines]]'s candidate union: per-band joins of
+    * `leftFrom`/`rightFrom` (each a FROM-able fragment over the banded
+    * `b` CTE), `UNION ALL`ed for the outer DISTINCT.
+    */
+  private def srpCandSql(leftFrom: String, rightFrom: String,
+      leftId: String, rightId: String, extraOn: String): String =
+    (0 until SrpBands).map(j =>
+      s"SELECT x.vec_id AS $leftId, y.vec_id AS $rightId FROM $leftFrom x " +
+        s"JOIN $rightFrom y ON x.band$j = y.band$j$extraOn")
       .mkString(" UNION ALL ")
+
+  def nearDupPairsSql(threshold: Double = 0.3): String = {
+    val sels = srpCandSql("b", "b", "vec_a", "vec_b", " AND x.vec_id < y.vec_id")
     s"""WITH $NORM_CTE,
        |b AS (SELECT *,
-       |  $bands
+       |  $srpBandedSqlCols
        |FROM e),
        |cand AS (SELECT DISTINCT vec_a, vec_b FROM ($sels)),
        |p AS (SELECT c.vec_a, c.vec_b,
@@ -255,21 +285,11 @@ object Knn {
     */
   def semanticDecontamination(embeddings: DataFrame, benchMod: Int = 20,
       threshold: Double = 0.3): DataFrame = {
-    val e = (0 until SrpBands).foldLeft(withNorm(embeddings)) { (df, j) =>
-      df.withColumn(s"band$j", srpBand("embedding", j).cast("int"))
-    }.withColumn("is_bench", col("vec_id") % benchMod === 0).persist()
+    val e = srpBanded(embeddings)
+      .withColumn("is_bench", col("vec_id") % benchMod === 0).persist()
     val bench = e.filter(col("is_bench"))
     val corpus = e.filter(!col("is_bench"))
-    val cand = (0 until SrpBands).map { j =>
-      corpus.as("x").join(bench.as("y"), col(s"x.band$j") === col(s"y.band$j"))
-        .select(col("x.vec_id").as("corpus_id"), col("y.vec_id").as("bench_id"))
-    }.reduce(_ unionByName _).distinct()
-    cand
-      .join(corpus.select(col("vec_id").as("corpus_id"), col("embedding").as("ea"),
-        col("n2").as("na")), Seq("corpus_id"))
-      .join(bench.select(col("vec_id").as("bench_id"), col("embedding").as("eb"),
-        col("n2").as("nb")), Seq("bench_id"))
-      .withColumn("cosine", dot("ea", "eb") / (sqrt(col("na")) * sqrt(col("nb"))))
+    srpPairCosines(corpus, bench, "corpus_id", "bench_id", (_, _) => lit(true))
       .filter(col("cosine") >= threshold)
       .groupBy("corpus_id")
       .agg(count(lit(1)).as("n_matches"), max("cosine").as("max_cosine"))
@@ -277,16 +297,12 @@ object Knn {
   }
 
   def semanticDecontaminationSql(benchMod: Int = 20, threshold: Double = 0.3): String = {
-    val bands = (0 until SrpBands)
-      .map(j => s"CAST(${srpBandSql("embedding", j)} AS INTEGER) AS band$j").mkString(",\n  ")
-    val sels = (0 until SrpBands).map(j =>
-      s"SELECT x.vec_id AS corpus_id, y.vec_id AS bench_id " +
-        s"FROM (SELECT * FROM b WHERE NOT is_bench) x " +
-        s"JOIN (SELECT * FROM b WHERE is_bench) y ON x.band$j = y.band$j")
-      .mkString(" UNION ALL ")
+    val sels = srpCandSql(
+      "(SELECT * FROM b WHERE NOT is_bench)", "(SELECT * FROM b WHERE is_bench)",
+      "corpus_id", "bench_id", "")
     s"""WITH $NORM_CTE,
        |b AS (SELECT *,
-       |  $bands,
+       |  $srpBandedSqlCols,
        |  (vec_id % $benchMod = 0) AS is_bench
        |FROM e),
        |cand AS (SELECT DISTINCT corpus_id, bench_id FROM ($sels)),
