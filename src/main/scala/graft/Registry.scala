@@ -1218,6 +1218,13 @@ object Registry {
         Some(TextOps.ccnetBucketsSql)),
       Q("domain_mixture", (s, d) => TextOps.domainMixture(docs(s, d)),
         Some(TextOps.domainMixtureSql)),
+      // mixture diagnostics: per-source unigram KL vs the corpus mix +
+      // per-source entropy (detSum-rounded log terms, decimal-summed)
+      Q("source_kl_divergence", (s, d) => TextOps.sourceKlDivergence(docs(s, d)),
+        Some(TextOps.sourceKlDivergenceSql)),
+      // per-source distinct/total n-gram ratios for n=1..3 in one pass
+      Q("ngram_diversity", (s, d) => TextOps.ngramDiversity(docs(s, d)),
+        Some(TextOps.ngramDiversitySql)),
       Q("doc_chunks", (s, d) => TextOps.chunkDocuments(docs(s, d)),
         Some(TextOps.chunkDocumentsSql())),
       // concat-and-cut sequence packing: per-doc context-window placement

@@ -732,6 +732,111 @@ object TextOps {
        |  (CAST(total_tokens AS DOUBLE) / n_sources) / n_tokens AS resample_weight
        |FROM per, tot ORDER BY source""".stripMargin
 
+  /** Per-source unigram KL divergence against the whole-corpus unigram
+    * distribution, plus each source's own unigram entropy — the
+    * domain-shift diagnostic a mixture designer reads next to
+    * [[domainMixture]]'s token shares: KL(source ‖ corpus) near 0 means
+    * the source is distributionally redundant with the mix, while a
+    * high-KL source contributes vocabulary mass nothing else covers (and
+    * a low-entropy source is internally repetitive regardless of KL).
+    * Every source word occurs in the corpus by construction, so the KL
+    * needs no smoothing.
+    *
+    * Scale shape: two map-side-combinable count aggregations (per
+    * (source, word), then per word), both vocab-bounded; the term
+    * arithmetic runs over the |sources|×|vocab| frame joined to the
+    * vocab-sized corpus counts and a broadcast 1-row total — the corpus
+    * token stream is shuffled once and never re-joined. Cross-engine
+    * exactness follows the [[bigramLmScore]] detSum recipe: identical
+    * IEEE divisions and libm logs per (source, word) row, rounded to
+    * 6 dp, then decimal-summed (associative) per source.
+    */
+  def sourceKlDivergence(documents: DataFrame): DataFrame = {
+    val tok = documents.select(col("source"), explode(toks(col("text"))).as("tok"))
+    val bySrc = tok.groupBy("source", "tok").agg(count(lit(1)).as("cs"))
+    val srcTot = bySrc.groupBy("source").agg(sum("cs").as("ns"))
+    val corpus = bySrc.groupBy("tok").agg(sum("cs").as("c"))
+    val tot = corpus.agg(sum("c").as("n"))
+    val ps = col("cs").cast("double") / col("ns")
+    val pc = col("c").cast("double") / col("n")
+    bySrc
+      .join(broadcast(corpus), Seq("tok"))
+      .join(broadcast(srcTot), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .withColumn("kl_term", round(ps * log(ps / pc), 6))
+      .withColumn("ent_term", round(-(ps * log(ps)), 6))
+      .groupBy("source")
+      .agg(
+        max("ns").as("n_tokens"),
+        count(lit(1)).as("vocab_used"),
+        sum(col("kl_term").cast("decimal(28,6)")).cast("double").as("kl_divergence"),
+        sum(col("ent_term").cast("decimal(28,6)")).cast("double").as("entropy"))
+      .orderBy("source")
+  }
+
+  /** DuckDB twin of [[sourceKlDivergence]]. */
+  val sourceKlDivergenceSql: String =
+    raw"""WITH tk AS (SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+       |            FROM documents),
+       |bysrc AS (SELECT source, tok, COUNT(*) AS cs FROM tk GROUP BY 1, 2),
+       |srctot AS (SELECT source, CAST(SUM(cs) AS BIGINT) AS ns FROM bysrc GROUP BY 1),
+       |corpus AS (SELECT tok, CAST(SUM(cs) AS BIGINT) AS c FROM bysrc GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM corpus),
+       |terms AS (
+       |  SELECT b.source, s.ns,
+       |    ROUND((CAST(b.cs AS DOUBLE) / s.ns)
+       |      * ln((CAST(b.cs AS DOUBLE) / s.ns) / (CAST(co.c AS DOUBLE) / t.n)), 6) AS kl_term,
+       |    ROUND(-((CAST(b.cs AS DOUBLE) / s.ns) * ln(CAST(b.cs AS DOUBLE) / s.ns)), 6) AS ent_term
+       |  FROM bysrc b JOIN corpus co USING (tok) JOIN srctot s USING (source) CROSS JOIN tot t)
+       |SELECT source, MAX(ns) AS n_tokens, COUNT(*) AS vocab_used,
+       |  CAST(SUM(CAST(kl_term AS DECIMAL(28,6))) AS DOUBLE) AS kl_divergence,
+       |  CAST(SUM(CAST(ent_term AS DECIMAL(28,6))) AS DOUBLE) AS entropy
+       |FROM terms GROUP BY 1 ORDER BY source""".stripMargin
+
+  /** Per-source n-gram diversity for n = 1, 2, 3: distinct / total
+    * n-grams, the type-token-ratio family a corpus mixer tracks next to
+    * [[domainMixture]] ([[repetitionStats]] is the per-document view;
+    * this is the per-source rollup — a source whose trigram diversity
+    * collapses is template/boilerplate mass). One exploded pass tags
+    * every n-gram instance with its n (the per-n position range is
+    * clamped via `slice`, so a doc shorter than n emits nothing instead
+    * of a descending `sequence`), then two map-side-combinable count
+    * layers — (source, n, gram) then (source, n) — collapse the wide
+    * instance stream before anything joins. Output is |sources|×3 rows.
+    */
+  def ngramDiversity(documents: DataFrame): DataFrame = {
+    val base = documents.select(col("source"), toks(col("text")).as("w"))
+    val inst = base.select(col("source"), explode(expr(
+      """flatten(transform(array(1, 2, 3), n ->
+        |  transform(slice(sequence(1, size(w)), 1, greatest(size(w) - n + 1, 0)),
+        |    i -> struct(n AS n, concat_ws(' ', slice(w, i, n)) AS g))))""".stripMargin))
+      .as("x"))
+      .select(col("source"), col("x.n").as("n"), col("x.g").as("g"))
+    inst.groupBy("source", "n", "g").agg(count(lit(1)).as("cnt"))
+      .groupBy("source", "n")
+      .agg(
+        sum("cnt").as("total_ngrams"),
+        count(lit(1)).as("distinct_ngrams"))
+      .withColumn("diversity",
+        col("distinct_ngrams").cast("double") / col("total_ngrams"))
+      .orderBy("source", "n")
+  }
+
+  /** DuckDB twin of [[ngramDiversity]]. */
+  val ngramDiversitySql: String =
+    raw"""WITH tk AS (SELECT source, string_split_regex(trim(lower(text)), '\s+') AS w
+       |            FROM documents),
+       |ns AS (SELECT unnest([1, 2, 3]) AS n),
+       |inst AS (
+       |  SELECT source, n, array_to_string(list_slice(w, i, i + n - 1), ' ') AS g
+       |  FROM (SELECT source, n, w, unnest(generate_series(1, len(w) - n + 1)) AS i
+       |        FROM tk CROSS JOIN ns)),
+       |cnt AS (SELECT source, n, g, COUNT(*) AS cnt FROM inst GROUP BY 1, 2, 3)
+       |SELECT source, n, CAST(SUM(cnt) AS BIGINT) AS total_ngrams,
+       |  COUNT(*) AS distinct_ngrams,
+       |  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS BIGINT) AS diversity
+       |FROM cnt GROUP BY 1, 2 ORDER BY source, n""".stripMargin
+
   /** DuckDB twin of [[repetitionStats]]. */
   val repetitionStatsSql: String =
     raw"""WITH tk AS (

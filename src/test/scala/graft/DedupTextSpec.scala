@@ -228,4 +228,37 @@ class DedupTextSpec extends SparkSpec {
     assert(r(3L).getAs[Long]("n_tokens") == 1L)
     assert(r(3L).isNullAt(r(3L).fieldIndex("n_bigrams")))
   }
+
+  test("source KL: uniform source diverges less than degenerate one; entropy ln2 / 0") {
+    // corpus = {x:6, y:2} → pc(x)=0.75, pc(y)=0.25
+    // a = {x:.5, y:.5}: KL = .5·ln(.5/.75) + .5·ln(.5/.25) ≈ 0.143841, H = ln 2
+    // b = {x:1}:        KL = ln(1/.75) ≈ 0.287682,                      H = 0
+    val d = Seq(
+      (0L, "x x y y", "en", "a", 7L),
+      (1L, "x x x x", "en", "b", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextOps.sourceKlDivergence(d).collect()
+      .map(x => x.getAs[String]("source") -> x).toMap
+    assert(r("a").getAs[Long]("n_tokens") == 4L && r("b").getAs[Long]("n_tokens") == 4L)
+    assert(r("a").getAs[Long]("vocab_used") == 2L && r("b").getAs[Long]("vocab_used") == 1L)
+    assert(math.abs(r("a").getAs[Double]("kl_divergence") - 0.143841) < 1e-5)
+    assert(math.abs(r("b").getAs[Double]("kl_divergence") - 0.287682) < 1e-5)
+    assert(math.abs(r("a").getAs[Double]("entropy") - math.log(2)) < 1e-5)
+    assert(math.abs(r("b").getAs[Double]("entropy")) < 1e-9)
+  }
+
+  test("ngram diversity: hand counts for n=1..3; short docs emit nothing past their length") {
+    val d = Seq(
+      (0L, "p q p q", "en", "a", 7L),
+      (1L, "z", "en", "b", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextOps.ngramDiversity(d).collect()
+      .map(x => (x.getAs[String]("source"), x.getAs[Int]("n")) ->
+        ((x.getAs[Long]("total_ngrams"), x.getAs[Long]("distinct_ngrams")))).toMap
+    assert(r(("a", 1)) == ((4L, 2L))) // p q p q
+    assert(r(("a", 2)) == ((3L, 2L))) // "p q" ×2, "q p"
+    assert(r(("a", 3)) == ((2L, 2L))) // "p q p", "q p q"
+    assert(r(("b", 1)) == ((1L, 1L)))
+    assert(!r.contains(("b", 2)) && !r.contains(("b", 3))) // slice clamp: no descending sequence
+  }
 }
