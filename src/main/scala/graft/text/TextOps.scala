@@ -745,15 +745,18 @@ object TextOps {
     * Scale shape: two map-side-combinable count aggregations (per
     * (source, word), then per word), both vocab-bounded; the term
     * arithmetic runs over the |sources|×|vocab| frame joined to the
-    * vocab-sized corpus counts and a broadcast 1-row total — the corpus
-    * token stream is shuffled once and never re-joined. Cross-engine
+    * vocab-sized corpus counts and a broadcast 1-row total — the
+    * (source, word) frame is persisted so the token explode+shuffle
+    * runs ONCE and the three downstream legs (source totals, corpus
+    * counts, grand total) re-aggregate the small cached frame instead
+    * of re-scanning the corpus. Cross-engine
     * exactness follows the [[bigramLmScore]] detSum recipe: identical
     * IEEE divisions and libm logs per (source, word) row, rounded to
     * 6 dp, then decimal-summed (associative) per source.
     */
   def sourceKlDivergence(documents: DataFrame): DataFrame = {
     val tok = documents.select(col("source"), explode(toks(col("text"))).as("tok"))
-    val bySrc = tok.groupBy("source", "tok").agg(count(lit(1)).as("cs"))
+    val bySrc = tok.groupBy("source", "tok").agg(count(lit(1)).as("cs")).persist()
     val srcTot = bySrc.groupBy("source").agg(sum("cs").as("ns"))
     val corpus = bySrc.groupBy("tok").agg(sum("cs").as("c"))
     val tot = corpus.agg(sum("c").as("n"))

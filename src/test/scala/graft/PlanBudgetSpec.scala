@@ -86,6 +86,9 @@ class PlanBudgetSpec extends SparkSpec {
     // one user_id exchange shared by the change filter + interval lead,
     // plus the output sort
     "scd2_history" -> 2,
+    // one exploded instance-stream agg + per-(source,n) rollup + output
+    // sort — the 3 n-gram sizes ride one pass, never 3 scans
+    "ngram_diversity" -> 3,
     // tf agg + df agg + 1-row stats agg + score agg + top-k heap
     // clustering + survivor-set rank window + output sort — query terms
     // are driver-tokenized (no distinct nodes) and df/stats broadcast
@@ -127,6 +130,24 @@ class PlanBudgetSpec extends SparkSpec {
     assert(cached >= 8, s"only $cached cache scans — signature persist() lost:\n$plan")
     assert(uncached == 0,
       s"$uncached band-join side(s) bypass the cache and rescan the source:\n$plan")
+  }
+
+  test("source_kl_divergence legs read the persisted (source,tok) counts, not the corpus") {
+    // same logical-plan cache inspection as the minhash test above: the
+    // term frame plus the three broadcast legs (source totals, corpus
+    // counts, grand total) must all re-aggregate the cached counts — an
+    // uncached lineage re-explodes and re-shuffles the token stream 4×
+    val plan = SparkEntry.queries("source_kl_divergence")(spark, dir)
+      .queryExecution.withCachedData
+    val cached = plan.collect {
+      case _: org.apache.spark.sql.execution.columnar.InMemoryRelation => 1
+    }.sum
+    val uncached = plan.collect {
+      case _: org.apache.spark.sql.execution.datasources.LogicalRelation => 1
+    }.sum
+    assert(cached >= 4, s"only $cached cache scans — bySrc persist() lost:\n$plan")
+    assert(uncached == 0,
+      s"$uncached leg(s) bypass the cache and rescan the corpus:\n$plan")
   }
 
   test("q10 filters reach their scans (returnflag on lineitem, date range on orders)") {
