@@ -1295,6 +1295,13 @@ object Registry {
       // post-scrub token mass (quality ≈ n_tokens/100 here)
       Q("corpus_curate", (s, d) => Dedup.curateCorpus(docs(s, d), minQuality = 0.05),
         Some(Dedup.curateCorpusSql(minQuality = 0.05))),
+      // Gopher/C4 rule-by-rule curation flags (minWords=30 so the
+      // 10-99-word synthetic docs exercise both outcomes) + the
+      // per-source failure report
+      Q("quality_rule_flags", (s, d) => TextOps.qualityRuleFlags(docs(s, d)),
+        Some(TextOps.qualityRuleFlagsSql())),
+      Q("quality_rule_report", (s, d) => TextOps.qualityRuleReport(docs(s, d)),
+        Some(TextOps.qualityRuleReportSql())),
       Q("minhash_signatures", (s, d) => Dedup.minhashSignatures(docs(s, d)),
         Some(Dedup.minhashSignaturesSql)),
       Q("dedup_minhash_pairs", (s, d) => Dedup.minhashPairs(docs(s, d)),

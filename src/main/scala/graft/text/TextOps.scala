@@ -840,6 +840,127 @@ object TextOps {
        |  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS BIGINT) AS diversity
        |FROM cnt GROUP BY 1, 2 ORDER BY source, n""".stripMargin
 
+  /** Stopword list for the rule-based curation flags: the closed-class
+    * words the synthetic corpus actually contains plus the usual
+    * suspects, mirroring the "must contain ≥2 stop words" rule from
+    * Rae et al. 2021 (Gopher §A1.1) / Raffel et al. 2020 (C4).
+    */
+  private val RuleStopwords = Seq("the", "a", "of", "to", "and", "in")
+
+  /** Gopher/C4-style per-document quality rule flags — the explicit
+    * rule-by-rule breakdown a curation pipeline reports next to the
+    * blended [[qualityScore]]: each rule is an independent boolean so
+    * a corpus owner can see WHICH gate a document failed, not just
+    * that it scored low. Rules (adapted to this corpus; thresholds are
+    * parameters with the canonical defaults scaladoc'd per rule):
+    *  - word count within [minWords, maxWords] (Gopher: [50, 100k];
+    *    the synthetic docs run 10–99 words, so the registered query
+    *    uses 30 to exercise both outcomes)
+    *  - mean word length within [3, 10] characters (Gopher)
+    *  - at least 2 distinct stop words present (Gopher "stop word"
+    *    rule; list in [[RuleStopwords]])
+    *  - ≥ 80% of words contain an alphabetic character (Gopher)
+    * `n_failed` counts failing rules; `keep` is the AND of all four.
+    *
+    * Scale shape: one narrow projection — every metric folds over the
+    * in-row token array (no explode, no shuffle); the only Exchange is
+    * the output sort. Mean word length is an integer char-sum divided
+    * by an integer count once, so both engines do the same single IEEE
+    * division.
+    */
+  def qualityRuleFlags(
+      documents: DataFrame, minWords: Int = 30, maxWords: Int = 100000): DataFrame = {
+    val w = toks(col("text"))
+    val base = documents.select(
+      col("doc_id"), col("source"),
+      size(w).cast("long").as("n_words"),
+      (aggregate(transform(w, t => length(t)), lit(0L), (a, x) => a + x)
+        .cast("double") / size(w)).as("mean_word_len"),
+      size(array_intersect(array_distinct(w), array(RuleStopwords.map(lit): _*)))
+        .cast("long").as("n_stopwords"),
+      (size(filter(w, t => t.rlike("[a-z]"))).cast("double") / size(w))
+        .as("alpha_ratio"))
+    val flagged = base
+      .withColumn("word_count_ok",
+        col("n_words").between(minWords.toLong, maxWords.toLong))
+      .withColumn("mean_len_ok", col("mean_word_len").between(3.0, 10.0))
+      .withColumn("stopwords_ok", col("n_stopwords") >= 2L)
+      .withColumn("alpha_ok", col("alpha_ratio") >= 0.8)
+    flagged
+      .withColumn("n_failed", lit(4) -
+        (col("word_count_ok").cast("int") + col("mean_len_ok").cast("int") +
+          col("stopwords_ok").cast("int") + col("alpha_ok").cast("int")))
+      .withColumn("keep", col("n_failed") === 0)
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of [[qualityRuleFlags]]. */
+  def qualityRuleFlagsSql(minWords: Int = 30, maxWords: Int = 100000): String = {
+    val stops = RuleStopwords.map(s => s"'$s'").mkString(", ")
+    raw"""WITH s AS (SELECT doc_id, source,
+       |              string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+       |m AS (SELECT doc_id, source,
+       |  CAST(len(w) AS BIGINT) AS n_words,
+       |  CAST(CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) AS DOUBLE) / len(w) AS mean_word_len,
+       |  CAST(len(list_intersect(list_distinct(w), [$stops])) AS BIGINT) AS n_stopwords,
+       |  CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(w) AS alpha_ratio
+       |FROM s),
+       |f AS (SELECT *,
+       |  n_words BETWEEN $minWords AND $maxWords AS word_count_ok,
+       |  mean_word_len BETWEEN 3.0 AND 10.0 AS mean_len_ok,
+       |  n_stopwords >= 2 AS stopwords_ok,
+       |  alpha_ratio >= 0.8 AS alpha_ok
+       |FROM m)
+       |SELECT *,
+       |  4 - (CAST(word_count_ok AS INT) + CAST(mean_len_ok AS INT)
+       |     + CAST(stopwords_ok AS INT) + CAST(alpha_ok AS INT)) AS n_failed,
+       |  (4 - (CAST(word_count_ok AS INT) + CAST(mean_len_ok AS INT)
+       |      + CAST(stopwords_ok AS INT) + CAST(alpha_ok AS INT))) = 0 AS keep
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
+  /** Per-source rollup of [[qualityRuleFlags]]: how many documents
+    * each rule rejects, per source — the report a corpus owner reads
+    * to decide which source needs which filter retuned. One hash
+    * aggregation over the narrow flags frame; output is |sources| rows.
+    */
+  def qualityRuleReport(
+      documents: DataFrame, minWords: Int = 30, maxWords: Int = 100000): DataFrame =
+    qualityRuleFlags(documents, minWords, maxWords)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum((!col("word_count_ok")).cast("long")).as("n_word_count_fail"),
+        sum((!col("mean_len_ok")).cast("long")).as("n_mean_len_fail"),
+        sum((!col("stopwords_ok")).cast("long")).as("n_stopword_fail"),
+        sum((!col("alpha_ok")).cast("long")).as("n_alpha_fail"),
+        sum(col("keep").cast("long")).as("n_kept"))
+      .orderBy("source")
+
+  /** DuckDB twin of [[qualityRuleReport]]. */
+  def qualityRuleReportSql(minWords: Int = 30, maxWords: Int = 100000): String =
+    raw"""WITH s AS (SELECT doc_id, source,
+       |              string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+       |m AS (SELECT doc_id, source,
+       |  CAST(len(w) AS BIGINT) AS n_words,
+       |  CAST(CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) AS DOUBLE) / len(w) AS mean_word_len,
+       |  CAST(len(list_intersect(list_distinct(w), [${RuleStopwords.map(s => s"'$s'").mkString(", ")}])) AS BIGINT) AS n_stopwords,
+       |  CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(w) AS alpha_ratio
+       |FROM s),
+       |f AS (SELECT *,
+       |  n_words BETWEEN $minWords AND $maxWords AS word_count_ok,
+       |  mean_word_len BETWEEN 3.0 AND 10.0 AS mean_len_ok,
+       |  n_stopwords >= 2 AS stopwords_ok,
+       |  alpha_ratio >= 0.8 AS alpha_ok
+       |FROM m)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CAST(NOT word_count_ok AS INT)) AS BIGINT) AS n_word_count_fail,
+       |  CAST(SUM(CAST(NOT mean_len_ok AS INT)) AS BIGINT) AS n_mean_len_fail,
+       |  CAST(SUM(CAST(NOT stopwords_ok AS INT)) AS BIGINT) AS n_stopword_fail,
+       |  CAST(SUM(CAST(NOT alpha_ok AS INT)) AS BIGINT) AS n_alpha_fail,
+       |  CAST(SUM(CAST((word_count_ok AND mean_len_ok AND stopwords_ok AND alpha_ok) AS INT)) AS BIGINT) AS n_kept
+       |FROM f GROUP BY 1 ORDER BY source""".stripMargin
+
   /** DuckDB twin of [[repetitionStats]]. */
   val repetitionStatsSql: String =
     raw"""WITH tk AS (

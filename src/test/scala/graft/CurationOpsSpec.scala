@@ -207,4 +207,49 @@ class CurationOpsSpec extends SparkSpec {
     assert(s.count() == 500L)
     assert(s.filter(col("p_quality") < 0 || col("p_quality") > 1).isEmpty)
   }
+
+  test("quality rule flags: each Gopher rule trips on exactly its violator") {
+    import graft.text.TextOps
+    val d = Seq(
+      // passes every rule: 5 words in [3,8], mean len 15/5 = 3.0
+      // (inclusive bound), stopwords {the, and}, all alphabetic
+      (0L, "the cat and dog sat", "en", "s0", 19L),
+      // word count 2 < 3; every other rule passes (mean 6/2=3.0,
+      // stopwords {the, and}, alphabetic)
+      (1L, "the and", "en", "s1", 7L),
+      (2L, "the xx a yy zz qq", "en", "s2", 17L),        // mean len 12/6 = 2.0 < 3
+      (3L, "cat dog fox run fast", "en", "s3", 20L),     // 0 stopwords; mean 16/5 = 3.2
+      // alpha 3/5 = 0.6 < 0.8; mean 18/5 = 3.6, stopwords {the, and}
+      (4L, "the and 1111 2222 word", "en", "s4", 22L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextOps.qualityRuleFlags(d, minWords = 3, maxWords = 8).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    def flags(id: Long) = (
+      r(id).getAs[Boolean]("word_count_ok"), r(id).getAs[Boolean]("mean_len_ok"),
+      r(id).getAs[Boolean]("stopwords_ok"), r(id).getAs[Boolean]("alpha_ok"))
+    assert(flags(0L) == ((true, true, true, true)) && r(0L).getAs[Boolean]("keep"))
+    assert(flags(1L) == ((false, true, true, true)))
+    assert(flags(2L) == ((true, false, true, true)))
+    assert(flags(3L) == ((true, true, false, true)))
+    assert(flags(4L) == ((true, true, true, false)))
+    assert(math.abs(r(0L).getAs[Double]("mean_word_len") - 3.0) < 1e-12)
+    assert((1L to 4L).forall(id => r(id).getAs[Int]("n_failed") == 1 &&
+      !r(id).getAs[Boolean]("keep")))
+  }
+
+  test("quality rule report: per-source failure counts roll up the flags") {
+    import graft.text.TextOps
+    val d = Seq(
+      (0L, "the cat and dog sat", "en", "s0", 19L),  // keeps
+      (1L, "the and", "en", "s0", 7L),               // word-count fail only
+      (2L, "cat dog fox run fast", "en", "s1", 20L)) // stopword fail only
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextOps.qualityRuleReport(d, minWords = 3, maxWords = 8).collect()
+      .map(x => x.getAs[String]("source") -> x).toMap
+    assert(r("s0").getAs[Long]("n_docs") == 2L)
+    assert(r("s0").getAs[Long]("n_word_count_fail") == 1L)
+    assert(r("s0").getAs[Long]("n_kept") == 1L)
+    assert(r("s1").getAs[Long]("n_stopword_fail") == 1L)
+    assert(r("s1").getAs[Long]("n_kept") == 0L)
+  }
 }

@@ -89,6 +89,11 @@ class PlanBudgetSpec extends SparkSpec {
     // one exploded instance-stream agg + per-(source,n) rollup + output
     // sort — the 3 n-gram sizes ride one pass, never 3 scans
     "ngram_diversity" -> 3,
+    // narrow in-row array folds; the 1 is the output sort
+    "quality_rule_flags" -> 1,
+    // source agg + output sort (the per-doc sort is eliminated below
+    // the aggregate)
+    "quality_rule_report" -> 2,
     // tf agg + df agg + 1-row stats agg + score agg + top-k heap
     // clustering + survivor-set rank window + output sort — query terms
     // are driver-tokenized (no distinct nodes) and df/stats broadcast
