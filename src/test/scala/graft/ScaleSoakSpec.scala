@@ -117,4 +117,8 @@ class ScaleSoakSpec extends SparkSpec {
   // bounded-heap pipeline
   soak("dedup_containment")(d => Dedup.containmentPairs(d))(baseDocs, bigDocs)
   soak("search_bm25")(d => TextOps.searchBm25(d))(baseDocs, bigDocs)
+  // the 3×-token explode feeding two count layers must stay linear in
+  // the instance stream (the clones' rotated vocab also grows the
+  // per-(source,n,gram) key space, so this bounds the agg, not a cache)
+  soak("ngram_diversity")(TextOps.ngramDiversity)(baseDocs, bigDocs)
 }
