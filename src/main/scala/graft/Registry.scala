@@ -1827,8 +1827,10 @@ object Registry {
 
       // As-of temporal enrichment: every event matched to the latest
       // weather reading at-or-before it, with the weather feed thinned to
-      // every 3rd hour so the as-of genuinely spans hours (lookback 3
-      // covers the max staleness). Oracle = DuckDB's native ASOF JOIN.
+      // every 3rd hour so the as-of genuinely spans hours. The staleness
+      // bound is derived from the quote feed itself (asofJoinHourlyAuto)
+      // so sparse feeds with multi-hour holes still match DuckDB's
+      // unbounded native ASOF JOIN, the oracle.
       Q("asof_weather_enrich",
         (s, d) => {
           val probes = TestdataAdapter.timedEvents(s, d)
@@ -1836,8 +1838,8 @@ object Registry {
             .filter(hour(col("hour_ts")) % 3 === 0)
             .select(col("hour_ts").cast("timestamp_ntz").as("hour_ts"),
               col("temperature_c"))
-          Relational.asofJoinHourly(probes, "observed_at", "event_id",
-            quotes, "hour_ts", lookbackHours = 3)
+          Relational.asofJoinHourlyAuto(probes, "observed_at", "event_id",
+            quotes, "hour_ts")
             .select(col("event_id"), col("route_id"), col("observed_at"),
               col("hour_ts").as("weather_hour_ts"), col("temperature_c"))
             .orderBy("event_id")

@@ -10,11 +10,13 @@ import org.apache.spark.sql.functions._
   * registered in SparkEntry.queries against the DuckDB oracle.
   *
   * Timestamp notes:
-  *  - `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4.1 cannot map
-  *    to a timestamp type; with spark.sql.legacy.parquet.nanosAsLong it
-  *    reads as a long of nanos, converted here with an integer-exact
-  *    DIV 1000 → timestamp_micros → TIMESTAMP_NTZ (the oracle's
-  *    CAST(ts AS TIMESTAMP) truncates ns→µs identically).
+  *  - `events.ts` has shipped as parquet TIMESTAMP(NANOS) (readable only
+  *    as a long of nanos via spark.sql.legacy.parquet.nanosAsLong) and as
+  *    timestamp[us] (read as TIMESTAMP_NTZ). Conversion to the µs-precision
+  *    NTZ contract is schema-adaptive — functions.EventTimeExpr dispatches
+  *    on the resolved child type (long → exact DIV 1000; timestamp → µs
+  *    pass-through), so the adapters survive either physical form. The
+  *    oracle's CAST(ts AS TIMESTAMP) truncates ns→µs / no-ops identically.
   *  - Downstream date_trunc/hour arithmetic implicitly casts NTZ to
   *    session-TZ TIMESTAMP (Spark 4.1 behavior), so wall-clock correctness
   *    relies on the UTC session-timezone pin in build.sbt/Verify; query

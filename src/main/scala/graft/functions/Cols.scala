@@ -87,19 +87,28 @@ object Cols {
     */
   def isoTs(ts: Column): Column = date_format(ts, "yyyy-MM-dd'T'HH:mm:ss")
 
-  /** The canonical long-nanos → microseconds conversion (the events
-    * parquet stores TIMESTAMP(NANOS), read as a long — see
-    * TestdataAdapter): integer floor-division in decimal(38,0) so the
-    * truncation is exact for any 64-bit nano count. Every module that
-    * needs event time derives through here (or [[ntzFromNanos]]) — the
-    * idiom is precision-critical and must not fork.
+  /** The canonical event-time → µs-since-epoch conversion, SCHEMA-ADAPTIVE
+    * (see [[EventTimeExpr]]): a long child is treated as nanos and
+    * floor-divided by 1000 (integer-exact for any 64-bit count); a
+    * timestamp / timestamp_ntz child passes through at its native µs
+    * precision, bit-for-bit, with no timezone interpretation. The
+    * driver's testdata has shipped `events.ts` in both physical forms;
+    * every module that needs event time derives through here (or
+    * [[ntzFromNanos]]) — the idiom is precision-critical and must not
+    * fork (an inline fixed-type cast is an analysis error in the world
+    * it wasn't written for).
     */
   def microsFromNanos(c: Column): Column =
-    floor(c.cast("decimal(38,0)") / 1000).cast("long")
+    org.apache.spark.sql.GraftSqlShims.column(
+      EventTimeExpr(org.apache.spark.sql.GraftSqlShims.expression(c), ntz = false))
 
-  /** [[microsFromNanos]] materialized as a session-TZ-free timestamp. */
+  /** [[microsFromNanos]] materialized directly as TIMESTAMP_NTZ (same
+    * adaptive dispatch; the NTZ value is the µs count reinterpreted, no
+    * session-timezone round-trip).
+    */
   def ntzFromNanos(c: Column): Column =
-    timestamp_micros(microsFromNanos(c)).cast("timestamp_ntz")
+    org.apache.spark.sql.GraftSqlShims.column(
+      EventTimeExpr(org.apache.spark.sql.GraftSqlShims.expression(c), ntz = true))
 
   /** F21/P8 — NaN/Inf scrub to null (export hygiene).
     * Ref: src/optimization/export_suggestions_json.py:31-49.

@@ -432,6 +432,39 @@ object Relational {
       .drop("__bucket", "__rn")
   }
 
+  /** [[asofJoinHourly]] with the staleness bound DERIVED from the data
+    * instead of asserted by the caller: the lookback is the largest gap
+    * between consecutive distinct quote hours, widened by the tail gap
+    * from the last quote to the last probe (DuckDB's ASOF matches
+    * trailing probes to the final quote at arbitrary staleness). With
+    * that bound every probe at-or-after the first quote matches exactly
+    * its ASOF row, whatever the feed's cadence — sparse synthetic feeds
+    * included. Cost of adaptivity: one aggregate over the DISTINCT
+    * quote/probe hours (bounded by calendar hours — ~9k rows for a year
+    * of data regardless of corpus size; the global window sort below is
+    * over that hour set, not the data) collected to the driver as a
+    * single int. The dominant join stays the bucketed equality shape.
+    */
+  def asofJoinHourlyAuto(
+      probes: DataFrame, probeTs: String, probeKey: String,
+      quotes: DataFrame, quoteTs: String): DataFrame = {
+    val qh = quotes.select(date_trunc("hour", col(quoteTs)).as("h")).distinct()
+    val w = Window.orderBy("h")
+    val maxGap = qh
+      .withColumn("gap", (unix_timestamp(col("h")) -
+        unix_timestamp(lag(col("h"), 1).over(w))) / 3600L)
+      .agg(max(col("gap")).as("g"), max(unix_timestamp(col("h"))).as("last_q"))
+    val maxProbe = probes
+      .agg(max(unix_timestamp(date_trunc("hour", col(probeTs)))).as("last_p"))
+    val row = maxGap.crossJoin(maxProbe)
+      .select(greatest(
+        coalesce(col("g"), lit(0L)),
+        ceil((col("last_p") - col("last_q")) / 3600.0)).cast("int").as("lb"))
+      .head()
+    val lookback = math.max(1, if (row.isNullAt(0)) 1 else row.getInt(0))
+    asofJoinHourly(probes, probeTs, probeKey, quotes, quoteTs, lookback)
+  }
+
   /** Interval-overlap (range) join without an inequality join: each
     * interval is exploded to the hour buckets it spans, each point
     * buckets to its own hour, and the match is a plain equality join on

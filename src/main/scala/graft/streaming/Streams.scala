@@ -425,7 +425,7 @@ object Streams {
     val ev = eventsStream(spark, dir)
       .select(
         col("user_id").cast("long").as("user_id"),
-        (col("ts").cast("decimal(38,0)") / 1000).cast("long").as("ts_us"),
+        graft.functions.Cols.microsFromNanos(col("ts")).as("ts_us"),
         col("value"))
       .withColumn("ts", timestamp_micros(col("ts_us")))
       .withWatermark("ts", "1 hour")

@@ -110,6 +110,29 @@ class ScaleSpec extends SparkSpec {
     assert(out == Map(1L -> 1.0, 2L -> 2.0, 4L -> 2.0))
   }
 
+  test("auto as-of derives a lookback that covers sparse quote gaps and the trailing tail") {
+    import graft.rel.Relational
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // quote holes of 18 h and a probe 26 h past the final quote — both
+    // beyond any reasonable fixed lookback (round 8's asof_weather_enrich
+    // lesson: the feed's cadence is the data's to choose, not the caller's)
+    val quotes = Seq(
+      (ts("2024-01-01 00:00:00"), 1.0),
+      (ts("2024-01-01 18:00:00"), 2.0),
+      (ts("2024-01-02 00:00:00"), 3.0))
+      .toDF("hour_ts", "temperature_c")
+    val probes = Seq(
+      (1L, ts("2024-01-01 17:59:00")), // deep inside the 18 h hole → quote 1
+      (2L, ts("2024-01-01 18:00:00")), // exactly at → quote 2
+      (3L, ts("2024-01-03 02:00:00")), // 26 h after the last quote → quote 3
+      (4L, ts("2023-12-31 23:00:00"))) // pre-first-quote → dropped (inner)
+      .toDF("event_id", "observed_at")
+    val out = Relational.asofJoinHourlyAuto(
+      probes, "observed_at", "event_id", quotes, "hour_ts")
+      .select("event_id", "temperature_c").as[(Long, Double)].collect().toMap
+    assert(out == Map(1L -> 1.0, 2L -> 2.0, 3L -> 3.0))
+  }
+
   test("incremental refresh overwrites only the touched hour partitions") {
     val dir = Files.createTempDirectory("graft_incr").toString
     val full = Seq(

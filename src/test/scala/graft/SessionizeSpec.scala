@@ -74,7 +74,7 @@ class SessionizeSpec extends SparkSpec {
       .select("user_id", "session_start", "session_end", "n_events").collect()
     val viaWindow = df
       .select(col("user_id"),
-        timestamp_micros(floor(col("ts").cast("decimal(38,0)") / 1000).cast("long")).as("ts"))
+        graft.functions.Cols.ntzFromNanos(col("ts")).cast("timestamp").as("ts"))
       .groupBy(col("user_id"), session_window(col("ts"), "12 hours"))
       .agg(min("ts").as("session_start"), max("ts").as("session_end"),
         count(lit(1)).as("n_events"))

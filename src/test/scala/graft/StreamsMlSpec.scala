@@ -51,8 +51,7 @@ class StreamsMlSpec extends SparkSpec {
     val batchSt = TestdataAdapter.table(spark, dir, "events")
       .groupBy(col("user_id").cast("long").as("user_id"))
       .agg(count(lit(1)).as("n_events"),
-        max(timestamp_micros(floor(col("ts").cast("decimal(38,0)") / 1000).cast("long"))
-          .cast("timestamp_ntz")).as("last_ts"))
+        max(graft.functions.Cols.ntzFromNanos(col("ts"))).as("last_ts"))
     assert(st.exceptAll(batchSt).isEmpty && batchSt.exceptAll(st).isEmpty)
   }
 
@@ -66,7 +65,7 @@ class StreamsMlSpec extends SparkSpec {
       staged.resolve("events.parquet"))
     val veh = spark.readStream.schema(schema).parquet(staged.toString)
       .select(col("event_type").as("route_id"),
-        timestamp_micros(floor(col("ts").cast("decimal(38,0)") / 1000).cast("long"))
+        graft.functions.Cols.ntzFromNanos(col("ts")).cast("timestamp")
           .as("observed_at"))
       .withWatermark("observed_at", "1 hour")
       .groupBy(window(col("observed_at"), "1 hour"), col("route_id"))
