@@ -1218,6 +1218,9 @@ object Registry {
         Some(TextOps.ccnetBucketsSql)),
       Q("domain_mixture", (s, d) => TextOps.domainMixture(docs(s, d)),
         Some(TextOps.domainMixtureSql)),
+
+      Q("temperature_mixture", (s, d) => TextOps.temperatureMixture(docs(s, d)),
+        Some(TextOps.temperatureMixtureSql())),
       // mixture diagnostics: per-source unigram KL vs the corpus mix +
       // per-source entropy (detSum-rounded log terms, decimal-summed)
       Q("source_kl_divergence", (s, d) => TextOps.sourceKlDivergence(docs(s, d)),

@@ -732,6 +732,55 @@ object TextOps {
        |  (CAST(total_tokens AS DOUBLE) / n_sources) / n_tokens AS resample_weight
        |FROM per, tot ORDER BY source""".stripMargin
 
+  /** Temperature-scaled mixture weights — the standard multi-domain
+    * sampling rule for LM training corpora (sample source i with
+    * probability q_i ∝ p_i^α, where p_i is its natural token share):
+    * α = 1 keeps the natural mix, α → 0 approaches uniform, and the
+    * usual α ≈ 0.3 boosts low-resource sources without letting them
+    * dominate. Emits p_i, q_i, and the up/down-sampling factor
+    * q_i/p_i a resampler would apply. Same execution shape as
+    * [[domainMixture]]: one map-side-combinable aggregation keyed by
+    * source + a broadcast 1-row total; the power/normalization
+    * arithmetic runs on the domains-sized frame, never re-shuffling the
+    * corpus. Outputs round to 9 dp so both engines' `pow` land on the
+    * same double (the [[graft.ml.HashSplit.weightedSample]] convention).
+    */
+  def temperatureMixture(documents: DataFrame, alpha: Double = 0.3): DataFrame = {
+    val per = documents
+      .select(col("source"), size(toks(col("text"))).cast("long").as("n_toks"))
+      .groupBy("source")
+      .agg(sum("n_toks").as("n_tokens"))
+    val tot = per.agg(sum("n_tokens").as("total_tokens"))
+    val p = col("n_tokens").cast("double") / col("total_tokens")
+    val scaled = per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"), p.as("p"), pow(p, alpha).as("pa"))
+    val z = scaled.agg(sum("pa").as("z"))
+    scaled.crossJoin(broadcast(z))
+      .select(
+        col("source"), col("n_tokens"),
+        round(col("p"), 9).as("token_share"),
+        round(col("pa") / col("z"), 9).as("sample_prob"),
+        round(col("pa") / col("z") / col("p"), 9).as("resample_factor"))
+      .orderBy("source")
+  }
+
+  /** DuckDB twin of [[temperatureMixture]]. */
+  def temperatureMixtureSql(alpha: Double = 0.3): String =
+    raw"""WITH per AS (
+       |  SELECT source,
+       |    CAST(SUM(len(string_split_regex(trim(lower(text)), '\s+'))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM per),
+       |sc AS (SELECT source, n_tokens,
+       |    CAST(n_tokens AS DOUBLE) / total_tokens AS p,
+       |    pow(CAST(n_tokens AS DOUBLE) / total_tokens, $alpha) AS pa
+       |  FROM per, tot),
+       |z AS (SELECT SUM(pa) AS z FROM sc)
+       |SELECT source, n_tokens, round(p, 9) AS token_share,
+       |  round(pa / z, 9) AS sample_prob,
+       |  round(pa / z / p, 9) AS resample_factor
+       |FROM sc, z ORDER BY source""".stripMargin
+
   /** Per-source unigram KL divergence against the whole-corpus unigram
     * distribution, plus each source's own unigram entropy — the
     * domain-shift diagnostic a mixture designer reads next to

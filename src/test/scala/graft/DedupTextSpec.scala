@@ -150,6 +150,31 @@ class DedupTextSpec extends SparkSpec {
     assert(r("web").getAs[Double]("resample_weight") == 0.6)
   }
 
+  test("temperature mixture: α=1 is the natural mix, α→0 flattens toward uniform") {
+    val mix = Seq(
+      (1L, "one two three four five six seven eight", "en", "web", 39L),
+      (2L, "one two", "en", "web", 7L),
+      (3L, "alpha beta", "en", "books", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def byS(alpha: Double) = TextOps.temperatureMixture(mix, alpha).collect()
+      .map(x => x.getAs[String]("source") -> x).toMap
+    val nat = byS(1.0)
+    // α=1: sampling probability IS the token share (web 10/12, books 2/12)
+    nat.values.foreach(r =>
+      assert(r.getAs[Double]("sample_prob") == r.getAs[Double]("token_share")))
+    val flat = byS(1e-9)
+    // α→0: both sources approach 1/2 regardless of size
+    flat.values.foreach(r =>
+      assert(math.abs(r.getAs[Double]("sample_prob") - 0.5) < 1e-6))
+    val mid = byS(0.3)
+    assert(math.abs(mid.values.map(_.getAs[Double]("sample_prob")).sum - 1.0) < 1e-8)
+    // the low-resource source is boosted but stays the minority
+    val books = mid("books").getAs[Double]("sample_prob")
+    assert(books > 2.0 / 12 && books < 0.5)
+    assert(mid("books").getAs[Double]("resample_factor") > 1.0)
+    assert(mid("web").getAs[Double]("resample_factor") < 1.0)
+  }
+
   test("chunking tiles tokens with the configured overlap; short docs get one chunk") {
     val d = Seq(
       (1L, (1 to 95).map(i => s"t$i").mkString(" "), "en", "s", 0L), // 95 tokens
