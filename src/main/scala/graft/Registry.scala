@@ -1311,6 +1311,9 @@ object Registry {
         Some(Dedup.minhashPairsSql)),
       Q("dedup_ngram_jaccard", (s, d) => Dedup.ngramJaccard(docs(s, d)),
         Some(Dedup.ngramJaccardSql)),
+
+      Q("split_leakage", (s, d) => Dedup.splitLeakage(docs(s, d)),
+        Some(Dedup.splitLeakageSql())),
       // overlap-coefficient leg over the same LSH candidates: the
       // quote/excerpt (asymmetric containment) catches Jaccard misses
       Q("dedup_containment", (s, d) => Dedup.containmentPairs(docs(s, d)),

@@ -265,6 +265,69 @@ object Dedup {
        |JOIN sz sb ON sb.doc_id = i.doc_b
        |ORDER BY i.doc_a, i.doc_b""".stripMargin
 
+  /** Split-leakage audit — the check a training pipeline runs after
+    * splitting: near-duplicate document pairs (LSH candidates verified
+    * at `jaccard ≥ minJaccard`) that STRADDLE the train/val/test
+    * boundary. A test doc with a near-twin in train silently inflates
+    * eval scores; this reports, per unordered split pair, how many
+    * verified near-dup pairs cross it (`leaks = true` rows are the
+    * problem; the diagonal rows are benign duplication inside one
+    * split). Composes [[ngramJaccard]] with
+    * [[graft.ml.HashSplit.splitAssign]]: the pair frame is near-linear
+    * (LSH-bounded), the split assignment is a narrow hash — two
+    * doc_id-keyed joins of a small frame against a narrow projection,
+    * then a |splits|²-bounded aggregate. Nothing here re-shuffles the
+    * corpus text.
+    */
+  def splitLeakage(documents: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+    val dups = ngramJaccard(documents)
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b")
+    val splits = graft.ml.HashSplit.splitAssign(documents)
+      .select(col("doc_id"), col("split"))
+    dups
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("sa")), Seq("doc_a"))
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("sb")), Seq("doc_b"))
+      .select(
+        least(col("sa"), col("sb")).as("split_x"),
+        greatest(col("sa"), col("sb")).as("split_y"))
+      .groupBy("split_x", "split_y")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("leaks", col("split_x") =!= col("split_y"))
+      .orderBy("split_x", "split_y")
+  }
+
+  /** DuckDB twin of [[splitLeakage]]. */
+  def splitLeakageSql(minJaccard: Double = 0.5): String = {
+    val b = graft.ml.HashSplit.hashBucketSql("doc_id", 100)
+    s"""WITH $PAIRS_CTE,
+       |sz AS (SELECT doc_id, COUNT(*) AS nsh FROM hs GROUP BY 1),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+       |  FROM cand c
+       |  JOIN hs a ON a.doc_id = c.doc_a
+       |  JOIN hs b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+       |  GROUP BY 1, 2),
+       |dup AS (
+       |  SELECT i.doc_a, i.doc_b
+       |  FROM inter i
+       |  JOIN sz sa ON sa.doc_id = i.doc_a
+       |  JOIN sz sb ON sb.doc_id = i.doc_b
+       |  WHERE CAST(i.n_inter AS DOUBLE) / (sa.nsh + sb.nsh - i.n_inter) >= $minJaccard),
+       |sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN ($b) < 80 THEN 'train' WHEN ($b) < 90 THEN 'val' ELSE 'test' END AS split
+       |  FROM documents)
+       |SELECT LEAST(pa.split, pb.split) AS split_x,
+       |  GREATEST(pa.split, pb.split) AS split_y,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  LEAST(pa.split, pb.split) <> GREATEST(pa.split, pb.split) AS leaks
+       |FROM dup d
+       |JOIN sp pa ON pa.doc_id = d.doc_a
+       |JOIN sp pb ON pb.doc_id = d.doc_b
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   /** SimHash near-dup candidates via 16-bit banding of the 64-bit
     * signature: docs sharing any of the four 16-bit bands are candidates
     * (65,536 buckets per band); report pairs with Hamming distance ≤

@@ -150,6 +150,34 @@ class DedupTextSpec extends SparkSpec {
     assert(r("web").getAs[Double]("resample_weight") == 0.6)
   }
 
+  test("split leakage: cross-split near-dups flag, same-split ones stay benign") {
+    import graft.ml.HashSplit
+    // find doc_ids on both sides of the train/test boundary from the
+    // same hash the operator uses, so the fixture can't rot if the
+    // split hash ever changes
+    val probe = spark.range(1, 200).select(col("id").as("doc_id"),
+      lit("x").as("text"), lit("en").as("lang"), lit("s").as("source"), lit(1L).as("n_chars"))
+    val bySplit = HashSplit.splitAssign(probe).collect()
+      .groupBy(_.getAs[String]("split")).map { case (k, v) => k -> v.map(_.getAs[Long]("doc_id")).toSeq }
+    val Seq(tr1, tr2, tr3) = bySplit("train").take(3)
+    val te1 = bySplit("test").head
+    val dup = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (tr1, dup, "en", "a", 60L),                     // near-dup of te1 → LEAK
+      (te1, dup + " tail", "en", "a", 65L),
+      (tr2, "completely different words here one two three four five", "en", "b", 56L),
+      (tr3, "completely different words here one two three four six", "en", "b", 55L), // train∩train dup
+      (bySplit("val").head, "unrelated singleton content nothing shared with any other doc", "en", "c", 62L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Dedup.splitLeakage(docs, minJaccard = 0.5).collect()
+      .map(x => (x.getAs[String]("split_x"), x.getAs[String]("split_y")) -> x).toMap
+    assert(r(("test", "train")).getAs[Long]("n_pairs") == 1L)
+    assert(r(("test", "train")).getAs[Boolean]("leaks"))
+    assert(r(("train", "train")).getAs[Long]("n_pairs") == 1L)
+    assert(!r(("train", "train")).getAs[Boolean]("leaks"))
+    assert(!r.contains(("val", "val"))) // the singleton never pairs
+  }
+
   test("temperature mixture: α=1 is the natural mix, α→0 flattens toward uniform") {
     val mix = Seq(
       (1L, "one two three four five six seven eight", "en", "web", 39L),
