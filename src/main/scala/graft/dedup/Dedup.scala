@@ -585,16 +585,25 @@ object Dedup {
       documents: DataFrame, minQuality: Double = 0.2,
       langs: Seq[String] = Seq("en")): DataFrame = {
     val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val scores = TextOps.langScoreCols(col("text"))
+    // every text-derived value materializes in ONE projection BELOW the
+    // dedup window: the filter above then references plain attributes,
+    // which predicate pushdown cannot substitute past a Window keyed on
+    // another column — without this, the optimizer inlines the score
+    // trees back into the Filter and every regex count evaluates two to
+    // three times per row (and, pre-factoring, overflowed Janino's
+    // method limit entirely — see TextOps.langScoreCols)
     documents
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
       .select(
-        col("doc_id"), col("source"), col("n_chars"),
-        size(TextOps.toks(col("text"))).cast("long").as("n_tokens"),
-        TextOps.qualityScore(col("text")).as("quality_score"),
-        TextOps.predictedLang(col("text")).as("predicted_lang"))
-      .filter(col("quality_score") >= minQuality &&
+        col("doc_id") +: col("text") +: col("source") +: col("n_chars") +:
+          size(TextOps.toks(col("text"))).cast("long").as("n_tokens") +:
+          TextOps.qualityScore(col("text")).as("quality_score") +:
+          scores.map { case (n, c) => c.cast("long").as("__" + n) }: _*)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("predicted_lang", TextOps.langCaseFromScores("__"))
+      .filter(col("rn") === 1 && col("quality_score") >= minQuality &&
         col("predicted_lang").isInCollection(langs))
+      .drop("text" +: "rn" +: scores.map("__" + _._1): _*)
       .orderBy("doc_id")
   }
 
@@ -852,14 +861,17 @@ object Dedup {
       documents: DataFrame, minQuality: Double = 0.2,
       langs: Seq[String] = Seq("en")): DataFrame = {
     val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val scores = TextOps.langScoreCols(col("text"))
     documents
       .withColumn("rn", row_number().over(w))
       .select(
-        col("doc_id"),
-        size(TextOps.toks(col("text"))).cast("long").as("n_toks"),
-        (col("rn") === 1).as("is_rep"),
-        (TextOps.qualityScore(col("text")) >= minQuality).as("q_ok"),
-        TextOps.predictedLang(col("text")).isInCollection(langs).as("lang_ok"))
+        col("doc_id") +:
+          size(TextOps.toks(col("text"))).cast("long").as("n_toks") +:
+          (col("rn") === 1).as("is_rep") +:
+          (TextOps.qualityScore(col("text")) >= minQuality).as("q_ok") +:
+          scores.map { case (n, c) => c.cast("long").as("__" + n) }: _*)
+      .withColumn("lang_ok",
+        TextOps.langCaseFromScores("__").isInCollection(langs))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_toks")).as("n_tokens"),
@@ -925,16 +937,20 @@ object Dedup {
       .join(documents.select(col("doc_id"), col("source")), Seq("doc_id"))
       .select(col("doc_id"), col("cleaned_text").as("text"), col("source"))
     val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val scores = TextOps.langScoreCols(col("text"))
+    // same plan shape as corpusFilter: one text-derived projection below
+    // the dedup window, attribute-only filter above (see the note there)
     cleaned
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
       .select(
-        col("doc_id"), col("source"),
-        size(TextOps.toks(col("text"))).cast("long").as("n_tokens"),
-        TextOps.qualityScore(col("text")).as("quality_score"),
-        TextOps.predictedLang(col("text")).as("predicted_lang"))
-      .filter(col("quality_score") >= minQuality &&
+        col("doc_id") +: col("text") +: col("source") +:
+          size(TextOps.toks(col("text"))).cast("long").as("n_tokens") +:
+          TextOps.qualityScore(col("text")).as("quality_score") +:
+          scores.map { case (n, c) => c.cast("long").as("__" + n) }: _*)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("predicted_lang", TextOps.langCaseFromScores("__"))
+      .filter(col("rn") === 1 && col("quality_score") >= minQuality &&
         col("predicted_lang").isInCollection(langs))
+      .drop("text" +: "rn" +: scores.map("__" + _._1): _*)
       .orderBy("doc_id")
   }
 

@@ -135,9 +135,62 @@ object TextOps {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** The marker-score columns behind [[predictedLang]], materialized
+    * once: CJK codepoint count plus one summed marker count per
+    * language. Use with [[langCaseFromScores]] in a TWO-projection plan
+    * instead of the single-expression [[predictedLang]] whenever the
+    * prediction feeds a real query: inside the inlined CASE every score
+    * sits in a conditional branch, where codegen's subexpression
+    * elimination cannot hoist it (branches evaluate lazily), so the
+    * generated method repeats every regexp count up to ~8×, exceeds
+    * Janino's method limits, and the operator silently falls back to
+    * interpreted evaluation with the duplication intact — measured
+    * 5-10× on corpus_filter/lang_id at sf0.1. Materializing the five
+    * scores as aliases computes each count exactly once
+    * (CollapseProject never inlines a non-cheap alias referenced more
+    * than once) and the downstream CASE is integer comparisons.
+    */
+  def langScoreCols(t: Column): Seq[(String, Column)] = {
+    val padded = concat(lit(" "), lower(t), lit(" "))
+    ("cjk_chars" -> (length(t) - length(regexp_replace(t, "[一-鿿]", "")))) +:
+      Markers.map { case (lang, ms) =>
+        s"${lang}_score" -> ms.map(m => occurrencesChars(padded, m)).reduceLeft(_ + _)
+      }
+  }
+
+  /** The [[predictedLang]] decision tree over already-materialized
+    * [[langScoreCols]] attributes (optionally name-prefixed).
+    */
+  def langCaseFromScores(prefix: String = ""): Column = {
+    def s(n: String) = col(prefix + n)
+    val cjk = s("cjk_chars"); val en = s("en_score"); val de = s("de_score")
+    val fr = s("fr_score"); val es = s("es_score")
+    when(cjk > 0, "zh")
+      .when(de > en && de > fr && de > es, "de")
+      .when(fr > en && fr >= de && fr > es, "fr")
+      .when(es > en && es >= de && es >= fr, "es")
+      .when(en + de + fr + es > 0, "en")
+      .otherwise("und")
+  }
+
+  /** Append `predicted_lang` to `df` (which must carry `text`) via the
+    * factored two-projection plan of [[langScoreCols]] — the form every
+    * query-side consumer should use.
+    */
+  def withPredictedLang(df: DataFrame, out: String = "predicted_lang"): DataFrame = {
+    val scores = langScoreCols(col("text"))
+    val scored = df.select(
+      col("*") +: scores.map { case (n, c) => c.cast("long").as("__" + n) }: _*)
+    scored.withColumn(out, langCaseFromScores("__"))
+      .drop(scores.map("__" + _._1): _*)
+  }
+
   /** Predicted language of a text column (fixed-priority decision tree
     * over the marker scores; CJK first via codepoint-range count).
-    * Shared by [[languageId]] and the corpus filter.
+    * Shared single-expression form — semantics reference for specs and
+    * for contexts where the value lands in exactly one projection;
+    * query plans should prefer [[langScoreCols]] + [[langCaseFromScores]]
+    * (see the codegen note there).
     */
   def predictedLang(t: Column): Column = {
     val padded = concat(lit(" "), lower(t), lit(" "))
@@ -182,18 +235,10 @@ object TextOps {
     * not accuracy.
     */
   def languageId(documents: DataFrame): DataFrame = {
-    val padded = concat(lit(" "), lower(col("text")), lit(" "))
-    val cjk = length(col("text")) - length(regexp_replace(col("text"), "[一-鿿]", ""))
-    val scores = Markers.map { case (lang, ms) =>
-      lang -> ms.map(m => occurrencesChars(padded, m)).reduceLeft(_ + _)
-    }.toMap
-    val en = scores("en"); val de = scores("de"); val fr = scores("fr"); val es = scores("es")
     documents.select(
-      col("doc_id"), col("lang"),
-      cjk.cast("long").as("cjk_chars"),
-      en.cast("long").as("en_score"), de.cast("long").as("de_score"),
-      fr.cast("long").as("fr_score"), es.cast("long").as("es_score"),
-      predictedLang(col("text")).as("predicted_lang"))
+      col("doc_id") +: col("lang") +:
+        langScoreCols(col("text")).map { case (n, c) => c.cast("long").as(n) }: _*)
+      .withColumn("predicted_lang", langCaseFromScores())
       .withColumn("is_match", (col("predicted_lang") === col("lang")).cast("boolean"))
       .orderBy("doc_id")
   }
@@ -520,8 +565,11 @@ object TextOps {
     * tokens have no LM score and are excluded (CCNet drops them too).
     */
   def ccnetBuckets(documents: DataFrame): DataFrame = {
-    val perDoc = bigramNllCore(documents,
-      carry = Seq("predicted_lang" -> predictedLang(col("text"))))
+    val docsScored = documents.select(
+      col("doc_id") +: col("text") +:
+        langScoreCols(col("text")).map { case (n, c) => c.cast("long").as("__" + n) }: _*)
+    val perDoc = bigramNllCore(docsScored,
+      carry = Seq("predicted_lang" -> langCaseFromScores("__")))
     graft.rel.Scale.ntileExactBy(perDoc, n = 3,
       group = Seq("predicted_lang"), keys = Seq("avg_nll", "doc_id"))
       .withColumn("bucket",
