@@ -744,7 +744,7 @@ object Relational {
     tableDiff(ev, newVersion, "event_id", Seq("event_type", "value"))
   }
 
-  /** long nanos → TIMESTAMP_NTZ (µs), integer-exact. */
+  /** event ts (long nanos or timestamp) → TIMESTAMP_NTZ (µs), schema-adaptive. */
   private def timestampMicrosFromNanos(c: org.apache.spark.sql.Column) =
     ntzFromNanos(c)
 

@@ -39,11 +39,11 @@ object Sessionize {
     */
   val GapUs: Long = 12L * 3600 * 1000000
 
-  /** long nanos → long µs, integer-exact floor. */
+  /** event ts (long nanos or timestamp) → long µs, schema-adaptive. */
   private def usFromNanos(c: Column): Column =
     graft.functions.Cols.microsFromNanos(c)
 
-  /** events(ts: long nanos) → one row per (user_id, session_idx) with
+  /** events(ts: any physical event-time form) → one row per (user_id, session_idx) with
     * start/end, event/type counts, duration, and exact value total.
     */
   def sessions(events: DataFrame): DataFrame = {

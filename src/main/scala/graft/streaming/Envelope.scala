@@ -60,7 +60,7 @@ object Envelope {
     * DECIMAL(9,6): the source values are ≤3 dp, so the cast is exact
     * cross-engine and the JSON text is scale-stable ("1.500000").
     */
-  // shared wire-record helpers: event-time µs from the nanos long, the
+  // shared wire-record helpers: event-time µs (schema-adaptive), the
   // fixed-width ISO-8601 renderer, and the deterministic ingest lag
   private val tsUs = graft.functions.Cols.microsFromNanos(col("ts"))
   private def iso(t: Column): Column =
