@@ -1362,6 +1362,8 @@ object Registry {
         Some(Dedup.simhashPairsSql())),
       Q("knn_bruteforce", (s, d) => Knn.bruteForceTopK(embs(s, d)),
         Some(Knn.bruteForceTopKSql())),
+      Q("hard_negatives", (s, d) => Knn.hardNegatives(embs(s, d)),
+        Some(Knn.hardNegativesSql())),
       Q("knn_bucketed", (s, d) => Knn.bucketedTopK(embs(s, d)),
         Some(Knn.bucketedTopKSql())),
       // IVF with trained centroids — rows-only (k-means‖ is not

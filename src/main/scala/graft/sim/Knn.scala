@@ -94,6 +94,50 @@ object Knn {
        |SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS "rank", cosine
        |FROM r WHERE rn <= $k ORDER BY query_id, "rank"""".stripMargin
 
+  /** Hard-negative mining for contrastive / retrieval training: for
+    * each anchor (vec_id < nAnchors), the k most cosine-similar vectors
+    * carrying a DIFFERENT label — the "close but wrong" examples that
+    * move a margin loss the most (random negatives are trivially
+    * separable; these are not). Same execution shape as
+    * [[bruteForceTopK]]: the bounded anchor set broadcasts, candidates
+    * stream through one scan, per-anchor top-k is a window over the
+    * scored frame. At corpus scale the candidate side swaps to the
+    * SRP-bucketed generation ([[bucketedTopK]]) with this exact scoring
+    * and label-filter tail.
+    */
+  def hardNegatives(embeddings: DataFrame, nAnchors: Int = 10, k: Int = 5): DataFrame = {
+    val e = withNorm(embeddings)
+    val q = e.filter(col("vec_id") < nAnchors)
+      .select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"),
+        col("embedding").as("qe"), col("n2").as("qn2"))
+    val c = e.select(col("vec_id").as("negative_id"), col("label").as("negative_label"),
+      col("embedding").as("ce"), col("n2").as("cn2"))
+    val w = Window.partitionBy("anchor_id").orderBy(col("cosine").desc, col("negative_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("negative_label") =!= col("anchor_label"))
+      .withColumn("cosine", dot("qe", "ce") / (sqrt(col("qn2")) * sqrt(col("cn2"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("anchor_id"), col("anchor_label"), col("negative_id"),
+        col("negative_label"), col("rank"), col("cosine"))
+      .orderBy("anchor_id", "rank")
+  }
+
+  def hardNegativesSql(nAnchors: Int = 10, k: Int = 5): String =
+    s"""WITH $NORM_CTE,
+       |q AS (SELECT vec_id AS anchor_id, label AS anchor_label, embedding AS qe, n2 AS qn2
+       |      FROM e WHERE vec_id < $nAnchors),
+       |s AS (SELECT q.anchor_id, q.anchor_label, c.vec_id AS negative_id,
+       |        c.label AS negative_label,
+       |        (${dotSql("q.qe", "c.embedding")}) / (sqrt(q.qn2) * sqrt(c.n2)) AS cosine
+       |      FROM q, e c WHERE c.label <> q.anchor_label),
+       |r AS (SELECT *,
+       |        ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY cosine DESC, negative_id) AS rn
+       |      FROM s)
+       |SELECT anchor_id, anchor_label, negative_id, negative_label,
+       |  CAST(rn AS INTEGER) AS "rank", cosine
+       |FROM r WHERE rn <= $k ORDER BY anchor_id, "rank"""".stripMargin
+
   /** Bucketed ANN: candidates restricted to the query's sign-bucket —
     * an equality join on the bucket key instead of a cross join; recall
     * is approximate by construction. The untrained baseline of the

@@ -31,6 +31,25 @@ class KnnSpec extends SparkSpec {
     assert(r(2)._3 == 0.0)
   }
 
+  test("hard negatives: nearest DIFFERENT-label vectors only, ranked by cosine") {
+    val e = Seq(
+      (0L, unit(0), 0),               // anchor, label 0
+      (1L, scaled(0, 2f), 0),         // parallel but SAME label → excluded
+      (2L, {
+        val a = Array.fill(64)(0f); a(0) = 1f; a(1) = 1f; a
+      }, 1),                          // 45°, label 1 → hardest negative
+      (3L, unit(1), 1),               // orthogonal, label 1 → second
+      (4L, unit(2), 0))               // same label → excluded
+      .toDF("vec_id", "embedding", "label")
+    val r = Knn.hardNegatives(e, nAnchors = 1, k = 5)
+      .select("negative_id", "negative_label", "rank", "cosine")
+      .as[(Long, Int, Int, Double)].collect()
+    assert(r.map(_._1).toSeq == Seq(2L, 3L)) // only different-label vecs
+    assert(r.forall(_._2 == 1))
+    assert(math.abs(r(0)._4 - math.sqrt(0.5)) < 1e-12)
+    assert(r(1)._4 == 0.0)
+  }
+
   test("zero-norm vectors are excluded (cosine undefined)") {
     val e = Seq((0L, unit(0), 0), (1L, Array.fill(64)(0f), 0))
       .toDF("vec_id", "embedding", "label")
