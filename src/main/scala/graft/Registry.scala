@@ -1389,6 +1389,8 @@ object Registry {
         Some(Knn.semanticDecontaminationSql())),
       Q("embedding_near_dup", (s, d) => Knn.nearDupPairs(embs(s, d)),
         Some(Knn.nearDupPairsSql())),
+      Q("semantic_split_leakage", (s, d) => Knn.semanticSplitLeakage(embs(s, d)),
+        Some(Knn.semanticSplitLeakageSql())),
       Q("embedding_label_stats", (s, d) => Knn.labelStats(embs(s, d)),
         Some(Knn.labelStatsSql)),
       // Deterministic hash split / stratified sample — narrow, rerun- and

@@ -279,6 +279,51 @@ object Knn {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Embedding-space split-leakage audit — the semantic twin of
+    * [[graft.dedup.Dedup.splitLeakage]]: SRP-LSH near-dup vector pairs
+    * (cosine > threshold) that straddle the train/val/test hash-split
+    * boundary. Lexical leakage checks miss paraphrases; a test vector
+    * whose near-twin (in embedding space) sits in train still leaks
+    * evaluation signal. Same deterministic hash split as the document
+    * splitter (md5 buckets over the id, 80/10/10), composed with the
+    * banded pair frame — two id-keyed joins of a near-linear frame
+    * against a narrow projection, splits²-bounded output.
+    */
+  def semanticSplitLeakage(embeddings: DataFrame, threshold: Double = 0.3): DataFrame = {
+    val b = graft.ml.HashSplit.hashBucket(col("vec_id"), 100)
+    val sp = embeddings.select(col("vec_id"),
+      when(b < 80, "train").when(b < 90, "val").otherwise("test").as("split"))
+    nearDupPairs(embeddings, threshold)
+      .join(sp.select(col("vec_id").as("vec_a"), col("split").as("sa")), Seq("vec_a"))
+      .join(sp.select(col("vec_id").as("vec_b"), col("split").as("sb")), Seq("vec_b"))
+      .select(
+        least(col("sa"), col("sb")).as("split_x"),
+        greatest(col("sa"), col("sb")).as("split_y"))
+      .groupBy("split_x", "split_y")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("leaks", col("split_x") =!= col("split_y"))
+      .orderBy("split_x", "split_y")
+  }
+
+  /** DuckDB twin of [[semanticSplitLeakage]]. */
+  def semanticSplitLeakageSql(threshold: Double = 0.3): String = {
+    val bucket = graft.ml.HashSplit.hashBucketSql("vec_id", 100)
+    s"""WITH p AS (${nearDupPairsSql(threshold)}),
+       |sp AS (
+       |  SELECT vec_id,
+       |    CASE WHEN ($bucket) < 80 THEN 'train'
+       |         WHEN ($bucket) < 90 THEN 'val' ELSE 'test' END AS split
+       |  FROM embeddings)
+       |SELECT LEAST(pa.split, pb.split) AS split_x,
+       |  GREATEST(pa.split, pb.split) AS split_y,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  LEAST(pa.split, pb.split) <> GREATEST(pa.split, pb.split) AS leaks
+       |FROM p
+       |JOIN sp pa ON pa.vec_id = p.vec_a
+       |JOIN sp pb ON pb.vec_id = p.vec_b
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   /** SQL twin of [[srpBanded]]: the banded-column list of the `b` CTE. */
   private def srpBandedSqlCols: String =
     (0 until SrpBands)

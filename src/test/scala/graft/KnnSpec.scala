@@ -50,6 +50,34 @@ class KnnSpec extends SparkSpec {
     assert(r(1)._4 == 0.0)
   }
 
+  test("semantic split leakage: cross-split near-dup vectors flag, same-split stay benign") {
+    import graft.ml.HashSplit
+    import org.apache.spark.sql.functions.col
+    // derive ids on both sides of the boundary from the operator's own
+    // hash, like the lexical splitLeakage spec
+    val probe = spark.range(0, 300).select(col("id").as("doc_id"))
+    val bySplit = HashSplit.splitAssign(probe.withColumn("text", col("doc_id").cast("string"))
+        .withColumn("lang", col("text")).withColumn("source", col("text"))
+        .withColumn("n_chars", col("doc_id")))
+      .collect().groupBy(_.getAs[String]("split"))
+      .map { case (k, v) => k -> v.map(_.getAs[Long]("doc_id")).toSeq }
+    val Seq(tr1, tr2) = bySplit("train").take(2)
+    val te1 = bySplit("test").head
+    val e = Seq(
+      (tr1, unit(0), 0),        // parallel to te1 → cross-split LEAK
+      (te1, scaled(0, 2f), 0),
+      (tr2, scaled(0, 3f), 0),  // parallel again → train∩train pair + another leak
+      (bySplit("val").head, unit(40), 0)) // orthogonal singleton
+      .toDF("vec_id", "embedding", "label")
+    val r = Knn.semanticSplitLeakage(e, threshold = 0.9).collect()
+      .map(x => (x.getAs[String]("split_x"), x.getAs[String]("split_y")) -> x).toMap
+    assert(r(("test", "train")).getAs[Long]("n_pairs") == 2L) // te1 pairs with both train twins
+    assert(r(("test", "train")).getAs[Boolean]("leaks"))
+    assert(r(("train", "train")).getAs[Long]("n_pairs") == 1L)
+    assert(!r(("train", "train")).getAs[Boolean]("leaks"))
+    assert(!r.contains(("val", "val")))
+  }
+
   test("zero-norm vectors are excluded (cosine undefined)") {
     val e = Seq((0L, unit(0), 0), (1L, Array.fill(64)(0f), 0))
       .toDF("vec_id", "embedding", "label")
