@@ -794,16 +794,24 @@ object TextOps {
     * same double (the [[graft.ml.HashSplit.weightedSample]] convention).
     */
   def temperatureMixture(documents: DataFrame, alpha: Double = 0.3): DataFrame = {
-    val per = documents
+    // ONE corpus aggregation; the totals and the normalizer come from
+    // whole-frame windows over the domains-sized result (sources are
+    // bounded by construction, so the single window partition is tiny) —
+    // the naive agg-crossJoin-agg-crossJoin chain re-executed the corpus
+    // aggregation once per normalization level (8 Exchanges vs 3). The
+    // ordered unbounded frame pins the double-sum order for z, so the
+    // normalizer is layout-deterministic; the oracle sums in the same
+    // source order.
+    val wAll = Window.orderBy("source")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val p = col("n_tokens").cast("double") / col("total_tokens")
+    documents
       .select(col("source"), size(toks(col("text"))).cast("long").as("n_toks"))
       .groupBy("source")
       .agg(sum("n_toks").as("n_tokens"))
-    val tot = per.agg(sum("n_tokens").as("total_tokens"))
-    val p = col("n_tokens").cast("double") / col("total_tokens")
-    val scaled = per.crossJoin(broadcast(tot))
+      .withColumn("total_tokens", sum("n_tokens").over(wAll))
       .select(col("source"), col("n_tokens"), p.as("p"), pow(p, alpha).as("pa"))
-    val z = scaled.agg(sum("pa").as("z"))
-    scaled.crossJoin(broadcast(z))
+      .withColumn("z", sum("pa").over(wAll))
       .select(
         col("source"), col("n_tokens"),
         round(col("p"), 9).as("token_share"),
@@ -812,22 +820,28 @@ object TextOps {
       .orderBy("source")
   }
 
-  /** DuckDB twin of [[temperatureMixture]]. */
+  /** DuckDB twin of [[temperatureMixture]] (same ordered window sums). */
   def temperatureMixtureSql(alpha: Double = 0.3): String =
     raw"""WITH per AS (
        |  SELECT source,
        |    CAST(SUM(len(string_split_regex(trim(lower(text)), '\s+'))) AS BIGINT) AS n_tokens
        |  FROM documents GROUP BY 1),
-       |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM per),
+       |t AS (SELECT source, n_tokens,
+       |    SUM(n_tokens) OVER (ORDER BY source ROWS BETWEEN UNBOUNDED PRECEDING
+       |      AND UNBOUNDED FOLLOWING) AS total_tokens
+       |  FROM per),
        |sc AS (SELECT source, n_tokens,
        |    CAST(n_tokens AS DOUBLE) / total_tokens AS p,
        |    pow(CAST(n_tokens AS DOUBLE) / total_tokens, $alpha) AS pa
-       |  FROM per, tot),
-       |z AS (SELECT SUM(pa) AS z FROM sc)
+       |  FROM t),
+       |z AS (SELECT *,
+       |    SUM(pa) OVER (ORDER BY source ROWS BETWEEN UNBOUNDED PRECEDING
+       |      AND UNBOUNDED FOLLOWING) AS z
+       |  FROM sc)
        |SELECT source, n_tokens, round(p, 9) AS token_share,
        |  round(pa / z, 9) AS sample_prob,
        |  round(pa / z / p, 9) AS resample_factor
-       |FROM sc, z ORDER BY source""".stripMargin
+       |FROM z ORDER BY source""".stripMargin
 
   /** Per-source unigram KL divergence against the whole-corpus unigram
     * distribution, plus each source's own unigram entropy — the

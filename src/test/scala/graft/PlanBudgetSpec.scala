@@ -97,7 +97,20 @@ class PlanBudgetSpec extends SparkSpec {
     // tf agg + df agg + 1-row stats agg + score agg + top-k heap
     // clustering + survivor-set rank window + output sort — query terms
     // are driver-tokenized (no distinct nodes) and df/stats broadcast
-    "search_bm25" -> 7)
+    "search_bm25" -> 7,
+    // one corpus agg + the shared single-partition whole-frame window
+    // over the domains-sized result (totals + normalizer) — NOT the
+    // agg-crossJoin chain, which re-ran the corpus agg per level (8)
+    "temperature_mixture" -> 2,
+    // composed ngramJaccard lineage: the plan STRING re-prints the
+    // persisted shingle/signature subtrees under each of the 4 band
+    // self-joins and both set joins; execution materializes each cache
+    // once. Budget pins the printed shape, not 22 executed shuffles.
+    "split_leakage" -> 22,
+    // bounded anchor broadcast + per-anchor rank window + output sort
+    "hard_negatives" -> 2,
+    // banded pair frame (persisted) + split joins broadcast; agg + sort
+    "semantic_split_leakage" -> 3)
 
   for ((q, budget) <- budgets)
     test(s"$q stays within its shuffle budget ($budget)") {
