@@ -6,6 +6,25 @@ import graft.functions.Cols._
 class ColsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("microsFromNanos floors negative nanos exactly like the old decimal form") {
+    // pre-epoch event times: floor division must round toward -inf
+    // (floor(-1ns/1000) = -1us), matching floor(decimal/1000) bit-for-bit
+    val r = Seq(-1L, -1000L, -1001L, 0L, 999L, 1001L, Long.MaxValue)
+      .toDF("ts").select(microsFromNanos(col("ts")).as("us")).as[Long].collect()
+    assert(r.toSeq == Seq(-1L, -1L, -2L, 0L, 0L, 1L, Long.MaxValue / 1000))
+  }
+
+  test("microsFromNanos and ntzFromNanos pass timestamps through at exact us") {
+    val us = 1704067200123456L
+    val df = Seq(us).toDF("u").select(
+      timestamp_micros(col("u")).cast("timestamp_ntz").as("ts"))
+    val got = df.select(microsFromNanos(col("ts")).as("us")).as[Long].head()
+    assert(got == us)
+    val ntz = df.select(ntzFromNanos(col("ts")).as("t"))
+      .head().getAs[java.time.LocalDateTime]("t")
+    assert(ntz == java.time.LocalDateTime.parse("2024-01-01T00:00:00.123456"))
+  }
+
   test("clamp bounds") {
     val r = Seq(2.0, 15.0, 45.0).toDF("x")
       .select(clamp(col("x"), 3.0, 30.0).as("c")).as[Double].collect()
