@@ -121,4 +121,8 @@ class ScaleSoakSpec extends SparkSpec {
   // the instance stream (the clones' rotated vocab also grows the
   // per-(source,n,gram) key space, so this bounds the agg, not a cache)
   soak("ngram_diversity")(TextOps.ngramDiversity)(baseDocs, bigDocs)
+  // round-8 addition: the leakage audit rides the LSH pair frame — the
+  // split joins and splits²-bounded agg must add nothing super-linear
+  // on top of the soaked ngramJaccard lineage
+  soak("split_leakage")(d => Dedup.splitLeakage(d))(baseDocs, bigDocs)
 }
