@@ -1397,6 +1397,9 @@ object Registry {
       // append-stable, reproducible cross-engine (see ml.HashSplit).
       Q("hash_split_assign", (s, d) => graft.ml.HashSplit.splitAssign(docs(s, d)),
         Some(graft.ml.HashSplit.splitAssignSql)),
+      // seeded hash-order shuffle + distributed dense numbering
+      Q("corpus_shuffle", (s, d) => graft.ml.HashSplit.corpusShuffle(docs(s, d)),
+        Some(graft.ml.HashSplit.corpusShuffleSql())),
       // deterministic weighted sampling without replacement (A-ES
       // ln(u)/w keys over hash uniforms, bounded TakeOrdered)
       Q("weighted_sample", (s, d) => graft.ml.HashSplit.weightedSample(docs(s, d)),

@@ -171,4 +171,33 @@ object HashSplit {
        |  CAST(unnest(generate_series(1, n_copies)) AS INTEGER) AS copy_idx, n_copies
        |FROM j ORDER BY doc_id, copy_idx""".stripMargin
   }
+
+  /** Deterministic seeded corpus shuffle — the training-order
+    * permutation a pipeline applies before sharding, so batch order is
+    * decorrelated from ingestion order without any RNG state: sort by
+    * `md5(seed || '|' || doc_id)` (hash order is an arbitrary-but-fixed
+    * permutation; a new seed is a new permutation; appends never move
+    * existing keys relative to each other). The dense 0-based position
+    * comes from [[graft.rel.Scale.globalIndex]]'s range-repartition +
+    * zipWithIndex machinery — never a single-partition ROW_NUMBER —
+    * with doc_id as the total-order tiebreak. Like every sampler here:
+    * rerun- and layout-stable, oracle-exact.
+    */
+  def corpusShuffle(documents: DataFrame, seed: Long = 42): DataFrame =
+    graft.rel.Scale.globalIndex(
+      documents.select(col("doc_id"), col("source"),
+        md5(concat(lit(seed.toString), lit("|"), col("doc_id").cast("string")))
+          .as("shuffle_key")),
+      Seq("shuffle_key", "doc_id"), partitions = 32)
+      .withColumnRenamed("global_idx", "shuffle_pos")
+      .orderBy("shuffle_pos")
+
+  /** DuckDB twin of [[corpusShuffle]]. */
+  def corpusShuffleSql(seed: Long = 42): String =
+    s"""SELECT doc_id, source,
+       |  md5(concat('$seed', '|', CAST(doc_id AS VARCHAR))) AS shuffle_key,
+       |  CAST(ROW_NUMBER() OVER (
+       |    ORDER BY md5(concat('$seed', '|', CAST(doc_id AS VARCHAR))), doc_id) - 1
+       |    AS BIGINT) AS shuffle_pos
+       |FROM documents ORDER BY shuffle_pos""".stripMargin
 }

@@ -79,6 +79,24 @@ class HashSplitSpec extends SparkSpec {
     assert(after.toSeq == before.filter(after.toSet).toSeq)
   }
 
+  test("corpus shuffle is a complete deterministic permutation; a new seed reorders") {
+    val d = ids(200)
+    val r1 = HashSplit.corpusShuffle(d).select("doc_id", "shuffle_pos")
+      .as[(Long, Long)].collect().toSeq
+    // dense 0..n-1 positions, every doc exactly once
+    assert(r1.map(_._2).sorted == (0L until 200L))
+    assert(r1.map(_._1).sorted == (0L until 200L))
+    // reruns are byte-stable; hash order is not ingestion order
+    val r2 = HashSplit.corpusShuffle(d).select("doc_id", "shuffle_pos")
+      .as[(Long, Long)].collect().toSeq
+    assert(r1 == r2)
+    assert(r1.map(_._1) != (0L until 200L).toSeq)
+    // a different seed is a different permutation
+    val r3 = HashSplit.corpusShuffle(d, seed = 7).select("doc_id", "shuffle_pos")
+      .as[(Long, Long)].collect().toSeq
+    assert(r3.map(_._1) != r1.map(_._1))
+  }
+
   test("splitAssign plan is shuffle-free apart from the presentation sort") {
     val plan = HashSplit.splitAssign(ids(100)).queryExecution.executedPlan.toString
     val exchanges = plan.linesIterator.count(_.contains("Exchange"))
