@@ -33,10 +33,29 @@ import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, Timesta
   * a no-op per row). The DuckDB oracle's `CAST(ts AS TIMESTAMP)`
   * truncates ns→µs / no-ops on µs identically, so oracle parity is
   * preserved in both worlds.
+  *
+  * CONTRACT — UTC session timezone required for `TIMESTAMP` children:
+  * a session-TZ `TIMESTAMP`'s internal value is UTC-µs, and this
+  * expression reinterprets those bytes as NTZ wall-clock without any
+  * zone conversion. That identity only holds when the session timezone
+  * is UTC (the repo-wide pin in `build.sbt` / every SparkSession
+  * builder); under any other zone event times would silently shift by
+  * the zone offset. Rather than trust the pin, analysis FAILS for a
+  * `TIMESTAMP` child when `spark.sql.session.timeZone` is not
+  * UTC-equivalent — the misconfiguration surfaces as a
+  * `DATATYPE_MISMATCH` at plan time, not as shifted hours in results.
+  * `TIMESTAMP_NTZ` and long-of-nanos children are zone-free and carry
+  * no such precondition.
   */
 case class EventTimeExpr(child: Expression, ntz: Boolean) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case TimestampType if !EventTimeExpr.sessionTzIsUtc =>
+      TypeCheckResult.TypeCheckFailure(
+        s"${prettyName} reinterprets session-TZ TIMESTAMP bytes as NTZ wall-clock, " +
+          s"which is only sound under a UTC session timezone; " +
+          s"spark.sql.session.timeZone is " +
+          s"'${org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone}'")
     case LongType | TimestampType | TimestampNTZType => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
       s"${prettyName} expects a long of nanos or a timestamp, got $t")
@@ -59,4 +78,17 @@ case class EventTimeExpr(child: Expression, ntz: Boolean) extends UnaryExpressio
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object EventTimeExpr {
+  /** True iff the session timezone resolves to fixed UTC (offset zero):
+    * "UTC", "Etc/UTC", "GMT", "Z", "+00:00" all normalize to
+    * `ZoneOffset.UTC`; any zone with DST or a nonzero offset does not.
+    */
+  private[functions] def sessionTzIsUtc: Boolean =
+    try {
+      java.time.ZoneId
+        .of(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+        .normalized() == java.time.ZoneOffset.UTC
+    } catch { case _: java.time.DateTimeException => false }
 }

@@ -439,11 +439,18 @@ object Relational {
     * trailing probes to the final quote at arbitrary staleness). With
     * that bound every probe at-or-after the first quote matches exactly
     * its ASOF row, whatever the feed's cadence — sparse synthetic feeds
-    * included. Cost of adaptivity: one aggregate over the DISTINCT
-    * quote/probe hours (bounded by calendar hours — ~9k rows for a year
-    * of data regardless of corpus size; the global window sort below is
-    * over that hour set, not the data) collected to the driver as a
-    * single int. The dominant join stays the bucketed equality shape.
+    * included.
+    *
+    * LAZY, like every other builder in this module: the bound is a
+    * broadcast one-row scalar cross-joined into the quote side and read
+    * by `sequence(0, __lb)` inside the plan — constructing the frame
+    * runs no jobs, and a reused/incremental caller re-derives the bound
+    * from whatever data each execution actually sees, rather than a
+    * value frozen at build time. Cost of adaptivity: one aggregate over
+    * the DISTINCT quote/probe hours (bounded by calendar hours — ~9k
+    * rows for a year of data regardless of corpus size; the global
+    * window sort is over that hour set, not the data). The dominant
+    * join stays the bucketed equality shape of [[asofJoinHourly]].
     */
   def asofJoinHourlyAuto(
       probes: DataFrame, probeTs: String, probeKey: String,
@@ -456,13 +463,25 @@ object Relational {
       .agg(max(col("gap")).as("g"), max(unix_timestamp(col("h"))).as("last_q"))
     val maxProbe = probes
       .agg(max(unix_timestamp(date_trunc("hour", col(probeTs)))).as("last_p"))
-    val row = maxGap.crossJoin(maxProbe)
+    val bound = maxGap.crossJoin(maxProbe)
       .select(greatest(
+        lit(1L),
         coalesce(col("g"), lit(0L)),
-        ceil((col("last_p") - col("last_q")) / 3600.0)).cast("int").as("lb"))
-      .head()
-    val lookback = math.max(1, if (row.isNullAt(0)) 1 else row.getInt(0))
-    asofJoinHourly(probes, probeTs, probeKey, quotes, quoteTs, lookback)
+        coalesce(ceil((col("last_p") - col("last_q")) / 3600.0), lit(0L)))
+        .cast("int").as("__lb"))
+    val served = quotes.crossJoin(broadcast(bound)).withColumn("__bucket",
+      explode(expr(
+        s"transform(sequence(0, __lb), " +
+          s"i -> date_trunc('HOUR', $quoteTs) + make_interval(0, 0, 0, 0, i, 0, 0))")))
+      .drop("__lb")
+    val wProbe = Window.partitionBy(probeKey).orderBy(col(quoteTs).desc)
+    probes
+      .withColumn("__bucket", date_trunc("hour", col(probeTs)))
+      .join(served, Seq("__bucket"))
+      .filter(col(quoteTs) <= col(probeTs))
+      .withColumn("__rn", row_number().over(wProbe))
+      .filter(col("__rn") === 1)
+      .drop("__bucket", "__rn")
   }
 
   /** Interval-overlap (range) join without an inequality join: each

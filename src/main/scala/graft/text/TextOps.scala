@@ -816,7 +816,13 @@ object TextOps {
         col("source"), col("n_tokens"),
         round(col("p"), 9).as("token_share"),
         round(col("pa") / col("z"), 9).as("sample_prob"),
-        round(col("pa") / col("z") / col("p"), 9).as("resample_factor"))
+        // A source whose documents all tokenize empty has p = 0, and
+        // 0^α/z/0 is 0/0 = NaN — whose round() handling diverges between
+        // Spark and DuckDB. Such a source gets a NULL factor (a resampler
+        // has nothing to draw from it anyway); the SQL twin mirrors the
+        // same CASE guard.
+        when(col("p") > 0d, round(col("pa") / col("z") / col("p"), 9))
+          .as("resample_factor"))
       .orderBy("source")
   }
 
@@ -840,7 +846,7 @@ object TextOps {
        |  FROM sc)
        |SELECT source, n_tokens, round(p, 9) AS token_share,
        |  round(pa / z, 9) AS sample_prob,
-       |  round(pa / z / p, 9) AS resample_factor
+       |  CASE WHEN p > 0 THEN round(pa / z / p, 9) END AS resample_factor
        |FROM z ORDER BY source""".stripMargin
 
   /** Per-source unigram KL divergence against the whole-corpus unigram

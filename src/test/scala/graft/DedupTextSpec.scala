@@ -203,6 +203,23 @@ class DedupTextSpec extends SparkSpec {
     assert(mid("web").getAs[Double]("resample_factor") < 1.0)
   }
 
+  test("temperature mixture: a tokenless source gets NULL factors, not NaN") {
+    // split() maps even "" to one token, so p=0 only arises when a
+    // source's texts are all NULL — the case the division guard covers.
+    val mix = Seq(
+      (1L, Option("one two three four"), "en", "web", 18L),
+      (2L, Option.empty[String], "en", "ghost", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val byS = TextOps.temperatureMixture(mix, 0.3).collect()
+      .map(x => x.getAs[String]("source") -> x).toMap
+    val ghost = byS("ghost")
+    assert(ghost.isNullAt(ghost.fieldIndex("resample_factor")))
+    assert(ghost.isNullAt(ghost.fieldIndex("token_share")))
+    val web = byS("web")
+    assert(!web.isNullAt(web.fieldIndex("resample_factor")))
+    assert(!web.getAs[Double]("resample_factor").isNaN)
+  }
+
   test("chunking tiles tokens with the configured overlap; short docs get one chunk") {
     val d = Seq(
       (1L, (1 to 95).map(i => s"t$i").mkString(" "), "en", "s", 0L), // 95 tokens

@@ -85,6 +85,24 @@ class EventTimeSeamSpec extends SparkSpec {
     }
   }
 
+  test("TIMESTAMP child under a non-UTC session TZ fails analysis, not silently shifts") {
+    val key = "spark.sql.session.timeZone"
+    try {
+      spark.conf.set(key, "Europe/Bucharest")
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        TestdataAdapter.vehiclePositions(spark, dirs("tz_us"))
+      }
+      assert(e.getMessage.contains("UTC"))
+      // UTC aliases that normalize to offset zero stay accepted
+      spark.conf.set(key, "Etc/UTC")
+      assert(TestdataAdapter.vehiclePositions(spark, dirs("tz_us")).columns.nonEmpty)
+      // zone-free forms carry no session-TZ precondition at all
+      spark.conf.set(key, "Europe/Bucharest")
+      assert(TestdataAdapter.vehiclePositions(spark, dirs("ntz_us")).columns.nonEmpty)
+      assert(TestdataAdapter.vehiclePositions(spark, dirs("long_nanos")).columns.nonEmpty)
+    } finally spark.conf.set(key, "UTC")
+  }
+
   test("streaming twin (vehicleHourlyStream) is identical across forms") {
     def run(dir: String) =
       graft.streaming.Streams.vehicleHourlyStream(spark, dir).collect().toSeq

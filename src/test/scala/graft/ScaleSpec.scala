@@ -133,6 +133,39 @@ class ScaleSpec extends SparkSpec {
     assert(out == Map(1L -> 1.0, 2L -> 2.0, 3L -> 3.0))
   }
 
+  test("auto as-of construction is lazy — building the frame runs no Spark jobs") {
+    import graft.rel.Relational
+    // Listener events are FIFO: if construction submitted any job, its
+    // start event would arrive before the sentinel action's. So record
+    // job descriptions in order and assert the sentinel comes first.
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        seen.add(Option(js.properties)
+          .map(_.getProperty("spark.job.description", "")).getOrElse(""))
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      val quotes = Seq((ts("2024-01-01 00:00:00"), 1.0)).toDF("hour_ts", "temperature_c")
+      val probes = Seq((1L, ts("2024-01-01 01:00:00"))).toDF("event_id", "observed_at")
+      val frame = Relational.asofJoinHourlyAuto(
+        probes, "observed_at", "event_id", quotes, "hour_ts")
+      spark.sparkContext.setJobDescription("graft-asof-lazy-sentinel")
+      spark.range(1).count()
+      spark.sparkContext.setJobDescription(null)
+      // the sentinel's completed action guarantees its start event is queued;
+      // poll until it lands, then check nothing preceded it
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (!seen.contains("graft-asof-lazy-sentinel") && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      assert(seen.peek() == "graft-asof-lazy-sentinel",
+        s"jobs ran during as-of construction: ${seen.toArray.mkString(", ")}")
+      // and the frame still evaluates correctly afterwards
+      assert(frame.count() == 1L)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("incremental refresh overwrites only the touched hour partitions") {
     val dir = Files.createTempDirectory("graft_incr").toString
     val full = Seq(
