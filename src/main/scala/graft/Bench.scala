@@ -49,7 +49,11 @@ object Bench {
 
     try force("q1_pricing") catch { case _: Throwable => () } // warmup, untimed
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    // dev-only subsetting: `runMain graft.Bench name1 name2` times just
+    // those queries; the driver passes no args → full sweep, unchanged
+    val only = args.toSet
+    val results = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.isEmpty || only(n)).map { name =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { force(name); true } catch { case e: Throwable =>

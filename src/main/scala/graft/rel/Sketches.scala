@@ -159,18 +159,35 @@ object Sketches {
   /** Per-event-type exact vs sketch cardinality + median, with relative
     * errors. Exact columns are themselves deterministic (integer count,
     * sort-based percentile), so the rows-only gate still exercises them.
+    *
+    * Execution shape: the exact-distinct leg and the sketch leg run as
+    * SEPARATE aggregations joined on the (group-count-sized) key. Fusing
+    * them into one `agg` looks cheaper but triggers Catalyst's
+    * single-distinct rewrite — the non-distinct sketch aggregates get
+    * partial HLL/percentile state built per (event_type, user_id) group,
+    * i.e. one sketch object per DISTINCT USER, merged across two extra
+    * exchanges (measured 5-10 s at sf0.1 vs ~1.5 s split). Two scans of
+    * a columnar source beat millions of single-row sketch merges at any
+    * scale; the join is a broadcast of a handful of rows.
     */
-  def sketchStats(events: DataFrame): DataFrame =
-    events
+  def sketchStats(events: DataFrame): DataFrame = {
+    val sketch = events
       .groupBy("event_type")
       .agg(
-        countDistinct("user_id").as("users_exact"),
         approx_count_distinct("user_id", rsd = 0.01).as("users_approx"),
         expr("percentile(value, 0.5)").as("p50_exact"),
         expr("approx_percentile(value, 0.5, 10000)").as("p50_approx"))
-      .withColumn("users_rel_err",
-        abs(col("users_approx") - col("users_exact")).cast("double") / col("users_exact"))
-      .withColumn("p50_rel_err",
-        abs(col("p50_approx") - col("p50_exact")) / abs(col("p50_exact")))
+    val exact = events
+      .select("event_type", "user_id").distinct()
+      .groupBy("event_type").agg(count(lit(1)).as("users_exact"))
+    exact.join(broadcast(sketch), Seq("event_type"))
+      .select(
+        col("event_type"), col("users_exact"), col("users_approx"),
+        col("p50_exact"), col("p50_approx"),
+        (abs(col("users_approx") - col("users_exact")).cast("double") /
+          col("users_exact")).as("users_rel_err"),
+        (abs(col("p50_approx") - col("p50_exact")) /
+          abs(col("p50_exact"))).as("p50_rel_err"))
       .orderBy("event_type")
+  }
 }

