@@ -52,6 +52,7 @@ object Bench {
     // dev-only subsetting: `runMain graft.Bench name1 name2` times just
     // those queries; the driver passes no args → full sweep, unchanged
     val only = args.toSet
+    def fmt(v: Double): String = if (v < 0) "-1.0" else f"$v%.3f"
     val results = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.isEmpty || only(n)).map { name =>
       val times = (1 to runs).map { _ =>
@@ -70,9 +71,13 @@ object Bench {
         if (s.isEmpty) -1.0
         else if (s.length % 2 == 1) s(s.length / 2)
         else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+      // per-query progress line: survives stdout tail-truncation even when
+      // the final one-line JSON does not (190 queries ≈ several KB on one
+      // line; the driver's tail capture has chopped it two rounds running)
+      println(s"[bench] q=$name median=${fmt(median)} ok=${s.length}/$runs")
       (name, median, s.length)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     // flaky queries (some but not all runs failed) are reported, not
     // hidden — a lone surviving sample on a ~13×-noise box is not a
@@ -80,7 +85,18 @@ object Bench {
     val partial = results.collect { case (k, _, ok) if ok > 0 && ok < runs =>
       "\"" + k + "\":" + ok
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"stat":"median","partial_ok":$partial}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"stat":"median","partial_ok":$partial}"""
+    // persist the full results object to a file the judge/builder can read
+    // even when the driver's stdout tail-capture truncates the line below
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json"))
+      java.nio.file.Files.write(out, line.getBytes("UTF-8"))
+      System.err.println(s"[bench] results written to ${out.toAbsolutePath}")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not persist results file: $e")
+    }
+    println(line)
     spark.stop()
   }
 }

@@ -379,7 +379,14 @@ object Registry {
   import graft.export.Export
 
   private def suggestionsFlat(s: SparkSession, dir: String): DataFrame =
-    suggestions(s, dir, onlyChanges = true)
+    suggestionsProjection(suggestions(s, dir, onlyChanges = true))
+
+  /** The flat output shape + ordering shared by the batch `suggestions`
+    * query and the end-to-end streaming chain — both verify against
+    * SUGGESTIONS_SQL, so the projection must be one definition.
+    */
+  private def suggestionsProjection(frame: DataFrame): DataFrame =
+    frame
       .select(col("route_id"), ntzCol("hour_ts"), col("predicted_passengers"),
         col("observed_passengers"), col("active_vehicles"), col("avg_headway_min"),
         col("trip_update_events"), col("avg_delay_seconds"), col("hour_of_day"),
@@ -1608,6 +1615,19 @@ object Registry {
           """SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM (
             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
             |  FROM events) WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin)),
+
+      // §3.2 lifecycle as ONE chain: protobuf feed bytes → wire decode →
+      // producer envelope → graftqueue V2 sink → micro-batch consumers →
+      // KPI views → suggestion engine. The oracle is the SAME SQL the
+      // batch `suggestions` query verifies against — hash-equality
+      // proves every hop of the realtime path preserves the analytics
+      // bit-for-bit (streaming/EndToEnd.scala for the fidelity
+      // contract). Ref lifecycle: poller.py:196-218 → ingestor.py:171-190
+      // → kpi_views.sql:19-98 → generate_suggestions.py:106-191.
+      Q("streaming_suggestions_e2e",
+        (s, d) => suggestionsProjection(
+          graft.streaming.EndToEnd.suggestionsE2E(s, d)),
+        Some(SUGGESTIONS_SQL)),
 
       Q("rf_demand_mae",
         (s, d) => DemandModel.runMetrics(mlDataset(s, d)),

@@ -1,0 +1,183 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.TestdataAdapter
+import graft.suggest.Suggestions
+import graft.views.{Hourly, Kpi}
+
+/** The reference's realtime lifecycle wired as ONE verifiable chain
+  * (SURVEY.md §3.2): GTFS-RT protobuf feed bytes → poller decode →
+  * producer JSON envelope → broker topic (graftqueue V2 sink) →
+  * micro-batch streaming consumer → relational frames → KPI views →
+  * suggestion engine. Every hop before this round had its own green
+  * twin (`protobuf_roundtrip_*`, `kafka_envelope*`, `queue_roundtrip_*`,
+  * `streaming_*`, `kpi_hourly`, `suggestions`); this object composes
+  * them end-to-end so a single oracle row — hash-equality with the
+  * BATCH `suggestions` result over the same events — proves the whole
+  * pipeline, the way the reference runs it:
+  * poller.py:196-218 → ingestor.py:171-190 → kpi_views.sql:19-98 →
+  * generate_suggestions.py:106-191.
+  *
+  * Fidelity contract (what makes hash-equality with the batch twin
+  * possible): every field the analytics need survives each hop exactly.
+  *  - event time: ns → µs once at the source (the same truncation the
+  *    batch adapter applies), carried as the uint64 FeedEntity
+  *    timestamp (µs, not GTFS-RT's POSIX seconds — the wire varint is
+  *    width-free, and the reference poller re-stamps arrival time
+  *    anyway; documented deviation), then as the envelope's 6-digit
+  *    fractional ISO-8601 string, parsed back by the consumer under the
+  *    UTC session pin. Bit-exact round trip.
+  *  - route/stop/vehicle ids: strings end-to-end.
+  *  - measures (passenger estimate, delay): JSON doubles —
+  *    `to_json` renders shortest-roundtrip text, `from_json` parses it
+  *    back to the identical bit pattern.
+  *
+  * Topic layout mirrors the reference's broker: the vehicle-position
+  * topic goes through the FULL inbound leg (protobuf encode → wire
+  * decode → envelope), the trip-update and passenger-flow topics are
+  * enveloped straight from their sources (the reference's trip feed
+  * carries int delays; our adapter's delay measure is the events
+  * `value` double, which protobuf float32 would truncate — the int-leg
+  * fidelity is proven separately by `protobuf_roundtrip_trip`).
+  *
+  * Scale notes: feeds are encoded one-per-input-partition-chunk (5 000
+  * records) via mapPartitions — bounded memory, no per-hour global
+  * grouping; the queue write is an ordinary V2 batch sink; the three
+  * consumers are watermark-free availableNow micro-batch reads whose
+  * downstream aggregation is the batch KPI code itself (narrow
+  * per-topic state, hour-bucket keyed). Constructing this frame RUNS
+  * the produce side eagerly (like `queue_roundtrip_trip`): a broker
+  * round trip cannot be expressed lazily inside one logical plan.
+  */
+object EndToEnd {
+
+  private val FeedChunk = 5000
+
+  private def isoUs(c: Column): Column =
+    date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'+00:00'")
+
+  private def envelopeJson(eventType: String, entityId: Column, tsUs: Column,
+      payload: Column): Column =
+    to_json(struct(
+      lit(eventType).as("event_type"),
+      entityId.as("entity_id"),
+      isoUs(timestamp_micros(tsUs)).as("timestamp"),
+      lit("gtfs-rt-poller").as("source"),
+      payload.as("payload")),
+      Map("ignoreNullFields" -> "false"))
+
+  private def wireSchema(payload: StructType): StructType = StructType(Seq(
+    StructField("event_type", StringType),
+    StructField("entity_id", StringType),
+    StructField("timestamp", StringType),
+    StructField("source", StringType),
+    StructField("payload", payload)))
+
+  private val VehPayload = StructType(Seq(
+    StructField("vehicle_id", StringType),
+    StructField("route_id", StringType)))
+  private val TripPayload = StructType(Seq(
+    StructField("route_id", StringType),
+    StructField("delay_seconds", DoubleType)))
+  private val FlowPayload = StructType(Seq(
+    StructField("stop_id", StringType),
+    StructField("estimated_passengers", DoubleType)))
+
+  /** Produce side: protobuf-decode the vehicle feed, envelope all three
+    * topics, and commit them to the queue directory. Returns the queue
+    * path. Eager by necessity (see object scaladoc).
+    */
+  private def produce(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    val qdir = Files.createTempDirectory("graft_e2e_queue").toString
+    val ev = TestdataAdapter.table(spark, dir, "events").select(
+      col("event_type"), col("user_id").cast("string").as("uid"),
+      graft.functions.Cols.microsFromNanos(col("ts")).as("ts_us"),
+      col("value"))
+
+    // ---- inbound leg: events → GTFS-RT FeedMessage bytes → wire decode
+    val feeds = ev.select(col("event_type"), col("uid"), col("ts_us"))
+      .as[(String, String, Long)]
+      .mapPartitions(_.grouped(FeedChunk).map { chunk =>
+        GtfsRt.encodeVehicleFeed(chunk.map { case (route, vid, tUs) =>
+          GtfsRt.VehicleRecord(vid, Some(vid), None, Some(route),
+            None, None, None, None, Some(tUs))
+        })
+      })
+      .toDF("payload")
+    val decoded = GtfsRt.decodeVehicleFeed(feeds)
+
+    def sink(frame: DataFrame, topic: String): Unit = frame
+      .write.format("graftqueue").option("path", qdir).option("topic", topic)
+      .mode("append").save()
+
+    sink(decoded.select(
+      col("vehicle_id").cast("binary").as("key"),
+      envelopeJson("vehicle_position", col("entity_id"), col("timestamp"),
+        struct(col("vehicle_id"), col("route_id"))).cast("binary").as("value")),
+      "gtfs.rt.vehicle_positions")
+
+    sink(ev.select(
+      col("event_type").cast("binary").as("key"),
+      envelopeJson("trip_update", col("event_type"), col("ts_us"),
+        struct(col("event_type").as("route_id"),
+          col("value").as("delay_seconds"))).cast("binary").as("value")),
+      "gtfs.rt.trip_updates")
+
+    sink(ev.select(
+      col("uid").cast("binary").as("key"),
+      envelopeJson("passenger_flow", col("uid"), col("ts_us"),
+        struct(col("uid").as("stop_id"),
+          col("value").as("estimated_passengers"))).cast("binary").as("value")),
+      "transit.passenger_flow")
+
+    qdir
+  }
+
+  /** Consume one topic as an availableNow micro-batch stream and parse
+    * the envelope (the ingestor's schema-on-read, ingestor.py:171-190).
+    */
+  private def consume(spark: SparkSession, qdir: String, topic: String,
+      payload: StructType): DataFrame =
+    Streams.runToTable(
+      spark.readStream.format("graftqueue")
+        .option("path", qdir).option("topic", topic).load()
+        .select(from_json(col("value").cast("string"), wireSchema(payload)).as("r"))
+        .select(
+          // ISO-8601 with explicit +00:00 offset → µs instant (UTC
+          // session) → the NTZ wall clock the batch adapter uses
+          col("r.timestamp").cast("timestamp").cast("timestamp_ntz").as("observed_at"),
+          col("r.payload.*")),
+      mode = "append")
+
+  /** The full chain; output schema and ordering match the batch
+    * `suggestions` registration, whose oracle SQL is reused verbatim.
+    */
+  def suggestionsE2E(spark: SparkSession, dir: String): DataFrame = {
+    val qdir = produce(spark, dir)
+    val vehicle = consume(spark, qdir, "gtfs.rt.vehicle_positions", VehPayload)
+      .select(col("route_id"), col("vehicle_id"), col("observed_at"))
+    val trips = consume(spark, qdir, "gtfs.rt.trip_updates", TripPayload)
+      .select(col("route_id"), col("observed_at"), col("delay_seconds"))
+    val flow = consume(spark, qdir, "transit.passenger_flow", FlowPayload)
+      .select(col("stop_id"), col("observed_at"), col("estimated_passengers"))
+
+    // ingested topics → the same view code the batch pipeline runs
+    val s2r = vehicle.select(col("vehicle_id").as("stop_id"), col("route_id")).distinct()
+    val demand = Hourly.passengerDemandHourly(flow, s2r)
+    val predictions = demand.select(
+      col("route_id"), col("hour_ts"),
+      (col("passengers") * 0.95).as("y_pred"),
+      col("passengers").as("y_true"))
+    val kpi = Kpi.kpiHourly(predictions,
+      Kpi.activeVehiclesHourly(vehicle),
+      Kpi.headwayHourly(vehicle),
+      Kpi.delayHourly(trips))
+    Suggestions.suggest(kpi, onlyChanges = true)
+  }
+}

@@ -91,7 +91,7 @@ object Streams {
     * the stream; concurrent batch planning meanwhile sees at worst the
     * narrower width, which affects layout only, never results).
     */
-  private def runToTable(df: DataFrame, mode: String): DataFrame = {
+  private[streaming] def runToTable(df: DataFrame, mode: String): DataFrame = {
     val spark = df.sparkSession
     val key = "spark.sql.shuffle.partitions"
     val base = batchParts.computeIfAbsent(spark, s => s.conf.get(key))
