@@ -1354,6 +1354,49 @@ object Registry {
           docs(s, d).filter(col("doc_id") % 3 =!= 0),
           docs(s, d).filter(col("doc_id") % 3 === 0)).drop("is_new_bloom"),
         Some(Dedup.bloomNewDocsSql("doc_id % 3 <> 0", "doc_id % 3 = 0"))),
+      // The MAINTAINED-index form across two batches (VERDICT r8 item 7):
+      // the corpus is scanned once into a DedupIndex whose hash table
+      // round-trips through parquet (the persisted-state seam); batch 1
+      // is classified against it, folded in via mergeDedupIndex, and
+      // batch 2 classified against the UPDATED state — its plan reads
+      // only the state parquet, never documents (spec-asserted). Oracle:
+      // batch 1 vs corpus, batch 2 vs corpus ∪ batch 1.
+      Q("bloom_incremental_newdocs",
+        (s, d) => {
+          val all = docs(s, d)
+          val corpus = all.filter(col("doc_id") % 3 =!= 0)
+          val b1 = all.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 0)
+          val b2 = all.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 =!= 0)
+          val state = java.nio.file.Files.createTempDirectory("graft_dedup_idx").toString
+          def persist(idx: Dedup.DedupIndex, v: Int): Dedup.DedupIndex = {
+            idx.hashes.write.mode("overwrite").parquet(s"$state/v$v")
+            Dedup.DedupIndex(idx.bloomBits, s.read.parquet(s"$state/v$v"))
+          }
+          val idx0 = persist(Dedup.buildDedupIndex(corpus), 0)
+          val v1 = Dedup.bloomNewDocsIncremental(idx0, b1)
+          val idx1 = persist(Dedup.mergeDedupIndex(idx0, b1), 1)
+          val v2 = Dedup.bloomNewDocsIncremental(idx1, b2)
+          v1.withColumn("batch_seq", lit(1))
+            .unionByName(v2.withColumn("batch_seq", lit(2)))
+            .drop("is_new_bloom")
+            .orderBy("doc_id")
+        },
+        Some(
+          """WITH c0 AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 3 <> 0),
+            |b1 AS (SELECT doc_id, lang, source, n_chars, md5(text) AS h
+            |       FROM documents WHERE doc_id % 3 = 0 AND doc_id % 2 = 0),
+            |b2 AS (SELECT doc_id, lang, source, n_chars, md5(text) AS h
+            |       FROM documents WHERE doc_id % 3 = 0 AND doc_id % 2 <> 0),
+            |c1 AS (SELECT h FROM c0 UNION SELECT h FROM b1),
+            |v1 AS (SELECT b1.doc_id, b1.lang, b1.source, b1.n_chars,
+            |         (c0.h IS NULL) AS is_new_exact, 1 AS batch_seq
+            |       FROM b1 LEFT JOIN c0 ON b1.h = c0.h),
+            |v2 AS (SELECT b2.doc_id, b2.lang, b2.source, b2.n_chars,
+            |         (c1.h IS NULL) AS is_new_exact, 2 AS batch_seq
+            |       FROM b2 LEFT JOIN c1 ON b2.h = c1.h)
+            |SELECT doc_id, lang, source, n_chars, is_new_exact, batch_seq
+            |FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+            |ORDER BY doc_id""".stripMargin)),
       // learned quality model (hashed BoW → logistic regression) —
       // rows-only (iterative fitter; AUC band + determinism are
       // spec-asserted in QualityClassifierSpec)
@@ -1470,6 +1513,23 @@ object Registry {
       Q("multimodal_image_resize",
         (s, d) => Multimodal.resizeImages(Multimodal.imageCorpus(docs(s, d))),
         Some(Multimodal.resizeImagesSql)),
+      // The codec TEMPLATE itself (mapPartitions, one decoder instance
+      // per partition) on its positive path: real ImageIO decode of the
+      // deterministic PNG corpus — dims are doc_id formulas, so the
+      // oracle pins the template's plumbing (per-partition batching,
+      // row shape, ok-flag) end-to-end; payload-digest columns are
+      // dropped (PNG bytes are engine-side)
+      Q("multimodal_codec_template",
+        (s, d) => Multimodal.extractFeaturesWithCodec(
+          Multimodal.imageCorpus(docs(s, d)).toDF(),
+          payloadCol = "payload", mediaType = "image/png")(Multimodal.imageDims)
+          .select("doc_id", "media_type", "decoded_ok", "width", "height"),
+        Some(
+          """SELECT doc_id, 'image/png' AS media_type, TRUE AS decoded_ok,
+            |  CAST(doc_id % 37 + 1 AS INTEGER) AS width,
+            |  CAST(doc_id % 23 + 1 AS INTEGER) AS height
+            |FROM documents WHERE doc_id IS NOT NULL
+            |ORDER BY doc_id""".stripMargin)),
     )
   }
 
@@ -1616,6 +1676,16 @@ object Registry {
             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
             |  FROM events) WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin)),
 
+      // Incremental view maintenance across REAL micro-batch boundaries:
+      // foreachBatch merges each batch's partial aggregate with a stored
+      // partials table (no history rescan); the finalized state must
+      // equal the from-scratch recompute — the SAME oracle SQL the
+      // in-plan incremental_hourly_merge verifies against (VERDICT r8
+      // item 6: two-batch ≡ one-batch, proven by hash)
+      Q("streaming_incremental_hourly",
+        (s, d) => Streams.incrementalHourlyStream(s, d),
+        Some(graft.rel.Incremental.incrementalHourlyMergeSql)),
+
       // §3.2 lifecycle as ONE chain: protobuf feed bytes → wire decode →
       // producer envelope → graftqueue V2 sink → micro-batch consumers →
       // KPI views → suggestion engine. The oracle is the SAME SQL the
@@ -1676,6 +1746,88 @@ object Registry {
         (s, d) => graft.sim.Knn.kmeansClusterSizes(
           TestdataAdapter.table(s, d, "embeddings")),
         None),
+
+      // G1+A8 pinned by ORACLE through the generator's own output: the
+      // per-event provenance JSON is re-parsed and the de-noised demand
+      // expectation base × tf × df × wf × rf is recomputed per
+      // (stop, factor-combo) group — every factor table (time-of-day
+      // band, Postgres-DOW weekend, weather bands, delay bands), the
+      // base-demand clamp, and the 100-events-per-hour fan-out are
+      // hash-checked against DuckDB computing the same from the raw
+      // tables. Only the xxhash-seeded noise terms stay engine-side
+      // (they cancel out of this aggregate by construction).
+      // Ref: mock_passenger_flow_job.py:18-63,136-166.
+      Q("mockflow_invariants",
+        (s, d) => {
+          val stops = MockFlow.seedBaseDemand(TestdataAdapter.flowEvents(s, d))
+          val hours = weatherHourly(s, d)
+            .join(delayHourly(s, d).groupBy("hour_ts")
+              .agg(avg("avg_delay_seconds").as("avg_delay_seconds")), Seq("hour_ts"), "left")
+            .orderBy("hour_ts").limit(6)
+          val comp = org.apache.spark.sql.types.StructType.fromDDL(
+            "base_demand BIGINT, time_factor DOUBLE, dow_factor DOUBLE, " +
+              "weather_factor DOUBLE, delay_factor DOUBLE, stop_noise DOUBLE, " +
+              "hourly_passengers INT, bucket_weight DOUBLE, total_weight DOUBLE")
+          MockFlow.generate(stops, hours)
+            .select(col("stop_id"), from_json(col("components"), comp).as("c"))
+            .groupBy(col("stop_id"), col("c.time_factor").as("time_factor"),
+              col("c.dow_factor").as("dow_factor"),
+              col("c.weather_factor").as("weather_factor"),
+              col("c.delay_factor").as("delay_factor"),
+              col("c.base_demand").as("base_demand"))
+            .agg(count(lit(1)).as("n_events"))
+            .withColumn("expected_demand",
+              col("base_demand") * col("time_factor") * col("dow_factor") *
+                col("weather_factor") * col("delay_factor"))
+            .orderBy("stop_id", "time_factor", "dow_factor",
+              "weather_factor", "delay_factor")
+        },
+        Some(
+          s"""WITH t AS ($TRIP), wx AS ($WEA),
+             |dl AS ($DELAY_BODY),
+             |wh AS ($WEATHER_BODY),
+             |hrs AS (
+             |  SELECT wh.hour_ts, wh.temperature_c, wh.precipitation_mm, d.avg_delay_seconds
+             |  FROM wh LEFT JOIN (
+             |    SELECT hour_ts, AVG(avg_delay_seconds) AS avg_delay_seconds
+             |    FROM dl GROUP BY 1) d USING (hour_ts)
+             |  ORDER BY hour_ts LIMIT 6),
+             |hf AS (
+             |  SELECT
+             |    CAST(CASE WHEN EXTRACT(HOUR FROM hour_ts) >= 6 AND EXTRACT(HOUR FROM hour_ts) < 9 THEN 1.9
+             |              WHEN EXTRACT(HOUR FROM hour_ts) >= 9 AND EXTRACT(HOUR FROM hour_ts) < 16 THEN 1.0
+             |              WHEN EXTRACT(HOUR FROM hour_ts) >= 16 AND EXTRACT(HOUR FROM hour_ts) < 19 THEN 2.1
+             |              WHEN EXTRACT(HOUR FROM hour_ts) >= 19 AND EXTRACT(HOUR FROM hour_ts) < 23 THEN 0.8
+             |              WHEN EXTRACT(HOUR FROM hour_ts) >= 23 THEN 0.4
+             |              ELSE 0.3 END AS DOUBLE) AS time_factor,
+             |    CAST(CASE WHEN EXTRACT(dow FROM hour_ts) = 6 THEN 0.75
+             |              WHEN EXTRACT(dow FROM hour_ts) = 0 THEN 0.6
+             |              ELSE 1.0 END AS DOUBLE) AS dow_factor,
+             |    CAST(CASE WHEN precipitation_mm >= 5 THEN 1.25
+             |              WHEN precipitation_mm >= 1 THEN 1.15
+             |              WHEN temperature_c <= -5 THEN 0.85
+             |              WHEN temperature_c >= 30 THEN 0.9
+             |              ELSE 1.0 END AS DOUBLE) AS weather_factor,
+             |    CAST(CASE WHEN avg_delay_seconds IS NULL THEN 1.0
+             |              WHEN avg_delay_seconds > 600 THEN 0.75
+             |              WHEN avg_delay_seconds > 300 THEN 0.85
+             |              ELSE 1.0 END AS DOUBLE) AS delay_factor
+             |  FROM hrs),
+             |hg AS (SELECT time_factor, dow_factor, weather_factor, delay_factor,
+             |         COUNT(*) AS nh
+             |       FROM hf GROUP BY 1, 2, 3, 4),
+             |base AS (
+             |  SELECT CAST(user_id AS VARCHAR) AS stop_id,
+             |    LEAST(50, GREATEST(5, COUNT(*) * 3)) AS base_demand
+             |  FROM events GROUP BY 1)
+             |SELECT b.stop_id, h.time_factor, h.dow_factor, h.weather_factor, h.delay_factor,
+             |  b.base_demand,
+             |  CAST(100 * h.nh AS BIGINT) AS n_events,
+             |  b.base_demand * h.time_factor * h.dow_factor * h.weather_factor * h.delay_factor
+             |    AS expected_demand
+             |FROM base b CROSS JOIN hg h
+             |ORDER BY stop_id, time_factor, dow_factor, weather_factor, delay_factor"""
+            .stripMargin)),
 
       Q("mockflow_events",
         (s, d) => {
@@ -1823,6 +1975,74 @@ object Registry {
           TestdataAdapter.table(s, d, "region"),
           TestdataAdapter.table(s, d, "nation")),
         Some(graft.ingest.GtfsStatic.versionStampSql)),
+
+      // S2 THROUGH disk: events rendered to a fixture CSV (header,
+      // unquoted empties, whitespace kept), read back by the all-string
+      // scan — pinning the pandas contract dtype=str + na_values ["", " "]
+      // (gtfs-static-job.py:66-71): "" and " " cells → NULL, interior/
+      // edge whitespace of non-blank cells preserved verbatim, digits
+      // stay strings. The oracle derives the post-scan rows straight
+      // from the source table, so any drift in writer quoting, reader
+      // null handling, or implicit trimming breaks the hash.
+      Q("gtfs_csv_scan",
+        (s, d) => {
+          val path = java.nio.file.Files.createTempDirectory("graft_csv_s2").toString
+          val cols = Seq("service_id", "flag_cell", "note", "start_date")
+          graft.ingest.GtfsStatic.writeCsvFixture(
+            TestdataAdapter.table(s, d, "events").select(
+              concat(lit("svc_"), col("event_id")).as("service_id"),
+              when(col("event_id") % 3 === 0, concat(lit("v"), col("event_id")))
+                .when(col("event_id") % 3 === 1, lit(""))
+                .otherwise(lit(" ")).as("flag_cell"),
+              concat(lit("  note_"), col("user_id"), lit(" ")).as("note"),
+              concat(lit("2024010"), col("event_id") % 10).as("start_date")),
+            path)
+          graft.ingest.GtfsStatic.readCsv(s, path, cols).orderBy("service_id")
+        },
+        Some(
+          """SELECT 'svc_' || CAST(event_id AS VARCHAR) AS service_id,
+            |  CASE WHEN event_id % 3 = 0 THEN 'v' || CAST(event_id AS VARCHAR) END AS flag_cell,
+            |  '  note_' || CAST(user_id AS VARCHAR) || ' ' AS note,
+            |  '2024010' || CAST(event_id % 10 AS VARCHAR) AS start_date
+            |FROM events ORDER BY service_id""".stripMargin)),
+
+      // F20 THROUGH disk: calendar day flags over the same fixture-CSV
+      // round trip — TRUE iff the cell is exactly "1"; "0", "2", "true",
+      // "", " " (the last two null at the scan) are all FALSE, the
+      // reference's `c.get(day) == "1"` Python comparison
+      // (gtfs-static-job.py:276-282)
+      Q("gtfs_calendar_booleans",
+        (s, d) => {
+          val path = java.nio.file.Files.createTempDirectory("graft_csv_f20").toString
+          val days = Seq("monday", "tuesday", "wednesday", "thursday",
+            "friday", "saturday", "sunday")
+          graft.ingest.GtfsStatic.writeCsvFixture(
+            TestdataAdapter.table(s, d, "events").select(
+              concat(lit("svc_"), col("event_id")).as("service_id"),
+              when(col("event_id") % 3 === 0, lit("1"))
+                .when(col("event_id") % 3 === 1, lit("0"))
+                .otherwise(lit("")).as("monday"),
+              when(col("event_id") % 4 === 0, lit(" ")).otherwise(lit("1")).as("tuesday"),
+              when(col("event_id") % 5 === 0, lit("2")).otherwise(lit("1")).as("wednesday"),
+              when(col("event_id") % 2 === 0, lit("true")).otherwise(lit("1")).as("thursday"),
+              lit("1").as("friday"),
+              lit("0").as("saturday"),
+              when(col("event_id") % 7 === 0, lit("")).otherwise(lit("0")).as("sunday")),
+            path)
+          graft.ingest.GtfsStatic.typedCalendar(
+            graft.ingest.GtfsStatic.readCsv(s, path, "service_id" +: days))
+            .orderBy("service_id")
+        },
+        Some(
+          """SELECT 'svc_' || CAST(event_id AS VARCHAR) AS service_id,
+            |  event_id % 3 = 0 AS monday,
+            |  event_id % 4 <> 0 AS tuesday,
+            |  event_id % 5 <> 0 AS wednesday,
+            |  event_id % 2 <> 0 AS thursday,
+            |  TRUE AS friday,
+            |  FALSE AS saturday,
+            |  FALSE AS sunday
+            |FROM events ORDER BY service_id""".stripMargin)),
 
       // S6 payload format: the reference's ingestor consumes JSON event
       // envelopes off Kafka — serialize events to JSON text, parse back

@@ -681,12 +681,11 @@ object Dedup {
     * anti-join verdict row-for-row (the DuckDB oracle twin). What
     * shrinks is the BATCH side of the residual join (and with it the
     * join's shuffle volume and the risk of a skewed build side) — the
-    * corpus side still scans, hashes and distinct-shuffles once for the
-    * bloom build and once more for the residual join, the unavoidable
-    * price of an exact verdict without a persisted corpus-hash index;
-    * an incremental deployment would maintain that distinct-hash table
-    * (and the bloom) as running state instead of recomputing either
-    * (see [[graft.rel.Incremental]]). `is_new_bloom` rides along
+    * corpus side still scans and distinct-shuffles ONCE here to build
+    * the [[DedupIndex]] this stateless convenience wraps — an
+    * incremental deployment persists that index and calls
+    * [[bloomNewDocsIncremental]] / [[mergeDedupIndex]] per batch
+    * instead, never rescanning the corpus. `is_new_bloom` rides along
     * for the spec-asserted sketch contracts (is_new_bloom ⟹
     * is_new_exact; false-positive rate ≤ fpp). Bit positions are ORs of
     * per-item hashes, so the output is independent of partition layout
@@ -694,13 +693,28 @@ object Dedup {
     */
   def bloomNewDocs(
       corpus: DataFrame, batch: DataFrame,
-      expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
-    import org.apache.spark.sql.GraftSqlShims.{column, expression}
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    import org.apache.spark.sql.types.BinaryType
+      expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame =
+    bloomNewDocsIncremental(buildDedupIndex(corpus, expectedItems, fpp), batch)
 
-    val corpusHash = corpus.select(md5(col("text")).as("h"))
+  /** Running incremental-dedup state: the corpus Bloom bytes (mergeable
+    * fixed-size sketch) plus the EXACT distinct content-hash table. A
+    * deployment persists `hashes` (parquet/table) and the bloom bytes
+    * between batches; [[bloomNewDocsIncremental]] then classifies a new
+    * batch without ever touching corpus text again, and
+    * [[mergeDedupIndex]] folds an accepted batch into the state — the
+    * maintained-index design [[bloomNewDocs]]'s scaladoc names as the
+    * corpus-scale path.
+    */
+  final case class DedupIndex(bloomBits: Array[Byte], hashes: DataFrame)
+
+  /** Distributed bloom build over a distinct-hash frame; null for an
+    * empty frame (BloomFilterAggregate's empty-input result).
+    */
+  private def bloomOf(
+      hashes: DataFrame, expectedItems: Long, fpp: Double): Array[Byte] = {
+    import org.apache.spark.sql.GraftSqlShims.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     val numBits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(expectedItems, fpp)
     val bfAgg = new BloomFilterAggregate(
@@ -709,14 +723,65 @@ object Dedup {
     // the finished sketch is a driver-sized object by construction
     // (~1.2 MB at 1M items / 1% fpp) and embeds as a foldable literal,
     // so the probe stays inside whole-stage codegen
-    val bfBytes = corpusHash.select(column(bfAgg).as("bf")).head.getAs[Array[Byte]](0)
-    // an EMPTY corpus aggregates to a null sketch; might_contain(null)
-    // is null, which would silently drop every batch row — the correct
-    // verdict is "nothing is in the corpus, everything is new"
+    hashes.select(column(bfAgg).as("bf")).head.getAs[Array[Byte]](0)
+  }
+
+  /** One corpus pass → the persistent index: distinct content hashes +
+    * their bloom. Duplicate hashes OR the same bloom bits, so building
+    * over the distinct frame equals building over raw rows.
+    */
+  def buildDedupIndex(
+      corpus: DataFrame,
+      expectedItems: Long = 1000000L, fpp: Double = 0.01): DedupIndex = {
+    val hashes = corpus.select(md5(col("text")).as("h")).distinct()
+    DedupIndex(bloomOf(hashes, expectedItems, fpp), hashes)
+  }
+
+  /** Fold an accepted batch into the running index WITHOUT rescanning
+    * the corpus: the batch's own bloom is OR-merged into the state bloom
+    * (Spark's sketch format is mergeable given identical sizing — the
+    * same (expectedItems, fpp) MUST be used for every increment), and
+    * the hash table is a distinct union of state ∪ batch.
+    */
+  def mergeDedupIndex(
+      index: DedupIndex, accepted: DataFrame,
+      expectedItems: Long = 1000000L, fpp: Double = 0.01): DedupIndex = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val newHashes = accepted.select(md5(col("text")).as("h")).distinct()
+    val batchBits = bloomOf(newHashes, expectedItems, fpp)
+    val mergedBits =
+      if (index.bloomBits == null) batchBits
+      else if (batchBits == null) index.bloomBits
+      else {
+        val a = BloomFilter.readFrom(new java.io.ByteArrayInputStream(index.bloomBits))
+        a.mergeInPlace(
+          BloomFilter.readFrom(new java.io.ByteArrayInputStream(batchBits)))
+        val out = new java.io.ByteArrayOutputStream()
+        a.writeTo(out)
+        out.toByteArray
+      }
+    DedupIndex(mergedBits, index.hashes.unionByName(newHashes).distinct())
+  }
+
+  /** Classify a batch against the RUNNING index — the incremental form
+    * of [[bloomNewDocs]]: identical verdict semantics (bloom-negative →
+    * trusted new with no join; bloom-positive → exact membership join
+    * against the state hash table), but the corpus side is the
+    * persisted index, so the plan contains no corpus scan at all
+    * (spec-asserted). This is the shape that makes per-batch cost
+    * O(batch + bloom-positive ⋈ index) at 100 TB corpus size.
+    */
+  def bloomNewDocsIncremental(index: DedupIndex, batch: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftSqlShims.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.types.BinaryType
+    // an EMPTY corpus has a null sketch; might_contain(null) is null,
+    // which would silently drop every batch row — the correct verdict
+    // is "nothing is in the corpus, everything is new"
     val bloomSeen =
-      if (bfBytes == null) lit(false)
+      if (index.bloomBits == null) lit(false)
       else column(BloomFilterMightContain(
-        Literal.create(bfBytes, BinaryType),
+        Literal.create(index.bloomBits, BinaryType),
         new XxHash64(Seq(expression(col("h"))))))
 
     val flagged = batch
@@ -725,7 +790,7 @@ object Dedup {
     val trustedNew = flagged.filter(!col("bloom_seen"))
       .withColumn("is_new_exact", lit(true))
     val residual = flagged.filter(col("bloom_seen"))
-      .join(corpusHash.distinct().withColumn("in_corpus", lit(true)), Seq("h"), "left")
+      .join(index.hashes.withColumn("in_corpus", lit(true)), Seq("h"), "left")
       .withColumn("is_new_exact", col("in_corpus").isNull)
       .drop("in_corpus")
     trustedNew.unionByName(residual)

@@ -77,13 +77,17 @@ object GtfsStatic {
       trips.dropDuplicates("trip_id"),
       stopTimes.dropDuplicates("trip_id", "stop_id", "stop_sequence"))
 
-  /** F20 — calendar day flags "1"/"0" → boolean (only the day columns
-    * actually present). Ref: :276-282.
+  /** F20 — calendar day flags → boolean: TRUE iff the cell is exactly
+    * "1" ("0", "", "true", garbage, and NULL all map to false — the
+    * reference's `c.get(day) == "1"` where a missing/None cell compares
+    * False, so the null-safe equality, not `===`, is the faithful
+    * translation). Only the day columns actually present are cast.
+    * Ref: :276-282.
     */
   def typedCalendar(calendar: DataFrame): DataFrame =
     Seq("monday", "tuesday", "wednesday", "thursday", "friday", "saturday", "sunday")
       .filter(calendar.columns.contains)
-      .foldLeft(calendar)((d, c) => d.withColumn(c, col(c) === "1"))
+      .foldLeft(calendar)((d, c) => d.withColumn(c, col(c) <=> "1"))
 
   /** S3 — feed version identity: sha256 hex of the raw feed bytes
     * (driver-side, the zip is one small file). Ref: :79-84.
@@ -111,6 +115,24 @@ object GtfsStatic {
   def writeVersioned(df: DataFrame, versionId: String, path: String): Unit =
     stampVersion(df, versionId)
       .write.mode("append").partitionBy("version_id").parquet(path)
+
+  /** Fixture-CSV writer for the S2/F20 oracle round trips: emits the
+    * on-disk shape the reference's pandas reader consumes — header row,
+    * empty cells written UNQUOTED (so the all-string read's nullValue ""
+    * applies; Spark's default emptyValue would write a quoted `""`,
+    * which the reader keeps as an empty string, not null), and
+    * whitespace preserved verbatim (the writer's ignore*WhiteSpace
+    * options default to TRUE and would silently trim " " cells — the
+    * very cells pandas' na_values [" "] nulls).
+    */
+  def writeCsvFixture(df: DataFrame, path: String): Unit =
+    df.write
+      .option("header", "true")
+      .option("emptyValue", "")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .mode("overwrite")
+      .csv(path)
 
   /** Version-pinned read: the version_id equality lands in the scan's
     * PartitionFilters (spec-asserted), making the read cost proportional

@@ -419,6 +419,59 @@ object Streams {
       .orderBy("user_id", "event_type")
   }
 
+  /** Incremental view maintenance as a TRUE multi-batch stream
+    * (rel.Incremental exercised the way a 100 TB deployment runs it):
+    * the events are staged as two disjoint files, consumed one file per
+    * micro-batch, and foreachBatch keeps a STORED partials table —
+    * each batch is partially aggregated (count + exact decimal sum per
+    * (event_type, hour)) and merged with the prior state, never
+    * rescanning history. The final state, finalized, must equal a
+    * from-scratch recompute over all raw rows — the same oracle SQL the
+    * in-plan `incremental_hourly_merge` twin verifies against, so
+    * batch-split associativity is proven across REAL micro-batch
+    * boundaries, not just a planner-internal split.
+    * Ref contrast: build-kpi-job.py:194 recomputes views from full
+    * history every read — this is the scale path it lacks.
+    */
+  def incrementalHourlyStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.rel.Incremental
+    val ev = graft.TestdataAdapter.userEvents(spark, dir)
+      .select(col("event_type"), col("observed_at"), col("value"))
+    val staged = Files.createTempDirectory("graft_incr_stream").toString
+    // two disjoint halves (hash parity mixes hours across batches, so
+    // merging is exercised on shared group keys, not disjoint ones)
+    ev.filter(col("value") * 1000 % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$staged/half_a")
+    ev.filter(col("value") * 1000 % 2 =!= 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$staged/half_b")
+    val sink = Files.createTempDirectory("graft_incr_state").toString
+    var current: Option[String] = None
+    val q = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$staged/half_*")
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_incr_ckpt").toString)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val partial = Incremental.hourlyPartial(batch)
+        val merged = current match {
+          case Some(p) => Incremental.mergePartials(Seq(s.read.parquet(p), partial))
+          case None    => Incremental.mergePartials(Seq(partial))
+        }
+        val next = s"$sink/v$batchId"
+        merged.write.mode("overwrite").parquet(next)
+        current = Some(next)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    Incremental.finalizeHourly(spark.read.parquet(current.getOrElse(
+      sys.error("incremental stream produced no batches"))))
+  }
+
   /** S9 as a stream: idempotent append (DO NOTHING) — anti-join each batch
     * against the sink before appending. Ref: ingestor.py:71. Used by the
     * streaming spec; same rewrite pattern as above.

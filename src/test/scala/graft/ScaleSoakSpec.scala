@@ -59,6 +59,21 @@ class ScaleSoakSpec extends SparkSpec {
         col("event_type"), col("value"), col("ts"))
     }.reduce(_.unionByName(_))
       .write.mode("overwrite").parquet(s"$out/events")
+    // embedding copies are ROTATED by k positions (norm-preserving,
+    // direction-decorrelating) — cloning identical vectors would clone
+    // every near-dup pair 10× and make the semantic-leakage workload
+    // quadratic by construction, same reasoning as the text rotation
+    val emb = TestdataAdapter.table(spark, dir, "embeddings")
+    (0 until Copies).map { k =>
+      emb.select(
+        (col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+        (if (k == 0) col("embedding")
+         else concat(
+           slice(col("embedding"), lit(k + 1), size(col("embedding")) - k),
+           slice(col("embedding"), lit(1), lit(k)))).as("embedding"),
+        col("label"))
+    }.reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(s"$out/embeddings")
     out
   }
 
@@ -125,4 +140,18 @@ class ScaleSoakSpec extends SparkSpec {
   // split joins and splits²-bounded agg must add nothing super-linear
   // on top of the soaked ngramJaccard lineage
   soak("split_leakage")(d => Dedup.splitLeakage(d))(baseDocs, bigDocs)
+
+  // round-8 additions not yet soaked (VERDICT r8 item 5): the bounded-
+  // anchor broadcast mining pass, the single-aggregation mixture with
+  // its domains-sized windows, the range-repartition global index, and
+  // the SRP-banded semantic leakage audit
+  private def baseEmb = TestdataAdapter.table(spark, dir, "embeddings")
+  private def bigEmb = spark.read.parquet(s"$soakDir/embeddings")
+  import graft.ml.HashSplit
+  import graft.sim.Knn
+
+  soak("hard_negatives")(e => Knn.hardNegatives(e))(baseEmb, bigEmb)
+  soak("semantic_split_leakage")(e => Knn.semanticSplitLeakage(e))(baseEmb, bigEmb)
+  soak("temperature_mixture")(d => TextOps.temperatureMixture(d))(baseDocs, bigDocs)
+  soak("corpus_shuffle")(d => HashSplit.corpusShuffle(d))(baseDocs, bigDocs)
 }

@@ -92,6 +92,13 @@ def main():
             print(f"FAIL {name}: rows-only output unreadable: {e}")
             n_bad += 1
     print(f"\n{n_ok} ok, {n_bad} failed, {len(rows_only)} rows-only")
+    # exact counts block to paste into README/COVERAGE/SKILL — regenerate
+    # the docs from THIS, never by hand (doc drift recurred in r6/r7)
+    total = len(oracle) + len(rows_only)
+    print("\n--- docs counts block (paste verbatim) ---")
+    print(f"{total} registered queries; {n_ok} oracle-exact "
+          f"(rows+schema+hash vs DuckDB); {len(rows_only)} rows-only by design; "
+          f"{n_bad} failures")
     sys.exit(1 if n_bad else 0)
 
 
