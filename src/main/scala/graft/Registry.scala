@@ -1764,10 +1764,12 @@ object Registry {
             .join(delayHourly(s, d).groupBy("hour_ts")
               .agg(avg("avg_delay_seconds").as("avg_delay_seconds")), Seq("hour_ts"), "left")
             .orderBy("hour_ts").limit(6)
+          // parse only the invariant's fields — JacksonParser skips
+          // conversion of unrequested keys (noise/bucket fields), which
+          // matters at 100 events × stops × hours rows
           val comp = org.apache.spark.sql.types.StructType.fromDDL(
             "base_demand BIGINT, time_factor DOUBLE, dow_factor DOUBLE, " +
-              "weather_factor DOUBLE, delay_factor DOUBLE, stop_noise DOUBLE, " +
-              "hourly_passengers INT, bucket_weight DOUBLE, total_weight DOUBLE")
+              "weather_factor DOUBLE, delay_factor DOUBLE")
           MockFlow.generate(stops, hours)
             .select(col("stop_id"), from_json(col("components"), comp).as("c"))
             .groupBy(col("stop_id"), col("c.time_factor").as("time_factor"),
