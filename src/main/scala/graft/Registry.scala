@@ -1397,6 +1397,36 @@ object Registry {
             |SELECT doc_id, lang, source, n_chars, is_new_exact, batch_seq
             |FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
             |ORDER BY doc_id""".stripMargin)),
+      // The NEAR-dup sibling of the maintained exact index: the LSH
+      // signature table (8 min-hashes + 4 band keys per doc — bounded
+      // state) persisted through parquet; batch 1 classifies against
+      // the corpus index via band joins + signature-agreement Jaccard
+      // estimate, merges in (plain union), batch 2 classifies against
+      // the updated state — no corpus text touched after the one index
+      // build. Oracle recomputes both classifications in DuckDB.
+      Q("lsh_incremental_newdocs",
+        (s, d) => {
+          val all = docs(s, d)
+          val corpus = all.filter(col("doc_id") % 3 =!= 0)
+          val b1 = all.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 0)
+          val b2 = all.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 =!= 0)
+          val state = java.nio.file.Files.createTempDirectory("graft_lsh_idx").toString
+          def persistIdx(ix: org.apache.spark.sql.DataFrame, v: Int) = {
+            ix.write.mode("overwrite").parquet(s"$state/v$v")
+            s.read.parquet(s"$state/v$v")
+          }
+          val idx0 = persistIdx(Dedup.lshIndex(corpus), 0)
+          val v1 = Dedup.classifyNearDupIncremental(idx0, b1)
+          val idx1 = persistIdx(Dedup.mergeLshIndex(idx0, b1), 1)
+          val v2 = Dedup.classifyNearDupIncremental(idx1, b2)
+          v1.withColumn("batch_seq", lit(1))
+            .unionByName(v2.withColumn("batch_seq", lit(2)))
+            .orderBy("doc_id")
+        },
+        Some(Dedup.lshIncrementalSql(
+          "doc_id % 3 <> 0",
+          "doc_id % 3 = 0 AND doc_id % 2 = 0",
+          "doc_id % 3 = 0 AND doc_id % 2 <> 0"))),
       // learned quality model (hashed BoW → logistic regression) —
       // rows-only (iterative fitter; AUC band + determinism are
       // spec-asserted in QualityClassifierSpec)

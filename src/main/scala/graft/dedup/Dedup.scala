@@ -830,6 +830,121 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- incremental NEAR-dup: the LSH signature table as running state
+  //      (the near-dup sibling of the exact-hash DedupIndex above) ----
+
+  /** The LSH index IS the MinHash signature frame (doc_id, mh0..mh7,
+    * band0..band3): 8 fixed-width hashes + 4 band keys per doc —
+    * BOUNDED per-doc state (~0.3 KB), unlike the raw shingle sets, which
+    * is what makes it persistable at corpus scale. A deployment writes
+    * it to a table and feeds it back to [[classifyNearDupIncremental]] /
+    * [[mergeLshIndex]] per batch.
+    */
+  def lshIndex(corpus: DataFrame): DataFrame =
+    minhashSignaturesFrom(hashedShingles(corpus))
+
+  /** Fold a processed batch into the running index: signatures are
+    * per-doc rows, so the merge is a plain union — no recompute of the
+    * existing state, no corpus rescan.
+    */
+  def mergeLshIndex(index: DataFrame, batch: DataFrame): DataFrame =
+    index.unionByName(lshIndex(batch))
+
+  /** Classify a batch against the RUNNING index: batch docs →
+    * signatures; four band-equality joins against the index surface
+    * candidates (the standard LSH recall set); each candidate's
+    * signature agreement (matching min-hashes / 8) estimates Jaccard
+    * WITHOUT touching any corpus text — the per-batch cost is
+    * O(batch + candidates), state-bounded like
+    * [[bloomNewDocsIncremental]] but for NEAR duplicates.
+    *
+    * Output: one row per batch doc (shingle-less docs included) with
+    * candidate count, the best-agreeing index doc (ties broken by
+    * lowest doc_id — deterministic), its agreement estimate, and the
+    * near-dup verdict (any band collision). Batch-internal duplicates
+    * are the existing pair pipeline's job, not this classifier's.
+    */
+  def classifyNearDupIncremental(index: DataFrame, batch: DataFrame): DataFrame = {
+    val bsig = minhashSignaturesFrom(hashedShingles(batch)).persist()
+    val nAgree = (0 until NumHashes)
+      .map(k => when(col(s"x.mh$k") === col(s"y.mh$k"), 1).otherwise(0))
+      .reduce(_ + _)
+    val cand = (0 until Bands).map { j =>
+      bsig.as("x").join(index.as("y"), col(s"x.band$j") === col(s"y.band$j"))
+        .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("match_id"),
+          nAgree.as("n_agree"))
+    }.reduce(_ unionByName _).distinct()
+    val part = Window.partitionBy("doc_id")
+    val ranked = cand
+      .withColumn("n_candidates", count(lit(1)).over(part))
+      .withColumn("rn", row_number().over(
+        part.orderBy(col("n_agree").desc, col("match_id"))))
+      .filter(col("rn") === 1)
+    batch.select(col("doc_id"))
+      .join(ranked, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("match_id").as("best_match_id"),
+        (col("n_agree").cast("double") / 8).as("best_agreement"),
+        col("match_id").isNotNull.as("is_near_dup"))
+      .orderBy("doc_id")
+  }
+
+  /** Signature CTE chain over a filtered slice of `documents`, with
+    * prefixed CTE names so several slices coexist in one oracle query.
+    */
+  private def sigCtesSql(n: String, pred: String): String = {
+    val mh = (0 until NumHashes).map(k => s"MIN(${permSql(k)}) AS mh$k").mkString(", ")
+    val bands = (0 until Bands).map(j => s"mh${2 * j} || mh${2 * j + 1} AS band$j").mkString(", ")
+    raw"""${n}_toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+       |            FROM documents WHERE $pred),
+       |${n}_hs AS (SELECT DISTINCT doc_id, md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS h
+       |          FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM ${n}_toks)),
+       |${n}_sig0 AS (SELECT doc_id, $mh FROM ${n}_hs GROUP BY doc_id),
+       |${n}_sig AS (SELECT *, $bands FROM ${n}_sig0)""".stripMargin
+  }
+
+  /** Classification SQL of batch-slice `b` against index CTE `idx`
+    * (columns like sig), emitting the [[classifyNearDupIncremental]]
+    * row shape tagged with `seq`.
+    */
+  private def classifySql(b: String, idx: String, seq: Int): String = {
+    val agree = (0 until NumHashes)
+      .map(k => s"CASE WHEN x.mh$k = y.mh$k THEN 1 ELSE 0 END").mkString(" + ")
+    val bandJoins = (0 until Bands).map(j =>
+      s"SELECT x.doc_id, y.doc_id AS match_id, $agree AS n_agree FROM ${b}_sig x JOIN $idx y ON x.band$j = y.band$j")
+      .mkString(" UNION ALL ")
+    s"""SELECT r.doc_id,
+       |  CAST(COALESCE(k.n_candidates, 0) AS BIGINT) AS n_candidates,
+       |  k.match_id AS best_match_id,
+       |  CAST(k.n_agree AS DOUBLE) / 8 AS best_agreement,
+       |  k.match_id IS NOT NULL AS is_near_dup,
+       |  $seq AS batch_seq
+       |FROM (SELECT doc_id FROM ${b}_toks) r
+       |LEFT JOIN (
+       |  SELECT doc_id, match_id, n_agree,
+       |    COUNT(*) OVER (PARTITION BY doc_id) AS n_candidates,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n_agree DESC, match_id) AS rn
+       |  FROM (SELECT DISTINCT doc_id, match_id, n_agree FROM ($bandJoins))) k
+       |ON r.doc_id = k.doc_id AND k.rn = 1""".stripMargin
+  }
+
+  /** DuckDB twin of the two-batch incremental scenario: batch 1 vs the
+    * corpus index, batch 2 vs corpus ∪ batch 1.
+    */
+  def lshIncrementalSql(
+      corpusPred: String, b1Pred: String, b2Pred: String): String =
+    s"""WITH ${sigCtesSql("c", corpusPred)},
+       |${sigCtesSql("b1", b1Pred)},
+       |${sigCtesSql("b2", b2Pred)},
+       |idx1 AS (SELECT * FROM c_sig UNION ALL SELECT * FROM b1_sig)
+       |SELECT * FROM (
+       |  ${classifySql("b1", "c_sig", 1).replace("\n", "\n  ")}
+       |  UNION ALL
+       |  ${classifySql("b2", "idx1", 2).replace("\n", "\n  ")})
+       |ORDER BY doc_id""".stripMargin
+
   /** [[shingles]] with the 1-based token position each shingle starts at
     * (shingle i covers tokens i..i+2) — the positional lineage span-level
     * scrubbing needs that plain shingles discard.
