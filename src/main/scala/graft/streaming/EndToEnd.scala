@@ -159,13 +159,22 @@ object EndToEnd {
     * `suggestions` registration, whose oracle SQL is reused verbatim.
     */
   def suggestionsE2E(spark: SparkSession, dir: String): DataFrame = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
     val qdir = produce(spark, dir)
-    val vehicle = consume(spark, qdir, "gtfs.rt.vehicle_positions", VehPayload)
-      .select(col("route_id"), col("vehicle_id"), col("observed_at"))
-    val trips = consume(spark, qdir, "gtfs.rt.trip_updates", TripPayload)
-      .select(col("route_id"), col("observed_at"), col("delay_seconds"))
-    val flow = consume(spark, qdir, "transit.passenger_flow", FlowPayload)
-      .select(col("stop_id"), col("observed_at"), col("estimated_passengers"))
+    // the three consumers are independent streaming queries (as deployed:
+    // one per topic) — run them concurrently; Spark's scheduler
+    // interleaves the micro-batch jobs
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val fv = Future(consume(spark, qdir, "gtfs.rt.vehicle_positions", VehPayload)
+      .select(col("route_id"), col("vehicle_id"), col("observed_at")))
+    val ft = Future(consume(spark, qdir, "gtfs.rt.trip_updates", TripPayload)
+      .select(col("route_id"), col("observed_at"), col("delay_seconds")))
+    val ff = Future(consume(spark, qdir, "transit.passenger_flow", FlowPayload)
+      .select(col("stop_id"), col("observed_at"), col("estimated_passengers")))
+    val (vehicle, trips, flow) =
+      (Await.result(fv, Duration.Inf), Await.result(ft, Duration.Inf),
+        Await.result(ff, Duration.Inf))
 
     // ingested topics → the same view code the batch pipeline runs
     val s2r = vehicle.select(col("vehicle_id").as("stop_id"), col("route_id")).distinct()
