@@ -67,6 +67,9 @@ object EndToEnd {
       lit(eventType).as("event_type"),
       entityId.as("entity_id"),
       isoUs(timestamp_micros(tsUs)).as("timestamp"),
+      // the reference stamps arrival wall-clock; the deterministic
+      // event-time + 1.5 s stand-in matches Envelope.producerEnvelope
+      isoUs(timestamp_micros(tsUs + lit(1500000L))).as("ingested_at"),
       lit("gtfs-rt-poller").as("source"),
       payload.as("payload")),
       Map("ignoreNullFields" -> "false"))
@@ -75,6 +78,7 @@ object EndToEnd {
     StructField("event_type", StringType),
     StructField("entity_id", StringType),
     StructField("timestamp", StringType),
+    StructField("ingested_at", StringType),
     StructField("source", StringType),
     StructField("payload", payload)))
 
