@@ -869,8 +869,13 @@ object Dedup {
     val nAgree = (0 until NumHashes)
       .map(k => when(col(s"x.mh$k") === col(s"y.mh$k"), 1).otherwise(0))
       .reduce(_ + _)
+    // broadcast the BATCH side: an incremental batch is bounded by
+    // contract while the index is corpus-sized — the index must never
+    // shuffle on band keys, and the explicit hint keeps the plan
+    // broadcast-stable at every scale (soak-asserted)
     val cand = (0 until Bands).map { j =>
-      bsig.as("x").join(index.as("y"), col(s"x.band$j") === col(s"y.band$j"))
+      broadcast(bsig).as("x")
+        .join(index.as("y"), col(s"x.band$j") === col(s"y.band$j"))
         .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("match_id"),
           nAgree.as("n_agree"))
     }.reduce(_ unionByName _).distinct()

@@ -154,4 +154,10 @@ class ScaleSoakSpec extends SparkSpec {
   soak("semantic_split_leakage")(e => Knn.semanticSplitLeakage(e))(baseEmb, bigEmb)
   soak("temperature_mixture")(d => TextOps.temperatureMixture(d))(baseDocs, bigDocs)
   soak("corpus_shuffle")(d => HashSplit.corpusShuffle(d))(baseDocs, bigDocs)
+  // round-9 addition: the incremental near-dup classify — index build +
+  // four band joins + agreement window; the banded candidate set is the
+  // part that must not go quadratic as corpus and batch grow together
+  soak("lsh_classify")(d => Dedup.classifyNearDupIncremental(
+    Dedup.lshIndex(d.filter(col("doc_id") % 3 =!= 0)),
+    d.filter(col("doc_id") % 3 === 0)))(baseDocs, bigDocs)
 }
