@@ -789,8 +789,19 @@ object Dedup {
       .withColumn("bloom_seen", bloomSeen)
     val trustedNew = flagged.filter(!col("bloom_seen"))
       .withColumn("is_new_exact", lit(true))
+    // residual membership WITHOUT shuffling the corpus-sized index: the
+    // bloom-positive hash set is batch-bounded, so it broadcasts into a
+    // semi-join that filters the index at its scan (no index exchange),
+    // and the surviving hashes — ≤ the positive set — broadcast back
+    // onto the batch. Both joins are broadcast by construction at every
+    // scale; a plain left join here made Spark sort-merge the whole
+    // persisted index per batch once it outgrew the broadcast threshold.
+    val posHashes = flagged.filter(col("bloom_seen")).select("h").distinct()
+    val inCorpus = index.hashes
+      .join(broadcast(posHashes), Seq("h"), "left_semi")
+      .withColumn("in_corpus", lit(true))
     val residual = flagged.filter(col("bloom_seen"))
-      .join(index.hashes.withColumn("in_corpus", lit(true)), Seq("h"), "left")
+      .join(broadcast(inCorpus), Seq("h"), "left")
       .withColumn("is_new_exact", col("in_corpus").isNull)
       .drop("in_corpus")
     trustedNew.unionByName(residual)

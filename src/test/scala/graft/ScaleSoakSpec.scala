@@ -160,4 +160,10 @@ class ScaleSoakSpec extends SparkSpec {
   soak("lsh_classify")(d => Dedup.classifyNearDupIncremental(
     Dedup.lshIndex(d.filter(col("doc_id") % 3 =!= 0)),
     d.filter(col("doc_id") % 3 === 0)))(baseDocs, bigDocs)
+  // the exact-index sibling: the residual membership must stay a
+  // broadcast pair (index filtered at its scan), never a sort-merge of
+  // the corpus-sized hash table
+  soak("bloom_classify")(d => Dedup.bloomNewDocsIncremental(
+    Dedup.buildDedupIndex(d.filter(col("doc_id") % 3 =!= 0)),
+    d.filter(col("doc_id") % 3 === 0)))(baseDocs, bigDocs)
 }
