@@ -47,6 +47,27 @@ object Registry {
   /** The ingestor-side schema of the trip-update wire record (S6),
     * shared by the direct consumer leg and the graftqueue round trip.
     */
+  /** Two-batch incremental-dedup oracle: batch 1 vs corpus, batch 2 vs
+    * corpus ∪ batch 1 — shared by the in-plan (`bloom_incremental_newdocs`)
+    * and micro-batch streaming (`streaming_dedup_index`) forms.
+    */
+  private val BLOOM_INCR_SQL =
+    """WITH c0 AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 3 <> 0),
+      |b1 AS (SELECT doc_id, lang, source, n_chars, md5(text) AS h
+      |       FROM documents WHERE doc_id % 3 = 0 AND doc_id % 2 = 0),
+      |b2 AS (SELECT doc_id, lang, source, n_chars, md5(text) AS h
+      |       FROM documents WHERE doc_id % 3 = 0 AND doc_id % 2 <> 0),
+      |c1 AS (SELECT h FROM c0 UNION SELECT h FROM b1),
+      |v1 AS (SELECT b1.doc_id, b1.lang, b1.source, b1.n_chars,
+      |         (c0.h IS NULL) AS is_new_exact, 1 AS batch_seq
+      |       FROM b1 LEFT JOIN c0 ON b1.h = c0.h),
+      |v2 AS (SELECT b2.doc_id, b2.lang, b2.source, b2.n_chars,
+      |         (c1.h IS NULL) AS is_new_exact, 2 AS batch_seq
+      |       FROM b2 LEFT JOIN c1 ON b2.h = c1.h)
+      |SELECT doc_id, lang, source, n_chars, is_new_exact, batch_seq
+      |FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+      |ORDER BY doc_id""".stripMargin
+
   private val TRIP_WIRE_SCHEMA = org.apache.spark.sql.types.StructType.fromDDL(
     "event_type STRING, entity_id STRING, timestamp STRING, " +
       "ingested_at STRING, source STRING, " +
@@ -1381,22 +1402,14 @@ object Registry {
             .drop("is_new_bloom")
             .orderBy("doc_id")
         },
-        Some(
-          """WITH c0 AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 3 <> 0),
-            |b1 AS (SELECT doc_id, lang, source, n_chars, md5(text) AS h
-            |       FROM documents WHERE doc_id % 3 = 0 AND doc_id % 2 = 0),
-            |b2 AS (SELECT doc_id, lang, source, n_chars, md5(text) AS h
-            |       FROM documents WHERE doc_id % 3 = 0 AND doc_id % 2 <> 0),
-            |c1 AS (SELECT h FROM c0 UNION SELECT h FROM b1),
-            |v1 AS (SELECT b1.doc_id, b1.lang, b1.source, b1.n_chars,
-            |         (c0.h IS NULL) AS is_new_exact, 1 AS batch_seq
-            |       FROM b1 LEFT JOIN c0 ON b1.h = c0.h),
-            |v2 AS (SELECT b2.doc_id, b2.lang, b2.source, b2.n_chars,
-            |         (c1.h IS NULL) AS is_new_exact, 2 AS batch_seq
-            |       FROM b2 LEFT JOIN c1 ON b2.h = c1.h)
-            |SELECT doc_id, lang, source, n_chars, is_new_exact, batch_seq
-            |FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
-            |ORDER BY doc_id""".stripMargin)),
+        Some(BLOOM_INCR_SQL)),
+      // the same maintained index driven by a REAL micro-batch stream:
+      // foreachBatch classifies each arriving file against the persisted
+      // bloom+hash state, then folds it in — continuous-ingest dedup,
+      // verified against the identical two-batch oracle
+      Q("streaming_dedup_index",
+        (s, d) => graft.streaming.Streams.dedupIndexStream(s, d),
+        Some(BLOOM_INCR_SQL)),
       // The NEAR-dup sibling of the maintained exact index: the LSH
       // signature table (8 min-hashes + 4 band keys per doc — bounded
       // state) persisted through parquet; batch 1 classifies against

@@ -472,6 +472,63 @@ object Streams {
       sys.error("incremental stream produced no batches"))))
   }
 
+  /** Continuous-ingest dedup: the maintained exact-dedup index
+    * (dedup.Dedup.{buildDedupIndex, bloomNewDocsIncremental,
+    * mergeDedupIndex}) driven by a REAL micro-batch stream — each
+    * arriving document batch is classified against the persisted
+    * bloom + hash state and then folded into it, exactly the shape a
+    * 100 TB ingest pipeline runs (per-batch cost never rescans the
+    * corpus; state grows by the batch's distinct hashes). Two staged
+    * files with pinned modification times make the batch order — and
+    * therefore the verdicts — deterministic; the oracle recomputes
+    * both classifications from the raw table.
+    */
+  def dedupIndexStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.Dedup
+    val docs = graft.TestdataAdapter.table(spark, dir, "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    val staged = Files.createTempDirectory("graft_dedup_stream").toString
+    docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 0)
+      .coalesce(1).write.mode("overwrite").parquet(s"$staged/in/batch_a")
+    docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 =!= 0)
+      .coalesce(1).write.mode("overwrite").parquet(s"$staged/in/batch_b")
+    // the file source orders batches by modification time — pin it so
+    // batch_a is always micro-batch 0
+    import java.nio.file.attribute.FileTime
+    Seq("batch_a" -> 0L, "batch_b" -> 60000L).foreach { case (n, off) =>
+      val d = java.nio.file.Paths.get(s"$staged/in/$n")
+      java.nio.file.Files.list(d).forEach(p =>
+        java.nio.file.Files.setLastModifiedTime(p, FileTime.fromMillis(1700000000000L + off)))
+      java.nio.file.Files.setLastModifiedTime(d, FileTime.fromMillis(1700000000000L + off))
+    }
+    def persistIdx(idx: Dedup.DedupIndex, v: Long): Dedup.DedupIndex = {
+      idx.hashes.write.mode("overwrite").parquet(s"$staged/state/v$v")
+      Dedup.DedupIndex(idx.bloomBits, spark.read.parquet(s"$staged/state/v$v"))
+    }
+    var state = persistIdx(Dedup.buildDedupIndex(corpus), 0L)
+    val q = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$staged/in/batch_*")
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_dedup_ckpt").toString)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Dedup.bloomNewDocsIncremental(state, batch)
+          .withColumn("batch_seq", (lit(batchId) + 1).cast("int"))
+          .write.mode("overwrite").parquet(s"$staged/verdicts/b$batchId")
+        state = persistIdx(Dedup.mergeDedupIndex(state, batch), batchId + 1)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$staged/verdicts/*")
+      .drop("is_new_bloom")
+      .orderBy("doc_id")
+  }
+
   /** S9 as a stream: idempotent append (DO NOTHING) — anti-join each batch
     * against the sink before appending. Ref: ingestor.py:71. Used by the
     * streaming spec; same rewrite pattern as above.
