@@ -110,7 +110,27 @@ class PlanBudgetSpec extends SparkSpec {
     // bounded anchor broadcast + per-anchor rank window + output sort
     "hard_negatives" -> 2,
     // banded pair frame (persisted) + split joins broadcast; agg + sort
-    "semantic_split_leakage" -> 3)
+    "semantic_split_leakage" -> 3,
+    // round-9 additions — fixture/disk round trips count only their
+    // read-side plan (the write is eager at construction):
+    "gtfs_csv_scan" -> 1,            // all-string scan + output sort
+    "gtfs_calendar_booleans" -> 1,
+    "multimodal_codec_template" -> 1, // mapPartitions decode + output sort
+    // generator (ctx aggs broadcast onto stops) + invariant group-by +
+    // output sort
+    "mockflow_invariants" -> 5,
+    // per classify: batch hash agg + residual pair stays BROADCAST
+    // (index filtered at its scan, never sort-merged); ×2 batches +
+    // index-build distincts + output sort
+    "bloom_incremental_newdocs" -> 5,
+    // two index builds (shingle distinct + signature agg each) + two
+    // batch signature pipelines + candidate distinct/window per
+    // classify + output sort; all band joins broadcast the batch side.
+    // Like split_leakage, the plan STRING re-prints the persisted batch
+    // signature subtree under each band join — the budget pins the
+    // printed shape (21); execution materializes each cache once
+    // (12 Exchanges by formatted-plan count)
+    "lsh_incremental_newdocs" -> 21)
 
   for ((q, budget) <- budgets)
     test(s"$q stays within its shuffle budget ($budget)") {
