@@ -907,6 +907,71 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Incremental TRANSITIVE-cluster maintenance — the last leg of the
+    * maintained-index family (exact: [[DedupIndex]]; near-dup pairs:
+    * [[lshIndex]]; clusters: here). Given the persisted label table
+    * (doc_id, cluster_id — cluster_id is the member minimum, as
+    * [[dedupClusters]] emits) and the persisted signature index, attach
+    * a new batch EXACTLY:
+    *
+    *  1. cross edges: batch signatures band-join the index (batch side
+    *     broadcast — the index never shuffles), then contract each
+    *     matched corpus doc to its cluster representative;
+    *  2. internal edges: the ordinary LSH pairs within the batch;
+    *  3. run connected components on the CONTRACTED subgraph only —
+    *     batch ids ∪ TOUCHED representatives, a batch-bounded vertex
+    *     set — so per-batch cost is O(batch + touched), independent of
+    *     corpus size;
+    *  4. remap: corpus labels whose representative landed in a merged
+    *     component adopt the component label (an id-table join — no
+    *     text, no signatures); untouched clusters pass through.
+    *
+    * Exactness: each representative IS its cluster's minimum doc_id, so
+    * the contracted component minimum equals the true member minimum —
+    * the incremental labels are bit-identical to a from-scratch
+    * [[dedupClusters]] over corpus ∪ batch (oracle- and spec-checked),
+    * including the case where one batch doc BRIDGES two existing
+    * clusters (they merge under the smaller representative).
+    */
+  def attachToClusters(
+      labels: DataFrame, index: DataFrame, batch: DataFrame): DataFrame = {
+    val bsig = minhashSignaturesFrom(hashedShingles(batch)).persist()
+    val cross = (0 until Bands).map { j =>
+      broadcast(bsig).as("x")
+        .join(index.as("y"), col(s"x.band$j") === col(s"y.band$j"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    }.reduce(_ unionByName _).distinct()
+    val crossToRep = cross
+      .join(labels.select(col("doc_id").as("doc_b"), col("cluster_id")), Seq("doc_b"))
+      .select(col("doc_a"), col("cluster_id").as("doc_b"))
+    val edges = crossToRep.unionByName(minhashPairsFrom(bsig)).distinct()
+    val verts = batch.select("doc_id")
+      .unionByName(crossToRep.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val comp = connectedComponents(verts, edges)
+    val remap = comp
+      .select(col("doc_id").as("old_rep"), col("cluster_id").as("new_label"))
+    val corpusLabels = labels
+      .join(remap, labels("cluster_id") === remap("old_rep"), "left")
+      .select(labels("doc_id"),
+        coalesce(col("new_label"), labels("cluster_id")).as("cluster_id"))
+    val batchLabels = comp.join(batch.select("doc_id"), Seq("doc_id"))
+      .select(col("doc_id"), col("cluster_id"))
+    corpusLabels.unionByName(batchLabels)
+  }
+
+  /** [[attachToClusters]] finalized to the [[dedupClusters]] output
+    * shape (labels + recomputed cluster sizes, ordered).
+    */
+  def attachToClustersWithSizes(
+      labels: DataFrame, index: DataFrame, batch: DataFrame): DataFrame = {
+    val l = attachToClusters(labels, index, batch)
+    val sizes = l.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    l.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
   /** Signature CTE chain over a filtered slice of `documents`, with
     * prefixed CTE names so several slices coexist in one oracle query.
     */
