@@ -1530,6 +1530,13 @@ object Registry {
       // seeded hash-order shuffle + distributed dense numbering
       Q("corpus_shuffle", (s, d) => graft.ml.HashSplit.corpusShuffle(docs(s, d)),
         Some(graft.ml.HashSplit.corpusShuffleSql())),
+      // curriculum training order: exact quality tiers (distributed
+      // NTILE), best tier first, seeded md5 permutation within a tier,
+      // dense 0-based position via the range-repartition global index
+      Q("curriculum_order",
+        (s, d) => graft.ml.HashSplit.curriculumOrder(docs(s, d)),
+        Some(graft.ml.HashSplit.curriculumOrderSql(
+          scoreExpr = TextOps.qualityScoreSqlExpr))),
       // deterministic weighted sampling without replacement (A-ES
       // ln(u)/w keys over hash uniforms, bounded TakeOrdered)
       Q("weighted_sample", (s, d) => graft.ml.HashSplit.weightedSample(docs(s, d)),

@@ -200,4 +200,46 @@ object HashSplit {
        |    ORDER BY md5(concat('$seed', '|', CAST(doc_id AS VARCHAR))), doc_id) - 1
        |    AS BIGINT) AS shuffle_pos
        |FROM documents ORDER BY shuffle_pos""".stripMargin
+
+  /** Curriculum training order: best-quality-first with randomness
+    * WITHIN each quality band. Documents are ranked into exact quality
+    * tiers ([[graft.rel.Scale.ntileExact]] — distributed, never a
+    * single-partition NTILE window), the highest tier is scheduled
+    * first, and inside a tier the order is a seeded md5 permutation
+    * (same determinism contract as [[corpusShuffle]]: rerun-,
+    * append-position- and layout-stable). The dense 0-based position
+    * comes from the range-repartition global index over
+    * (tier-rank, shuffle_key, doc_id) — a total order by construction.
+    */
+  def curriculumOrder(
+      documents: DataFrame, tiers: Int = 10, seed: Long = 42): DataFrame = {
+    val scored = documents.select(col("doc_id"),
+      graft.text.TextOps.qualityScore(col("text")).as("quality_score"))
+    val tiered = graft.rel.Scale
+      .ntileExact(scored, tiers, Seq("quality_score", "doc_id"))
+      .select(col("doc_id"), col("tier"),
+        (lit(tiers) - col("tier")).as("tier_rank"),
+        md5(concat(lit(seed.toString), lit("|"), col("doc_id").cast("string")))
+          .as("shuffle_key"))
+    graft.rel.Scale.globalIndex(
+      tiered, Seq("tier_rank", "shuffle_key", "doc_id"), partitions = 32)
+      .select(col("doc_id"), col("tier").cast("int").as("tier"),
+        col("global_idx").as("curriculum_pos"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of [[curriculumOrder]]. */
+  def curriculumOrderSql(
+      tiers: Int = 10, seed: Long = 42, scoreExpr: String): String =
+    s"""WITH s AS (SELECT doc_id, $scoreExpr AS quality_score FROM documents),
+       |t AS (SELECT doc_id,
+       |        NTILE($tiers) OVER (ORDER BY quality_score, doc_id) AS tier
+       |      FROM s),
+       |k AS (SELECT doc_id, tier,
+       |        md5(concat('$seed', '|', CAST(doc_id AS VARCHAR))) AS sk
+       |      FROM t)
+       |SELECT doc_id, CAST(tier AS INTEGER) AS tier,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY $tiers - tier, sk, doc_id) - 1
+       |    AS BIGINT) AS curriculum_pos
+       |FROM k ORDER BY doc_id""".stripMargin
 }
