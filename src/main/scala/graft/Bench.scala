@@ -52,7 +52,11 @@ object Bench {
     // dev-only subsetting: `runMain graft.Bench name1 name2` times just
     // those queries; the driver passes no args → full sweep, unchanged
     val only = args.toSet
-    def fmt(v: Double): String = if (v < 0) "-1.0" else f"$v%.3f"
+    // Locale.ROOT: under a comma-decimal default locale (e.g. de_DE) an
+    // f-interpolator "%.3f" would emit "0,123" and corrupt the JSON
+    def fmt(v: Double): String =
+      if (v < 0) "-1.0"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val results = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.isEmpty || only(n)).map { name =>
       val times = (1 to runs).map { _ =>
@@ -86,17 +90,26 @@ object Bench {
       "\"" + k + "\":" + ok
     }.mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"stat":"median","partial_ok":$partial}"""
-    // persist the full results object to a file the judge/builder can read
-    // even when the driver's stdout tail-capture truncates the line below
+    // persist the FULL results object (all ~200 per-query timings) to a
+    // file; at 200+ queries the one-line form is ~5 KB, which the driver's
+    // stdout tail-capture front-truncates into unparseable JSON
     try {
       val out = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json"))
       java.nio.file.Files.write(out, line.getBytes("UTF-8"))
-      System.err.println(s"[bench] results written to ${out.toAbsolutePath}")
+      System.err.println(s"[bench] full results written to ${out.toAbsolutePath}")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not persist results file: $e")
     }
-    println(line)
+    // the LAST stdout line is a COMPACT (<2 KB) JSON object that survives
+    // tail truncation intact: total + the slowest queries only, with a
+    // pointer to the full artifact. The per-query `[bench] q=...` progress
+    // lines above carry the rest of the detail in stdout form.
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(40)
+      .map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slowest,"n_queries":${results.length},"queries_shown":"slowest40","full_results":"bench_results.json","sf":"$sfDir","runs":$runs,"stat":"median","partial_ok":$partial}"""
+    println("=== BENCH_JSON ===")
+    println(compact)
     spark.stop()
   }
 }

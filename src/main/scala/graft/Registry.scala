@@ -51,9 +51,6 @@ object Registry {
   /** Decimal-exact SUM returned as double — oracle twin of Cols.detSum. */
   private def dsum(e: String) = s"CAST(SUM(CAST(($e) AS DECIMAL(28,6))) AS DOUBLE)"
 
-  /** The ingestor-side schema of the trip-update wire record (S6),
-    * shared by the direct consumer leg and the graftqueue round trip.
-    */
   /** Two-batch incremental-dedup oracle: batch 1 vs corpus, batch 2 vs
     * corpus ∪ batch 1 — shared by the in-plan (`bloom_incremental_newdocs`)
     * and micro-batch streaming (`streaming_dedup_index`) forms.
@@ -75,6 +72,9 @@ object Registry {
       |FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
       |ORDER BY doc_id""".stripMargin
 
+  /** The ingestor-side schema of the trip-update wire record (S6),
+    * shared by the direct consumer leg and the graftqueue round trip.
+    */
   private val TRIP_WIRE_SCHEMA = org.apache.spark.sql.types.StructType.fromDDL(
     "event_type STRING, entity_id STRING, timestamp STRING, " +
       "ingested_at STRING, source STRING, " +

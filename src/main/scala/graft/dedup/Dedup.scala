@@ -864,7 +864,7 @@ object Dedup {
   /** Classify a batch against the RUNNING index: batch docs →
     * signatures; four band-equality joins against the index surface
     * candidates (the standard LSH recall set); each candidate's
-    * signature agreement (matching min-hashes / 8) estimates Jaccard
+    * signature agreement (matching min-hashes / NumHashes) estimates Jaccard
     * WITHOUT touching any corpus text — the per-batch cost is
     * O(batch + candidates), state-bounded like
     * [[bloomNewDocsIncremental]] but for NEAR duplicates.
@@ -902,7 +902,7 @@ object Dedup {
         col("doc_id"),
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
         col("match_id").as("best_match_id"),
-        (col("n_agree").cast("double") / 8).as("best_agreement"),
+        (col("n_agree").cast("double") / NumHashes).as("best_agreement"),
         col("match_id").isNotNull.as("is_near_dup"))
       .orderBy("doc_id")
   }
@@ -999,7 +999,7 @@ object Dedup {
     s"""SELECT r.doc_id,
        |  CAST(COALESCE(k.n_candidates, 0) AS BIGINT) AS n_candidates,
        |  k.match_id AS best_match_id,
-       |  CAST(k.n_agree AS DOUBLE) / 8 AS best_agreement,
+       |  CAST(k.n_agree AS DOUBLE) / $NumHashes AS best_agreement,
        |  k.match_id IS NOT NULL AS is_near_dup,
        |  $seq AS batch_seq
        |FROM (SELECT doc_id FROM ${b}_toks) r

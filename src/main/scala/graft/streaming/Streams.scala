@@ -438,14 +438,22 @@ object Streams {
     val ev = graft.TestdataAdapter.userEvents(spark, dir)
       .select(col("event_type"), col("observed_at"), col("value"))
     val staged = Files.createTempDirectory("graft_incr_stream").toString
-    // two disjoint halves (hash parity mixes hours across batches, so
-    // merging is exercised on shared group keys, not disjoint ones)
-    ev.filter(col("value") * 1000 % 2 === 0).coalesce(1)
+    // two disjoint halves (parity of the value in thousandths mixes hours
+    // across batches, so merging is exercised on shared group keys, not
+    // disjoint ones). coalesce() null-safes the split key: a NULL value
+    // would make BOTH parity predicates null and silently drop the row
+    // from both halves while the oracle's COUNT(*) still counts it.
+    val parity = coalesce(col("value") * 1000 % 2, lit(0))
+    ev.filter(parity === 0).coalesce(1)
       .write.mode("overwrite").parquet(s"$staged/half_a")
-    ev.filter(col("value") * 1000 % 2 =!= 0).coalesce(1)
+    ev.filter(parity =!= 0).coalesce(1)
       .write.mode("overwrite").parquet(s"$staged/half_b")
     val sink = Files.createTempDirectory("graft_incr_state").toString
-    var current: Option[String] = None
+    // replay-idempotent fold: state versions are keyed on batchId and the
+    // prior state is re-read from v{batchId-1} at the top of every batch,
+    // NOT from a driver-side var — a redelivered micro-batch N re-reads
+    // the untouched v{N-1} and overwrites v{N} with identical content,
+    // instead of double-merging its partials into mutated memory.
     val q = spark.readStream
       .schema(ev.schema)
       .option("maxFilesPerTrigger", "1")
@@ -457,20 +465,29 @@ object Streams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         val partial = Incremental.hourlyPartial(batch)
-        val merged = current match {
-          case Some(p) => Incremental.mergePartials(Seq(s.read.parquet(p), partial))
-          case None    => Incremental.mergePartials(Seq(partial))
-        }
-        val next = s"$sink/v$batchId"
-        merged.write.mode("overwrite").parquet(next)
-        current = Some(next)
+        val merged =
+          if (batchId > 0)
+            Incremental.mergePartials(
+              Seq(s.read.parquet(s"$sink/v${batchId - 1}"), partial))
+          else Incremental.mergePartials(Seq(partial))
+        merged.write.mode("overwrite").parquet(s"$sink/v$batchId")
         ()
       }
       .start()
     q.awaitTermination()
-    Incremental.finalizeHourly(spark.read.parquet(current.getOrElse(
+    Incremental.finalizeHourly(spark.read.parquet(latestVersion(sink).getOrElse(
       sys.error("incremental stream produced no batches"))))
   }
+
+  /** Highest `v{N}` state directory under `dir`, if any — how a resumed
+    * run (or the terminal read) discovers the newest committed state
+    * version without trusting driver memory.
+    */
+  private[streaming] def latestVersion(dir: String): Option[String] =
+    Option(new java.io.File(dir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .sortBy(_.getName.drop(1).toLong)
+      .lastOption.map(_.getAbsolutePath)
 
   /** Continuous-ingest dedup: the maintained exact-dedup index
     * (dedup.Dedup.{buildDedupIndex, bloomNewDocsIncremental,
@@ -494,7 +511,11 @@ object Streams {
     docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 =!= 0)
       .coalesce(1).write.mode("overwrite").parquet(s"$staged/in/batch_b")
     // the file source orders batches by modification time — pin it so
-    // batch_a is always micro-batch 0
+    // batch_a is always micro-batch 0. TEST-HARNESS DEVICE ONLY: mtime +
+    // maxFilesPerTrigger is not a production ordering contract (mtimes
+    // are writer-controlled and clock-skewed across a fleet); a real
+    // deployment orders on the queue offsets it already has (GraftQueue
+    // exposes them), where batch order is the broker's commit order.
     import java.nio.file.attribute.FileTime
     Seq("batch_a" -> 0L, "batch_b" -> 60000L).foreach { case (n, off) =>
       val d = java.nio.file.Paths.get(s"$staged/in/$n")
@@ -502,31 +523,63 @@ object Streams {
         java.nio.file.Files.setLastModifiedTime(p, FileTime.fromMillis(1700000000000L + off)))
       java.nio.file.Files.setLastModifiedTime(d, FileTime.fromMillis(1700000000000L + off))
     }
-    def persistIdx(idx: Dedup.DedupIndex, v: Long): Dedup.DedupIndex = {
-      idx.hashes.write.mode("overwrite").parquet(s"$staged/state/v$v")
-      Dedup.DedupIndex(idx.bloomBits, spark.read.parquet(s"$staged/state/v$v"))
+    runDedupIndexStream(spark, docs.schema, corpus, s"$staged/in/batch_*",
+      s"$staged/state", s"$staged/verdicts",
+      Files.createTempDirectory("graft_dedup_ckpt").toString)
+    spark.read.parquet(s"$staged/verdicts/*")
+      .drop("is_new_bloom")
+      .orderBy("doc_id")
+  }
+
+  /** The maintained-dedup-index micro-batch loop itself, factored so the
+    * crash-recovery spec can run it twice against the SAME checkpoint +
+    * state dirs. Replay-idempotent by construction: state version
+    * v{batchId} is the index BEFORE batch batchId, re-read from disk at
+    * the top of every foreachBatch (bloom bytes in `v{N}.bloom`, hash
+    * table in `v{N}/`) — never from driver memory — so a redelivered
+    * micro-batch N classifies against the untouched v{N} and overwrites
+    * verdicts/b{N} and v{N+1} with identical content instead of seeing
+    * its own rows already folded in. `buildDedupIndex(corpus)` seeds v0
+    * only if absent (a resumed run must not rebuild over a moved corpus).
+    */
+  private[streaming] def runDedupIndexStream(
+      spark: SparkSession, schema: org.apache.spark.sql.types.StructType,
+      corpus: DataFrame, inGlob: String, stateDir: String,
+      verdictsDir: String, checkpoint: String): Unit = {
+    import graft.dedup.Dedup
+    def persistIdx(idx: Dedup.DedupIndex, v: Long): Unit = {
+      idx.hashes.write.mode("overwrite").parquet(s"$stateDir/v$v")
+      if (idx.bloomBits != null)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$stateDir/v$v.bloom"), idx.bloomBits)
     }
-    var state = persistIdx(Dedup.buildDedupIndex(corpus), 0L)
+    def loadIdx(s: SparkSession, v: Long): Dedup.DedupIndex = {
+      val bloomPath = java.nio.file.Paths.get(s"$stateDir/v$v.bloom")
+      val bits =
+        if (java.nio.file.Files.exists(bloomPath))
+          java.nio.file.Files.readAllBytes(bloomPath)
+        else null
+      Dedup.DedupIndex(bits, s.read.parquet(s"$stateDir/v$v"))
+    }
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$stateDir/v0")))
+      persistIdx(Dedup.buildDedupIndex(corpus), 0L)
     val q = spark.readStream
-      .schema(docs.schema)
+      .schema(schema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(s"$staged/in/batch_*")
+      .parquet(inGlob)
       .writeStream
       .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation",
-        Files.createTempDirectory("graft_dedup_ckpt").toString)
+      .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val state = loadIdx(batch.sparkSession, batchId)
         Dedup.bloomNewDocsIncremental(state, batch)
           .withColumn("batch_seq", (lit(batchId) + 1).cast("int"))
-          .write.mode("overwrite").parquet(s"$staged/verdicts/b$batchId")
-        state = persistIdx(Dedup.mergeDedupIndex(state, batch), batchId + 1)
+          .write.mode("overwrite").parquet(s"$verdictsDir/b$batchId")
+        persistIdx(Dedup.mergeDedupIndex(state, batch), batchId + 1)
         ()
       }
       .start()
     q.awaitTermination()
-    spark.read.parquet(s"$staged/verdicts/*")
-      .drop("is_new_bloom")
-      .orderBy("doc_id")
   }
 
   /** S9 as a stream: idempotent append (DO NOTHING) — anti-join each batch
