@@ -1786,6 +1786,19 @@ object Registry {
           graft.streaming.EndToEnd.suggestionsE2E(s, d)),
         Some(SUGGESTIONS_SQL)),
 
+      // The lifecycle's last hop (VERDICT r9 item 1): the SAME streaming
+      // chain continued through the frontend export shaping — snapshot
+      // join, status/message, headway deltas — hash-equal to the batch
+      // `export_rows` oracle, so the reference's full
+      // poller → ingestor → kpi → suggest → export-json lifecycle
+      // (export_suggestions_json.py:204-252 being the final leg) is now
+      // covered by ONE oracle-checked plan that consumes the
+      // streaming-fed frames.
+      Q("streaming_export_e2e",
+        (s, d) => graft.streaming.EndToEnd.exportRowsE2E(s, d)
+          .withColumn("hour_ts", col("hour_ts").cast("timestamp_ntz")),
+        Some(EXPORT_ROWS_SQL)),
+
       Q("rf_demand_mae",
         (s, d) => DemandModel.runMetrics(mlDataset(s, d)),
         None),

@@ -159,10 +159,11 @@ object EndToEnd {
           col("r.payload.*")),
       mode = "append")
 
-  /** The full chain; output schema and ordering match the batch
-    * `suggestions` registration, whose oracle SQL is reused verbatim.
+  /** The streaming-fed KPI frame: produce → three concurrent consumers →
+    * the same batch view code (Hourly/Kpi). Everything downstream of the
+    * broker round trip composes off this one frame.
     */
-  def suggestionsE2E(spark: SparkSession, dir: String): DataFrame = {
+  def kpiE2E(spark: SparkSession, dir: String): DataFrame = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     val qdir = produce(spark, dir)
@@ -187,10 +188,33 @@ object EndToEnd {
       col("route_id"), col("hour_ts"),
       (col("passengers") * 0.95).as("y_pred"),
       col("passengers").as("y_true"))
-    val kpi = Kpi.kpiHourly(predictions,
+    Kpi.kpiHourly(predictions,
       Kpi.activeVehiclesHourly(vehicle),
       Kpi.headwayHourly(vehicle),
       Kpi.delayHourly(trips))
-    Suggestions.suggest(kpi, onlyChanges = true)
+  }
+
+  /** The full chain through `suggest`; output schema and ordering match
+    * the batch `suggestions` registration, whose oracle SQL is reused
+    * verbatim.
+    */
+  def suggestionsE2E(spark: SparkSession, dir: String): DataFrame =
+    Suggestions.suggest(kpiE2E(spark, dir), onlyChanges = true)
+
+  /** The lifecycle's LAST hop: the streaming-fed KPI frame through the
+    * suggestion engine AND the frontend export shaping
+    * (export.Export.exportRows — latest-hour snapshot join, status/
+    * message derivation, headway deltas), i.e. the reference's
+    * poller → ingestor → kpi → suggest → export-json chain end-to-end
+    * (export_suggestions_json.py:204-252 is the leg this adds over
+    * [[suggestionsE2E]]). Hash-matched against the batch `export_rows`
+    * oracle over the same events. The KPI frame is persisted: it feeds
+    * the snapshot join, its MAX(hour_ts) scalar, and the suggestions
+    * side — without it the whole broker-fed view pipeline would
+    * re-execute three times.
+    */
+  def exportRowsE2E(spark: SparkSession, dir: String): DataFrame = {
+    val kpi = kpiE2E(spark, dir).persist()
+    graft.export.Export.exportRows(kpi, Suggestions.suggest(kpi))
   }
 }

@@ -541,11 +541,19 @@ object Streams {
     * verdicts/b{N} and v{N+1} with identical content instead of seeing
     * its own rows already folded in. `buildDedupIndex(corpus)` seeds v0
     * only if absent (a resumed run must not rebuild over a moved corpus).
+    *
+    * `crashAfterVerdictsOfBatch` is a FAULT-INJECTION seam for the
+    * crash-recovery spec only: the named batch throws after its verdict
+    * write but before its state persist — the worst crash point, a
+    * half-applied batch — so the spec can prove a checkpoint resume
+    * replays it to the identical end state. Production callers leave it
+    * None.
     */
-  private[streaming] def runDedupIndexStream(
+  private[graft] def runDedupIndexStream(
       spark: SparkSession, schema: org.apache.spark.sql.types.StructType,
       corpus: DataFrame, inGlob: String, stateDir: String,
-      verdictsDir: String, checkpoint: String): Unit = {
+      verdictsDir: String, checkpoint: String,
+      crashAfterVerdictsOfBatch: Option[Long] = None): Unit = {
     import graft.dedup.Dedup
     def persistIdx(idx: Dedup.DedupIndex, v: Long): Unit = {
       idx.hashes.write.mode("overwrite").parquet(s"$stateDir/v$v")
@@ -575,6 +583,9 @@ object Streams {
         Dedup.bloomNewDocsIncremental(state, batch)
           .withColumn("batch_seq", (lit(batchId) + 1).cast("int"))
           .write.mode("overwrite").parquet(s"$verdictsDir/b$batchId")
+        if (crashAfterVerdictsOfBatch.contains(batchId))
+          throw new RuntimeException(
+            s"injected crash after verdicts of batch $batchId (recovery spec)")
         persistIdx(Dedup.mergeDedupIndex(state, batch), batchId + 1)
         ()
       }
