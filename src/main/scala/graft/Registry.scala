@@ -34,6 +34,34 @@ object Registry {
   private val clusterStateDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** One persisted mockflow-generator output per scale dir per JVM:
+    * `mockflow_events` and `mockflow_invariants` verify the SAME
+    * generated frame (the invariants query re-parses the events'
+    * provenance JSON), so generating twice — ~90 000 events plus a JSON
+    * render each, the suite's single biggest cost — bought nothing. The
+    * parquet round trip is exact (strings/doubles/timestamps), so both
+    * oracles see byte-identical events. Same amortization pattern as
+    * [[clusterStateDirs]].
+    */
+  private val mockflowDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def mockflowGenerated(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    import graft.mockflow.MockFlow
+    val p = mockflowDirs.getOrElseUpdate(d, {
+      val stops = MockFlow.seedBaseDemand(TestdataAdapter.flowEvents(s, d))
+      val hours = Pipelines.weatherHourly(s, d)
+        .join(Pipelines.delayHourly(s, d).groupBy("hour_ts")
+          .agg(avg("avg_delay_seconds").as("avg_delay_seconds")), Seq("hour_ts"), "left")
+        .orderBy("hour_ts").limit(6)
+      val dir = java.nio.file.Files.createTempDirectory("graft_mockflow").toString
+      MockFlow.generate(stops, hours).write.mode("overwrite").parquet(s"$dir/events")
+      dir
+    })
+    s.read.parquet(s"$p/events")
+  }
+
   // ---- DuckDB-side adapter CTE bodies (mirror graft.TestdataAdapter) ----
   // CAST(ts AS TIMESTAMP) truncates the nanosecond parquet column to µs,
   // matching the Spark side's integer DIV 1000.
@@ -1496,9 +1524,17 @@ object Registry {
         Some(Knn.hardNegativesSql())),
       Q("knn_bucketed", (s, d) => Knn.bucketedTopK(embs(s, d)),
         Some(Knn.bucketedTopKSql())),
-      // IVF with trained centroids — rows-only (k-means‖ is not
-      // SQL-expressible; exactness is spec-asserted against brute force)
-      Q("knn_ivf", (s, d) => Knn.ivfTopK(embs(s, d)), None),
+      // IVF with trained centroids, run at nprobe = numCells: probing
+      // every cell makes IVF ≡ brute force BY CONSTRUCTION, so the whole
+      // trained pipeline (k-means‖ fit, cell assignment, probe ranking,
+      // per-cell candidate join, ADC-free exact scoring) is hash-checked
+      // against the brute-force oracle — the quantizer provably loses
+      // nothing. The sub-linear operating point (nprobe < numCells) stays
+      // spec-asserted in KnnSpec (exact agreement on separated clusters +
+      // recall band on the testdata), where approximation is the point.
+      Q("knn_ivf",
+        (s, d) => Knn.ivfTopK(embs(s, d), nprobe = 16).drop("cell"),
+        Some(Knn.bruteForceTopKSql(nQueries = 50, k = 3))),
       // SemDeDup-style cluster-then-prune semantic dedup — rows-only
       // (trained centroids not SQL-expressible; prune rule spec-asserted)
       // tau=0.3 matches embedding_near_dup's threshold — the synthetic
@@ -1859,18 +1895,13 @@ object Registry {
       // Ref: mock_passenger_flow_job.py:18-63,136-166.
       Q("mockflow_invariants",
         (s, d) => {
-          val stops = MockFlow.seedBaseDemand(TestdataAdapter.flowEvents(s, d))
-          val hours = weatherHourly(s, d)
-            .join(delayHourly(s, d).groupBy("hour_ts")
-              .agg(avg("avg_delay_seconds").as("avg_delay_seconds")), Seq("hour_ts"), "left")
-            .orderBy("hour_ts").limit(6)
           // parse only the invariant's fields — JacksonParser skips
           // conversion of unrequested keys (noise/bucket fields), which
           // matters at 100 events × stops × hours rows
           val comp = org.apache.spark.sql.types.StructType.fromDDL(
             "base_demand BIGINT, time_factor DOUBLE, dow_factor DOUBLE, " +
               "weather_factor DOUBLE, delay_factor DOUBLE")
-          MockFlow.generate(stops, hours)
+          mockflowGenerated(s, d)
             .select(col("stop_id"), from_json(col("components"), comp).as("c"))
             .groupBy(col("stop_id"), col("c.time_factor").as("time_factor"),
               col("c.dow_factor").as("dow_factor"),
@@ -1932,17 +1963,10 @@ object Registry {
             .stripMargin)),
 
       Q("mockflow_events",
-        (s, d) => {
-          val stops = MockFlow.seedBaseDemand(TestdataAdapter.flowEvents(s, d))
-          val hours = weatherHourly(s, d)
-            .join(delayHourly(s, d).groupBy("hour_ts")
-              .agg(avg("avg_delay_seconds").as("avg_delay_seconds")), Seq("hour_ts"), "left")
-            .orderBy("hour_ts").limit(6)
-          MockFlow.generate(stops, hours)
-            .select(col("stop_id"), col("observed_at").cast("timestamp_ntz").as("observed_at"),
-              col("estimated_passengers"), col("components"))
-            .orderBy("stop_id", "observed_at")
-        },
+        (s, d) => mockflowGenerated(s, d)
+          .select(col("stop_id"), col("observed_at").cast("timestamp_ntz").as("observed_at"),
+            col("estimated_passengers"), col("components"))
+          .orderBy("stop_id", "observed_at"),
         None),
     )
   }
