@@ -1253,6 +1253,14 @@ object Registry {
       // docs per query — query-term pruning pushed below the tf shuffle
       Q("search_bm25", (s, d) => TextOps.searchBm25(docs(s, d)),
         Some(TextOps.searchBm25Sql())),
+      // Hybrid retrieval: BM25 candidates ∪ dense-cosine candidates per
+      // query, fused by Reciprocal Rank Fusion (1/(60+rank) per leg) —
+      // the standard two-tower retrieval re-rank, both legs and the
+      // fusion oracle-exact (integer-denominator double divisions summed
+      // in fixed order)
+      Q("hybrid_search_rrf",
+        (s, d) => Knn.hybridSearchRrf(docs(s, d), embs(s, d)),
+        Some(Knn.hybridSearchRrfSql())),
       // Zipf / vocab-coverage curve: top-k vocabulary + cumulative share
       // of all token occurrences (tokenizer-vocab sizing)
       Q("vocab_coverage", (s, d) => TextOps.vocabCoverage(docs(s, d)),
@@ -2169,6 +2177,91 @@ object Registry {
             |  FALSE AS saturday,
             |  FALSE AS sunday
             |FROM events ORDER BY service_id""".stripMargin)),
+
+      // P1 + F19 THROUGH disk (promoted from spec-only, VERDICT r9): ID
+      // normalization (trim + string cast) over the fixture-CSV round
+      // trip — id cells arrive with leading/trailing/NBSP-free padding
+      // and normalizeIds strips exactly them, while the NON-id column's
+      // whitespace survives verbatim (the reference trims only its id
+      // columns, gtfs-static-job.py:111-121); ""-cell ids null at the
+      // scan and stay null through the trim
+      Q("gtfs_id_normalize",
+        (s, d) => {
+          val path = java.nio.file.Files.createTempDirectory("graft_csv_p1").toString
+          val cols = Seq("route_id", "agency_id", "route_name")
+          graft.ingest.GtfsStatic.writeCsvFixture(
+            TestdataAdapter.table(s, d, "events").select(
+              concat(lit("  r_"), col("event_id"), lit(" ")).as("route_id"),
+              when(col("event_id") % 5 === 0, lit(""))
+                .otherwise(concat(lit(" "), col("user_id"), lit("  "))).as("agency_id"),
+              concat(lit("  name_"), col("user_id"), lit(" ")).as("route_name")),
+            path)
+          graft.ingest.GtfsStatic.normalizeIds(
+            graft.ingest.GtfsStatic.readCsv(s, path, cols),
+            Seq("route_id", "agency_id"))
+            .orderBy("route_id")
+        },
+        Some(
+          """SELECT 'r_' || CAST(event_id AS VARCHAR) AS route_id,
+            |  CASE WHEN event_id % 5 = 0 THEN NULL
+            |       ELSE CAST(user_id AS VARCHAR) END AS agency_id,
+            |  '  name_' || CAST(user_id AS VARCHAR) || ' ' AS route_name
+            |FROM events ORDER BY route_id""".stripMargin)),
+
+      // P3 + F8 THROUGH disk (promoted from spec-only, VERDICT r9): the
+      // typed-cast step over the fixture-CSV round trip — lat/lon decimal
+      // strings → DOUBLE (IEEE round-to-nearest parse, bit-equal across
+      // engines), stop_sequence → INT with ""→NULL, and GTFS clocks
+      // (including >24:00:00 service-day hours) → seconds-since-midnight
+      // via the shipped typedStops/typedStopTimes functions
+      // (gtfs-static-job.py:128-131,182-186)
+      Q("gtfs_typed_casts",
+        (s, d) => {
+          val path = java.nio.file.Files.createTempDirectory("graft_csv_p3").toString
+          val cols = Seq("stop_id", "stop_sequence", "arrival_time",
+            "departure_time", "stop_lat", "stop_lon")
+          graft.ingest.GtfsStatic.writeCsvFixture(
+            TestdataAdapter.table(s, d, "events").select(
+              concat(lit("s_"), col("event_id")).as("stop_id"),
+              when(col("event_id") % 11 === 0, lit(""))
+                .otherwise((col("event_id") % 50).cast("string")).as("stop_sequence"),
+              format_string("%02d:%02d:%02d", col("event_id") % 30,
+                col("user_id") % 60, col("event_id") % 60).as("arrival_time"),
+              when(col("event_id") % 13 === 0, lit(""))
+                .otherwise(format_string("%02d:%02d:%02d", col("event_id") % 30 + 1,
+                  col("user_id") % 60, col("event_id") % 60)).as("departure_time"),
+              when(col("event_id") % 7 === 0, lit(""))
+                .otherwise(concat((col("event_id") % 10 + 40).cast("string"), lit("."),
+                  lpad((col("user_id") % 10000).cast("string"), 4, "0"))).as("stop_lat"),
+              concat(lit("-"), (col("event_id") % 20 + 70).cast("string"), lit("."),
+                lpad((col("user_id") % 100).cast("string"), 2, "0")).as("stop_lon")),
+            path)
+          graft.ingest.GtfsStatic.typedStopTimes(
+            graft.ingest.GtfsStatic.typedStops(
+              graft.ingest.GtfsStatic.readCsv(s, path, cols)))
+            .orderBy("stop_id")
+        },
+        Some(
+          """SELECT 's_' || CAST(event_id AS VARCHAR) AS stop_id,
+            |  CASE WHEN event_id % 11 = 0 THEN NULL
+            |       ELSE CAST(event_id % 50 AS INTEGER) END AS stop_sequence,
+            |  printf('%02d:%02d:%02d', event_id % 30, user_id % 60, event_id % 60)
+            |    AS arrival_time,
+            |  CASE WHEN event_id % 13 = 0 THEN NULL
+            |       ELSE printf('%02d:%02d:%02d', event_id % 30 + 1, user_id % 60, event_id % 60)
+            |       END AS departure_time,
+            |  CASE WHEN event_id % 7 = 0 THEN NULL
+            |       ELSE CAST(CAST(event_id % 10 + 40 AS VARCHAR) || '.' ||
+            |              lpad(CAST(user_id % 10000 AS VARCHAR), 4, '0') AS DOUBLE)
+            |       END AS stop_lat,
+            |  CAST('-' || CAST(event_id % 20 + 70 AS VARCHAR) || '.' ||
+            |    lpad(CAST(user_id % 100 AS VARCHAR), 2, '0') AS DOUBLE) AS stop_lon,
+            |  CAST((event_id % 30) * 3600 + (user_id % 60) * 60 + event_id % 60
+            |    AS INTEGER) AS arrival_seconds,
+            |  CASE WHEN event_id % 13 = 0 THEN NULL
+            |       ELSE CAST((event_id % 30 + 1) * 3600 + (user_id % 60) * 60 + event_id % 60
+            |              AS INTEGER) END AS departure_seconds
+            |FROM events ORDER BY stop_id""".stripMargin)),
 
       // S6 payload format: the reference's ingestor consumes JSON event
       // envelopes off Kafka — serialize events to JSON text, parse back

@@ -780,4 +780,90 @@ object Knn {
         .orderBy("vec_id")
     } finally e.unpersist(blocking = false)
   }
+
+  /** Hybrid lexical+semantic retrieval fused by Reciprocal Rank Fusion —
+    * the standard two-tower retrieval shape (BM25 candidates ∪ dense
+    * candidates, RRF re-rank): per query, the BM25 top-`candK` over
+    * `documents` and the cosine top-`candK` over `embeddings` (anchor =
+    * the query's own vector, vec_id = query_id — the 1:1 doc↔vec id
+    * mapping of the testdata) full-outer-join on (query, doc) and score
+    *
+    *   rrf = Σ_leg 1 / (rrfK + rank_leg)     (absent leg contributes 0),
+    *
+    * top-`k` by fused score, doc_id tie-break. Cross-engine exact: both
+    * rank terms are integer-denominator double divisions summed in fixed
+    * (lex, sem) order, and the cosine leg rides the same fused-loop dot
+    * product every other Knn oracle proves bit-identical.
+    *
+    * Scale notes: both legs are already bounded — BM25's query terms
+    * broadcast into the token stream and top-k is a bounded heap; the
+    * dense leg broadcasts the |queries|-row anchor set against one
+    * candidate scan. Fusion joins two (|queries| × candK)-row frames —
+    * trivially broadcastable at any corpus size. At corpus scale the
+    * dense leg swaps brute force for [[ivfTopK]]/[[bucketedTopK]]
+    * candidates; the fusion tail is unchanged.
+    */
+  def hybridSearchRrf(
+      documents: DataFrame, embeddings: DataFrame,
+      queries: Seq[(Int, String)] = graft.text.TextOps.Bm25Queries,
+      k: Int = 10, candK: Int = 20, rrfK: Int = 60): DataFrame = {
+    val lex = graft.text.TextOps.searchBm25(documents, queries, k = candK)
+      .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
+    val e = withNorm(embeddings)
+    val q = e.filter(col("vec_id").isInCollection(queries.map(_._1)))
+      .select(col("vec_id").cast("int").as("query_id"),
+        col("embedding").as("qe"), col("n2").as("qn2"))
+    val c = e.select(col("vec_id").as("doc_id"),
+      col("embedding").as("ce"), col("n2").as("cn2"))
+    val ws = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("doc_id"))
+    val sem = c.crossJoin(broadcast(q))
+      .filter(col("doc_id") =!= col("query_id"))
+      .withColumn("cosine", dot("qe", "ce") / (sqrt(col("qn2")) * sqrt(col("cn2"))))
+      .withColumn("sem_rank", row_number().over(ws).cast("long"))
+      .filter(col("sem_rank") <= candK)
+      .select("query_id", "doc_id", "sem_rank")
+    val wf = Window.partitionBy("query_id").orderBy(col("rrf_score").desc, col("doc_id"))
+    lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("sem_rank")), lit(0.0)))
+      .withColumn("rrf_rank", row_number().over(wf).cast("long"))
+      .filter(col("rrf_rank") <= k)
+      .select("query_id", "doc_id", "lex_rank", "sem_rank", "rrf_score", "rrf_rank")
+      .orderBy("query_id", "rrf_rank")
+  }
+
+  /** DuckDB twin of [[hybridSearchRrf]] (the BM25 leg nests
+    * TextOps.searchBm25Sql verbatim as a subquery).
+    */
+  def hybridSearchRrfSql(
+      queries: Seq[(Int, String)] = graft.text.TextOps.Bm25Queries,
+      k: Int = 10, candK: Int = 20, rrfK: Int = 60): String = {
+    val qids = queries.map(_._1).mkString(", ")
+    s"""WITH lex AS (
+       |  SELECT query_id, doc_id, rank AS lex_rank
+       |  FROM (${graft.text.TextOps.searchBm25Sql(queries, k = candK)})),
+       |$NORM_CTE,
+       |qv AS (SELECT CAST(vec_id AS INTEGER) AS query_id, embedding AS qe, n2 AS qn2
+       |       FROM e WHERE vec_id IN ($qids)),
+       |sc AS (SELECT qv.query_id, c.vec_id AS doc_id,
+       |         (${dotSql("qv.qe", "c.embedding")}) / (sqrt(qv.qn2) * sqrt(c.n2)) AS cosine
+       |       FROM qv, e c WHERE c.vec_id <> qv.query_id),
+       |sem AS (SELECT query_id, doc_id,
+       |          CAST(ROW_NUMBER() OVER (
+       |            PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS BIGINT) AS sem_rank
+       |        FROM sc QUALIFY sem_rank <= $candK),
+       |f AS (SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+       |        COALESCE(l.doc_id, s.doc_id) AS doc_id,
+       |        l.lex_rank, s.sem_rank,
+       |        COALESCE(CAST(1 AS DOUBLE) / ($rrfK + l.lex_rank), CAST(0 AS DOUBLE))
+       |          + COALESCE(CAST(1 AS DOUBLE) / ($rrfK + s.sem_rank), CAST(0 AS DOUBLE)) AS rrf_score
+       |      FROM lex l FULL OUTER JOIN sem s
+       |        ON l.query_id = s.query_id AND l.doc_id = s.doc_id)
+       |SELECT query_id, doc_id, lex_rank, sem_rank, rrf_score,
+       |  CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rrf_rank
+       |FROM f QUALIFY rrf_rank <= $k
+       |ORDER BY query_id, rrf_rank""".stripMargin
+  }
 }

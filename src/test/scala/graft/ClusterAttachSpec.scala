@@ -52,6 +52,69 @@ class ClusterAttachSpec extends SparkSpec {
     assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty)
   }
 
+  // Adversarial fixtures (VERDICT r9 item 8), found by seeded search
+  // against this exact MinHash construction (8 rotations of one md5,
+  // 4 two-hash bands): tA..tD have pairwise-disjoint shingles and NO
+  // pairwise band collision (four separate clusters), while
+  //   - mega  = tA tB tC tD  band-collides with ALL FOUR texts
+  //     (each text owns one complete band of the union signature), and
+  //   - b12 = tA tB collides with both tA and tB,
+  //     b23 = tB tC collides with both tB and tC.
+  private val tA = "nu theta sigma mu rho sigma delta delta phi beta alpha mu"
+  private val tB = "theta iota zeta eta zeta eta zeta sigma gamma alpha upsilon eta"
+  private val tC = "delta epsilon gamma epsilon xi nu pi omega phi phi iota tau"
+  private val tD = "iota rho rho theta rho eta omega lam zeta chi theta zeta"
+
+  private def fourClusterState = {
+    val corpus = frame(1L -> tA, 2L -> tA, 3L -> tB, 4L -> tB,
+      5L -> tC, 6L -> tC, 7L -> tD, 8L -> tD)
+    val labels = Dedup.dedupClusters(corpus).select("doc_id", "cluster_id")
+    assert(labels.orderBy("doc_id").as[(Long, Long)].collect().toSeq ==
+      Seq(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 5L, 6L -> 5L,
+        7L -> 7L, 8L -> 7L),
+      "fixture precondition broken: expected four separate clusters")
+    (corpus, labels)
+  }
+
+  test("one batch doc bridging FOUR existing clusters merges them all under the global min") {
+    val (corpus, labels) = fourClusterState
+    val batch = frame(100L -> (tA + " " + tB + " " + tC + " " + tD))
+    val merged = Dedup.attachToClusters(labels, Dedup.lshIndex(corpus), batch)
+    val got = merged.orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(got.forall(_._2 == 1L), s"k-way bridge did not collapse to the global min: $got")
+    val full = Dedup.dedupClusters(corpus.unionByName(batch))
+      .select("doc_id", "cluster_id")
+    assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty)
+  }
+
+  test("two bridging batches reach the same labels in either attach order") {
+    val (corpus, labels0) = fourClusterState
+    val p = frame(200L -> (tA + " " + tB)) // merges {1,2}+{3,4} under rep 1
+    val q = frame(300L -> (tB + " " + tC)) // merges {3,4}+{5,6} under rep 3
+    val idx0 = Dedup.lshIndex(corpus)
+    // sequential attach = new labels out, signature index merged in —
+    // the same state transition the registry's incremental queries run
+    def attachSeq(first: org.apache.spark.sql.DataFrame,
+        second: org.apache.spark.sql.DataFrame) = {
+      val labels1 = Dedup.attachToClusters(labels0, idx0, first)
+      Dedup.attachToClusters(labels1, Dedup.mergeLshIndex(idx0, first), second)
+        .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    }
+    val pq = attachSeq(p, q)
+    val qp = attachSeq(q, p)
+    assert(pq == qp, s"attach order changed the labels:\nPQ=$pq\nQP=$qp")
+    // the intermediate representative DIFFERS by order (P first merges
+    // under rep 1, Q first merges under rep 3) — and both converge to
+    // the from-scratch closure
+    val full = Dedup.dedupClusters(corpus.unionByName(p).unionByName(q))
+      .select("doc_id", "cluster_id")
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(pq == full, s"incremental differs from from-scratch:\ninc=$pq\nfull=$full")
+    // tD's cluster must have survived untouched, everything else merged
+    assert(full.filter(r => Set(7L, 8L)(r._1)).forall(_._2 == 7L))
+    assert(full.filterNot(r => Set(7L, 8L)(r._1)).forall(_._2 == 1L))
+  }
+
   test("attach against persisted state reads no corpus text") {
     val state = Files.createTempDirectory("graft_cc_plan").toString
     val d = docs.select("doc_id", "text")

@@ -116,9 +116,14 @@ class PlanBudgetSpec extends SparkSpec {
     "gtfs_csv_scan" -> 1,            // all-string scan + output sort
     "gtfs_calendar_booleans" -> 1,
     "multimodal_codec_template" -> 1, // mapPartitions decode + output sort
-    // generator (ctx aggs broadcast onto stops) + invariant group-by +
-    // output sort
-    "mockflow_invariants" -> 5,
+    // reads the per-scale-dir persisted generator output (r10): one
+    // invariant group-by + output sort — the generate cost moved behind
+    // the parquet cache shared with mockflow_events
+    "mockflow_invariants" -> 2,
+    // round-10 disk round trips: all-string scan + typed casts are
+    // narrow; the 1 is the output sort
+    "gtfs_id_normalize" -> 1,
+    "gtfs_typed_casts" -> 1,
     // per classify: batch hash agg + residual pair stays BROADCAST
     // (index filtered at its scan, never sort-merged); ×2 batches +
     // index-build distincts + output sort

@@ -96,12 +96,20 @@ class ScaleSoakSpec extends SparkSpec {
     "Exchange (hash|range|Single)".r
       .findAllIn(df.queryExecution.executedPlan.toString).length
 
-  private def soak(name: String)(pipeline: DataFrame => DataFrame)(
+  private def soak(name: String, pinPlan: Boolean = true)(
+      pipeline: DataFrame => DataFrame)(
       base: => DataFrame, big: => DataFrame): Unit =
     test(s"$name holds its plan and stays sub-quadratic at 10x data", Soak) {
-      assert(shuffles(pipeline(base)) == shuffles(pipeline(big)),
-        s"$name changes shuffle count at 10x: " +
-          s"${shuffles(pipeline(base))} -> ${shuffles(pipeline(big))}")
+      // pinPlan=false: pipelines that persist() an interior frame print a
+      // cache-state-dependent plan (the persisted subtree re-prints under
+      // every consumer until something materializes it — suite order
+      // changes the count), so the textual shuffle pin is meaningless for
+      // them; the time band below still guards their scale shape. Same
+      // reason lsh_incremental_newdocs carries no PlanBudget entry.
+      if (pinPlan)
+        assert(shuffles(pipeline(base)) == shuffles(pipeline(big)),
+          s"$name changes shuffle count at 10x: " +
+            s"${shuffles(pipeline(base))} -> ${shuffles(pipeline(big))}")
       force(pipeline(base)) // warm code paths so t1 is steady-state, not codegen
       // median-of-3 t1: single-run timings on this shared box swing ~13×
       // under load, and the whole band scales off t1 — mirror Bench's
@@ -166,4 +174,78 @@ class ScaleSoakSpec extends SparkSpec {
   soak("bloom_classify")(d => Dedup.bloomNewDocsIncremental(
     Dedup.buildDedupIndex(d.filter(col("doc_id") % 3 =!= 0)),
     d.filter(col("doc_id") % 3 === 0)))(baseDocs, bigDocs)
+
+  // ---- round-10 additions (VERDICT r9 item 5): the maintained-state
+  // machinery soaked the way a deployment stresses it
+
+  // fixed persisted cluster state (labels + signature index built ONCE
+  // from the base corpus) absorbing a 10×-larger batch: isolates the
+  // ATTACH cost — cross-edge band joins + CC on the contracted subgraph
+  // — from the state bootstrap, which a deployment amortizes anyway
+  private lazy val attachStatePath: String = {
+    val corpus = baseDocs
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .filter(col("doc_id") % 3 =!= 0)
+    val p = "/tmp/graft_soak_attach_state"
+    Dedup.dedupClusters(corpus).select("doc_id", "cluster_id")
+      .write.mode("overwrite").parquet(s"$p/labels")
+    Dedup.lshIndex(corpus).write.mode("overwrite").parquet(s"$p/sigs")
+    p
+  }
+  soak("cluster_attach")(d => Dedup.attachToClustersWithSizes(
+    spark.read.parquet(s"$attachStatePath/labels"),
+    spark.read.parquet(s"$attachStatePath/sigs"),
+    d.filter(col("doc_id") % 3 === 0)
+      .select("doc_id", "text", "lang", "source", "n_chars")))(
+    baseDocs, bigDocs)
+
+  // the full two-batch incremental near-dup flow (index → classify b1 →
+  // merge → classify b2) as corpus AND batches grow 10× together — the
+  // registry's lsh_incremental_newdocs without its determinism-only
+  // parquet round trips
+  soak("lsh_incremental", pinPlan = false)(d => {
+    val dd = d.select("doc_id", "text", "lang", "source", "n_chars")
+    val corpus = dd.filter(col("doc_id") % 3 =!= 0)
+    val b1 = dd.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 0)
+    val b2 = dd.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 =!= 0)
+    val idx0 = Dedup.lshIndex(corpus)
+    Dedup.classifyNearDupIncremental(idx0, b1).withColumn("batch_seq", lit(1))
+      .unionByName(
+        Dedup.classifyNearDupIncremental(Dedup.mergeLshIndex(idx0, b1), b2)
+          .withColumn("batch_seq", lit(2)))
+  })(baseDocs, bigDocs)
+
+  // exact quality tiers + seeded within-tier permutation + global index:
+  // the three range-repartition passes must each stay linear
+  soak("curriculum_order")(d => HashSplit.curriculumOrder(d))(baseDocs, bigDocs)
+
+  // the REAL micro-batch maintained-dedup-index stream at 10× corpus +
+  // batches: custom timing (a checkpointed streaming query is not a lazy
+  // DataFrame pipeline, so the generic soak() shape doesn't apply; no
+  // shuffle-count pin either — batch plans live inside foreachBatch).
+  // Cost model: one corpus pass for the v0 index + per-batch classify/
+  // merge, all linear — the band catches anything quadratic hiding in
+  // the stream machinery.
+  test("streaming dedup index absorbs 10x ingest sub-quadratically", Soak) {
+    def run(docs: DataFrame): Double = {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_soak_stream_dedup").toString
+      val d = docs.select("doc_id", "text", "lang", "source", "n_chars")
+      val corpus = d.filter(col("doc_id") % 3 =!= 0)
+      d.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 0).coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/in/batch_a")
+      d.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 =!= 0).coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/in/batch_b")
+      val t0 = System.nanoTime()
+      graft.streaming.Streams.runDedupIndexStream(spark, d.schema, corpus,
+        s"$root/in/batch_*", s"$root/state", s"$root/verdicts", s"$root/ckpt")
+      (System.nanoTime() - t0) / 1e9
+    }
+    run(baseDocs) // warm
+    val t1 = Seq.fill(3)(run(baseDocs)).sorted.apply(1)
+    val t10 = run(bigDocs)
+    info(f"streaming_dedup_index: t1=$t1%.1fs t10=$t10%.1fs ratio=${t10 / t1}%.1f")
+    assert(t10 <= 25.0 * t1 + 10.0,
+      f"streaming dedup index t(10x)=$t10%.1fs vs t(1x)=$t1%.1fs — super-linear blowup")
+  }
 }
