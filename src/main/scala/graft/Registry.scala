@@ -1453,6 +1453,15 @@ object Registry {
       Q("streaming_dedup_index",
         (s, d) => graft.streaming.Streams.dedupIndexStream(s, d),
         Some(BLOOM_INCR_SQL)),
+      // the same fold under the PRODUCTION ordering contract (r10): the
+      // batches ride a graftqueue topic as JSON envelopes and drain as
+      // offset-ordered micro-batches via the source's Kafka-style
+      // admission control (maxRecordsPerTrigger admits whole committed
+      // segments) — batch order is the broker's commit order, no mtime
+      // pinning; same two-batch oracle
+      Q("streaming_dedup_index_queue",
+        (s, d) => graft.streaming.Streams.dedupIndexQueueStream(s, d),
+        Some(BLOOM_INCR_SQL)),
       // Incremental TRANSITIVE clusters: the persisted label table +
       // signature index absorb a new batch exactly — cross edges
       // contract matched corpus docs to their cluster representative,

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -102,7 +102,8 @@ final class GraftQueueTable(path: String, topic: String) extends Table
       }
       override def createReaderFactory(): PartitionReaderFactory = QueueReaderFactory
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new QueueMicroBatchStream(path, topic)
+        new QueueMicroBatchStream(path, topic,
+          Option(options.get("maxRecordsPerTrigger")).map(_.toLong))
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -137,10 +138,54 @@ private case class QueueOffset(n: Long) extends Offset {
   override def json(): String = n.toString
 }
 
-private final class QueueMicroBatchStream(path: String, topic: String)
-    extends MicroBatchStream {
+/** Micro-batch planner with Kafka-style admission control: with
+  * `maxRecordsPerTrigger` set, each trigger admits whole committed
+  * segments up to (approximately) that many records — always at least
+  * one segment past the start offset, the same progress guarantee
+  * Kafka's maxOffsetsPerTrigger gives — so a backlog drains as a
+  * SEQUENCE of offset-ordered micro-batches instead of one giant batch.
+  * This is the production ordering contract the maintained-state
+  * streams key on: batch order IS committed-offset order, not file
+  * mtimes. Trigger.AvailableNow is supported natively (the end target
+  * is pinned at prepare time, so late-arriving segments don't extend a
+  * draining run).
+  */
+private final class QueueMicroBatchStream(
+    path: String, topic: String, maxPerTrigger: Option[Long])
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(GraftQueue.totalRecords(path, topic))
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxPerTrigger.map(n => ReadLimit.maxRows(n)).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val startN = start.asInstanceOf[QueueOffset].n
+    val target = availableNowTarget.getOrElse(GraftQueue.totalRecords(path, topic))
+    val cap = limit match {
+      case r: ReadMaxRows => startN + r.maxRows()
+      case _ => Long.MaxValue
+    }
+    var acc = 0L
+    var hi = startN
+    GraftQueue.segments(path, topic).foreach { f =>
+      acc += GraftQueue.countOf(f)
+      // whole segments only; admit the first segment past `start`
+      // unconditionally (progress guarantee), further ones while under
+      // the row cap, never past the pinned AvailableNow target
+      if (acc > startN && acc <= target && (acc <= cap || hi == startN))
+        hi = acc
+    }
+    QueueOffset(hi)
+  }
+
   override def initialOffset(): Offset = QueueOffset(0L)
-  override def latestOffset(): Offset = QueueOffset(GraftQueue.totalRecords(path, topic))
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, readLimit) drives this source (SupportsAdmissionControl)")
   override def deserializeOffset(json: String): Offset = QueueOffset(json.toLong)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -531,6 +531,50 @@ object Streams {
       .orderBy("doc_id")
   }
 
+  /** [[dedupIndexStream]] under the PRODUCTION ordering contract: the
+    * document batches are produced to a `graftqueue` topic (two
+    * committed segments), and the consumer drains them as offset-ordered
+    * micro-batches via the source's Kafka-style admission control
+    * (`maxRecordsPerTrigger` — each trigger admits whole segments, so
+    * batch order IS the broker's commit order; no mtime pinning
+    * anywhere). The docs ride the queue as JSON envelopes and round-trip
+    * exactly (strings escape-roundtrip, BIGINTs are lossless), so the
+    * verdicts — and the oracle — are the SAME as the file-staged form.
+    * Produce calls are sequential Spark jobs, so segment commit stamps
+    * strictly increase; offsets follow committed-segment order.
+    */
+  def dedupIndexQueueStream(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.TestdataAdapter.table(spark, dir, "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    val qdir = Files.createTempDirectory("graft_dedup_q").toString
+    val staged = Files.createTempDirectory("graft_dedup_q_state").toString
+    def produce(batch: DataFrame): Unit = batch
+      .select(
+        col("doc_id").cast("string").cast("binary").as("key"),
+        to_json(struct(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars"))).cast("binary").as("value"))
+      .coalesce(1) // one committed segment per produce → one micro-batch each
+      .write.format("graftqueue").option("path", qdir)
+      .option("topic", "docs.ingest").mode("append").save()
+    produce(docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 0))
+    produce(docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 =!= 0))
+    val wire = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+    val stream = spark.readStream.format("graftqueue")
+      .option("path", qdir).option("topic", "docs.ingest")
+      .option("maxRecordsPerTrigger", "1")
+      .load()
+      .select(from_json(col("value").cast("string"), wire).as("r"))
+      .select("r.*")
+    runDedupIndexStreamFrom(stream, corpus, s"$staged/state",
+      s"$staged/verdicts",
+      Files.createTempDirectory("graft_dedup_q_ckpt").toString)
+    spark.read.parquet(s"$staged/verdicts/*")
+      .drop("is_new_bloom")
+      .orderBy("doc_id")
+  }
+
   /** The maintained-dedup-index micro-batch loop itself, factored so the
     * crash-recovery spec can run it twice against the SAME checkpoint +
     * state dirs. Replay-idempotent by construction: state version
@@ -553,6 +597,21 @@ object Streams {
       spark: SparkSession, schema: org.apache.spark.sql.types.StructType,
       corpus: DataFrame, inGlob: String, stateDir: String,
       verdictsDir: String, checkpoint: String,
+      crashAfterVerdictsOfBatch: Option[Long] = None): Unit =
+    runDedupIndexStreamFrom(
+      spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inGlob),
+      corpus, stateDir, verdictsDir, checkpoint, crashAfterVerdictsOfBatch)
+
+  /** The fold itself over ANY streaming source of document rows —
+    * shared by the file-staged form above and the offset-ordered
+    * graftqueue form ([[dedupIndexQueueStream]]).
+    */
+  private[graft] def runDedupIndexStreamFrom(
+      stream: DataFrame, corpus: DataFrame, stateDir: String,
+      verdictsDir: String, checkpoint: String,
       crashAfterVerdictsOfBatch: Option[Long] = None): Unit = {
     import graft.dedup.Dedup
     def persistIdx(idx: Dedup.DedupIndex, v: Long): Unit = {
@@ -571,10 +630,7 @@ object Streams {
     }
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$stateDir/v0")))
       persistIdx(Dedup.buildDedupIndex(corpus), 0L)
-    val q = spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(inGlob)
+    val q = stream
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)

@@ -69,6 +69,42 @@ class GraftQueueSpec extends SparkSpec {
     assert(parsed.filter(col("trip_id").isNull).count() == 0)
   }
 
+  test("admission control: maxRecordsPerTrigger drains segments as offset-ordered micro-batches") {
+    val path = freshPath
+    // three sequential produces → three committed segments
+    val rows = Seq(1L, 2L, 3L).map { seg =>
+      import spark.implicits._
+      Seq.tabulate(4)(i => (s"k$seg-$i", s"v$seg-$i")).toDF("k", "v")
+        .select(col("k").cast("binary").as("key"), col("v").cast("binary").as("value"))
+        .coalesce(1)
+        .write.format("graftqueue")
+        .option("path", path).option("topic", "t").mode("append").save()
+      seg
+    }
+    assert(rows.size == 3)
+    // capture (batchId, offsets) per micro-batch
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    val q = spark.readStream.format("graftqueue")
+      .option("path", path).option("topic", "t")
+      .option("maxRecordsPerTrigger", "1") // < segment size → exactly one segment per trigger
+      .load()
+      .writeStream
+      .option("checkpointLocation", s"$path/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        seen.synchronized {
+          seen += ((id, batch.select("offset").collect().map(_.getLong(0)).sorted.toSeq))
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination(60000)
+    assert(seen.size == 3, s"expected 3 micro-batches (one per segment), got ${seen.size}")
+    val ordered = seen.sortBy(_._1).map(_._2)
+    assert(ordered == Seq(Seq(0L, 1L, 2L, 3L), Seq(4L, 5L, 6L, 7L), Seq(8L, 9L, 10L, 11L)),
+      s"batches must drain whole segments in committed-offset order: $ordered")
+  }
+
   test("checkpoint resume: an appended batch is delivered exactly once") {
     val path = freshPath
     // file sink (recoverable) — the memory sink refuses checkpoint resume
