@@ -1395,6 +1395,17 @@ object Registry {
       // approximate-dedup pipeline actually ships
       Q("near_dedup_keep", (s, d) => Dedup.nearDedupKeep(docs(s, d)),
         Some(Dedup.nearDedupKeepSql)),
+      // leakage-free split (r10): split key = near-dup cluster rep, so
+      // every transitive near-dup lands in ONE split — cross-split
+      // contamination is structurally zero (spec-asserted), not merely
+      // audited-small
+      Q("cluster_split_assign", (s, d) => Dedup.clusterSplitAssign(docs(s, d)),
+        Some(Dedup.clusterSplitAssignSql)),
+      // quality-max cluster representative (r10): the near-dup keep list
+      // a TRAINING pipeline wants — per cluster, survive the best-quality
+      // member, not the lowest id
+      Q("cluster_best_keep", (s, d) => Dedup.clusterBestKeep(docs(s, d)),
+        Some(Dedup.clusterBestKeepSql)),
       // which sources copy from each other: near-dup pairs per unordered
       // source pair (cluster-local self-join, |sources|²-sized output)
       Q("source_overlap", (s, d) => Dedup.sourceOverlap(docs(s, d)),

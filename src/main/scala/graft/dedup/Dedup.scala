@@ -517,6 +517,73 @@ object Dedup {
        |FROM lab l JOIN cs USING (cluster_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** LEAKAGE-FREE train/val/test split: the standard per-document md5
+    * split (ml.HashSplit.splitAssign) hashes doc_id, so two NEAR-
+    * DUPLICATE documents can land in train and test — exactly the
+    * contamination [[splitLeakage]] audits. This operator closes that
+    * loop structurally: the split key is the near-dup CLUSTER
+    * representative, so every member of a transitive near-dup cluster
+    * lands in the same split by construction and cross-split leakage is
+    * zero — not audited-small, impossible (spec-asserted over the LSH
+    * pair frame). Fractions stay ~80/10/10 in cluster units (the
+    * population is singleton-dominated). Same determinism contract as
+    * the doc-level split: rerun-, layout- and append-stable.
+    *
+    * Scale: the labels come from the soaked CC pipeline; the split
+    * itself is a narrow hash over the label frame — no extra shuffle.
+    */
+  def clusterSplitAssign(documents: DataFrame): DataFrame = {
+    val b = graft.ml.HashSplit.hashBucket(col("cluster_id"), 100)
+    dedupClusters(documents)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        b.as("bucket"),
+        when(b < 80, "train").when(b < 90, "val").otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of [[clusterSplitAssign]] (the full recursive closure
+    * nests as a subquery; plain concatenation, no stripMargin over the
+    * spliced SQL).
+    */
+  val clusterSplitAssignSql: String = {
+    val b = graft.ml.HashSplit.hashBucketSql("cluster_id", 100)
+    s"WITH cl AS (SELECT * FROM ($dedupClustersSql))\n" +
+      s"SELECT doc_id, cluster_id, cluster_size, $b AS bucket,\n" +
+      s"  CASE WHEN $b < 80 THEN 'train' WHEN $b < 90 THEN 'val' ELSE 'test' END AS split\n" +
+      "FROM cl ORDER BY doc_id"
+  }
+
+  /** Quality-max representative per near-dup cluster: [[nearDedupKeep]]
+    * keeps the minimum doc_id — fine for dedup bookkeeping, wasteful
+    * for training data, where the cluster's BEST-quality member should
+    * survive. Per cluster, keep the document with the highest
+    * [[graft.text.TextOps.qualityScore]] (doc_id tie-break); singleton
+    * clusters trivially keep themselves. One cluster_id window over the
+    * label frame plus a narrow per-doc score join — no text ever
+    * shuffles.
+    */
+  def clusterBestKeep(documents: DataFrame): DataFrame = {
+    val scored = documents.select(col("doc_id"),
+      graft.text.TextOps.qualityScore(col("text")).as("quality_score"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    dedupClusters(documents)
+      .join(scored, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("quality_score"), (col("rn") === 1).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of [[clusterBestKeep]]. */
+  val clusterBestKeepSql: String =
+    s"WITH cl AS (SELECT * FROM ($dedupClustersSql)),\n" +
+      s"q AS (SELECT doc_id, ${TextOps.qualityScoreSqlExpr} AS quality_score FROM documents)\n" +
+      "SELECT cl.doc_id, cl.cluster_id, cl.cluster_size, q.quality_score,\n" +
+      "  (ROW_NUMBER() OVER (PARTITION BY cl.cluster_id\n" +
+      "     ORDER BY q.quality_score DESC, cl.doc_id) = 1) AS keep\n" +
+      "FROM cl JOIN q USING (doc_id) ORDER BY doc_id"
+
   /** Cross-source near-duplicate overlap matrix — the curation
     * diagnostic that tells you WHICH sources copy from each other
     * (mirrors, scrapes of the same upstream, license-text commons):

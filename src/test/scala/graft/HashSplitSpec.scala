@@ -102,4 +102,44 @@ class HashSplitSpec extends SparkSpec {
     val exchanges = plan.linesIterator.count(_.contains("Exchange"))
     assert(exchanges <= 1, s"expected at most the final-sort exchange:\n$plan")
   }
+
+  test("cluster split has structurally ZERO cross-split near-dup leakage; doc split does not prove it") {
+    import graft.dedup.Dedup
+    val docs = TestdataAdapter.table(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val assign = Dedup.clusterSplitAssign(docs).select("doc_id", "split").persist()
+    // every LSH candidate pair — the exact frame splitLeakage audits —
+    // must land with both sides in the SAME split
+    val pairs = Dedup.minhashPairs(docs)
+    val leaks = pairs
+      .join(assign.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("split", "split_a"), Seq("doc_a"))
+      .join(assign.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("split", "split_b"), Seq("doc_b"))
+      .filter(col("split_a") =!= col("split_b"))
+      .count()
+    assert(leaks == 0L, s"cluster split leaked $leaks near-dup pairs across splits")
+    // the assignment is a partition of the corpus with sane fractions
+    val counts = assign.groupBy("split").count().as[(String, Long)].collect().toMap
+    val total = counts.values.sum
+    assert(total == docs.count())
+    assert(counts("train") > total * 6 / 10, s"train fraction collapsed: $counts")
+    assign.unpersist()
+  }
+
+  test("cluster best-keep keeps exactly one member per cluster, the quality argmax") {
+    import graft.dedup.Dedup
+    val docs = TestdataAdapter.table(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val kept = Dedup.clusterBestKeep(docs).persist()
+    val perCluster = kept.groupBy("cluster_id")
+      .agg(sum(when(col("keep"), 1).otherwise(0)).as("n_keep"),
+        max(when(col("keep"), col("quality_score"))).as("kept_q"),
+        max(col("quality_score")).as("max_q"))
+    assert(perCluster.filter(col("n_keep") =!= 1).count() == 0L,
+      "every cluster must keep exactly one member")
+    assert(perCluster.filter(col("kept_q") =!= col("max_q")).count() == 0L,
+      "the kept member must carry the cluster-max quality score")
+    kept.unpersist()
+  }
 }
