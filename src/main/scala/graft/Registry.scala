@@ -1709,6 +1709,16 @@ object Registry {
             |  CAST(doc_id % 23 + 1 AS INTEGER) AS height
             |FROM documents WHERE doc_id IS NOT NULL
             |ORDER BY doc_id""".stripMargin)),
+      // REAL audio decode (r10, the PNG leg's sibling): deterministic
+      // RIFF/WAVE PCM-int16 files built per-partition (pure ByteBuffer,
+      // no codec lib needed for the WAV container), parsed back by a
+      // proper chunk walk + one pass of PCM peak/sum stats; corrupt
+      // (truncated) payloads every 97th doc surface as decoded_ok=false
+      // rows, never task failures. Oracle recomputes every field incl.
+      // the per-sample stats from doc_id arithmetic.
+      Q("multimodal_wav_decode",
+        (s, d) => Multimodal.audioFeatures(Multimodal.audioCorpus(docs(s, d))),
+        Some(Multimodal.audioFeaturesSql)),
     )
   }
 

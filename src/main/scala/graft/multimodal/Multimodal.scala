@@ -360,4 +360,154 @@ object Multimodal {
        |  CAST((${byteVal(1)}) + 1 AS INTEGER) AS height
        |FROM documents ORDER BY doc_id""".stripMargin
   }
+
+  // ---- REAL audio codec path: RIFF/WAVE, the PNG leg's audio sibling ----
+
+  final case class AudioPayload(doc_id: Long, payload: Array[Byte])
+  final case class AudioFeatures(
+      doc_id: Long, decoded_ok: Boolean, sample_rate: Int, channels: Int,
+      bits: Int, n_frames: Int, duration_ms: Long, peak_abs: Int, sum_abs: Long)
+
+  /** Deterministic per-doc audio spec: sample rate ∈ {8000,12000,16000},
+    * mono/stereo, 10-59 frames — the formulas the oracle reproduces.
+    */
+  def audioSpec(id: Long): (Int, Int, Int) =
+    ((8000 + (id % 3) * 4000).toInt, (1 + id % 2).toInt, (id % 50 + 10).toInt)
+
+  /** PCM sample i for doc `id`: a full-range deterministic int16 —
+    * exactly reproducible arithmetic, no float synthesis.
+    */
+  def pcmSample(id: Long, i: Int): Int =
+    ((id * 31 + i.toLong * 7919) % 65536 - 32768).toInt
+
+  /** Build a canonical RIFF/WAVE file (PCM int16 little-endian): 44-byte
+    * header + interleaved data chunk. Pure ByteBuffer — the WAV container
+    * needs no codec library, which is what makes a REAL (not stubbed)
+    * audio leg possible in this sandbox.
+    */
+  def makeWav(sampleRate: Int, channels: Int, frames: Int, sample: Int => Int): Array[Byte] = {
+    val n = frames * channels
+    val dataSize = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataSize)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(channels.toShort)
+    bb.putInt(sampleRate); bb.putInt(sampleRate * channels * 2)
+    bb.putShort((channels * 2).toShort); bb.putShort(16)
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(dataSize)
+    var i = 0
+    while (i < n) { bb.putShort(sample(i).toShort); i += 1 }
+    bb.array()
+  }
+
+  /** Proper RIFF chunk walk (not a fixed-offset peek): validate the
+    * RIFF/WAVE magic, locate `fmt ` and `data` wherever they sit (word-
+    * aligned skip over unknown chunks), accept only PCM int16, then one
+    * pass over the samples for peak/sum-of-abs. Any malformed payload →
+    * None, never a throw — at 100 TB some payloads WILL be corrupt and
+    * one bad row must not kill the stage (same contract as the image leg).
+    */
+  def parseWav(bytes: Array[Byte]): Option[AudioFeatures] =
+    try {
+      if (bytes.length < 12) return None
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def str4(off: Int) = new String(bytes, off, 4, "US-ASCII")
+      if (str4(0) != "RIFF" || str4(8) != "WAVE") return None
+      var pos = 12
+      var fmt: Option[(Int, Int, Int, Int)] = None
+      var data: Option[(Int, Int)] = None
+      while (pos + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
+        val cid = str4(pos)
+        val sz = bb.getInt(pos + 4)
+        if (sz < 0 || pos + 8 + sz > bytes.length) return None
+        if (cid == "fmt " && sz >= 16)
+          fmt = Some((bb.getShort(pos + 8) & 0xffff, bb.getShort(pos + 10) & 0xffff,
+            bb.getInt(pos + 12), bb.getShort(pos + 22) & 0xffff))
+        else if (cid == "data") data = Some((pos + 8, sz))
+        pos += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
+      }
+      (fmt, data) match {
+        case (Some((1, ch, rate, 16)), Some((off, sz))) if ch > 0 && rate > 0 =>
+          val nSamples = sz / 2
+          val nFrames = nSamples / ch
+          var peak = 0
+          var sum = 0L
+          var i = 0
+          while (i < nSamples) {
+            val a = math.abs(bb.getShort(off + 2 * i).toInt)
+            if (a > peak) peak = a
+            sum += a
+            i += 1
+          }
+          Some(AudioFeatures(0L, decoded_ok = true, rate, ch, 16, nFrames,
+            nFrames * 1000L / rate, peak, sum))
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Synthetic audio corpus: one WAV per document (spec/PCM pure
+    * functions of doc_id), rendered inside mapPartitions — distributed,
+    * narrow. Docs with doc_id % 97 == 0 get a TRUNCATED payload: the
+    * negative-control rows that must surface as decoded_ok=false.
+    */
+  def audioCorpus(documents: DataFrame): Dataset[AudioPayload] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).filter(col("doc_id").isNotNull).as[Long]
+      .mapPartitions(_.map { id =>
+        val (rate, ch, frames) = audioSpec(id)
+        val wav = makeWav(rate, ch, frames, i => pcmSample(id, i))
+        AudioPayload(id, if (id % 97 == 0) wav.take(10) else wav)
+      })
+  }
+
+  /** audioCorpus → parse + PCM stats; the registry oracle recomputes
+    * every field (incl. peak/sum over the sample fan-out) from doc_id
+    * arithmetic in DuckDB.
+    */
+  def audioFeatures(audio: Dataset[AudioPayload]): DataFrame = {
+    val spark = audio.sparkSession
+    import spark.implicits._
+    audio.mapPartitions(_.map { a =>
+      parseWav(a.payload) match {
+        case Some(f) => f.copy(doc_id = a.doc_id)
+        case None => AudioFeatures(a.doc_id, decoded_ok = false, 0, 0, 0, 0, 0L, 0, 0L)
+      }
+    }).toDF().orderBy("doc_id")
+  }
+
+  /** Oracle twin of audioCorpus→audioFeatures: spec fields from the
+    * doc_id formulas; peak/sum recomputed over an explicit per-sample
+    * generate_series fan-out; corrupt rows (doc_id % 97 = 0) zeroed.
+    */
+  val audioFeaturesSql: String =
+    """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL),
+      |spec AS (
+      |  SELECT doc_id,
+      |    CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS sample_rate,
+      |    CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+      |    CAST(doc_id % 50 + 10 AS INTEGER) AS n_frames
+      |  FROM ids),
+      |samp AS (
+      |  SELECT doc_id, sample_rate, channels, n_frames,
+      |    unnest(generate_series(0, n_frames * channels - 1)) AS i
+      |  FROM spec),
+      |agg AS (
+      |  SELECT doc_id, sample_rate, channels, n_frames,
+      |    CAST(MAX(ABS((doc_id * 31 + i * 7919) % 65536 - 32768)) AS INTEGER) AS peak_abs,
+      |    CAST(SUM(ABS((doc_id * 31 + i * 7919) % 65536 - 32768)) AS BIGINT) AS sum_abs
+      |  FROM samp GROUP BY 1, 2, 3, 4)
+      |SELECT doc_id,
+      |  doc_id % 97 <> 0 AS decoded_ok,
+      |  CASE WHEN doc_id % 97 = 0 THEN 0 ELSE sample_rate END AS sample_rate,
+      |  CASE WHEN doc_id % 97 = 0 THEN 0 ELSE channels END AS channels,
+      |  CASE WHEN doc_id % 97 = 0 THEN 0 ELSE 16 END AS bits,
+      |  CASE WHEN doc_id % 97 = 0 THEN 0 ELSE n_frames END AS n_frames,
+      |  CASE WHEN doc_id % 97 = 0 THEN CAST(0 AS BIGINT)
+      |       ELSE CAST(n_frames AS BIGINT) * 1000 // sample_rate END AS duration_ms,
+      |  CASE WHEN doc_id % 97 = 0 THEN 0 ELSE peak_abs END AS peak_abs,
+      |  CASE WHEN doc_id % 97 = 0 THEN CAST(0 AS BIGINT) ELSE sum_abs END AS sum_abs
+      |FROM agg ORDER BY doc_id""".stripMargin
 }
