@@ -818,31 +818,50 @@ object Dedup {
     DedupIndex(bloomOf(hashes, expectedItems, fpp), hashes)
   }
 
+  /** OR-merge two bloom byte arrays (Spark's sketch format is mergeable
+    * given identical sizing — the same (expectedItems, fpp) MUST be used
+    * for every increment); null-safe on either side.
+    */
+  def mergeBloomBits(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    import org.apache.spark.util.sketch.BloomFilter
+    if (a == null) b
+    else if (b == null) a
+    else {
+      val m = BloomFilter.readFrom(new java.io.ByteArrayInputStream(a))
+      m.mergeInPlace(BloomFilter.readFrom(new java.io.ByteArrayInputStream(b)))
+      val out = new java.io.ByteArrayOutputStream()
+      m.writeTo(out)
+      out.toByteArray
+    }
+  }
+
+  /** Bloom bytes over an `h`-column hash frame — the increment that
+    * OR-folds into the running state bloom. Callers with a SMALL frame
+    * (a batch delta) should coalesce(1) first: the partial aggregation
+    * allocates the full numBits sketch per input partition.
+    */
+  def bloomBitsOfHashes(
+      hashes: DataFrame,
+      expectedItems: Long = 1000000L, fpp: Double = 0.01): Array[Byte] =
+    bloomOf(hashes, expectedItems, fpp)
+
   /** Fold an accepted batch into the running index WITHOUT rescanning
-    * the corpus: the batch's own bloom is OR-merged into the state bloom
-    * (Spark's sketch format is mergeable given identical sizing — the
-    * same (expectedItems, fpp) MUST be used for every increment), and
-    * the hash table is a distinct union of state ∪ batch.
+    * the corpus: the batch's own bloom is OR-merged into the state bloom,
+    * and the hash table is a distinct union of state ∪ batch. NOTE the
+    * returned frame re-materializes the corpus-sized table — the right
+    * shape for the IN-PLAN two-batch verification, but a maintained
+    * deployment persists [[dedupIndexDelta]] increments instead (O(batch)
+    * state writes, never an O(corpus) rewrite).
     */
   def mergeDedupIndex(
       index: DedupIndex, accepted: DataFrame,
       expectedItems: Long = 1000000L, fpp: Double = 0.01): DedupIndex = {
-    import org.apache.spark.util.sketch.BloomFilter
     val newHashes = accepted.select(md5(col("text")).as("h")).distinct()
-    val batchBits = bloomOf(newHashes, expectedItems, fpp)
-    val mergedBits =
-      if (index.bloomBits == null) batchBits
-      else if (batchBits == null) index.bloomBits
-      else {
-        val a = BloomFilter.readFrom(new java.io.ByteArrayInputStream(index.bloomBits))
-        a.mergeInPlace(
-          BloomFilter.readFrom(new java.io.ByteArrayInputStream(batchBits)))
-        val out = new java.io.ByteArrayOutputStream()
-        a.writeTo(out)
-        out.toByteArray
-      }
-    DedupIndex(mergedBits, index.hashes.unionByName(newHashes).distinct())
+    DedupIndex(
+      mergeBloomBits(index.bloomBits, bloomOf(newHashes, expectedItems, fpp)),
+      index.hashes.unionByName(newHashes).distinct())
   }
+
 
   /** Classify a batch against the RUNNING index — the incremental form
     * of [[bloomNewDocs]]: identical verdict semantics (bloom-negative →
@@ -852,7 +871,16 @@ object Dedup {
     * (spec-asserted). This is the shape that makes per-batch cost
     * O(batch + bloom-positive ⋈ index) at 100 TB corpus size.
     */
-  def bloomNewDocsIncremental(index: DedupIndex, batch: DataFrame): DataFrame = {
+  def bloomNewDocsIncremental(index: DedupIndex, batch: DataFrame): DataFrame =
+    bloomNewDocsIncrementalWithHash(index, batch).drop("h")
+
+  /** [[bloomNewDocsIncremental]] retaining the content-hash column: the
+    * maintained-state stream persists this shape so the batch's state
+    * increment (DISTINCT h WHERE is_new_exact) derives from the
+    * already-written verdicts — no second classify pass, no second scan
+    * of the state.
+    */
+  def bloomNewDocsIncrementalWithHash(index: DedupIndex, batch: DataFrame): DataFrame = {
     import org.apache.spark.sql.GraftSqlShims.{column, expression}
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
     import org.apache.spark.sql.types.BinaryType
@@ -887,7 +915,7 @@ object Dedup {
       .drop("in_corpus")
     trustedNew.unionByName(residual)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
-        (!col("bloom_seen")).as("is_new_bloom"), col("is_new_exact"))
+        col("h"), (!col("bloom_seen")).as("is_new_bloom"), col("is_new_exact"))
       .orderBy("doc_id")
   }
 

@@ -53,8 +53,10 @@ class CrashRecoverySpec extends SparkSpec {
   private def readSorted(path: String) =
     spark.read.parquet(path).orderBy("doc_id").collect().toSeq
 
-  private def stateHashes(path: String) =
-    spark.read.parquet(path).collect().map(_.getString(0)).sorted.toSeq
+  /** base ∪ all deltas — the exact distinct hash table after 2 batches. */
+  private def finalStateHashes(stateDir: String) =
+    Streams.dedupStateHashes(spark, stateDir, 2L)
+      .collect().map(_.getString(0)).sorted.toSeq
 
   test("dedup index stream: crash after batch-1 verdicts, resume from checkpoint, end state identical") {
     val root = Files.createTempDirectory("graft_crash_recovery").toString
@@ -64,7 +66,7 @@ class CrashRecoverySpec extends SparkSpec {
     Streams.runDedupIndexStream(spark, schema, corpus, s"$root/in/batch_*",
       s"$root/ref_state", s"$root/ref_verdicts", s"$root/ref_ckpt")
     val refVerdicts = readSorted(s"$root/ref_verdicts/*")
-    val refState = stateHashes(s"$root/ref_state/v2")
+    val refState = finalStateHashes(s"$root/ref_state")
     assert(refVerdicts.nonEmpty, "reference run produced no verdicts")
 
     // --- crashed run: batch 0 commits; batch 1 dies half-applied
@@ -76,21 +78,33 @@ class CrashRecoverySpec extends SparkSpec {
     assert(ex.getMessage.contains("injected crash"),
       s"unexpected failure mode: ${ex.getMessage.take(200)}")
     // the torn-write picture the crash must leave behind: batch 1's
-    // verdicts are on disk but its state version is not
+    // verdicts are on disk but its state increment (delta + bloom) is not
     assert(Files.exists(Paths.get(s"$root/verdicts/b1")), "b1 verdicts missing")
-    assert(Files.exists(Paths.get(s"$root/state/v1")), "v1 state missing")
-    assert(!Files.exists(Paths.get(s"$root/state/v2")),
-      "v2 must NOT exist — the crash fires before the batch-1 state persist")
+    assert(Files.exists(Paths.get(s"$root/state/delta_b0")), "batch-0 delta missing")
+    assert(Files.exists(Paths.get(s"$root/state/v1.bloom")), "v1 bloom missing")
+    assert(!Files.exists(Paths.get(s"$root/state/delta_b1")),
+      "delta_b1 must NOT exist — the crash fires before the batch-1 state persist")
+    assert(!Files.exists(Paths.get(s"$root/state/v2.bloom")),
+      "v2 bloom must NOT exist — the crash fires before the batch-1 state persist")
+    // the base table is immutable state — a batch must never rewrite it
+    val baseMtime = Files.getLastModifiedTime(Paths.get(s"$root/state/base"))
 
     // --- resume from the SAME checkpoint + state dirs, no fault injected
     Streams.runDedupIndexStream(spark, schema, corpus, s"$root/in/batch_*",
       s"$root/state", s"$root/verdicts", s"$root/ckpt")
 
-    assert(Files.exists(Paths.get(s"$root/state/v2")), "resume did not fold batch 1")
+    assert(Files.exists(Paths.get(s"$root/state/delta_b1")), "resume did not fold batch 1")
     assert(readSorted(s"$root/verdicts/*") == refVerdicts,
       "verdicts after crash+resume differ from the uninterrupted run")
-    assert(stateHashes(s"$root/state/v2") == refState,
+    assert(finalStateHashes(s"$root/state") == refState,
       "final state hash table after crash+resume differs from the uninterrupted run")
+    assert(Files.getLastModifiedTime(Paths.get(s"$root/state/base")) == baseMtime,
+      "resume rewrote the immutable base table")
+    // deltas carry only NEW hashes: base ∪ deltas must stay duplicate-free
+    val all = spark.read.parquet(s"$root/state/base", s"$root/state/delta_b0",
+      s"$root/state/delta_b1")
+    assert(all.count() == all.distinct().count(),
+      "base/delta state carries duplicate hashes — deltas must be disjoint")
   }
 
   test("resumed run does not reprocess committed batches") {
@@ -106,7 +120,8 @@ class CrashRecoverySpec extends SparkSpec {
       s"$root/state", s"$root/verdicts", s"$root/ckpt")
     assert(Files.getLastModifiedTime(Paths.get(s"$root/verdicts/b0")) == b0Mtime,
       "a fully-committed checkpoint resume rewrote batch-0 verdicts")
-    assert(!Files.exists(Paths.get(s"$root/state/v3")),
-      "a no-op resume must not mint a new state version")
+    assert(!Files.exists(Paths.get(s"$root/state/delta_b2")) &&
+      !Files.exists(Paths.get(s"$root/state/v3.bloom")),
+      "a no-op resume must not mint a new state increment")
   }
 }
