@@ -1561,13 +1561,19 @@ object Registry {
           val b1 = all.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 0)
           val b2 = all.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 =!= 0)
           val state = java.nio.file.Files.createTempDirectory("graft_lsh_idx").toString
-          def persistIdx(ix: org.apache.spark.sql.DataFrame, v: Int) = {
-            ix.write.mode("overwrite").parquet(s"$state/v$v")
-            s.read.parquet(s"$state/v$v")
+          // DELTA-persisted signature state (r10, same argument as the
+          // exact-dedup stream): each increment writes ONLY the batch's
+          // signatures; the running index is base ∪ deltas. The earlier
+          // form re-persisted base ∪ batch as v1 — an O(corpus) state
+          // rewrite per batch. mergeLshIndex is a plain union, so the
+          // union-of-dirs read IS the merged index, bit-for-bit.
+          def persist(ix: org.apache.spark.sql.DataFrame, name: String) = {
+            ix.write.mode("overwrite").parquet(s"$state/$name")
+            s.read.parquet(s"$state/$name")
           }
-          val idx0 = persistIdx(Dedup.lshIndex(corpus), 0)
+          val idx0 = persist(Dedup.lshIndex(corpus), "base")
           val v1 = Dedup.classifyNearDupIncremental(idx0, b1)
-          val idx1 = persistIdx(Dedup.mergeLshIndex(idx0, b1), 1)
+          val idx1 = idx0.unionByName(persist(Dedup.lshIndex(b1), "delta_b1"))
           val v2 = Dedup.classifyNearDupIncremental(idx1, b2)
           v1.withColumn("batch_seq", lit(1))
             .unionByName(v2.withColumn("batch_seq", lit(2)))
