@@ -629,15 +629,19 @@ object Streams {
       corpus, stateDir, verdictsDir, checkpoint, crashAfterVerdictsOfBatch)
 
   /** Hash table of the state BEFORE batch `batchId`: base ∪ existing
-    * deltas of earlier batches. Exposed for the crash-recovery spec's
-    * end-state comparison.
+    * deltas of earlier batches, read as ONE multi-path parquet relation —
+    * a union chain here would grow the plan linearly with the number of
+    * folded batches (thousands deep on a long-running stream); the
+    * multi-path scan stays one flat node regardless. Exposed for the
+    * crash-recovery spec's end-state comparison.
     */
   private[graft] def dedupStateHashes(
-      s: SparkSession, stateDir: String, batchId: Long): DataFrame =
-    (Seq(s"$stateDir/base") ++ (0L until batchId).map(b => s"$stateDir/delta_b$b"))
+      s: SparkSession, stateDir: String, batchId: Long): DataFrame = {
+    val parts = (Seq(s"$stateDir/base") ++
+      (0L until batchId).map(b => s"$stateDir/delta_b$b"))
       .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
-      .map(s.read.parquet(_))
-      .reduce(_ unionByName _)
+    s.read.parquet(parts: _*)
+  }
 
   /** The fold itself over ANY streaming source of document rows —
     * shared by the file-staged form above and the offset-ordered
