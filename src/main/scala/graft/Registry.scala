@@ -1444,6 +1444,13 @@ object Registry {
       // source pair (cluster-local self-join, |sources|²-sized output)
       Q("source_overlap", (s, d) => Dedup.sourceOverlap(docs(s, d)),
         Some(Dedup.sourceOverlapSql)),
+      // per-source governance dashboard (r10): doc counts, exact- and
+      // near-dup exposure (near side reads the maintained label state),
+      // language spread, rounded-mean quality, token volume — one row
+      // per source, oracle-exact
+      Q("corpus_source_report",
+        (s, d) => Dedup.sourceGovernanceReport(docs(s, d), fullClusterLabels(s, d)),
+        Some(Dedup.sourceGovernanceReportSql)),
       // boilerplate hotspots: 3-grams shared across the most documents
       Q("duplicate_shingles", (s, d) => Dedup.duplicateShingles(docs(s, d)),
         Some(Dedup.duplicateShinglesSql())),

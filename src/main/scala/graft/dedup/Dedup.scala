@@ -611,6 +611,62 @@ object Dedup {
     * boilerplate string shared by 10⁶ docs — costs one aggregation row
     * instead of 10¹² join rows. Output is |sources|²-sized (tiny).
     */
+  /** Per-source corpus governance report — the one-row-per-source
+    * dashboard a data platform publishes before a training run: document
+    * count, exact-duplicate exposure (docs whose content hash occurs ≥2
+    * anywhere in the corpus), near-duplicate exposure (docs in a
+    * transitive near-dup cluster of size ≥2 — the supplied labels, i.e.
+    * maintained state, not a recompute), language spread, rounded-mean
+    * quality, and total whitespace-token volume. Quality doubles go
+    * through round(·, 6) before the decimal-exact mean — the
+    * cross-engine-safe summation contract (see Verify notes).
+    *
+    * Scale shape: one content-hash aggregation + one hash join back
+    * (both on the corpus, the unavoidable exact-dup pass), a doc_id join
+    * against the label state, and one per-source rollup. No text ever
+    * shuffles — hashes, labels, and per-doc scalars do.
+    */
+  def sourceGovernanceReport(documents: DataFrame, labels: DataFrame): DataFrame = {
+    import graft.functions.Cols.detAvg
+    val perDoc = documents.select(
+      col("doc_id"), col("source"), col("lang"),
+      md5(col("text")).as("h"),
+      round(TextOps.qualityScore(col("text")), 6).as("q"),
+      size(TextOps.toks(col("text"))).cast("long").as("toks"))
+    val hashCounts = perDoc.groupBy("h").agg(count(lit(1)).as("h_count"))
+    perDoc
+      .join(hashCounts, Seq("h"))
+      .join(labels.select("doc_id", "cluster_size"), Seq("doc_id"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("h_count") >= 2, 1).otherwise(0)).as("n_exact_dup_docs"),
+        sum(when(col("cluster_size") >= 2, 1).otherwise(0)).as("n_near_dup_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        detAvg(col("q")).as("avg_quality"),
+        sum(col("toks")).as("total_ws_tokens"))
+      .orderBy("source")
+  }
+
+  /** DuckDB twin of [[sourceGovernanceReport]] (cluster closure nested). */
+  val sourceGovernanceReportSql: String =
+    s"WITH cl AS (SELECT doc_id, cluster_size FROM ($dedupClustersSql)),\n" +
+      raw"""per AS (
+        |  SELECT doc_id, source, lang, md5(text) AS h,
+        |    round(${TextOps.qualityScoreSqlExpr}, 6) AS q,
+        |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS toks
+        |  FROM documents),
+        |hc AS (SELECT h, COUNT(*) AS h_count FROM per GROUP BY 1)
+        |SELECT per.source,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN hc.h_count >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup_docs,
+        |  CAST(SUM(CASE WHEN cl.cluster_size >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup_docs,
+        |  COUNT(DISTINCT per.lang) AS n_langs,
+        |  CAST(SUM(CAST(per.q AS DECIMAL(28,6))) AS DOUBLE) / COUNT(per.q) AS avg_quality,
+        |  CAST(SUM(per.toks) AS BIGINT) AS total_ws_tokens
+        |FROM per JOIN hc USING (h) JOIN cl USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def sourceOverlap(documents: DataFrame): DataFrame = {
     val counts = dedupClusters(documents)
       .filter(col("cluster_size") > 1)
