@@ -244,4 +244,38 @@ class KnnSpec extends SparkSpec {
     assert(r(7L) == ((false, Some(2L))))
     assert(r(9L) == ((true, None)))
   }
+
+  test("hybrid RRF: fused score is the exact two-leg formula, ranks dense, single-leg rows allowed") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = TestdataAdapter.table(spark, dir, "documents")
+    val embs = TestdataAdapter.table(spark, dir, "embeddings")
+    val out = Knn.hybridSearchRrf(docs, embs, k = 10, candK = 20).collect()
+    assert(out.nonEmpty)
+    val byQuery = out.groupBy(_.getAs[Int]("query_id"))
+    byQuery.foreach { case (q, rows) =>
+      val ranks = rows.map(_.getAs[Long]("rrf_rank")).sorted.toSeq
+      assert(ranks == (1L to rows.length), s"query $q ranks not dense: $ranks")
+      assert(rows.length <= 10)
+      // rank order must follow score desc (doc_id tie-break)
+      val ordered = rows.sortBy(_.getAs[Long]("rrf_rank"))
+      assert(ordered.map(_.getAs[Double]("rrf_score")).toSeq
+        .sliding(2).forall { case Seq(a, b) => a >= b; case _ => true })
+    }
+    out.foreach { r =>
+      val lex = Option(r.getAs[java.lang.Long]("lex_rank")).map(_.longValue())
+      val sem = Option(r.getAs[java.lang.Long]("sem_rank")).map(_.longValue())
+      assert(lex.nonEmpty || sem.nonEmpty, "a fused row must come from at least one leg")
+      val expected = lex.map(l => 1.0 / (60 + l)).getOrElse(0.0) +
+        sem.map(s => 1.0 / (60 + s)).getOrElse(0.0)
+      assert(r.getAs[Double]("rrf_score") == expected,
+        s"rrf_score mismatch for $r")
+      assert(lex.forall(_ <= 20) && sem.forall(_ <= 20),
+        "leg ranks must respect the candidate cutoff")
+    }
+    // both single-leg and both-leg rows actually occur in the fixture —
+    // the full-outer fusion semantics are exercised, not vacuous
+    assert(out.exists(r => r.isNullAt(r.fieldIndex("lex_rank"))))
+    assert(out.exists(r => !r.isNullAt(r.fieldIndex("lex_rank")) &&
+      !r.isNullAt(r.fieldIndex("sem_rank"))))
+  }
 }

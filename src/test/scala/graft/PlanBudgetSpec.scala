@@ -124,6 +124,9 @@ class PlanBudgetSpec extends SparkSpec {
     // narrow; the 1 is the output sort
     "gtfs_id_normalize" -> 1,
     "gtfs_typed_casts" -> 1,
+    // content-hash agg + h join + source rollup + output sort (labels
+    // ride the cached state parquet; no clustering in this plan)
+    "corpus_source_report" -> 4,
     // per classify: batch hash agg + residual pair stays BROADCAST
     // (index filtered at its scan, never sort-merged); ×2 batches +
     // index-build distincts + output sort
