@@ -422,14 +422,15 @@ object Streams {
   /** Incremental view maintenance as a TRUE multi-batch stream
     * (rel.Incremental exercised the way a 100 TB deployment runs it):
     * the events are staged as two disjoint files, consumed one file per
-    * micro-batch, and foreachBatch keeps a STORED partials table —
-    * each batch is partially aggregated (count + exact decimal sum per
-    * (event_type, hour)) and merged with the prior state, never
-    * rescanning history. The final state, finalized, must equal a
-    * from-scratch recompute over all raw rows — the same oracle SQL the
-    * in-plan `incremental_hourly_merge` twin verifies against, so
-    * batch-split associativity is proven across REAL micro-batch
-    * boundaries, not just a planner-internal split.
+    * micro-batch, and foreachBatch STORES each batch's partial aggregate
+    * (count + exact decimal sum per (event_type, hour)) as its own
+    * delta; the published view merges the deltas — history is never
+    * rescanned and per-batch state writes are batch-sized (see the
+    * write-strategy comment below for the design space). The final
+    * view must equal a from-scratch recompute over all raw rows — the
+    * same oracle SQL the in-plan `incremental_hourly_merge` twin
+    * verifies against, so batch-split associativity is proven across
+    * REAL micro-batch boundaries, not just a planner-internal split.
     * Ref contrast: build-kpi-job.py:194 recomputes views from full
     * history every read — this is the scale path it lacks.
     */
@@ -449,11 +450,24 @@ object Streams {
     ev.filter(parity =!= 0).coalesce(1)
       .write.mode("overwrite").parquet(s"$staged/half_b")
     val sink = Files.createTempDirectory("graft_incr_state").toString
-    // replay-idempotent fold: state versions are keyed on batchId and the
-    // prior state is re-read from v{batchId-1} at the top of every batch,
-    // NOT from a driver-side var — a redelivered micro-batch N re-reads
-    // the untouched v{N-1} and overwrites v{N} with identical content,
-    // instead of double-merging its partials into mutated memory.
+    // State write strategy (r10): each batch appends ONLY its own partial
+    // aggregate as `delta_b{N}` — O(batch-groups) written per batch —
+    // and the published view is a merge-on-read over the deltas
+    // (mergePartials is associative, so delta-sum ≡ one partial over all
+    // raw rows, which is what the oracle proves). The two rejected
+    // alternatives, for the record: a versioned FULL partials rewrite
+    // per batch is replay-safe but pays O(state) per batch (the shape
+    // this replaced); an IN-PLACE merge via dynamic partition overwrite
+    // (rel.Scale.overwriteHourPartitions — the batch-compaction writer)
+    // is the cheapest read path but is NOT replay-idempotent on plain
+    // parquet — a redelivered batch would double-merge into partitions
+    // that already absorbed it, the exact hazard a transactional table
+    // format exists to close. Delta-append is replay-idempotent for
+    // free: a redelivered batch N just overwrites its own delta_b{N}
+    // with identical content. A deployment periodically compacts deltas
+    // into the hour-partitioned serving table with
+    // overwriteHourPartitions(merged touched hours) — the same
+    // mergePartials doing the folding.
     val q = spark.readStream
       .schema(ev.schema)
       .option("maxFilesPerTrigger", "1")
@@ -463,31 +477,20 @@ object Streams {
       .option("checkpointLocation",
         Files.createTempDirectory("graft_incr_ckpt").toString)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val s = batch.sparkSession
-        val partial = Incremental.hourlyPartial(batch)
-        val merged =
-          if (batchId > 0)
-            Incremental.mergePartials(
-              Seq(s.read.parquet(s"$sink/v${batchId - 1}"), partial))
-          else Incremental.mergePartials(Seq(partial))
-        merged.write.mode("overwrite").parquet(s"$sink/v$batchId")
+        Incremental.hourlyPartial(batch)
+          .coalesce(1) // partials are groups-sized; one file per batch
+          .write.mode("overwrite").parquet(s"$sink/delta_b$batchId")
         ()
       }
       .start()
     q.awaitTermination()
-    Incremental.finalizeHourly(spark.read.parquet(latestVersion(sink).getOrElse(
-      sys.error("incremental stream produced no batches"))))
+    val deltas = Option(new java.io.File(sink).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("delta_b"))
+      .map(_.getAbsolutePath).sorted
+    require(deltas.nonEmpty, "incremental stream produced no batches")
+    Incremental.finalizeHourly(
+      Incremental.mergePartials(Seq(spark.read.parquet(deltas: _*))))
   }
-
-  /** Highest `v{N}` state directory under `dir`, if any — how a resumed
-    * run (or the terminal read) discovers the newest committed state
-    * version without trusting driver memory.
-    */
-  private[streaming] def latestVersion(dir: String): Option[String] =
-    Option(new java.io.File(dir).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
-      .sortBy(_.getName.drop(1).toLong)
-      .lastOption.map(_.getAbsolutePath)
 
   /** Continuous-ingest dedup: the maintained exact-dedup index
     * (dedup.Dedup.{buildDedupIndex, bloomNewDocsIncremental,
