@@ -1341,6 +1341,15 @@ object Registry {
           docs(s, d).filter(col("doc_id") % 100 =!= 7),
           docs(s, d).filter(col("doc_id") % 100 === 7)),
         Some(Dedup.contaminationReportSql)),
+      // the published 13-gram exact-collision standard (r10): the same
+      // broadcast shape at the width the decontamination literature
+      // actually uses — the 3-gram form is near-dup-grade sensitivity,
+      // this one flags only long verbatim overlaps
+      Q("decontamination_13gram",
+        (s, d) => Dedup.contaminationReportNgram(
+          docs(s, d).filter(col("doc_id") % 100 =!= 7),
+          docs(s, d).filter(col("doc_id") % 100 === 7)),
+        Some(Dedup.contaminationReportNgramSql())),
       // C4-style mechanical normalization (quotes/dashes/control/ws) —
       // identity on the already-clean synthetic corpus, behavior
       // spec-asserted on dirty strings

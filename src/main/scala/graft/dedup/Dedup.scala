@@ -484,6 +484,51 @@ object Dedup {
        |FROM tr JOIN ev USING (h)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** [[contaminationReport]] at an arbitrary gram width — registered at
+    * n = 13, the published exact-collision decontamination standard
+    * (GPT-3's 13-gram filter; the 3-shingle form above is the
+    * near-dup-grade sensitivity, this is the exact-overlap-grade one).
+    * Grams are built in-row (transform over an index sequence + slice —
+    * no explode-then-window), hashed, per-doc distinct; the benchmark
+    * side broadcasts exactly like the 3-gram form, so the check stays
+    * one narrow broadcast join at any corpus size.
+    */
+  def contaminationReportNgram(
+      training: DataFrame, benchmark: DataFrame, n: Int = 13): DataFrame = {
+    def hashedGrams(df: DataFrame): DataFrame = {
+      val w = TextOps.toks(col("text"))
+      df.select(col("doc_id"), w.as("w"))
+        .withColumn("i", explode(
+          when(size(col("w")) >= n, sequence(lit(1), size(col("w")) - (n - 1)))
+            .otherwise(array().cast("array<int>"))))
+        .select(col("doc_id"),
+          md5(array_join(slice(col("w"), col("i"), lit(n)), " ")).as("h"))
+        .distinct()
+    }
+    val tr = hashedGrams(training)
+    val ev = hashedGrams(benchmark).select("h").distinct()
+    tr.join(broadcast(ev), "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared_ngrams"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of the registered 13-gram contamination query (same
+    * benchmark stand-in slice as the 3-gram form).
+    */
+  def contaminationReportNgramSql(n: Int = 13): String =
+    raw"""WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+       |              FROM documents),
+       |gs AS (SELECT doc_id, md5(array_to_string(w[i:i+${n - 1}], ' ')) AS h
+       |       FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - ${n - 1})) AS i
+       |             FROM toks)),
+       |g AS (SELECT DISTINCT doc_id, h FROM gs),
+       |ev AS (SELECT DISTINCT h FROM g WHERE doc_id % 100 = 7),
+       |tr AS (SELECT doc_id, h FROM g WHERE doc_id % 100 <> 7)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams
+       |FROM tr JOIN ev USING (h)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Duplicate CLUSTERS — the step after candidate pairs that a real
     * dedup pipeline needs before it can keep one representative per
     * duplicate group: LSH pair (a,b) and (b,c) must collapse to ONE
