@@ -16,11 +16,23 @@ import org.apache.spark.sql.SparkSession
   * swung ~13× round-over-round, which made every cross-round
   * comparison noise-bound; the median absorbs one arbitrarily bad run
   * per query while staying honest about steady-state cost.
+  *
+  * Spread reporting (r11): queries whose 3-run median lands at ≥ 3 s
+  * get topped up to SPARK_GRAFT_BENCH_SLOW_RUNS (default 5) reps — two
+  * identical-code sweeps 23 min apart once differed 3× on one such
+  * query, so the expensive tail is exactly where per-query regression
+  * tracking needs more samples. The full results file carries
+  * min/median/max per query plus a `variance_flags` list (max/min > 2×
+  * — "this number is noise-bound, re-bench isolated before calling it
+  * a regression").
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val slowRuns = math.max(runs,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SLOW_RUNS", "5").toInt)
+    val slowThresholdSec = 3.0
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.max(4, Runtime.getRuntime.availableProcessors()).toString)
     val spark = SparkSession.builder()
@@ -57,9 +69,15 @@ object Bench {
     def fmt(v: Double): String =
       if (v < 0) "-1.0"
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    case class R(name: String, median: Double, min: Double, max: Double,
+        ok: Int, attempts: Int)
+    def medianOf(s: Seq[Double]): Double =
+      if (s.isEmpty) -1.0
+      else if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
     val results = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.isEmpty || only(n)).map { name =>
-      val times = (1 to runs).map { _ =>
+      def timeOnce(): Double = {
         val t0 = System.nanoTime()
         val ok = try { force(name); true } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.toString.take(300)}"); false
@@ -68,28 +86,46 @@ object Bench {
         cleanup()
         if (ok) secs else -1.0
       }
-      // median of the runs that succeeded; -1 only when every run
+      val base = (1 to runs).map(_ => timeOnce())
+      // expensive tail → more samples: top up to slowRuns reps when the
+      // base median already sits at ≥ the slow threshold (bounded cost —
+      // only the handful of multi-second queries pay the extra reps)
+      val extra =
+        if (medianOf(base.filter(_ >= 0).sorted) >= slowThresholdSec)
+          ((runs + 1) to slowRuns).map(_ => timeOnce())
+        else Seq.empty
+      val times = base ++ extra
+      // stats over the runs that succeeded; -1 only when every run
       // failed — one transient failure shouldn't discard usable timings
       val s = times.filter(_ >= 0).sorted
-      val median =
-        if (s.isEmpty) -1.0
-        else if (s.length % 2 == 1) s(s.length / 2)
-        else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+      val median = medianOf(s)
       // per-query progress line: survives stdout tail-truncation even when
       // the final one-line JSON does not (190 queries ≈ several KB on one
       // line; the driver's tail capture has chopped it two rounds running)
-      println(s"[bench] q=$name median=${fmt(median)} ok=${s.length}/$runs")
-      (name, median, s.length)
+      println(s"[bench] q=$name median=${fmt(median)} " +
+        s"min=${fmt(if (s.isEmpty) -1.0 else s.head)} " +
+        s"max=${fmt(if (s.isEmpty) -1.0 else s.last)} ok=${s.length}/${times.length}")
+      R(name, median, if (s.isEmpty) -1.0 else s.head,
+        if (s.isEmpty) -1.0 else s.last, s.length, times.length)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
+    val qs = results.map(r => "\"" + r.name + "\":" + fmt(r.median)).mkString("{", ",", "}")
+    val total = results.collect { case r if r.median >= 0 => r.median }.sum
     // flaky queries (some but not all runs failed) are reported, not
     // hidden — a lone surviving sample on a ~13×-noise box is not a
     // healthy median, and the -1 convention only covers total failure
-    val partial = results.collect { case (k, _, ok) if ok > 0 && ok < runs =>
-      "\"" + k + "\":" + ok
+    val partial = results.collect { case r if r.ok > 0 && r.ok < r.attempts =>
+      "\"" + r.name + "\":" + r.ok
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"stat":"median","partial_ok":$partial}"""
+    // per-query spread (min/median/max over the reps) + the noise-bound
+    // list: max/min > 2× means the sample band alone spans a factor the
+    // round-over-round gate would otherwise misread as a regression
+    val spread = results.map(r =>
+      "\"" + r.name + "\":{\"min\":" + fmt(r.min) + ",\"median\":" + fmt(r.median) +
+        ",\"max\":" + fmt(r.max) + ",\"runs\":" + r.ok + "}").mkString("{", ",", "}")
+    val varianceFlags = results
+      .filter(r => r.min > 0 && r.max / r.min > 2.0)
+      .map(r => "\"" + r.name + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread,"variance_flags":$varianceFlags,"sf":"$sfDir","runs":$runs,"slow_runs":$slowRuns,"stat":"median","partial_ok":$partial}"""
     // persist the FULL results object (all ~200 per-query timings) to a
     // file; at 200+ queries the one-line form is ~5 KB, which the driver's
     // stdout tail-capture front-truncates into unparseable JSON
@@ -105,9 +141,9 @@ object Bench {
     // tail truncation intact: total + the slowest queries only, with a
     // pointer to the full artifact. The per-query `[bench] q=...` progress
     // lines above carry the rest of the detail in stdout form.
-    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(40)
-      .map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slowest,"n_queries":${results.length},"queries_shown":"slowest40","full_results":"bench_results.json","sf":"$sfDir","runs":$runs,"stat":"median","partial_ok":$partial}"""
+    val slowest = results.filter(_.median >= 0).sortBy(-_.median).take(40)
+      .map(r => "\"" + r.name + "\":" + fmt(r.median)).mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slowest,"n_queries":${results.length},"queries_shown":"slowest40","variance_flags":$varianceFlags,"full_results":"bench_results.json","sf":"$sfDir","runs":$runs,"slow_runs":$slowRuns,"stat":"median","partial_ok":$partial}"""
     println("=== BENCH_JSON ===")
     println(compact)
     spark.stop()

@@ -62,9 +62,22 @@ object Registry {
   private val dedupStreamStateDirs =
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
+  /** getOrElseUpdate under the map's own lock: TrieMap may evaluate the
+    * thunk MORE THAN ONCE under concurrent first access (Verify runs
+    * queries on an 8-thread pool), and these thunks are exactly the
+    * expensive per-scale-dir seeds — double-running the full CC
+    * pipeline or the ~90k-event generate into a second temp dir whose
+    * result is then discarded wastes work and disk (ADVICE r10). The
+    * results were always correct; the lock just makes the build
+    * run-at-most-once.
+    */
+  private def memo[K, V](
+      m: scala.collection.concurrent.TrieMap[K, V])(k: K)(v: => V): V =
+    m.synchronized(m.getOrElseUpdate(k, v))
+
   private def fullClusterLabels(
       s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
-    val p = fullClusterDirs.getOrElseUpdate(d, {
+    val p = memo(fullClusterDirs)(d)({
       val dir = java.nio.file.Files.createTempDirectory("graft_cc_full").toString
       graft.dedup.Dedup.dedupClusters(
         TestdataAdapter.table(s, d, "documents")
@@ -78,7 +91,7 @@ object Registry {
   private def mockflowGenerated(
       s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     import graft.mockflow.MockFlow
-    val p = mockflowDirs.getOrElseUpdate(d, {
+    val p = memo(mockflowDirs)(d)({
       val stops = MockFlow.seedBaseDemand(TestdataAdapter.flowEvents(s, d))
       val hours = Pipelines.weatherHourly(s, d)
         .join(Pipelines.delayHourly(s, d).groupBy("hour_ts")
@@ -1519,7 +1532,7 @@ object Registry {
       // two concurrently and v1+ overwrites must not race.
       Q("streaming_dedup_index",
         (s, d) => graft.streaming.Streams.dedupIndexStream(s, d,
-          stateDir = Some(dedupStreamStateDirs.getOrElseUpdate(("file", d),
+          stateDir = Some(memo(dedupStreamStateDirs)(("file", d))(
             java.nio.file.Files.createTempDirectory("graft_dsi_state").toString))),
         Some(BLOOM_INCR_SQL)),
       // the same fold under the PRODUCTION ordering contract (r10): the
@@ -1530,7 +1543,7 @@ object Registry {
       // pinning; same two-batch oracle
       Q("streaming_dedup_index_queue",
         (s, d) => graft.streaming.Streams.dedupIndexQueueStream(s, d,
-          stateDir = Some(dedupStreamStateDirs.getOrElseUpdate(("queue", d),
+          stateDir = Some(memo(dedupStreamStateDirs)(("queue", d))(
             java.nio.file.Files.createTempDirectory("graft_dsq_state").toString))),
         Some(BLOOM_INCR_SQL)),
       // Incremental TRANSITIVE clusters: the persisted label table +
@@ -1550,7 +1563,7 @@ object Registry {
           // what a deployment amortizes across batches — build it once
           // per scale dir so repeated runs time the ATTACH, not the
           // state bootstrap
-          val state = clusterStateDirs.getOrElseUpdate(d, {
+          val state = memo(clusterStateDirs)(d)({
             val p = java.nio.file.Files.createTempDirectory("graft_cc_idx").toString
             Dedup.dedupClusters(corpus).select("doc_id", "cluster_id")
               .write.mode("overwrite").parquet(s"$p/labels")
@@ -2066,12 +2079,40 @@ object Registry {
              |ORDER BY stop_id, time_factor, dow_factor, weather_factor, delay_factor"""
             .stripMargin)),
 
+      // The FULL event table, oracle-exact (promoted r11 — it was the
+      // largest rows-only query): every md5-seeded draw, 9-dp rounded
+      // transcendental, quantized bucket weight and rounding rule is
+      // recomputed in DuckDB at stop × hour × minute-bucket grain and
+      // hash-compared, typed-column for typed-column (the JSON
+      // `components` rendering of the same values stays verified through
+      // `mockflow_invariants`' re-parse). See MockFlow's object scaladoc
+      // for the three cross-engine design rules that make this possible.
       Q("mockflow_events",
         (s, d) => mockflowGenerated(s, d)
           .select(col("stop_id"), col("observed_at").cast("timestamp_ntz").as("observed_at"),
-            col("estimated_passengers"), col("components"))
-          .orderBy("stop_id", "observed_at"),
-        None),
+            col("estimated_passengers"),
+            col("hour_ts").cast("timestamp_ntz").as("hour_ts"),
+            col("base_demand"), col("time_factor"), col("dow_factor"),
+            col("weather_factor"), col("delay_factor"), col("stop_noise"),
+            col("hourly_passengers"), col("bucket_weight"), col("total_weight"))
+          // hour_ts in the key: buckets 60-99 of hour H collide with
+          // buckets 0-39 of hour H+1 on observed_at alone
+          .orderBy("stop_id", "hour_ts", "observed_at"),
+        Some(
+          s"""WITH t AS ($TRIP), wx AS ($WEA),
+             |dl AS ($DELAY_BODY),
+             |wh AS ($WEATHER_BODY),
+             |hrs AS (
+             |  SELECT wh.hour_ts, wh.temperature_c, wh.precipitation_mm, d.avg_delay_seconds
+             |  FROM wh LEFT JOIN (
+             |    SELECT hour_ts, AVG(avg_delay_seconds) AS avg_delay_seconds
+             |    FROM dl GROUP BY 1) d USING (hour_ts)
+             |  ORDER BY hour_ts LIMIT 6),
+             |base AS (
+             |  SELECT CAST(user_id AS VARCHAR) AS stop_id,
+             |    LEAST(50, GREATEST(5, COUNT(*) * 3)) AS base_demand
+             |  FROM events GROUP BY 1),
+             |""".stripMargin + graft.mockflow.MockFlow.eventsSqlTail())),
     )
   }
 

@@ -1,17 +1,31 @@
 package graft.mockflow
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Synthetic passenger-flow generator (SURVEY.md §2.10 G1-G4) — the
   * reference's per-stop/hour/minute-bucket event simulator re-expressed as
   * distributed column algebra: factor lookups are when() chains, the
-  * per-(stop,hour) bucket fan-out is explode(sequence(0,99)), the bucket
-  * weight normalization is a window sum over the bucket partition, and the
-  * noise terms are seeded randn/rand (deterministic per partition layout —
-  * pin partitioning before generating when reproducibility matters,
-  * SURVEY §7.4 item 7).
+  * per-(stop,hour) bucket fan-out is explode(sequence(0,99)), and every
+  * stochastic term is a deterministic hash draw.
+  *
+  * CROSS-ENGINE EXACT (r11): the full 90k-row event table — not just its
+  * noise-cancelling invariants — hash-checks against a DuckDB twin.
+  * Three design rules make that possible:
+  *
+  *  1. draws come from md5 (both engines share the hash), first 12 hex
+  *     digits over 2^48 — see [[hashUniform]];
+  *  2. every transcendental output (Box-Muller ln/cos, the within-hour
+  *     exp bumps) is rounded to 9 dp the moment it is produced: ln/cos/
+  *     exp are not correctly-rounded, so JVM and libm can differ in the
+  *     last ulp — the round collapses both to the same double (the
+  *     [[graft.ml.HashSplit.weightedSample]] recipe), after which all
+  *     downstream +,-,×,÷ are IEEE-exact on identical bits;
+  *  3. bucket weights are quantized to 1e-9 (stored as scaled longs), so
+  *     the per-hour normalizing total is an INTEGER sum — order-free and
+  *     engine-free, where a double sum would have re-introduced
+  *     summation-order ulps. Weight resolution 1e-9 on weights of
+  *     magnitude ~0.05-2.2 is far below the generator's own noise floor.
   *
   * Ref: src/dag/mock_passenger_flow_job.py:18-74,130-181.
   */
@@ -19,6 +33,9 @@ object MockFlow {
 
   val EventsPerHour = 100
   val IntervalMinutes = 1
+
+  /** Weight quantum: weights live on a 1e-9 grid as scaled longs. */
+  val WeightScale = 1000000000L
 
   /** G1 — time-of-day factor (6 bands). Ref: :18-25. */
   def timeFactor(hour: Column): Column =
@@ -55,58 +72,95 @@ object MockFlow {
       .when(delay > 300, 0.85)
       .otherwise(1.0)
 
-  /** G3 — within-hour double-gaussian bump (peaks at :00 and :30).
-    * Ref: :66-74.
+  /** G3 — within-hour double-gaussian bump (peaks at :00 and :30),
+    * rounded to 9 dp (cross-engine seam rule 2 — the exp outputs feed
+    * bucket weights). Ref: :66-74.
     */
   def withinHourFactor(minute: Column): Column = {
     val bump1 = exp((minute * minute) * -1.0 / (2.0 * 8 * 8))
     val m30 = minute - 30
     val bump2 = exp((m30 * m30) * -1.0 / (2.0 * 10 * 10))
-    lit(0.7) + lit(0.7) * (bump1 + bump2)
+    round(lit(0.7) + lit(0.7) * (bump1 + bump2), 9)
+  }
+
+  /** Deterministic uniform(0,1): first 12 hex digits of
+    * md5(seed|k1|k2|…) as a 48-bit integer over 2^48. md5 because BOTH
+    * engines ship it — DuckDB recomputes the identical draw
+    * ([[uniformSql]]), which is what lets the full event table be
+    * oracle-checked instead of only aggregates the noise cancels out of
+    * (the r10 form used Spark's engine-private xxhash64). Like any hash
+    * draw — and unlike rand()/randn() — re-evaluation anywhere in the
+    * plan and any partition layout yields the same value. The hex→int
+    * conversion is explicit ascii arithmetic (TextOps.hexVal), the same
+    * proven cross-engine form every HashSplit oracle uses.
+    */
+  private def hashUniform(seed: Long, cols: Column*): Column = {
+    val h = md5(concat_ws("|", (lit(seed.toString) +: cols.map(_.cast("string"))): _*))
+    (0 until 12)
+      .map(j => graft.text.TextOps.hexVal(substring(h, j + 1, 1)).cast("long") *
+        lit(1L << (4 * (11 - j))))
+      .reduce(_ + _)
+      .cast("double") / lit((1L << 48).toDouble)
+  }
+
+  private[graft] def uniformSql(seed: Long, keys: Seq[String]): String = {
+    val key = (s"'$seed'" +: keys.map(k => s"CAST($k AS VARCHAR)"))
+      .mkString(" || '|' || ")
+    val digits = (0 until 12)
+      .map(j => s"CAST(${graft.text.TextOps.hexValSql(s"substr(md5($key), ${j + 1}, 1)")} AS BIGINT) * ${1L << (4 * (11 - j))}")
+      .mkString(" + ")
+    s"(($digits) / CAST(${1L << 48} AS DOUBLE))"
+  }
+
+  /** Deterministic N(0,1) via Box-Muller over two hash uniforms, rounded
+    * to 9 dp (cross-engine seam rule 2: ln and cos are the
+    * non-correctly-rounded calls).
+    */
+  private def hashNormal(seed: Long, cols: Column*): Column = {
+    val u1 = hashUniform(seed, cols: _*)
+    val u2 = hashUniform(seed + 1000003L, cols: _*)
+    round(
+      sqrt(lit(-2.0) * log(greatest(u1, lit(1e-12)))) *
+        cos(lit(2.0 * math.Pi) * u2), 9)
+  }
+
+  private[graft] def normalSql(seed: Long, keys: Seq[String]): String = {
+    val u1 = uniformSql(seed, keys)
+    val u2 = uniformSql(seed + 1000003L, keys)
+    s"round(sqrt(CAST(-2.0 AS DOUBLE) * ln(greatest($u1, 1e-12))) * " +
+      s"cos(CAST(${2.0 * math.Pi} AS DOUBLE) * $u2), 9)"
   }
 
   /** G2+G3+G4 — generate minute-bucket passenger-flow events for each
     * (stop, hour): hourly demand = base × factors × (1 + N(0,0.10)),
     * distributed over 100 one-minute buckets by normalized noisy bump
-    * weights, with a 9-key provenance JSON per event.
+    * weights (quantized — see object scaladoc), with a 9-key provenance
+    * JSON per event AND the same provenance as typed columns (the typed
+    * form is what the full-table oracle hashes; the JSON form is the
+    * reference's G4 surface, verified through `mockflow_invariants`'
+    * re-parse).
     *
     * @param stopBase stop_id, base_demand
     * @param hours    hour_ts (+ temperature_c, precipitation_mm,
     *                 avg_delay_seconds context columns, may be null)
     */
-  /** Deterministic uniform(0,1) from a hashed key: 48 bits of
-    * xxhash64 — unlike rand()/randn(), re-evaluation anywhere in the plan
-    * (projection vs. window aggregate) and any partition layout yield the
-    * same draw, which both fixes the classic non-deterministic-expression
-    * double-evaluation hazard and makes fixtures reproduce exactly
-    * (SURVEY §7.4 item 7). xxhash64 is codegen'd and hashes native values
-    * directly (no md5-hex string round-trip in the hot path).
-    */
-  private def hashUniform(seed: Long, cols: Column*): Column =
-    pmod(xxhash64((lit(seed) +: cols): _*), lit(1L << 48)).cast("double") /
-      lit((1L << 48).toDouble)
-
-  /** Deterministic N(0,1) via Box-Muller over two hash uniforms. */
-  private def hashNormal(seed: Long, cols: Column*): Column = {
-    val u1 = hashUniform(seed, cols: _*)
-    val u2 = hashUniform(seed + 1000003L, cols: _*)
-    sqrt(lit(-2.0) * log(greatest(u1, lit(1e-12)))) *
-      cos(lit(2.0 * math.Pi) * u2)
-  }
-
   def generate(stopBase: DataFrame, hours: DataFrame, seed: Long = 42L): DataFrame = {
-    import graft.functions.Cols.{pgDow, clamp => _, _}
+    import graft.functions.Cols.pgDow
     val ctx = hours
       .withColumn("tf", timeFactor(hour(col("hour_ts"))))
       .withColumn("df", dowFactor(pgDow(col("hour_ts"))))
       .withColumn("wf", weatherFactor(col("temperature_c"), col("precipitation_mm")))
       .withColumn("rf", delayFactor(col("avg_delay_seconds")))
+      // draws key on epoch SECONDS (hour_ts is hour-truncated): a bare
+      // long renders identically in both engines' string concat, where
+      // timestamp-to-text formatting would be one more seam to prove
+      .withColumn("ep", unix_timestamp(col("hour_ts").cast("timestamp")))
     // ctx is hours-context-sized (small by contract) — broadcast it, else
     // the cartesian product re-evaluates the whole context pipeline once
     // per left-side partition (observed 8× wall-time at bench scale).
     val perStopHour = stopBase.crossJoin(broadcast(ctx))
       .withColumn("stop_noise",
-        hashNormal(seed, col("stop_id"), col("hour_ts")) * 0.10)
+        hashNormal(seed, col("stop_id"), col("ep")) * 0.10)
       .withColumn("hourly_demand",
         col("base_demand") * col("tf") * col("df") * col("wf") * col("rf") *
           (lit(1.0) + col("stop_noise")))
@@ -114,29 +168,37 @@ object MockFlow {
         greatest(lit(0), round(col("hourly_demand")).cast("int")))
     // Bucket weights as an ARRAY on the un-exploded row: the per-bucket
     // noisy bump weight is a pure function of (stop, hour, i), so the
-    // 100 weights and their sum are computed narrowly (transform +
-    // aggregate, ascending-i left-assoc — the same addition order the
-    // old window sum produced) BEFORE the fan-out, and the normalizing
-    // total rides along through posexplode. This removes the generator's
-    // only shuffle (the (stop,hour) window): event synthesis is now a
-    // pure map end-to-end, at any scale. minute(bucket_ts) ≡ i %% 60
-    // (hour_ts is hour-truncated and IntervalMinutes = 1).
+    // 100 weights and their integer total are computed narrowly BEFORE
+    // the fan-out and the normalizing total rides along through
+    // posexplode. This keeps event synthesis a pure map end-to-end — no
+    // shuffle — at any scale. minute(bucket_ts) ≡ i %% 60 (hour_ts is
+    // hour-truncated and IntervalMinutes = 1). Weights are stored as
+    // 1e9-scaled longs so the total is an order-free integer sum
+    // (cross-engine seam rule 3).
     val wArr = transform(sequence(lit(0), lit(EventsPerHour - 1)), i =>
-      greatest(lit(0.05),
+      round(greatest(lit(0.05),
         withinHourFactor(i % 60) *
-          (lit(1.0) + hashNormal(seed + 7L, col("stop_id"), col("hour_ts"), i) * 0.12)))
+          (lit(1.0) + hashNormal(seed + 7L, col("stop_id"), col("ep"), i) * 0.12))
+        * WeightScale.toDouble).cast("long"))
     val buckets = perStopHour
       .withColumn("ws", wArr)
       .withColumn("total_w",
-        aggregate(col("ws"), lit(0.0), (a, x) => a + x))
+        aggregate(col("ws"), lit(0L), (a, x) => a + x))
       .select(col("*"), posexplode(col("ws")).as(Seq("i", "w")))
       .withColumn("bucket_ts",
         col("hour_ts") + make_interval(lit(0), lit(0), lit(0), lit(0), lit(0),
           col("i") * IntervalMinutes))
+      // the de-quantized weight doubles (exact: scaled long → double →
+      // one division, identical bits in both engines)
+      .withColumn("bucket_weight",
+        col("w").cast("double") / WeightScale.toDouble)
+      .withColumn("total_weight",
+        col("total_w").cast("double") / WeightScale.toDouble)
     buckets
       .withColumn("estimated_passengers",
         greatest(lit(0),
-          round(col("hourly_passengers") * (col("w") / col("total_w"))).cast("int")))
+          round(col("hourly_passengers") *
+            (col("w").cast("double") / col("total_w").cast("double"))).cast("int")))
       .select(
         col("stop_id"),
         col("bucket_ts").as("observed_at"),
@@ -150,9 +212,112 @@ object MockFlow {
           col("rf").as("delay_factor"),
           col("stop_noise"),
           col("hourly_passengers"),
-          col("w").as("bucket_weight"),
-          col("total_w").as("total_weight"))).as("components"))
+          col("bucket_weight"),
+          col("total_weight"))).as("components"),
+        // typed provenance — the columns the full-table oracle hashes.
+        // hour_ts rides along because (stop_id, observed_at) alone is
+        // NOT a unique key: buckets 60-99 of hour H land on the same
+        // minutes as buckets 0-39 of hour H+1, so a deterministic total
+        // order needs the source hour
+        col("hour_ts"),
+        col("base_demand"),
+        col("tf").as("time_factor"),
+        col("df").as("dow_factor"),
+        col("wf").as("weather_factor"),
+        col("rf").as("delay_factor"),
+        col("stop_noise"),
+        col("hourly_passengers"),
+        col("bucket_weight"),
+        col("total_weight"))
   }
+
+  /** DuckDB twin of [[generate]] at FULL event grain — every draw, every
+    * weight, every rounding recomputed in SQL. Emitted as a CTE-chain
+    * continuation: the caller supplies two preceding CTEs named `hrs`
+    * (hour_ts, temperature_c, precipitation_mm, avg_delay_seconds) and
+    * `base` (stop_id, base_demand) and appends this string, which adds
+    * the factor/bucket CTEs and the final SELECT (same columns and order
+    * as the `mockflow_events` registration).
+    */
+  private[graft] def eventsSqlTail(seed: Long = 42L): String = {
+    val m = "(CAST(i % 60 AS BIGINT))"
+    val whf = s"round(CAST(0.7 AS DOUBLE) + CAST(0.7 AS DOUBLE) * (" +
+      s"exp(($m * $m) * CAST(-1.0 AS DOUBLE) / CAST(${2.0 * 8 * 8} AS DOUBLE)) + " +
+      s"exp((($m - 30) * ($m - 30)) * CAST(-1.0 AS DOUBLE) / CAST(${2.0 * 10 * 10} AS DOUBLE))), 9)"
+    val bumpNoise = normalSql(seed + 7L, Seq("stop_id", "ep", "i"))
+    val stopNoise = normalSql(seed, Seq("stop_id", "ep"))
+    s"""fac AS (
+       |  SELECT hour_ts, CAST(epoch(hour_ts) AS BIGINT) AS ep,
+       |    ${timeFactorSql("hour_ts")} AS tf,
+       |    ${dowFactorSql("hour_ts")} AS df,
+       |    ${weatherFactorSql("temperature_c", "precipitation_mm")} AS wf,
+       |    ${delayFactorSql("avg_delay_seconds")} AS rf
+       |  FROM hrs),
+       |sh AS (
+       |  SELECT b.stop_id, b.base_demand, f.*,
+       |    $stopNoise * CAST(0.1 AS DOUBLE) AS stop_noise
+       |  FROM base b CROSS JOIN fac f),
+       |shd AS (
+       |  SELECT *,
+       |    base_demand * tf * df * wf * rf * (CAST(1.0 AS DOUBLE) + stop_noise) AS hourly_demand
+       |  FROM sh),
+       |shp AS (
+       |  SELECT *,
+       |    CAST(GREATEST(0, CAST(round(hourly_demand) AS INTEGER)) AS INTEGER) AS hourly_passengers
+       |  FROM shd),
+       |bw AS (
+       |  SELECT shp.*, r.i,
+       |    CAST(round(GREATEST(CAST(0.05 AS DOUBLE),
+       |      $whf * (CAST(1.0 AS DOUBLE) + $bumpNoise * CAST(0.12 AS DOUBLE)))
+       |      * CAST($WeightScale AS DOUBLE)) AS BIGINT) AS w
+       |  FROM shp CROSS JOIN (SELECT CAST(range AS BIGINT) AS i
+       |                       FROM range(0, $EventsPerHour)) r),
+       |tw AS (
+       |  SELECT *, SUM(w) OVER (PARTITION BY stop_id, ep) AS total_w
+       |  FROM bw)
+       |SELECT stop_id,
+       |  hour_ts + to_minutes(CAST(i * $IntervalMinutes AS BIGINT)) AS observed_at,
+       |  CAST(GREATEST(0, CAST(round(hourly_passengers *
+       |    (CAST(w AS DOUBLE) / CAST(total_w AS DOUBLE))) AS INTEGER)) AS INTEGER)
+       |    AS estimated_passengers,
+       |  hour_ts,
+       |  base_demand,
+       |  tf AS time_factor, df AS dow_factor, wf AS weather_factor, rf AS delay_factor,
+       |  stop_noise,
+       |  hourly_passengers,
+       |  CAST(w AS DOUBLE) / CAST($WeightScale AS DOUBLE) AS bucket_weight,
+       |  CAST(total_w AS DOUBLE) / CAST($WeightScale AS DOUBLE) AS total_weight
+       |FROM tw
+       |ORDER BY stop_id, hour_ts, observed_at""".stripMargin
+  }
+
+  // G1 factor tables as SQL (same CASE bodies the invariants oracle has
+  // always used — kept here so the full-table twin shares one source)
+  private[graft] def timeFactorSql(ts: String): String =
+    s"""CAST(CASE WHEN EXTRACT(HOUR FROM $ts) >= 6 AND EXTRACT(HOUR FROM $ts) < 9 THEN 1.9
+       |          WHEN EXTRACT(HOUR FROM $ts) >= 9 AND EXTRACT(HOUR FROM $ts) < 16 THEN 1.0
+       |          WHEN EXTRACT(HOUR FROM $ts) >= 16 AND EXTRACT(HOUR FROM $ts) < 19 THEN 2.1
+       |          WHEN EXTRACT(HOUR FROM $ts) >= 19 AND EXTRACT(HOUR FROM $ts) < 23 THEN 0.8
+       |          WHEN EXTRACT(HOUR FROM $ts) >= 23 THEN 0.4
+       |          ELSE 0.3 END AS DOUBLE)""".stripMargin
+
+  private[graft] def dowFactorSql(ts: String): String =
+    s"""CAST(CASE WHEN EXTRACT(dow FROM $ts) = 6 THEN 0.75
+       |          WHEN EXTRACT(dow FROM $ts) = 0 THEN 0.6
+       |          ELSE 1.0 END AS DOUBLE)""".stripMargin
+
+  private[graft] def weatherFactorSql(temp: String, rain: String): String =
+    s"""CAST(CASE WHEN $rain >= 5 THEN 1.25
+       |          WHEN $rain >= 1 THEN 1.15
+       |          WHEN $temp <= -5 THEN 0.85
+       |          WHEN $temp >= 30 THEN 0.9
+       |          ELSE 1.0 END AS DOUBLE)""".stripMargin
+
+  private[graft] def delayFactorSql(delay: String): String =
+    s"""CAST(CASE WHEN $delay IS NULL THEN 1.0
+       |          WHEN $delay > 600 THEN 0.75
+       |          WHEN $delay > 300 THEN 0.85
+       |          ELSE 1.0 END AS DOUBLE)""".stripMargin
 
   /** A8 — base-demand seeding from observed stop activity:
     * LEAST(50, GREATEST(5, n*3)). Ref: initdb/init-postgis.sql:170-176.

@@ -535,27 +535,53 @@ object Knn {
     centers
   }
 
-  def pqTopK(
-      embeddings: DataFrame, nQueries: Int = 20, k: Int = 3,
-      m: Int = 8, codebookSize: Int = 16, sampleN: Int = 2048): DataFrame = {
+  /** The sample + per-subspace Lloyd's codebook fit of [[pqTopK]],
+    * exposed on its own so the committed serving fixture
+    * ([[PqFixture]]) can be regenerated ([[FixtureGen]]) and
+    * staleness-checked against the data (FixtureSpec).
+    *
+    * Codebooks are KB-sized and train on a BOUNDED sample (the standard
+    * product-quantization recipe: fit on ~10⁵ sampled vectors
+    * in-memory, encode the full corpus distributed). The sample is the
+    * first `sampleN` vectors in vec_id order — a pure function of the
+    * data, so codebooks are byte-reproducible across any cluster
+    * layout, and the driver does m tiny Lloyd's runs instead of m
+    * iterative distributed fits (which cost more in job scheduling
+    * than arithmetic at any scale).
+    */
+  def trainPqCodebooks(
+      embeddings: DataFrame, m: Int = 8, codebookSize: Int = 16,
+      sampleN: Int = 2048): Array[Array[Array[Double]]] = {
     require(Dim % m == 0, s"m=$m must divide Dim=$Dim")
     val subDim = Dim / m
-    val e = withNorm(embeddings).persist()
-    // Codebooks are KB-sized and train on a BOUNDED sample (the standard
-    // product-quantization recipe: fit on ~10⁵ sampled vectors
-    // in-memory, encode the full corpus distributed). The sample is the
-    // first `sampleN` vectors in vec_id order — a pure function of the
-    // data, so codebooks are byte-reproducible across any cluster
-    // layout, and the driver does m tiny Lloyd's runs instead of m
-    // iterative distributed fits (which cost more in job scheduling
-    // than arithmetic at any scale).
-    val sample: Array[Array[Float]] = e.orderBy("vec_id")
+    val sample: Array[Array[Float]] = withNorm(embeddings).orderBy("vec_id")
       .select("embedding").limit(sampleN)
       .collect().map(_.getSeq[Float](0).toArray)
-    val codebooks: Array[Array[Array[Double]]] = (0 until m).toArray.map { j =>
+    (0 until m).toArray.map { j =>
       val pts = sample.map(v => Array.tabulate(subDim)(i => v(j * subDim + i).toDouble))
       lloyd(pts, codebookSize)
     }
+  }
+
+  /** @param pinned when supplied, the codebooks are taken as a TRAINED
+    *   MODEL ARTIFACT instead of being fit in-query — the production
+    *   serving mode (PQ codebooks are trained offline once and frozen;
+    *   every later corpus is encoded against them), and the operating
+    *   point at which the whole encode + ADC pipeline is SQL-expressible
+    *   and therefore oracle-checked (the registry passes [[PqFixture]];
+    *   its provenance from [[trainPqCodebooks]] is spec-pinned). With
+    *   `pinned = None` the codebooks are fit on the input itself — the
+    *   train-time mode, exactness spec-asserted in KnnSpec.
+    */
+  def pqTopK(
+      embeddings: DataFrame, nQueries: Int = 20, k: Int = 3,
+      m: Int = 8, codebookSize: Int = 16, sampleN: Int = 2048,
+      pinned: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+    require(Dim % m == 0, s"m=$m must divide Dim=$Dim")
+    val subDim = Dim / m
+    val e = withNorm(embeddings).persist()
+    val codebooks: Array[Array[Array[Double]]] =
+      pinned.getOrElse(trainPqCodebooks(e, m, codebookSize, sampleN))
     // per-subspace LUT: squared distance to every centroid, via
     // higher-order functions over the codebook as a LITERAL nested
     // array — a ~10-node expression with runtime loops instead of the
@@ -600,6 +626,67 @@ object Knn {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("adist"))
       .orderBy("query_id", "rank")
+  }
+
+  /** DuckDB twin of [[pqTopK]] at a pinned codebook (the serving
+    * operating point): the centroids become literals, after which
+    * encode — per-subspace argmin over unrolled (x−c)² sums, first
+    * index on ties — and the ADC scan — per-pair sum of 16-way CASE
+    * lookups into the query's own distance columns — are plain SQL
+    * arithmetic, term-for-term in Spark's evaluation order (ascending
+    * dims, left-associated sums, 0.0 + t₀ = t₀). The distance CTE `cd`
+    * is shared by both sides of the join: a candidate's code_j is the
+    * argmin over its d_j_c columns, and a query's LUT IS its d_j_c row.
+    */
+  def pqTopKSql(
+      codebooks: Array[Array[Array[Double]]], nQueries: Int = 20,
+      k: Int = 3): String = {
+    val m = codebooks.length
+    val subDim = Dim / m
+    def distExpr(j: Int, c: Int): String =
+      (0 until subDim).map { t =>
+        val x = s"CAST(embedding[${j * subDim + t + 1}] AS DOUBLE)"
+        val cen = codebooks(j)(c)(t).toString
+        s"(($x - $cen) * ($x - $cen))"
+      }.mkString(" + ")
+    val nC = codebooks.head.length
+    val cdCols = (for { j <- 0 until m; c <- 0 until nC }
+      yield s"(${distExpr(j, c)}) AS d_${j}_$c").mkString(",\n    ")
+    val mCols = (0 until m).map(j =>
+      s"LEAST(${(0 until nC).map(c => s"d_${j}_$c").mkString(", ")}) AS m_$j")
+      .mkString(",\n    ")
+    val codeCols = (0 until m).map { j =>
+      val whens = (0 until nC).map(c => s"WHEN d_${j}_$c = m_$j THEN $c").mkString(" ")
+      s"CASE $whens END AS code_$j"
+    }.mkString(",\n    ")
+    val adist = (0 until m).map { j =>
+      val whens = (0 until nC).map(c => s"WHEN $c THEN q.d_${j}_$c").mkString(" ")
+      s"(CASE c.code_$j $whens END)"
+    }.mkString(" + ")
+    s"""WITH $NORM_CTE,
+       |cd AS (
+       |  SELECT vec_id,
+       |    $cdCols
+       |  FROM e),
+       |cm AS (
+       |  SELECT *,
+       |    $mCols
+       |  FROM cd),
+       |codes AS (
+       |  SELECT *,
+       |    $codeCols
+       |  FROM cm),
+       |s AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    $adist AS adist
+       |  FROM codes c JOIN codes q
+       |    ON q.vec_id < $nQueries AND c.vec_id <> q.vec_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, adist,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rn
+       |  FROM s)
+       |SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS "rank", adist
+       |FROM r WHERE rn <= $k ORDER BY query_id, "rank"""".stripMargin
   }
 
   /** Per-label embedding statistics: count + norm aggregates (norms are

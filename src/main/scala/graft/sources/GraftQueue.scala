@@ -34,8 +34,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * `timestamp` is null (broker-assigned in Kafka), `partition` is the
   * writer task's partition id, and offsets are globally consecutive in
   * committed-segment order rather than per-partition. Segment files are
-  * named `segment-<uuid>-n<count>` — the record count rides in the name
-  * so offset arithmetic never opens a file.
+  * named `segment-<seq>-<uuid>-n<count>` — the record count rides in
+  * the name so offset arithmetic never opens a file, and the zero-padded
+  * per-topic sequence number makes lexicographic order exactly commit
+  * order (the broker's offset-assignment contract).
   */
 object GraftQueue {
   val Schema: StructType = StructType(Seq(
@@ -65,6 +67,34 @@ object GraftQueue {
 
   private[sources] def totalRecords(path: String, topic: String): Long =
     segments(path, topic).map(countOf).sum
+
+  /** Serializes segment commits within the JVM (the emulation is
+    * single-JVM by construction — all writer tasks run in the local-mode
+    * executor), so the scan-max + rename below is atomic and the
+    * sequence numbers are strictly increasing per topic.
+    */
+  private[sources] val commitLock = new Object
+
+  private[sources] def stampOf(f: File): Long = {
+    val n = f.getName // segment-<stamp>-<uuid8>-n<count>
+    n.substring("segment-".length, n.indexOf('-', "segment-".length)).toLong
+  }
+
+  /** Next commit stamp for a topic: max existing stamp + 1 — a pure
+    * per-topic sequence, NOT a wall-clock read. A millisecond timestamp
+    * (the earlier form) could collide when two segments committed in the
+    * same ms (leaving their order to the random uuid tie-break) and, on
+    * a clock step, could even sort a NEW segment before one a
+    * checkpointed reader had already consumed, shifting delivered
+    * offsets after the fact. max+1 makes lexicographic name order
+    * exactly commit order, always.
+    */
+  private[sources] def nextStamp(dir: File): Long = {
+    // committed segments only (digit stamp) — never in-flight temp files
+    val existing = Option(dir.listFiles()).getOrElse(Array.empty[File])
+      .filter(_.getName.matches("segment-\\d+-.*"))
+    if (existing.isEmpty) 1L else existing.map(stampOf).max + 1L
+  }
 }
 
 class GraftQueueProvider extends TableProvider with DataSourceRegister {
@@ -238,7 +268,11 @@ private case class QueueWriterFactory(path: String, topic: String) extends DataW
     new DataWriter[InternalRow] {
       private val dir = GraftQueue.topicDir(path, topic)
       dir.mkdirs()
-      private val tmp = File.createTempFile("segment-inflight-", "", dir)
+      // "inflight-" prefix keeps uncommitted files OUT of the
+      // "segment-" namespace that segments()/nextStamp scan — the old
+      // "segment-inflight-" prefix could race into a concurrent
+      // committer's stamp scan (and, in principle, a reader's listing)
+      private val tmp = File.createTempFile("inflight-segment-", "", dir)
       private val out = new DataOutputStream(new FileOutputStream(tmp))
       private var n = 0L
       override def write(record: InternalRow): Unit = {
@@ -252,13 +286,13 @@ private case class QueueWriterFactory(path: String, topic: String) extends DataW
       override def commit(): WriterCommitMessage = {
         out.close()
         if (n == 0) { tmp.delete() }
-        else {
-          // name = zero-padded commit time + uuid: lexicographic order ≈
-          // commit order, so appending NEW segments never re-sorts (and
-          // thus never re-offsets) records a streaming reader already
-          // delivered — a pure-uuid name could sort before existing
-          // segments and shift their offsets after the fact
-          val stamp = f"${System.currentTimeMillis()}%014d"
+        else GraftQueue.commitLock.synchronized {
+          // name = zero-padded per-topic sequence number (max existing
+          // stamp + 1, under the commit lock): lexicographic order IS
+          // commit order — see GraftQueue.nextStamp for why wall-clock
+          // stamps could not give that guarantee. The uuid segment is
+          // kept only for name-shape compatibility / debuggability.
+          val stamp = f"${GraftQueue.nextStamp(dir)}%014d"
           val f2 = new File(dir,
             s"segment-$stamp-${java.util.UUID.randomUUID().toString.take(8)}-n$n")
           require(tmp.renameTo(f2), s"could not commit segment $f2")

@@ -186,7 +186,10 @@ class ScaleSoakSpec extends SparkSpec {
     val corpus = baseDocs
       .select("doc_id", "text", "lang", "source", "n_chars")
       .filter(col("doc_id") % 3 =!= 0)
-    val p = "/tmp/graft_soak_attach_state"
+    // unique per run (like every other soak fixture) — a fixed /tmp path
+    // let two concurrent suite runs overwrite each other's state mid-test
+    val p = java.nio.file.Files
+      .createTempDirectory("graft_soak_attach_state").toString
     Dedup.dedupClusters(corpus).select("doc_id", "cluster_id")
       .write.mode("overwrite").parquet(s"$p/labels")
     Dedup.lshIndex(corpus).write.mode("overwrite").parquet(s"$p/sigs")
