@@ -1278,7 +1278,7 @@ object Registry {
   val llm: Seq[Q] = {
     import graft.text.TextOps
     import graft.dedup.Dedup
-    import graft.sim.Knn
+    import graft.sim.{Knn, PqFixture, SemDedupFixture}
     import graft.multimodal.Multimodal
     def docs(s: SparkSession, dir: String) = TestdataAdapter.table(s, dir, "documents")
     def embs(s: SparkSession, dir: String) = TestdataAdapter.table(s, dir, "embeddings")
@@ -1642,15 +1642,29 @@ object Registry {
       Q("knn_ivf",
         (s, d) => Knn.ivfTopK(embs(s, d), nprobe = 16).drop("cell"),
         Some(Knn.bruteForceTopKSql(nQueries = 50, k = 3))),
-      // SemDeDup-style cluster-then-prune semantic dedup — rows-only
-      // (trained centroids not SQL-expressible; prune rule spec-asserted)
-      // tau=0.3 matches embedding_near_dup's threshold — the synthetic
-      // embeddings' planted near-dups live at cosine ~0.3-0.4
-      Q("semdedup_keep", (s, d) => Knn.semDedupKeep(embs(s, d), tau = 0.3), None),
-      // Product quantization ADC top-k — rows-only (trained codebooks are
-      // not SQL-expressible; exactness on separated clusters and the
-      // compressed-code contract are spec-asserted in KnnSpec)
-      Q("pq_topk", (s, d) => Knn.pqTopK(embs(s, d)), None),
+      // SemDeDup-style cluster-then-prune semantic dedup, ORACLE-EXACT at
+      // the pinned-centroid serving point (promoted r11): centroids are a
+      // committed trained-model artifact (SemDedupFixture — MLlib k-means
+      // output, provenance spec-pinned), the argmin assignment and the
+      // within-cell prune are plain arithmetic mirrored in DuckDB. The
+      // in-query-trained k-means path stays in the gate via
+      // `kmeans_clusters` and KnnSpec. tau=0.3 matches
+      // embedding_near_dup's threshold — the synthetic embeddings'
+      // planted near-dups live at cosine ~0.3-0.4
+      Q("semdedup_keep",
+        (s, d) => Knn.semDedupKeepPinned(embs(s, d),
+          SemDedupFixture.centroids, tau = 0.3),
+        Some(Knn.semDedupKeepPinnedSql(SemDedupFixture.centroids, tau = 0.3))),
+      // Product quantization ADC top-k, ORACLE-EXACT at the pinned
+      // codebook (promoted r11, the knn_ivf pattern): codebooks are the
+      // committed trained artifact (PqFixture — the deterministic
+      // sample+Lloyd output, provenance spec-pinned; training offline
+      // and serving frozen IS how production PQ deploys), so the whole
+      // encode + ADC scan pipeline is mirrored in DuckDB. The
+      // in-query-trained form stays spec-asserted in KnnSpec.
+      Q("pq_topk",
+        (s, d) => Knn.pqTopK(embs(s, d), pinned = Some(PqFixture.codebooks)),
+        Some(Knn.pqTopKSql(PqFixture.codebooks))),
       // PCA reduced-space ANN recall vs full-space brute force —
       // rows-only (trained projection not SQL-expressible; recall band
       // spec-asserted)

@@ -643,10 +643,15 @@ object Knn {
       k: Int = 3): String = {
     val m = codebooks.length
     val subDim = Dim / m
+    // centroid literals go through a VARCHAR→DOUBLE cast: a bare
+    // 17-digit literal parses as DECIMAL(38,17), whose scaled integer
+    // exceeds 2^53, so the decimal→double conversion DOUBLE-ROUNDS and
+    // drifts a last ulp off the strtod value Spark's typedLit holds
+    // (the SKILL decimal-ceiling gotcha, observed on ~7% of adist rows)
     def distExpr(j: Int, c: Int): String =
       (0 until subDim).map { t =>
         val x = s"CAST(embedding[${j * subDim + t + 1}] AS DOUBLE)"
-        val cen = codebooks(j)(c)(t).toString
+        val cen = s"CAST('${codebooks(j)(c)(t)}' AS DOUBLE)"
         s"(($x - $cen) * ($x - $cen))"
       }.mkString(" + ")
     val nC = codebooks.head.length
@@ -840,32 +845,126 @@ object Knn {
     finally e.unpersist(blocking = false)
   }
 
+  /** The within-cell prune tail shared by the trained and
+    * pinned-centroid forms: a vector is dropped when a lower-id member
+    * of its own cell clears the cosine threshold.
+    */
+  private def pruneCells(assigned: DataFrame, tau: Double): DataFrame = {
+    val a = assigned.select(col("cell"), col("vec_id"),
+      col("embedding").as("ea"), col("n2").as("na"))
+    val b = assigned.select(col("cell"), col("vec_id").as("vec_b"),
+      col("embedding").as("eb"), col("n2").as("nb"))
+    val near = a.join(b, Seq("cell"))
+      .filter(col("vec_b") < col("vec_id"))
+      .withColumn("cosine", dot("ea", "eb") / (sqrt(col("na")) * sqrt(col("nb"))))
+      .filter(col("cosine") >= tau)
+      .groupBy("cell", "vec_id")
+      .agg(min("vec_b").as("dup_of"), count(lit(1)).as("n_near"))
+    assigned.select("vec_id", "cell")
+      .join(near, Seq("cell", "vec_id"), "left")
+      .select(
+        col("vec_id"), col("cell"),
+        col("dup_of").isNull.as("keep"),
+        col("dup_of"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"))
+      .orderBy("vec_id")
+  }
+
   def semDedupKeep(
       embeddings: DataFrame, numClusters: Int = 0, tau: Double = 0.7,
       seed: Long = 42L): DataFrame = {
     val e = kmeansInput(embeddings).persist()
+    try pruneCells(assignCells(e, numClusters, seed).persist(), tau)
+    finally e.unpersist(blocking = false)
+  }
+
+  /** The trained MLlib centroids of [[semDedupKeep]]'s k-means (same
+    * layout-pinned input, same seed), exposed so the committed serving
+    * fixture ([[SemDedupFixture]]) can be regenerated ([[FixtureGen]])
+    * and staleness-checked (FixtureSpec). Centroids live in the
+    * NORMALIZED space the assignment runs in.
+    */
+  def trainSemDedupCentroids(
+      embeddings: DataFrame, k: Int = 16, seed: Long = 42L): Array[Array[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    val e = kmeansInput(embeddings).persist()
     try {
-      val assigned = assignCells(e, numClusters, seed)
-        .persist()
-      val a = assigned.select(col("cell"), col("vec_id"),
-        col("embedding").as("ea"), col("n2").as("na"))
-      val b = assigned.select(col("cell"), col("vec_id").as("vec_b"),
-        col("embedding").as("eb"), col("n2").as("nb"))
-      val near = a.join(b, Seq("cell"))
-        .filter(col("vec_b") < col("vec_id"))
-        .withColumn("cosine", dot("ea", "eb") / (sqrt(col("na")) * sqrt(col("nb"))))
-        .filter(col("cosine") >= tau)
-        .groupBy("cell", "vec_id")
-        .agg(min("vec_b").as("dup_of"), count(lit(1)).as("n_near"))
-      assigned.select("vec_id", "cell")
-        .join(near, Seq("cell", "vec_id"), "left")
-        .select(
-          col("vec_id"), col("cell"),
-          col("dup_of").isNull.as("keep"),
-          col("dup_of"),
-          coalesce(col("n_near"), lit(0L)).as("n_near"))
-        .orderBy("vec_id")
+      new KMeans().setK(k).setSeed(seed).setFeaturesCol("features").fit(e)
+        .clusterCenters.map(_.toArray)
     } finally e.unpersist(blocking = false)
+  }
+
+  /** [[semDedupKeep]] at PINNED centroids — the production serving mode
+    * (cluster centroids are a trained model artifact: fit offline once,
+    * then every corpus batch is assigned and pruned against the frozen
+    * cells), and the operating point at which the whole
+    * assign-then-prune pipeline is SQL-expressible and hence
+    * oracle-exact: assignment is an argmin of plain (x−c)² arithmetic
+    * over centroid literals (first index on ties, like the PQ encoder),
+    * computed on the same normalized vectors the trained fit uses, and
+    * the prune tail is the shared [[pruneCells]]. The in-query-trained
+    * form stays registered rows-only (`kmeans_clusters`) and
+    * spec-asserted; the fixture's provenance from
+    * [[trainSemDedupCentroids]] is pinned by FixtureSpec.
+    */
+  def semDedupKeepPinned(
+      embeddings: DataFrame, centroids: Array[Array[Double]],
+      tau: Double): DataFrame = {
+    val e = withNorm(embeddings)
+      .withColumn("ne", expr("transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(n2))"))
+    val cb = typedLit(centroids.map(_.toSeq).toSeq)
+    val dists = transform(cb, cen => aggregate(
+      zip_with(col("ne"), cen, (x, c) => { val t = x - c; t * t }),
+      lit(0.0), (acc, d) => acc + d))
+    val assigned = e
+      .withColumn("ds", dists)
+      .withColumn("cell", (array_position(col("ds"), array_min(col("ds"))) - 1).cast("int"))
+      .select("vec_id", "embedding", "n2", "cell")
+    pruneCells(assigned, tau)
+  }
+
+  /** DuckDB twin of [[semDedupKeepPinned]]: normalized vectors via
+    * list_transform (elementwise — no summation-order seam), unrolled
+    * per-centroid 64-term (x−c)² sums in Spark's fold order, LEAST +
+    * first-match CASE argmin, then the standard pair-join prune with
+    * the proven fused dot product.
+    */
+  def semDedupKeepPinnedSql(
+      centroids: Array[Array[Double]], tau: Double): String = {
+    val nC = centroids.length
+    // VARCHAR→DOUBLE literal cast for the same decimal double-rounding
+    // reason as pqTopKSql (a bare 17-digit literal is DECIMAL(38,17))
+    def distExpr(c: Int): String =
+      (0 until Dim).map { t =>
+        val cen = s"CAST('${centroids(c)(t)}' AS DOUBLE)"
+        s"((ne[${t + 1}] - $cen) * (ne[${t + 1}] - $cen))"
+      }.mkString(" + ")
+    val dCols = (0 until nC).map(c => s"(${distExpr(c)}) AS d_$c").mkString(",\n    ")
+    val least = s"LEAST(${(0 until nC).map(c => s"d_$c").mkString(", ")})"
+    val cases = (0 until nC).map(c => s"WHEN d_$c = md THEN $c").mkString(" ")
+    s"""WITH $NORM_CTE,
+       |nv AS (
+       |  SELECT vec_id, embedding, n2,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(n2)) AS ne
+       |  FROM e),
+       |cd AS (
+       |  SELECT vec_id, embedding, n2,
+       |    $dCols
+       |  FROM nv),
+       |asg AS (
+       |  SELECT vec_id, embedding, n2, CAST(CASE $cases END AS INTEGER) AS cell
+       |  FROM (SELECT *, $least AS md FROM cd)),
+       |p AS (
+       |  SELECT a.cell, a.vec_id, b.vec_id AS vec_b,
+       |    (${dotSql("a.embedding", "b.embedding")}) / (sqrt(a.n2) * sqrt(b.n2)) AS cosine
+       |  FROM asg a JOIN asg b ON a.cell = b.cell AND b.vec_id < a.vec_id),
+       |nears AS (
+       |  SELECT cell, vec_id, MIN(vec_b) AS dup_of, COUNT(*) AS n_near
+       |  FROM p WHERE cosine >= $tau GROUP BY 1, 2)
+       |SELECT a.vec_id, a.cell, (n.dup_of IS NULL) AS keep, n.dup_of,
+       |  CAST(COALESCE(n.n_near, 0) AS BIGINT) AS n_near
+       |FROM asg a LEFT JOIN nears n ON n.cell = a.cell AND n.vec_id = a.vec_id
+       |ORDER BY a.vec_id""".stripMargin
   }
 
   /** Hybrid lexical+semantic retrieval fused by Reciprocal Rank Fusion —

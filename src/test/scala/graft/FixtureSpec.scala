@@ -1,0 +1,33 @@
+package graft
+
+import graft.sim.{Knn, PqFixture, SemDedupFixture}
+
+/** Provenance pin for the committed serving fixtures: retraining on the
+  * sf0.01 embeddings must reproduce the committed literals BIT-FOR-BIT
+  * (both trainers are layout-pinned and the fixtures are written with
+  * round-tripping Double.toString), so fixture staleness — e.g. the
+  * testdata changing under the fixtures — is a loud failure here, not a
+  * silent oracle mismatch three queries downstream.
+  */
+class FixtureSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.01"
+  private def embs = TestdataAdapter.table(spark, dir, "embeddings")
+
+  test("PQ codebook fixture is exactly the deterministic trainer's output") {
+    assume(new java.io.File(dir).isDirectory, s"$dir not present")
+    val trained = Knn.trainPqCodebooks(embs)
+    assert(trained.length == PqFixture.codebooks.length)
+    for (j <- trained.indices; c <- trained(j).indices)
+      assert(java.util.Arrays.equals(trained(j)(c), PqFixture.codebooks(j)(c)),
+        s"codebook drift at subspace $j centroid $c — regenerate via FixtureGen")
+  }
+
+  test("semdedup centroid fixture is exactly the trained k-means output") {
+    assume(new java.io.File(dir).isDirectory, s"$dir not present")
+    val trained = Knn.trainSemDedupCentroids(embs)
+    assert(trained.length == SemDedupFixture.centroids.length)
+    for (c <- trained.indices)
+      assert(java.util.Arrays.equals(trained(c), SemDedupFixture.centroids(c)),
+        s"centroid drift at cell $c — regenerate via FixtureGen")
+  }
+}
