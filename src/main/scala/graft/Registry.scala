@@ -1473,6 +1473,14 @@ object Registry {
       Q("corpus_source_report",
         (s, d) => Dedup.sourceGovernanceReport(docs(s, d), fullClusterLabels(s, d)),
         Some(Dedup.sourceGovernanceReportSql)),
+      // the ENFORCEMENT half of the governance report (r11): global token
+      // budget → per-source quotas proportional to clean (best-keeper)
+      // token volume → within-source quality-ordered cap, one plan,
+      // integer-exact quota arithmetic; consumes the same amortized
+      // label state as the report
+      Q("corpus_governed_cap",
+        (s, d) => Dedup.governedCap(docs(s, d), fullClusterLabels(s, d)),
+        Some(Dedup.governedCapSql())),
       // boilerplate hotspots: 3-grams shared across the most documents
       Q("duplicate_shingles", (s, d) => Dedup.duplicateShingles(docs(s, d)),
         Some(Dedup.duplicateShinglesSql())),

@@ -712,6 +712,91 @@ object Dedup {
         |FROM per JOIN hc USING (h) JOIN cl USING (doc_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The ACTING half of [[sourceGovernanceReport]] — the weekly curation
+    * pass a training-data platform runs off the report: a global token
+    * budget is split into per-source quotas proportional to each
+    * source's CLEAN token volume (tokens of its near-dup-cluster
+    * best-quality representatives — the same maintained labels the
+    * report reads, so exact/near-dup exposure never buys budget), and
+    * each source then keeps its highest-quality representatives in
+    * (quality DESC, doc_id) order until its quota is spent. One plan:
+    * diagnose → quota → enforce.
+    *
+    * Determinism/cross-engine: quotas are pure BIGINT arithmetic
+    * (budget × src_toks ÷ total, floor — no doubles), the within-source
+    * running total is an integer window sum over a total order
+    * (quality, doc_id), and quality rides the same score expression
+    * every other oracle proves exact.
+    *
+    * Scale shape: representatives come from the label state (no text
+    * shuffles beyond the per-doc score projection), the quota table is
+    * |sources|-sized (broadcast), and the enforcement window partitions
+    * by source. A corpus dominated by ONE source would skew that
+    * window; the two-pass distributed prefix sum
+    * ([[graft.rel.Scale.prefixSumShards]]) is the drop-in replacement
+    * per source at that point — the cut rule is unchanged.
+    */
+  def governedCap(
+      documents: DataFrame, labels: DataFrame,
+      budgetTokens: Long = 100000L): DataFrame = {
+    val keepers = clusterBestKeepFrom(labels, documents)
+      .filter(col("keep")).select("doc_id", "quality_score")
+    val eligible = keepers.join(
+      documents.select(col("doc_id"), col("source"),
+        size(TextOps.toks(col("text"))).cast("long").as("n_toks")),
+      Seq("doc_id"))
+    val srcTot = eligible.groupBy("source").agg(sum("n_toks").as("src_toks"))
+    val total = srcTot.agg(sum("src_toks").as("total_toks"))
+    val quota = srcTot.crossJoin(broadcast(total))
+      .select(col("source"),
+        expr(s"CAST(($budgetTokens * src_toks) DIV total_toks AS BIGINT)")
+          .as("quota_toks"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    eligible
+      .join(broadcast(quota), Seq("source"))
+      .withColumn("cum_toks", sum("n_toks").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("keep_rank", row_number().over(w))
+      .filter(col("cum_toks") <= col("quota_toks"))
+      .select(col("doc_id"), col("source"),
+        round(col("quality_score"), 6).as("quality_score"),
+        col("n_toks"), col("cum_toks"), col("quota_toks"),
+        col("keep_rank").cast("int").as("keep_rank"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of [[governedCap]] (cluster closure nested, the same
+    * best-keep ROW_NUMBER rule as [[clusterBestKeepSql]]).
+    */
+  def governedCapSql(budgetTokens: Long = 100000L): String =
+    s"WITH cl AS (SELECT * FROM ($dedupClustersSql)),\n" +
+      raw"""q AS (SELECT doc_id, ${TextOps.qualityScoreSqlExpr} AS qs FROM documents),
+        |bk AS (
+        |  SELECT cl.doc_id, q.qs,
+        |    ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+        |      ORDER BY q.qs DESC, cl.doc_id) AS rn
+        |  FROM cl JOIN q USING (doc_id)),
+        |el AS (
+        |  SELECT bk.doc_id, bk.qs, d.source,
+        |    CAST(len(string_split_regex(trim(lower(d.text)), '\s+')) AS BIGINT) AS n_toks
+        |  FROM bk JOIN documents d USING (doc_id) WHERE bk.rn = 1),
+        |st AS (SELECT source, SUM(n_toks) AS src_toks FROM el GROUP BY 1),
+        |tt AS (SELECT SUM(src_toks) AS total_toks FROM st),
+        |qu AS (SELECT st.source,
+        |         CAST(($budgetTokens * st.src_toks) // tt.total_toks AS BIGINT) AS quota_toks
+        |       FROM st CROSS JOIN tt),
+        |w AS (
+        |  SELECT el.*, qu.quota_toks,
+        |    CAST(SUM(n_toks) OVER (PARTITION BY el.source ORDER BY el.qs DESC, el.doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_toks,
+        |    ROW_NUMBER() OVER (PARTITION BY el.source
+        |      ORDER BY el.qs DESC, el.doc_id) AS keep_rank
+        |  FROM el JOIN qu USING (source))
+        |SELECT doc_id, source, round(qs, 6) AS quality_score, n_toks, cum_toks,
+        |  quota_toks, CAST(keep_rank AS INTEGER) AS keep_rank
+        |FROM w WHERE cum_toks <= quota_toks ORDER BY doc_id""".stripMargin
+
   def sourceOverlap(documents: DataFrame): DataFrame = {
     val counts = dedupClusters(documents)
       .filter(col("cluster_size") > 1)

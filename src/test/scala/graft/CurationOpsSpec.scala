@@ -252,4 +252,34 @@ class CurationOpsSpec extends SparkSpec {
     assert(r("s1").getAs[Long]("n_stopword_fail") == 1L)
     assert(r("s1").getAs[Long]("n_kept") == 0L)
   }
+
+  test("governed cap: per-source quota respected, greedy-maximal, dups buy no budget") {
+    // two sources; s0 carries an exact near-dup pair (docs 10/11) whose
+    // loser must neither be kept nor count toward s0's clean volume
+    val d = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta", "en", "s0", 35L),
+      (11L, "alpha beta gamma delta epsilon zeta", "en", "s0", 35L),
+      (12L, "one two three four five six seven eight", "en", "s0", 39L),
+      (13L, "nine ten eleven twelve thirteen", "en", "s0", 31L),
+      (20L, "red orange yellow green blue indigo violet", "en", "s1", 42L),
+      (21L, "spring summer autumn winter solstice equinox", "en", "s1", 44L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val labels = Dedup.dedupClusters(d)
+    // budget 20 of the 32 clean tokens → quotas floor-split by share
+    val r = Dedup.governedCap(d, labels, budgetTokens = 20L).collect()
+    val bySrc = r.groupBy(_.getAs[String]("source"))
+    // the near-dup loser (higher id, equal quality) is never kept
+    assert(!r.exists(_.getAs[Long]("doc_id") == 11L))
+    for ((_, rows) <- bySrc) {
+      val quota = rows.head.getAs[Long]("quota_toks")
+      assert(rows.forall(_.getAs[Long]("quota_toks") == quota))
+      val spent = rows.map(_.getAs[Long]("n_toks")).sum
+      assert(spent <= quota, s"quota exceeded: $spent > $quota")
+      assert(rows.map(_.getAs[Long]("cum_toks")).max == spent)
+    }
+    // greedy-maximal: re-running with a budget of total clean volume
+    // keeps EVERY representative
+    val all = Dedup.governedCap(d, labels, budgetTokens = 1000L).collect()
+    assert(all.length == 5 && !all.exists(_.getAs[Long]("doc_id") == 11L))
+  }
 }
