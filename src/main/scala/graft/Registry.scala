@@ -1554,6 +1554,20 @@ object Registry {
           stateDir = Some(memo(dedupStreamStateDirs)(("queue", d))(
             java.nio.file.Files.createTempDirectory("graft_dsq_state").toString))),
         Some(BLOOM_INCR_SQL)),
+      // the NEAR-dup index under the same continuous-ingest machinery
+      // (r11): LSH signature state maintained as base + per-batch
+      // disjoint deltas over offset-ordered graftqueue micro-batches;
+      // verdicts ≡ the two-batch in-plan lsh_incremental_newdocs, whose
+      // DuckDB oracle is reused verbatim; crash recovery proven by
+      // CrashRecoverySpec's LSH leg
+      Q("streaming_lsh_index",
+        (s, d) => graft.streaming.Streams.lshIndexQueueStream(s, d,
+          stateDir = Some(memo(dedupStreamStateDirs)(("lshq", d))(
+            java.nio.file.Files.createTempDirectory("graft_lshq_state").toString))),
+        Some(Dedup.lshIncrementalSql(
+          "doc_id % 3 <> 0",
+          "doc_id % 3 = 0 AND doc_id % 2 = 0",
+          "doc_id % 3 = 0 AND doc_id % 2 <> 0"))),
       // Incremental TRANSITIVE clusters: the persisted label table +
       // signature index absorb a new batch exactly — cross edges
       // contract matched corpus docs to their cluster representative,

@@ -701,6 +701,120 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Signature state BEFORE batch `batchId`: base ∪ earlier deltas read
+    * as ONE multi-path scan (same flat-plan argument as
+    * [[dedupStateHashes]]). Exposed for the crash-recovery spec.
+    */
+  private[graft] def lshStateSigs(
+      s: SparkSession, stateDir: String, batchId: Long): DataFrame = {
+    val parts = (Seq(s"$stateDir/base") ++
+      (0L until batchId).map(b => s"$stateDir/delta_b$b"))
+      .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+    s.read.parquet(parts: _*)
+  }
+
+  /** The NEAR-dup sibling of [[runDedupIndexStreamFrom]]: continuous
+    * maintenance of the LSH signature index (8 min-hashes + 4 band keys
+    * per doc — bounded per-doc state) under the same delta-structured
+    * contract. Per micro-batch: classify the batch against the state
+    * BEFORE it (band joins + signature-agreement Jaccard — the corpus
+    * text is never touched after the one base build), write verdicts,
+    * then append ONLY the batch's own signatures as `delta_b{N}` —
+    * per-doc rows keyed by doc_id, so deltas are disjoint by
+    * construction and base ∪ deltas IS [[graft.dedup.Dedup
+    * .mergeLshIndex]]'s plain union, bit-for-bit. State WRITE cost is
+    * O(batch); no bloom versioning is needed because the signature
+    * index has no residual-membership prefilter. Replay-idempotent for
+    * the same reason as the exact-index fold: state is re-read from
+    * disk at the top of every batch, and a redelivered batch overwrites
+    * verdicts/b{N} and delta_b{N} with identical content.
+    * `crashAfterVerdictsOfBatch` is the same fault-injection seam.
+    */
+  private[graft] def runLshIndexStreamFrom(
+      stream: DataFrame, corpus: DataFrame, stateDir: String,
+      verdictsDir: String, checkpoint: String,
+      crashAfterVerdictsOfBatch: Option[Long] = None): Unit = {
+    import graft.dedup.Dedup
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$stateDir/base")))
+      Dedup.lshIndex(corpus).write.mode("overwrite").parquet(s"$stateDir/base")
+    val q = stream
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        Dedup.classifyNearDupIncremental(
+          lshStateSigs(s, stateDir, batchId), batch)
+          .withColumn("batch_seq", (lit(batchId) + 1).cast("int"))
+          .write.mode("overwrite").parquet(s"$verdictsDir/b$batchId")
+        if (crashAfterVerdictsOfBatch.contains(batchId))
+          throw new RuntimeException(
+            s"injected crash after verdicts of batch $batchId (recovery spec)")
+        Dedup.lshIndex(batch)
+          .coalesce(1) // batch-sized; one delta file
+          .write.mode("overwrite").parquet(s"$stateDir/delta_b$batchId")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** File-staged entry for the crash-recovery spec (mirrors
+    * [[runDedupIndexStream]]).
+    */
+  private[graft] def runLshIndexStream(
+      spark: SparkSession, schema: org.apache.spark.sql.types.StructType,
+      corpus: DataFrame, inGlob: String, stateDir: String,
+      verdictsDir: String, checkpoint: String,
+      crashAfterVerdictsOfBatch: Option[Long] = None): Unit =
+    runLshIndexStreamFrom(
+      spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inGlob),
+      corpus, stateDir, verdictsDir, checkpoint, crashAfterVerdictsOfBatch)
+
+  /** The near-dup index maintained under the PRODUCTION ordering
+    * contract, like [[dedupIndexQueueStream]]: batches ride a
+    * `graftqueue` topic as JSON envelopes and drain as offset-ordered
+    * micro-batches (admission control, whole committed segments per
+    * trigger), the fold is [[runLshIndexStreamFrom]], and the verdicts
+    * are hash-equal to the two-batch in-plan `lsh_incremental_newdocs`
+    * — which is what the shared DuckDB oracle recomputes.
+    */
+  def lshIndexQueueStream(
+      spark: SparkSession, dir: String,
+      stateDir: Option[String] = None): DataFrame = {
+    val docs = graft.TestdataAdapter.table(spark, dir, "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    val qdir = Files.createTempDirectory("graft_lsh_q").toString
+    val staged = Files.createTempDirectory("graft_lsh_q_state").toString
+    def produce(batch: DataFrame): Unit = batch
+      .select(
+        col("doc_id").cast("string").cast("binary").as("key"),
+        to_json(struct(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars"))).cast("binary").as("value"))
+      .coalesce(1) // one committed segment per produce → one micro-batch each
+      .write.format("graftqueue").option("path", qdir)
+      .option("topic", "docs.ingest").mode("append").save()
+    produce(docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 0))
+    produce(docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 =!= 0))
+    val wire = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+    val stream = spark.readStream.format("graftqueue")
+      .option("path", qdir).option("topic", "docs.ingest")
+      .option("maxRecordsPerTrigger", "1")
+      .load()
+      .select(from_json(col("value").cast("string"), wire).as("r"))
+      .select("r.*")
+    runLshIndexStreamFrom(stream, corpus,
+      stateDir.getOrElse(s"$staged/state"), s"$staged/verdicts",
+      Files.createTempDirectory("graft_lsh_q_ckpt").toString)
+    spark.read.parquet(s"$staged/verdicts/*")
+      .orderBy("doc_id")
+  }
+
   /** S9 as a stream: idempotent append (DO NOTHING) — anti-join each batch
     * against the sink before appending. Ref: ingestor.py:71. Used by the
     * streaming spec; same rewrite pattern as above.

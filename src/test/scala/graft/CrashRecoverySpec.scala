@@ -107,6 +107,51 @@ class CrashRecoverySpec extends SparkSpec {
       "base/delta state carries duplicate hashes — deltas must be disjoint")
   }
 
+  test("LSH index stream: crash after batch-1 verdicts, resume from checkpoint, end state identical") {
+    val root = Files.createTempDirectory("graft_crash_lsh").toString
+    val (schema, corpus) = stage(root)
+
+    // --- uninterrupted reference run
+    Streams.runLshIndexStream(spark, schema, corpus, s"$root/in/batch_*",
+      s"$root/ref_state", s"$root/ref_verdicts", s"$root/ref_ckpt")
+    val refVerdicts = readSorted(s"$root/ref_verdicts/*")
+    val refState = Streams.lshStateSigs(spark, s"$root/ref_state", 2L)
+      .orderBy("doc_id").collect().toSeq
+    assert(refVerdicts.nonEmpty, "reference run produced no verdicts")
+
+    // --- crashed run: batch 1 dies after verdicts, before its delta
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      Streams.runLshIndexStream(spark, schema, corpus, s"$root/in/batch_*",
+        s"$root/state", s"$root/verdicts", s"$root/ckpt",
+        crashAfterVerdictsOfBatch = Some(1L))
+    }
+    assert(ex.getMessage.contains("injected crash"),
+      s"unexpected failure mode: ${ex.getMessage.take(200)}")
+    assert(Files.exists(Paths.get(s"$root/verdicts/b1")), "b1 verdicts missing")
+    assert(Files.exists(Paths.get(s"$root/state/delta_b0")), "batch-0 delta missing")
+    assert(!Files.exists(Paths.get(s"$root/state/delta_b1")),
+      "delta_b1 must NOT exist — the crash fires before the batch-1 state persist")
+    val baseMtime = Files.getLastModifiedTime(Paths.get(s"$root/state/base"))
+
+    // --- resume from the SAME checkpoint + state dirs
+    Streams.runLshIndexStream(spark, schema, corpus, s"$root/in/batch_*",
+      s"$root/state", s"$root/verdicts", s"$root/ckpt")
+
+    assert(Files.exists(Paths.get(s"$root/state/delta_b1")), "resume did not fold batch 1")
+    assert(readSorted(s"$root/verdicts/*") == refVerdicts,
+      "LSH verdicts after crash+resume differ from the uninterrupted run")
+    assert(Streams.lshStateSigs(spark, s"$root/state", 2L)
+      .orderBy("doc_id").collect().toSeq == refState,
+      "final signature index after crash+resume differs from the uninterrupted run")
+    assert(Files.getLastModifiedTime(Paths.get(s"$root/state/base")) == baseMtime,
+      "resume rewrote the immutable signature base")
+    // signature deltas are per-doc rows: doc_ids must stay unique across
+    // base ∪ deltas (disjointness-by-construction)
+    val all = Streams.lshStateSigs(spark, s"$root/state", 2L)
+    assert(all.count() == all.select("doc_id").distinct().count(),
+      "signature state carries duplicate doc_ids — deltas must be disjoint")
+  }
+
   test("resumed run does not reprocess committed batches") {
     val root = Files.createTempDirectory("graft_crash_noreplay").toString
     val (schema, corpus) = stage(root)
