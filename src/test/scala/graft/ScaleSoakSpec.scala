@@ -139,6 +139,48 @@ class ScaleSoakSpec extends SparkSpec {
   // bound on the containment posting self-join, and BM25's pruned-tf /
   // bounded-heap pipeline
   soak("dedup_containment")(d => Dedup.containmentPairs(d))(baseDocs, bigDocs)
+
+  // r11: SECOND scale point for the worst r10 soak band (containment ran
+  // 7.0× at 10× — inside the declared band, but one data point is a thin
+  // basis for a 100 TB claim). The posting self-join's cost model is
+  // Σ_shingle min(df, maxDf)² ≈ |distinct shingles| · maxDf² — LINEAR in
+  // corpus size at fixed maxDf, because the df ceiling caps every
+  // posting list before it self-joins. So the 10×→30× step (3× the
+  // rows) must cost ≤ 3× linear growth; the band mirrors the main
+  // soak's 2.5×-of-linear slack (7.5 = 3 × 2.5) plus the fixed grace.
+  // 30 distinct rotations need a 30-char alphabet — the main fixture's
+  // 10-letter one would cycle and plant exact text twins at k ≡ k+10.
+  private lazy val soak30Docs: DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_soak30").toString
+    val alpha = "abcdefghijklmnopqrstuvwxyz0123"
+    def rot(k: Int) = alpha.drop(k % alpha.length) + alpha.take(k % alpha.length)
+    val docs = TestdataAdapter.table(spark, dir, "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    (0 until 30).map { k =>
+      docs.select(
+        (col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+        (if (k == 0) col("text") else translate(col("text"), alpha, rot(k))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(s"$out/documents")
+    spark.read.parquet(s"$out/documents")
+  }
+
+  test("dedup_containment stays linear from 10x to 30x (df-ceiling bound)", Soak) {
+    // no cross-scale shuffle pin here: containmentPairs persists its
+    // shingle-set frame, so after the 10× soak executed, a re-printed
+    // 10× plan collapses onto the cached subtree while the fresh 30×
+    // plan does not — the textual counts are cache-state, not strategy
+    // (the pinPlan=false caveat above; the 10× soak already pins the
+    // plan cache-cold). The time band below is the curve being pinned.
+    force(Dedup.containmentPairs(baseDocs)) // warm codegen/code paths
+    val t10 = Seq.fill(3)(force(Dedup.containmentPairs(bigDocs))).sorted.apply(1)
+    val t30 = force(Dedup.containmentPairs(soak30Docs))
+    info(f"containment 10x->30x: t10=$t10%.1fs t30=$t30%.1fs ratio=${t30 / t10}%.1f")
+    assert(t30 <= 7.5 * t10 + 10.0,
+      f"containment t(30x)=$t30%.1fs vs t(10x)=$t10%.1fs — growth outside the df-ceiling bound")
+  }
+
   soak("search_bm25")(d => TextOps.searchBm25(d))(baseDocs, bigDocs)
   // the 3×-token explode feeding two count layers must stay linear in
   // the instance stream (the clones' rotated vocab also grows the
