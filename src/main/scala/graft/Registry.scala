@@ -1278,7 +1278,7 @@ object Registry {
   val llm: Seq[Q] = {
     import graft.text.TextOps
     import graft.dedup.Dedup
-    import graft.sim.{Knn, PqFixture, SemDedupFixture}
+    import graft.sim.{Knn, PcaFixture, PqFixture, SemDedupFixture}
     import graft.multimodal.Multimodal
     def docs(s: SparkSession, dir: String) = TestdataAdapter.table(s, dir, "documents")
     def embs(s: SparkSession, dir: String) = TestdataAdapter.table(s, dir, "embeddings")
@@ -1687,10 +1687,17 @@ object Registry {
       Q("pq_topk",
         (s, d) => Knn.pqTopK(embs(s, d), pinned = Some(PqFixture.codebooks)),
         Some(Knn.pqTopKSql(PqFixture.codebooks))),
-      // PCA reduced-space ANN recall vs full-space brute force —
-      // rows-only (trained projection not SQL-expressible; recall band
-      // spec-asserted)
-      Q("pca_recall", (s, d) => Knn.pcaRecall(embs(s, d)), None),
+      // PCA reduced-space ANN recall vs full-space brute force,
+      // ORACLE-EXACT at the pinned basis (promoted r11, same pattern as
+      // pq_topk/semdedup_keep): the loading matrix is the committed
+      // trained artifact (PcaFixture, provenance spec-pinned), so the
+      // whole shortlist → rerank → recall experiment is mirrored in
+      // DuckDB. The in-query-trained fit stays spec-asserted in KnnSpec.
+      Q("pca_recall",
+        (s, d) => Knn.pcaRecallPinned(embs(s, d),
+          PcaFixture.basis, PcaFixture.explainedVariance),
+        Some(Knn.pcaRecallPinnedSql(
+          PcaFixture.basis, PcaFixture.explainedVariance))),
       // embedding-space benchmark leakage: cross-side SRP-band candidates
       // against the carved benchmark slice, exact-cosine verified
       Q("semantic_decontamination",

@@ -747,39 +747,161 @@ object Knn {
       val explained = model.explainedVariance.toArray.sum
       val red = model.transform(e)
         .select(col("vec_id"), vector_to_array(col("pc")).as("re"))
-      val rdot = expr("aggregate(zip_with(qe, ce, (x, y) -> x * y), 0D, (a, x) -> a + x)")
-      val qn = expr("aggregate(zip_with(qe, qe, (x, y) -> x * y), 0D, (a, x) -> a + x)")
-      val cn = expr("aggregate(zip_with(ce, ce, (x, y) -> x * y), 0D, (a, x) -> a + x)")
-      val q = red.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("query_id"), col("re").as("qe"))
-      val c = red.select(col("vec_id").as("neighbor_id"), col("re").as("ce"))
-      val wr = Window.partitionBy("query_id").orderBy(col("rcos").desc, col("neighbor_id"))
-      val shortlist = c.crossJoin(broadcast(q))
-        .filter(col("neighbor_id") =!= col("query_id"))
-        .withColumn("rcos", rdot / (sqrt(qn) * sqrt(cn)))
-        .withColumn("srank", row_number().over(wr))
-        .filter(col("srank") <= k * shortlistFactor)
-        .select("query_id", "neighbor_id")
-      // full-space rerank of the shortlist only: two keyed joins to pull
-      // the exact vectors, one bounded per-query window
-      val full = e.select(col("vec_id"), col("embedding"), col("n2"))
-      val reranked = shortlist
-        .join(full.select(col("vec_id").as("query_id"),
-          col("embedding").as("qfe"), col("n2").as("qn2")), Seq("query_id"))
-        .join(full.select(col("vec_id").as("neighbor_id"),
-          col("embedding").as("cfe"), col("n2").as("cn2")), Seq("neighbor_id"))
-        .withColumn("cosine", dot("qfe", "cfe") / (sqrt(col("qn2")) * sqrt(col("cn2"))))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
-        .filter(col("rank") <= k)
-        .select("query_id", "neighbor_id")
-      val exact = bruteForceTopK(embeddings, nQueries, k)
-        .select("query_id", "neighbor_id")
-      val hits = reranked.join(exact, Seq("query_id", "neighbor_id")).count()
-      val denom = exact.count()
-      Seq((Dim, dimOut, k * shortlistFactor, explained, hits.toDouble / denom, denom))
-        .toDF("dim_in", "dim_out", "shortlist", "explained_variance", "recall_at_k", "n_pairs")
+      recallFromReduced(embeddings, e, red, explained,
+        nQueries, k, dimOut, shortlistFactor)
     } finally e.unpersist(blocking = false)
+  }
+
+  /** The shortlist → rerank → recall-vs-brute-force tail shared by the
+    * trained and pinned-basis PCA forms.
+    */
+  private def recallFromReduced(
+      embeddings: DataFrame, e: DataFrame, red: DataFrame, explained: Double,
+      nQueries: Int, k: Int, dimOut: Int, shortlistFactor: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val rdot = expr("aggregate(zip_with(qe, ce, (x, y) -> x * y), 0D, (a, x) -> a + x)")
+    val qn = expr("aggregate(zip_with(qe, qe, (x, y) -> x * y), 0D, (a, x) -> a + x)")
+    val cn = expr("aggregate(zip_with(ce, ce, (x, y) -> x * y), 0D, (a, x) -> a + x)")
+    val q = red.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("re").as("qe"))
+    val c = red.select(col("vec_id").as("neighbor_id"), col("re").as("ce"))
+    val wr = Window.partitionBy("query_id").orderBy(col("rcos").desc, col("neighbor_id"))
+    val shortlist = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("rcos", rdot / (sqrt(qn) * sqrt(cn)))
+      .withColumn("srank", row_number().over(wr))
+      .filter(col("srank") <= k * shortlistFactor)
+      .select("query_id", "neighbor_id")
+    // full-space rerank of the shortlist only: two keyed joins to pull
+    // the exact vectors, one bounded per-query window
+    val full = e.select(col("vec_id"), col("embedding"), col("n2"))
+    val reranked = shortlist
+      .join(full.select(col("vec_id").as("query_id"),
+        col("embedding").as("qfe"), col("n2").as("qn2")), Seq("query_id"))
+      .join(full.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cfe"), col("n2").as("cn2")), Seq("neighbor_id"))
+      .withColumn("cosine", dot("qfe", "cfe") / (sqrt(col("qn2")) * sqrt(col("cn2"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id")
+    val exact = bruteForceTopK(embeddings, nQueries, k)
+      .select("query_id", "neighbor_id")
+    val hits = reranked.join(exact, Seq("query_id", "neighbor_id")).count()
+    val denom = exact.count()
+    Seq((Dim, dimOut, k * shortlistFactor, explained, hits.toDouble / denom, denom))
+      .toDF("dim_in", "dim_out", "shortlist", "explained_variance", "recall_at_k", "n_pairs")
+  }
+
+  /** The trained PCA basis of [[pcaRecall]] (same layout-pinned fit),
+    * as `dimOut` rows of `Dim` loadings plus the explained-variance sum
+    * — the serving fixture [[PcaFixture]]'s provenance
+    * ([[FixtureGen]] writes it, FixtureSpec pins it).
+    */
+  def trainPcaBasis(
+      embeddings: DataFrame, dimOut: Int = 16): (Array[Array[Double]], Double) = {
+    import org.apache.spark.ml.feature.PCA
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = withNorm(embeddings)
+      .repartition(8, col("vec_id")).sortWithinPartitions("vec_id")
+      .withColumn("features", array_to_vector(col("embedding")))
+      .persist()
+    try {
+      val model = new PCA().setK(dimOut).setInputCol("features")
+        .setOutputCol("pc").fit(e)
+      val basis = Array.tabulate(dimOut)(kk =>
+        Array.tabulate(Dim)(t => model.pc(t, kk)))
+      (basis, model.explainedVariance.toArray.sum)
+    } finally e.unpersist(blocking = false)
+  }
+
+  /** [[pcaRecall]] at a PINNED basis — the serving operating point (a
+    * PCA projection is a trained model artifact: fit offline, frozen,
+    * applied to every later corpus), and the point at which the whole
+    * reduced-space-shortlist → full-space-rerank → recall-vs-brute-force
+    * experiment is SQL-expressible: the projection becomes `dimOut`
+    * unrolled Σ xᵗ·bᵗ sums over basis literals (computed by our own
+    * fold, not BLAS, so the arithmetic order is pinned), and every
+    * downstream cosine already has a proven SQL twin. MLlib's PCA
+    * transform is plain multiplication by the loading matrix (no
+    * centering), so the pinned projection is semantically the trained
+    * one with the basis frozen.
+    */
+  def pcaRecallPinned(
+      embeddings: DataFrame, basis: Array[Array[Double]],
+      explainedVariance: Double, nQueries: Int = 50, k: Int = 5,
+      shortlistFactor: Int = 8): DataFrame = {
+    val e = withNorm(embeddings).persist()
+    try {
+      val bk = typedLit(basis.map(_.toSeq).toSeq)
+      val red = e.select(col("vec_id"),
+        transform(bk, b => aggregate(
+          zip_with(col("embedding"), b, (x, bb) => x.cast("double") * bb),
+          lit(0.0), (a, v) => a + v)).as("re"))
+      recallFromReduced(embeddings, e, red, explainedVariance,
+        nQueries, k, basis.length, shortlistFactor)
+    } finally e.unpersist(blocking = false)
+  }
+
+  /** DuckDB twin of [[pcaRecallPinned]]: unrolled projection sums in
+    * Spark's fold order, reduced-space shortlist window, full-space
+    * rerank on the proven fused dot, brute-force reference, one-row
+    * recall summary. Basis literals ride VARCHAR→DOUBLE casts (the
+    * DECIMAL double-rounding dodge, see [[pqTopKSql]]).
+    */
+  def pcaRecallPinnedSql(
+      basis: Array[Array[Double]], explainedVariance: Double,
+      nQueries: Int = 50, k: Int = 5, shortlistFactor: Int = 8): String = {
+    val dimOut = basis.length
+    def projExpr(kk: Int): String =
+      (0 until Dim).map { t =>
+        s"(CAST(embedding[${t + 1}] AS DOUBLE) * CAST('${basis(kk)(t)}' AS DOUBLE))"
+      }.mkString(" + ")
+    val prCols = (0 until dimOut).map(kk => s"(${projExpr(kk)}) AS re_$kk")
+      .mkString(",\n    ")
+    def rDot(a: String, b: String): String =
+      (0 until dimOut).map(kk => s"$a.re_$kk * $b.re_$kk").mkString(" + ")
+    def rN(a: String): String =
+      (0 until dimOut).map(kk => s"$a.re_$kk * $a.re_$kk").mkString(" + ")
+    s"""WITH $NORM_CTE,
+       |pr AS (
+       |  SELECT vec_id, embedding, n2,
+       |    $prCols
+       |  FROM e),
+       |sl AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        (${rDot("q", "c")}) / (sqrt(${rN("q")}) * sqrt(${rN("c")})) DESC,
+       |        c.vec_id) AS srank
+       |    FROM pr q JOIN pr c ON q.vec_id < $nQueries AND c.vec_id <> q.vec_id)
+       |  WHERE srank <= ${k * shortlistFactor}),
+       |rr AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT sl.query_id, sl.neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY sl.query_id ORDER BY
+       |        (${dotSql("q.embedding", "c.embedding")}) / (sqrt(q.n2) * sqrt(c.n2)) DESC,
+       |        sl.neighbor_id) AS rnk
+       |    FROM sl JOIN pr q ON q.vec_id = sl.query_id
+       |            JOIN pr c ON c.vec_id = sl.neighbor_id)
+       |  WHERE rnk <= $k),
+       |ex AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        (${dotSql("q.embedding", "c.embedding")}) / (sqrt(q.n2) * sqrt(c.n2)) DESC,
+       |        c.vec_id) AS rnk
+       |    FROM e q JOIN e c ON q.vec_id < $nQueries AND c.vec_id <> q.vec_id)
+       |  WHERE rnk <= $k),
+       |h AS (SELECT COUNT(*) AS hits FROM rr JOIN ex USING (query_id, neighbor_id)),
+       |d AS (SELECT COUNT(*) AS denom FROM ex)
+       |SELECT CAST($Dim AS INTEGER) AS dim_in, CAST($dimOut AS INTEGER) AS dim_out,
+       |  CAST(${k * shortlistFactor} AS INTEGER) AS shortlist,
+       |  CAST('$explainedVariance' AS DOUBLE) AS explained_variance,
+       |  CAST(h.hits AS DOUBLE) / CAST(d.denom AS DOUBLE) AS recall_at_k,
+       |  CAST(d.denom AS BIGINT) AS n_pairs
+       |FROM h CROSS JOIN d""".stripMargin
   }
 
   /** SemDeDup-style semantic dedup: k-means the embedding space, then

@@ -1,6 +1,6 @@
 package graft
 
-import graft.sim.{Knn, PqFixture, SemDedupFixture}
+import graft.sim.{Knn, PcaFixture, PqFixture, SemDedupFixture}
 
 /** Provenance pin for the committed serving fixtures: retraining on the
   * sf0.01 embeddings must reproduce the committed literals BIT-FOR-BIT
@@ -29,5 +29,16 @@ class FixtureSpec extends SparkSpec {
     for (c <- trained.indices)
       assert(java.util.Arrays.equals(trained(c), SemDedupFixture.centroids(c)),
         s"centroid drift at cell $c — regenerate via FixtureGen")
+  }
+
+  test("PCA basis fixture is exactly the trained loading matrix") {
+    assume(new java.io.File(dir).isDirectory, s"$dir not present")
+    val (basis, ev) = Knn.trainPcaBasis(embs)
+    assert(ev == PcaFixture.explainedVariance,
+      "explained-variance drift — regenerate via FixtureGen")
+    assert(basis.length == PcaFixture.basis.length)
+    for (kk <- basis.indices)
+      assert(java.util.Arrays.equals(basis(kk), PcaFixture.basis(kk)),
+        s"basis drift at component $kk — regenerate via FixtureGen")
   }
 }

@@ -127,6 +127,20 @@ class PlanBudgetSpec extends SparkSpec {
     // content-hash agg + h join + source rollup + output sort (labels
     // ride the cached state parquet; no clustering in this plan)
     "corpus_source_report" -> 4,
+    // diagnose + enforce in ONE plan: the eligible-representative
+    // subtree (cluster_id best-keep window) feeds BOTH the quota branch
+    // (per-source agg + grand total) and the enforcement branch
+    // (per-source window + output sort), so its exchanges print under
+    // each — 2×(cluster window) + 2×(source agg) + source window + sort,
+    // one reused print. Quota side joins back by BROADCAST.
+    "corpus_governed_cap" -> 8,
+    // pinned-centroid assignment is NARROW (argmin over literal
+    // centroids); the shuffles are the within-cell pair join + prune
+    // agg + output sort
+    "semdedup_keep" -> 3,
+    // pinned-codebook encode is NARROW; ADC scan rides a broadcast of
+    // the per-query LUTs; the 2 are the top-k window + output sort
+    "pq_topk" -> 2,
     // per classify: batch hash agg + residual pair stays BROADCAST
     // (index filtered at its scan, never sort-merged); ×2 batches +
     // index-build distincts + output sort
