@@ -131,6 +131,30 @@ class GraftQueueSpec extends SparkSpec {
     assert(all.agg(max(col("offset"))).head.getLong(0) == 2 * n1 - 1)
   }
 
+  test("segment names are a strictly increasing per-topic sequence (commit order = name order)") {
+    // r11 ADVICE fix: wall-clock millisecond stamps could collide within
+    // one ms (leaving batch order to a random uuid tie-break) or, on a
+    // clock step, sort a new segment BEFORE one a checkpointed reader had
+    // already consumed. The name stamp is now max(existing)+1 under the
+    // commit lock — this pins the contract the maintained-state streams
+    // key on.
+    val path = freshPath
+    val topic = "gtfs.rt.trip_updates"
+    // several rapid sequential commits — under the old scheme these
+    // could land in the same millisecond
+    (1 to 5).foreach(_ => produce(path, topic))
+    val dir = new java.io.File(path, topic)
+    val names = dir.listFiles().map(_.getName)
+      .filter(_.startsWith("segment-")).sorted.toSeq
+    val stamps = names.map(n => n.split("-")(1).toLong)
+    assert(stamps == (1L to stamps.length).toSeq,
+      s"stamps must be the dense sequence 1..n in name order, got $stamps")
+    // in-flight temp files (if any were left) must live OUTSIDE the
+    // segment- namespace the offset arithmetic scans
+    assert(dir.listFiles().forall(f =>
+      !f.getName.startsWith("segment-") || f.getName.matches("segment-\\d+-.*")))
+  }
+
   test("the sink rejects non-Kafka writer schemas") {
     import spark.implicits._
     val path = freshPath
