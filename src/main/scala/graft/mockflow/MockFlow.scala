@@ -96,10 +96,14 @@ object MockFlow {
     */
   private def hashUniform(seed: Long, cols: Column*): Column = {
     val h = md5(concat_ws("|", (lit(seed.toString) +: cols.map(_.cast("string"))): _*))
-    (0 until 12)
-      .map(j => graft.text.TextOps.hexVal(substring(h, j + 1, 1)).cast("long") *
-        lit(1L << (4 * (11 - j))))
-      .reduce(_ + _)
+    // ONE md5 per draw: conv(hex12, 16, 10) is the same 48-bit integer
+    // the per-digit ascii sum produces, but as a single call — the
+    // 12-term substring form re-evaluated md5 per digit (codegen CSE
+    // does not reach inside transform() lambdas), which cost ~2 minutes
+    // on the 900k-bucket sf0.1 generate. The DuckDB twin keeps the
+    // explicit digit arithmetic (no conv there); both sides land on the
+    // identical integer, which the full-table oracle proves every run.
+    conv(substring(h, 1, 12), 16, 10).cast("long")
       .cast("double") / lit((1L << 48).toDouble)
   }
 
