@@ -1315,10 +1315,17 @@ object Registry {
       // merge loop over the vocab-sized working set — rows-only
       // (iterative; spec pins hand-computed merges + step-1 ≡ argmax)
       Q("bpe_train", (s, d) => TextOps.bpeTrain(docs(s, d)), None),
-      // tokenizer APPLY: encode the corpus with the trained merges —
-      // rows-only (trained merge table not SQL-expressible; encode
-      // correctness hand-asserted in spec)
-      Q("bpe_encode_stats", (s, d) => TextOps.bpeEncodeStats(docs(s, d)), None),
+      // tokenizer APPLY, ORACLE-EXACT at the pinned merge table
+      // (promoted r11): the merge table is the committed trained
+      // artifact (BpeFixture — bpeTrain's sf0.01 output, provenance
+      // spec-pinned; a tokenizer's merges are THE canonical frozen
+      // model file), and the greedy apply is replayed merge-for-merge
+      // by a DuckDB RECURSIVE CTE over symbol lists. The
+      // in-query-trained apply stays spec-asserted (CorpusOpsSpec).
+      Q("bpe_encode_stats",
+        (s, d) => TextOps.bpeEncodeStatsPinned(docs(s, d),
+          graft.text.BpeFixture.merges),
+        Some(TextOps.bpeEncodeStatsPinnedSql(graft.text.BpeFixture.merges))),
       Q("repetition_stats", (s, d) => TextOps.repetitionStats(docs(s, d)),
         Some(TextOps.repetitionStatsSql)),
       // CCNet-style LM quality signal: per-doc cross-entropy under the

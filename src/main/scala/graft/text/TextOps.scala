@@ -1495,6 +1495,120 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** [[bpeEncodeStats]] at a PINNED merge table — the serving operating
+    * point (a tokenizer's merge table is the canonical frozen model
+    * artifact; corpora are encoded against it for the tokenizer's whole
+    * life), and the point at which BPE ENCODE becomes SQL-expressible:
+    * with the merges as literals, the greedy apply is a pure function
+    * of each word, and a DuckDB RECURSIVE CTE over symbol lists replays
+    * it merge-for-merge ([[bpeEncodeStatsPinnedSql]]).
+    *
+    * Apply contract (mirrored exactly by the oracle): per iteration,
+    * find the LOWEST merge rank present among adjacent symbol pairs and
+    * merge its LEFTMOST occurrence, then rescan. One occurrence per
+    * iteration (not one pass per rank) keeps the rebuild a pure
+    * slice/concat — no sequential skip state — which is what makes the
+    * recursion expressible; for BPE the fixpoint tokenization is the
+    * standard greedy encoding either way, and the batch-pass form
+    * remains spec-asserted through [[bpeEncodeStats]].
+    */
+  def bpeEncodeStatsPinned(
+      documents: DataFrame, merges: Seq[(Int, String, String)]): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val ranks: Map[(String, String), Int] =
+      merges.map { case (s, l, r) => (l, r) -> s }.toMap
+    val bc = spark.sparkContext.broadcast(ranks)
+    val encoded = documents
+      .select(explode(toks(col("text"))).as("word")).distinct()
+      .as[String].map { w =>
+        var syms = w.split("").filter(_.nonEmpty)
+        var done = syms.length < 2
+        while (!done) {
+          val rk = bc.value
+          var best = Int.MaxValue
+          var pos = -1
+          var i = 0
+          while (i < syms.length - 1) {
+            val r = rk.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+            if (r < best) { best = r; pos = i } // strict < → leftmost of the best rank
+            i += 1
+          }
+          if (best == Int.MaxValue) done = true
+          else {
+            syms = (syms.take(pos) :+ (syms(pos) + syms(pos + 1))) ++ syms.drop(pos + 2)
+            done = syms.length < 2
+          }
+        }
+        (w, syms.length)
+      }.toDF("word", "n_bpe")
+    documents.select(col("doc_id"), explode(toks(col("text"))).as("word"))
+      .join(encoded, Seq("word"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(length(col("word"))).cast("long").as("n_chars_tok"),
+        sum(col("n_bpe")).cast("long").as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of [[bpeEncodeStatsPinned]]: the greedy apply as a
+    * RECURSIVE CTE over per-word symbol LISTS — per step, adjacent-pair
+    * ranks via a literal CASE chain inside a list_transform lambda,
+    * best = list_min, leftmost position = list_position, and the merge
+    * is slice ∥ [l||r] ∥ slice. Rows recurse only while a mergeable
+    * pair remains; the fixpoint row per word (no pair in the table)
+    * joins back to token instances for the per-doc accounting.
+    */
+  def bpeEncodeStatsPinnedSql(merges: Seq[(Int, String, String)]): String = {
+    def q(s: String) = s.replace("'", "''")
+    val rankCase = "CASE " + merges.map { case (st, l, r) =>
+      s"WHEN s[i] = '${q(l)}' AND s[i + 1] = '${q(r)}' THEN $st"
+    }.mkString(" ") + " ELSE 999999 END"
+    raw"""WITH RECURSIVE w AS (
+       |  SELECT DISTINCT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+       |  FROM documents),
+       |base AS (
+       |  SELECT word,
+       |    list_transform(generate_series(1, len(word)), i -> substr(word, i, 1)) AS s
+       |  FROM w WHERE len(word) >= 1),
+       |enc AS (
+       |  SELECT word, s FROM base
+       |  UNION ALL
+       |  SELECT word,
+       |    list_concat(list_concat(
+       |      list_slice(s, 1, pos - 1),
+       |      [s[pos] || s[pos + 1]]),
+       |      list_slice(s, pos + 2, len(s))) AS s
+       |  FROM (
+       |    SELECT word, s,
+       |      COALESCE(list_min(rks), 999999) AS best,
+       |      list_position(rks, list_min(rks)) AS pos
+       |    FROM (
+       |      SELECT word, s,
+       |        list_transform(generate_series(1, len(s) - 1), i -> $rankCase) AS rks
+       |      FROM enc) rk0) st0
+       |  WHERE best <> 999999),
+       |fin AS (
+       |  SELECT word, len(s) AS n_bpe
+       |  FROM (
+       |    SELECT word, s,
+       |      COALESCE(list_min(
+       |        list_transform(generate_series(1, len(s) - 1), i -> $rankCase)),
+       |        999999) AS best
+       |    FROM enc) f0
+       |  WHERE best = 999999),
+       |tok AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+       |  FROM documents)
+       |SELECT t.doc_id,
+       |  COUNT(*) AS n_words,
+       |  CAST(SUM(len(t.word)) AS BIGINT) AS n_chars_tok,
+       |  CAST(SUM(f.n_bpe) AS BIGINT) AS n_bpe_tokens
+       |FROM tok t JOIN fin f USING (word)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   def vocabCoverageSql(topK: Int = 200): String =
     raw"""WITH tok AS (
        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token

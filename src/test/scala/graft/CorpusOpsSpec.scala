@@ -51,6 +51,26 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r(1L) == ((2L, 4L, 3L)))
   }
 
+  test("pinned-merge apply (leftmost, rescan) equals the batch-pass apply on real vocab") {
+    // the oracle-backed pinned form merges ONE leftmost occurrence per
+    // iteration (what a recursive CTE can replay); the trained form
+    // merges all non-overlapping occurrences per pass — for BPE both
+    // reach the same fixpoint tokenization, asserted here over the
+    // whole sf0.001 vocabulary plus an overlap-heavy synthetic corpus
+    val real = TestdataAdapter.table(spark, "/root/testdata/sf0.001", "documents")
+    val overlap = Seq((900L, "aaaa aaa aaaaa abab ababab bbbb"))
+      .toDF("doc_id", "text")
+    for (docs <- Seq(real, overlap)) {
+      val merges = TextOps.bpeTrain(docs, numMerges = 8)
+        .select("step", "left", "right").as[(Int, String, String)].collect().toSeq
+      val batch = TextOps.bpeEncodeStats(docs, numMerges = 8)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val pinned = TextOps.bpeEncodeStatsPinned(docs, merges)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(batch == pinned, "leftmost-rescan apply diverged from batch-pass apply")
+    }
+  }
+
   test("bpeTrain step 1 equals the distributed merge-pair argmax on testdata") {
     val d = TestdataAdapter.table(spark, "/root/testdata/sf0.001", "documents")
     val top = TextOps.bpeMergePairs(d, topK = 1)

@@ -31,6 +31,17 @@ class FixtureSpec extends SparkSpec {
         s"centroid drift at cell $c — regenerate via FixtureGen")
   }
 
+  test("BPE merge-table fixture is exactly the trained merge sequence") {
+    assume(new java.io.File(dir).isDirectory, s"$dir not present")
+    val docs = TestdataAdapter.table(spark, dir, "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val trained = graft.text.TextOps.bpeTrain(docs)
+      .select("step", "left", "right").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    assert(trained == graft.text.BpeFixture.merges,
+      "merge-table drift — regenerate via FixtureGen")
+  }
+
   test("PCA basis fixture is exactly the trained loading matrix") {
     assume(new java.io.File(dir).isDirectory, s"$dir not present")
     val (basis, ev) = Knn.trainPcaBasis(embs)
