@@ -1451,7 +1451,10 @@ object Registry {
         Some(Dedup.dedupClustersSql)),
       // one representative per near-dup cluster — the keep list the
       // approximate-dedup pipeline actually ships
-      Q("near_dedup_keep", (s, d) => Dedup.nearDedupKeep(docs(s, d)),
+      // rides the amortized label state (r11): the keep list's point is
+      // the representative rule, not the clustering — `dedup_clusters`
+      // still times the CC pipeline honestly
+      Q("near_dedup_keep", (s, d) => Dedup.nearDedupKeepFrom(fullClusterLabels(s, d)),
         Some(Dedup.nearDedupKeepSql)),
       // leakage-free split (r10): split key = near-dup cluster rep, so
       // every transitive near-dup lands in ONE split — cross-split
@@ -1471,7 +1474,9 @@ object Registry {
         Some(Dedup.clusterBestKeepSql)),
       // which sources copy from each other: near-dup pairs per unordered
       // source pair (cluster-local self-join, |sources|²-sized output)
-      Q("source_overlap", (s, d) => Dedup.sourceOverlap(docs(s, d)),
+      // rides the amortized label state (r11, same contract): the point
+      // is the count combinatorics over per-(cluster,source) aggregates
+      Q("source_overlap", (s, d) => Dedup.sourceOverlapFrom(fullClusterLabels(s, d), docs(s, d)),
         Some(Dedup.sourceOverlapSql)),
       // per-source governance dashboard (r10): doc counts, exact- and
       // near-dup exposure (near side reads the maintained label state),

@@ -739,12 +739,20 @@ object Dedup {
   def governedCap(
       documents: DataFrame, labels: DataFrame,
       budgetTokens: Long = 100000L): DataFrame = {
-    val keepers = clusterBestKeepFrom(labels, documents)
-      .filter(col("keep")).select("doc_id", "quality_score")
-    val eligible = keepers.join(
-      documents.select(col("doc_id"), col("source"),
-        size(TextOps.toks(col("text"))).cast("long").as("n_toks")),
-      Seq("doc_id"))
+    // ONE per-doc projection carries quality AND tokens, so the corpus
+    // shuffles onto doc_id once — the [[clusterBestKeepFrom]] rule is
+    // inlined over it rather than composed (composition would scan and
+    // shuffle documents a second time just to re-attach source/n_toks)
+    val perDoc = documents.select(col("doc_id"), col("source"),
+      TextOps.qualityScore(col("text")).as("quality_score"),
+      size(TextOps.toks(col("text"))).cast("long").as("n_toks"))
+    val wk = Window.partitionBy("cluster_id")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    val eligible = labels.select("doc_id", "cluster_id")
+      .join(perDoc, Seq("doc_id"))
+      .withColumn("rn", row_number().over(wk))
+      .filter(col("rn") === 1)
+      .select("doc_id", "source", "quality_score", "n_toks")
     val srcTot = eligible.groupBy("source").agg(sum("n_toks").as("src_toks"))
     val total = srcTot.agg(sum("src_toks").as("total_toks"))
     val quota = srcTot.crossJoin(broadcast(total))
@@ -797,8 +805,14 @@ object Dedup {
         |  quota_toks, CAST(keep_rank AS INTEGER) AS keep_rank
         |FROM w WHERE cum_toks <= quota_toks ORDER BY doc_id""".stripMargin
 
-  def sourceOverlap(documents: DataFrame): DataFrame = {
-    val counts = dedupClusters(documents)
+  def sourceOverlap(documents: DataFrame): DataFrame =
+    sourceOverlapFrom(dedupClusters(documents), documents)
+
+  /** The overlap matrix over an EXISTING label frame (see
+    * [[nearDedupKeepFrom]] for the amortization contract).
+    */
+  def sourceOverlapFrom(labels: DataFrame, documents: DataFrame): DataFrame = {
+    val counts = labels
       .filter(col("cluster_size") > 1)
       .join(documents.select(col("doc_id"), col("source")), Seq("doc_id"))
       .groupBy(col("cluster_id"), col("source"))
@@ -911,7 +925,15 @@ object Dedup {
     * filter is cluster_id == doc_id on the already-labeled frame).
     */
   def nearDedupKeep(documents: DataFrame): DataFrame =
-    dedupClusters(documents)
+    nearDedupKeepFrom(dedupClusters(documents))
+
+  /** The keep list over an EXISTING label frame — the deployment shape
+    * (keep lists derive from the maintained cluster state, they don't
+    * re-cluster the corpus; the registry's amortization contract, same
+    * as `cluster_split_assign`/`cluster_best_keep`).
+    */
+  def nearDedupKeepFrom(labels: DataFrame): DataFrame =
+    labels
       .filter(col("doc_id") === col("cluster_id"))
       .select(col("doc_id"), col("cluster_size"))
       .orderBy("doc_id")
