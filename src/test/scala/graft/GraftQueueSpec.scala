@@ -155,6 +155,35 @@ class GraftQueueSpec extends SparkSpec {
       !f.getName.startsWith("segment-") || f.getName.matches("segment-\\d+-.*")))
   }
 
+  test("concurrent producers commit unique, gapless stamps (commit lock)") {
+    // the per-topic sequence is scanned+claimed under a JVM-global lock;
+    // 8 threads racing commits must land 8 distinct consecutive stamps
+    // (local mode runs all writer tasks in one JVM, so this models the
+    // emulation's real concurrency)
+    val path = freshPath
+    val topic = "race.topic"
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(8))
+    import spark.implicits._
+    val fs = (1 to 8).map { k =>
+      Future {
+        Seq((s"k$k", s"v$k")).toDF("k", "v")
+          .select(col("k").cast("binary").as("key"), col("v").cast("binary").as("value"))
+          .coalesce(1)
+          .write.format("graftqueue")
+          .option("path", path).option("topic", topic).mode("append").save()
+      }
+    }
+    Await.result(Future.sequence(fs), Duration.Inf)
+    val stamps = new java.io.File(path, topic).listFiles()
+      .map(_.getName).filter(_.startsWith("segment-"))
+      .map(_.split("-")(1).toLong).sorted.toSeq
+    assert(stamps == (1L to 8L).toSeq,
+      s"racing commits must claim the dense sequence 1..8, got $stamps")
+  }
+
   test("the sink rejects non-Kafka writer schemas") {
     import spark.implicits._
     val path = freshPath
