@@ -32,7 +32,7 @@ object Registry {
     * attaches to (see that registration's comment).
     */
   private val clusterStateDirs =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    scala.collection.concurrent.TrieMap.empty[String, Holder[String]]
 
   /** One persisted mockflow-generator output per scale dir per JVM:
     * `mockflow_events` and `mockflow_invariants` verify the SAME
@@ -44,7 +44,7 @@ object Registry {
     * [[clusterStateDirs]].
     */
   private val mockflowDirs =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    scala.collection.concurrent.TrieMap.empty[String, Holder[String]]
 
   /** Full-corpus near-dup cluster labels (doc_id, cluster_id,
     * cluster_size), persisted once per scale dir per JVM — shared by the
@@ -54,26 +54,31 @@ object Registry {
     * honestly. Deterministic, so the parquet hop is oracle-transparent.
     */
   private val fullClusterDirs =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    scala.collection.concurrent.TrieMap.empty[String, Holder[String]]
 
   /** Per-(form, scale dir) state dirs for the two streaming dedup-index
     * queries — v0 seeds once per JVM, runs share the steady state.
     */
   private val dedupStreamStateDirs =
-    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+    scala.collection.concurrent.TrieMap.empty[(String, String), Holder[String]]
 
-  /** getOrElseUpdate under the map's own lock: TrieMap may evaluate the
-    * thunk MORE THAN ONCE under concurrent first access (Verify runs
-    * queries on an 8-thread pool), and these thunks are exactly the
-    * expensive per-scale-dir seeds — double-running the full CC
-    * pipeline or the ~90k-event generate into a second temp dir whose
-    * result is then discarded wastes work and disk (ADVICE r10). The
-    * results were always correct; the lock just makes the build
-    * run-at-most-once.
+  /** Per-key run-at-most-once memoization: TrieMap.getOrElseUpdate may
+    * evaluate its thunk MORE THAN ONCE under concurrent first access
+    * (Verify runs queries on an 8-thread pool), and these thunks are
+    * exactly the expensive per-scale-dir seeds — double-running the
+    * full CC pipeline or the ~90k-event generate into a second temp dir
+    * whose result is then discarded wastes work and disk (ADVICE r10).
+    * The holder trick keeps the guarantee PER KEY: the race can at
+    * worst allocate two empty holders (one discarded unevaluated), the
+    * stored holder's `lazy val` runs the seed exactly once, and a slow
+    * seed for one key never blocks lookups or builds for another
+    * (map-wide `synchronized`, the first fix, did).
     */
+  private final class Holder[V](thunk: () => V) { lazy val get: V = thunk() }
+
   private def memo[K, V](
-      m: scala.collection.concurrent.TrieMap[K, V])(k: K)(v: => V): V =
-    m.synchronized(m.getOrElseUpdate(k, v))
+      m: scala.collection.concurrent.TrieMap[K, Holder[V]])(k: K)(v: => V): V =
+    m.getOrElseUpdate(k, new Holder(() => v)).get
 
   private def fullClusterLabels(
       s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {

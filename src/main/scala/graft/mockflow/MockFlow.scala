@@ -15,12 +15,17 @@ import org.apache.spark.sql.functions._
   *
   *  1. draws come from md5 (both engines share the hash), first 12 hex
   *     digits over 2^48 — see [[hashUniform]];
-  *  2. every transcendental output (Box-Muller ln/cos, the within-hour
-  *     exp bumps) is rounded to 9 dp the moment it is produced: ln/cos/
-  *     exp are not correctly-rounded, so JVM and libm can differ in the
-  *     last ulp — the round collapses both to the same double (the
-  *     [[graft.ml.HashSplit.weightedSample]] recipe), after which all
-  *     downstream +,-,×,÷ are IEEE-exact on identical bits;
+  *  2. NO transcendental is ever evaluated at query time in either
+  *     engine: normals are scaled Irwin–Hall sums of exact dyadic
+  *     uniforms ([[hashNormal]]) and the within-hour bump is a 60-entry
+  *     literal table precomputed on the JVM at build time
+  *     ([[WithinHourTable]]) — so every query-time operation is exact
+  *     IEEE arithmetic on identical bits. (The first form of this
+  *     promotion used Box-Muller + round(·,9); ln/cos are not
+  *     correctly-rounded, and an output within an ulp of a 0.5e-9 grid
+  *     boundary could round differently per engine — at ~180k draws per
+  *     verify, a small-but-real flake tail this design removes
+  *     outright.);
   *  3. bucket weights are quantized to 1e-9 (stored as scaled longs), so
   *     the per-hour normalizing total is an INTEGER sum — order-free and
   *     engine-free, where a double sum would have re-introduced
@@ -72,15 +77,26 @@ object MockFlow {
       .when(delay > 300, 0.85)
       .otherwise(1.0)
 
-  /** G3 — within-hour double-gaussian bump (peaks at :00 and :30),
-    * rounded to 9 dp (cross-engine seam rule 2 — the exp outputs feed
-    * bucket weights). Ref: :66-74.
+  /** G3 — within-hour double-gaussian bump values (peaks at :00 and
+    * :30) for minute 0..59, precomputed ONCE on the JVM: both engines
+    * consume the same 60 double literals, so exp() never runs at query
+    * time in either (cross-engine rule 2). Ref: :66-74.
     */
-  def withinHourFactor(minute: Column): Column = {
-    val bump1 = exp((minute * minute) * -1.0 / (2.0 * 8 * 8))
-    val m30 = minute - 30
-    val bump2 = exp((m30 * m30) * -1.0 / (2.0 * 10 * 10))
-    round(lit(0.7) + lit(0.7) * (bump1 + bump2), 9)
+  private[graft] val WithinHourTable: Seq[Double] =
+    (0 until 60).map { m =>
+      val bump1 = math.exp((m * m) * -1.0 / (2.0 * 8 * 8))
+      val m30 = m - 30
+      val bump2 = math.exp((m30 * m30) * -1.0 / (2.0 * 10 * 10))
+      0.7 + 0.7 * (bump1 + bump2)
+    }
+
+  def withinHourFactor(minute: Column): Column =
+    element_at(typedLit(WithinHourTable), minute.cast("int") + 1)
+
+  private def withinHourFactorSql(minuteExpr: String): String = {
+    val lits = WithinHourTable
+      .map(v => s"CAST('$v' AS DOUBLE)").mkString("[", ", ", "]")
+    s"($lits)[CAST($minuteExpr AS BIGINT) + 1]"
   }
 
   /** Deterministic uniform(0,1): first 12 hex digits of
@@ -116,23 +132,31 @@ object MockFlow {
     s"(($digits) / CAST(${1L << 48} AS DOUBLE))"
   }
 
-  /** Deterministic N(0,1) via Box-Muller over two hash uniforms, rounded
-    * to 9 dp (cross-engine seam rule 2: ln and cos are the
-    * non-correctly-rounded calls).
+  /** √2 · √(6/12)⁻¹-style scale for the 6-uniform Irwin–Hall sum: the
+    * one irrational constant, computed once on the JVM and shared with
+    * the SQL twin as a literal.
     */
-  private def hashNormal(seed: Long, cols: Column*): Column = {
-    val u1 = hashUniform(seed, cols: _*)
-    val u2 = hashUniform(seed + 1000003L, cols: _*)
-    round(
-      sqrt(lit(-2.0) * log(greatest(u1, lit(1e-12)))) *
-        cos(lit(2.0 * math.Pi) * u2), 9)
-  }
+  private val IhScale = math.sqrt(2.0)
+
+  /** Deterministic ~N(0,1): scaled Irwin–Hall over SIX exact 48-bit
+    * uniforms — (Σ uⱼ − 3) · √2. Chosen over Box-Muller because it
+    * contains NO query-time transcendental: each uniform is an exact
+    * dyadic rational k/2^48, every intermediate of the six-term sum is
+    * exactly representable (< 2^51 scaled), the −3 is exact, and the √2
+    * enters as a shared literal — so both engines compute identical
+    * BITS with no round-after-transcendental seam (cross-engine rule
+    * 2). Symmetric, variance 1, support [−3√2, 3√2] — the right shape
+    * for synthetic demand noise, which only ever multiplies by 0.10 or
+    * 0.12 before a clamp.
+    */
+  private def hashNormal(seed: Long, cols: Column*): Column =
+    ((1 to 6).map(j => hashUniform(seed + j * 1000003L, cols: _*))
+      .reduce(_ + _) - lit(3.0)) * lit(IhScale)
 
   private[graft] def normalSql(seed: Long, keys: Seq[String]): String = {
-    val u1 = uniformSql(seed, keys)
-    val u2 = uniformSql(seed + 1000003L, keys)
-    s"round(sqrt(CAST(-2.0 AS DOUBLE) * ln(greatest($u1, 1e-12))) * " +
-      s"cos(CAST(${2.0 * math.Pi} AS DOUBLE) * $u2), 9)"
+    val sum = (1 to 6).map(j => uniformSql(seed + j * 1000003L, keys))
+      .mkString(" + ")
+    s"((($sum) - CAST(3.0 AS DOUBLE)) * CAST('$IhScale' AS DOUBLE))"
   }
 
   /** G2+G3+G4 — generate minute-bucket passenger-flow events for each
@@ -244,10 +268,7 @@ object MockFlow {
     * as the `mockflow_events` registration).
     */
   private[graft] def eventsSqlTail(seed: Long = 42L): String = {
-    val m = "(CAST(i % 60 AS BIGINT))"
-    val whf = s"round(CAST(0.7 AS DOUBLE) + CAST(0.7 AS DOUBLE) * (" +
-      s"exp(($m * $m) * CAST(-1.0 AS DOUBLE) / CAST(${2.0 * 8 * 8} AS DOUBLE)) + " +
-      s"exp((($m - 30) * ($m - 30)) * CAST(-1.0 AS DOUBLE) / CAST(${2.0 * 10 * 10} AS DOUBLE))), 9)"
+    val whf = withinHourFactorSql("i % 60")
     val bumpNoise = normalSql(seed + 7L, Seq("stop_id", "ep", "i"))
     val stopNoise = normalSql(seed, Seq("stop_id", "ep"))
     s"""fac AS (

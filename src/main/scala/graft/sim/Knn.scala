@@ -1038,10 +1038,16 @@ object Knn {
     val dists = transform(cb, cen => aggregate(
       zip_with(col("ne"), cen, (x, c) => { val t = x - c; t * t }),
       lit(0.0), (acc, d) => acc + d))
+    // persisted: pruneCells reads the assignment on both sides of the
+    // self-join plus the final left join — without the cache, the
+    // 16-centroid × 64-dim argmin subtree re-evaluates three times per
+    // action (the frame is |corpus| × ~40 B, and Bench's between-rep
+    // cleanup unpersists it)
     val assigned = e
       .withColumn("ds", dists)
       .withColumn("cell", (array_position(col("ds"), array_min(col("ds"))) - 1).cast("int"))
       .select("vec_id", "embedding", "n2", "cell")
+      .persist()
     pruneCells(assigned, tau)
   }
 

@@ -98,15 +98,18 @@ object EndToEnd {
     * suggestions-e2e and export-e2e queries (and repeated bench runs)
     * share one produce pass instead of re-encoding the feeds each time.
     */
-  private val queueDirs =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+  // Holder: TrieMap.getOrElseUpdate may run its thunk twice under
+  // concurrent first access; storing a lazy holder makes the expensive
+  // produce pass run at most once PER DIR without a map-wide lock
+  // (same pattern as Registry.memo)
+  private final class Holder[V](thunk: () => V) { lazy val get: V = thunk() }
 
-  // synchronized: TrieMap.getOrElseUpdate may run the thunk twice under
-  // concurrent first access, and the produce pass is the expensive seed
+  private val queueDirs =
+    scala.collection.concurrent.TrieMap.empty[String, Holder[String]]
+
   private def produce(spark: SparkSession, dir: String): String =
-    queueDirs.synchronized {
-      queueDirs.getOrElseUpdate(dir, produceUncached(spark, dir))
-    }
+    queueDirs.getOrElseUpdate(dir,
+      new Holder(() => produceUncached(spark, dir))).get
 
   /** Produce side: protobuf-decode the vehicle feed, envelope all three
     * topics, and commit them to the queue directory. Returns the queue
@@ -228,16 +231,14 @@ object EndToEnd {
     * is exact (doubles/strings/timestamps), so it is oracle-transparent.
     */
   private val kpiDirs =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    scala.collection.concurrent.TrieMap.empty[String, Holder[String]]
 
   private def kpiShared(spark: SparkSession, dir: String): DataFrame = {
-    val p = kpiDirs.synchronized {
-      kpiDirs.getOrElseUpdate(dir, {
-        val out = Files.createTempDirectory("graft_e2e_kpi").toString
-        kpiE2E(spark, dir).write.mode("overwrite").parquet(out)
-        out
-      })
-    }
+    val p = kpiDirs.getOrElseUpdate(dir, new Holder(() => {
+      val out = Files.createTempDirectory("graft_e2e_kpi").toString
+      kpiE2E(spark, dir).write.mode("overwrite").parquet(out)
+      out
+    })).get
     spark.read.parquet(p)
   }
 

@@ -554,14 +554,20 @@ object Streams {
     * Produce calls are sequential Spark jobs, so segment commit stamps
     * strictly increase; offsets follow committed-segment order.
     */
-  def dedupIndexQueueStream(
-      spark: SparkSession, dir: String,
-      stateDir: Option[String] = None): DataFrame = {
+  /** Stage the two-batch continuous-ingest split onto a fresh
+    * `graftqueue` topic — SHARED by the exact-hash and LSH index
+    * streams, so the envelope JSON, wire schema, admission-control
+    * option and batch predicates (which must stay in lockstep with BOTH
+    * registered oracles' predicates) live in exactly one place.
+    * Returns (offset-ordered document stream, corpus, staged root).
+    */
+  private def stageDocQueue(
+      spark: SparkSession, dir: String, prefix: String): (DataFrame, DataFrame, String) = {
     val docs = graft.TestdataAdapter.table(spark, dir, "documents")
       .select("doc_id", "text", "lang", "source", "n_chars")
     val corpus = docs.filter(col("doc_id") % 3 =!= 0)
-    val qdir = Files.createTempDirectory("graft_dedup_q").toString
-    val staged = Files.createTempDirectory("graft_dedup_q_state").toString
+    val qdir = Files.createTempDirectory(s"${prefix}_q").toString
+    val staged = Files.createTempDirectory(s"${prefix}_q_state").toString
     def produce(batch: DataFrame): Unit = batch
       .select(
         col("doc_id").cast("string").cast("binary").as("key"),
@@ -580,6 +586,13 @@ object Streams {
       .load()
       .select(from_json(col("value").cast("string"), wire).as("r"))
       .select("r.*")
+    (stream, corpus, staged)
+  }
+
+  def dedupIndexQueueStream(
+      spark: SparkSession, dir: String,
+      stateDir: Option[String] = None): DataFrame = {
+    val (stream, corpus, staged) = stageDocQueue(spark, dir, "graft_dedup")
     runDedupIndexStreamFrom(stream, corpus,
       stateDir.getOrElse(s"$staged/state"), s"$staged/verdicts",
       Files.createTempDirectory("graft_dedup_q_ckpt").toString)
@@ -785,29 +798,7 @@ object Streams {
   def lshIndexQueueStream(
       spark: SparkSession, dir: String,
       stateDir: Option[String] = None): DataFrame = {
-    val docs = graft.TestdataAdapter.table(spark, dir, "documents")
-      .select("doc_id", "text", "lang", "source", "n_chars")
-    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
-    val qdir = Files.createTempDirectory("graft_lsh_q").toString
-    val staged = Files.createTempDirectory("graft_lsh_q_state").toString
-    def produce(batch: DataFrame): Unit = batch
-      .select(
-        col("doc_id").cast("string").cast("binary").as("key"),
-        to_json(struct(col("doc_id"), col("text"), col("lang"),
-          col("source"), col("n_chars"))).cast("binary").as("value"))
-      .coalesce(1) // one committed segment per produce → one micro-batch each
-      .write.format("graftqueue").option("path", qdir)
-      .option("topic", "docs.ingest").mode("append").save()
-    produce(docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 0))
-    produce(docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 =!= 0))
-    val wire = org.apache.spark.sql.types.StructType.fromDDL(
-      "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
-    val stream = spark.readStream.format("graftqueue")
-      .option("path", qdir).option("topic", "docs.ingest")
-      .option("maxRecordsPerTrigger", "1")
-      .load()
-      .select(from_json(col("value").cast("string"), wire).as("r"))
-      .select("r.*")
+    val (stream, corpus, staged) = stageDocQueue(spark, dir, "graft_lsh")
     runLshIndexStreamFrom(stream, corpus,
       stateDir.getOrElse(s"$staged/state"), s"$staged/verdicts",
       Files.createTempDirectory("graft_lsh_q_ckpt").toString)

@@ -1569,9 +1569,13 @@ object TextOps {
        |  SELECT DISTINCT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
        |  FROM documents),
        |base AS (
+       |  -- no len filter: an empty token (whitespace-only doc) must
+       |  -- survive to fin with s = [] / n_bpe = 0, or the final inner
+       |  -- join would silently drop the whole document row that the
+       |  -- Spark side still counts
        |  SELECT word,
        |    list_transform(generate_series(1, len(word)), i -> substr(word, i, 1)) AS s
-       |  FROM w WHERE len(word) >= 1),
+       |  FROM w),
        |enc AS (
        |  SELECT word, s FROM base
        |  UNION ALL

@@ -58,7 +58,10 @@ class CorpusOpsSpec extends SparkSpec {
     // reach the same fixpoint tokenization, asserted here over the
     // whole sf0.001 vocabulary plus an overlap-heavy synthetic corpus
     val real = TestdataAdapter.table(spark, "/root/testdata/sf0.001", "documents")
-    val overlap = Seq((900L, "aaaa aaa aaaaa abab ababab bbbb"))
+    // 901 is whitespace-only: its single empty token must encode to 0
+    // BPE tokens while the document row itself survives (the SQL twin
+    // once dropped such rows via a len filter + inner join)
+    val overlap = Seq((900L, "aaaa aaa aaaaa abab ababab bbbb"), (901L, "   "))
       .toDF("doc_id", "text")
     for (docs <- Seq(real, overlap)) {
       val merges = TextOps.bpeTrain(docs, numMerges = 8)

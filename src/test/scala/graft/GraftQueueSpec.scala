@@ -164,19 +164,21 @@ class GraftQueueSpec extends SparkSpec {
     val topic = "race.topic"
     import scala.concurrent.{Await, Future, ExecutionContext}
     import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(
-      java.util.concurrent.Executors.newFixedThreadPool(8))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     import spark.implicits._
-    val fs = (1 to 8).map { k =>
-      Future {
-        Seq((s"k$k", s"v$k")).toDF("k", "v")
-          .select(col("k").cast("binary").as("key"), col("v").cast("binary").as("value"))
-          .coalesce(1)
-          .write.format("graftqueue")
-          .option("path", path).option("topic", topic).mode("append").save()
+    try {
+      val fs = (1 to 8).map { k =>
+        Future {
+          Seq((s"k$k", s"v$k")).toDF("k", "v")
+            .select(col("k").cast("binary").as("key"), col("v").cast("binary").as("value"))
+            .coalesce(1)
+            .write.format("graftqueue")
+            .option("path", path).option("topic", topic).mode("append").save()
+        }
       }
-    }
-    Await.result(Future.sequence(fs), Duration.Inf)
+      Await.result(Future.sequence(fs), Duration.Inf)
+    } finally pool.shutdown()
     val stamps = new java.io.File(path, topic).listFiles()
       .map(_.getName).filter(_.startsWith("segment-"))
       .map(_.split("-")(1).toLong).sorted.toSeq

@@ -34,24 +34,32 @@ class ScaleSoakSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.1"
   private val Copies = 10
 
-  private lazy val soakDir: String = {
-    val out = "/tmp/graft_soak"
-    // 10 letters → 10 DISTINCT rotations for the 10 copies; a shorter
-    // alphabet would cycle (rot(7)=rot(0) at length 7) and plant exact
-    // text twins, which is precisely the workload this fixture avoids
-    val alpha = "aeiousnrtl"
+  /** Amplified document clone builder shared by the 10× and 30× soak
+    * fixtures: `copies` letter-rotated copies with shifted ids (the
+    * 10^7 id stride requires base doc_ids < 10^7 — sf0.1 tops out far
+    * below). The alphabet must have ≥ `copies` distinct rotations or
+    * the cycle plants exact text twins — precisely the planted-dup
+    * workload these fixtures exist to avoid.
+    */
+  private def cloneDocs(alpha: String, copies: Int, out: String): Unit = {
+    require(alpha.length >= copies, s"alphabet cycles at ${alpha.length} < $copies copies")
     def rot(k: Int) = alpha.drop(k % alpha.length) + alpha.take(k % alpha.length)
     val docs = TestdataAdapter.table(spark, dir, "documents")
       .select("doc_id", "text", "lang", "source", "n_chars")
-    val events = TestdataAdapter.table(spark, dir, "events")
-      .select("event_id", "user_id", "event_type", "value", "ts")
-    (0 until Copies).map { k =>
+    (0 until copies).map { k =>
       docs.select(
         (col("doc_id") + lit(k * 10000000L)).as("doc_id"),
         (if (k == 0) col("text") else translate(col("text"), alpha, rot(k))).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_.unionByName(_))
-      .write.mode("overwrite").parquet(s"$out/documents")
+      .write.mode("overwrite").parquet(out)
+  }
+
+  private lazy val soakDir: String = {
+    val out = "/tmp/graft_soak"
+    val events = TestdataAdapter.table(spark, dir, "events")
+      .select("event_id", "user_id", "event_type", "value", "ts")
+    cloneDocs("aeiousnrtl", Copies, s"$out/documents")
     (0 until Copies).map { k =>
       events.select(
         (col("event_id") + lit(k * 100000000L)).as("event_id"),
@@ -152,17 +160,7 @@ class ScaleSoakSpec extends SparkSpec {
   // 10-letter one would cycle and plant exact text twins at k ≡ k+10.
   private lazy val soak30Docs: DataFrame = {
     val out = java.nio.file.Files.createTempDirectory("graft_soak30").toString
-    val alpha = "abcdefghijklmnopqrstuvwxyz0123"
-    def rot(k: Int) = alpha.drop(k % alpha.length) + alpha.take(k % alpha.length)
-    val docs = TestdataAdapter.table(spark, dir, "documents")
-      .select("doc_id", "text", "lang", "source", "n_chars")
-    (0 until 30).map { k =>
-      docs.select(
-        (col("doc_id") + lit(k * 10000000L)).as("doc_id"),
-        (if (k == 0) col("text") else translate(col("text"), alpha, rot(k))).as("text"),
-        col("lang"), col("source"), col("n_chars"))
-    }.reduce(_.unionByName(_))
-      .write.mode("overwrite").parquet(s"$out/documents")
+    cloneDocs("abcdefghijklmnopqrstuvwxyz0123", 30, s"$out/documents")
     spark.read.parquet(s"$out/documents")
   }
 
