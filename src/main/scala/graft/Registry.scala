@@ -1157,6 +1157,19 @@ object Registry {
     Q("heavy_hitters_exact",
       (s, dir) => Sketches.heavyHittersExact(TestdataAdapter.table(s, dir, "events")),
       Some(Sketches.heavyHittersExactSql())),
+    // ENGINE-OWNED md5-hashed Count-Min Sketch: the d×w counter grid and
+    // the min-over-rows estimates are reproduced verbatim in DuckDB, so
+    // the SKETCH itself (not just the exact audit leg) is oracle-exact —
+    // the verifiable twin of the builtin-CMS `heavy_hitters`
+    Q("heavy_hitters_cms",
+      (s, dir) => Sketches.cmsHeavyHitters(TestdataAdapter.table(s, dir, "events")),
+      Some(Sketches.cmsHeavyHittersSql())),
+    // ENGINE-OWNED md5-hashed HyperLogLog: 256-register max-aggregate,
+    // exact-decimal register sum, round-pinned ln/estimate — the estimate is
+    // oracle-exact, the verifiable twin of builtin-HLL `sketch_stats`
+    Q("cardinality_hll",
+      (s, dir) => Sketches.hllCardinality(TestdataAdapter.table(s, dir, "events")),
+      Some(Sketches.hllCardinalitySql())),
     // Declarative data-quality gate: a rule set compiled into ONE
     // aggregation pass (Deequ-style), unpivoted to a per-rule report
     Q("dq_report",

@@ -144,7 +144,13 @@ class PlanBudgetSpec extends SparkSpec {
     // per classify: batch hash agg + residual pair stays BROADCAST
     // (index filtered at its scan, never sort-merged); ×2 batches +
     // index-build distincts + output sort
-    "bloom_incremental_newdocs" -> 5)
+    "bloom_incremental_newdocs" -> 5,
+    // md5-CMS: counter-grid agg + exact top-k agg + probe/min agg +
+    // output sort; the counter grid joins by BROADCAST (d·w rows)
+    "heavy_hitters_cms" -> 6,
+    // md5-HLL: register max-agg + type-distinct + exact-distinct (2) +
+    // output sort; both register/estimate joins are BROADCAST
+    "cardinality_hll" -> 5)
   // lsh_incremental_newdocs carries NO textual budget: its persisted
   // batch-signature subtree re-prints under every band join, making the
   // string count cache-state-dependent across suite orders (12 by

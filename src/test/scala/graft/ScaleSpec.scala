@@ -268,6 +268,40 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("md5 count-min sketch: dominance, tightness, and agreement with exact on the hot key") {
+    val ev = ((1 to 8000).map(_ => 7L) ++ (1 to 12000).map(i => (i % 500).toLong))
+      .map(u => (u, "click", u.toDouble)).toDF("user_id", "event_type", "value")
+    val r = graft.rel.Sketches.cmsHeavyHitters(ev, k = 5).collect()
+    assert(r.length == 5)
+    assert(r.head.getAs[Long]("user_id") == 7L)
+    for (row <- r) {
+      val exact = row.getAs[Long]("n_exact")
+      val est = row.getAs[Long]("n_cms")
+      assert(est >= exact, "CMS never underestimates")
+      assert(row.getAs[Double]("rel_overestimate") >= 0.0)
+      // d=4 rows of w=2048 buckets over ~501 keys: collisions are rare and
+      // the min over rows keeps the overestimate within a few mean loads
+      assert(est - exact <= 20000 * 4 / 2048,
+        s"estimate $est too far above exact $exact")
+    }
+  }
+
+  test("md5 HyperLogLog: estimate within the m=256 error band of exact") {
+    val ev = ((1 to 20000).map(i => ("click", (i % 3777).toLong, i.toDouble)) ++
+      (1 to 5000).map(i => ("view", (i % 991).toLong, i * 2.0)))
+      .toDF("event_type", "user_id", "value")
+    val r = graft.rel.Sketches.hllCardinality(ev).collect()
+    assert(r.length == 2)
+    for (row <- r) {
+      // 1.04/sqrt(256) = 6.5% standard error; 3 sigma = 19.5%
+      assert(row.getAs[Double]("rel_err") < 0.2,
+        s"HLL off by ${row.getAs[Double]("rel_err")} for ${row.getString(0)}")
+      assert(row.getAs[Double]("users_hll") > 0.0)
+    }
+    val click = r.find(_.getString(0) == "click").get
+    assert(click.getAs[Long]("users_exact") == 3777L)
+  }
+
   test("date-partitioned layout prunes partitions on read") {
     val dir = Files.createTempDirectory("graft_layout").toString
     val ev = TestdataAdapter.vehiclePositions(spark, "/root/testdata/sf0.001")
