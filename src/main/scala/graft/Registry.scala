@@ -1670,11 +1670,34 @@ object Registry {
       Q("quality_classifier",
         (s, d) => graft.ml.QualityClassifier.trainEval(docs(s, d)),
         None),
-      // operating-point sweep for the learned filter — rows-only
-      // (model scores; precision/recall identities spec-asserted)
+      // per-doc scores under the COMMITTED quality model (md5-BoW LR,
+      // 1e9-quantized weights, frozen weak-label threshold) — the
+      // serving artifact, ORACLE-EXACT: integer dot product + one
+      // round-pinned sigmoid, mirrored verbatim in DuckDB. The
+      // in-query-trained form stays rows-only (`quality_classifier`);
+      // FixtureSpec pins retrain == fixture.
+      Q("quality_score_pinned",
+        (s, d) => graft.ml.QualityClassifier.scorePinned(docs(s, d),
+          graft.ml.QualityFixture.labelThreshold,
+          graft.ml.QualityFixture.interceptE9,
+          graft.ml.QualityFixture.weightsE9),
+        Some(graft.ml.QualityClassifier.scorePinnedSql(
+          graft.ml.QualityFixture.labelThreshold,
+          graft.ml.QualityFixture.interceptE9,
+          graft.ml.QualityFixture.weightsE9))),
+      // operating-point sweep for the learned filter — PROMOTED r11 to
+      // oracle-exact at the pinned model (the sweep a pipeline runs for
+      // the FROZEN artifact it actually ships; trained-sweep identities
+      // stay spec-asserted in QualitySpec)
       Q("quality_threshold_sweep",
-        (s, d) => graft.ml.QualityClassifier.thresholdSweep(docs(s, d)),
-        None),
+        (s, d) => graft.ml.QualityClassifier.thresholdSweepPinned(docs(s, d),
+          graft.ml.QualityFixture.labelThreshold,
+          graft.ml.QualityFixture.interceptE9,
+          graft.ml.QualityFixture.weightsE9),
+        Some(graft.ml.QualityClassifier.thresholdSweepPinnedSql(
+          graft.ml.QualityFixture.labelThreshold,
+          graft.ml.QualityFixture.interceptE9,
+          graft.ml.QualityFixture.weightsE9))),
       Q("dedup_simhash_pairs", (s, d) => Dedup.simhashPairs(docs(s, d)),
         Some(Dedup.simhashPairsSql())),
       Q("knn_bruteforce", (s, d) => Knn.bruteForceTopK(embs(s, d)),

@@ -201,6 +201,35 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("pinned quality model: serving scores recover the frozen weak label") {
+    import graft.ml.QualityFixture
+    val d = TestdataAdapter.table(spark, "/root/testdata/sf0.01", "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val s = QualityClassifier.scorePinned(d, QualityFixture.labelThreshold,
+      QualityFixture.interceptE9, QualityFixture.weightsE9).collect()
+    assert(s.length == 500)
+    val acc = s.count(r => r.getAs[Long]("label") ==
+      r.getAs[Int]("predicted_label").toLong).toDouble / s.length
+    assert(acc > 0.9, s"pinned serving accuracy $acc on the fixture corpus")
+    assert(s.forall { r =>
+      val p = r.getAs[Double]("p_quality"); p >= 0.0 && p <= 1.0
+    })
+  }
+
+  test("pinned threshold sweep: counts reconcile and recall is non-increasing") {
+    import graft.ml.QualityFixture
+    val d = TestdataAdapter.table(spark, "/root/testdata/sf0.01", "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val r = QualityClassifier.thresholdSweepPinned(d, QualityFixture.labelThreshold,
+      QualityFixture.interceptE9, QualityFixture.weightsE9).collect()
+    assert(r.length == 9)
+    val recalls = r.map(_.getAs[Double]("recall"))
+    assert(recalls.sameElements(recalls.sorted.reverse))
+    val posSize = r.head.getAs[Long]("tp") + r.head.getAs[Long]("fn")
+    assert(r.forall(row =>
+      row.getAs[Long]("tp") + row.getAs[Long]("fn") == posSize) && posSize > 0)
+  }
+
   test("quality scores cover the corpus and stay in [0,1]") {
     val d = TestdataAdapter.table(spark, "/root/testdata/sf0.001", "documents")
     val s = QualityClassifier.scoreDocuments(d)

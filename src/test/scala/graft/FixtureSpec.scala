@@ -42,6 +42,19 @@ class FixtureSpec extends SparkSpec {
       "merge-table drift — regenerate via FixtureGen")
   }
 
+  test("quality fixture is exactly the deterministic pinned trainer's output") {
+    assume(new java.io.File(dir).isDirectory, s"$dir not present")
+    val docs = TestdataAdapter.table(spark, dir, "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val (thr, iE9, wE9) = graft.ml.QualityClassifier.trainPinnedQuality(docs)
+    assert(thr == graft.ml.QualityFixture.labelThreshold,
+      "label-threshold drift — regenerate via FixtureGen")
+    assert(iE9 == graft.ml.QualityFixture.interceptE9,
+      "intercept drift — regenerate via FixtureGen")
+    assert(java.util.Arrays.equals(wE9, graft.ml.QualityFixture.weightsE9),
+      "weight drift — regenerate via FixtureGen")
+  }
+
   test("PCA basis fixture is exactly the trained loading matrix") {
     assume(new java.io.File(dir).isDirectory, s"$dir not present")
     val (basis, ev) = Knn.trainPcaBasis(embs)
