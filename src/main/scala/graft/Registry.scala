@@ -2052,6 +2052,19 @@ object Registry {
         (s, d) => DemandModel.runMetrics(mlDataset(s, d)),
         None),
 
+      // MAE of the COMMITTED serving forest (RfFixture: 20 trees as
+      // preorder literal triples) — ORACLE-EXACT: the forest is one
+      // shared CASE expression evaluated identically by both engines,
+      // the temporal cut is computed in-plan, and per-row errors go
+      // through round(.,6) before the exact decimal sum. The
+      // in-query-trained 200-tree form stays rows-only above;
+      // FixtureSpec pins retrain == fixture.
+      Q("rf_pinned_mae",
+        (s, d) => DemandModel.pinnedMae(mlDataset(s, d),
+          graft.ml.RfFixture.trees),
+        Some(DemandModel.pinnedMaeSql(ML_DATASET_SQL,
+          graft.ml.RfFixture.trees))),
+
       // ml_runs lineage record — rows-only (MAE comes from the RF, which
       // is engine-specific by design; the MAE band is spec-asserted)
       Q("ml_run_record",

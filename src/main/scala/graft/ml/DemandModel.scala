@@ -146,6 +146,145 @@ object DemandModel {
         "split_ratio", "mae", "features", "num_trees")
   }
 
+  // ---- pinned-forest serving (oracle-exact operating point) ---------
+  //
+  // The trained rows-only queries above fit 200 trees in-query; a tree
+  // ensemble's VALUES are engine-specific, so they can never be
+  // oracle-checked directly. The PINNED path trains a compact serving
+  // forest ONCE at fixture time and commits the trees themselves
+  // (preorder (featureIndex, threshold, prediction) triples —
+  // [[RfFixture]]): every split threshold and leaf value is then a
+  // literal, so the whole predict-and-score pass is ONE shared SQL
+  // expression evaluated identically by Spark (expr) and DuckDB — the
+  // model artifact promoted to data, exactly like the PQ codebooks and
+  // BPE merge table. This is also the production serving shape: models
+  // ship frozen; scoring is pure arithmetic on the feature columns.
+
+  /** Preorder-flattened regression trees: featureIndex = -1 marks a
+    * leaf carrying its prediction; internal nodes send
+    * `feature <= threshold` left (MLlib's continuous-split contract).
+    */
+  def trainPinnedForest(
+      mlDataset: DataFrame, numTrees: Int = 20,
+      seed: Long = 42L): Array[Array[(Int, Double, Double)]] = {
+    val l = withLabel(mlDataset).persist()
+    val (train0, _) = temporalSplit(l)
+    val train = pinLayout(train0).persist()
+    try {
+      val pipeline = new Pipeline().setStages(Array(
+        new VectorAssembler()
+          .setInputCols(FeatureCols.toArray).setOutputCol("features"),
+        new RandomForestRegressor()
+          .setLabelCol("label").setFeaturesCol("features")
+          .setNumTrees(numTrees).setSeed(seed)))
+      val model = pipeline.fit(train).stages(1)
+        .asInstanceOf[org.apache.spark.ml.regression.RandomForestRegressionModel]
+      flattenForest(model)
+    } finally {
+      train.unpersist(blocking = false)
+      l.unpersist(blocking = false)
+    }
+  }
+
+  /** Preorder flatten of a fitted MLlib forest — shared by the fixture
+    * trainer and the MLlib-vs-SQL equivalence spec.
+    */
+  private[graft] def flattenForest(
+      model: org.apache.spark.ml.regression.RandomForestRegressionModel)
+      : Array[Array[(Int, Double, Double)]] = {
+    import org.apache.spark.ml.tree.{ContinuousSplit, InternalNode, LeafNode, Node}
+    def flatten(n: Node): List[(Int, Double, Double)] = n match {
+      case leaf: LeafNode => List((-1, 0.0, leaf.prediction))
+      case in: InternalNode =>
+        val s = in.split.asInstanceOf[ContinuousSplit]
+        (s.featureIndex, s.threshold, 0.0) ::
+          (flatten(in.leftChild) ++ flatten(in.rightChild))
+    }
+    model.trees.map(t => flatten(t.rootNode).toArray)
+  }
+
+  /** The committed forest as ONE SQL expression over the feature
+    * columns — nested CASE per tree (preorder reconstruction), summed
+    * in tree order and divided by the tree count. Every literal is
+    * emitted as CAST('<Double.toString>' AS DOUBLE) (single strtod
+    * rounding in both engines), and the text is shared verbatim by the
+    * Spark side (expr) and the DuckDB twin, so left-assoc IEEE
+    * evaluation order — and hence every prediction bit — is identical.
+    */
+  def forestSql(trees: Array[Array[(Int, Double, Double)]]): String = {
+    def one(nodes: Array[(Int, Double, Double)], pos: Int): (String, Int) = {
+      val (f, thr, pred) = nodes(pos)
+      if (f < 0) (s"CAST('$pred' AS DOUBLE)", pos + 1)
+      else {
+        val (l, afterL) = one(nodes, pos + 1)
+        val (r, afterR) = one(nodes, afterL)
+        (s"(CASE WHEN ${FeatureCols(f)} <= CAST('$thr' AS DOUBLE) THEN $l ELSE $r END)",
+          afterR)
+      }
+    }
+    val ts = trees.map(t => one(t, 0)._1)
+    s"((${ts.mkString(" + ")}) / CAST(${trees.length} AS DOUBLE))"
+  }
+
+  /** MAE of the COMMITTED forest over the temporal test split, ONE
+    * plan, no collect: the 80/20 cut hour is computed in-plan (hour
+    * histogram → running total → first hour past 0.8·total, all on an
+    * hours-sized frame, broadcast back as one row) with the cut
+    * comparison in DOUBLE on both engines; per-row errors go through
+    * round(·,6) before the exact decimal sum (the documented
+    * cross-engine pattern for sums of arbitrary doubles). Output shape
+    * matches `rf_demand_mae`.
+    */
+  def pinnedMae(
+      mlDataset: DataFrame, trees: Array[Array[(Int, Double, Double)]]): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val labeled = withLabel(mlDataset)
+    val hist = labeled.groupBy("hour_ts").agg(count(lit(1)).as("n"))
+    val cum = hist.withColumn("cum",
+      sum("n").over(Window.orderBy("hour_ts")))
+    val tot = hist.agg(sum("n").as("tot"))
+    val cut = cum.crossJoin(broadcast(tot))
+      .filter(col("cum").cast("double") >= col("tot").cast("double") * lit(0.8))
+      .agg(min("hour_ts").as("cut"))
+    val pred = expr(forestSql(trees))
+    val isTest = col("hour_ts") > col("cut")
+    val err6 = round(abs(pred - col("label")), 6)
+    labeled.crossJoin(broadcast(cut))
+      .agg(
+        sum(when(!isTest, 1L).otherwise(0L)).as("n_train"),
+        sum(when(isTest, 1L).otherwise(0L)).as("n_test"),
+        (sum(when(isTest, err6.cast("decimal(28,6)"))).cast("double") /
+          sum(when(isTest, 1L).otherwise(0L))).as("mae"),
+        max(lit(trees.length)).as("num_trees"))
+      .select("n_train", "n_test", "mae", "num_trees")
+  }
+
+  /** DuckDB twin of [[pinnedMae]] given the ml_dataset SQL (a complete
+    * SELECT, nested as a CTE) and the committed forest.
+    */
+  def pinnedMaeSql(
+      mlDatasetSql: String, trees: Array[Array[(Int, Double, Double)]]): String = {
+    val forest = forestSql(trees)
+    s"""WITH ml AS ($mlDatasetSql),
+       |lab AS (SELECT *,
+       |          LEAD(passengers) OVER (PARTITION BY route_id ORDER BY hour_ts) AS label
+       |        FROM ml),
+       |l AS (SELECT * FROM lab WHERE label IS NOT NULL),
+       |hist AS (SELECT hour_ts, COUNT(*) AS n FROM l GROUP BY 1),
+       |cm AS (SELECT hour_ts, SUM(n) OVER (ORDER BY hour_ts) AS cum FROM hist),
+       |tot AS (SELECT SUM(n) AS tot FROM hist),
+       |ct AS (SELECT MIN(hour_ts) AS cut FROM cm CROSS JOIN tot
+       |       WHERE CAST(cum AS DOUBLE) >= CAST(tot AS DOUBLE) * CAST('0.8' AS DOUBLE)),
+       |j AS (SELECT l.*, ct.cut AS cut FROM l CROSS JOIN ct)
+       |SELECT CAST(SUM(CASE WHEN hour_ts <= cut THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+       |  CAST(SUM(CASE WHEN hour_ts > cut THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+       |  CAST(SUM(CASE WHEN hour_ts > cut
+       |                THEN CAST(round(abs($forest - label), 6) AS DECIMAL(28,6)) END) AS DOUBLE)
+       |    / SUM(CASE WHEN hour_ts > cut THEN 1 ELSE 0 END) AS mae,
+       |  CAST(${trees.length} AS INTEGER) AS num_trees
+       |FROM j""".stripMargin
+  }
+
   /** Predictions history → latest table: the reference keeps an
     * append-only demand_predictions_history plus a latest-wins
     * demand_predictions upserted ON CONFLICT (route_id, hour_ts); this

@@ -55,6 +55,16 @@ class FixtureSpec extends SparkSpec {
       "weight drift — regenerate via FixtureGen")
   }
 
+  test("RF forest fixture is exactly the deterministic trainer's output") {
+    assume(new java.io.File(dir).isDirectory, s"$dir not present")
+    val trained = graft.ml.DemandModel.trainPinnedForest(
+      Pipelines.mlDataset(spark, dir))
+    assert(trained.length == graft.ml.RfFixture.trees.length)
+    for (i <- trained.indices)
+      assert(trained(i).toSeq == graft.ml.RfFixture.trees(i).toSeq,
+        s"tree $i drift — regenerate via FixtureGen")
+  }
+
   test("PCA basis fixture is exactly the trained loading matrix") {
     assume(new java.io.File(dir).isDirectory, s"$dir not present")
     val (basis, ev) = Knn.trainPcaBasis(embs)

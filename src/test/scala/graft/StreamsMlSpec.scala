@@ -125,4 +125,48 @@ class StreamsMlSpec extends SparkSpec {
     assert(!mae.isNaN && mae >= 0.0)
     assert(nTrain > 0 && nTest > 0)
   }
+
+  test("forestSql replays MLlib tree traversal exactly (flatten + CASE codegen)") {
+    import org.apache.spark.ml.Pipeline
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.regression.{RandomForestRegressionModel, RandomForestRegressor}
+    val ds = Pipelines.mlDataset(spark, "/root/testdata/sf0.001")
+    val labeled = DemandModel.withLabel(ds).persist()
+    try {
+      val fitted = new Pipeline().setStages(Array(
+        new VectorAssembler()
+          .setInputCols(DemandModel.FeatureCols.toArray).setOutputCol("features"),
+        new RandomForestRegressor()
+          .setLabelCol("label").setFeaturesCol("features")
+          .setNumTrees(5).setSeed(7))).fit(labeled)
+      val model = fitted.stages(1).asInstanceOf[RandomForestRegressionModel]
+      val flat = DemandModel.flattenForest(model)
+      val both = fitted.transform(labeled)
+        .withColumn("sql_pred", expr(DemandModel.forestSql(flat)))
+        .select(abs(col("prediction") - col("sql_pred")).as("d"))
+        .agg(max("d")).head.getDouble(0)
+      assert(both == 0.0, s"SQL replay diverges from MLlib by up to $both")
+    } finally labeled.unpersist(blocking = false)
+  }
+
+  test("pinned-forest MAE query: split counts match temporalSplit; MAE sane") {
+    val ds = Pipelines.mlDataset(spark, "/root/testdata/sf0.001")
+    val labeled = DemandModel.withLabel(ds)
+    val (train, test) = DemandModel.temporalSplit(labeled)
+    // a tiny hand forest: mean of two stumps
+    val trees = Array(
+      Array((0, 2.5, 0.0), (-1, 0.0, 10.0), (-1, 0.0, 30.0)),
+      Array((-1, 0.0, 20.0)))
+    val r = DemandModel.pinnedMae(ds, trees).collect().head
+    assert(r.getAs[Long]("n_train") == train.count())
+    assert(r.getAs[Long]("n_test") == test.count())
+    assert(r.getAs[Int]("num_trees") == 2)
+    val mae = r.getAs[Double]("mae")
+    assert(!mae.isNaN && mae > 0.0)
+    // hand check: tree1 = 10 if trip_update_events <= 2.5 else 30; tree2 = 20
+    val expected = test
+      .withColumn("p", (when(col("trip_update_events") <= 2.5, 10.0).otherwise(30.0) + 20.0) / 2.0)
+      .agg(avg(round(abs(col("p") - col("label")), 6))).head.getDouble(0)
+    assert(math.abs(mae - expected) < 1e-6, s"mae $mae vs hand-computed $expected")
+  }
 }
