@@ -2109,6 +2109,16 @@ object Registry {
           TestdataAdapter.table(s, d, "embeddings")),
         None),
 
+      // the k-means reporting surface at PINNED centroids
+      // (SemDedupFixture — the committed trained artifact), ORACLE-EXACT:
+      // literal-centroid argmin assignment + plain size/norm rollup
+      Q("kmeans_sizes_pinned",
+        (s, d) => graft.sim.Knn.kmeansSizesPinned(
+          TestdataAdapter.table(s, d, "embeddings"),
+          graft.sim.SemDedupFixture.centroids),
+        Some(graft.sim.Knn.kmeansSizesPinnedSql(
+          graft.sim.SemDedupFixture.centroids))),
+
       // G1+A8 pinned by ORACLE through the generator's own output: the
       // per-event provenance JSON is re-parsed and the de-noised demand
       // expectation base × tf × df × wf × rf is recomputed per

@@ -1057,11 +1057,16 @@ object Knn {
     * first-match CASE argmin, then the standard pair-join prune with
     * the proven fused dot product.
     */
-  def semDedupKeepPinnedSql(
-      centroids: Array[Array[Double]], tau: Double): String = {
+  /** Shared CTE chain (`e` → `nv` → `cd` → `asg`) assigning every
+    * vector to its nearest PINNED centroid: normalized vectors via
+    * list_transform (elementwise — no summation-order seam), unrolled
+    * per-centroid (x−c)² sums in Spark's fold order, LEAST +
+    * first-match CASE argmin. VARCHAR→DOUBLE literal casts for the same
+    * decimal double-rounding reason as pqTopKSql (a bare 17-digit
+    * literal is DECIMAL(38,17)).
+    */
+  private def pinnedAssignSqlCtes(centroids: Array[Array[Double]]): String = {
     val nC = centroids.length
-    // VARCHAR→DOUBLE literal cast for the same decimal double-rounding
-    // reason as pqTopKSql (a bare 17-digit literal is DECIMAL(38,17))
     def distExpr(c: Int): String =
       (0 until Dim).map { t =>
         val cen = s"CAST('${centroids(c)(t)}' AS DOUBLE)"
@@ -1070,7 +1075,7 @@ object Knn {
     val dCols = (0 until nC).map(c => s"(${distExpr(c)}) AS d_$c").mkString(",\n    ")
     val least = s"LEAST(${(0 until nC).map(c => s"d_$c").mkString(", ")})"
     val cases = (0 until nC).map(c => s"WHEN d_$c = md THEN $c").mkString(" ")
-    s"""WITH $NORM_CTE,
+    s"""$NORM_CTE,
        |nv AS (
        |  SELECT vec_id, embedding, n2,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(n2)) AS ne
@@ -1081,7 +1086,12 @@ object Knn {
        |  FROM nv),
        |asg AS (
        |  SELECT vec_id, embedding, n2, CAST(CASE $cases END AS INTEGER) AS cell
-       |  FROM (SELECT *, $least AS md FROM cd)),
+       |  FROM (SELECT *, $least AS md FROM cd))""".stripMargin
+  }
+
+  def semDedupKeepPinnedSql(
+      centroids: Array[Array[Double]], tau: Double): String = {
+    s"""WITH ${pinnedAssignSqlCtes(centroids)},
        |p AS (
        |  SELECT a.cell, a.vec_id, b.vec_id AS vec_b,
        |    (${dotSql("a.embedding", "b.embedding")}) / (sqrt(a.n2) * sqrt(b.n2)) AS cosine
@@ -1094,6 +1104,38 @@ object Knn {
        |FROM asg a LEFT JOIN nears n ON n.cell = a.cell AND n.vec_id = a.vec_id
        |ORDER BY a.vec_id""".stripMargin
   }
+
+  /** [[kmeansClusterSizes]]'s reporting surface at PINNED centroids —
+    * the k-means family's oracle-exact operating point: assignment is
+    * the same literal-centroid argmin as [[semDedupKeepPinned]]
+    * (normalized space), and the per-cluster size + norm-range rollup
+    * is plain aggregation (sqrt is IEEE correctly-rounded, so min/max
+    * over sqrt(n2) are cross-engine exact). The in-query-trained
+    * k-means|| form stays registered rows-only (`kmeans_clusters`).
+    */
+  def kmeansSizesPinned(
+      embeddings: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    val e = withNorm(embeddings)
+      .withColumn("ne", expr("transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(n2))"))
+    val cb = typedLit(centroids.map(_.toSeq).toSeq)
+    val dists = transform(cb, cen => aggregate(
+      zip_with(col("ne"), cen, (x, c) => { val t = x - c; t * t }),
+      lit(0.0), (acc, d) => acc + d))
+    e.withColumn("ds", dists)
+      .withColumn("cluster",
+        (array_position(col("ds"), array_min(col("ds"))) - 1).cast("int"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"),
+        min(sqrt(col("n2"))).as("min_norm"),
+        max(sqrt(col("n2"))).as("max_norm"))
+      .orderBy("cluster")
+  }
+
+  def kmeansSizesPinnedSql(centroids: Array[Array[Double]]): String =
+    s"""WITH ${pinnedAssignSqlCtes(centroids)}
+       |SELECT cell AS cluster, COUNT(*) AS n,
+       |  MIN(sqrt(n2)) AS min_norm, MAX(sqrt(n2)) AS max_norm
+       |FROM asg GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Hybrid lexical+semantic retrieval fused by Reciprocal Rank Fusion —
     * the standard two-tower retrieval shape (BM25 candidates ∪ dense

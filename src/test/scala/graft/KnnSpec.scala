@@ -189,6 +189,17 @@ class KnnSpec extends SparkSpec {
     assert(sizes.max < n / 3)
   }
 
+  test("pinned k-means sizes: clusters partition the corpus; norms bound") {
+    val e = TestdataAdapter.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val r = Knn.kmeansSizesPinned(e, graft.sim.SemDedupFixture.centroids).collect()
+    assert(r.map(_.getAs[Long]("n")).sum == e.count())
+    assert(r.forall { row =>
+      val c = row.getAs[Int]("cluster")
+      c >= 0 && c < graft.sim.SemDedupFixture.centroids.length &&
+        row.getAs[Double]("min_norm") <= row.getAs[Double]("max_norm")
+    })
+  }
+
   test("near-dup pairs threshold and symmetry (a<b once)") {
     val e = Seq((0L, unit(0), 0), (1L, scaled(0, 3f), 0), (2L, unit(5), 0))
       .toDF("vec_id", "embedding", "label")
