@@ -2071,6 +2071,17 @@ object Registry {
         (s, d) => DemandModel.runRecord(mlDataset(s, d)),
         None),
 
+      // the lineage record at the PINNED forest — ORACLE-EXACT down to
+      // the run_id: nameUUIDFromBytes is a v3 (md5) UUID, rebuilt in
+      // both engines by hex surgery on md5(name) (digit 13 -> '3',
+      // digit 17 -> (v AND 3) OR 8), with the name composed in-plan
+      // from the split sizes
+      Q("ml_run_record_pinned",
+        (s, d) => DemandModel.pinnedRunRecord(mlDataset(s, d),
+          graft.ml.RfFixture.trees),
+        Some(DemandModel.pinnedRunRecordSql(ML_DATASET_SQL,
+          graft.ml.RfFixture.trees))),
+
       // predictions history → latest upsert, oracle-checked over two
       // deterministic pseudo-runs (run 2 re-predicts afternoon hours
       // only, so the latest table mixes both runs per the upsert rule)

@@ -285,6 +285,61 @@ object DemandModel {
        |FROM j""".stripMargin
   }
 
+  /** The reference's ml_runs lineage record at the PINNED forest —
+    * oracle-exact down to the run_id: `UUID.nameUUIDFromBytes` is a
+    * version-3 (md5-based) UUID, so both engines rebuild it from
+    * md5(name) by hex surgery — digit 13 forced to '3' (version) and
+    * digit 17 to (v AND 3) OR 8 (variant), the exact bit ops the JDK
+    * applies to md5 bytes 6 and 8. The name string carries the split
+    * sizes, so the id is computed IN-PLAN from the aggregated row,
+    * matching [[runRecord]]'s content-derived idempotency key.
+    */
+  def pinnedRunRecord(
+      mlDataset: DataFrame, trees: Array[Array[(Int, Double, Double)]],
+      seed: Long = 42L): DataFrame = {
+    import graft.text.TextOps.hexVal
+    val featuresJson = FeatureCols.mkString("[\"", "\",\"", "\"]")
+    val name = concat_ws("|", lit("rf_demand"), lit("1"),
+      lit(trees.length.toString), lit(seed.toString),
+      col("n_train").cast("string"), col("n_test").cast("string"),
+      lit(featuresJson))
+    val h = md5(name)
+    val vdigit = substring(lit("89ab"),
+      (hexVal(substring(h, 17, 1)).cast("int") % 4) + lit(1), lit(1))
+    val runId = concat(
+      substring(h, 1, 8), lit("-"), substring(h, 9, 4), lit("-3"),
+      substring(h, 14, 3), lit("-"), vdigit, substring(h, 18, 3),
+      lit("-"), substring(h, 21, 12))
+    pinnedMae(mlDataset, trees)
+      .select(runId.as("run_id"), lit("rf_demand").as("model_name"),
+        lit("1").as("model_version"),
+        (col("n_train") + col("n_test")).as("rows_used"),
+        lit(0.8).as("split_ratio"), col("mae"),
+        lit(featuresJson).as("features"), col("num_trees"))
+  }
+
+  def pinnedRunRecordSql(
+      mlDatasetSql: String, trees: Array[Array[(Int, Double, Double)]],
+      seed: Long = 42L): String = {
+    import graft.text.TextOps.hexValSql
+    val featuresJson = FeatureCols.mkString("[\"", "\",\"", "\"]")
+    val name = s"concat('rf_demand|1|${trees.length}|$seed|', " +
+      "CAST(n_train AS VARCHAR), '|', CAST(n_test AS VARCHAR), " +
+      s"'|', '$featuresJson')"
+    val vdigit =
+      s"substr('89ab', (CAST(${hexValSql("substr(h, 17, 1)")} AS INTEGER) % 4) + 1, 1)"
+    s"""WITH m AS (${pinnedMaeSql(mlDatasetSql, trees)}),
+       |hm AS (SELECT *, md5($name) AS h FROM m)
+       |SELECT concat(substr(h, 1, 8), '-', substr(h, 9, 4), '-3',
+       |    substr(h, 14, 3), '-', $vdigit, substr(h, 18, 3),
+       |    '-', substr(h, 21, 12)) AS run_id,
+       |  'rf_demand' AS model_name, '1' AS model_version,
+       |  n_train + n_test AS rows_used,
+       |  CAST('0.8' AS DOUBLE) AS split_ratio, mae,
+       |  '$featuresJson' AS features, num_trees
+       |FROM hm""".stripMargin
+  }
+
   /** Predictions history → latest table: the reference keeps an
     * append-only demand_predictions_history plus a latest-wins
     * demand_predictions upserted ON CONFLICT (route_id, hour_ts); this

@@ -169,4 +169,20 @@ class StreamsMlSpec extends SparkSpec {
       .agg(avg(round(abs(col("p") - col("label")), 6))).head.getDouble(0)
     assert(math.abs(mae - expected) < 1e-6, s"mae $mae vs hand-computed $expected")
   }
+
+  test("pinned run record: run_id is exactly Java's nameUUIDFromBytes of the name string") {
+    val ds = Pipelines.mlDataset(spark, "/root/testdata/sf0.001")
+    val trees = Array(Array((-1, 0.0, 20.0)))
+    val r = DemandModel.pinnedRunRecord(ds, trees).collect().head
+    val featuresJson = DemandModel.FeatureCols.mkString("[\"", "\",\"", "\"]")
+    val nTrain = r.getAs[Long]("rows_used") -
+      DemandModel.temporalSplit(DemandModel.withLabel(ds))._2.count()
+    val nTest = r.getAs[Long]("rows_used") - nTrain
+    val expected = java.util.UUID.nameUUIDFromBytes(
+      s"rf_demand|1|1|42|$nTrain|$nTest|$featuresJson".getBytes("UTF-8")).toString
+    assert(r.getAs[String]("run_id") == expected,
+      s"run_id ${r.getAs[String]("run_id")} != JDK $expected")
+    assert(r.getAs[String]("model_name") == "rf_demand")
+    assert(r.getAs[Double]("split_ratio") == 0.8)
+  }
 }
