@@ -1519,6 +1519,16 @@ object Registry {
       // shingle granularity)
       Q("boilerplate_scrub", (s, d) => Dedup.boilerplateScrub(docs(s, d)),
         Some(Dedup.boilerplateScrubSql())),
+      // substring-level exact dedup with KEEP-FIRST semantics (the
+      // published span-dedup pass): every duplicated 8-token span keeps
+      // exactly its corpus-first occurrence; later occurrences are
+      // scrubbed. One copy of each passage always survives — unlike
+      // boilerplate_scrub, which drops template shingles everywhere.
+      Q("dup_span_scrub", (s, d) => Dedup.dupSpanScrub(docs(s, d)),
+        Some(Dedup.dupSpanScrubSql())),
+      // the audit view: maximal merged duplicated spans per document
+      Q("dup_span_report", (s, d) => Dedup.dupSpanReport(docs(s, d)),
+        Some(Dedup.dupSpanReportSql())),
       // incremental batch-vs-corpus dedup: Bloom pre-filter + exact
       // residual join on the bloom-positive slice — the sketch's
       // no-false-negative guarantee makes the composite verdict exact,

@@ -1561,4 +1561,131 @@ object Dedup {
        |  AND (${TextOps.langCaseSql}) IN ($langList)
        |ORDER BY doc_id""".stripMargin
   }
+
+  // ---- exact duplicate-SPAN dedup (substring-level, keep-first) -----
+
+  /** All n-gram span starts: (doc_id, start position i, gram hash). */
+  private def spanStarts(documents: DataFrame, n: Int): DataFrame = {
+    val w = TextOps.toks(col("text"))
+    documents.select(col("doc_id"), w.as("w"))
+      .withColumn("i", explode(
+        when(size(col("w")) >= n, sequence(lit(1), size(col("w")) - (n - 1)))
+          .otherwise(array().cast("array<int>"))))
+      .select(col("doc_id"), col("i"),
+        md5(array_join(slice(col("w"), col("i"), lit(n)), " ")).as("h"))
+  }
+
+  /** Removable span starts — every occurrence of a duplicated n-gram
+    * EXCEPT the corpus-first one, first = (doc_id, position)
+    * lexicographic. The rank window runs per gram hash over
+    * occurrence-count-sized groups; the gram-keyed shuffle is the
+    * inherent cost of substring-level dedup at any scale.
+    */
+  private def removableStarts(documents: DataFrame, n: Int): DataFrame = {
+    val w = Window.partitionBy("h").orderBy("doc_id", "i")
+    spanStarts(documents, n)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 1)
+      .select("doc_id", "i")
+  }
+
+  private def spanStartsSqlCtes(n: Int): String =
+    raw"""toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+       |          FROM documents),
+       |gs AS (SELECT doc_id, CAST(i AS INTEGER) AS i,
+       |         md5(array_to_string(w[i:i+${n - 1}], ' ')) AS h
+       |       FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - ${n - 1})) AS i
+       |             FROM toks)),
+       |rem AS (SELECT doc_id, i FROM (
+       |          SELECT doc_id, i,
+       |            ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn
+       |          FROM gs) WHERE rn > 1)""".stripMargin
+
+  /** Substring-level exact dedup — the published span-dedup pass for
+    * LLM training corpora: every n-token span that occurs more than
+    * once in the corpus keeps exactly its FIRST occurrence; all later
+    * occurrences' token positions (union of [i, i+n−1] over removable
+    * starts) are scrubbed from their documents. Contrast
+    * [[boilerplateScrub]], which removes high-df template shingles from
+    * EVERY document — here one copy of each duplicated passage always
+    * survives, so no corpus content is lost, only repetition.
+    */
+  def dupSpanScrub(documents: DataFrame, n: Int = 8): DataFrame = {
+    val cov = removableStarts(documents, n)
+      .select(col("doc_id"), explode(expr(s"sequence(i, i + ${n - 1})")).as("p"))
+      .groupBy("doc_id").agg(collect_set(col("p")).as("cov"))
+    documents.select(col("doc_id"), TextOps.toks(col("text")).as("w"))
+      .join(cov, Seq("doc_id"), "left")
+      .withColumn("cov", coalesce(col("cov"), expr("CAST(array() AS ARRAY<INT>)")))
+      .select(
+        col("doc_id"),
+        size(col("w")).cast("long").as("n_toks"),
+        size(col("cov")).cast("long").as("n_removed"),
+        (size(col("w")) - size(col("cov"))).cast("long").as("n_kept"),
+        expr("""array_join(
+                 filter(
+                   transform(sequence(1, size(w)),
+                     p -> IF(array_contains(cov, p), CAST(NULL AS STRING), element_at(w, p))),
+                   t -> t IS NOT NULL), ' ')""").as("cleaned_text"))
+      .orderBy("doc_id")
+  }
+
+  def dupSpanScrubSql(n: Int = 8): String =
+    raw"""WITH ${spanStartsSqlCtes(n)},
+       |cov AS (SELECT DISTINCT rem.doc_id, rem.i + d.d AS p
+       |        FROM rem CROSS JOIN (SELECT unnest(generate_series(0, ${n - 1})) AS d) d),
+       |covn AS (SELECT doc_id, COUNT(*) AS n_removed FROM cov GROUP BY 1),
+       |pos AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS p FROM toks),
+       |kept AS (SELECT pos.doc_id, pos.p, pos.w[pos.p] AS tok
+       |         FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+       |         WHERE cov.p IS NULL),
+       |cleaned AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS cleaned_text
+       |            FROM kept GROUP BY 1)
+       |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_toks,
+       |  CAST(COALESCE(c.n_removed, 0) AS BIGINT) AS n_removed,
+       |  CAST(len(t.w) - COALESCE(c.n_removed, 0) AS BIGINT) AS n_kept,
+       |  COALESCE(cl.cleaned_text, '') AS cleaned_text
+       |FROM toks t
+       |LEFT JOIN covn c USING (doc_id)
+       |LEFT JOIN cleaned cl USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin
+
+  /** The maximal duplicated spans behind [[dupSpanScrub]], merged per
+    * document (gaps-and-islands: a removable start extends the current
+    * span iff it begins within n tokens of the previous start — interval
+    * overlap or adjacency). The audit view: where the repeated passages
+    * sit and how long they run.
+    */
+  def dupSpanReport(documents: DataFrame, n: Int = 8): DataFrame = {
+    val wD = Window.partitionBy("doc_id").orderBy("i")
+    val lagI = lag(col("i"), 1).over(wD)
+    removableStarts(documents, n)
+      .withColumn("brk",
+        when(lagI.isNull || col("i") > lagI + n, 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("brk")).over(wD.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "island")
+      .agg(
+        min("i").as("span_start"),
+        (max(col("i")) + (n - 1)).as("span_end"),
+        count(lit(1)).as("n_starts"))
+      .select("doc_id", "span_start", "span_end", "n_starts")
+      .orderBy("doc_id", "span_start")
+  }
+
+  def dupSpanReportSql(n: Int = 8): String =
+    raw"""WITH ${spanStartsSqlCtes(n)},
+       |brks AS (SELECT doc_id, i,
+       |           CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+       |                  OR i > lag(i) OVER (PARTITION BY doc_id ORDER BY i) + $n
+       |                THEN 1 ELSE 0 END AS brk
+       |         FROM rem),
+       |isl AS (SELECT doc_id, i,
+       |          SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
+       |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |        FROM brks)
+       |SELECT doc_id, MIN(i) AS span_start, MAX(i) + ${n - 1} AS span_end,
+       |  CAST(COUNT(*) AS BIGINT) AS n_starts
+       |FROM isl GROUP BY doc_id, island
+       |ORDER BY doc_id, span_start""".stripMargin
 }

@@ -331,4 +331,27 @@ class DedupTextSpec extends SparkSpec {
     assert(r(("b", 1)) == ((1L, 1L)))
     assert(!r.contains(("b", 2)) && !r.contains(("b", 3))) // slice clamp: no descending sequence
   }
+
+  test("dup-span scrub keeps exactly the corpus-first occurrence of a duplicated span") {
+    val d = Seq(
+      (1L, "a b c d e f g h x y z", "en", "s", 21L),
+      (2L, "p q a b c d e f g h r", "en", "s", 21L),
+      (3L, "completely unrelated words with no shared span at all ok", "en", "s", 56L),
+      (4L, "m n o p1 q r s t m n o p1 q r s t", "en", "s", 33L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val s = graft.dedup.Dedup.dupSpanScrub(d, n = 8).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_removed"), r.getAs[String]("cleaned_text"))).toMap
+    // doc 1 holds the first occurrence — untouched
+    assert(s(1L) == ((0L, "a b c d e f g h x y z")))
+    // doc 2 repeats the 8-token span at position 3 — positions 3..10 go
+    assert(s(2L) == ((8L, "p q r")))
+    assert(s(3L)._1 == 0L)
+    // within-doc repetition: the second copy (positions 9..16) goes
+    assert(s(4L) == ((8L, "m n o p1 q r s t")))
+    val rep = graft.dedup.Dedup.dupSpanReport(d, n = 8).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("span_start"),
+        r.getAs[Int]("span_end"), r.getAs[Long]("n_starts")))
+    assert(rep.toSet == Set((2L, 3, 10, 1L), (4L, 9, 16, 1L)))
+  }
 }
