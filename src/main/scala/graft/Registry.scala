@@ -1608,6 +1608,17 @@ object Registry {
           "doc_id % 3 <> 0",
           "doc_id % 3 = 0 AND doc_id % 2 = 0",
           "doc_id % 3 = 0 AND doc_id % 2 <> 0"))),
+      // Frozen-model STREAMING INFERENCE: the committed quality model
+      // scored over graftqueue micro-batches (3 offset-ordered
+      // segments); scoring is stateless per-doc, so the drained union
+      // hash-equals the batch scorer — same oracle as
+      // quality_score_pinned, proving batch ≡ streaming serving
+      Q("streaming_quality_scores",
+        (s, d) => graft.streaming.Streams.qualityScoreQueueStream(s, d),
+        Some(graft.ml.QualityClassifier.scorePinnedSql(
+          graft.ml.QualityFixture.labelThreshold,
+          graft.ml.QualityFixture.interceptE9,
+          graft.ml.QualityFixture.weightsE9))),
       // Incremental TRANSITIVE clusters: the persisted label table +
       // signature index absorb a new batch exactly — cross edges
       // contract matched corpus docs to their cluster representative,

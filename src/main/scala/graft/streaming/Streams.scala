@@ -806,6 +806,56 @@ object Streams {
       .orderBy("doc_id")
   }
 
+  /** Frozen-model STREAMING INFERENCE: the committed quality model
+    * ([[graft.ml.QualityFixture]]) served over `graftqueue` micro-batches
+    * — the production shape of a curation filter in a continuous-ingest
+    * pipeline (model ships frozen; every arriving batch is scored with
+    * the same weights). Scoring is STATELESS (per-doc md5-BoW dot
+    * product + frozen threshold), so the drained union is exactly the
+    * batch scorer on the full corpus and the DuckDB oracle is the SAME
+    * twin `quality_score_pinned` verifies against — batch ≡ streaming,
+    * proven by hash. Three committed segments drain as three
+    * offset-ordered micro-batches under admission control.
+    */
+  def qualityScoreQueueStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ml.{QualityClassifier, QualityFixture}
+    val docs = graft.TestdataAdapter.table(spark, dir, "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val qdir = Files.createTempDirectory("graft_qscore_q").toString
+    val outDir = Files.createTempDirectory("graft_qscore_out").toString
+    def produce(batch: DataFrame): Unit = batch
+      .select(
+        col("doc_id").cast("string").cast("binary").as("key"),
+        to_json(struct(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars"))).cast("binary").as("value"))
+      .coalesce(1)
+      .write.format("graftqueue").option("path", qdir)
+      .option("topic", "docs.score").mode("append").save()
+    produce(docs.filter(col("doc_id") % 3 === 0))
+    produce(docs.filter(col("doc_id") % 3 === 1))
+    produce(docs.filter(col("doc_id") % 3 === 2))
+    val wire = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+    val stream = spark.readStream.format("graftqueue")
+      .option("path", qdir).option("topic", "docs.score")
+      .option("maxRecordsPerTrigger", "1")
+      .load()
+      .select(from_json(col("value").cast("string"), wire).as("r"))
+      .select("r.*")
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_qscore_ckpt").toString)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        QualityClassifier.scorePinned(batch, QualityFixture.labelThreshold,
+            QualityFixture.interceptE9, QualityFixture.weightsE9)
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir).orderBy("doc_id")
+  }
+
   /** S9 as a stream: idempotent append (DO NOTHING) — anti-join each batch
     * against the sink before appending. Ref: ingestor.py:71. Used by the
     * streaming spec; same rewrite pattern as above.

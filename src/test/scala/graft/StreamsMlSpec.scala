@@ -170,6 +170,19 @@ class StreamsMlSpec extends SparkSpec {
     assert(math.abs(mae - expected) < 1e-6, s"mae $mae vs hand-computed $expected")
   }
 
+  test("streaming pinned-quality inference equals the batch scorer row-for-row") {
+    import graft.ml.{QualityClassifier, QualityFixture}
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.Streams.qualityScoreQueueStream(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val batch = QualityClassifier.scorePinned(
+      TestdataAdapter.table(spark, dir, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars"),
+      QualityFixture.labelThreshold, QualityFixture.interceptE9,
+      QualityFixture.weightsE9).collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+  }
+
   test("pinned run record: run_id is exactly Java's nameUUIDFromBytes of the name string") {
     val ds = Pipelines.mlDataset(spark, "/root/testdata/sf0.001")
     val trees = Array(Array((-1, 0.0, 20.0)))
