@@ -2151,6 +2151,17 @@ object Registry {
         Some(graft.sim.Knn.kmeansSizesPinnedSql(
           graft.sim.SemDedupFixture.centroids))),
 
+      // cluster-QUALITY report for the same frozen cluster model:
+      // per-cluster simplified silhouette (point-to-centroid a/b — one
+      // narrow scan, no all-pairs), oracle-exact off the shared sorted
+      // centroid-distance list
+      Q("kmeans_silhouette_pinned",
+        (s, d) => graft.sim.Knn.kmeansSilhouettePinned(
+          TestdataAdapter.table(s, d, "embeddings"),
+          graft.sim.SemDedupFixture.centroids),
+        Some(graft.sim.Knn.kmeansSilhouettePinnedSql(
+          graft.sim.SemDedupFixture.centroids))),
+
       // G1+A8 pinned by ORACLE through the generator's own output: the
       // per-event provenance JSON is re-parsed and the de-noised demand
       // expectation base × tf × df × wf × rf is recomputed per

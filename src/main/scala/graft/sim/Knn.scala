@@ -1065,7 +1065,8 @@ object Knn {
     * decimal double-rounding reason as pqTopKSql (a bare 17-digit
     * literal is DECIMAL(38,17)).
     */
-  private def pinnedAssignSqlCtes(centroids: Array[Array[Double]]): String = {
+  private def pinnedAssignSqlCtes(
+      centroids: Array[Array[Double]], withSorted: Boolean = false): String = {
     val nC = centroids.length
     def distExpr(c: Int): String =
       (0 until Dim).map { t =>
@@ -1075,6 +1076,12 @@ object Knn {
     val dCols = (0 until nC).map(c => s"(${distExpr(c)}) AS d_$c").mkString(",\n    ")
     val least = s"LEAST(${(0 until nC).map(c => s"d_$c").mkString(", ")})"
     val cases = (0 until nC).map(c => s"WHEN d_$c = md THEN $c").mkString(" ")
+    // optional: the full centroid-distance list, sorted ascending — the
+    // silhouette oracle reads a = sd[1], b = sd[2] off it
+    val sortedCol =
+      if (withSorted)
+        s",\n    list_sort([${(0 until nC).map(c => s"d_$c").mkString(", ")}]) AS sd"
+      else ""
     s"""$NORM_CTE,
        |nv AS (
        |  SELECT vec_id, embedding, n2,
@@ -1085,7 +1092,7 @@ object Knn {
        |    $dCols
        |  FROM nv),
        |asg AS (
-       |  SELECT vec_id, embedding, n2, CAST(CASE $cases END AS INTEGER) AS cell
+       |  SELECT vec_id, embedding, n2, CAST(CASE $cases END AS INTEGER) AS cell$sortedCol
        |  FROM (SELECT *, $least AS md FROM cd))""".stripMargin
   }
 
@@ -1136,6 +1143,63 @@ object Knn {
        |SELECT cell AS cluster, COUNT(*) AS n,
        |  MIN(sqrt(n2)) AS min_norm, MAX(sqrt(n2)) AS max_norm
        |FROM asg GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Per-cluster SIMPLIFIED SILHOUETTE at the same pinned centroids —
+    * the cluster-quality report a pipeline runs against its frozen
+    * cluster model. The classic silhouette needs all-pairs distances
+    * (O(n²) — a non-starter at corpus scale); the simplified form
+    * (Hruschka et al.) replaces mean-to-cluster distances with
+    * point-to-CENTROID distances:
+    *
+    *   a = ‖x − c_own‖,  b = min_{c ≠ own} ‖x − c‖,
+    *   s = (b − a) / max(a, b)            (0 when both are 0)
+    *
+    * — one narrow map over the corpus (the k-centroid distance list is
+    * already computed for the argmin), no pairwise anything, so the
+    * whole report is a single scan + one k-row aggregation at any
+    * corpus size. Cross-engine exact: a and b come off the SAME sorted
+    * distance list in both engines (ties collapse identically), sqrt
+    * is IEEE correctly-rounded, the per-row s is one subtract/divide,
+    * and the per-cluster mean rides detAvg's order-free decimal sum.
+    */
+  def kmeansSilhouettePinned(
+      embeddings: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    val e = withNorm(embeddings)
+      .withColumn("ne", expr("transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(n2))"))
+    val cb = typedLit(centroids.map(_.toSeq).toSeq)
+    val dists = transform(cb, cen => aggregate(
+      zip_with(col("ne"), cen, (x, c) => { val t = x - c; t * t }),
+      lit(0.0), (acc, d) => acc + d))
+    val denom = greatest(col("a"), col("b"))
+    e.withColumn("ds", dists)
+      .withColumn("cluster",
+        (array_position(col("ds"), array_min(col("ds"))) - 1).cast("int"))
+      .withColumn("sd", array_sort(col("ds")))
+      .withColumn("a", sqrt(element_at(col("sd"), 1)))
+      .withColumn("b", sqrt(element_at(col("sd"), 2)))
+      .withColumn("sil",
+        when(denom === 0.0, lit(0.0)).otherwise((col("b") - col("a")) / denom))
+      .groupBy("cluster")
+      .agg(
+        count(lit(1)).as("n"),
+        graft.functions.Cols.detAvg(col("sil")).as("mean_sil"),
+        min(col("sil")).as("min_sil"),
+        max(col("sil")).as("max_sil"))
+      .orderBy("cluster")
+  }
+
+  def kmeansSilhouettePinnedSql(centroids: Array[Array[Double]]): String =
+    s"""WITH ${pinnedAssignSqlCtes(centroids, withSorted = true)},
+       |sil AS (
+       |  SELECT cell AS cluster,
+       |    CASE WHEN GREATEST(sqrt(sd[1]), sqrt(sd[2])) = 0 THEN 0.0
+       |         ELSE (sqrt(sd[2]) - sqrt(sd[1]))
+       |              / GREATEST(sqrt(sd[1]), sqrt(sd[2])) END AS s
+       |  FROM asg)
+       |SELECT cluster, COUNT(*) AS n,
+       |  CAST(SUM(CAST(s AS DECIMAL(28,6))) AS DOUBLE) / COUNT(s) AS mean_sil,
+       |  MIN(s) AS min_sil, MAX(s) AS max_sil
+       |FROM sil GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Hybrid lexical+semantic retrieval fused by Reciprocal Rank Fusion —
     * the standard two-tower retrieval shape (BM25 candidates ∪ dense

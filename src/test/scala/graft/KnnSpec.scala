@@ -200,6 +200,19 @@ class KnnSpec extends SparkSpec {
     })
   }
 
+  test("pinned silhouette: scores in [-1,1], partition preserved, mean inside bounds") {
+    val e = TestdataAdapter.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val r = Knn.kmeansSilhouettePinned(e, graft.sim.SemDedupFixture.centroids).collect()
+    assert(r.map(_.getAs[Long]("n")).sum == e.count())
+    assert(r.forall { row =>
+      val (lo, hi, m) = (row.getAs[Double]("min_sil"),
+        row.getAs[Double]("max_sil"), row.getAs[Double]("mean_sil"))
+      lo >= -1.0 && hi <= 1.0 && lo <= hi &&
+        // detAvg rounds per-row at 1e-6 before the mean — allow that slack
+        m >= lo - 1e-6 && m <= hi + 1e-6
+    })
+  }
+
   test("near-dup pairs threshold and symmetry (a<b once)") {
     val e = Seq((0L, unit(0), 0), (1L, scaled(0, 3f), 0), (2L, unit(5), 0))
       .toDF("vec_id", "embedding", "label")
