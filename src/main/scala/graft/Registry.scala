@@ -1214,6 +1214,12 @@ object Registry {
     Q("hourly_gap_fill",
       (s, dir) => Analytics.hourlyGapFill(TestdataAdapter.userEvents(s, dir)),
       Some(Analytics.hourlyGapFillSql)),
+    // PSI drift report: per-type value distribution shift between the
+    // first and second half of the observed range (10 reference-range
+    // bins, smoothed, 1e9-quantized terms → order-free sums)
+    Q("drift_psi",
+      (s, dir) => Analytics.driftPsi(TestdataAdapter.userEvents(s, dir)),
+      Some(Analytics.driftPsiSql)),
     // Incremental view maintenance: history + latest-hour increment
     // partially aggregated separately, merged via associative decimal
     // partials; oracle recomputes from scratch — equality proves the

@@ -95,6 +95,110 @@ object Analytics {
        |FROM h JOIN r USING (route_id)
        |ORDER BY h.route_id, h.hour_ts""".stripMargin
 
+  /** Population-Stability-Index drift report — the standard ML-ops
+    * check that a feature's distribution hasn't shifted between a
+    * reference window and the current window:
+    *
+    *   PSI = Σ_bins (p_cur − p_ref) · ln(p_cur / p_ref)
+    *
+    * per event_type over `value`, with the observed time range split at
+    * its midpoint (ref = first half, cur = second half), 10 fixed-width
+    * bins over the REFERENCE range (cur values clamp into the edge
+    * bins — exactly how a deployed scorecard bins unseen values), and
+    * (n + 0.5) / (N + 5) smoothing so empty bins stay defined.
+    * PSI > 0.2 is the conventional "significant shift" flag.
+    *
+    * Scale: one scan grain — the midpoint comes from a broadcast 1-row
+    * min/max aggregate, per-type reference ranges broadcast back
+    * (|types| rows), bin counts are map-side combinable, and the dense
+    * 10-bin grid is |types|×10 however large the stream. Cross-engine
+    * exact: the time split is integer-µs arithmetic, bin assignment is
+    * floor over identical doubles, ln is rounded to 9 dp at the call
+    * (transcendentals are not correctly-rounded cross-engine), and the
+    * 10 per-bin terms are 1e9-quantized to BIGINTs so the per-type sum
+    * is order-free.
+    */
+  def driftPsi(events: DataFrame): DataFrame = {
+    val ev = events.select(
+      col("event_type"),
+      unix_micros(col("observed_at").cast("timestamp")).as("us"),
+      col("value"))
+    val bounds = ev.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+    val sided = ev.crossJoin(broadcast(bounds))
+      .withColumn("side",
+        when(col("us") < expr("(lo + hi) DIV 2"), lit("ref")).otherwise(lit("cur")))
+      .select("event_type", "side", "value")
+    val refStats = sided.filter(col("side") === "ref")
+      .groupBy("event_type")
+      .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+    val binned = sided.join(broadcast(refStats), Seq("event_type"))
+      .withColumn("bin",
+        when(col("vmax") === col("vmin"), lit(0))
+          .otherwise(greatest(lit(0L), least(lit(9L),
+            floor((col("value") - col("vmin")) /
+              ((col("vmax") - col("vmin")) / lit(10.0))))).cast("int")))
+    val binCounts = binned.groupBy("event_type", "bin")
+      .agg(
+        sum(when(col("side") === "ref", 1L).otherwise(0L)).as("nr"),
+        sum(when(col("side") === "cur", 1L).otherwise(0L)).as("nc"))
+    val grid = refStats.select(col("event_type"))
+      .withColumn("bin", explode(expr("sequence(0, 9)")))
+    val full = grid.join(binCounts, Seq("event_type", "bin"), "left")
+      .na.fill(0L, Seq("nr", "nc"))
+    val totals = full.groupBy("event_type")
+      .agg(sum(col("nr")).as("tr"), sum(col("nc")).as("tc"))
+    val pRef = (col("nr") + lit(0.5)) / (col("tr") + lit(5.0))
+    val pCur = (col("nc") + lit(0.5)) / (col("tc") + lit(5.0))
+    full.join(broadcast(totals), Seq("event_type"))
+      .withColumn("q",
+        round((pCur - pRef) * round(log(pCur / pRef), 9) * lit(1e9)).cast("long"))
+      .groupBy(col("event_type"), col("tr").as("n_ref"), col("tc").as("n_cur"))
+      .agg((sum(col("q")) / lit(1e9)).as("psi"))
+      .withColumn("drifted", col("psi") > lit(0.2))
+      .orderBy("event_type")
+  }
+
+  val driftPsiSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value FROM events),
+      |b AS (SELECT MIN(us) AS lo, MAX(us) AS hi FROM ev),
+      |sided AS (
+      |  SELECT e.event_type, e.value,
+      |    CASE WHEN e.us < (b.lo + b.hi) // 2 THEN 'ref' ELSE 'cur' END AS side
+      |  FROM ev e CROSS JOIN b),
+      |rs AS (
+      |  SELECT event_type, MIN(value) AS vmin, MAX(value) AS vmax
+      |  FROM sided WHERE side = 'ref' GROUP BY 1),
+      |binned AS (
+      |  SELECT s.event_type, s.side,
+      |    CASE WHEN r.vmax = r.vmin THEN 0
+      |         ELSE CAST(GREATEST(0, LEAST(9,
+      |           floor((s.value - r.vmin) / ((r.vmax - r.vmin) / 10.0)))) AS INTEGER)
+      |    END AS bin
+      |  FROM sided s JOIN rs r USING (event_type)),
+      |bc AS (
+      |  SELECT event_type, bin,
+      |    SUM(CASE WHEN side = 'ref' THEN 1 ELSE 0 END) AS nr,
+      |    SUM(CASE WHEN side = 'cur' THEN 1 ELSE 0 END) AS nc
+      |  FROM binned GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT r.event_type, g.bin
+      |  FROM rs r CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bin) g),
+      |f AS (
+      |  SELECT g.event_type, g.bin,
+      |    COALESCE(bc.nr, 0) AS nr, COALESCE(bc.nc, 0) AS nc
+      |  FROM grid g LEFT JOIN bc ON bc.event_type = g.event_type AND bc.bin = g.bin),
+      |tot AS (SELECT event_type, SUM(nr) AS tr, SUM(nc) AS tc FROM f GROUP BY 1),
+      |terms AS (
+      |  SELECT f.event_type, t.tr, t.tc,
+      |    CAST(round(((f.nc + 0.5) / (t.tc + 5.0) - (f.nr + 0.5) / (t.tr + 5.0))
+      |      * round(ln(((f.nc + 0.5) / (t.tc + 5.0)) / ((f.nr + 0.5) / (t.tr + 5.0))), 9)
+      |      * 1e9) AS BIGINT) AS q
+      |  FROM f JOIN tot t USING (event_type))
+      |SELECT event_type, CAST(tr AS BIGINT) AS n_ref, CAST(tc AS BIGINT) AS n_cur,
+      |  SUM(q) / 1e9 AS psi, SUM(q) / 1e9 > 0.2 AS drifted
+      |FROM terms GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
+
   /** Dense per-type hourly series over the full observed range: missing
     * hours appear with n_events = 0 and carry the last seen hourly
     * average forward (`avg_value` stays null before a series' first
