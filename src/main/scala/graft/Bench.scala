@@ -24,7 +24,11 @@ import org.apache.spark.sql.SparkSession
   * tracking needs more samples. The full results file carries
   * min/median/max per query plus a `variance_flags` list (max/min > 2×
   * — "this number is noise-bound, re-bench isolated before calling it
-  * a regression").
+  * a regression") and, since r12, a `variance_causes` map classifying
+  * each flag: `first_rep` (the slow sample is rep 1 and the rest are
+  * tight — per-query warmup / memoized state seeding; the median is
+  * already steady-state) vs `scatter` (spread persists past rep 1 —
+  * box contention, re-bench isolated).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -70,7 +74,7 @@ object Bench {
       if (v < 0) "-1.0"
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     case class R(name: String, median: Double, min: Double, max: Double,
-        ok: Int, attempts: Int)
+        ok: Int, attempts: Int, reps: Seq[Double])
     def medianOf(s: Seq[Double]): Double =
       if (s.isEmpty) -1.0
       else if (s.length % 2 == 1) s(s.length / 2)
@@ -106,7 +110,8 @@ object Bench {
         s"min=${fmt(if (s.isEmpty) -1.0 else s.head)} " +
         s"max=${fmt(if (s.isEmpty) -1.0 else s.last)} ok=${s.length}/${times.length}")
       R(name, median, if (s.isEmpty) -1.0 else s.head,
-        if (s.isEmpty) -1.0 else s.last, s.length, times.length)
+        if (s.isEmpty) -1.0 else s.last, s.length, times.length,
+        times.filter(_ >= 0))
     }
     val qs = results.map(r => "\"" + r.name + "\":" + fmt(r.median)).mkString("{", ",", "}")
     val total = results.collect { case r if r.median >= 0 => r.median }.sum
@@ -122,10 +127,26 @@ object Bench {
     val spread = results.map(r =>
       "\"" + r.name + "\":{\"min\":" + fmt(r.min) + ",\"median\":" + fmt(r.median) +
         ",\"max\":" + fmt(r.max) + ",\"runs\":" + r.ok + "}").mkString("{", ",", "}")
-    val varianceFlags = results
-      .filter(r => r.min > 0 && r.max / r.min > 2.0)
+    val flagged = results.filter(r => r.min > 0 && r.max / r.min > 2.0)
+    val varianceFlags = flagged
       .map(r => "\"" + r.name + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread,"variance_flags":$varianceFlags,"sf":"$sfDir","runs":$runs,"slow_runs":$slowRuns,"stat":"median","partial_ok":$partial}"""
+    // r12: flags carry an automated CAUSE, so a wide band reads as a
+    // diagnosis instead of a to-investigate. "first_rep": the slow
+    // sample is rep 1 and the remaining reps sit in a tight band —
+    // per-query warmup (codegen, scan cache, memoized state seeding for
+    // the maintained-index queries), not instability; the median already
+    // reflects steady state. "scatter": the spread persists past rep 1 —
+    // suite/box contention (the r11 isolated re-benches pinned this for
+    // dedup_containment), re-bench isolated before calling a regression.
+    val varianceCauses = flagged.map { r =>
+      val rest = r.reps.drop(1)
+      val cause =
+        if (rest.size >= 2 && r.reps.head == r.max &&
+          rest.max / rest.min <= 1.5) "first_rep"
+        else "scatter"
+      "\"" + r.name + "\":\"" + cause + "\""
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread,"variance_flags":$varianceFlags,"variance_causes":$varianceCauses,"sf":"$sfDir","runs":$runs,"slow_runs":$slowRuns,"stat":"median","partial_ok":$partial}"""
     // persist the FULL results object (all ~200 per-query timings) to a
     // file; at 200+ queries the one-line form is ~5 KB, which the driver's
     // stdout tail-capture front-truncates into unparseable JSON
@@ -143,7 +164,7 @@ object Bench {
     // lines above carry the rest of the detail in stdout form.
     val slowest = results.filter(_.median >= 0).sortBy(-_.median).take(40)
       .map(r => "\"" + r.name + "\":" + fmt(r.median)).mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slowest,"n_queries":${results.length},"queries_shown":"slowest40","variance_flags":$varianceFlags,"full_results":"bench_results.json","sf":"$sfDir","runs":$runs,"slow_runs":$slowRuns,"stat":"median","partial_ok":$partial}"""
+    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slowest,"n_queries":${results.length},"queries_shown":"slowest40","variance_flags":$varianceFlags,"variance_causes":$varianceCauses,"full_results":"bench_results.json","sf":"$sfDir","runs":$runs,"slow_runs":$slowRuns,"stat":"median","partial_ok":$partial}"""
     println("=== BENCH_JSON ===")
     println(compact)
     spark.stop()

@@ -128,7 +128,7 @@ object Registry {
 
   /** Two-batch incremental-dedup oracle: batch 1 vs corpus, batch 2 vs
     * corpus ∪ batch 1 — shared by the in-plan (`bloom_incremental_newdocs`)
-    * and micro-batch streaming (`streaming_dedup_index`) forms.
+    * and micro-batch streaming (`streaming_dedup_index_queue`) forms.
     */
   private val BLOOM_INCR_SQL =
     """WITH c0 AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 3 <> 0),
@@ -1336,9 +1336,14 @@ object Registry {
       Q("bpe_merge_pairs", (s, d) => TextOps.bpeMergePairs(docs(s, d)),
         Some(TextOps.bpeMergePairsSql())),
       // full BPE trainer: one distributed word-count pass + driver-side
-      // merge loop over the vocab-sized working set — rows-only
-      // (iterative; spec pins hand-computed merges + step-1 ≡ argmax)
-      Q("bpe_train", (s, d) => TextOps.bpeTrain(docs(s, d)), None),
+      // merge loop over the vocab-sized working set — ORACLE-EXACT
+      // (promoted r12): the bounded loop unrolls into per-step DuckDB
+      // CTEs (pair-count → tie-broken argmax → delimited-string merge
+      // apply), replaying the trainer merge-for-merge. The driver
+      // collect is bounded by minCount/maxVocab at scale (defaults off
+      // here — sf corpora are small; the spec pins floor/cap effects).
+      Q("bpe_train", (s, d) => TextOps.bpeTrain(docs(s, d)),
+        Some(TextOps.bpeTrainSql())),
       // tokenizer APPLY, ORACLE-EXACT at the pinned merge table
       // (promoted r11): the merge table is the committed trained
       // artifact (BpeFixture — bpeTrain's sf0.01 output, provenance
@@ -1574,27 +1579,26 @@ object Registry {
             .orderBy("doc_id")
         },
         Some(BLOOM_INCR_SQL)),
-      // the same maintained index driven by a REAL micro-batch stream:
-      // foreachBatch classifies each arriving file against the persisted
-      // bloom+hash state, then folds it in — continuous-ingest dedup,
-      // verified against the identical two-batch oracle
-      // Both streaming forms get a per-(scale dir, query) cached state
+      // the same maintained index driven by a REAL micro-batch stream
+      // under the PRODUCTION ordering contract (r10): foreachBatch
+      // classifies each arriving batch against the persisted bloom+hash
+      // state, then folds it in — continuous-ingest dedup, verified
+      // against the identical two-batch oracle. The batches ride a
+      // graftqueue topic as JSON envelopes and drain as offset-ordered
+      // micro-batches via the source's Kafka-style admission control
+      // (maxRecordsPerTrigger admits whole committed segments) — batch
+      // order is the broker's commit order. This is the ONE registered
+      // dedup-index stream (r12): the earlier file-source twin pinned
+      // mtimes to fake that ordering — its own comment called it a
+      // test-harness device — so it now lives only in specs
+      // (DedupStreamParitySpec parity, CrashRecoverySpec recovery,
+      // ScaleSoakSpec growth), not in the benched registry.
+      // The streaming forms get a per-(scale dir, query) cached state
       // dir: the corpus v0 bootstrap (the one expensive part, seeded only
       // if absent) is amortized so repeated runs time the per-batch
       // classify/merge steady state — a deployment maintains the index,
-      // it doesn't rebuild it. Separate dirs per query: Verify runs the
-      // two concurrently and v1+ overwrites must not race.
-      Q("streaming_dedup_index",
-        (s, d) => graft.streaming.Streams.dedupIndexStream(s, d,
-          stateDir = Some(memo(dedupStreamStateDirs)(("file", d))(
-            java.nio.file.Files.createTempDirectory("graft_dsi_state").toString))),
-        Some(BLOOM_INCR_SQL)),
-      // the same fold under the PRODUCTION ordering contract (r10): the
-      // batches ride a graftqueue topic as JSON envelopes and drain as
-      // offset-ordered micro-batches via the source's Kafka-style
-      // admission control (maxRecordsPerTrigger admits whole committed
-      // segments) — batch order is the broker's commit order, no mtime
-      // pinning; same two-batch oracle
+      // it doesn't rebuild it. Separate dirs per query: Verify runs
+      // queries concurrently and v1+ overwrites must not race.
       Q("streaming_dedup_index_queue",
         (s, d) => graft.streaming.Streams.dedupIndexQueueStream(s, d,
           stateDir = Some(memo(dedupStreamStateDirs)(("queue", d))(

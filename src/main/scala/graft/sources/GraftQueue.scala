@@ -34,10 +34,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * `timestamp` is null (broker-assigned in Kafka), `partition` is the
   * writer task's partition id, and offsets are globally consecutive in
   * committed-segment order rather than per-partition. Segment files are
-  * named `segment-<seq>-<uuid>-n<count>` — the record count rides in
-  * the name so offset arithmetic never opens a file, and the zero-padded
-  * per-topic sequence number makes lexicographic order exactly commit
-  * order (the broker's offset-assignment contract).
+  * named `segment-<seq>` (zero-padded per-topic sequence number), so
+  * lexicographic order is exactly commit order — the broker's
+  * offset-assignment contract. The record count lives in a fixed 8-byte
+  * header (cached after first read; segments are immutable) so the NAME
+  * can be a pure function of the claimed sequence number — which is what
+  * makes commit CROSS-PROCESS safe: publication is one atomic
+  * `Files.createLink(segment-<seq>, tmp)` (hard link = O_EXCL create of
+  * the final name), two processes claiming the same seq collide with
+  * `FileAlreadyExistsException` and the loser rescans-and-retries. Claim
+  * and publication being the SAME syscall is load-bearing: a separate
+  * claim-marker + rename scheme would leave a window where seq 6 is
+  * visible before seq 5, shifting offsets a checkpointed reader already
+  * handed out (and a crashed claimant would wedge the topic). See
+  * GraftQueue.commitSegment; race-proven intra-JVM (GraftQueueSpec) and
+  * across two forked JVMs (QueueRaceSpec / QueueRaceMain).
   */
 object GraftQueue {
   val Schema: StructType = StructType(Seq(
@@ -56,33 +67,35 @@ object GraftQueue {
   private[sources] def topicDir(path: String, topic: String): File =
     new File(path, topic)
 
+  private val SegmentName = "segment-(\\d+)".r
+
   private[sources] def segments(path: String, topic: String): Seq[File] = {
     val d = topicDir(path, topic)
     if (!d.isDirectory) Seq.empty
-    else d.listFiles().filter(_.getName.startsWith("segment-")).sortBy(_.getName).toSeq
+    else d.listFiles().filter(f => SegmentName.matches(f.getName))
+      .sortBy(_.getName).toSeq
   }
 
+  // Record count = the segment's fixed 8-byte header. Segments are
+  // immutable once published, so one read per (JVM, segment) suffices —
+  // offset arithmetic on the planning hot path stays listing-only after
+  // first contact.
+  private val countCache = scala.collection.concurrent.TrieMap.empty[String, Long]
   private[sources] def countOf(f: File): Long =
-    f.getName.substring(f.getName.lastIndexOf('n') + 1).toLong
+    countCache.getOrElseUpdate(f.getAbsolutePath, {
+      val in = new DataInputStream(new FileInputStream(f))
+      try in.readLong() finally in.close()
+    })
 
   private[sources] def totalRecords(path: String, topic: String): Long =
     segments(path, topic).map(countOf).sum
 
-  /** Serializes segment commits within the JVM (the emulation is
-    * single-JVM by construction — all writer tasks run in the local-mode
-    * executor), so the scan-max + rename below is atomic and the
-    * sequence numbers are strictly increasing per topic.
-    */
-  private[sources] val commitLock = new Object
-
-  private[sources] def stampOf(f: File): Long = {
-    val n = f.getName // segment-<stamp>-<uuid8>-n<count>
-    n.substring("segment-".length, n.indexOf('-', "segment-".length)).toLong
-  }
+  private[sources] def stampOf(f: File): Long =
+    f.getName.substring("segment-".length).toLong
 
   /** Next commit stamp for a topic: max existing stamp + 1 — a pure
     * per-topic sequence, NOT a wall-clock read. A millisecond timestamp
-    * (the earlier form) could collide when two segments committed in the
+    * (the earliest form) could collide when two segments committed in the
     * same ms (leaving their order to the random uuid tie-break) and, on
     * a clock step, could even sort a NEW segment before one a
     * checkpointed reader had already consumed, shifting delivered
@@ -90,10 +103,42 @@ object GraftQueue {
     * exactly commit order, always.
     */
   private[sources] def nextStamp(dir: File): Long = {
-    // committed segments only (digit stamp) — never in-flight temp files
+    // committed segments only — never in-flight temp files
     val existing = Option(dir.listFiles()).getOrElse(Array.empty[File])
-      .filter(_.getName.matches("segment-\\d+-.*"))
+      .filter(f => SegmentName.matches(f.getName))
     if (existing.isEmpty) 1L else existing.map(stampOf).max + 1L
+  }
+
+  /** Publish a fully-written temp file as the next segment of `dir`'s
+    * topic — CROSS-PROCESS safe, lock-free. The claimed name is a pure
+    * function of the stamp, and the claim is a hard link (atomic O_EXCL
+    * create of the final name): if two producers — threads OR separate
+    * JVMs — race the same stamp, exactly one link succeeds and the other
+    * sees `FileAlreadyExistsException`, rescans, and retries with the
+    * next stamp. Because claim == publication, the ordering invariant
+    * holds unconditionally: a claimant of stamp s observed s-1 already
+    * visible, so by induction every segment sorts after everything a
+    * reader could have consumed before it — the broker-assigned-offset
+    * guarantee, with no window and no orphanable claim markers. A crash
+    * before the link leaves only an `inflight-` temp file, never a
+    * partial or misordered segment. Race-proven with 8 in-JVM producer
+    * threads (GraftQueueSpec) and 2 forked JVMs × concurrent commits
+    * (QueueRaceSpec).
+    */
+  private[sources] def commitSegment(dir: File, tmp: File): File = {
+    var published: File = null
+    while (published == null) {
+      val stamp = f"${nextStamp(dir)}%014d"
+      val target = new File(dir, s"segment-$stamp")
+      try {
+        java.nio.file.Files.createLink(target.toPath, tmp.toPath)
+        published = target
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => () // lost the race; rescan
+      }
+    }
+    tmp.delete()
+    published
   }
 }
 
@@ -243,6 +288,7 @@ private object QueueReaderFactory extends PartitionReaderFactory {
     val p = partition.asInstanceOf[QueueSegmentPartition]
     new PartitionReader[InternalRow] {
       private val in = new DataInputStream(new FileInputStream(p.file))
+      in.readLong() // skip the 8-byte record-count header
       private var i = 0L
       private var row: InternalRow = _
       override def next(): Boolean =
@@ -274,6 +320,7 @@ private case class QueueWriterFactory(path: String, topic: String) extends DataW
       // committer's stamp scan (and, in principle, a reader's listing)
       private val tmp = File.createTempFile("inflight-segment-", "", dir)
       private val out = new DataOutputStream(new FileOutputStream(tmp))
+      out.writeLong(0L) // count header placeholder, patched at commit
       private var n = 0L
       override def write(record: InternalRow): Unit = {
         out.writeInt(partitionId)
@@ -286,16 +333,15 @@ private case class QueueWriterFactory(path: String, topic: String) extends DataW
       override def commit(): WriterCommitMessage = {
         out.close()
         if (n == 0) { tmp.delete() }
-        else GraftQueue.commitLock.synchronized {
-          // name = zero-padded per-topic sequence number (max existing
-          // stamp + 1, under the commit lock): lexicographic order IS
-          // commit order — see GraftQueue.nextStamp for why wall-clock
-          // stamps could not give that guarantee. The uuid segment is
-          // kept only for name-shape compatibility / debuggability.
-          val stamp = f"${GraftQueue.nextStamp(dir)}%014d"
-          val f2 = new File(dir,
-            s"segment-$stamp-${java.util.UUID.randomUUID().toString.take(8)}-n$n")
-          require(tmp.renameTo(f2), s"could not commit segment $f2")
+        else {
+          // patch the 8-byte count header, then publish atomically under
+          // the next free zero-padded sequence number: lexicographic
+          // order IS commit order, and the hard-link claim makes that
+          // hold across PROCESSES, not just this JVM — see
+          // GraftQueue.commitSegment for the invariant proof.
+          val raf = new java.io.RandomAccessFile(tmp, "rw")
+          try { raf.seek(0L); raf.writeLong(n) } finally raf.close()
+          GraftQueue.commitSegment(dir, tmp)
         }
         new WriterCommitMessage {}
       }

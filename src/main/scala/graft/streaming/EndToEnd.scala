@@ -115,13 +115,22 @@ object EndToEnd {
     * topics, and commit them to the queue directory. Returns the queue
     * path. Eager by necessity (see object scaladoc).
     */
-  private def produceUncached(spark: SparkSession, dir: String): String = {
+  private def produceUncached(spark: SparkSession, dir: String): String =
+    produceFromEvents(spark,
+      TestdataAdapter.table(spark, dir, "events").select(
+        col("event_type"), col("user_id").cast("string").as("uid"),
+        graft.functions.Cols.microsFromNanos(col("ts")).as("ts_us"),
+        col("value")))
+
+  /** [[produceUncached]] over a caller-supplied events frame
+    * `(event_type, uid STRING, ts_us BIGINT, value DOUBLE)` — exposed so
+    * the scale soak (ScaleSoakSpec) can push a 10×-amplified feed
+    * through the IDENTICAL protobuf→envelope→queue produce leg without
+    * registering a synthetic scale dir.
+    */
+  private[graft] def produceFromEvents(spark: SparkSession, ev: DataFrame): String = {
     import spark.implicits._
     val qdir = Files.createTempDirectory("graft_e2e_queue").toString
-    val ev = TestdataAdapter.table(spark, dir, "events").select(
-      col("event_type"), col("user_id").cast("string").as("uid"),
-      graft.functions.Cols.microsFromNanos(col("ts")).as("ts_us"),
-      col("value"))
 
     // ---- inbound leg: events → GTFS-RT FeedMessage bytes → wire decode
     val feeds = ev.select(col("event_type"), col("uid"), col("ts_us"))
@@ -182,10 +191,15 @@ object EndToEnd {
     * the same batch view code (Hourly/Kpi). Everything downstream of the
     * broker round trip composes off this one frame.
     */
-  def kpiE2E(spark: SparkSession, dir: String): DataFrame = {
+  def kpiE2E(spark: SparkSession, dir: String): DataFrame =
+    kpiFromQueue(spark, produce(spark, dir))
+
+  /** The consumer half of [[kpiE2E]] against an already-produced queue —
+    * exposed (like [[produceFromEvents]]) for the 10× scale soak.
+    */
+  private[graft] def kpiFromQueue(spark: SparkSession, qdir: String): DataFrame = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    val qdir = produce(spark, dir)
     // the three consumers are independent streaming queries (as deployed:
     // one per topic) — run them concurrently; Spark's scheduler
     // interleaves the micro-batch jobs

@@ -1383,18 +1383,34 @@ object TextOps {
     * driver over the vocabulary-sized working set (exactly how real BPE
     * trainers work — the corpus is only ever touched once, the
     * iterations touch the vocab table). Ties break lexicographically;
-    * output is the ordered merge table a tokenizer ships. Rows-only in
-    * the registry (an iterative trainer is not SQL-expressible); the
-    * spec hand-computes merges and pins step 1 to the distributed
-    * argmax.
+    * output is the ordered merge table a tokenizer ships.
+    *
+    * Scale shape: the driver working set is the DISTINCT-WORD table, and
+    * on 100 TB of noisy web text that table can reach billions of rows —
+    * so the collect is bounded BEFORE it leaves the cluster, the same
+    * two knobs real BPE trainers (GPT-2, SentencePiece) expose:
+    * `minCount` drops hapax/noise words below a frequency floor, and
+    * `maxVocab` caps the working set to the top-K words by
+    * (frequency desc, word asc) — a deterministic distributed top-K, not
+    * a full sort. Both default to "off" (floor 1, no cap), under which
+    * the merge table is the uncapped corpus optimum; the spec pins how
+    * the floor changes merges (dropped words stop voting) and that a
+    * generous cap is a no-op. Oracle-exact: DuckDB replays the trainer
+    * merge-for-merge via [[bpeTrainSql]]'s unrolled per-step CTEs.
     */
-  def bpeTrain(documents: DataFrame, numMerges: Int = 20): DataFrame = {
+  def bpeTrain(documents: DataFrame, numMerges: Int = 20,
+      minCount: Long = 1L, maxVocab: Int = Int.MaxValue): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val vocab0: Array[(Array[String], Long)] = documents
+    val counted = documents
       .select(explode(toks(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
       .filter(length(col("word")) >= 2)
+      .filter(col("n") >= minCount)
+    val capped = // distributed TopK (orderBy+limit), never a driver-side sort
+      if (maxVocab == Int.MaxValue) counted
+      else counted.orderBy(col("n").desc, col("word")).limit(maxVocab)
+    val vocab0: Array[(Array[String], Long)] = capped
       .orderBy("word") // deterministic driver-side iteration order
       .as[(String, Long)].collect()
       .map { case (w, n) => (w.split("").filter(_.nonEmpty), n) }
@@ -1427,6 +1443,53 @@ object TextOps {
       }
     }
     merges.toSeq.toDF("step", "left", "right", "pair_count")
+  }
+
+  /** DuckDB replay of [[bpeTrain]], merge-for-merge — what promotes the
+    * trainer from rows-only to oracle-exact. Aggregation over a
+    * recursive CTE's working table is off-limits in SQL, but the loop is
+    * BOUNDED (`numMerges`), so it unrolls into `numMerges` chained CTE
+    * triples: p_k counts adjacent symbol pairs weighted by word
+    * frequency, b_k takes the argmax with the trainer's exact tie-break
+    * (count desc, left asc, right asc), and v_k applies the merge. Each
+    * word's symbol state is a delimited string `|s1||s2||…|` — symbols
+    * never contain `|` (whitespace-tokenized words) — so "merge all
+    * non-overlapping occurrences left-to-right" is ONE `replace()` of
+    * `|l||r|` with `|lr|`: the doubled delimiter is load-bearing, since
+    * the replacement's trailing `|` is exactly the leading `|` the next
+    * adjacent occurrence needs (`|a||a||a||a|` → `|aa||aa|`, matching
+    * the trainer's skip-after-merge scan), while single delimiters would
+    * either miss back-to-back occurrences or match across symbol
+    * boundaries. `MATERIALIZED` is required: v_{k-1} is referenced twice
+    * per step, and inlined CTEs would re-expand the whole chain
+    * exponentially. `minCount`/`maxVocab` mirror the trainer's
+    * driver-collect bound.
+    */
+  def bpeTrainSql(numMerges: Int = 20,
+      minCount: Long = 1L, maxVocab: Int = Int.MaxValue): String = {
+    val cap = if (maxVocab == Int.MaxValue) "" else s" ORDER BY n DESC, word LIMIT $maxVocab"
+    val v0 =
+      raw"""v0 AS MATERIALIZED (
+         |  SELECT '|' || array_to_string(list_transform(generate_series(1, len(word)), i -> word[i]), '||') || '|' AS s, n
+         |  FROM (
+         |    SELECT word, COUNT(*) AS n FROM (
+         |      SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word FROM documents)
+         |    GROUP BY 1 HAVING len(word) >= 2 AND COUNT(*) >= $minCount$cap))""".stripMargin
+    val steps = (1 to numMerges).map { k =>
+      s"""p$k AS MATERIALIZED (
+         |  SELECT syms[i] AS l, syms[i + 1] AS r, SUM(n) AS c
+         |  FROM (SELECT string_split(trim(s, '|'), '||') AS syms, n FROM v${k - 1}),
+         |       unnest(generate_series(1, len(syms) - 1)) AS u(i)
+         |  GROUP BY 1, 2),
+         |b$k AS MATERIALIZED (SELECT $k AS step, l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1),
+         |v$k AS MATERIALIZED (
+         |  SELECT replace(s, '|' || b.l || '||' || b.r || '|', '|' || b.l || b.r || '|') AS s, n
+         |  FROM v${k - 1}, b$k b)""".stripMargin
+    }
+    val union = (1 to numMerges)
+      .map(k => s"""SELECT step, l AS "left", r AS "right", CAST(c AS BIGINT) AS pair_count FROM b$k""")
+      .mkString("\nUNION ALL\n")
+    s"WITH $v0,\n${steps.mkString(",\n")}\nSELECT * FROM (\n$union\n) ORDER BY step"
   }
 
   /** BPE ENCODE — the apply side of [[bpeTrain]]: tokenize the corpus

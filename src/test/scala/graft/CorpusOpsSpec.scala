@@ -84,6 +84,24 @@ class CorpusOpsSpec extends SparkSpec {
     assert(first._4 == top._2)
   }
 
+  test("bpeTrain minCount/maxVocab bound the driver working set deterministically") {
+    // vocab: abab×3, ab×2, cd×2, xy×1 — pair votes: ab=8, ba=3, cd=2, xy=1
+    val docs = Seq((0L, "abab abab abab ab ab cd"), (1L, "cd xy")).toDF("doc_id", "text")
+    def merges(minCount: Long, maxVocab: Int) =
+      TextOps.bpeTrain(docs, numMerges = 20, minCount = minCount, maxVocab = maxVocab)
+        .as[(Int, String, String, Long)].collect().toSeq
+    val full = merges(1L, Int.MaxValue)
+    assert(full == Seq((1, "a", "b", 8L), (2, "ab", "ab", 3L), (3, "c", "d", 2L), (4, "x", "y", 1L)))
+    // frequency floor: words below it stop voting — the hapax "xy" and
+    // its would-be merge disappear; surviving merges are unchanged
+    assert(merges(2L, Int.MaxValue) == full.take(3))
+    // vocab cap keeps the top-K words by (n desc, word asc): at K=2 the
+    // n=2 tie between "ab" and "cd" resolves to "ab", so "cd" drops too
+    assert(merges(1L, 2) == full.take(2))
+    // a generous cap is a no-op
+    assert(merges(1L, 100) == full)
+  }
+
   test("vocabCoverage: ranks by frequency, cumulative share reaches 1.0") {
     val docs = Seq(
       (0L, "a a a b b c"),

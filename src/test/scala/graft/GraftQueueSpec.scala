@@ -152,14 +152,14 @@ class GraftQueueSpec extends SparkSpec {
     // in-flight temp files (if any were left) must live OUTSIDE the
     // segment- namespace the offset arithmetic scans
     assert(dir.listFiles().forall(f =>
-      !f.getName.startsWith("segment-") || f.getName.matches("segment-\\d+-.*")))
+      !f.getName.startsWith("segment-") || f.getName.matches("segment-\\d+")))
   }
 
-  test("concurrent producers commit unique, gapless stamps (commit lock)") {
-    // the per-topic sequence is scanned+claimed under a JVM-global lock;
-    // 8 threads racing commits must land 8 distinct consecutive stamps
-    // (local mode runs all writer tasks in one JVM, so this models the
-    // emulation's real concurrency)
+  test("concurrent producers commit unique, gapless stamps (atomic link claim)") {
+    // the per-topic sequence is claimed by an atomic hard-link create
+    // (GraftQueue.commitSegment); 8 threads racing commits must land 8
+    // distinct consecutive stamps. QueueRaceSpec extends this to two
+    // forked JVMs — the cross-PROCESS leg of the same contract.
     val path = freshPath
     val topic = "race.topic"
     import scala.concurrent.{Await, Future, ExecutionContext}

@@ -291,4 +291,43 @@ class ScaleSoakSpec extends SparkSpec {
     assert(t10 <= 25.0 * t1 + 10.0,
       f"streaming dedup index t(10x)=$t10%.1fs vs t(1x)=$t1%.1fs — super-linear blowup")
   }
+
+  // r12: the FULL streaming lifecycle at 10× — protobuf feed bytes →
+  // producer envelopes → queue commit → three micro-batch consumers →
+  // KPI views → suggestions → export rows, i.e. the registered
+  // streaming_export_e2e chain a deployment runs continuously. Timing
+  // covers produce AND consume (both scale with the feed); the shuffle
+  // pin covers the chain's lazy analytics tail (consumer tables →
+  // export frame — the produce leg and the three availableNow streams
+  // execute eagerly, so their plans aren't in the final frame's print,
+  // but their per-topic work is row-linear by construction: stateless
+  // envelope encode, whole-segment offset reads). Events amplification
+  // multiplies stops/vehicles (shifted user ids) at the same hour span,
+  // so group counts grow linearly and no hour bucket degenerates.
+  test("streaming export e2e chain absorbs 10x feed sub-quadratically", Soak) {
+    import graft.streaming.EndToEnd
+    def evFrame(events: DataFrame) = events.select(
+      col("event_type"), col("user_id").cast("string").as("uid"),
+      graft.functions.Cols.microsFromNanos(col("ts")).as("ts_us"),
+      col("value"))
+    def run(events: DataFrame): (Double, Int) = {
+      val t0 = System.nanoTime()
+      val qdir = EndToEnd.produceFromEvents(spark, evFrame(events))
+      val kpi = EndToEnd.kpiFromQueue(spark, qdir)
+      val out = graft.export.Export.exportRows(
+        kpi, graft.suggest.Suggestions.suggest(kpi))
+      out.write.format("noop").mode("overwrite").save()
+      ((System.nanoTime() - t0) / 1e9, shuffles(out))
+    }
+    run(baseEvents) // warm
+    val (runs, pins) = Seq.fill(3)(run(baseEvents)).unzip
+    val t1 = runs.sorted.apply(1)
+    val (t10, pin10) = run(bigEvents)
+    info(f"streaming_export_e2e: t1=$t1%.1fs t10=$t10%.1fs ratio=${t10 / t1}%.1f " +
+      s"shuffles=${pins.head}->$pin10")
+    assert(pins.toSet == Set(pin10),
+      s"export-e2e analytics tail changes shuffle count at 10x: ${pins.head} -> $pin10")
+    assert(t10 <= 25.0 * t1 + 10.0,
+      f"streaming export e2e t(10x)=$t10%.1fs vs t(1x)=$t1%.1fs — super-linear blowup")
+  }
 }
