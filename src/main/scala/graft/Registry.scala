@@ -467,6 +467,15 @@ object Registry {
        |FROM p WHERE y_true IS NOT NULL AND y_pred IS NOT NULL
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  private val VALIDATION_SCATTER_SQL =
+    s"""WITH s2r AS ($S2R), f AS ($FLOW), d AS ($DEMAND_BODY), p AS ($PRED_BODY)
+       |SELECT route_id, hour_ts, y_true, y_pred
+       |FROM p
+       |WHERE y_true IS NOT NULL AND y_pred IS NOT NULL
+       |  AND NOT isnan(y_true) AND NOT isnan(y_pred)
+       |  AND NOT isinf(y_true) AND NOT isinf(y_pred)
+       |ORDER BY hour_ts, route_id""".stripMargin
+
   private val LABEL_LEAD_SQL =
     s"""WITH s2r AS ($S2R), f AS ($FLOW), d AS ($DEMAND_BODY)
        |SELECT route_id, hour_ts, passengers,
@@ -632,6 +641,15 @@ object Registry {
     Q("validation_by_route",
       (s, dir) => Export.validationByRoute(predictions(s, dir)),
       Some(VALIDATION_BY_ROUTE_SQL)),
+
+    // the predicted-vs-observed scatter's exact point series
+    // (validate_predictions.py:84-90); MAE-by-hour, the other plotted
+    // series, is validation_by_hour — with both hash-green the only
+    // un-reproduced part of the reference's validation step is the
+    // matplotlib render call itself
+    Q("validation_scatter_points",
+      (s, dir) => Export.validationScatterPoints(predictions(s, dir)),
+      Some(VALIDATION_SCATTER_SQL)),
 
     Q("label_lead",
       (s, dir) => Relational.labelLead(demandHourly(s, dir))
@@ -2962,6 +2980,21 @@ object Registry {
             |    ORDER BY stop_id, stop_name, lat, lon) - 1 AS INTEGER) AS pos,
             |  stop_id, stop_name, lat, lon
             |FROM stops ORDER BY route_id, pos""".stripMargin)),
+
+      // ---- orchestration (jobs.JobGraph): the reference's Airflow
+      // deployment as a declarative job graph. Both queries are pure
+      // metadata derivations (no scale-dir read): edge inference is the
+      // produces⋈consumes equi-join, the schedule is the longest-path
+      // wave recursion — each hash-checked against a DuckDB twin over
+      // the same task literals, so the scheduler's SEMANTICS sit inside
+      // the oracle gate (the executable side is JobRunner + JobGraphSpec)
+      Q("job_graph_edges",
+        (s, _) => graft.jobs.JobGraph.edges(s),
+        Some(graft.jobs.JobGraph.edgesSql)),
+
+      Q("job_graph_schedule",
+        (s, _) => graft.jobs.JobGraph.schedule(s),
+        Some(graft.jobs.JobGraph.scheduleSql)),
     )
   }
 

@@ -85,6 +85,25 @@ object Export {
       detAvg(diff).as("bias"))
   }
 
+  /** A11 — the predicted-vs-observed scatter's exact point series
+    * (validate_predictions.py:84-90, the first of the two validation
+    * plots): the validation rows after the reference's Inf→NaN→dropna
+    * scrub (:19-22 — so both NaN AND ±Inf drop), in the read order the
+    * plot consumes them (ORDER BY hour_ts, route_id — :15). The second
+    * plot's series (MAE by hour, :92-98) is [[validationByHour]]. With
+    * both series oracle-exact, the only un-reproduced part of the
+    * reference's validation step is matplotlib rendering itself.
+    */
+  def validationScatterPoints(predictions: DataFrame): DataFrame = {
+    import graft.functions.Cols.scrubDouble
+    predictions
+      .select(col("route_id"), col("hour_ts").cast("timestamp_ntz").as("hour_ts"),
+        scrubDouble(col("y_true")).as("y_true"),
+        scrubDouble(col("y_pred")).as("y_pred"))
+      .filter(col("y_true").isNotNull && col("y_pred").isNotNull)
+      .orderBy("hour_ts", "route_id")
+  }
+
   /** A11 grouped — per-route MAE/bias breakdown.
     * Ref: validate_predictions.py:66-76 (ordered by route for determinism
     * rather than the reference's MAE-desc print order).

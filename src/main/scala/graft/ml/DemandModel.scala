@@ -235,8 +235,13 @@ object DemandModel {
     * cross-engine pattern for sums of arbitrary doubles). Output shape
     * matches `rf_demand_mae`.
     */
-  def pinnedMae(
-      mlDataset: DataFrame, trees: Array[Array[(Int, Double, Double)]]): DataFrame = {
+  /** Shared prep for the pinned-forest serving surface: labeled rows with
+    * the 80% temporal-cut hour broadcast alongside (`cut` column) — the
+    * in-plan twin of [[temporalSplit]]'s histogram walk, kept fully
+    * declarative so [[pinnedMae]] / [[pinnedPredictions]] stay
+    * oracle-expressible.
+    */
+  private def labeledWithCut(mlDataset: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
     val labeled = withLabel(mlDataset)
     val hist = labeled.groupBy("hour_ts").agg(count(lit(1)).as("n"))
@@ -246,10 +251,29 @@ object DemandModel {
     val cut = cum.crossJoin(broadcast(tot))
       .filter(col("cum").cast("double") >= col("tot").cast("double") * lit(0.8))
       .agg(min("hour_ts").as("cut"))
+    labeled.crossJoin(broadcast(cut))
+  }
+
+  /** The pinned forest's per-row test-split predictions — the
+    * demand_predictions row shape the reference's save_results persists
+    * (route_id, hour_ts, y_true, y_pred; ml-job.py:216-266) at the
+    * committed [[RfFixture]] forest, so the serving rows are exactly
+    * reproducible (same CASE-expression forest both engines can run).
+    */
+  def pinnedPredictions(
+      mlDataset: DataFrame, trees: Array[Array[(Int, Double, Double)]]): DataFrame =
+    labeledWithCut(mlDataset)
+      .filter(col("hour_ts") > col("cut"))
+      .select(col("route_id"), col("hour_ts"),
+        col("label").cast("double").as("y_true"),
+        expr(forestSql(trees)).as("y_pred"))
+
+  def pinnedMae(
+      mlDataset: DataFrame, trees: Array[Array[(Int, Double, Double)]]): DataFrame = {
     val pred = expr(forestSql(trees))
     val isTest = col("hour_ts") > col("cut")
     val err6 = round(abs(pred - col("label")), 6)
-    labeled.crossJoin(broadcast(cut))
+    labeledWithCut(mlDataset)
       .agg(
         sum(when(!isTest, 1L).otherwise(0L)).as("n_train"),
         sum(when(isTest, 1L).otherwise(0L)).as("n_test"),

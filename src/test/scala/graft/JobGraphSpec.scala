@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.jobs.{JobGraph, JobRunner}
+
+/** The orchestration layer's executable contract: the wave schedule is a
+  * valid topological order of the derived edges, the graph is acyclic and
+  * fully connected to effects, and a full [[JobRunner.run]] produces
+  * artifacts identical to composing the underlying functions directly —
+  * i.e. the materialized parquet handoffs between jobs are lossless and
+  * the execution order is safe. Re-running is byte-stable (the versioned
+  * static load skips its existing version partition instead of appending
+  * a duplicate snapshot).
+  */
+class JobGraphSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def keyOf(dag: String, task: String) = s"$dag.$task"
+
+  test("schedule is a valid topological order: every edge goes wave-up") {
+    val waves = JobGraph.schedule(spark).collect()
+      .map(r => keyOf(r.getAs[String]("dag_id"), r.getAs[String]("task_id")) ->
+        r.getAs[Int]("wave")).toMap
+    val edges = JobGraph.edges(spark).collect()
+    assert(waves.size === JobGraph.tasks.size)
+    edges.foreach { e =>
+      val src = keyOf(e.getAs[String]("src_dag"), e.getAs[String]("src_task"))
+      val dst = keyOf(e.getAs[String]("dst_dag"), e.getAs[String]("dst_task"))
+      assert(waves(src) < waves(dst),
+        s"$src (wave ${waves(src)}) must precede $dst (wave ${waves(dst)})")
+    }
+  }
+
+  test("graph declarations are closed and acyclic") {
+    // closed: every consumed table has exactly one producing task (the
+    // reference's implicit shared-Postgres contract, made checkable)
+    val producers = JobGraph.tasks.flatMap(t => t.produces.map(_ -> JobGraph.key(t)))
+      .groupBy(_._1).map { case (tbl, ps) => tbl -> ps.map(_._2) }
+    JobGraph.tasks.flatMap(_.consumes).distinct.foreach { tbl =>
+      assert(producers.getOrElse(tbl, Nil).size === 1,
+        s"table $tbl needs exactly one producer")
+    }
+    // acyclic: the longest-path expansion must assign every node a wave
+    // no deeper than the node count (a cycle would blow past it)
+    val waves = JobGraph.schedule(spark).select("wave").collect().map(_.getInt(0))
+    assert(waves.length === JobGraph.tasks.size)
+    assert(waves.max <= JobGraph.tasks.size)
+  }
+
+  test("full run: artifacts match direct composition, re-run is idempotent") {
+    val out = java.nio.file.Files.createTempDirectory("graft_jobrun").toString
+    val order = JobRunner.run(spark, sfDir, out)
+    assert(order.size === JobGraph.tasks.size)
+    // execution order respects the declared edges
+    val pos = order.zipWithIndex.toMap
+    JobGraph.edges(spark).collect().foreach { e =>
+      val src = keyOf(e.getAs[String]("src_dag"), e.getAs[String]("src_task"))
+      val dst = keyOf(e.getAs[String]("dst_dag"), e.getAs[String]("dst_task"))
+      assert(pos(src) < pos(dst), s"$src executed after $dst")
+    }
+
+    val p = JobRunner.Paths(out)
+    def art(t: String): DataFrame = spark.read.parquet(p.table(t))
+
+    // the static chain's CSV->normalize->load round trip recovers exactly
+    // the engine's stop_to_route mapping (adapter semantics preserved
+    // through four materialized hops and the version stamp)
+    val viaZip = graft.views.Hourly.stopToRoute(
+      art("stop_times").select("trip_id", "stop_id"),
+      art("trips").select("trip_id", "route_id"))
+      .orderBy("stop_id", "route_id").collect()
+    val direct = TestdataAdapter.stopToRouteMapping(spark, sfDir)
+      .select("stop_id", "route_id")
+      .orderBy("stop_id", "route_id").collect()
+    assert(viaZip.toSeq === direct.toSeq)
+
+    // ml_dataset through the artifact chain == the same Hourly composition
+    // fed from the artifacts' own sources (handoffs are lossless)
+    val mlArt = art("ml_dataset_hourly")
+      .orderBy("route_id", "hour_ts").collect()
+    val s2r = graft.views.Hourly.stopToRoute(
+      art("stop_times").select("trip_id", "stop_id"),
+      art("trips").select("trip_id", "route_id"))
+    val mlDirect = graft.views.Hourly.mlDatasetHourly(
+      graft.views.Hourly.passengerDemandHourly(
+        art("passenger_flow_events"), s2r),
+      graft.views.Hourly.delayHourly(art("trip_updates")),
+      graft.views.Hourly.vehicleHourly(art("vehicle_positions")),
+      graft.views.Hourly.weatherHourly(art("weather_observations")))
+      .orderBy("route_id", "hour_ts").collect()
+    assert(mlArt.toSeq === mlDirect.toSeq)
+
+    // the ml_runs record matches the pinned-forest record computed off
+    // the materialized training frame (the oracle-exact serving surface)
+    val runsArt = art("ml_runs").collect()
+    val runsDirect = graft.ml.DemandModel.pinnedRunRecord(
+      art("ml_training_frame"), graft.ml.RfFixture.trees).collect()
+    assert(runsArt.toSeq === runsDirect.toSeq)
+
+    // kpi artifact == Kpi composition over the artifacts
+    val kpiArt = art("kpi_hourly").orderBy("route_id", "hour_ts").collect()
+    val vp = art("vehicle_positions")
+    val kpiDirect = graft.views.Kpi.kpiHourly(
+      art("demand_predictions").select("route_id", "hour_ts", "y_pred", "y_true"),
+      graft.views.Kpi.activeVehiclesHourly(vp),
+      graft.views.Kpi.headwayHourly(vp),
+      graft.views.Kpi.delayHourly(art("trip_updates")))
+      .orderBy("route_id", "hour_ts").collect()
+    assert(kpiArt.toSeq === kpiDirect.toSeq)
+    assert(kpiArt.nonEmpty)
+
+    // exports exist and are JSON arrays; the manifest counts them
+    val manifest = art("suggestions_exports").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(manifest.keySet === Set(
+      "route_suggestions_latest.json", "needs_data_latest.json",
+      "top_priority_latest.json", "summary_latest.json",
+      "peak_hours_latest.json"))
+    manifest.keys.foreach { f =>
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p.export(f))), "UTF-8").trim
+      assert(txt.startsWith("[") && txt.endsWith("]"), s"$f is not a JSON array")
+    }
+
+    // idempotent re-run: same bytes for the kpi surface, and the
+    // versioned static load did NOT append a duplicate snapshot
+    val tripsCount1 = art("trips").count()
+    JobRunner.run(spark, sfDir, out)
+    assert(art("trips").count() === tripsCount1, "versioned load duplicated rows")
+    val kpiArt2 = art("kpi_hourly").orderBy("route_id", "hour_ts").collect()
+    assert(kpiArt2.toSeq === kpiArt.toSeq)
+  }
+}
