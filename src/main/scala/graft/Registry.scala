@@ -98,10 +98,8 @@ object Registry {
     import graft.mockflow.MockFlow
     val p = memo(mockflowDirs)(d)({
       val stops = MockFlow.seedBaseDemand(TestdataAdapter.flowEvents(s, d))
-      val hours = Pipelines.weatherHourly(s, d)
-        .join(Pipelines.delayHourly(s, d).groupBy("hour_ts")
-          .agg(avg("avg_delay_seconds").as("avg_delay_seconds")), Seq("hour_ts"), "left")
-        .orderBy("hour_ts").limit(6)
+      val hours = MockFlow.hoursContext(
+        Pipelines.weatherHourly(s, d), Pipelines.delayHourly(s, d))
       val dir = java.nio.file.Files.createTempDirectory("graft_mockflow").toString
       MockFlow.generate(stops, hours).write.mode("overwrite").parquet(s"$dir/events")
       dir

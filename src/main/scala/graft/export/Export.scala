@@ -380,7 +380,11 @@ object Export {
     * the one deliberate non-distributed step, matching the reference's
     * single JSON artifact per export. Ref: export_suggestions_json.py:31-83.
     */
-  def writeJsonArray(df: DataFrame, path: String): Unit = {
+  /** @return the number of rows written (the array length already in
+    *         hand — callers wanting a manifest count must not re-execute
+    *         the plan with a second count()).
+    */
+  def writeJsonArray(df: DataFrame, path: String): Long = {
     // pre-serialized rows are an EXPLICIT opt-in: only a lone column
     // named payload_json (the [[routeRowsJson]] contract — per-row
     // conditional shapes toJSON's fixed schema can't express) is
@@ -399,5 +403,6 @@ object Export {
     val json =
       if (rows.isEmpty) "[]" else rows.mkString("[\n  ", ",\n  ", "\n]")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
+    rows.length.toLong
   }
 }

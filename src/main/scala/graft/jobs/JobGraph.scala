@@ -274,11 +274,13 @@ object JobGraph {
        |  AND (p.dag_id <> c.dag_id OR p.task_id <> c.task_id)
        |ORDER BY src_dag, src_task, dst_dag, dst_task, via""".stripMargin
 
-  /** [[schedule]]'s twin: the frontier expansion as a recursive CTE
-    * (sources seed depth 1; recursion follows edges; wave = MAX depth) —
-    * guaranteed to terminate because the edge relation is acyclic (a
-    * cycle would also hang the Spark side's bounded expansion at the
-    * max-depth cap, and the spec asserts acyclicity outright).
+  /** [[schedule]]'s twin: the longest path as a recursive CTE (sources
+    * seed depth 1; recursion follows edges; wave = MAX depth). The CTE
+    * itself has NO cycle guard — a cyclic edge relation would recurse
+    * unboundedly — which is safe only because acyclicity is enforced
+    * upstream: [[waves]]' Kahn walk throws on any cycle before this SQL
+    * can be compared, and JobGraphSpec asserts closure + acyclicity of
+    * the declarations outright.
     */
   def scheduleSql: String = {
     val nodes = valuesOf(tasks.map(t => Seq(t.dag, t.task, t.cadence)))

@@ -49,17 +49,34 @@ object JobRunner {
   private def writeT(df: DataFrame, p: Paths, t: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(p.table(t))
 
-  /** Deterministic stop/route world shared by the static chain: the
-    * distinct (stop, route) pairs observed in the event stream rendered
-    * as single-stop trips (trip_id = stop_id + "_" + route_id), so
-    * stop_times ⋈ trips DISTINCT recovers exactly the engine's
-    * stop_to_route mapping (TestdataAdapter.stopToRouteMapping) through
-    * the full download→extract→process→load chain.
+  /** Deterministic stop/route world shared by the static chain:
+    * TestdataAdapter.stopToRouteMapping's distinct (stop, route) pairs
+    * rendered as single-stop trips (trip_id = stop_id + "_" + route_id),
+    * so stop_times ⋈ trips DISTINCT recovers exactly the engine's
+    * mapping through the full download→extract→process→load chain.
     */
   private def sourcePairs(spark: SparkSession, sfDir: String): DataFrame =
-    TestdataAdapter.table(spark, sfDir, "events").select(
-      col("user_id").cast("string").as("stop_id"),
-      col("event_type").as("route_id")).distinct()
+    TestdataAdapter.stopToRouteMapping(spark, sfDir)
+
+  /** The feed version downstream static reads pin to: highest load
+    * sequence in gtfs_versions (the reference's "current feed" —
+    * gtfs_versions is insert-ordered and consumers take the newest,
+    * initdb/init-postgis.sql:4-12).
+    */
+  private def currentVersion(spark: SparkSession, p: Paths): String =
+    readT(spark, p, "gtfs_versions")
+      .orderBy(col("seq").desc)
+      .select(col("version_id").cast("string"))
+      .head.getString(0)
+
+  /** Version-pinned read of a static table: only the current feed
+    * snapshot's partition is scanned (GtfsStatic.readVersion — the
+    * equality lands in PartitionFilters), so a reused output directory
+    * holding several feed versions can never leak a stale snapshot into
+    * a downstream task.
+    */
+  private def readStatic(spark: SparkSession, p: Paths, t: String): DataFrame =
+    GtfsStatic.readVersion(spark, p.table(t), currentVersion(spark, p))
 
   private val ZipFiles: Seq[(String, Seq[String])] = Seq(
     "trips" -> Seq("trip_id", "route_id"),
@@ -179,22 +196,31 @@ object JobRunner {
           GtfsStatic.writeVersioned(norm(name), vid, p.table(name))
       }
       import spark.implicits._
+      val versionsPath = p.table("gtfs_versions")
       if (!fs.exists(new org.apache.hadoop.fs.Path(
-          s"${p.table("gtfs_versions")}/version_id=$vid")))
-        Seq((vid, norm("trips").count()))
-          .toDF("version_id", "n_trips")
+          s"$versionsPath/version_id=$vid"))) {
+        // load sequence: new feeds get max+1, so "current" is well
+        // defined however many snapshots accumulate
+        val nextSeq =
+          if (fs.exists(new org.apache.hadoop.fs.Path(versionsPath)))
+            spark.read.parquet(versionsPath)
+              .agg(coalesce(max("seq"), lit(0L))).head.getLong(0) + 1
+          else 1L
+        Seq((vid, norm("trips").count(), nextSeq))
+          .toDF("version_id", "n_trips", "seq")
           .write.mode(SaveMode.Append).partitionBy("version_id")
-          .parquet(p.table("gtfs_versions"))
+          .parquet(versionsPath)
+      }
     }),
 
     // :356 init_stop_base_demand — seed (stop_id, version_id, base_demand)
-    // from the loaded stop_times (A8 clamp), stamped with the version the
-    // load task published.
+    // from the CURRENT version's stop_times (A8 clamp), stamped with that
+    // same version id.
     "static_gtfs_job.init_stop_base_demand" -> (() => {
-      val vid = readT(spark, p, "gtfs_versions")
-        .select(col("version_id").cast("string")).head.getString(0)
+      val vid = currentVersion(spark, p)
       writeT(GtfsStatic.stampVersion(
-        GtfsStatic.stopBaseDemand(readT(spark, p, "stop_times")), vid),
+        GtfsStatic.stopBaseDemand(
+          GtfsStatic.readVersion(spark, p.table("stop_times"), vid)), vid),
         p, "stop_base_demand")
     }),
 
@@ -225,12 +251,9 @@ object JobRunner {
     "mock_passenger_flow_pipeline.generate_flow" -> (() => {
       val base = readT(spark, p, "stop_base_demand")
         .select("stop_id", "base_demand")
-      val hours = Hourly.weatherHourly(readT(spark, p, "weather_observations"))
-        .join(Hourly.delayHourly(readT(spark, p, "trip_updates"))
-          .groupBy("hour_ts")
-          .agg(avg("avg_delay_seconds").as("avg_delay_seconds")),
-          Seq("hour_ts"), "left")
-        .orderBy("hour_ts").limit(6)
+      val hours = MockFlow.hoursContext(
+        Hourly.weatherHourly(readT(spark, p, "weather_observations")),
+        Hourly.delayHourly(readT(spark, p, "trip_updates")))
       writeT(MockFlow.generate(base, hours).select(
         col("stop_id"), col("observed_at"), col("estimated_passengers")),
         p, "passenger_flow_events")
@@ -250,8 +273,8 @@ object JobRunner {
     // see JobGraph scaladoc — are views.Hourly in-plan).
     "ml_train_predict_demand_rf_psycopg2.ensure_ml_dataset_view" -> (() => {
       val s2r = Hourly.stopToRoute(
-        readT(spark, p, "stop_times").select("trip_id", "stop_id"),
-        readT(spark, p, "trips").select("trip_id", "route_id"))
+        readStatic(spark, p, "stop_times").select("trip_id", "stop_id"),
+        readStatic(spark, p, "trips").select("trip_id", "route_id"))
       val demand = Hourly.passengerDemandHourly(
         readT(spark, p, "passenger_flow_events"), s2r)
       writeT(Hourly.mlDatasetHourly(
@@ -366,31 +389,31 @@ object JobRunner {
         "summary_latest.json" -> Export.summaryArtifact(rows),
         "peak_hours_latest.json" -> Export.peakHoursRollup(kpi))
       val manifest = files.map { case (name, df) =>
-        Export.writeJsonArray(df, p.export(name))
-        (name, df.count())
+        (name, Export.writeJsonArray(df, p.export(name)))
       }
       import spark.implicits._
       writeT(manifest.toDF("file", "n_rows"), p, "suggestions_exports")
       rows.unpersist(); kpi.unpersist()
     }),
 
-    // export-routes-geo-job.py:65 — D9 geo grouping off the static world.
+    // export-routes-geo-job.py:65 — D9 geo grouping off the static world
+    // (current feed version only).
     "export_routes_geo_json.export_routes_geo" -> (() => {
       val spr = Hourly.stopToRoute(
-          readT(spark, p, "stop_times").select("trip_id", "stop_id"),
-          readT(spark, p, "trips").select("trip_id", "route_id"))
-        .join(readT(spark, p, "stops")
+          readStatic(spark, p, "stop_times").select("trip_id", "stop_id"),
+          readStatic(spark, p, "trips").select("trip_id", "route_id"))
+        .join(readStatic(spark, p, "stops")
           .select("stop_id", "stop_name", "stop_lat", "stop_lon"), Seq("stop_id"))
-        .join(broadcast(readT(spark, p, "routes")
+        .join(broadcast(readStatic(spark, p, "routes")
           .select("route_id", "route_short_name", "route_long_name")),
           Seq("route_id"))
         .select(col("route_id"), col("route_short_name"),
           col("route_long_name"), col("stop_id"), col("stop_name"),
           col("stop_lat").as("lat"), col("stop_lon").as("lon"))
-      val geo = Export.geoGroupingFull(spr)
-      Export.writeJsonArray(geo, p.export("routes_geo_latest.json"))
+      val n = Export.writeJsonArray(
+        Export.geoGroupingFull(spr), p.export("routes_geo_latest.json"))
       import spark.implicits._
-      writeT(Seq(("routes_geo_latest.json", geo.count()))
+      writeT(Seq(("routes_geo_latest.json", n))
         .toDF("file", "n_rows"), p, "routes_geo_latest_json")
     }))
 

@@ -226,20 +226,13 @@ object DemandModel {
     s"((${ts.mkString(" + ")}) / CAST(${trees.length} AS DOUBLE))"
   }
 
-  /** MAE of the COMMITTED forest over the temporal test split, ONE
-    * plan, no collect: the 80/20 cut hour is computed in-plan (hour
-    * histogram → running total → first hour past 0.8·total, all on an
-    * hours-sized frame, broadcast back as one row) with the cut
-    * comparison in DOUBLE on both engines; per-row errors go through
-    * round(·,6) before the exact decimal sum (the documented
-    * cross-engine pattern for sums of arbitrary doubles). Output shape
-    * matches `rf_demand_mae`.
-    */
   /** Shared prep for the pinned-forest serving surface: labeled rows with
     * the 80% temporal-cut hour broadcast alongside (`cut` column) — the
-    * in-plan twin of [[temporalSplit]]'s histogram walk, kept fully
-    * declarative so [[pinnedMae]] / [[pinnedPredictions]] stay
-    * oracle-expressible.
+    * in-plan twin of [[temporalSplit]]'s histogram walk (hour histogram →
+    * running total → first hour past 0.8·total, all on an hours-sized
+    * frame, broadcast back as one row; cut comparison in DOUBLE on both
+    * engines), kept fully declarative so [[pinnedMae]] /
+    * [[pinnedPredictions]] stay oracle-expressible.
     */
   private def labeledWithCut(mlDataset: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
@@ -268,6 +261,12 @@ object DemandModel {
         col("label").cast("double").as("y_true"),
         expr(forestSql(trees)).as("y_pred"))
 
+  /** MAE of the COMMITTED forest over the temporal test split, ONE
+    * plan, no collect ([[labeledWithCut]] supplies the split); per-row
+    * errors go through round(·,6) before the exact decimal sum (the
+    * documented cross-engine pattern for sums of arbitrary doubles).
+    * Output shape matches `rf_demand_mae`.
+    */
   def pinnedMae(
       mlDataset: DataFrame, trees: Array[Array[(Int, Double, Double)]]): DataFrame = {
     val pred = expr(forestSql(trees))

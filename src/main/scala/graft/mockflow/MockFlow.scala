@@ -39,6 +39,22 @@ object MockFlow {
   val EventsPerHour = 100
   val IntervalMinutes = 1
 
+  /** The generator's hourly context window: hourly weather LEFT JOIN the
+    * per-hour average delay (the execution-hour context the reference
+    * queries at mock_passenger_flow_job.py:109-121), bounded to the
+    * first `limitHours` hours. ONE definition shared by the registry's
+    * mockflow queries and jobs.JobRunner's generate_flow effect, so the
+    * window rule cannot silently diverge between them.
+    */
+  def hoursContext(
+      weatherHourly: DataFrame, delayHourly: DataFrame,
+      limitHours: Int = 6): DataFrame =
+    weatherHourly
+      .join(delayHourly.groupBy("hour_ts")
+        .agg(avg("avg_delay_seconds").as("avg_delay_seconds")),
+        Seq("hour_ts"), "left")
+      .orderBy("hour_ts").limit(limitHours)
+
   /** Weight quantum: weights live on a 1e-9 grid as scaled longs. */
   val WeightScale = 1000000000L
 

@@ -43,8 +43,10 @@ class JobGraphSpec extends SparkSpec {
       assert(producers.getOrElse(tbl, Nil).size === 1,
         s"table $tbl needs exactly one producer")
     }
-    // acyclic: the longest-path expansion must assign every node a wave
-    // no deeper than the node count (a cycle would blow past it)
+    // acyclic: JobGraph.waves' Kahn walk throws on any cycle, so a
+    // completed schedule with every node assigned a wave within the node
+    // count certifies a DAG (the DuckDB twin's recursive CTE has no
+    // cycle guard of its own and relies on exactly this)
     val waves = JobGraph.schedule(spark).select("wave").collect().map(_.getInt(0))
     assert(waves.length === JobGraph.tasks.size)
     assert(waves.max <= JobGraph.tasks.size)
@@ -132,5 +134,25 @@ class JobGraphSpec extends SparkSpec {
     assert(art("trips").count() === tripsCount1, "versioned load duplicated rows")
     val kpiArt2 = art("kpi_hourly").orderBy("route_id", "hour_ts").collect()
     assert(kpiArt2.toSeq === kpiArt.toSeq)
+
+    // stale-snapshot immunity: inject an OLDER feed version (a fake
+    // trips/stop_times partition plus a lower-seq gtfs_versions row) and
+    // re-run — the version-pinned static reads must keep every downstream
+    // artifact byte-identical, never unioning snapshots
+    import spark.implicits._
+    Seq(("t_fake", "r_fake")).toDF("trip_id", "route_id")
+      .withColumn("version_id", lit("0fakeversion"))
+      .write.mode("append").partitionBy("version_id").parquet(p.table("trips"))
+    Seq(("t_fake", "s_fake")).toDF("trip_id", "stop_id")
+      .withColumn("version_id", lit("0fakeversion"))
+      .write.mode("append").partitionBy("version_id").parquet(p.table("stop_times"))
+    Seq(("0fakeversion", 1L, 0L)).toDF("version_id", "n_trips", "seq")
+      .write.mode("append").partitionBy("version_id").parquet(p.table("gtfs_versions"))
+    JobRunner.run(spark, sfDir, out)
+    val kpiArt3 = art("kpi_hourly").orderBy("route_id", "hour_ts").collect()
+    assert(kpiArt3.toSeq === kpiArt.toSeq,
+      "a stale feed snapshot leaked into the downstream chain")
+    val mlArt3 = art("ml_dataset_hourly").orderBy("route_id", "hour_ts").collect()
+    assert(mlArt3.toSeq === mlArt.toSeq)
   }
 }
