@@ -330,4 +330,29 @@ class ScaleSoakSpec extends SparkSpec {
     assert(t10 <= 25.0 * t1 + 10.0,
       f"streaming export e2e t(10x)=$t10%.1fs vs t(1x)=$t1%.1fs — super-linear blowup")
   }
+
+  test("job-graph runner absorbs a 10x feed sub-quadratically", Soak) {
+    // runner-shaped fixture: the amplified events under the adapter's
+    // expected file name (the runner's source tasks read $dir/events.parquet)
+    val runnerDir = "/tmp/graft_soak_runner"
+    if (!new java.io.File(s"$runnerDir/events.parquet").exists())
+      spark.read.parquet(s"$soakDir/events")
+        .write.mode("overwrite").parquet(s"$runnerDir/events.parquet")
+    def runAt(srcDir: String): Double = {
+      val out = java.nio.file.Files.createTempDirectory("graft_jobrun_soak").toString
+      val t0 = System.nanoTime()
+      graft.jobs.JobRunner.run(spark, srcDir, out)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val t1 = runAt(dir)
+    val t10 = runAt(runnerDir)
+    info(f"job_graph_runner: t1=$t1%.1fs t10=$t10%.1fs ratio=${t10 / t1}%.1f")
+    // the full 21-task deployment chain — static ingest, mockflow
+    // generation, ml serving, kpi, suggestions, exports — with every
+    // inter-job handoff materialized; a super-linear task anywhere in the
+    // graph (or a handoff that re-reads more than its declared inputs)
+    // breaks the band
+    assert(t10 <= 25.0 * t1 + 10.0,
+      f"job runner t(10x)=$t10%.1fs vs t(1x)=$t1%.1fs — super-linear blowup")
+  }
 }
