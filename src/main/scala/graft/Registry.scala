@@ -1805,6 +1805,11 @@ object Registry {
         Some(Knn.semanticDecontaminationSql())),
       Q("embedding_near_dup", (s, d) => Knn.nearDupPairs(embs(s, d)),
         Some(Knn.nearDupPairsSql())),
+      // per-group total variance about the centroid + mean pairwise
+      // squared distance from TWO aggregates (variance decomposition) —
+      // the diversity signal curation acts on, with no pair enumeration
+      Q("embedding_diversity", (s, d) => Knn.embeddingDiversity(embs(s, d)),
+        Some(Knn.embeddingDiversitySql)),
       Q("semantic_split_leakage", (s, d) => Knn.semanticSplitLeakage(embs(s, d)),
         Some(Knn.semanticSplitLeakageSql())),
       Q("embedding_label_stats", (s, d) => Knn.labelStats(embs(s, d)),

@@ -1286,4 +1286,93 @@ object Knn {
        |FROM f QUALIFY rrf_rank <= $k
        |ORDER BY query_id, rrf_rank""".stripMargin
   }
+
+  /** Quantum for centroid-coordinate squares: a 1e-12 grid stored as
+    * scaled BIGINTs so the 64-term ‖centroid‖² sum is an order-free
+    * integer sum (the mockflow bucket-weight pattern — a double sum of 64
+    * per-dimension terms would re-introduce summation-order ulps between
+    * the engines' unordered GROUP BY folds).
+    */
+  private val DivScale = 1000000000000L
+
+  /** Per-group embedding diversity — the curation signal diversity-aware
+    * sampling and SemDeDup-style pruning act on (a group whose vectors
+    * collapse onto their centroid carries near-duplicate content; one
+    * with high spread is information-rich). Exact variance decomposition,
+    * no pair enumeration:
+    *
+    *   diversity = E‖x‖² − ‖E[x]‖²   (total variance about the centroid)
+    *   E‖x−y‖²  = 2·n/(n−1)·diversity over distinct pairs
+    *
+    * so the all-pairs mean distance comes from two aggregates. Scale
+    * shape: one 64-way posexplode with map-side combine onto (label,
+    * dim) — key space |labels|×64 however big the corpus — one
+    * label-keyed agg for norms, and a labels-sized join; nothing
+    * pairwise anywhere.
+    *
+    * Cross-engine exactness: per-row squared norms are the proven fused
+    * dot product (bit-identical); components and norms are rounded to
+    * 6 dp before the associative decimal sums; per-dimension means and
+    * their squares are then identical double bits, and the final
+    * 64-term centroid-norm sum crosses the engines as scaled-BIGINT
+    * integers ([[DivScale]]).
+    */
+  def embeddingDiversity(embeddings: DataFrame): DataFrame = {
+    val e = withNorm(embeddings)
+    val perDim = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "comp")))
+      .groupBy("label", "dim")
+      .agg(
+        graft.functions.Cols.detSum(round(col("comp").cast("double"), 6)).as("s1"),
+        count(lit(1)).as("n"))
+      .withColumn("mean_d", col("s1") / col("n"))
+      .withColumn("q",
+        round(col("mean_d") * col("mean_d") * DivScale).cast("long"))
+    val centroid = perDim.groupBy("label")
+      .agg((sum(col("q")).cast("double") / DivScale).as("centroid_sq_norm"))
+    val norms = e.groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        (graft.functions.Cols.detSum(round(col("n2"), 6)) / count(lit(1)))
+          .as("avg_sq_norm"))
+    norms.join(centroid, Seq("label"))
+      .withColumn("diversity", col("avg_sq_norm") - col("centroid_sq_norm"))
+      .select(col("label"), col("n_vectors"), col("avg_sq_norm"),
+        col("centroid_sq_norm"), col("diversity"),
+        when(col("n_vectors") > 1,
+          lit(2.0) * col("n_vectors") / (col("n_vectors") - lit(1.0)) *
+            col("diversity")).as("mean_pairwise_sq_dist"))
+      .orderBy("label")
+  }
+
+  /** DuckDB twin of [[embeddingDiversity]]: the 64-way explode is a
+    * lateral range(1,65), everything else mirrors term for term.
+    */
+  def embeddingDiversitySql: String =
+    s"""WITH $NORM_CTE,
+       |pd AS (
+       |  SELECT label, i,
+       |    CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE), 6)
+       |                  AS DECIMAL(28,6))) AS DOUBLE) AS s1,
+       |    COUNT(*) AS n
+       |  FROM e, range(1, ${Dim + 1}) t(i)
+       |  GROUP BY 1, 2),
+       |cen AS (
+       |  SELECT label,
+       |    CAST(SUM(CAST(round((s1 / n) * (s1 / n) * $DivScale) AS BIGINT))
+       |         AS DOUBLE) / $DivScale AS centroid_sq_norm
+       |  FROM pd GROUP BY 1),
+       |nm AS (
+       |  SELECT label, COUNT(*) AS n_vectors,
+       |    CAST(SUM(CAST(round(n2, 6) AS DECIMAL(28,6))) AS DOUBLE)
+       |      / COUNT(*) AS avg_sq_norm
+       |  FROM e GROUP BY 1)
+       |SELECT nm.label, n_vectors, avg_sq_norm, centroid_sq_norm,
+       |  avg_sq_norm - centroid_sq_norm AS diversity,
+       |  CASE WHEN n_vectors > 1
+       |       THEN 2.0 * n_vectors / (n_vectors - 1.0)
+       |            * (avg_sq_norm - centroid_sq_norm) END
+       |    AS mean_pairwise_sq_dist
+       |FROM nm JOIN cen USING (label)
+       |ORDER BY label""".stripMargin
 }

@@ -302,4 +302,33 @@ class KnnSpec extends SparkSpec {
     assert(out.exists(r => !r.isNullAt(r.fieldIndex("lex_rank")) &&
       !r.isNullAt(r.fieldIndex("sem_rank"))))
   }
+
+  test("embedding diversity: decomposition matches brute-force pairwise mean; collapsed group ~0") {
+    // group "spread": 4 distinct axis vectors; group "tight": 3 copies of
+    // the same vector (norm 2), whose diversity must collapse to ~0
+    val rows = Seq(
+      (1L, unit(0), "spread"), (2L, unit(1), "spread"),
+      (3L, unit(2), "spread"), (4L, unit(3), "spread"),
+      (10L, scaled(5, 2f), "tight"), (11L, scaled(5, 2f), "tight"),
+      (12L, scaled(5, 2f), "tight"))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = Knn.embeddingDiversity(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+
+    // brute-force check for "spread": distinct unit vectors are mutually
+    // orthogonal, so every distinct pair is at squared distance 2
+    val sp = out("spread")
+    assert(sp.getAs[Long]("n_vectors") === 4L)
+    assert(math.abs(sp.getAs[Double]("avg_sq_norm") - 1.0) < 1e-6)
+    // centroid = (1/4,1/4,1/4,1/4,0,…) → ‖c‖² = 4·(1/16) = 0.25
+    assert(math.abs(sp.getAs[Double]("centroid_sq_norm") - 0.25) < 1e-6)
+    assert(math.abs(sp.getAs[Double]("diversity") - 0.75) < 1e-6)
+    assert(math.abs(sp.getAs[Double]("mean_pairwise_sq_dist") - 2.0) < 1e-5)
+
+    val tight = out("tight")
+    assert(tight.getAs[Long]("n_vectors") === 3L)
+    assert(math.abs(tight.getAs[Double]("avg_sq_norm") - 4.0) < 1e-6)
+    assert(math.abs(tight.getAs[Double]("diversity")) < 1e-6)
+    assert(math.abs(tight.getAs[Double]("mean_pairwise_sq_dist")) < 1e-5)
+  }
 }
