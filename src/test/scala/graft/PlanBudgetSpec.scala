@@ -31,6 +31,7 @@ class PlanBudgetSpec extends SparkSpec {
     "doc_chunks" -> 1,           // narrow explode; the 1 is the output sort
     "hash_split_assign" -> 1,
     "dedup_exact" -> 2,          // hash agg + output sort
+    "embedding_diversity" -> 4,  // (label,dim) agg + two label aggs + output sort; never pairwise
     "demand_hourly" -> 3,
     "vehicle_hourly" -> 2,
     "q1_pricing" -> 2,
