@@ -2193,6 +2193,26 @@ object Registry {
         Some(graft.sim.Knn.kmeansSilhouettePinnedSql(
           graft.sim.SemDedupFixture.centroids))),
 
+      // k-means trained FROM SCRATCH inside the engine, ORACLE-EXACT: a
+      // deterministic Lloyd loop in pure BIGINT arithmetic (floor(x·1e6)
+      // quantization, md5-ranked seeds, integer argmin, exactly-divisible
+      // floor-means) that the DuckDB twin replays iteration-for-iteration
+      // as unrolled CTE blocks — the trainer itself inside the hash gate,
+      // where the MLlib leg above can only ever be rows-only
+      Q("kmeans_lloyd_train",
+        (s, d) => graft.sim.Knn.kmeansLloydTrain(
+          TestdataAdapter.table(s, d, "embeddings")),
+        Some(graft.sim.Knn.kmeansLloydTrainSql())),
+
+      // SQ8 scalar-quantized ANN — the third compression path next to
+      // IVF (cell pruning) and PQ (codebook ADC): per-dim [min,max]
+      // byte quantization, pure-integer dot-product scoring (4× memory
+      // cut, SIMD-shaped, zero rounding anywhere → hash-exact)
+      Q("sq8_topk",
+        (s, d) => graft.sim.Knn.sq8TopK(
+          TestdataAdapter.table(s, d, "embeddings")),
+        Some(graft.sim.Knn.sq8TopKSql())),
+
       // G1+A8 pinned by ORACLE through the generator's own output: the
       // per-event provenance JSON is re-parsed and the de-noised demand
       // expectation base × tf × df × wf × rf is recomputed per

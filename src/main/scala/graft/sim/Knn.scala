@@ -1375,4 +1375,261 @@ object Knn {
        |    AS mean_pairwise_sq_dist
        |FROM nm JOIN cen USING (label)
        |ORDER BY label""".stripMargin
+
+  // ───────────────────────── engine-owned Lloyd trainer ──────────────────────
+
+  /** Scale for the Lloyd trainer's integer domain: embedding components
+    * (|x| < 1 on this table) quantize to micro-units via
+    * floor(x·1e6) — every subsequent sum/difference/square/mean is BIGINT
+    * arithmetic, order-free and replayable bit-for-bit by any engine.
+    */
+  private val LloydScale = 1000000L
+
+  /** K-means trained FROM SCRATCH inside the engine — a deterministic
+    * Lloyd's loop whose every iteration is exact integer arithmetic, so
+    * the TRAINER itself (not just a frozen-centroid serving point) is
+    * replayable step-for-step by the SQL oracle. This closes the gap the
+    * MLlib leg can't ([[kmeansClusterSizes]] stays rows-only: k-means‖
+    * init + double accumulation are not SQL-expressible); the same move
+    * that promoted the BPE trainer (`bpe_train`) and the HLL estimate
+    * (`cardinality_hll`) to oracle-exact.
+    *
+    * Determinism contract, mirrored term-for-term in [[kmeansLloydTrainSql]]:
+    *   - vectors quantize to BIGINT micro-units (floor(x·1e6): float→double
+    *     widening is exact, one IEEE multiply, floor — identical in both
+    *     engines);
+    *   - seeds = the k vectors ranked first by md5(vec_id) (md5 is
+    *     engine-independent; ties impossible, vec_id appended anyway);
+    *   - assignment = argmin of the INTEGER squared distance, ties to the
+    *     lowest cluster id (array_position takes the first minimum; the
+    *     oracle's ROW_NUMBER orders by (d, j));
+    *   - update = per-dimension floor-mean computed as (s − m)/n with
+    *     m = ((s mod n) + n) mod n, so the numerator is exactly divisible
+    *     and trunc-vs-floor division semantics can't diverge;
+    *   - a cluster that loses all members keeps its previous centroid
+    *     (the LEFT JOIN + COALESCE leg, same rule both engines).
+    *
+    * Scale shape: one quantize pass over the corpus, then per iteration
+    * one broadcast of k·64 longs (the k×64 centroid grid — KB-sized at
+    * any corpus size), one narrow argmin map, and one (k×64)-group
+    * partial-aggregated sum — no shuffle ever carries vectors, and
+    * nothing is all-pairs. The driver never sees the data (centroids stay
+    * in-plan; the seed window runs on a LIMIT-k frame, bounded by
+    * construction). iters unrolls the loop into one declarative plan —
+    * at production scale you'd persist each iteration's assignment, which
+    * is exactly what the registered query's persisted base frame does.
+    * Output is pure-integer (sizes, inertia, centroid checksum), so the
+    * hash gate needs no rounding at all.
+    */
+  def kmeansLloydTrain(embeddings: DataFrame, k: Int = 4, iters: Int = 3): DataFrame = {
+    val quant = expr(
+      s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $LloydScale.0) AS BIGINT))")
+    // persisted: the quantized corpus feeds every iteration's assign +
+    // update legs and the final report (7 scans of a narrow 2-col frame)
+    val e0 = withNorm(embeddings).select(col("vec_id"), quant.as("q")).persist()
+
+    // k seed centroids in md5 order. The global window is over the
+    // already-LIMITed k-row frame — bounded by construction, not a
+    // corpus-wide single-partition sort (the heavy ranking is TakeOrdered).
+    val seedW = Window.orderBy("h", "vec_id")
+    val seeds = e0.withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy("h", "vec_id").limit(k)
+      .withColumn("j", (row_number().over(seedW) - 1).cast("int"))
+      .select(col("j"), col("q").as("c"))
+
+    // one-row k×64 centroid grid (ordered by j) → broadcast against the corpus
+    def grid(cen: DataFrame): DataFrame = cen.groupBy().agg(
+      transform(array_sort(collect_list(struct(col("j"), col("c")))),
+        s => s.getField("c")).as("cb"))
+    def assign(cen: DataFrame): DataFrame =
+      e0.crossJoin(broadcast(grid(cen)))
+        .withColumn("ds", transform(col("cb"), cenA =>
+          aggregate(zip_with(col("q"), cenA, (x, c) => (x - c) * (x - c)),
+            lit(0L), _ + _)))
+        .withColumn("j", (array_position(col("ds"), array_min(col("ds"))) - 1).cast("int"))
+
+    var cen = seeds
+    for (_ <- 1 to iters) {
+      val sums = assign(cen)
+        .select(col("j"), posexplode(col("q")).as(Seq("i", "v")))
+        .groupBy("j", "i")
+        .agg(sum("v").as("s"), count(lit(1)).as("cnt"))
+      val newCen = sums
+        .withColumn("m", ((col("s") % col("cnt")) + col("cnt")) % col("cnt"))
+        .withColumn("cd", ((col("s") - col("m")).cast("double") / col("cnt")).cast("long"))
+        .groupBy("j")
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("cd")))),
+          s => s.getField("cd")).as("nc"))
+      // k-row frame: truncate the lineage each round (localCheckpoint,
+      // never persist — the grown plan, not the data, is the cost; see
+      // the connected-components loop for the same rule), otherwise
+      // iteration N re-embeds and re-optimizes every earlier iteration's
+      // aggregation subtree twice over
+      cen = cen.join(newCen, Seq("j"), "left")
+        .select(col("j"), coalesce(col("nc"), col("c")).as("c"))
+        .localCheckpoint()
+    }
+
+    val stats = assign(cen)
+      .withColumn("d", array_min(col("ds")))
+      .groupBy(col("j").as("cluster"))
+      .agg(count(lit(1)).as("n"), sum("d").as("inertia"))
+    cen
+      .select(col("j").as("cluster"),
+        aggregate(col("c"), lit(0L), _ + _).as("c_sum"))
+      .join(stats, Seq("cluster"), "left")
+      .select(col("cluster"), coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("inertia"), lit(0L)).as("inertia"), col("c_sum"))
+      .orderBy("cluster")
+  }
+
+  /** DuckDB twin of [[kmeansLloydTrain]]: the trainer loop unrolls into
+    * per-iteration CTE blocks (distance/argmin/per-dim sum/floor-mean/
+    * coalesce), with centroid state in LONG form (j, i, cd) so no list
+    * aggregation is needed. (s − m)/n is exactly divisible, so DuckDB's
+    * double division reproduces the BIGINT floor-mean exactly.
+    */
+  def kmeansLloydTrainSql(k: Int = 4, iters: Int = 3): String = {
+    val d1 = Dim + 1
+    val iterCtes = (1 to iters).map { it =>
+      val p = it - 1
+      s"""x$it AS (
+         |  SELECT e.vec_id, c.j, SUM((e.q[t.i] - c.cd) * (e.q[t.i] - c.cd)) AS d
+         |  FROM e0 e CROSS JOIN range(1, $d1) t(i) JOIN c$p c ON c.i = t.i
+         |  GROUP BY 1, 2),
+         |a$it AS (
+         |  SELECT vec_id, j FROM (
+         |    SELECT vec_id, j,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, j) AS rk
+         |    FROM x$it) WHERE rk = 1),
+         |s$it AS (
+         |  SELECT a.j, t.i, SUM(e.q[t.i]) AS s, COUNT(*) AS cnt
+         |  FROM a$it a JOIN e0 e USING (vec_id) CROSS JOIN range(1, $d1) t(i)
+         |  GROUP BY 1, 2),
+         |u$it AS (
+         |  SELECT j, i,
+         |    CAST((s - (((s % cnt) + cnt) % cnt)) / cnt AS BIGINT) AS cd
+         |  FROM s$it),
+         |c$it AS (
+         |  SELECT p.j, p.i, COALESCE(u.cd, p.cd) AS cd
+         |  FROM c$p p LEFT JOIN u$it u ON u.j = p.j AND u.i = p.i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $NORM_CTE,
+       |e0 AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE) * $LloydScale.0) AS BIGINT)) AS q
+       |  FROM e),
+       |sd AS (
+       |  SELECT vec_id, q,
+       |    ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+       |  FROM e0),
+       |c0 AS (
+       |  SELECT CAST(rn - 1 AS INTEGER) AS j, t.i, q[t.i] AS cd
+       |  FROM sd CROSS JOIN range(1, $d1) t(i) WHERE rn <= $k),
+       |$iterCtes,
+       |fx AS (
+       |  SELECT e.vec_id, c.j, SUM((e.q[t.i] - c.cd) * (e.q[t.i] - c.cd)) AS d
+       |  FROM e0 e CROSS JOIN range(1, $d1) t(i) JOIN c$iters c ON c.i = t.i
+       |  GROUP BY 1, 2),
+       |fa AS (
+       |  SELECT vec_id, j, d FROM (
+       |    SELECT vec_id, j, d,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, j) AS rk
+       |    FROM fx) WHERE rk = 1),
+       |st AS (SELECT j AS cluster, COUNT(*) AS n,
+       |         CAST(SUM(d) AS BIGINT) AS inertia FROM fa GROUP BY 1),
+       |cs AS (SELECT j AS cluster, CAST(SUM(cd) AS BIGINT) AS c_sum
+       |       FROM c$iters GROUP BY 1)
+       |SELECT cs.cluster, COALESCE(st.n, 0) AS n,
+       |  COALESCE(st.inertia, 0) AS inertia, cs.c_sum
+       |FROM cs LEFT JOIN st USING (cluster)
+       |ORDER BY cs.cluster""".stripMargin
+  }
+
+  // ─────────────────────── SQ8 scalar-quantized ANN ──────────────────────────
+
+  /** SQ8 scalar quantization + top-k search — the third production ANN
+    * compression path next to IVF (cell pruning, [[ivfTopK]]) and PQ
+    * (codebook ADC, [[pqTopK]]): each dimension linearly quantizes to an
+    * unsigned byte against the corpus per-dimension [min, max] range,
+    * cutting vector memory 4× vs float32 while scoring stays a pure
+    * integer dot product (SIMD-friendly, overflow-free: 255²·64 < 2³²).
+    *
+    * Cross-engine exactness: per-dim min/max are order-free exact over
+    * doubles; the code is floor(((x−min)/(max−min))·256) clamped to
+    * [0,255] — one fixed IEEE expression tree, identical in both engines;
+    * scores are BIGINT sums of int products, so the whole result
+    * hash-checks with no rounding anywhere.
+    *
+    * Scale shape: the [min,max] grid is 64 doubles (a broadcast scalar at
+    * any corpus size), encoding is one narrow map, and the bounded query
+    * set broadcasts against the candidate stream exactly like
+    * [[bruteForceTopK]] — at corpus scale the candidate side swaps to the
+    * IVF/bucketed generators with this integer scorer unchanged.
+    */
+  def sq8TopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val e = withNorm(embeddings)
+    // per-dimension [min,max] over the corpus, collapsed to one 64-slot grid
+    val mm = e.select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .withColumn("x", col("x").cast("double"))
+      .groupBy("i").agg(min("x").as("vmin"), max("x").as("vmax"))
+      .groupBy().agg(
+        transform(array_sort(collect_list(struct(col("i"), col("vmin")))),
+          s => s.getField("vmin")).as("vmins"),
+        transform(array_sort(collect_list(struct(col("i"), col("vmax")))),
+          s => s.getField("vmax")).as("vmaxs"))
+    val codeExpr =
+      s"""transform(embedding, (x, i) ->
+         |  CASE WHEN element_at(vmaxs, i + 1) = element_at(vmins, i + 1) THEN 0
+         |       ELSE LEAST(255, GREATEST(0, CAST(floor(
+         |         ((CAST(x AS DOUBLE) - element_at(vmins, i + 1))
+         |           / (element_at(vmaxs, i + 1) - element_at(vmins, i + 1))) * 256.0)
+         |         AS INT))) END)""".stripMargin
+    val coded = e.crossJoin(broadcast(mm))
+      .select(col("vec_id"), expr(codeExpr).as("code"))
+    val q = coded.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("code").as("qc"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    coded.select(col("vec_id").as("neighbor_id"), col("code").as("cc"))
+      .crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score",
+        aggregate(zip_with(col("qc"), col("cc"),
+          (a, b) => a.cast("long") * b.cast("long")), lit(0L), _ + _))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** DuckDB twin of [[sq8TopK]] — codes in long form (vec_id, i, code),
+    * the score join groups the 64 per-dimension int products back into
+    * one BIGINT per (query, candidate) pair.
+    */
+  def sq8TopKSql(nQueries: Int = 10, k: Int = 5): String =
+    s"""WITH $NORM_CTE,
+       |mm AS (
+       |  SELECT t.i, MIN(CAST(embedding[t.i] AS DOUBLE)) AS vmin,
+       |         MAX(CAST(embedding[t.i] AS DOUBLE)) AS vmax
+       |  FROM e CROSS JOIN range(1, ${Dim + 1}) t(i) GROUP BY 1),
+       |cd AS (
+       |  SELECT e.vec_id, t.i,
+       |    CASE WHEN mm.vmax = mm.vmin THEN 0
+       |         ELSE LEAST(255, GREATEST(0, CAST(floor(
+       |           ((CAST(e.embedding[t.i] AS DOUBLE) - mm.vmin)
+       |             / (mm.vmax - mm.vmin)) * 256.0) AS INTEGER))) END AS code
+       |  FROM e CROSS JOIN range(1, ${Dim + 1}) t(i) JOIN mm ON mm.i = t.i),
+       |s AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    CAST(SUM(CAST(q.code AS BIGINT) * c.code) AS BIGINT) AS score
+       |  FROM cd q JOIN cd c ON c.i = q.i AND c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $nQueries
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+       |  FROM s)
+       |SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS "rank", score
+       |FROM r WHERE rn <= $k ORDER BY query_id, "rank"""".stripMargin
 }

@@ -331,4 +331,121 @@ class KnnSpec extends SparkSpec {
     assert(math.abs(tight.getAs[Double]("diversity")) < 1e-6)
     assert(math.abs(tight.getAs[Double]("mean_pairwise_sq_dist")) < 1e-5)
   }
+
+  // ── engine-owned Lloyd trainer ──
+
+  /** Driver-side reimplementation of the kmeansLloydTrain contract —
+    * an independent oracle for the spec (the DuckDB twin is the
+    * cross-engine one): same quantization, md5 seed order, integer
+    * argmin with lowest-j ties, floorDiv means, empty-keeps-previous.
+    */
+  private def lloydReference(
+      rows: Seq[(Long, Array[Float])], k: Int, iters: Int): Seq[(Int, Long, Long, Long)] = {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val q = rows
+      .filter { case (_, a) => a.exists(_ != 0f) }
+      .map { case (id, a) =>
+        id -> a.map(x => math.floor(x.toDouble * 1000000.0).toLong)
+      }
+    val seeds = q.sortBy { case (id, _) => (md5hex(id.toString), id) }.take(k)
+    var cen: Seq[Array[Long]] = seeds.map(_._2)
+    def assign(v: Array[Long]): Int =
+      cen.zipWithIndex.minBy { case (c, j) =>
+        (v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum, j)
+      }._2
+    for (_ <- 1 to iters) {
+      val byJ = q.groupBy { case (_, v) => assign(v) }
+      cen = cen.zipWithIndex.map { case (prev, j) =>
+        byJ.get(j) match {
+          case Some(member) =>
+            val n = member.size
+            (0 until 64).map(i =>
+              Math.floorDiv(member.map(_._2(i)).sum, n.toLong)).toArray
+          case None => prev
+        }
+      }
+    }
+    val byJ = q.groupBy { case (_, v) => assign(v) }
+    cen.zipWithIndex.map { case (c, j) =>
+      val member = byJ.getOrElse(j, Seq.empty)
+      val inertia = member.map { case (_, v) =>
+        v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum
+      }.sum
+      (j, member.size.toLong, inertia, c.sum)
+    }
+  }
+
+  test("Lloyd trainer: exact agreement with an independent driver-side replay") {
+    val rows = Seq(
+      (0L, scaled(0, 0.9f)), (1L, scaled(0, 1.0f)), (2L, scaled(0, 1.1f)),
+      (3L, scaled(1, 0.9f)), (4L, scaled(1, 1.0f)), (5L, scaled(1, 1.1f)),
+      (6L, scaled(2, 0.5f)), (7L, scaled(2, 0.6f)))
+    val df = rows.map { case (id, a) => (id, a, 0) }
+      .toDF("vec_id", "embedding", "label")
+    val got = Knn.kmeansLloydTrain(df, k = 3, iters = 3)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    val want = lloydReference(rows, k = 3, iters = 3).sortBy(_._1)
+    assert(got === want)
+    // clusters partition the corpus
+    assert(got.map(_._2).sum === rows.size)
+    assert(got.forall(_._3 >= 0L))
+  }
+
+  test("Lloyd trainer: a cluster that loses all members keeps its previous centroid") {
+    // 3 seeds over only 2 distinct locations: after the first update two
+    // centroids coincide and one goes empty — it must keep its previous
+    // centroid (n=0, inertia=0), exactly as the driver replay does
+    val rows = Seq(
+      (0L, scaled(0, 1.0f)), (1L, scaled(0, 1.0f)),
+      (2L, scaled(1, 1.0f)), (3L, scaled(1, 1.0f)))
+    val df = rows.map { case (id, a) => (id, a, 0) }
+      .toDF("vec_id", "embedding", "label")
+    val got = Knn.kmeansLloydTrain(df, k = 3, iters = 2)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    val want = lloydReference(rows, k = 3, iters = 2).sortBy(_._1)
+    assert(got === want)
+    assert(got.exists(r => r._2 == 0L && r._3 == 0L)) // the empty cluster
+    assert(got.map(_._2).sum === rows.size)
+  }
+
+  // ── SQ8 scalar-quantized ANN ──
+
+  test("SQ8: byte codes score as exact integer dot products; orthogonal scores 0") {
+    // dims in play span [0,1] (and one negative dim to exercise vmin<0):
+    // code(x) = floor(((x-min)/(max-min))*256) clamped to [0,255]
+    val neg = { val a = Array.fill(64)(0f); a(2) = -1f; a }
+    val e = Seq(
+      (0L, unit(0), 0),                // query: dim0 = 1 → code 255
+      (1L, scaled(0, 0.5f), 0),        // dim0 = 0.5 → code 128
+      (2L, unit(1), 0),                // orthogonal → score 0... but dim1 max=1
+      (3L, neg, 0))                    // dim2 ∈ [-1,0]
+      .toDF("vec_id", "embedding", "label")
+    val r = Knn.sq8TopK(e, nQueries = 1, k = 3)
+      .as[(Long, Long, Int, Long)].collect()
+    val byId = r.map(x => x._2 -> x._4).toMap
+    // Codes are AFFINE (per-dim [min,max] → [0,255]), so a raw 0 in the
+    // [-1,0] dim2 encodes as clamp(floor(((0-(-1))/1)*256)) = 255 — the
+    // query and every candidate except the -1 vector share that code.
+    // dim0 (range [0,1]): query 255, cand1 floor(0.5*256)=128.
+    assert(byId(1L) === 255L * 128L + 255L * 255L) // dim0 + shared dim2
+    assert(byId(2L) === 255L * 255L)               // dim2 only (query dim1 code 0)
+    assert(byId(3L) === 0L)                        // dim2 code 0 at x=-1
+    // ranking follows the integer scores, cand1 first
+    assert(r.sortBy(_._3).map(_._2).toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("SQ8: constant dimensions code to 0 and never contribute") {
+    // every vector identical on dim5 → vmax=vmin → code 0 by contract
+    val a1 = { val a = Array.fill(64)(0f); a(0) = 1f; a(5) = 0.7f; a }
+    val a2 = { val a = Array.fill(64)(0f); a(1) = 1f; a(5) = 0.7f; a }
+    val e = Seq((0L, a1, 0), (1L, a2, 0))
+      .toDF("vec_id", "embedding", "label")
+    val r = Knn.sq8TopK(e, nQueries = 1, k = 1)
+      .as[(Long, Long, Int, Long)].collect()
+    // dims 0/1 are one-sided ([0,1] ranges where the OTHER vector sits at
+    // 0 → code 0), dim5 is constant → 0; total score must be 0
+    assert(r.head._4 === 0L)
+  }
 }
