@@ -200,6 +200,15 @@ class ScaleSoakSpec extends SparkSpec {
 
   soak("hard_negatives")(e => Knn.hardNegatives(e))(baseEmb, bigEmb)
   soak("semantic_split_leakage")(e => Knn.semanticSplitLeakage(e))(baseEmb, bigEmb)
+  // round-12 additions: the in-engine Lloyd trainer (4 assign passes +
+  // 3 per-dim aggregations, all linear in n at fixed k·dim·iters —
+  // pinPlan=false: the persisted quantized base + per-round
+  // localCheckpoints make the textual plan cache-state-dependent) and
+  // the SQ8 encode+score pipeline (per-dim [min,max] grid is a scalar
+  // broadcast; the bounded query set broadcasts like bruteForceTopK)
+  soak("kmeans_lloyd_train", pinPlan = false)(
+    e => Knn.kmeansLloydTrain(e))(baseEmb, bigEmb)
+  soak("sq8_topk")(e => Knn.sq8TopK(e))(baseEmb, bigEmb)
   soak("temperature_mixture")(d => TextOps.temperatureMixture(d))(baseDocs, bigDocs)
   soak("corpus_shuffle")(d => HashSplit.corpusShuffle(d))(baseDocs, bigDocs)
   // round-9 addition: the incremental near-dup classify — index build +
