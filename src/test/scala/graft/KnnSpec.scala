@@ -412,40 +412,41 @@ class KnnSpec extends SparkSpec {
 
   // ── SQ8 scalar-quantized ANN ──
 
-  test("SQ8: byte codes score as exact integer dot products; orthogonal scores 0") {
-    // dims in play span [0,1] (and one negative dim to exercise vmin<0):
-    // code(x) = floor(((x-min)/(max-min))*256) clamped to [0,255]
-    val neg = { val a = Array.fill(64)(0f); a(2) = -1f; a }
+  test("SQ8: symmetric int8 codes score as exact integer dot products (≈127²·cosine)") {
+    // code = floor(x/‖x‖·127 + 0.5) ∈ [−127,127]; magnitude vanishes
+    // under normalization, direction survives quantized
+    val diag = { val a = Array.fill(64)(0f); a(0) = 1f; a(1) = 1f; a }
+    val neg = { val a = Array.fill(64)(0f); a(0) = -1f; a }
     val e = Seq(
-      (0L, unit(0), 0),                // query: dim0 = 1 → code 255
-      (1L, scaled(0, 0.5f), 0),        // dim0 = 0.5 → code 128
-      (2L, unit(1), 0),                // orthogonal → score 0... but dim1 max=1
-      (3L, neg, 0))                    // dim2 ∈ [-1,0]
+      (0L, unit(0), 0),        // query → code 127 on dim0
+      (1L, diag, 0),           // 45°: 1/√2·127+0.5 → code 90 on dims 0,1
+      (2L, unit(1), 0),        // orthogonal → score 0
+      (3L, neg, 0))            // antiparallel → code −127 → negative score
       .toDF("vec_id", "embedding", "label")
     val r = Knn.sq8TopK(e, nQueries = 1, k = 3)
       .as[(Long, Long, Int, Long)].collect()
     val byId = r.map(x => x._2 -> x._4).toMap
-    // Codes are AFFINE (per-dim [min,max] → [0,255]), so a raw 0 in the
-    // [-1,0] dim2 encodes as clamp(floor(((0-(-1))/1)*256)) = 255 — the
-    // query and every candidate except the -1 vector share that code.
-    // dim0 (range [0,1]): query 255, cand1 floor(0.5*256)=128.
-    assert(byId(1L) === 255L * 128L + 255L * 255L) // dim0 + shared dim2
-    assert(byId(2L) === 255L * 255L)               // dim2 only (query dim1 code 0)
-    assert(byId(3L) === 0L)                        // dim2 code 0 at x=-1
-    // ranking follows the integer scores, cand1 first
+    assert(byId(1L) === 127L * 90L)      // floor(0.7071·127+0.5) = 90
+    assert(byId(2L) === 0L)
+    assert(byId(3L) === 127L * -127L)
+    // ranking follows cosine order: parallel-ish > orthogonal > antiparallel
     assert(r.sortBy(_._3).map(_._2).toSeq === Seq(1L, 2L, 3L))
   }
 
-  test("SQ8: constant dimensions code to 0 and never contribute") {
-    // every vector identical on dim5 → vmax=vmin → code 0 by contract
-    val a1 = { val a = Array.fill(64)(0f); a(0) = 1f; a(5) = 0.7f; a }
-    val a2 = { val a = Array.fill(64)(0f); a(1) = 1f; a(5) = 0.7f; a }
-    val e = Seq((0L, a1, 0), (1L, a2, 0))
+  test("SQ8: recall experiment returns 1.0 when quantization can't flip the ranking") {
+    // well-separated directions: per-query cosine gaps are far larger
+    // than the 1/127 rounding granularity, so the quantized top-k must
+    // equal the exact top-k and the in-plan recall must be exactly 1.0
+    def mix(i: Int, j: Int, wj: Float): Array[Float] = {
+      val a = Array.fill(64)(0f); a(i) = 1f; a(j) = wj; a
+    }
+    val e = Seq(
+      (0L, unit(0), 0), (1L, mix(0, 1, 0.1f), 0), (2L, mix(0, 1, 0.3f), 0),
+      (3L, unit(2), 0), (4L, mix(2, 3, 0.1f), 0), (5L, mix(2, 3, 0.3f), 0),
+      (6L, unit(4), 0), (7L, unit(5), 0))
       .toDF("vec_id", "embedding", "label")
-    val r = Knn.sq8TopK(e, nQueries = 1, k = 1)
-      .as[(Long, Long, Int, Long)].collect()
-    // dims 0/1 are one-sided ([0,1] ranges where the OTHER vector sits at
-    // 0 → code 0), dim5 is constant → 0; total score must be 0
-    assert(r.head._4 === 0L)
+    val row = Knn.sq8Recall(e, nQueries = 2, k = 2)
+      .as[(Int, Int, Long, Long, Double)].collect().head
+    assert(row === ((2, 2, 4L, 4L, 1.0)))
   }
 }

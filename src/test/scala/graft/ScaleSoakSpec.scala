@@ -208,7 +208,9 @@ class ScaleSoakSpec extends SparkSpec {
   // broadcast; the bounded query set broadcasts like bruteForceTopK)
   soak("kmeans_lloyd_train", pinPlan = false)(
     e => Knn.kmeansLloydTrain(e))(baseEmb, bigEmb)
-  soak("sq8_topk")(e => Knn.sq8TopK(e))(baseEmb, bigEmb)
+  // pinPlan=false: sq8's coded frame persists (both join sides derive
+  // from it), so the textual plan is cache-state-dependent
+  soak("sq8_topk", pinPlan = false)(e => Knn.sq8TopK(e))(baseEmb, bigEmb)
   soak("temperature_mixture")(d => TextOps.temperatureMixture(d))(baseDocs, bigDocs)
   soak("corpus_shuffle")(d => HashSplit.corpusShuffle(d))(baseDocs, bigDocs)
   // round-9 addition: the incremental near-dup classify — index build +
