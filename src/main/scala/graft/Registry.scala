@@ -2204,6 +2204,14 @@ object Registry {
           TestdataAdapter.table(s, d, "embeddings")),
         Some(graft.sim.Knn.kmeansLloydTrainSql())),
 
+      // the convergence trace of the same trainer: per-iteration
+      // assigned/moved/inertia/nonempty-clusters diagnostics — the
+      // training log itself inside the hash gate
+      Q("kmeans_lloyd_trace",
+        (s, d) => graft.sim.Knn.kmeansLloydTrace(
+          TestdataAdapter.table(s, d, "embeddings")),
+        Some(graft.sim.Knn.kmeansLloydTraceSql())),
+
       // SQ8 scalar-quantized ANN — the third compression path next to
       // IVF (cell pruning) and PQ (codebook ADC): per-dim [min,max]
       // byte quantization, pure-integer dot-product scoring (4× memory

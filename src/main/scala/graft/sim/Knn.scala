@@ -1421,56 +1421,73 @@ object Knn {
     * Output is pure-integer (sizes, inertia, centroid checksum), so the
     * hash gate needs no rounding at all.
     */
-  def kmeansLloydTrain(embeddings: DataFrame, k: Int = 4, iters: Int = 3): DataFrame = {
+  /** Quantized corpus (vec_id, q: 64 BIGINT micro-units), persisted — it
+    * feeds every iteration's assign + update legs and the final report.
+    */
+  private def lloydQuantized(embeddings: DataFrame): DataFrame = {
     val quant = expr(
       s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $LloydScale.0) AS BIGINT))")
-    // persisted: the quantized corpus feeds every iteration's assign +
-    // update legs and the final report (7 scans of a narrow 2-col frame)
-    val e0 = withNorm(embeddings).select(col("vec_id"), quant.as("q")).persist()
+    withNorm(embeddings).select(col("vec_id"), quant.as("q")).persist()
+  }
 
-    // k seed centroids in md5 order. The global window is over the
-    // already-LIMITed k-row frame — bounded by construction, not a
-    // corpus-wide single-partition sort (the heavy ranking is TakeOrdered).
+  /** k seed centroids in md5 order. The global window is over the
+    * already-LIMITed k-row frame — bounded by construction, not a
+    * corpus-wide single-partition sort (the heavy ranking is TakeOrdered).
+    */
+  private def lloydSeeds(e0: DataFrame, k: Int): DataFrame = {
     val seedW = Window.orderBy("h", "vec_id")
-    val seeds = e0.withColumn("h", md5(col("vec_id").cast("string")))
+    e0.withColumn("h", md5(col("vec_id").cast("string")))
       .orderBy("h", "vec_id").limit(k)
       .withColumn("j", (row_number().over(seedW) - 1).cast("int"))
       .select(col("j"), col("q").as("c"))
+  }
 
-    // one-row k×64 centroid grid (ordered by j) → broadcast against the corpus
-    def grid(cen: DataFrame): DataFrame = cen.groupBy().agg(
+  /** Argmin assignment of the quantized corpus against the k-row
+    * centroid frame: the centroids collapse to a one-row k×64 grid
+    * (ordered by j) and broadcast — KB-sized at any corpus size.
+    */
+  private def lloydAssign(e0: DataFrame, cen: DataFrame): DataFrame = {
+    val grid = cen.groupBy().agg(
       transform(array_sort(collect_list(struct(col("j"), col("c")))),
         s => s.getField("c")).as("cb"))
-    def assign(cen: DataFrame): DataFrame =
-      e0.crossJoin(broadcast(grid(cen)))
-        .withColumn("ds", transform(col("cb"), cenA =>
-          aggregate(zip_with(col("q"), cenA, (x, c) => (x - c) * (x - c)),
-            lit(0L), _ + _)))
-        .withColumn("j", (array_position(col("ds"), array_min(col("ds"))) - 1).cast("int"))
+    e0.crossJoin(broadcast(grid))
+      .withColumn("ds", transform(col("cb"), cenA =>
+        aggregate(zip_with(col("q"), cenA, (x, c) => (x - c) * (x - c)),
+          lit(0L), _ + _)))
+      .withColumn("j", (array_position(col("ds"), array_min(col("ds"))) - 1).cast("int"))
+  }
 
-    var cen = seeds
-    for (_ <- 1 to iters) {
-      val sums = assign(cen)
-        .select(col("j"), posexplode(col("q")).as(Seq("i", "v")))
-        .groupBy("j", "i")
-        .agg(sum("v").as("s"), count(lit(1)).as("cnt"))
-      val newCen = sums
-        .withColumn("m", ((col("s") % col("cnt")) + col("cnt")) % col("cnt"))
-        .withColumn("cd", ((col("s") - col("m")).cast("double") / col("cnt")).cast("long"))
-        .groupBy("j")
-        .agg(transform(array_sort(collect_list(struct(col("i"), col("cd")))),
-          s => s.getField("cd")).as("nc"))
-      // k-row frame: truncate the lineage each round (localCheckpoint,
-      // never persist — the grown plan, not the data, is the cost; see
-      // the connected-components loop for the same rule), otherwise
-      // iteration N re-embeds and re-optimizes every earlier iteration's
-      // aggregation subtree twice over
-      cen = cen.join(newCen, Seq("j"), "left")
-        .select(col("j"), coalesce(col("nc"), col("c")).as("c"))
-        .localCheckpoint()
-    }
+  /** One Lloyd update step: per-(cluster, dim) integer sums off an
+    * assignment frame carrying (j, q), exactly-divisible floor-means,
+    * empty-cluster-keeps-previous, lineage truncated (localCheckpoint,
+    * never persist — the grown plan, not the data, is the cost; see the
+    * connected-components loop for the same rule), otherwise iteration N
+    * re-embeds and re-optimizes every earlier iteration's aggregation
+    * subtree twice over.
+    */
+  private def lloydUpdate(cen: DataFrame, asg: DataFrame): DataFrame = {
+    val sums = asg
+      .select(col("j"), posexplode(col("q")).as(Seq("i", "v")))
+      .groupBy("j", "i")
+      .agg(sum("v").as("s"), count(lit(1)).as("cnt"))
+    val newCen = sums
+      .withColumn("m", ((col("s") % col("cnt")) + col("cnt")) % col("cnt"))
+      .withColumn("cd", ((col("s") - col("m")).cast("double") / col("cnt")).cast("long"))
+      .groupBy("j")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("cd")))),
+        s => s.getField("cd")).as("nc"))
+    cen.join(newCen, Seq("j"), "left")
+      .select(col("j"), coalesce(col("nc"), col("c")).as("c"))
+      .localCheckpoint()
+  }
 
-    val stats = assign(cen)
+  def kmeansLloydTrain(embeddings: DataFrame, k: Int = 4, iters: Int = 3): DataFrame = {
+    val e0 = lloydQuantized(embeddings)
+    var cen = lloydSeeds(e0, k)
+    for (_ <- 1 to iters)
+      cen = lloydUpdate(cen, lloydAssign(e0, cen))
+
+    val stats = lloydAssign(e0, cen)
       .withColumn("d", array_min(col("ds")))
       .groupBy(col("j").as("cluster"))
       .agg(count(lit(1)).as("n"), sum("d").as("inertia"))
@@ -1483,13 +1500,61 @@ object Knn {
       .orderBy("cluster")
   }
 
+  /** The training-convergence diagnostics a pipeline logs per Lloyd
+    * iteration — one row per iteration: how many vectors were assigned,
+    * how many CHANGED cluster vs the previous iteration (NULL on the
+    * first — there is no previous assignment), the total inertia under
+    * the incoming centroids, and how many clusters are nonempty. Same
+    * determinism contract as [[kmeansLloydTrain]], so the whole trace
+    * sits inside the hash gate; each iteration's assignment
+    * localCheckpoints (a deployment persists assignments anyway) and the
+    * movement count is a narrow self-join on vec_id.
+    */
+  def kmeansLloydTrace(embeddings: DataFrame, k: Int = 4, iters: Int = 3): DataFrame = {
+    val e0 = lloydQuantized(embeddings)
+    var cen = lloydSeeds(e0, k)
+    var prevAsg: Option[DataFrame] = None
+    var out: Option[DataFrame] = None
+    for (it <- 1 to iters) {
+      val asg = lloydAssign(e0, cen)
+        .withColumn("d", array_min(col("ds")))
+        .select("vec_id", "j", "d", "q")
+        .localCheckpoint()
+      val base = asg.agg(
+        count(lit(1)).as("n_assigned"),
+        sum("d").as("inertia"),
+        countDistinct("j").as("nonempty_clusters"))
+      val row = (prevAsg match {
+        case None => base.withColumn("n_moved", lit(null).cast("long"))
+        case Some(p) =>
+          val mv = asg.select(col("vec_id"), col("j").as("cj"))
+            .join(p.select(col("vec_id"), col("j").as("pj")), Seq("vec_id"))
+            .filter(col("cj") =!= col("pj"))
+            .agg(count(lit(1)).as("n_moved"))
+          base.crossJoin(broadcast(mv))
+      }).select(lit(it).as("iter"), col("n_assigned"), col("n_moved"),
+        col("inertia"), col("nonempty_clusters"))
+      out = Some(out.fold(row)(_.unionByName(row)))
+      prevAsg = Some(asg)
+      cen = lloydUpdate(cen, asg)
+    }
+    out.get.orderBy("iter")
+  }
+
   /** DuckDB twin of [[kmeansLloydTrain]]: the trainer loop unrolls into
     * per-iteration CTE blocks (distance/argmin/per-dim sum/floor-mean/
     * coalesce), with centroid state in LONG form (j, i, cd) so no list
     * aggregation is needed. (s − m)/n is exactly divisible, so DuckDB's
     * double division reproduces the BIGINT floor-mean exactly.
     */
-  def kmeansLloydTrainSql(k: Int = 4, iters: Int = 3): String = {
+  /** The shared CTE prefix for the Lloyd twins: quantize, md5 seeds,
+    * then per-iteration blocks x/a/s/u/c (distance, argmin WITH its
+    * min-distance kept, per-dim sum, floor-mean, coalesce). Centroid
+    * state stays in LONG form (j, i, cd) so no list aggregation is
+    * needed; (s − m)/n is exactly divisible, so DuckDB's double
+    * division reproduces the BIGINT floor-mean exactly.
+    */
+  private def lloydSqlCtes(k: Int, iters: Int): String = {
     val d1 = Dim + 1
     val iterCtes = (1 to iters).map { it =>
       val p = it - 1
@@ -1498,8 +1563,8 @@ object Knn {
          |  FROM e0 e CROSS JOIN range(1, $d1) t(i) JOIN c$p c ON c.i = t.i
          |  GROUP BY 1, 2),
          |a$it AS (
-         |  SELECT vec_id, j FROM (
-         |    SELECT vec_id, j,
+         |  SELECT vec_id, j, d FROM (
+         |    SELECT vec_id, j, d,
          |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, j) AS rk
          |    FROM x$it) WHERE rk = 1),
          |s$it AS (
@@ -1514,7 +1579,7 @@ object Knn {
          |  SELECT p.j, p.i, COALESCE(u.cd, p.cd) AS cd
          |  FROM c$p p LEFT JOIN u$it u ON u.j = p.j AND u.i = p.i)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $NORM_CTE,
+    s"""$NORM_CTE,
        |e0 AS (
        |  SELECT vec_id,
        |    list_transform(embedding,
@@ -1527,7 +1592,12 @@ object Knn {
        |c0 AS (
        |  SELECT CAST(rn - 1 AS INTEGER) AS j, t.i, q[t.i] AS cd
        |  FROM sd CROSS JOIN range(1, $d1) t(i) WHERE rn <= $k),
-       |$iterCtes,
+       |$iterCtes""".stripMargin
+  }
+
+  def kmeansLloydTrainSql(k: Int = 4, iters: Int = 3): String = {
+    val d1 = Dim + 1
+    s"""WITH ${lloydSqlCtes(k, iters)},
        |fx AS (
        |  SELECT e.vec_id, c.j, SUM((e.q[t.i] - c.cd) * (e.q[t.i] - c.cd)) AS d
        |  FROM e0 e CROSS JOIN range(1, $d1) t(i) JOIN c$iters c ON c.i = t.i
@@ -1545,6 +1615,28 @@ object Knn {
        |  COALESCE(st.inertia, 0) AS inertia, cs.c_sum
        |FROM cs LEFT JOIN st USING (cluster)
        |ORDER BY cs.cluster""".stripMargin
+  }
+
+  /** DuckDB twin of [[kmeansLloydTrace]]: one aggregate row per
+    * iteration off the shared a{it} assignment CTEs; the movement count
+    * is a scalar subquery joining successive assignments on vec_id.
+    */
+  def kmeansLloydTraceSql(k: Int = 4, iters: Int = 3): String = {
+    val rows = (1 to iters).map { it =>
+      val moved =
+        if (it == 1) "CAST(NULL AS BIGINT)"
+        else
+          s"""(SELECT COUNT(*) FROM a$it x JOIN a${it - 1} p USING (vec_id)
+             |     WHERE x.j <> p.j)""".stripMargin
+      s"""SELECT $it AS iter, COUNT(*) AS n_assigned,
+         |  $moved AS n_moved,
+         |  CAST(SUM(d) AS BIGINT) AS inertia,
+         |  COUNT(DISTINCT j) AS nonempty_clusters
+         |FROM a$it""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${lloydSqlCtes(k, iters)}
+       |SELECT * FROM ($rows)
+       |ORDER BY iter""".stripMargin
   }
 
   // ─────────────────────── SQ8 scalar-quantized ANN ──────────────────────────

@@ -340,7 +340,8 @@ class KnnSpec extends SparkSpec {
     * argmin with lowest-j ties, floorDiv means, empty-keeps-previous.
     */
   private def lloydReference(
-      rows: Seq[(Long, Array[Float])], k: Int, iters: Int): Seq[(Int, Long, Long, Long)] = {
+      rows: Seq[(Long, Array[Float])], k: Int, iters: Int)
+      : (Seq[(Int, Long, Long, Long)], Seq[(Int, Long, Option[Long], Long, Long)]) = {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -351,30 +352,35 @@ class KnnSpec extends SparkSpec {
       }
     val seeds = q.sortBy { case (id, _) => (md5hex(id.toString), id) }.take(k)
     var cen: Seq[Array[Long]] = seeds.map(_._2)
+    def dist(v: Array[Long], c: Array[Long]): Long =
+      v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum
     def assign(v: Array[Long]): Int =
-      cen.zipWithIndex.minBy { case (c, j) =>
-        (v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum, j)
-      }._2
-    for (_ <- 1 to iters) {
-      val byJ = q.groupBy { case (_, v) => assign(v) }
-      cen = cen.zipWithIndex.map { case (prev, j) =>
+      cen.zipWithIndex.minBy { case (c, j) => (dist(v, c), j) }._2
+    var prev: Option[Map[Long, Int]] = None
+    val trace = (1 to iters).map { it =>
+      val asg = q.map { case (id, v) => id -> assign(v) }.toMap
+      val inertia = q.map { case (id, v) => dist(v, cen(asg(id))) }.sum
+      val moved = prev.map(p => q.count { case (id, _) => p(id) != asg(id) }.toLong)
+      val byJ = q.groupBy { case (id, _) => asg(id) }
+      cen = cen.zipWithIndex.map { case (pc, j) =>
         byJ.get(j) match {
           case Some(member) =>
             val n = member.size
             (0 until 64).map(i =>
               Math.floorDiv(member.map(_._2(i)).sum, n.toLong)).toArray
-          case None => prev
+          case None => pc
         }
       }
+      prev = Some(asg)
+      (it, q.size.toLong, moved, inertia, byJ.size.toLong)
     }
     val byJ = q.groupBy { case (_, v) => assign(v) }
-    cen.zipWithIndex.map { case (c, j) =>
+    val fin = cen.zipWithIndex.map { case (c, j) =>
       val member = byJ.getOrElse(j, Seq.empty)
-      val inertia = member.map { case (_, v) =>
-        v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum
-      }.sum
+      val inertia = member.map { case (_, v) => dist(v, c) }.sum
       (j, member.size.toLong, inertia, c.sum)
     }
+    (fin, trace)
   }
 
   test("Lloyd trainer: exact agreement with an independent driver-side replay") {
@@ -386,11 +392,19 @@ class KnnSpec extends SparkSpec {
       .toDF("vec_id", "embedding", "label")
     val got = Knn.kmeansLloydTrain(df, k = 3, iters = 3)
       .as[(Int, Long, Long, Long)].collect().toSeq
-    val want = lloydReference(rows, k = 3, iters = 3).sortBy(_._1)
-    assert(got === want)
+    val (want, wantTrace) = lloydReference(rows, k = 3, iters = 3)
+    assert(got === want.sortBy(_._1))
     // clusters partition the corpus
     assert(got.map(_._2).sum === rows.size)
     assert(got.forall(_._3 >= 0L))
+
+    // the convergence trace replays identically too
+    val gotTrace = Knn.kmeansLloydTrace(df, k = 3, iters = 3)
+      .as[(Int, Long, Option[Long], Long, Long)].collect().toSeq
+    assert(gotTrace === wantTrace)
+    assert(gotTrace.head._3.isEmpty) // no previous assignment at iter 1
+    // Lloyd's objective is non-increasing across iterations
+    assert(gotTrace.map(_._4).sliding(2).forall(w => w.last <= w.head))
   }
 
   test("Lloyd trainer: a cluster that loses all members keeps its previous centroid") {
@@ -404,7 +418,7 @@ class KnnSpec extends SparkSpec {
       .toDF("vec_id", "embedding", "label")
     val got = Knn.kmeansLloydTrain(df, k = 3, iters = 2)
       .as[(Int, Long, Long, Long)].collect().toSeq
-    val want = lloydReference(rows, k = 3, iters = 2).sortBy(_._1)
+    val want = lloydReference(rows, k = 3, iters = 2)._1.sortBy(_._1)
     assert(got === want)
     assert(got.exists(r => r._2 == 0L && r._3 == 0L)) // the empty cluster
     assert(got.map(_._2).sum === rows.size)
