@@ -2212,6 +2212,16 @@ object Registry {
           TestdataAdapter.table(s, d, "embeddings")),
         Some(graft.sim.Knn.kmeansLloydTraceSql())),
 
+      // IVF whose coarse quantizer is the in-engine Lloyd trainer: the
+      // whole trained-ANN pipeline — training, probe selection, pruned
+      // cell-restricted search — oracle-exact at a genuinely sub-linear
+      // nprobe < cells point (knn_ivf's MLlib centroids force its
+      // oracle to the degenerate nprobe = numCells configuration)
+      Q("ivf_lloyd_topk",
+        (s, d) => graft.sim.Knn.ivfLloydTopK(
+          TestdataAdapter.table(s, d, "embeddings")),
+        Some(graft.sim.Knn.ivfLloydTopKSql())),
+
       // SQ8 scalar-quantized ANN — the third compression path next to
       // IVF (cell pruning) and PQ (codebook ADC): per-dim [min,max]
       // byte quantization, pure-integer dot-product scoring (4× memory

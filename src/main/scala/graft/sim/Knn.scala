@@ -1639,6 +1639,96 @@ object Knn {
        |ORDER BY iter""".stripMargin
   }
 
+  /** IVF search whose coarse quantizer is the IN-ENGINE Lloyd trainer —
+    * the whole trained-ANN pipeline (training included) inside the hash
+    * gate, at a genuinely PRUNED operating point. [[ivfTopK]]'s MLlib
+    * centroids force its oracle to the degenerate nprobe = numCells
+    * configuration (where IVF ≡ brute force); here the centroids
+    * themselves replay in SQL, so the sub-linear nprobe < cells search —
+    * probe selection, cell-restricted candidates, integer L2 ranking —
+    * is oracle-exact end to end. All arithmetic stays in the trainer's
+    * BIGINT micro-unit domain: zero rounding anywhere.
+    *
+    * Scale shape: training as [[kmeansLloydTrain]]; search is one
+    * equality join on the cell key (candidates ≈ nprobe/cells of the
+    * corpus per query), with the bounded probe set broadcast.
+    */
+  def ivfLloydTopK(
+      embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
+      cells: Int = 16, iters: Int = 2, nprobe: Int = 2): DataFrame = {
+    val e0 = lloydQuantized(embeddings)
+    var cen = lloydSeeds(e0, cells)
+    for (_ <- 1 to iters) cen = lloydUpdate(cen, lloydAssign(e0, cen))
+    // corpus → cell assignment under the final centroids, materialized:
+    // it feeds the candidate side of every probe
+    val asg = lloydAssign(e0, cen)
+      .select(col("vec_id"), col("j").as("cell"), col("q"))
+      .localCheckpoint()
+    // each query probes its nprobe nearest cells (same distance list
+    // the assignment argmin reads; ties to the lower cell id)
+    val probes = lloydAssign(e0.filter(col("vec_id") < nQueries), cen)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        posexplode(col("ds")).as(Seq("cell", "cd")))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cd"), col("cell"))))
+      .filter(col("pr") <= nprobe)
+      .select("query_id", "qq", "cell")
+    val w = Window.partitionBy("query_id").orderBy(col("d"), col("vec_id"))
+    asg.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("d",
+        aggregate(zip_with(col("qq"), col("q"), (x, y) => (x - y) * (x - y)),
+          lit(0L), _ + _))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), col("d"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** DuckDB twin of [[ivfLloydTopK]]: the shared Lloyd CTE prefix, a
+    * final-centroid distance block, probe ranking, the cell-key
+    * candidate join, and the integer L2 rank — term for term.
+    */
+  def ivfLloydTopKSql(
+      nQueries: Int = 10, k: Int = 5,
+      cells: Int = 16, iters: Int = 2, nprobe: Int = 2): String = {
+    val d1 = Dim + 1
+    s"""WITH ${lloydSqlCtes(cells, iters)},
+       |fcx AS (
+       |  SELECT e.vec_id, c.j, SUM((e.q[t.i] - c.cd) * (e.q[t.i] - c.cd)) AS d
+       |  FROM e0 e CROSS JOIN range(1, $d1) t(i) JOIN c$iters c ON c.i = t.i
+       |  GROUP BY 1, 2),
+       |fca AS (
+       |  SELECT vec_id, j AS cell FROM (
+       |    SELECT vec_id, j,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, j) AS rk
+       |    FROM fcx) WHERE rk = 1),
+       |pr AS (
+       |  SELECT vec_id AS query_id, j AS cell FROM (
+       |    SELECT vec_id, j,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, j) AS rk
+       |    FROM fcx WHERE vec_id < $nQueries) WHERE rk <= $nprobe),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id
+       |  FROM pr p JOIN fca a ON a.cell = p.cell AND a.vec_id <> p.query_id),
+       |sc AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    CAST(SUM((qe.q[t.i] - ce.q[t.i]) * (qe.q[t.i] - ce.q[t.i]))
+       |         AS BIGINT) AS d
+       |  FROM cand c
+       |    JOIN e0 qe ON qe.vec_id = c.query_id
+       |    JOIN e0 ce ON ce.vec_id = c.neighbor_id
+       |    CROSS JOIN range(1, $d1) t(i)
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT query_id, neighbor_id, d,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rn
+       |  FROM sc)
+       |SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS "rank", d
+       |FROM r WHERE rn <= $k ORDER BY query_id, "rank"""".stripMargin
+  }
+
   // ─────────────────────── SQ8 scalar-quantized ANN ──────────────────────────
 
   /** SQ8 scalar quantization + top-k search — the third production ANN

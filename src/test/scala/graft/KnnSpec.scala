@@ -341,7 +341,8 @@ class KnnSpec extends SparkSpec {
     */
   private def lloydReference(
       rows: Seq[(Long, Array[Float])], k: Int, iters: Int)
-      : (Seq[(Int, Long, Long, Long)], Seq[(Int, Long, Option[Long], Long, Long)]) = {
+      : (Seq[(Int, Long, Long, Long)], Seq[(Int, Long, Option[Long], Long, Long)],
+         Seq[Array[Long]], Seq[(Long, Array[Long])]) = {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -357,7 +358,7 @@ class KnnSpec extends SparkSpec {
     def assign(v: Array[Long]): Int =
       cen.zipWithIndex.minBy { case (c, j) => (dist(v, c), j) }._2
     var prev: Option[Map[Long, Int]] = None
-    val trace = (1 to iters).map { it =>
+    val trace: Seq[(Int, Long, Option[Long], Long, Long)] = (1 to iters).map { it =>
       val asg = q.map { case (id, v) => id -> assign(v) }.toMap
       val inertia = q.map { case (id, v) => dist(v, cen(asg(id))) }.sum
       val moved = prev.map(p => q.count { case (id, _) => p(id) != asg(id) }.toLong)
@@ -380,7 +381,30 @@ class KnnSpec extends SparkSpec {
       val inertia = member.map { case (_, v) => dist(v, c) }.sum
       (j, member.size.toLong, inertia, c.sum)
     }
-    (fin, trace)
+    (fin, trace, cen, q)
+  }
+
+  /** Driver-side replay of the Lloyd-IVF search tail: probe nprobe
+    * nearest cells per query, rank cell-restricted candidates by the
+    * integer L2 distance, ties to the lower id.
+    */
+  private def ivfReference(
+      rows: Seq[(Long, Array[Float])], nQueries: Int, k: Int,
+      cells: Int, iters: Int, nprobe: Int): Seq[(Long, Long, Int, Long)] = {
+    val (_, _, cen, q) = lloydReference(rows, cells, iters)
+    def dist(v: Array[Long], c: Array[Long]): Long =
+      v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum
+    val cellOf = q.map { case (id, v) =>
+      id -> cen.zipWithIndex.minBy { case (c, j) => (dist(v, c), j) }._2
+    }.toMap
+    q.filter(_._1 < nQueries).sortBy(_._1).flatMap { case (qid, qv) =>
+      val probed = cen.zipWithIndex
+        .sortBy { case (c, j) => (dist(qv, c), j) }.take(nprobe).map(_._2).toSet
+      q.filter { case (id, _) => id != qid && probed(cellOf(id)) }
+        .map { case (id, v) => (id, dist(qv, v)) }
+        .sortBy { case (id, d) => (d, id) }.take(k).zipWithIndex
+        .map { case ((id, d), r) => (qid, id, r + 1, d) }
+    }
   }
 
   test("Lloyd trainer: exact agreement with an independent driver-side replay") {
@@ -392,7 +416,7 @@ class KnnSpec extends SparkSpec {
       .toDF("vec_id", "embedding", "label")
     val got = Knn.kmeansLloydTrain(df, k = 3, iters = 3)
       .as[(Int, Long, Long, Long)].collect().toSeq
-    val (want, wantTrace) = lloydReference(rows, k = 3, iters = 3)
+    val (want, wantTrace, _, _) = lloydReference(rows, k = 3, iters = 3)
     assert(got === want.sortBy(_._1))
     // clusters partition the corpus
     assert(got.map(_._2).sum === rows.size)
@@ -405,6 +429,31 @@ class KnnSpec extends SparkSpec {
     assert(gotTrace.head._3.isEmpty) // no previous assignment at iter 1
     // Lloyd's objective is non-increasing across iterations
     assert(gotTrace.map(_._4).sliding(2).forall(w => w.last <= w.head))
+  }
+
+  test("Lloyd-IVF: pruned search agrees with the driver replay; nprobe=cells ≡ integer brute force") {
+    val rows = Seq(
+      (0L, scaled(0, 0.9f)), (1L, scaled(0, 1.0f)), (2L, scaled(0, 1.1f)),
+      (3L, scaled(1, 0.9f)), (4L, scaled(1, 1.0f)), (5L, scaled(1, 1.1f)),
+      (6L, scaled(2, 0.5f)), (7L, scaled(2, 0.6f)), (8L, scaled(3, 0.8f)))
+    val df = rows.map { case (id, a) => (id, a, 0) }
+      .toDF("vec_id", "embedding", "label")
+    // pruned point: nprobe=1 of 3 cells — candidates restricted to the
+    // query's nearest cell, exactly as the reference replays it
+    val pruned = Knn.ivfLloydTopK(df, nQueries = 3, k = 2,
+      cells = 3, iters = 2, nprobe = 1)
+      .as[(Long, Long, Int, Long)].collect().toSeq
+    assert(pruned === ivfReference(rows, nQueries = 3, k = 2,
+      cells = 3, iters = 2, nprobe = 1))
+    // exhaustive point: nprobe=cells probes everything → the result IS
+    // the integer-L2 brute force (which the reference then computes)
+    val full = Knn.ivfLloydTopK(df, nQueries = 3, k = 2,
+      cells = 3, iters = 2, nprobe = 3)
+      .as[(Long, Long, Int, Long)].collect().toSeq
+    assert(full === ivfReference(rows, nQueries = 3, k = 2,
+      cells = 3, iters = 2, nprobe = 3))
+    // pruning can only shrink the candidate pool: pruned hits ⊆ full ranking pool
+    assert(pruned.map(_._4).forall(d => full.exists(_._4 <= d)))
   }
 
   test("Lloyd trainer: a cluster that loses all members keeps its previous centroid") {
