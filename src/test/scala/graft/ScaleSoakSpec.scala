@@ -211,6 +211,44 @@ class ScaleSoakSpec extends SparkSpec {
   // pinPlan=false: sq8's coded frame persists (both join sides derive
   // from it), so the textual plan is cache-state-dependent
   soak("sq8_topk", pinPlan = false)(e => Knn.sq8TopK(e))(baseEmb, bigEmb)
+  // end-to-end trained IVF at the pruned probe point: training cost is
+  // the Lloyd trainer's (soaked above + the 30× point below); the search
+  // tail adds one cell-key equality join whose candidate pool is
+  // nprobe/cells of the corpus — the whole chain must stay linear-ish
+  soak("ivf_lloyd_topk", pinPlan = false)(
+    e => Knn.ivfLloydTopK(e))(baseEmb, bigEmb)
+
+  // r12 second scale point for the in-engine Lloyd trainer, the same
+  // multi-point treatment dedup_containment got in r11: per-iteration
+  // cost is (corpus argmin map + (k×64)-group partial agg) — LINEAR in
+  // n at fixed k·dim·iters, so the 10×→30× step (3× the vectors) must
+  // stay inside 3× linear growth with the usual 2.5× slack + grace.
+  // 30 rotations of a 64-dim vector are all distinct (k < Dim), so no
+  // clone collapses onto another and the workload really is 30×.
+  private lazy val soak30Embs: DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_soak30emb").toString
+    val emb = TestdataAdapter.table(spark, dir, "embeddings")
+    (0 until 30).map { k =>
+      emb.select(
+        (col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+        (if (k == 0) col("embedding")
+         else concat(
+           slice(col("embedding"), lit(k + 1), size(col("embedding")) - k),
+           slice(col("embedding"), lit(1), lit(k)))).as("embedding"),
+        col("label"))
+    }.reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(s"$out/embeddings")
+    spark.read.parquet(s"$out/embeddings")
+  }
+
+  test("kmeans_lloyd_train stays linear from 10x to 30x (fixed k-dim-iters work per row)", Soak) {
+    force(Knn.kmeansLloydTrain(baseEmb)) // warm codegen/code paths
+    val t10 = Seq.fill(3)(force(Knn.kmeansLloydTrain(bigEmb))).sorted.apply(1)
+    val t30 = force(Knn.kmeansLloydTrain(soak30Embs))
+    info(f"lloyd 10x->30x: t10=$t10%.1fs t30=$t30%.1fs ratio=${t30 / t10}%.1f")
+    assert(t30 <= 7.5 * t10 + 10.0,
+      f"lloyd t(30x)=$t30%.1fs vs t(10x)=$t10%.1fs — growth outside the linear band")
+  }
   soak("temperature_mixture")(d => TextOps.temperatureMixture(d))(baseDocs, bigDocs)
   soak("corpus_shuffle")(d => HashSplit.corpusShuffle(d))(baseDocs, bigDocs)
   // round-9 addition: the incremental near-dup classify — index build +
