@@ -2222,6 +2222,15 @@ object Registry {
           TestdataAdapter.table(s, d, "embeddings")),
         Some(graft.sim.Knn.ivfLloydTopKSql())),
 
+      // the nprobe operating-point experiment for the same trained
+      // index: pruned-vs-exhaustive recall@k, one training pass, one
+      // row, fully in-plan (completes the pca_recall/sq8_recall
+      // measurement-query pattern for the IVF path)
+      Q("ivf_lloyd_recall",
+        (s, d) => graft.sim.Knn.ivfLloydRecall(
+          TestdataAdapter.table(s, d, "embeddings")),
+        Some(graft.sim.Knn.ivfLloydRecallSql())),
+
       // SQ8 scalar-quantized ANN — the third compression path next to
       // IVF (cell pruning) and PQ (codebook ADC): per-dim [min,max]
       // byte quantization, pure-integer dot-product scoring (4× memory

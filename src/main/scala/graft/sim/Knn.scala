@@ -1729,6 +1729,113 @@ object Knn {
        |FROM r WHERE rn <= $k ORDER BY query_id, "rank"""".stripMargin
   }
 
+  /** The nprobe-operating-point experiment for the Lloyd IVF: recall@k
+    * of the PRUNED search against the exhaustive integer-L2 ranking over
+    * the same trained index — one training pass feeds both legs, one row
+    * out, fully in-plan. Completes the measurement-query pattern every
+    * approximate path here ships ([[pcaRecall]], [[sq8Recall]]).
+    */
+  def ivfLloydRecall(
+      embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
+      cells: Int = 16, iters: Int = 2, nprobe: Int = 2): DataFrame = {
+    val e0 = lloydQuantized(embeddings)
+    var cen = lloydSeeds(e0, cells)
+    for (_ <- 1 to iters) cen = lloydUpdate(cen, lloydAssign(e0, cen))
+    val asg = lloydAssign(e0, cen)
+      .select(col("vec_id"), col("j").as("cell"), col("q"))
+      .localCheckpoint()
+    val probes = lloydAssign(e0.filter(col("vec_id") < nQueries), cen)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        posexplode(col("ds")).as(Seq("cell", "cd")))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cd"), col("cell"))))
+      .filter(col("pr") <= nprobe)
+      .select("query_id", "qq", "cell")
+    val intDist =
+      aggregate(zip_with(col("qq"), col("q"), (x, y) => (x - y) * (x - y)),
+        lit(0L), _ + _)
+    val w = Window.partitionBy("query_id").orderBy(col("d"), col("vec_id"))
+    val approx = asg.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("d", intDist)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), lit(1).as("hit"))
+    val qset = e0.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+    val exact = asg.select("vec_id", "q").crossJoin(broadcast(qset))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("d", intDist)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).as("hits"))
+      .select(lit(k).as("k"), lit(nprobe).as("nprobe"), lit(cells).as("cells"),
+        col("n_exact"), col("hits"),
+        (col("hits").cast("double") / col("n_exact")).as("recall"))
+  }
+
+  /** DuckDB twin of [[ivfLloydRecall]]: the shared Lloyd prefix, the
+    * pruned leg exactly as in [[ivfLloydTopKSql]], the exhaustive leg a
+    * plain integer-L2 rank over e0, one LEFT-JOIN aggregate row.
+    */
+  def ivfLloydRecallSql(
+      nQueries: Int = 10, k: Int = 5,
+      cells: Int = 16, iters: Int = 2, nprobe: Int = 2): String = {
+    val d1 = Dim + 1
+    s"""WITH ${lloydSqlCtes(cells, iters)},
+       |fcx AS (
+       |  SELECT e.vec_id, c.j, SUM((e.q[t.i] - c.cd) * (e.q[t.i] - c.cd)) AS d
+       |  FROM e0 e CROSS JOIN range(1, $d1) t(i) JOIN c$iters c ON c.i = t.i
+       |  GROUP BY 1, 2),
+       |fca AS (
+       |  SELECT vec_id, j AS cell FROM (
+       |    SELECT vec_id, j,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, j) AS rk
+       |    FROM fcx) WHERE rk = 1),
+       |pr AS (
+       |  SELECT vec_id AS query_id, j AS cell FROM (
+       |    SELECT vec_id, j,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, j) AS rk
+       |    FROM fcx WHERE vec_id < $nQueries) WHERE rk <= $nprobe),
+       |ascore AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    SUM((qe.q[t.i] - ce.q[t.i]) * (qe.q[t.i] - ce.q[t.i])) AS d
+       |  FROM pr p JOIN fca a ON a.cell = p.cell AND a.vec_id <> p.query_id
+       |    JOIN e0 qe ON qe.vec_id = p.query_id
+       |    JOIN e0 ce ON ce.vec_id = a.vec_id
+       |    CROSS JOIN range(1, $d1) t(i)
+       |  GROUP BY 1, 2),
+       |ar AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rn
+       |    FROM ascore) WHERE rn <= $k),
+       |bscore AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    SUM((q.q[t.i] - c.q[t.i]) * (q.q[t.i] - c.q[t.i])) AS d
+       |  FROM e0 q JOIN e0 c ON c.vec_id <> q.vec_id
+       |    CROSS JOIN range(1, $d1) t(i)
+       |  WHERE q.vec_id < $nQueries
+       |  GROUP BY 1, 2),
+       |br AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rn
+       |    FROM bscore) WHERE rn <= $k),
+       |agg AS (
+       |  SELECT COUNT(*) AS n_exact,
+       |    CAST(SUM(CASE WHEN ar.query_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
+       |  FROM br LEFT JOIN ar
+       |    ON ar.query_id = br.query_id AND ar.neighbor_id = br.neighbor_id)
+       |SELECT CAST($k AS INTEGER) AS k, CAST($nprobe AS INTEGER) AS nprobe,
+       |  CAST($cells AS INTEGER) AS cells,
+       |  n_exact, hits, CAST(hits AS DOUBLE) / n_exact AS recall
+       |FROM agg""".stripMargin
+  }
+
   // ─────────────────────── SQ8 scalar-quantized ANN ──────────────────────────
 
   /** SQ8 scalar quantization + top-k search — the third production ANN

@@ -454,6 +454,19 @@ class KnnSpec extends SparkSpec {
       cells = 3, iters = 2, nprobe = 3))
     // pruning can only shrink the candidate pool: pruned hits ⊆ full ranking pool
     assert(pruned.map(_._4).forall(d => full.exists(_._4 <= d)))
+
+    // the recall experiment equals the overlap of the two replayed legs
+    val prunedSet = ivfReference(rows, nQueries = 3, k = 2,
+      cells = 3, iters = 2, nprobe = 1).map(r => (r._1, r._2)).toSet
+    val exactSet = ivfReference(rows, nQueries = 3, k = 2,
+      cells = 3, iters = 2, nprobe = 3).map(r => (r._1, r._2)).toSet
+    val rec = Knn.ivfLloydRecall(df, nQueries = 3, k = 2,
+      cells = 3, iters = 2, nprobe = 1)
+      .as[(Int, Int, Int, Long, Long, Double)].collect().head
+    assert(rec._1 === 2 && rec._2 === 1 && rec._3 === 3)
+    assert(rec._4 === exactSet.size.toLong)
+    assert(rec._5 === (exactSet & prunedSet).size.toLong)
+    assert(rec._6 === (exactSet & prunedSet).size.toDouble / exactSet.size)
   }
 
   test("Lloyd trainer: a cluster that loses all members keeps its previous centroid") {
