@@ -1154,21 +1154,22 @@ object Registry {
       (s, dir) => Sketches.profileEvents(TestdataAdapter.table(s, dir, "events")),
       Some(Sketches.profileEventsSql)),
 
-    // HLL++/t-digest sketches vs their exact forms — rows-only (sketch
-    // values are engine-specific); accuracy bound spec-asserted.
-    Q("sketch_stats",
-      (s, dir) => Sketches.sketchStats(TestdataAdapter.table(s, dir, "events")),
-      None),
+    // HLL++/t-digest sketch audit (`Sketches.sketchStats`) is SPEC
+    // coverage, not a registry query (retired r13, same precedent as the
+    // mtime dedup index in r12): builtin-sketch VALUES are
+    // engine-specific, so a rows-only row would read as `err` to the
+    // mechanical gate. Accuracy bands are asserted in ScaleSpec; the
+    // oracle-exact twins below (`sketch_stats_exact`, `cardinality_hll`)
+    // keep the operator itself inside the hash gate.
     // the exact cardinality+median leg of the sketch audit, hash-checked
     Q("sketch_stats_exact",
       (s, dir) => Sketches.sketchStatsExact(TestdataAdapter.table(s, dir, "events")),
       Some(Sketches.sketchStatsExactSql)),
-    // Count-Min heavy hitters vs exact top-k — rows-only (sketch values
-    // are implementation-specific; ≥-exact and error-bound contracts
-    // spec-asserted)
-    Q("heavy_hitters",
-      (s, dir) => Sketches.heavyHitters(TestdataAdapter.table(s, dir, "events")),
-      None),
+    // Builtin Count-Min heavy hitters (`Sketches.heavyHitters`) is SPEC
+    // coverage (retired r13): estimate values are implementation-specific;
+    // the ≥-exact and error-bound contracts are asserted in ScaleSpec, and
+    // the engine-owned md5 CMS twin (`heavy_hitters_cms`) plus the exact
+    // top-k leg below keep the operator oracle-exact.
     // the exact top-k frequency leg, hash-checked
     Q("heavy_hitters_exact",
       (s, dir) => Sketches.heavyHittersExact(TestdataAdapter.table(s, dir, "events")),
@@ -1711,12 +1712,12 @@ object Registry {
           "doc_id % 3 <> 0",
           "doc_id % 3 = 0 AND doc_id % 2 = 0",
           "doc_id % 3 = 0 AND doc_id % 2 <> 0"))),
-      // learned quality model (hashed BoW → logistic regression) —
-      // rows-only (iterative fitter; AUC band + determinism are
-      // spec-asserted in QualityClassifierSpec)
-      Q("quality_classifier",
-        (s, d) => graft.ml.QualityClassifier.trainEval(docs(s, d)),
-        None),
+      // The learned quality model's in-query TRAINING leg
+      // (`QualityClassifier.trainEval`, hashed BoW → logistic regression)
+      // is SPEC coverage (retired r13): an iterative fitter's weights are
+      // engine-specific. AUC band + determinism are asserted in
+      // CurationOpsSpec; FixtureSpec pins retrain == committed fixture;
+      // the pinned serving twin below stays oracle-exact.
       // per-doc scores under the COMMITTED quality model (md5-BoW LR,
       // 1e9-quantized weights, frozen weak-label threshold) — the
       // serving artifact, ORACLE-EXACT: integer dot product + one
@@ -2100,9 +2101,12 @@ object Registry {
           .withColumn("hour_ts", col("hour_ts").cast("timestamp_ntz")),
         Some(EXPORT_ROWS_SQL)),
 
-      Q("rf_demand_mae",
-        (s, d) => DemandModel.runMetrics(mlDataset(s, d)),
-        None),
+      // The in-query-trained 200-tree RF (`DemandModel.runMetrics`) is
+      // SPEC coverage (retired r13): MLlib ensemble values are
+      // engine-specific by design (SURVEY §2.12 prescribes tolerance).
+      // RfTrainedSpec asserts the MAE band + split sizes; FixtureSpec pins
+      // retrain == committed forest; `rf_pinned_mae` below is the
+      // oracle-exact serving twin.
 
       // MAE of the COMMITTED serving forest (RfFixture: 20 trees as
       // preorder literal triples) — ORACLE-EXACT: the forest is one
@@ -2117,11 +2121,12 @@ object Registry {
         Some(DemandModel.pinnedMaeSql(ML_DATASET_SQL,
           graft.ml.RfFixture.trees))),
 
-      // ml_runs lineage record — rows-only (MAE comes from the RF, which
-      // is engine-specific by design; the MAE band is spec-asserted)
-      Q("ml_run_record",
-        (s, d) => DemandModel.runRecord(mlDataset(s, d)),
-        None),
+      // The trained-RF ml_runs lineage record (`DemandModel.runRecord`)
+      // is SPEC coverage (retired r13): its MAE field comes from the
+      // engine-specific trained forest. RfTrainedSpec asserts the record's
+      // deterministic fields (run_id derivation, split sizes, features
+      // JSON) and the MAE band; `ml_run_record_pinned` below is the
+      // oracle-exact twin.
 
       // the lineage record at the PINNED forest — ORACLE-EXACT down to
       // the run_id: nameUUIDFromBytes is a v3 (md5) UUID, rebuilt in
@@ -2165,12 +2170,12 @@ object Registry {
              |  FROM hist) WHERE rn = 1
              |ORDER BY route_id, hour_ts""".stripMargin)),
 
-      // k-means over embeddings — rows-only (k-means|| centroids are not
-      // SQL-expressible; determinism is seed+layout dependent)
-      Q("kmeans_clusters",
-        (s, d) => graft.sim.Knn.kmeansClusterSizes(
-          TestdataAdapter.table(s, d, "embeddings")),
-        None),
+      // MLlib k-means|| over embeddings (`Knn.kmeansClusterSizes`) is
+      // SPEC coverage (retired r13): k-means|| centroids are
+      // seed+layout-dependent, never SQL-expressible. KnnSpec asserts the
+      // partition-count/size invariants; the operator stays inside the
+      // hash gate twice over — `kmeans_sizes_pinned` (frozen trained
+      // artifact) and `kmeans_lloyd_train` (the in-engine trainer itself).
 
       // the k-means reporting surface at PINNED centroids
       // (SemDedupFixture — the committed trained artifact), ORACLE-EXACT:

@@ -19,29 +19,37 @@ class LayoutIdentitySpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
   // plus two oracle-checked queries whose machinery is layout-sensitive
   // by construction: ccnet_buckets (zipWithIndex global numbering) and
-  // search_bm25 (bounded-heap TopKPerGroup keep-set)
-  private val names = Seq(
-    "kmeans_clusters", "knn_ivf", "pq_topk", "pca_recall", "quality_classifier",
-    "ccnet_buckets", "search_bm25")
+  // search_bm25 (bounded-heap TopKPerGroup keep-set). kmeans_clusters /
+  // quality_classifier were retired from the registry in r13 (their
+  // trained legs live in spec coverage), so they run here as direct
+  // function calls rather than registry lookups.
+  private val cases: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
+    "knn_ivf", "pq_topk", "pca_recall", "ccnet_buckets", "search_bm25")
+    .map(n => n -> SparkEntry.queries(n)) ++ Seq(
+    ("kmeans_clusters", (s: org.apache.spark.sql.SparkSession, d: String) =>
+      graft.sim.Knn.kmeansClusterSizes(TestdataAdapter.table(s, d, "embeddings"))),
+    ("quality_classifier", (s: org.apache.spark.sql.SparkSession, d: String) =>
+      graft.ml.QualityClassifier.trainEval(TestdataAdapter.table(s, d, "documents"))))
 
-  /** Run `name` under the given layout knobs and collect its rows. */
-  private def run(name: String, shufflePartitions: Int, splitBytes: String): Seq[String] = {
+  /** Run `q` under the given layout knobs and collect its rows. */
+  private def run(q: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+      shufflePartitions: Int, splitBytes: String): Seq[String] = {
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     val prevSplit = spark.conf.get("spark.sql.files.maxPartitionBytes")
     try {
       spark.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
       spark.conf.set("spark.sql.files.maxPartitionBytes", splitBytes)
-      SparkEntry.queries(name)(spark, dir).collect().map(_.toString).toSeq
+      q(spark, dir).collect().map(_.toString).toSeq
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       spark.conf.set("spark.sql.files.maxPartitionBytes", prevSplit)
     }
   }
 
-  for (name <- names)
+  for ((name, q) <- cases)
     test(s"$name output is byte-identical across partition layouts") {
-      val a = run(name, 4, "134217728")  // wide splits, few reducers
-      val b = run(name, 13, "262144")    // narrow splits, odd reducer count
+      val a = run(q, 4, "134217728")  // wide splits, few reducers
+      val b = run(q, 13, "262144")    // narrow splits, odd reducer count
       assert(a.length == b.length, s"$name row count differs: ${a.length} vs ${b.length}")
       val diff = a.zip(b).zipWithIndex.collect { case ((x, y), i) if x != y => (i, x, y) }
       if (diff.nonEmpty) fail(
