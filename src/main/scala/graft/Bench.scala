@@ -11,32 +11,42 @@ import org.apache.spark.sql.SparkSession
   * query absorbs JVM/codegen/filesystem warmup so per-query numbers
   * reflect steady state.
   *
-  * Per-query time is the MEDIAN of SPARK_GRAFT_BENCH_RUNS (default 3)
-  * back-to-back runs: single-run numbers on a shared machine have
-  * swung ~13× round-over-round, which made every cross-round
-  * comparison noise-bound; the median absorbs one arbitrarily bad run
-  * per query while staying honest about steady-state cost.
+  * Per-query time (r13 revision) is the UPPER-TRIMMED MEDIAN of
+  * SPARK_GRAFT_BENCH_RUNS (default 5) back-to-back runs: the single
+  * slowest rep is dropped before taking the median whenever ≥4 reps
+  * succeeded. Rationale, measured not guessed: same-code sweeps on this
+  * shared host have spanned ±15% suite-level and >3× on individual
+  * sub-second queries (r12 flagged four >2× "regressions" whose
+  * implementing files had not changed). Sub-second queries previously
+  * got only 3 reps — exactly where one contention spike owns the
+  * median; 5 reps + dropping the one worst sample makes the statistic
+  * robust to a single spike while never hiding a real slowdown (a real
+  * regression moves EVERY rep, so it survives the trim).
   *
-  * Spread reporting (r11): queries whose 3-run median lands at ≥ 3 s
-  * get topped up to SPARK_GRAFT_BENCH_SLOW_RUNS (default 5) reps — two
-  * identical-code sweeps 23 min apart once differed 3× on one such
-  * query, so the expensive tail is exactly where per-query regression
-  * tracking needs more samples. The full results file carries
-  * min/median/max per query plus a `variance_flags` list (max/min > 2×
-  * — "this number is noise-bound, re-bench isolated before calling it
-  * a regression") and, since r12, a `variance_causes` map classifying
-  * each flag: `first_rep` (the slow sample is rep 1 and the rest are
-  * tight — per-query warmup / memoized state seeding; the median is
-  * already steady-state) vs `scatter` (spread persists past rep 1 —
-  * box contention, re-bench isolated).
+  * Round-over-round comparison (r13): when a committed round-start
+  * baseline file exists (SPARK_GRAFT_BENCH_BASELINE, default
+  * bench_r13_baseline.json — the unchanged round-start build swept on
+  * THIS machine), the results carry per-query `ratio_vs_baseline`
+  * (this trimmed median / baseline trimmed median) and a `regressions`
+  * list with a drift-immune criterion: a query is a regression only if
+  * this round's FASTEST rep exceeds 2× the baseline's SLOWEST rep —
+  * both nights' spread bands must be disjoint by 2×, which same-binary
+  * host noise cannot produce. Point ratios stay informative; the gate
+  * criterion is the band test.
+  *
+  * The full results file carries min/median/max per query plus a
+  * `variance_flags` list (max/min > 2× — "this number is noise-bound")
+  * and a `variance_causes` map classifying each flag: `first_rep` (the
+  * slow sample is literally rep #1 — per-query warmup / memoized state
+  * seeding; the trimmed median is already steady-state) vs `scatter`
+  * (spread persists past rep 1 — box contention, re-bench isolated).
+  * r13 fix: causes classify on the ORIGINAL rep index, so an errored
+  * rep 1 or a tied later rep can no longer mislabel a scatter case.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val slowRuns = math.max(runs,
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_SLOW_RUNS", "5").toInt)
-    val slowThresholdSec = 3.0
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.max(4, Runtime.getRuntime.availableProcessors()).toString)
     val spark = SparkSession.builder()
@@ -74,11 +84,16 @@ object Bench {
       if (v < 0) "-1.0"
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     case class R(name: String, median: Double, min: Double, max: Double,
-        ok: Int, attempts: Int, reps: Seq[Double])
+        ok: Int, attempts: Int, reps: Seq[(Int, Double)])
     def medianOf(s: Seq[Double]): Double =
       if (s.isEmpty) -1.0
       else if (s.length % 2 == 1) s(s.length / 2)
       else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    // upper-trimmed median: with ≥4 successful reps, drop the single
+    // slowest sample (one contention spike) before the median; a real
+    // regression moves every rep and survives the trim
+    def trimmedMedian(sorted: Seq[Double]): Double =
+      if (sorted.length >= 4) medianOf(sorted.dropRight(1)) else medianOf(sorted)
     val results = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.isEmpty || only(n)).map { name =>
       def timeOnce(): Double = {
@@ -90,19 +105,15 @@ object Bench {
         cleanup()
         if (ok) secs else -1.0
       }
-      val base = (1 to runs).map(_ => timeOnce())
-      // expensive tail → more samples: top up to slowRuns reps when the
-      // base median already sits at ≥ the slow threshold (bounded cost —
-      // only the handful of multi-second queries pay the extra reps)
-      val extra =
-        if (medianOf(base.filter(_ >= 0).sorted) >= slowThresholdSec)
-          ((runs + 1) to slowRuns).map(_ => timeOnce())
-        else Seq.empty
-      val times = base ++ extra
+      // keep the ORIGINAL rep index with each timing so variance causes
+      // classify on "was the slow sample literally rep #1" even when an
+      // earlier rep errored out (ADVICE r12)
+      val times = (0 until runs).map(i => i -> timeOnce())
       // stats over the runs that succeeded; -1 only when every run
       // failed — one transient failure shouldn't discard usable timings
-      val s = times.filter(_ >= 0).sorted
-      val median = medianOf(s)
+      val okReps = times.filter(_._2 >= 0)
+      val s = okReps.map(_._2).sorted
+      val median = trimmedMedian(s)
       // per-query progress line: survives stdout tail-truncation even when
       // the final one-line JSON does not (190 queries ≈ several KB on one
       // line; the driver's tail capture has chopped it two rounds running)
@@ -110,8 +121,7 @@ object Bench {
         s"min=${fmt(if (s.isEmpty) -1.0 else s.head)} " +
         s"max=${fmt(if (s.isEmpty) -1.0 else s.last)} ok=${s.length}/${times.length}")
       R(name, median, if (s.isEmpty) -1.0 else s.head,
-        if (s.isEmpty) -1.0 else s.last, s.length, times.length,
-        times.filter(_ >= 0))
+        if (s.isEmpty) -1.0 else s.last, s.length, times.length, okReps)
     }
     val qs = results.map(r => "\"" + r.name + "\":" + fmt(r.median)).mkString("{", ",", "}")
     val total = results.collect { case r if r.median >= 0 => r.median }.sum
@@ -130,23 +140,86 @@ object Bench {
     val flagged = results.filter(r => r.min > 0 && r.max / r.min > 2.0)
     val varianceFlags = flagged
       .map(r => "\"" + r.name + "\"").mkString("[", ",", "]")
-    // r12: flags carry an automated CAUSE, so a wide band reads as a
-    // diagnosis instead of a to-investigate. "first_rep": the slow
-    // sample is rep 1 and the remaining reps sit in a tight band —
-    // per-query warmup (codegen, scan cache, memoized state seeding for
-    // the maintained-index queries), not instability; the median already
-    // reflects steady state. "scatter": the spread persists past rep 1 —
-    // suite/box contention (the r11 isolated re-benches pinned this for
-    // dedup_containment), re-bench isolated before calling a regression.
+    // flags carry an automated CAUSE, so a wide band reads as a
+    // diagnosis instead of a to-investigate. "first_rep": the slowest
+    // sample is the rep with ORIGINAL index 0 and the remaining reps sit
+    // in a tight band — per-query warmup (codegen, scan cache, memoized
+    // state seeding for the maintained-index queries), not instability.
+    // "scatter": the spread persists past rep 1 — suite/box contention,
+    // re-bench isolated before calling a regression.
     val varianceCauses = flagged.map { r =>
-      val rest = r.reps.drop(1)
+      val slowest = r.reps.maxBy(_._2)
+      val rest = r.reps.filter(_._1 != 0).map(_._2)
       val cause =
-        if (rest.size >= 2 && r.reps.head == r.max &&
+        if (slowest._1 == 0 && rest.size >= 2 &&
           rest.max / rest.min <= 1.5) "first_rep"
         else "scatter"
       "\"" + r.name + "\":\"" + cause + "\""
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread,"variance_flags":$varianceFlags,"variance_causes":$varianceCauses,"sf":"$sfDir","runs":$runs,"slow_runs":$slowRuns,"stat":"median","partial_ok":$partial}"""
+    // ---- round-start baseline comparison (r13) -----------------------
+    // baseline file = this round's UNCHANGED starting build swept on this
+    // machine (same format as bench_results.json). Ratios are point
+    // information; the `regressions` gate is the drift-immune band test:
+    // this round's fastest rep > 2× the baseline's slowest rep.
+    case class B(min: Double, median: Double, max: Double)
+    val baselinePath = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_BASELINE", "bench_r13_baseline.json")
+    val baseline: Map[String, B] =
+      try {
+        val f = java.nio.file.Paths.get(baselinePath)
+        if (!java.nio.file.Files.exists(f)) Map.empty
+        else {
+          import org.json4s._
+          val root = org.json4s.jackson.JsonMethods.parse(
+            new String(java.nio.file.Files.readAllBytes(f), "UTF-8"))
+          def num(v: JValue): Double = v match {
+            case JDouble(d) => d
+            case JInt(i) => i.toDouble
+            case JDecimal(d) => d.toDouble
+            case JLong(l) => l.toDouble
+            case _ => -1.0
+          }
+          root \ "spread" match {
+            case JObject(fields) => fields.collect {
+              case (name, JObject(o)) =>
+                val m = o.toMap
+                name -> B(num(m.getOrElse("min", JDouble(-1))),
+                  num(m.getOrElse("median", JDouble(-1))),
+                  num(m.getOrElse("max", JDouble(-1))))
+            }.toMap
+            case _ =>
+              // fallback: a bare {"queries":{name:median}} point baseline
+              root \ "queries" match {
+                case JObject(fields) => fields.collect {
+                  case (name, v) =>
+                    val d = num(v); name -> B(d, d, d)
+                }.toMap
+                case _ => Map.empty[String, B]
+              }
+          }
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] baseline unreadable ($baselinePath): $e")
+        Map.empty
+      }
+    val compared = results.flatMap { r =>
+      baseline.get(r.name).collect {
+        case b if b.median > 0 && r.median > 0 => (r, b, r.median / b.median)
+      }
+    }
+    val ratios = compared
+      .map { case (r, _, ratio) => "\"" + r.name + "\":" + fmt(ratio) }
+      .mkString("{", ",", "}")
+    val ratioMedian = medianOf(compared.map(_._3).sorted)
+    val regressions = compared.collect {
+      case (r, b, ratio) if b.max > 0 && r.min > 2.0 * b.max =>
+        "\"" + r.name + "\":{\"ratio\":" + fmt(ratio) + ",\"this_min\":" +
+          fmt(r.min) + ",\"baseline_max\":" + fmt(b.max) + "}"
+    }.mkString("{", ",", "}")
+    val baseBlock =
+      if (compared.isEmpty) ""
+      else s""","baseline":"$baselinePath","n_compared":${compared.length},"ratio_median":${fmt(ratioMedian)},"regressions":$regressions"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread,"variance_flags":$varianceFlags,"variance_causes":$varianceCauses,"sf":"$sfDir","runs":$runs,"stat":"trimmed_median"$baseBlock,"ratio_vs_baseline":$ratios,"partial_ok":$partial}"""
     // persist the FULL results object (all ~200 per-query timings) to a
     // file; at 200+ queries the one-line form is ~5 KB, which the driver's
     // stdout tail-capture front-truncates into unparseable JSON
@@ -164,7 +237,7 @@ object Bench {
     // lines above carry the rest of the detail in stdout form.
     val slowest = results.filter(_.median >= 0).sortBy(-_.median).take(40)
       .map(r => "\"" + r.name + "\":" + fmt(r.median)).mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slowest,"n_queries":${results.length},"queries_shown":"slowest40","variance_flags":$varianceFlags,"variance_causes":$varianceCauses,"full_results":"bench_results.json","sf":"$sfDir","runs":$runs,"slow_runs":$slowRuns,"stat":"median","partial_ok":$partial}"""
+    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slowest,"n_queries":${results.length},"queries_shown":"slowest40","variance_flags":$varianceFlags,"variance_causes":$varianceCauses,"full_results":"bench_results.json","sf":"$sfDir","runs":$runs,"stat":"trimmed_median"$baseBlock,"partial_ok":$partial}"""
     println("=== BENCH_JSON ===")
     println(compact)
     spark.stop()
