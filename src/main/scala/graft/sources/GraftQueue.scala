@@ -49,6 +49,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * handed out (and a crashed claimant would wedge the topic). See
   * GraftQueue.commitSegment; race-proven intra-JVM (GraftQueueSpec) and
   * across two forked JVMs (QueueRaceSpec / QueueRaceMain).
+  *
+  * Retention (r13): [[GraftQueue.retain]] deletes whole segments below
+  * the minimum committed consumer offset ([[GraftQueue.consumerFloor]]
+  * derives it from streaming checkpoints), Kafka-retention style. A
+  * `truncated-<stamp>-<base>` marker records the log start offset so
+  * absolute offsets NEVER move: surviving segments keep the offsets
+  * checkpointed readers were handed, new consumers start at the earliest
+  * available record, and producer stamps never restart below the
+  * truncation point. Spec-proven in GraftQueueRetentionSpec (in-flight
+  * streaming consumer unaffected across a truncation; disk reclaimed).
   */
 object GraftQueue {
   val Schema: StructType = StructType(Seq(
@@ -68,27 +78,71 @@ object GraftQueue {
     new File(path, topic)
 
   private val SegmentName = "segment-(\\d+)".r
+  // Retention marker (r13): `truncated-<stamp14>-<base>` records that
+  // every segment with sequence number <= stamp is logically removed and
+  // that <base> records preceded the first surviving segment — Kafka's
+  // logStartOffset. The marker is written BEFORE the segment files are
+  // deleted, so a crash between the two steps leaves a consistent log
+  // (readers skip marked segments whether or not their files remain).
+  private val TruncMarker = "truncated-(\\d+)-(\\d+)".r
+
+  /** (highest truncated stamp, log start offset) for a topic dir —
+    * (0, 0) when no retention has ever run.
+    */
+  private[sources] def truncation(dir: File): (Long, Long) = {
+    val ms = Option(dir.listFiles()).getOrElse(Array.empty[File]).flatMap(f =>
+      f.getName match {
+        case TruncMarker(stamp, base) => Some((stamp.toLong, base.toLong))
+        case _ => None
+      })
+    if (ms.isEmpty) (0L, 0L) else ms.maxBy(_._1)
+  }
 
   private[sources] def segments(path: String, topic: String): Seq[File] = {
     val d = topicDir(path, topic)
     if (!d.isDirectory) Seq.empty
-    else d.listFiles().filter(f => SegmentName.matches(f.getName))
-      .sortBy(_.getName).toSeq
+    else {
+      val all = d.listFiles()
+      // fail FAST on foreign "segment-" files (e.g. a queue dir written
+      // by the retired pre-r12 `segment-<seq>-<uuid>-n<count>` format):
+      // silently reading such a topic as empty/partial corrupts offset
+      // arithmetic with no error signal (ADVICE r12)
+      val foreign = all.filter(f => f.getName.startsWith("segment-") &&
+        !SegmentName.matches(f.getName))
+      require(foreign.isEmpty,
+        s"graftqueue topic $d contains unrecognized segment files " +
+          s"(old format?): ${foreign.take(3).map(_.getName).mkString(", ")}")
+      val (truncStamp, _) = truncation(d)
+      all.filter(f => SegmentName.matches(f.getName) && stampOf(f) > truncStamp)
+        .sortBy(_.getName).toSeq
+    }
   }
+
+  /** Log start offset: the absolute offset of the first surviving record
+    * (0 until retention runs). All offset arithmetic — batch scan starts,
+    * micro-batch planning, totals — is based at this value, so committed
+    * segments keep their original absolute offsets across truncation.
+    */
+  private[sources] def baseOffset(path: String, topic: String): Long =
+    truncation(topicDir(path, topic))._2
 
   // Record count = the segment's fixed 8-byte header. Segments are
   // immutable once published, so one read per (JVM, segment) suffices —
   // offset arithmetic on the planning hot path stays listing-only after
-  // first contact.
+  // first contact. Keyed by (path, length, mtime) so a deleted-and-
+  // recreated topic dir (or a reused temp path within one JVM) can never
+  // serve a stale count (ADVICE r12); retention prunes dead entries.
   private val countCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def cacheKey(f: File): String =
+    s"${f.getAbsolutePath}:${f.length}:${f.lastModified}"
   private[sources] def countOf(f: File): Long =
-    countCache.getOrElseUpdate(f.getAbsolutePath, {
+    countCache.getOrElseUpdate(cacheKey(f), {
       val in = new DataInputStream(new FileInputStream(f))
       try in.readLong() finally in.close()
     })
 
   private[sources] def totalRecords(path: String, topic: String): Long =
-    segments(path, topic).map(countOf).sum
+    baseOffset(path, topic) + segments(path, topic).map(countOf).sum
 
   private[sources] def stampOf(f: File): Long =
     f.getName.substring("segment-".length).toLong
@@ -103,11 +157,95 @@ object GraftQueue {
     * exactly commit order, always.
     */
   private[sources] def nextStamp(dir: File): Long = {
-    // committed segments only — never in-flight temp files
+    // committed segments only — never in-flight temp files. The floor is
+    // the truncation marker's stamp: after a FULL truncation the dir
+    // holds no segment files, and restarting at 1 would hand out stamps
+    // (and therefore offsets) a checkpointed reader already consumed.
     val existing = Option(dir.listFiles()).getOrElse(Array.empty[File])
       .filter(f => SegmentName.matches(f.getName))
-    if (existing.isEmpty) 1L else existing.map(stampOf).max + 1L
+    val (truncStamp, _) = truncation(dir)
+    val maxExisting = if (existing.isEmpty) 0L else existing.map(stampOf).max
+    math.max(maxExisting, truncStamp) + 1L
   }
+
+  /** Result of one [[retain]] pass. */
+  final case class RetentionResult(
+      segmentsDeleted: Int, recordsTruncated: Long, logStartOffset: Long)
+
+  /** Offset-based retention, Kafka-style (VERDICT r12 item 3): delete
+    * every WHOLE segment whose record range lies entirely below
+    * `minRetainedOffset` — the minimum committed offset across this
+    * topic's consumers (see [[consumerFloor]]). Absolute offsets never
+    * move: the truncation marker records the new log start offset, and
+    * all planning bases itself there, so surviving segments keep the
+    * offsets a checkpointed reader was already handed.
+    *
+    * Crash-safety: the marker is created atomically FIRST, then segment
+    * files are deleted. A crash between the two leaves files that every
+    * reader already skips (segments() filters stamp <= marker), and a
+    * re-run finishes the deletes. Like Kafka, retention is cooperative:
+    * calling it with an offset above a live consumer's position makes
+    * that consumer's next fetch fail (its range no longer exists) — the
+    * contract is exactly "pass the MIN over registered consumer
+    * checkpoints".
+    */
+  def retain(path: String, topic: String, minRetainedOffset: Long): RetentionResult = {
+    val dir = topicDir(path, topic)
+    val (_, base) = truncation(dir)
+    var acc = base
+    val removable = segments(path, topic).takeWhile { f =>
+      val end = acc + countOf(f)
+      val below = end <= minRetainedOffset
+      if (below) acc = end
+      below
+    }
+    if (removable.isEmpty) return RetentionResult(0, 0L, base)
+    val newStamp = stampOf(removable.last)
+    val newBase = acc
+    val marker = new File(dir, f"truncated-$newStamp%014d-$newBase")
+    try java.nio.file.Files.createFile(marker.toPath)
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    // marker is durable → now reclaim: segment files, their cache
+    // entries, and superseded markers
+    removable.foreach { f => countCache.remove(cacheKey(f)); f.delete() }
+    Option(dir.listFiles()).getOrElse(Array.empty[File]).foreach { f =>
+      f.getName match {
+        case TruncMarker(stamp, _) if stamp.toLong < newStamp => f.delete()
+        case _ => ()
+      }
+    }
+    RetentionResult(removable.size, newBase - base, newBase)
+  }
+
+  /** The minimum committed offset across a set of Structured Streaming
+    * checkpoint locations consuming this topic — the safe
+    * `minRetainedOffset` for [[retain]]. Reads each checkpoint's commit
+    * log for the latest COMMITTED batch and that batch's offset entry
+    * (the offsets/ file's last line is this source's QueueOffset json,
+    * a plain record count). A checkpoint with no committed batch pins
+    * the floor at 0 — nothing may be truncated under a consumer that
+    * has not durably processed anything yet.
+    */
+  def consumerFloor(checkpointDirs: Seq[String]): Long =
+    if (checkpointDirs.isEmpty) 0L
+    else checkpointDirs.map { cp =>
+      val commits = new File(cp, "commits")
+      val batches = Option(commits.listFiles()).getOrElse(Array.empty[File])
+        .flatMap(f => scala.util.Try(f.getName.toLong).toOption)
+      if (batches.isEmpty) 0L
+      else {
+        val offsetsFile = new File(new File(cp, "offsets"), batches.max.toString)
+        if (!offsetsFile.isFile) 0L
+        else {
+          val lines = new String(
+            java.nio.file.Files.readAllBytes(offsetsFile.toPath), "UTF-8")
+            .linesIterator.toSeq
+          // format: "v1" / metadata json / one offset json per source;
+          // this source serializes QueueOffset as the bare number
+          scala.util.Try(lines.last.trim.toLong).getOrElse(0L)
+        }
+      }
+    }.min
 
   /** Publish a fully-written temp file as the next segment of `dir`'s
     * topic — CROSS-PROCESS safe, lock-free. The claimed name is a pure
@@ -168,7 +306,8 @@ final class GraftQueueTable(path: String, topic: String) extends Table
       override def toBatch: Batch = this
       override def planInputPartitions(): Array[InputPartition] = {
         // one partition per segment; start offsets are the running sum
-        var acc = 0L
+        // based at the log start offset (retention never moves offsets)
+        var acc = GraftQueue.baseOffset(path, topic)
         GraftQueue.segments(path, topic).map { f =>
           val p = QueueSegmentPartition(f.getAbsolutePath, topic, acc, GraftQueue.countOf(f))
           acc += GraftQueue.countOf(f)
@@ -244,7 +383,7 @@ private final class QueueMicroBatchStream(
       case r: ReadMaxRows => startN + r.maxRows()
       case _ => Long.MaxValue
     }
-    var acc = 0L
+    var acc = GraftQueue.baseOffset(path, topic)
     var hi = startN
     GraftQueue.segments(path, topic).foreach { f =>
       acc += GraftQueue.countOf(f)
@@ -257,7 +396,11 @@ private final class QueueMicroBatchStream(
     QueueOffset(hi)
   }
 
-  override def initialOffset(): Offset = QueueOffset(0L)
+  // a NEW consumer starts at the earliest AVAILABLE record — the log
+  // start offset, which is 0 until retention has truncated a prefix
+  // (Kafka's auto.offset.reset=earliest against logStartOffset)
+  override def initialOffset(): Offset =
+    QueueOffset(GraftQueue.baseOffset(path, topic))
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "latestOffset(start, readLimit) drives this source (SupportsAdmissionControl)")
@@ -270,7 +413,7 @@ private final class QueueMicroBatchStream(
     // whole segments only: a segment is inside the batch iff its record
     // range lies in [lo, hi) — counts are immutable once committed, so
     // ranges never split
-    var acc = 0L
+    var acc = GraftQueue.baseOffset(path, topic)
     val out = ArrayBuffer.empty[InputPartition]
     GraftQueue.segments(path, topic).foreach { f =>
       val n = GraftQueue.countOf(f)
