@@ -1919,6 +1919,16 @@ object Registry {
       Q("multimodal_wav_decode",
         (s, d) => Multimodal.audioFeatures(Multimodal.audioCorpus(docs(s, d))),
         Some(Multimodal.audioFeaturesSql)),
+      // Mixed-container corpus (PNG even ids / BMP odd ids) + magic-byte
+      // format sniffing BEFORE the decoder — the dispatch step a real
+      // crawl needs (extensions/content types are untrustworthy at
+      // 100 TB). The sniffed container column is oracle-recomputed from
+      // the parity that chose the encoder; the pixel stats round-trip
+      // the synthesis formulas through BOTH JRE codecs.
+      Q("multimodal_mixed_codecs",
+        (s, d) => Multimodal.mixedCodecFeatures(
+          Multimodal.imageCorpusMixed(docs(s, d))),
+        Some(Multimodal.mixedCodecFeaturesSql)),
     )
   }
 
@@ -2237,9 +2247,11 @@ object Registry {
         Some(graft.sim.Knn.ivfLloydRecallSql())),
 
       // SQ8 scalar-quantized ANN — the third compression path next to
-      // IVF (cell pruning) and PQ (codebook ADC): per-dim [min,max]
-      // byte quantization, pure-integer dot-product scoring (4× memory
-      // cut, SIMD-shaped, zero rounding anywhere → hash-exact)
+      // IVF (cell pruning) and PQ (codebook ADC): SYMMETRIC int8 of the
+      // normalized vector, code = round(x/‖x‖·127) — pure-integer
+      // dot-product scoring (4× memory cut, SIMD-shaped, zero rounding
+      // anywhere → hash-exact). An affine per-dim [min,max] draft was
+      // killed by the sq8_recall experiment at 0.04 recall (r12).
       Q("sq8_topk",
         (s, d) => graft.sim.Knn.sq8TopK(
           TestdataAdapter.table(s, d, "embeddings")),
@@ -2253,6 +2265,43 @@ object Registry {
         (s, d) => graft.sim.Knn.sq8Recall(
           TestdataAdapter.table(s, d, "embeddings")),
         Some(graft.sim.Knn.sq8RecallSql())),
+
+      // The SAME recall experiments over a deterministically CLUSTERED
+      // embedding table (VERDICT r12 item 4): the testdata embeddings
+      // are structureless random vectors, so `ivf_lloyd_recall` reads
+      // 0.44 at nprobe=2/16 — no cluster structure to find. Real
+      // embedding corpora are clustered (why IVF works at all); the
+      // generator (Knn.clusteredEmbeddings — md5-seeded axis-block
+      // mixture, MockFlow style, exact in both engines down to the one
+      // float cast) makes the trade-off the operator exists to measure
+      // visible: high recall at nprobe << cells. The DuckDB prelude CTE
+      // shadows the `embeddings` table, so the oracle replays generator,
+      // trainer and both search legs end to end.
+      Q("ivf_lloyd_recall_clustered",
+        (s, _) => graft.sim.Knn.ivfLloydRecall(
+          graft.sim.Knn.clusteredEmbeddings(s), cells = 8, nprobe = 2),
+        Some(graft.sim.Knn.ivfLloydRecallSql(cells = 8, nprobe = 2,
+          prelude = graft.sim.Knn.clusteredEmbeddingsCte()))),
+      // The clustered table is SQ8's HARD case, and the experiment says
+      // so: intra-cluster candidates are near-ties below the 1/127
+      // quantization step, so raw int8 ranking reads ~0.2 here vs 0.98
+      // on the random table — the measurement that motivates two-stage
+      // serving (both values oracle-exact; the operator family's full
+      // operating envelope is now inside the gate).
+      Q("sq8_recall_clustered",
+        (s, _) => graft.sim.Knn.sq8Recall(
+          graft.sim.Knn.clusteredEmbeddings(s)),
+        Some(graft.sim.Knn.sq8RecallSql(
+          prelude = graft.sim.Knn.clusteredEmbeddingsCte()))),
+      // ...and the production mitigation, proven on the same table:
+      // int8 retrieve at R=100 (covers the near-dup set — cluster-level
+      // separation survives int8 trivially) + full-precision rescore of
+      // only those candidates restores recall to 1.0.
+      Q("sq8_rescore_recall_clustered",
+        (s, _) => graft.sim.Knn.sq8RescoreRecall(
+          graft.sim.Knn.clusteredEmbeddings(s)),
+        Some(graft.sim.Knn.sq8RescoreRecallSql(
+          prelude = graft.sim.Knn.clusteredEmbeddingsCte()))),
 
       // G1+A8 pinned by ORACLE through the generator's own output: the
       // per-event provenance JSON is re-parsed and the de-noised demand

@@ -1783,9 +1783,10 @@ object Knn {
     */
   def ivfLloydRecallSql(
       nQueries: Int = 10, k: Int = 5,
-      cells: Int = 16, iters: Int = 2, nprobe: Int = 2): String = {
+      cells: Int = 16, iters: Int = 2, nprobe: Int = 2,
+      prelude: String = ""): String = {
     val d1 = Dim + 1
-    s"""WITH ${lloydSqlCtes(cells, iters)},
+    s"""WITH $prelude${lloydSqlCtes(cells, iters)},
        |fcx AS (
        |  SELECT e.vec_id, c.j, SUM((e.q[t.i] - c.cd) * (e.q[t.i] - c.cd)) AS d
        |  FROM e0 e CROSS JOIN range(1, $d1) t(i) JOIN c$iters c ON c.i = t.i
@@ -1910,8 +1911,8 @@ object Knn {
   /** DuckDB twin of [[sq8Recall]]: both legs' pipelines inlined under one
     * WITH (brute-force CTEs prefixed b_, SQ8 CTEs prefixed s_).
     */
-  def sq8RecallSql(nQueries: Int = 10, k: Int = 5): String =
-    s"""WITH $NORM_CTE,
+  def sq8RecallSql(nQueries: Int = 10, k: Int = 5, prelude: String = ""): String =
+    s"""WITH $prelude$NORM_CTE,
        |bq AS (SELECT vec_id AS query_id, embedding AS qe, n2 AS qn2
        |       FROM e WHERE vec_id < $nQueries),
        |bs AS (SELECT bq.query_id, c.vec_id AS neighbor_id,
@@ -1968,4 +1969,192 @@ object Knn {
        |  FROM s)
        |SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS "rank", score
        |FROM r WHERE rn <= $k ORDER BY query_id, "rank"""".stripMargin
+
+  // ───────────── SQ8 two-stage serving: int8 retrieve + rescore ─────────
+
+  /** Two-stage SQ8 serving — the production mitigation for scalar
+    * quantization's one known failure mode, which the clustered fixture
+    * exposes (r13): among NEAR-DUPLICATE candidates (intra-cluster
+    * cosines within ~1e-3 of each other), int8 codes collapse to
+    * near-ties below the 1/127 quantization step, so the top-k among
+    * them is essentially arbitrary — `sq8_recall_clustered` measures
+    * ~0.2 where the structureless-random table reads 0.98. The standard
+    * fix is exactly this operator: retrieve a WIDER candidate set by
+    * int8 score (stage 1 — cheap, 4× less memory traffic), then rescore
+    * only those `rescoreR` candidates at full float precision and take
+    * the true top-k. Cluster-level separation survives int8 easily, so
+    * stage 1's recall@R is ~1 whenever R covers the near-dup set, and
+    * the exact stage-2 ranking restores recall@k — the experiment
+    * (`sq8_rescore_recall_clustered`) reads 1.0 on the same table.
+    *
+    * Scale shape: stage 1 is [[sq8TopK]] (narrow encode, broadcast
+    * query set); stage 2 touches only nQueries·rescoreR rows — the
+    * full-precision vectors are fetched for a bounded candidate list,
+    * never the corpus.
+    */
+  def sq8RescoreTopK(
+      embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
+      rescoreR: Int = 100): DataFrame = {
+    val e = withNorm(embeddings)
+    val cand = sq8TopK(embeddings, nQueries, rescoreR)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("n2").as("qn2"))
+    val c = e.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ce"), col("n2").as("cn2"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cand.join(broadcast(q), Seq("query_id")).join(c, Seq("neighbor_id"))
+      .withColumn("cosine",
+        dot("qe", "ce") / (sqrt(col("qn2")) * sqrt(col("cn2"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** recall@k of the two-stage path against exact cosine top-k — the
+    * experiment that proves rescoring recovers what raw int8 ranking
+    * loses on near-duplicate candidates.
+    */
+  def sq8RescoreRecall(
+      embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
+      rescoreR: Int = 100): DataFrame = {
+    val approx = sq8RescoreTopK(embeddings, nQueries, k, rescoreR)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    val exact = bruteForceTopK(embeddings, nQueries, k)
+      .select("query_id", "neighbor_id")
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).as("hits"))
+      .select(lit(k).as("k"), lit(rescoreR).as("rescore_r"),
+        col("n_exact"), col("hits"),
+        (col("hits").cast("double") / col("n_exact")).as("recall"))
+  }
+
+  /** DuckDB twin of [[sq8RescoreRecall]]: int8 stage (cd/ss/sr at rn ≤
+    * rescoreR), full-precision rescore of exactly those candidates, and
+    * the brute-force leg, one LEFT-JOIN overlap row.
+    */
+  def sq8RescoreRecallSql(
+      nQueries: Int = 10, k: Int = 5, rescoreR: Int = 100,
+      prelude: String = ""): String =
+    s"""WITH $prelude$NORM_CTE,
+       |cd AS (
+       |  SELECT e.vec_id, t.i,
+       |    CAST(floor((CAST(e.embedding[t.i] AS DOUBLE) / sqrt(e.n2))
+       |               * 127.0 + 0.5) AS INTEGER) AS code
+       |  FROM e CROSS JOIN range(1, ${Dim + 1}) t(i)),
+       |ss AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    CAST(SUM(CAST(q.code AS BIGINT) * c.code) AS BIGINT) AS score
+       |  FROM cd q JOIN cd c ON c.i = q.i AND c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $nQueries
+       |  GROUP BY 1, 2),
+       |sr AS (SELECT query_id, neighbor_id FROM (
+       |         SELECT query_id, neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+       |         FROM ss) WHERE rn <= $rescoreR),
+       |rs AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    (${dotSql("q.embedding", "c.embedding")}) / (sqrt(q.n2) * sqrt(c.n2)) AS cosine
+       |  FROM sr s
+       |    JOIN e q ON q.vec_id = s.query_id
+       |    JOIN e c ON c.vec_id = s.neighbor_id),
+       |rr AS (SELECT query_id, neighbor_id FROM (
+       |         SELECT query_id, neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+       |         FROM rs) WHERE rn <= $k),
+       |bq AS (SELECT vec_id AS query_id, embedding AS qe, n2 AS qn2
+       |       FROM e WHERE vec_id < $nQueries),
+       |bs AS (SELECT bq.query_id, c.vec_id AS neighbor_id,
+       |         (${dotSql("bq.qe", "c.embedding")}) / (sqrt(bq.qn2) * sqrt(c.n2)) AS cosine
+       |       FROM bq, e c WHERE c.vec_id <> bq.query_id),
+       |br AS (SELECT query_id, neighbor_id FROM (
+       |         SELECT query_id, neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+       |         FROM bs) WHERE rn <= $k),
+       |agg AS (
+       |  SELECT COUNT(*) AS n_exact,
+       |    CAST(SUM(CASE WHEN rr.query_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
+       |  FROM br LEFT JOIN rr
+       |    ON rr.query_id = br.query_id AND rr.neighbor_id = br.neighbor_id)
+       |SELECT CAST($k AS INTEGER) AS k, CAST($rescoreR AS INTEGER) AS rescore_r,
+       |  n_exact, hits, CAST(hits AS DOUBLE) / n_exact AS recall
+       |FROM agg""".stripMargin
+
+  // ─────────────── clustered-embedding fixture (r13) ───────────────────
+
+  /** Deterministic CLUSTERED embedding table — the honest input for ANN
+    * operating-point experiments (VERDICT r12 item 4): the testdata
+    * embeddings are structureless random vectors, on which
+    * `ivf_lloyd_recall` reads 0.44 at nprobe=2/16 — not because the
+    * operator is weak but because there is no cluster structure for the
+    * coarse quantizer to find. Real embedding corpora ARE clustered
+    * (that's why IVF works in production), so the recall trade-off the
+    * operator exists to measure needs a clustered table to be visible.
+    *
+    * Generator (MockFlow's md5-draw style — both engines share the hash,
+    * [[clusteredEmbeddingsCte]] is the verbatim DuckDB twin):
+    *   - vec_id 0..n-1; true cluster g = int(md5("cg|"+id)[0:6 hex]) % k;
+    *   - embedding[i] = center + noise, center = 8.0 iff i % k == g else
+    *     0 (k disjoint axis blocks — separated by construction), noise =
+    *     (u48("ce|"+id+"|"+i) − 0.5)·0.5 ∈ [−0.25, 0.25);
+    *   - label = g (same role as the testdata's label column).
+    * Every arithmetic step is exact in double (48-bit dyadic uniforms,
+    * power-of-two scales, 8+noise fits 52 mantissa bits), and the one
+    * rounding — the final float cast — is the same IEEE operation in
+    * both engines, so the TABLE ITSELF is oracle-exact, not just the
+    * queries over it.
+    */
+  def clusteredEmbeddings(spark: org.apache.spark.sql.SparkSession,
+      n: Int = 500, kTrue: Int = 8): DataFrame = {
+    def u48(key: Column): Column =
+      conv(substring(md5(key), 1, 12), 16, 10).cast("long")
+        .cast("double") / lit((1L << 48).toDouble)
+    spark.range(n).select(col("id").as("vec_id"))
+      .withColumn("g",
+        (conv(substring(md5(concat(lit("cg|"), col("vec_id").cast("string"))), 1, 6), 16, 10)
+          .cast("long") % kTrue).cast("int"))
+      .withColumn("embedding",
+        transform(sequence(lit(0), lit(Dim - 1)), i =>
+          (when(pmod(i, lit(kTrue)) === col("g"), lit(8.0d)).otherwise(lit(0.0d))
+            + (u48(concat(lit("ce|"), col("vec_id").cast("string"),
+                lit("|"), i.cast("string"))) - lit(0.5d)) * lit(0.5d))
+            .cast("float")))
+      .select(col("vec_id"), col("embedding"), col("g").as("label"))
+  }
+
+  /** DuckDB twin of [[clusteredEmbeddings]], as a WITH prelude that
+    * SHADOWS the `embeddings` table (CTE names take precedence), so any
+    * existing oracle SQL runs unchanged over the generated table. Ends
+    * with a comma — splice as the `prelude` of [[ivfLloydRecallSql]] /
+    * [[sq8RecallSql]].
+    */
+  def clusteredEmbeddingsCte(n: Int = 500, kTrue: Int = 8): String = {
+    def hexSum(key: String, digits: Int): String =
+      (0 until digits).map(j =>
+        s"CAST(${graft.text.TextOps.hexValSql(s"substr(md5($key), ${j + 1}, 1)")} AS BIGINT) * ${1L << (4 * (digits - 1 - j))}")
+        .mkString("(", " + ", ")")
+    def u48(key: String): String =
+      s"(${hexSum(key, 12)} / CAST(${1L << 48} AS DOUBLE))"
+    val gExpr =
+      s"CAST(${hexSum("'cg|' || CAST(t.vec_id AS VARCHAR)", 6)} % $kTrue AS INTEGER)"
+    val dimKey = "'ce|' || CAST(vec_id AS VARCHAR) || '|' || CAST(i AS VARCHAR)"
+    val noise = s"(${u48(dimKey)} - 0.5) * 0.5"
+    // AS MATERIALIZED is load-bearing: a plain CTE gets INLINED into
+    // every one of the Lloyd chain's ~10 references to the source table,
+    // and DuckDB's optimizer loses the cardinality of the computed
+    // subquery — the inlined plan exhausted memory where the same chain
+    // over a base table runs in seconds. Materializing restores
+    // base-table behavior (measured: OOM → 1.8 s).
+    s"""embeddings AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(range(0, $Dim), i ->
+       |      CAST((CASE WHEN i % $kTrue = g THEN 8.0 ELSE 0.0 END + $noise) AS REAL)) AS embedding,
+       |    g AS label
+       |  FROM (SELECT t.vec_id, $gExpr AS g FROM range(0, $n) t(vec_id))),
+       |""".stripMargin
+  }
 }

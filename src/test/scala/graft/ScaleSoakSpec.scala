@@ -204,8 +204,9 @@ class ScaleSoakSpec extends SparkSpec {
   // 3 per-dim aggregations, all linear in n at fixed k·dim·iters —
   // pinPlan=false: the persisted quantized base + per-round
   // localCheckpoints make the textual plan cache-state-dependent) and
-  // the SQ8 encode+score pipeline (per-dim [min,max] grid is a scalar
-  // broadcast; the bounded query set broadcasts like bruteForceTopK)
+  // the SQ8 encode+score pipeline (symmetric round(x/‖x‖·127) codes —
+  // a fully NARROW encode pass, no corpus statistics needed at all;
+  // the bounded query set broadcasts like bruteForceTopK)
   soak("kmeans_lloyd_train", pinPlan = false)(
     e => Knn.kmeansLloydTrain(e))(baseEmb, bigEmb)
   // pinPlan=false: sq8's coded frame persists (both join sides derive
@@ -380,28 +381,92 @@ class ScaleSoakSpec extends SparkSpec {
       f"streaming export e2e t(10x)=$t10%.1fs vs t(1x)=$t1%.1fs — super-linear blowup")
   }
 
-  test("job-graph runner absorbs a 10x feed sub-quadratically", Soak) {
-    // runner-shaped fixture: the amplified events under the adapter's
+  /** Driver-side tally of shuffle Exchanges across EVERY action fired
+    * while attached — the deployment-level analogue of PlanBudgetSpec's
+    * per-query pins: the runner's 21 tasks fire ~dozens of actions, and
+    * a plan regression in any one of them moves the total.
+    */
+  private final class ExchangeTally
+      extends org.apache.spark.sql.util.QueryExecutionListener {
+    val exchanges = new java.util.concurrent.atomic.AtomicInteger(0)
+    val actions = new java.util.concurrent.atomic.AtomicInteger(0)
+    override def onSuccess(f: String,
+        qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit = {
+      exchanges.addAndGet("Exchange (hash|range|Single)".r
+        .findAllIn(qe.executedPlan.toString).length)
+      actions.incrementAndGet(); ()
+    }
+    override def onFailure(f: String,
+        qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+  }
+
+  test("job-graph runner: 10x and 30x feeds, sub-quadratic under a pinned shuffle budget", Soak) {
+    // runner-shaped fixtures: amplified events under the adapter's
     // expected file name (the runner's source tasks read $dir/events.parquet)
     val runnerDir = "/tmp/graft_soak_runner"
     if (!new java.io.File(s"$runnerDir/events.parquet").exists())
       spark.read.parquet(s"$soakDir/events")
         .write.mode("overwrite").parquet(s"$runnerDir/events.parquet")
-    def runAt(srcDir: String): Double = {
-      val out = java.nio.file.Files.createTempDirectory("graft_jobrun_soak").toString
-      val t0 = System.nanoTime()
-      graft.jobs.JobRunner.run(spark, srcDir, out)
-      (System.nanoTime() - t0) / 1e9
+    val runner30Dir = "/tmp/graft_soak_runner30"
+    if (!new java.io.File(s"$runner30Dir/events.parquet").exists()) {
+      val events = TestdataAdapter.table(spark, dir, "events")
+        .select("event_id", "user_id", "event_type", "value", "ts")
+      (0 until 30).map { k =>
+        events.select(
+          (col("event_id") + lit(k * 100000000L)).as("event_id"),
+          (col("user_id") + lit(k * 10000000L)).as("user_id"),
+          col("event_type"), col("value"), col("ts"))
+      }.reduce(_.unionByName(_))
+        .write.mode("overwrite").parquet(s"$runner30Dir/events.parquet")
     }
-    val t1 = runAt(dir)
-    val t10 = runAt(runnerDir)
-    info(f"job_graph_runner: t1=$t1%.1fs t10=$t10%.1fs ratio=${t10 / t1}%.1f")
+    def runAt(srcDir: String): (Double, Int, Int) = {
+      val tally = new ExchangeTally
+      spark.listenerManager.register(tally)
+      try {
+        val out = java.nio.file.Files.createTempDirectory("graft_jobrun_soak").toString
+        val t0 = System.nanoTime()
+        graft.jobs.JobRunner.run(spark, srcDir, out)
+        val t = (System.nanoTime() - t0) / 1e9
+        // QueryExecutionListener events are async — wait for quiescence
+        var last = -1; var stable = 0; var waited = 0
+        while (stable < 3 && waited < 50) {
+          val c = tally.actions.get
+          if (c == last) stable += 1 else { stable = 0; last = c }
+          Thread.sleep(200); waited += 1
+        }
+        (t, tally.exchanges.get, tally.actions.get)
+      } finally spark.listenerManager.unregister(tally)
+    }
+    val (t1, x1, a1) = runAt(dir)
+    val (t10, x10, a10) = runAt(runnerDir)
+    val (t30, x30, a30) = runAt(runner30Dir)
+    info(f"job_graph_runner: t1=$t1%.1fs t10=$t10%.1fs t30=$t30%.1fs " +
+      f"ratio10=${t10 / t1}%.1f ratio30v10=${t30 / t10}%.1f " +
+      s"exchanges=$x1/$x10/$x30 actions=$a1/$a10/$a30")
     // the full 21-task deployment chain — static ingest, mockflow
     // generation, ml serving, kpi, suggestions, exports — with every
     // inter-job handoff materialized; a super-linear task anywhere in the
     // graph (or a handoff that re-reads more than its declared inputs)
-    // breaks the band
+    // breaks the band. The 10x→30x leg (3x the feed) pins LINEARITY of
+    // the whole deployment, same shape as dedup_containment's 30x point.
     assert(t10 <= 25.0 * t1 + 10.0,
       f"job runner t(10x)=$t10%.1fs vs t(1x)=$t1%.1fs — super-linear blowup")
+    assert(t30 <= 7.5 * t10 + 10.0,
+      f"job runner t(30x)=$t30%.1fs vs t(10x)=$t10%.1fs — growth outside the linear band")
+    // deployment-level plan budget (VERDICT r12 item 8): the total
+    // shuffle-Exchange count across every action of the whole chain is a
+    // scale-invariant ceiling. AQE may legitimately REPLACE a shuffle
+    // with a broadcast at small scale (count drops), so the pin is a
+    // budget, not an equality; the action count IS structural and must
+    // not move with data volume at all.
+    // measured 138/142/142 at 1×/10×/30× (AQE broadcasts 4 exchanges
+    // away at 1×); the pin is the CURRENT shape + headroom for listener
+    // jitter, lowered like every PlanBudget when a plan improves
+    val ShuffleBudget = 150
+    Seq(("1x", x1), ("10x", x10), ("30x", x30)).foreach { case (s, x) =>
+      assert(x <= ShuffleBudget, s"runner chain at $s spends $x exchanges > budget $ShuffleBudget")
+    }
+    assert(a10 == a1 && a30 == a1,
+      s"action count must be scale-invariant: $a1/$a10/$a30")
   }
 }
