@@ -84,38 +84,120 @@ object JobRunner {
     "stops" -> Seq("stop_id", "stop_name", "stop_lat", "stop_lon"),
     "routes" -> Seq("route_id", "route_short_name", "route_long_name"))
 
-  /** The per-task effects, keyed by `dag.task`. */
+  /** The RT frame projection both continuous-service modes share. */
+  private def rtFrames(spark: SparkSession, sfDir: String): DataFrame =
+    TestdataAdapter.table(spark, sfDir, "events").select(
+      col("event_id"), col("user_id"), col("event_type"),
+      graft.functions.Cols.ntzFromNanos(col("ts")).as("observed_at"),
+      col("value"))
+
+  /** The three RT table shapes off a frames frame — shared verbatim by
+    * the batch leg and each streaming consumer, so mode can only change
+    * TRANSPORT, never the projection algebra.
+    */
+  private def rtProjections(rt: DataFrame): Seq[(String, DataFrame)] = Seq(
+    "vehicle_positions" -> rt.select(
+      col("event_type").as("route_id"),
+      col("user_id").cast("string").as("vehicle_id"),
+      col("observed_at")),
+    "trip_updates" -> rt.select(
+      col("event_type").as("route_id"),
+      col("observed_at"),
+      col("value").as("delay_seconds")),
+    "service_alerts" -> rt.select(
+      concat(lit("al_"), col("event_id")).as("alert_id"),
+      col("event_type").as("alert_type"),
+      concat(lit("alert "), col("user_id")).as("description"),
+      col("observed_at")))
+
+  // ---- streaming mode for the two continuous-cadence services --------
+  //
+  // The reference runs poller.py and ingestor.py as CONTINUOUS processes
+  // on a Kafka topic; batch mode (the default) runs their batch
+  // equivalents. streaming=true runs the REAL transport: the poller leg
+  // produces wire frames into a graftqueue topic through the V2 sink,
+  // and the ingestor leg runs checkpointed micro-batch consumers off
+  // that topic (offset-ordered, AvailableNow) into the same artifacts.
+  // JobGraphSpec's streaming leg asserts the resulting downstream chain
+  // is byte-identical to batch mode — the `streaming_export_e2e` ≡
+  // `export_rows` twin claim, wired through the deployment runner.
+  //
+  // Wire format: observed_at travels as its full-precision NTZ string
+  // (micros survive; to_json's default NTZ pattern would truncate), the
+  // rest as typed JSON fields; the consumer casts it back. Keyed by
+  // event_id.
+  private val FrameWireSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("event_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("user_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("event_type",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("observed_at",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("value",
+      org.apache.spark.sql.types.DoubleType)))
+
+  private def pollFeedsStreaming(spark: SparkSession, sfDir: String, p: Paths): Unit = {
+    val frames = rtFrames(spark, sfDir)
+    frames
+      .select(
+        col("event_id").cast("string").cast("binary").as("key"),
+        to_json(struct(
+          col("event_id"), col("user_id"), col("event_type"),
+          col("observed_at").cast("string").as("observed_at"),
+          col("value"))).cast("binary").as("value"))
+      .write.format("graftqueue")
+      .option("path", s"${p.outDir}/queue").option("topic", "rt.frames")
+      .mode(SaveMode.Append).save()
+  }
+
+  private def ingestFramesStreaming(spark: SparkSession, p: Paths): Unit = {
+    def consumed(): DataFrame =
+      spark.readStream.format("graftqueue")
+        .option("path", s"${p.outDir}/queue").option("topic", "rt.frames")
+        .load()
+        .select(from_json(col("value").cast("string"), FrameWireSchema).as("f"))
+        .select(col("f.event_id"), col("f.user_id"), col("f.event_type"),
+          col("f.observed_at").cast("timestamp_ntz").as("observed_at"),
+          col("f.value"))
+    def sinkTo(out: DataFrame, t: String): Unit =
+      out.writeStream.format("parquet")
+        .option("path", p.table(t))
+        .option("checkpointLocation", s"${p.outDir}/ckpt/$t")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination(120000)
+    // one consumer per artifact, each with its own checkpointed offsets —
+    // the reference's consumer-group-per-table shape
+    sinkTo(consumed(), "rt_frames")
+    rtProjections(consumed()).foreach { case (t, df) => sinkTo(df, t) }
+  }
+
+  /** The per-task effects, keyed by `dag.task`. `streaming` swaps ONLY
+    * the two continuous-service transports (queue producer + micro-batch
+    * consumers) — every projection and every downstream task is the same
+    * code in both modes.
+    */
   private def effects(
-      spark: SparkSession, sfDir: String, p: Paths): Map[String, () => Unit] = Map(
+      spark: SparkSession, sfDir: String, p: Paths,
+      streaming: Boolean = false): Map[String, () => Unit] = Map(
 
     // --- continuous services -------------------------------------------
     // poller.py:49-54 — capture the RT feed frames (batch equivalent of
-    // the graftqueue streaming pair; the wire round trip itself is
-    // oracle-checked by queue_roundtrip_trip / streaming_export_e2e).
+    // the graftqueue streaming pair; streaming=true runs the queue
+    // transport itself — see pollFeedsStreaming).
     "gtfs_realtime_poller.poll_feeds" -> (() =>
-      writeT(TestdataAdapter.table(spark, sfDir, "events").select(
-        col("event_id"), col("user_id"), col("event_type"),
-        graft.functions.Cols.ntzFromNanos(col("ts")).as("observed_at"),
-        col("value")), p, "rt_frames")),
+      if (streaming) pollFeedsStreaming(spark, sfDir, p)
+      else writeT(rtFrames(spark, sfDir), p, "rt_frames")),
 
     // ingestor.py:55 (vehicle_positions), :92 (trip_updates),
     // :120 (service_alerts) — the three RT table shapes off the frames.
-    "db_ingestion_service.ingest_frames" -> (() => {
-      val rt = readT(spark, p, "rt_frames")
-      writeT(rt.select(
-        col("event_type").as("route_id"),
-        col("user_id").cast("string").as("vehicle_id"),
-        col("observed_at")), p, "vehicle_positions")
-      writeT(rt.select(
-        col("event_type").as("route_id"),
-        col("observed_at"),
-        col("value").as("delay_seconds")), p, "trip_updates")
-      writeT(rt.select(
-        concat(lit("al_"), col("event_id")).as("alert_id"),
-        col("event_type").as("alert_type"),
-        concat(lit("alert "), col("user_id")).as("description"),
-        col("observed_at")), p, "service_alerts")
-    }),
+    "db_ingestion_service.ingest_frames" -> (() =>
+      if (streaming) ingestFramesStreaming(spark, p)
+      else {
+        val rt = readT(spark, p, "rt_frames")
+        rtProjections(rt).foreach { case (t, df) => writeT(df, p, t) }
+      }),
 
     // --- static_gtfs_job ------------------------------------------------
     // :24 download — the "zip": one CSV fixture per GTFS file, written
@@ -421,11 +503,12 @@ object JobRunner {
     * keys in execution order (the driver-side walk over the collected
     * schedule is the scheduler's job — tens of rows of metadata).
     */
-  def run(spark: SparkSession, sfDir: String, outDir: String): Seq[String] = {
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+      streaming: Boolean = false): Seq[String] = {
     val p = Paths(outDir)
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(s"$outDir/exports"))
-    val fx = effects(spark, sfDir, p)
+    val fx = effects(spark, sfDir, p, streaming)
     val order = JobGraph.schedule(spark)
       .select(concat_ws(".", col("dag_id"), col("task_id")).as("node"),
         col("wave"))

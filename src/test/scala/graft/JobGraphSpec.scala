@@ -155,4 +155,46 @@ class JobGraphSpec extends SparkSpec {
     val mlArt3 = art("ml_dataset_hourly").orderBy("route_id", "hour_ts").collect()
     assert(mlArt3.toSeq === mlArt.toSeq)
   }
+
+  test("streaming mode: the continuous services run as real graftqueue streams, " +
+      "and every downstream artifact is identical to batch mode") {
+    val outB = java.nio.file.Files.createTempDirectory("graft_jobrun_b").toString
+    val outS = java.nio.file.Files.createTempDirectory("graft_jobrun_s").toString
+    JobRunner.run(spark, sfDir, outB)
+    JobRunner.run(spark, sfDir, outS, streaming = true)
+    val (pb, ps) = (JobRunner.Paths(outB), JobRunner.Paths(outS))
+
+    // the streaming transport actually ran: topic segments + consumer
+    // checkpoints exist on the streaming side only
+    assert(new java.io.File(s"$outS/queue/rt.frames").isDirectory,
+      "streaming mode must produce through the graftqueue topic")
+    assert(new java.io.File(s"$outS/ckpt/vehicle_positions/commits").isDirectory,
+      "each streaming consumer must be checkpointed")
+    assert(!new java.io.File(s"$outB/queue").exists())
+
+    // transport changed; artifacts must not — the RT tables AND the whole
+    // downstream chain (kpi → suggestions → exports) are value-identical
+    def rows(p: JobRunner.Paths, t: String, keys: String*): Seq[String] =
+      spark.read.parquet(p.table(t)).orderBy(keys.map(col): _*)
+        .collect().map(_.toString).toSeq
+    for (t <- Seq("rt_frames" -> Seq("event_id"),
+        "vehicle_positions" -> Seq("route_id", "vehicle_id", "observed_at"),
+        "trip_updates" -> Seq("route_id", "observed_at", "delay_seconds"),
+        "service_alerts" -> Seq("alert_id"),
+        "kpi_hourly" -> Seq("route_id", "hour_ts"),
+        "route_optimization_suggestions" -> Seq("route_id", "hour_ts"))) {
+      val (name, keys) = t
+      assert(rows(pb, name, keys: _*) == rows(ps, name, keys: _*),
+        s"streaming-mode artifact $name diverged from batch mode")
+    }
+    // export JSON artifacts byte-identical
+    for (f <- Seq("route_suggestions_latest.json", "summary_latest.json",
+        "peak_hours_latest.json")) {
+      val a = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(pb.export(f))), "UTF-8")
+      val b = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(ps.export(f))), "UTF-8")
+      assert(a == b, s"export $f diverged between modes")
+    }
+  }
 }
