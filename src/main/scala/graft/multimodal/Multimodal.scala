@@ -283,6 +283,96 @@ object Multimodal {
       |  CAST((doc_id * 13) % 256 AS INTEGER) AS avg_b
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- mixed-format corpus + magic-byte container sniffing (r13) ----
+
+  final case class MixedImageFeatures(
+      doc_id: Long, sniffed_format: String, decoded_ok: Boolean,
+      width: Int, height: Int, avg_r: Int, avg_g: Int, avg_b: Int)
+
+  /** Render one solid-color image in the given ImageIO container format
+    * ("png"/"bmp" — both encoders ship in every JRE, both lossless for
+    * 24-bit RGB, so the decode round trip stays pixel-exact).
+    */
+  def makeImage(fmt: String, width: Int, height: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (r << 16) | (g << 8) | b
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  /** Container sniffing by magic bytes — the dispatch step a real mixed
+    * media corpus needs BEFORE any decoder runs (a 100 TB crawl never
+    * arrives with trustworthy extensions or content types). Pure byte
+    * peeks, no decoder involvement, unknown → "unknown" (route to
+    * quarantine, never throw).
+    */
+  def sniffFormat(payload: Array[Byte]): String =
+    if (payload.length >= 8 &&
+      (payload(0) & 0xff) == 0x89 && payload(1) == 'P' &&
+      payload(2) == 'N' && payload(3) == 'G') "png"
+    else if (payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M') "bmp"
+    else if (payload.length >= 3 &&
+      (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8) "jpeg"
+    else if (payload.length >= 4 && payload(0) == 'G' && payload(1) == 'I' &&
+      payload(2) == 'F' && payload(3) == '8') "gif"
+    else "unknown"
+
+  /** Mixed-container synthetic corpus: PNG for even doc_ids, BMP for odd
+    * — same [[imageSpec]] dims/fill formulas, so one oracle covers both
+    * encoders.
+    */
+  def imageCorpusMixed(documents: DataFrame): Dataset[ImagePayload] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).filter(col("doc_id").isNotNull).as[Long]
+      .mapPartitions(_.map { id =>
+        val (w, h, r, g, b) = imageSpec(id)
+        ImagePayload(id, makeImage(if (id % 2 == 0) "png" else "bmp", w, h, r, g, b))
+      })
+  }
+
+  /** Sniff + decode the mixed corpus: container detection from magic
+    * bytes, then the SAME ImageIO pixel-stats decode as the PNG leg —
+    * codec dispatch proven end to end (the sniffed format column is
+    * oracle-recomputed from the doc_id parity that chose the encoder).
+    */
+  def mixedCodecFeatures(images: Dataset[ImagePayload]): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.mapPartitions(_.map { m =>
+      val fmt = sniffFormat(m.payload)
+      decodeStats(m.payload) match {
+        case Some((w, h, r, g, b)) =>
+          MixedImageFeatures(m.doc_id, fmt, decoded_ok = true, w, h, r, g, b)
+        case None => MixedImageFeatures(m.doc_id, fmt, decoded_ok = false, 0, 0, 0, 0, 0)
+      }
+    }).toDF().orderBy("doc_id")
+  }
+
+  /** Oracle twin of imageCorpusMixed→mixedCodecFeatures: the sniffed
+    * container must equal the parity that chose the encoder, and the
+    * decoded stats must round-trip the synthesis formulas through BOTH
+    * codecs.
+    */
+  val mixedCodecFeaturesSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS sniffed_format,
+      |  TRUE AS decoded_ok,
+      |  CAST(doc_id % 37 + 1 AS INTEGER) AS width,
+      |  CAST(doc_id % 23 + 1 AS INTEGER) AS height,
+      |  CAST(doc_id % 256 AS INTEGER) AS avg_r,
+      |  CAST((doc_id * 7) % 256 AS INTEGER) AS avg_g,
+      |  CAST((doc_id * 13) % 256 AS INTEGER) AS avg_b
+      |FROM documents WHERE doc_id IS NOT NULL ORDER BY doc_id""".stripMargin
+
   /** Frame sampling for video/audio payloads: one media row explodes to
     * its sampled frames (doc_id, frame_idx, frame_bytes, frame_sha).
     * STUB SLICER: a "frame" is a deterministic fixed-stride byte slice of

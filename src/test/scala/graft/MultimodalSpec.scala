@@ -177,4 +177,16 @@ class MultimodalSpec extends SparkSpec {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("decoded_ok")).toMap
     assert(out == Map(0L -> false, 5L -> true, 97L -> false, 100L -> true))
   }
+
+  test("magic-byte sniffing: every JRE container + the quarantine path") {
+    assert(Multimodal.sniffFormat(Multimodal.makeImage("png", 3, 2, 1, 2, 3)) == "png")
+    assert(Multimodal.sniffFormat(Multimodal.makeImage("bmp", 3, 2, 1, 2, 3)) == "bmp")
+    assert(Multimodal.sniffFormat(Multimodal.makeImage("jpg", 3, 2, 1, 2, 3)) == "jpeg")
+    assert(Multimodal.sniffFormat(Multimodal.makeImage("gif", 3, 2, 1, 2, 3)) == "gif")
+    assert(Multimodal.sniffFormat("not an image".getBytes("US-ASCII")) == "unknown")
+    assert(Multimodal.sniffFormat(Array.empty[Byte]) == "unknown")
+    // BMP decode round trip is pixel-exact like PNG's (24-bit RGB solid fill)
+    val dims = Multimodal.imageDims(Multimodal.makeImage("bmp", 7, 4, 9, 8, 7))
+    assert(dims.contains((7, 4)))
+  }
 }
