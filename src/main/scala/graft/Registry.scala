@@ -3108,6 +3108,29 @@ object Registry {
       Q("job_graph_schedule",
         (s, _) => graft.jobs.JobGraph.schedule(s),
         Some(graft.jobs.JobGraph.scheduleSql)),
+
+      // Wall-clock trigger semantics (r13 — the one Airflow contribution
+      // previously left as metadata): every DAG run whose data interval
+      // starts inside a simulated 30-hour clock window, with Airflow's
+      // interval model exact (@daily's [D, D+1d) run fires AT the
+      // interval END — the run_after column); continuous services are
+      // always-on rows at the window start. Pure sequence() algebra,
+      // so firing itself is now inside the hash gate; only the literal
+      // sleep-until-run_after stays deployment-side.
+      Q("job_fire_schedule",
+        (s, _) => graft.jobs.JobGraph.fireSchedule(
+          s, "2024-03-01 00:00:00", "2024-03-02 06:00:00"),
+        Some(graft.jobs.JobGraph.fireScheduleSql(
+          "2024-03-01 00:00:00", "2024-03-02 06:00:00"))),
+
+      // ...and the full task-level RUN BOOK for the same window: fires ×
+      // wave schedule, run_after-then-wave order — the exact sequence a
+      // single-worker deployment executes, one hash-checked frame.
+      Q("job_runbook",
+        (s, _) => graft.jobs.JobGraph.runBook(
+          s, "2024-03-01 00:00:00", "2024-03-02 06:00:00"),
+        Some(graft.jobs.JobGraph.runBookSql(
+          "2024-03-01 00:00:00", "2024-03-02 06:00:00"))),
     )
   }
 

@@ -245,6 +245,101 @@ object JobGraph {
       .orderBy("wave", "dag_id", "task_id")
   }
 
+  // ---- wall-clock trigger semantics (r13) --------------------------------
+  //
+  // The one Airflow contribution previously left as metadata: WHEN each
+  // DAG fires. Airflow's data-interval model is encoded exactly — a
+  // @daily run for interval [D, D+1d) RUNS AT the interval's END (the
+  // run_after column), @hourly likewise; "continuous" services are
+  // always-on (one row at the window start). Given a simulated clock
+  // window the full firing timetable is pure column algebra (sequence()
+  // over aligned boundaries), so the trigger semantics sit inside the
+  // hash gate like the edges and waves already do; only the literal
+  // act of sleeping until run_after remains deployment-side.
+
+  private def dagsDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    tasks.map(t => (t.dag, t.cadence)).distinct
+      .toDF("dag_id", "cadence")
+  }
+
+  /** Every DAG run whose data interval STARTS inside [startTs, endTs):
+    * (dag_id, cadence, data_interval_start, run_after). Airflow
+    * alignment: intervals start at cadence-unit boundaries; the run is
+    * scheduled at the interval end.
+    */
+  def fireSchedule(spark: SparkSession, startTs: String, endTs: String): DataFrame = {
+    val dags = dagsDf(spark)
+    val start = lit(startTs).cast("timestamp_ntz")
+    val end = lit(endTs).cast("timestamp_ntz")
+    def fires(cad: String, unit: String) =
+      dags.filter(col("cadence") === cad)
+        .withColumn("fire", explode(sequence(
+          date_trunc(unit, start).cast("timestamp_ntz"), end,
+          expr(s"interval 1 $unit"))))
+        .filter(col("fire") >= start && col("fire") < end)
+        .select(col("dag_id"), col("cadence"),
+          col("fire").as("data_interval_start"),
+          (col("fire") + expr(s"interval 1 $unit")).cast("timestamp_ntz")
+            .as("run_after"))
+    val continuous = dags.filter(col("cadence") === "continuous")
+      .select(col("dag_id"), col("cadence"),
+        start.as("data_interval_start"), start.as("run_after"))
+    fires("@hourly", "hour")
+      .unionByName(fires("@daily", "day"))
+      .unionByName(continuous)
+      .orderBy("run_after", "dag_id", "data_interval_start")
+  }
+
+  /** The full task-level run book for a clock window: every DAG run's
+    * tasks with their waves — run_after-then-wave order is the exact
+    * sequence a single-worker deployment would execute. Joins the two
+    * oracle-exact surfaces (fires × schedule), so the whole timetable is
+    * one hash-checked frame.
+    */
+  def runBook(spark: SparkSession, startTs: String, endTs: String): DataFrame =
+    fireSchedule(spark, startTs, endTs)
+      .join(schedule(spark).select(
+        col("dag_id"), col("task_id"), col("wave")), Seq("dag_id"))
+      .select(col("run_after"), col("dag_id"), col("data_interval_start"),
+        col("cadence"), col("wave"), col("task_id"))
+      .orderBy("run_after", "dag_id", "wave", "task_id")
+
+  /** DuckDB twin of [[fireSchedule]]. */
+  def fireScheduleSql(startTs: String, endTs: String): String = {
+    val dagVals = tasks.map(t => (t.dag, t.cadence)).distinct
+      .map { case (d, c) => s"(${q(d)}, ${q(c)})" }.mkString(",\n    ")
+    def leg(cad: String, unit: String) =
+      s"""SELECT dag_id, cadence, gs.ts AS data_interval_start,
+         |  gs.ts + INTERVAL 1 $unit AS run_after
+         |FROM dags, generate_series(
+         |  date_trunc('$unit', TIMESTAMP '$startTs'),
+         |  TIMESTAMP '$endTs', INTERVAL 1 $unit) gs(ts)
+         |WHERE cadence = '$cad'
+         |  AND gs.ts >= TIMESTAMP '$startTs' AND gs.ts < TIMESTAMP '$endTs'""".stripMargin
+    s"""WITH dags(dag_id, cadence) AS (VALUES
+       |    $dagVals)
+       |SELECT * FROM (
+       |${leg("@hourly", "HOUR")}
+       |UNION ALL
+       |${leg("@daily", "DAY")}
+       |UNION ALL
+       |SELECT dag_id, cadence, TIMESTAMP '$startTs', TIMESTAMP '$startTs'
+       |FROM dags WHERE cadence = 'continuous')
+       |ORDER BY run_after, dag_id, data_interval_start""".stripMargin
+  }
+
+  /** DuckDB twin of [[runBook]]: the fire legs joined to the recursive-
+    * CTE wave schedule (both re-derived independently from the literals).
+    */
+  def runBookSql(startTs: String, endTs: String): String =
+    s"""WITH fires AS (${fireScheduleSql(startTs, endTs)}),
+       |sched AS (${scheduleSql})
+       |SELECT f.run_after, f.dag_id, f.data_interval_start, f.cadence,
+       |  s.wave, s.task_id
+       |FROM fires f JOIN sched s USING (dag_id)
+       |ORDER BY run_after, dag_id, wave, task_id""".stripMargin
+
   // ---- DuckDB oracle twins ---------------------------------------------
 
   private def q(s: String): String = "'" + s.replace("'", "''") + "'"

@@ -156,6 +156,36 @@ class JobGraphSpec extends SparkSpec {
     assert(mlArt3.toSeq === mlArt.toSeq)
   }
 
+  test("wall-clock triggers: Airflow interval alignment, run-at-interval-end, " +
+      "always-on continuous rows, runbook order") {
+    import java.time.LocalDateTime
+    val fires = JobGraph.fireSchedule(
+      spark, "2024-03-01 00:30:00", "2024-03-01 04:00:00").collect()
+    def ldt(r: org.apache.spark.sql.Row, i: Int) = r.getAs[LocalDateTime](i)
+    val hourly = fires.filter(_.getString(1) == "@hourly")
+    // window starts mid-hour: first aligned interval is 01:00, last < 04:00
+    val starts = hourly.map(ldt(_, 2).toString).distinct.sorted
+    assert(starts.toSeq ==
+      Seq("2024-03-01T01:00", "2024-03-01T02:00", "2024-03-01T03:00"))
+    // the run fires at the interval END (Airflow's data-interval model)
+    hourly.foreach(r => assert(ldt(r, 3) == ldt(r, 2).plusHours(1)))
+    // no @daily interval starts inside this sub-day window
+    assert(!fires.exists(_.getString(1) == "@daily"))
+    // continuous services are always-on from the window start
+    val cont = fires.filter(_.getString(1) == "continuous")
+    assert(cont.map(_.getString(0)).sorted.toSeq ==
+      Seq("db_ingestion_service", "gtfs_realtime_poller"))
+    // runbook: fires x wave schedule; within one DAG run, tasks appear in
+    // wave order (never a task before its upstream wave)
+    val book = JobGraph.runBook(
+      spark, "2024-03-01 00:30:00", "2024-03-01 04:00:00").collect()
+    val mlRun = book.filter(r => r.getString(1) ==
+      "ml_train_predict_demand_rf_psycopg2" &&
+      ldt(r, 0) == LocalDateTime.parse("2024-03-01T02:00"))
+    assert(mlRun.length == 6)
+    assert(mlRun.map(_.getAs[Int]("wave")).toSeq == mlRun.map(_.getAs[Int]("wave")).sorted.toSeq)
+  }
+
   test("streaming mode: the continuous services run as real graftqueue streams, " +
       "and every downstream artifact is identical to batch mode") {
     val outB = java.nio.file.Files.createTempDirectory("graft_jobrun_b").toString
