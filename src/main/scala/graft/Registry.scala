@@ -1788,6 +1788,16 @@ object Registry {
       Q("pq_topk",
         (s, d) => Knn.pqTopK(embs(s, d), pinned = Some(PqFixture.codebooks)),
         Some(Knn.pqTopKSql(PqFixture.codebooks))),
+      // IVF-PQ: the production composition (r13) — the in-engine Lloyd
+      // trainer's cells prune candidates (nprobe=2 of 8), the pinned PQ
+      // codebooks score them in the compressed domain (8 LUT reads per
+      // pair instead of 64 float mults; 16× less memory traffic on top
+      // of the pruning). Both halves were already oracle-exact; the
+      // composition replays training, pruning, encoding and ADC ranking
+      // under one hash.
+      Q("ivfpq_topk",
+        (s, d) => Knn.ivfPqTopK(embs(s, d), PqFixture.codebooks),
+        Some(Knn.ivfPqTopKSql(PqFixture.codebooks))),
       // PCA reduced-space ANN recall vs full-space brute force,
       // ORACLE-EXACT at the pinned basis (promoted r11, same pattern as
       // pq_topk/semdedup_keep): the loading matrix is the committed

@@ -573,30 +573,43 @@ object Knn {
     *   `pinned = None` the codebooks are fit on the input itself — the
     *   train-time mode, exactness spec-asserted in KnnSpec.
     */
+  /** Per-subspace LUT: squared distance of `embedding`'s j-th subvector
+    * to every centroid of codebook j, via higher-order functions over
+    * the codebook as a LITERAL nested array — a ~10-node expression with
+    * runtime loops instead of the fully unrolled 16×subDim×3-node tree,
+    * whose whole-stage codegen alone cost ~4.5 s of fixed overhead per
+    * run (measured; results are byte-identical: zip_with walks dims in
+    * index order and aggregate folds left exactly like the unrolled
+    * reduceLeft, with 0.0 + t0 == t0 for the non-negative squares).
+    * Shared by [[pqTopK]] and [[ivfPqTopK]].
+    */
+  private def pqLutArr(codebooks: Array[Array[Array[Double]]], j: Int): Column = {
+    val subDim = Dim / codebooks.length
+    val cb = typedLit(codebooks(j).map(_.toSeq).toSeq)
+    val sub = slice(col("embedding"), j * subDim + 1, subDim)
+    transform(cb, cen => aggregate(
+      zip_with(sub, cen, (x, c) => { val t = x.cast("double") - c; t * t }),
+      lit(0.0), (acc, e) => acc + e))
+  }
+
+  /** PQ code for subspace j = argmin over [[pqLutArr]] (first index on
+    * ties — deterministic; array_position compares the min to itself, so
+    * double equality is exact).
+    */
+  private def pqCodeCol(codebooks: Array[Array[Array[Double]]], j: Int): Column = {
+    val a = pqLutArr(codebooks, j)
+    (array_position(a, array_min(a)) - 1).cast("int")
+  }
+
   def pqTopK(
       embeddings: DataFrame, nQueries: Int = 20, k: Int = 3,
       m: Int = 8, codebookSize: Int = 16, sampleN: Int = 2048,
       pinned: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
     require(Dim % m == 0, s"m=$m must divide Dim=$Dim")
-    val subDim = Dim / m
     val e = withNorm(embeddings).persist()
     val codebooks: Array[Array[Array[Double]]] =
       pinned.getOrElse(trainPqCodebooks(e, m, codebookSize, sampleN))
-    // per-subspace LUT: squared distance to every centroid, via
-    // higher-order functions over the codebook as a LITERAL nested
-    // array — a ~10-node expression with runtime loops instead of the
-    // fully unrolled 16×subDim×3-node tree, whose whole-stage codegen
-    // alone cost ~4.5 s of fixed overhead per run (measured; results
-    // are byte-identical: zip_with walks dims in index order and
-    // aggregate folds left exactly like the unrolled reduceLeft, with
-    // 0.0 + t0 == t0 for the non-negative squares)
-    def lutArr(j: Int): Column = {
-      val cb = typedLit(codebooks(j).map(_.toSeq).toSeq)
-      val sub = slice(col("embedding"), j * subDim + 1, subDim)
-      transform(cb, cen => aggregate(
-        zip_with(sub, cen, (x, c) => { val t = x.cast("double") - c; t * t }),
-        lit(0.0), (acc, e) => acc + e))
-    }
+    def lutArr(j: Int): Column = pqLutArr(codebooks, j)
     // code = argmin over the subspace's centroid distances (first index on
     // ties — deterministic; array_position compares the min to itself, so
     // double equality is exact)
@@ -2083,6 +2096,147 @@ object Knn {
        |SELECT CAST($k AS INTEGER) AS k, CAST($rescoreR AS INTEGER) AS rescore_r,
        |  n_exact, hits, CAST(hits AS DOUBLE) / n_exact AS recall
        |FROM agg""".stripMargin
+
+  // ───────────── IVF-PQ: coarse pruning × compressed scoring (r13) ──────
+
+  /** The production ANN composition (FAISS's IndexIVFPQ shape): the
+    * in-engine Lloyd trainer supplies the COARSE quantizer (cell
+    * assignment + nprobe pruning, integer micro-unit domain — exactly
+    * [[ivfLloydTopK]]'s front half), and the PINNED PQ codebooks supply
+    * the COMPRESSED scorer (8 subspace codes per vector, per-query LUT,
+    * ADC scan — exactly [[pqTopK]]'s back half, no-residual variant).
+    * Both halves are individually oracle-exact, so the composition is
+    * too: training, cell pruning, encoding and ADC ranking all replay in
+    * SQL under one hash.
+    *
+    * Scale shape: candidates ≈ nprobe/cells of the corpus per query
+    * (the IVF join), each scored by m=8 LUT reads against codes instead
+    * of 64 float mults against raw vectors — memory traffic drops 16×
+    * (8 bytes of codes vs 256 bytes of float32) on top of the cell
+    * pruning, which is the whole point of the composition at 100 TB.
+    */
+  def ivfPqTopK(
+      embeddings: DataFrame,
+      codebooks: Array[Array[Array[Double]]],
+      nQueries: Int = 10, k: Int = 5,
+      cells: Int = 8, iters: Int = 2, nprobe: Int = 2): DataFrame = {
+    val m = codebooks.length
+    // coarse leg: Lloyd cells + per-query probe sets (integer domain)
+    val e0 = lloydQuantized(embeddings)
+    var cen = lloydSeeds(e0, cells)
+    for (_ <- 1 to iters) cen = lloydUpdate(cen, lloydAssign(e0, cen))
+    val asg = lloydAssign(e0, cen)
+      .select(col("vec_id"), col("j").as("cell")).localCheckpoint()
+    val probes = lloydAssign(e0.filter(col("vec_id") < nQueries), cen)
+      .select(col("vec_id").as("query_id"), posexplode(col("ds")).as(Seq("cell", "cd")))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cd"), col("cell"))))
+      .filter(col("pr") <= nprobe)
+      .select("query_id", "cell")
+    // compressed leg: PQ codes for the corpus, LUTs for the queries
+    val e = withNorm(embeddings).persist()
+    val coded = (0 until m).foldLeft(
+      e.select(col("vec_id"), col("embedding"))) {
+      (df, j) => df.withColumn(s"code$j", pqCodeCol(codebooks, j))
+    }.drop("embedding")
+    val q = (0 until m).foldLeft(
+      e.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding"))) {
+      (df, j) => df.withColumn(s"lut$j", pqLutArr(codebooks, j))
+    }.drop("embedding")
+    val adist = (0 until m)
+      .map(j => element_at(col(s"lut$j"), col(s"code$j") + 1))
+      .reduceLeft(_ + _)
+    val w = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
+    // cell-pruned candidates (equality join on the cell key, probe set
+    // broadcast) → codes join → ADC rank
+    asg.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .join(coded.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("adist", adist)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("adist"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** DuckDB twin of [[ivfPqTopK]]: the Lloyd CTE prefix + probe/cell
+    * blocks verbatim from [[ivfLloydTopKSql]], the PQ encode blocks
+    * verbatim from [[pqTopKSql]] (VARCHAR→DOUBLE centroid literals — the
+    * decimal-ceiling gotcha), joined on the pruned candidate set.
+    */
+  def ivfPqTopKSql(
+      codebooks: Array[Array[Array[Double]]],
+      nQueries: Int = 10, k: Int = 5,
+      cells: Int = 8, iters: Int = 2, nprobe: Int = 2): String = {
+    val m = codebooks.length
+    val subDim = Dim / m
+    val d1 = Dim + 1
+    def distExpr(j: Int, c: Int): String =
+      (0 until subDim).map { t =>
+        val x = s"CAST(embedding[${j * subDim + t + 1}] AS DOUBLE)"
+        val cen = s"CAST('${codebooks(j)(c)(t)}' AS DOUBLE)"
+        s"(($x - $cen) * ($x - $cen))"
+      }.mkString(" + ")
+    val nC = codebooks.head.length
+    val cdCols = (for { j <- 0 until m; c <- 0 until nC }
+      yield s"(${distExpr(j, c)}) AS d_${j}_$c").mkString(",\n    ")
+    val mCols = (0 until m).map(j =>
+      s"LEAST(${(0 until nC).map(c => s"d_${j}_$c").mkString(", ")}) AS m_$j")
+      .mkString(",\n    ")
+    val codeCols = (0 until m).map { j =>
+      val whens = (0 until nC).map(c => s"WHEN d_${j}_$c = m_$j THEN $c").mkString(" ")
+      s"CASE $whens END AS code_$j"
+    }.mkString(",\n    ")
+    val adist = (0 until m).map { j =>
+      val whens = (0 until nC).map(c => s"WHEN $c THEN q.d_${j}_$c").mkString(" ")
+      s"(CASE c.code_$j $whens END)"
+    }.mkString(" + ")
+    s"""WITH ${lloydSqlCtes(cells, iters)},
+       |fcx AS (
+       |  SELECT e.vec_id, c.j, SUM((e.q[t.i] - c.cd) * (e.q[t.i] - c.cd)) AS d
+       |  FROM e0 e CROSS JOIN range(1, $d1) t(i) JOIN c$iters c ON c.i = t.i
+       |  GROUP BY 1, 2),
+       |fca AS (
+       |  SELECT vec_id, j AS cell FROM (
+       |    SELECT vec_id, j,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, j) AS rk
+       |    FROM fcx) WHERE rk = 1),
+       |pr AS (
+       |  SELECT vec_id AS query_id, j AS cell FROM (
+       |    SELECT vec_id, j,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, j) AS rk
+       |    FROM fcx WHERE vec_id < $nQueries) WHERE rk <= $nprobe),
+       |pqd AS (
+       |  SELECT vec_id,
+       |    $cdCols
+       |  FROM e),
+       |pqm AS (
+       |  SELECT *,
+       |    $mCols
+       |  FROM pqd),
+       |codes AS (
+       |  SELECT *,
+       |    $codeCols
+       |  FROM pqm),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id
+       |  FROM pr p JOIN fca a ON a.cell = p.cell AND a.vec_id <> p.query_id),
+       |s AS (
+       |  SELECT cd2.query_id, cd2.neighbor_id,
+       |    $adist AS adist
+       |  FROM cand cd2
+       |    JOIN codes c ON c.vec_id = cd2.neighbor_id
+       |    JOIN codes q ON q.vec_id = cd2.query_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, adist,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rn
+       |  FROM s)
+       |SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS "rank", adist
+       |FROM r WHERE rn <= $k ORDER BY query_id, "rank"""".stripMargin
+  }
 
   // ─────────────── clustered-embedding fixture (r13) ───────────────────
 

@@ -525,4 +525,16 @@ class KnnSpec extends SparkSpec {
       .as[(Int, Int, Long, Long, Double)].collect().head
     assert(row === ((2, 2, 4L, 4L, 1.0)))
   }
+
+  test("IVF-PQ: probing every cell makes the composition ≡ plain PQ ADC by construction") {
+    // at nprobe = cells the coarse quantizer prunes nothing, so the
+    // composed pipeline must reduce exactly to pqTopK's full ADC scan —
+    // the same degenerate-point identity knn_ivf's oracle uses
+    val e = TestdataAdapter.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val cb = graft.sim.PqFixture.codebooks
+    val composed = Knn.ivfPqTopK(e, cb, nQueries = 10, k = 5,
+      cells = 4, iters = 2, nprobe = 4).collect()
+    val plain = Knn.pqTopK(e, nQueries = 10, k = 5, pinned = Some(cb)).collect()
+    assert(composed.map(_.toString).toSeq == plain.map(_.toString).toSeq)
+  }
 }
