@@ -171,6 +171,16 @@ object JobRunner {
     // the reference's consumer-group-per-table shape
     sinkTo(consumed(), "rt_frames")
     rtProjections(consumed()).foreach { case (t, df) => sinkTo(df, t) }
+    // broker retention, run where a deployment runs it — after the
+    // consumer group commits: truncate every segment below the MINIMUM
+    // committed offset across all four consumers (GraftQueue.retain's
+    // contract; offsets never move, an uncommitted consumer pins 0)
+    val consumers = Seq(
+      "rt_frames", "vehicle_positions", "trip_updates", "service_alerts")
+    val floor = graft.sources.GraftQueue.consumerFloor(
+      consumers.map(t => s"${p.outDir}/ckpt/$t"))
+    graft.sources.GraftQueue.retain(s"${p.outDir}/queue", "rt.frames", floor)
+    ()
   }
 
   /** The per-task effects, keyed by `dag.task`. `streaming` swaps ONLY

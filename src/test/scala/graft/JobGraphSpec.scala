@@ -201,6 +201,14 @@ class JobGraphSpec extends SparkSpec {
     assert(new java.io.File(s"$outS/ckpt/vehicle_positions/commits").isDirectory,
       "each streaming consumer must be checkpointed")
     assert(!new java.io.File(s"$outB/queue").exists())
+    // ...and broker retention ran after the consumer group committed:
+    // every segment is below the group floor → disk reclaimed, only the
+    // truncation marker (the log start offset) remains
+    val topicFiles = new java.io.File(s"$outS/queue/rt.frames").listFiles().map(_.getName)
+    assert(!topicFiles.exists(_.startsWith("segment-")),
+      s"consumed segments must be truncated: ${topicFiles.toSeq}")
+    assert(topicFiles.exists(_.startsWith("truncated-")),
+      "the log start offset marker must survive retention")
 
     // transport changed; artifacts must not — the RT tables AND the whole
     // downstream chain (kpi → suggestions → exports) are value-identical
