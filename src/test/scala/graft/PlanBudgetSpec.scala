@@ -62,6 +62,13 @@ class PlanBudgetSpec extends SparkSpec {
     "source_overlap" -> 6,
     // stateless wire-record projection: the 1 is the output sort
     "kafka_envelope" -> 1,
+    // r13 orchestration/trigger surfaces: pure metadata algebra — one
+    // range exchange each for the output sort (the runbook's fires ×
+    // schedule join broadcasts, never shuffles)
+    "job_fire_schedule" -> 1,
+    "job_runbook" -> 2,
+    // r13 mixed-codec decode: mapPartitions + output sort only
+    "multimodal_mixed_codecs" -> 1,
     "q10_returned_revenue" -> 1,
     // TPC-H depth: every dim broadcasts; the budgets pin exactly the
     // fact-side shuffles (lineitem⋈orders + the aggregations)
