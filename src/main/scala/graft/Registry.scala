@@ -1798,6 +1798,15 @@ object Registry {
       Q("ivfpq_topk",
         (s, d) => Knn.ivfPqTopK(embs(s, d), PqFixture.codebooks),
         Some(Knn.ivfPqTopKSql(PqFixture.codebooks))),
+      // Incremental IVF index maintenance (r13) — the ANN half of the
+      // maintained-index family (exact/LSH dedup indexes are the text
+      // half): the trained cell-keyed corpus is RUNNING STATE; a new
+      // batch attaches to its nearest existing cell (O(batch) delta, no
+      // retrain) and searches the state-before-batch in nprobe cells.
+      // Same corpus/batch carve as lsh_incremental_newdocs.
+      Q("ivf_attach_incremental",
+        (s, d) => Knn.ivfAttachIncremental(embs(s, d)),
+        Some(Knn.ivfAttachIncrementalSql())),
       // PCA reduced-space ANN recall vs full-space brute force,
       // ORACLE-EXACT at the pinned basis (promoted r11, same pattern as
       // pq_topk/semdedup_keep): the loading matrix is the committed

@@ -1567,7 +1567,7 @@ object Knn {
     * needed; (s − m)/n is exactly divisible, so DuckDB's double
     * division reproduces the BIGINT floor-mean exactly.
     */
-  private def lloydSqlCtes(k: Int, iters: Int): String = {
+  private def lloydSqlCtes(k: Int, iters: Int, where: String = "TRUE"): String = {
     val d1 = Dim + 1
     val iterCtes = (1 to iters).map { it =>
       val p = it - 1
@@ -1597,7 +1597,7 @@ object Knn {
        |  SELECT vec_id,
        |    list_transform(embedding,
        |      x -> CAST(floor(CAST(x AS DOUBLE) * $LloydScale.0) AS BIGINT)) AS q
-       |  FROM e),
+       |  FROM e WHERE $where),
        |sd AS (
        |  SELECT vec_id, q,
        |    ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
@@ -2236,6 +2236,115 @@ object Knn {
        |  FROM s)
        |SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS "rank", adist
        |FROM r WHERE rn <= $k ORDER BY query_id, "rank"""".stripMargin
+  }
+
+  // ────────── incremental IVF index maintenance (r13) ───────────────────
+
+  /** The ANN half of the maintained-index-as-running-state family (the
+    * exact/LSH dedup indexes already live there): the IVF index — cells
+    * trained by the in-engine Lloyd trainer, one (vec_id, cell, vector)
+    * row per corpus vector — is RUNNING STATE, and a new batch attaches
+    * to it without retraining or rescanning: each batch vector is
+    * assigned to its nearest EXISTING cell (the home cell its index row
+    * joins the state under — an O(batch) delta append, exactly how
+    * production IVF serves between periodic retrains) and searched
+    * against the state-before-batch restricted to its nprobe nearest
+    * cells. Output: one row per (batch vector, top-k state neighbor)
+    * with the home cell and the integer L2 distance.
+    *
+    * Scale shape: training and state touch only the corpus; the batch
+    * side is bounded by construction (probes broadcast, candidates ≈
+    * nprobe/cells of the state per batch vector); nothing rescans the
+    * corpus per batch and nothing is all-pairs.
+    */
+  def ivfAttachIncremental(
+      embeddings: DataFrame, cells: Int = 8, iters: Int = 2,
+      nprobe: Int = 2, k: Int = 3): DataFrame = {
+    // the same corpus/batch carve the LSH incremental twin uses
+    val corpus = embeddings.filter(col("vec_id") % 3 =!= 0)
+    val batch = embeddings.filter(col("vec_id") % 3 === 0)
+    val e0 = lloydQuantized(corpus)
+    var cen = lloydSeeds(e0, cells)
+    for (_ <- 1 to iters) cen = lloydUpdate(cen, lloydAssign(e0, cen))
+    // the index STATE: cell-keyed corpus vectors under the trained cells
+    val index = lloydAssign(e0, cen)
+      .select(col("vec_id"), col("j").as("cell"), col("q"))
+      .localCheckpoint()
+    val eb = lloydQuantized(batch)
+    val ranked = lloydAssign(eb, cen)
+      .select(col("vec_id").as("batch_id"), col("q").as("bq"),
+        posexplode(col("ds")).as(Seq("cell", "cd")))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("batch_id").orderBy(col("cd"), col("cell"))))
+    val probes = ranked.filter(col("pr") <= nprobe).select("batch_id", "bq", "cell")
+    val home = ranked.filter(col("pr") === 1)
+      .select(col("batch_id"), col("cell").as("home_cell"))
+    val w = Window.partitionBy("batch_id").orderBy(col("d"), col("vec_id"))
+    index.join(broadcast(probes), Seq("cell"))
+      .withColumn("d",
+        aggregate(zip_with(col("bq"), col("q"), (x, y) => (x - y) * (x - y)),
+          lit(0L), _ + _))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .join(broadcast(home), Seq("batch_id"))
+      .select(col("batch_id"), col("home_cell"),
+        col("vec_id").as("neighbor_id"), col("rank"), col("d"))
+      .orderBy("batch_id", "rank")
+  }
+
+  /** DuckDB twin of [[ivfAttachIncremental]]: the Lloyd prefix trains on
+    * the CORPUS carve only (the `where` filter on e0), the batch
+    * quantizes in its own CTE, and attach/probe/search replay term for
+    * term.
+    */
+  def ivfAttachIncrementalSql(
+      cells: Int = 8, iters: Int = 2, nprobe: Int = 2, k: Int = 3): String = {
+    val d1 = Dim + 1
+    s"""WITH ${lloydSqlCtes(cells, iters, where = "vec_id % 3 <> 0")},
+       |fcx AS (
+       |  SELECT e.vec_id, c.j, SUM((e.q[t.i] - c.cd) * (e.q[t.i] - c.cd)) AS d
+       |  FROM e0 e CROSS JOIN range(1, $d1) t(i) JOIN c$iters c ON c.i = t.i
+       |  GROUP BY 1, 2),
+       |fca AS (
+       |  SELECT vec_id, j AS cell FROM (
+       |    SELECT vec_id, j,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, j) AS rk
+       |    FROM fcx) WHERE rk = 1),
+       |e0b AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE) * $LloydScale.0) AS BIGINT)) AS q
+       |  FROM e WHERE vec_id % 3 = 0),
+       |bx AS (
+       |  SELECT b.vec_id AS batch_id, c.j, SUM((b.q[t.i] - c.cd) * (b.q[t.i] - c.cd)) AS d
+       |  FROM e0b b CROSS JOIN range(1, $d1) t(i) JOIN c$iters c ON c.i = t.i
+       |  GROUP BY 1, 2),
+       |br AS (
+       |  SELECT batch_id, j AS cell,
+       |    ROW_NUMBER() OVER (PARTITION BY batch_id ORDER BY d, j) AS pr
+       |  FROM bx),
+       |home AS (SELECT batch_id, cell AS home_cell FROM br WHERE pr = 1),
+       |cand AS (
+       |  SELECT p.batch_id, a.vec_id AS neighbor_id
+       |  FROM br p JOIN fca a ON a.cell = p.cell
+       |  WHERE p.pr <= $nprobe),
+       |sc AS (
+       |  SELECT c.batch_id, c.neighbor_id,
+       |    CAST(SUM((bq.q[t.i] - cq.q[t.i]) * (bq.q[t.i] - cq.q[t.i]))
+       |         AS BIGINT) AS d
+       |  FROM cand c
+       |    JOIN e0b bq ON bq.vec_id = c.batch_id
+       |    JOIN e0 cq ON cq.vec_id = c.neighbor_id
+       |    CROSS JOIN range(1, $d1) t(i)
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT batch_id, neighbor_id, d,
+       |    ROW_NUMBER() OVER (PARTITION BY batch_id ORDER BY d, neighbor_id) AS rn
+       |  FROM sc)
+       |SELECT r.batch_id, h.home_cell, r.neighbor_id,
+       |  CAST(r.rn AS INTEGER) AS "rank", r.d
+       |FROM r JOIN home h ON h.batch_id = r.batch_id
+       |WHERE r.rn <= $k ORDER BY r.batch_id, "rank"""".stripMargin
   }
 
   // ─────────────── clustered-embedding fixture (r13) ───────────────────

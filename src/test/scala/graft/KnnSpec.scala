@@ -526,6 +526,30 @@ class KnnSpec extends SparkSpec {
     assert(row === ((2, 2, 4L, 4L, 1.0)))
   }
 
+  test("IVF attach: probing every cell ≡ brute-force integer L2 of batch vs corpus state") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val e = TestdataAdapter.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val cells = 4
+    val attached = Knn.ivfAttachIncremental(e, cells = cells, nprobe = cells, k = 3)
+      .select("batch_id", "neighbor_id", "rank", "d").collect()
+    // independent brute force in the same integer micro-unit domain
+    def quant(df: org.apache.spark.sql.DataFrame, idCol: String) =
+      df.select(col("vec_id").as(idCol), expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))").as(s"q_$idCol"))
+    val corpus = quant(e.filter(col("vec_id") % 3 =!= 0)
+      .filter(expr("aggregate(zip_with(embedding, embedding, (a,b) -> CAST(a AS DOUBLE)*b), 0.0D, (x,y) -> x+y) > 0")), "nid")
+    val batch = quant(e.filter(col("vec_id") % 3 === 0)
+      .filter(expr("aggregate(zip_with(embedding, embedding, (a,b) -> CAST(a AS DOUBLE)*b), 0.0D, (x,y) -> x+y) > 0")), "bid")
+    val w = Window.partitionBy("bid").orderBy(col("d"), col("nid"))
+    val brute = batch.crossJoin(corpus)
+      .withColumn("d", aggregate(zip_with(col("q_bid"), col("q_nid"),
+        (x, y) => (x - y) * (x - y)), lit(0L), _ + _))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select(col("bid"), col("nid"), col("rank"), col("d")).collect()
+    assert(attached.map(_.toString).sorted.toSeq == brute.map(_.toString).sorted.toSeq)
+  }
+
   test("IVF-PQ: probing every cell makes the composition ≡ plain PQ ADC by construction") {
     // at nprobe = cells the coarse quantizer prunes nothing, so the
     // composed pipeline must reduce exactly to pqTopK's full ADC scan —
