@@ -32,7 +32,10 @@ import org.apache.spark.sql.SparkSession
   * this round's FASTEST rep exceeds 2× the baseline's SLOWEST rep —
   * both nights' spread bands must be disjoint by 2×, which same-binary
   * host noise cannot produce. Point ratios stay informative; the gate
-  * criterion is the band test.
+  * criterion is the band test. r14: the verdict is machine-readable per
+  * query (`band_ok` next to `ratio_vs_baseline`, plus a compact-line
+  * `band_dismissed` map of >2× point ratios the band test clears), so a
+  * noisy mover never needs hand-adjudication from the spreads.
   *
   * The full results file carries min/median/max per query plus a
   * `variance_flags` list (max/min > 2× — "this number is noise-bound")
@@ -163,7 +166,7 @@ object Bench {
     // this round's fastest rep > 2× the baseline's slowest rep.
     case class B(min: Double, median: Double, max: Double)
     val baselinePath = sys.env.getOrElse(
-      "SPARK_GRAFT_BENCH_BASELINE", "bench_r13_baseline.json")
+      "SPARK_GRAFT_BENCH_BASELINE", "bench_r14_baseline.json")
     val baseline: Map[String, B] =
       try {
         val f = java.nio.file.Paths.get(baselinePath)
@@ -211,15 +214,30 @@ object Bench {
       .map { case (r, _, ratio) => "\"" + r.name + "\":" + fmt(ratio) }
       .mkString("{", ",", "}")
     val ratioMedian = medianOf(compared.map(_._3).sorted)
+    // the band verdict, machine-readable PER QUERY (VERDICT r13 item 8):
+    // band_ok=true means this round's rep band overlaps the baseline's
+    // within 2× (fastest rep <= 2× baseline's slowest rep) — a point
+    // ratio >2× with band_ok=true is host noise, dismissed by the gate
+    // criterion itself instead of by a reader cross-referencing spreads
+    def inBand(r: R, b: B): Boolean = !(b.max > 0 && r.min > 2.0 * b.max)
+    val bandOks = compared
+      .map { case (r, b, _) => "\"" + r.name + "\":" + inBand(r, b) }
+      .mkString("{", ",", "}")
+    // point ratios >2× that the band test DISMISSES — the compact-line
+    // summary a reader needs to clear nominal movers at a glance
+    val bandDismissed = compared.collect {
+      case (r, b, ratio) if ratio > 2.0 && inBand(r, b) =>
+        "\"" + r.name + "\":{\"ratio\":" + fmt(ratio) + ",\"band_ok\":true}"
+    }.mkString("{", ",", "}")
     val regressions = compared.collect {
-      case (r, b, ratio) if b.max > 0 && r.min > 2.0 * b.max =>
-        "\"" + r.name + "\":{\"ratio\":" + fmt(ratio) + ",\"this_min\":" +
+      case (r, b, ratio) if !inBand(r, b) =>
+        "\"" + r.name + "\":{\"ratio\":" + fmt(ratio) + ",\"band_ok\":false,\"this_min\":" +
           fmt(r.min) + ",\"baseline_max\":" + fmt(b.max) + "}"
     }.mkString("{", ",", "}")
     val baseBlock =
       if (compared.isEmpty) ""
-      else s""","baseline":"$baselinePath","n_compared":${compared.length},"ratio_median":${fmt(ratioMedian)},"regressions":$regressions"""
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread,"variance_flags":$varianceFlags,"variance_causes":$varianceCauses,"sf":"$sfDir","runs":$runs,"stat":"trimmed_median"$baseBlock,"ratio_vs_baseline":$ratios,"partial_ok":$partial}"""
+      else s""","baseline":"$baselinePath","n_compared":${compared.length},"ratio_median":${fmt(ratioMedian)},"regressions":$regressions,"band_dismissed":$bandDismissed"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread,"variance_flags":$varianceFlags,"variance_causes":$varianceCauses,"sf":"$sfDir","runs":$runs,"stat":"trimmed_median"$baseBlock,"ratio_vs_baseline":$ratios,"band_ok":$bandOks,"partial_ok":$partial}"""
     // persist the FULL results object (all ~200 per-query timings) to a
     // file; at 200+ queries the one-line form is ~5 KB, which the driver's
     // stdout tail-capture front-truncates into unparseable JSON

@@ -1807,6 +1807,28 @@ object Registry {
       Q("ivf_attach_incremental",
         (s, d) => Knn.ivfAttachIncremental(embs(s, d)),
         Some(Knn.ivfAttachIncrementalSql())),
+      // Residual IVF-PQ with BOTH trained artifacts in the hash gate
+      // (r14, VERDICT item 1 — the true FAISS IndexIVFPQ): the coarse
+      // quantizer is the in-engine Lloyd trainer AND the PQ codebooks
+      // are per-subspace Lloyd fits over the integer residual domain
+      // (x − home-cell centroid), replayed iteration for iteration in
+      // SQL — no pinned model artifact anywhere. Search is ADC with
+      // per-probe residual LUTs. All BIGINT: hash-exact end to end.
+      Q("ivfpq_residual_topk",
+        (s, d) => Knn.ivfPqResidualTopK(embs(s, d)),
+        Some(Knn.ivfPqResidualTopKSql())),
+      // The IVF maintenance DECISION (r14, VERDICT item 2): per trained
+      // cell, training-time vs attached-batch stats under the same
+      // centroids (sizes, integer inertia/radius, shares) and the
+      // retrain trigger — drift_ratio (batch mean centroid distance /
+      // training mean) and share imbalance, flags NULLIF-guarded. Same
+      // %3 carve as ivf_attach_incremental, so this report governs
+      // exactly the state that query maintains. IvfDriftSpec proves an
+      // engineered drifted batch trips retrain_due and a stationary
+      // fresh draw does not.
+      Q("ivf_drift_report",
+        (s, d) => Knn.ivfDriftReportCarve(embs(s, d)),
+        Some(Knn.ivfDriftReportCarveSql())),
       // PCA reduced-space ANN recall vs full-space brute force,
       // ORACLE-EXACT at the pinned basis (promoted r11, same pattern as
       // pq_topk/semdedup_keep): the loading matrix is the committed
@@ -1948,6 +1970,17 @@ object Registry {
         (s, d) => Multimodal.mixedCodecFeatures(
           Multimodal.imageCorpusMixed(docs(s, d))),
         Some(Multimodal.mixedCodecFeaturesSql)),
+      // The full codec zoo (r14, VERDICT item 4): all four containers
+      // sniffFormat classifies — PNG/BMP/JPEG/GIF, every decoder the JRE
+      // ships — plus the two quarantine shapes (truncated JPEG: valid
+      // magic, failed decode; non-image bytes: sniffs unknown). EXACT
+      // columns only here (container, decode outcome, dims — exact even
+      // for lossy JPEG); JPEG pixel stats are banded in MultimodalSpec,
+      // lossless containers stay pixel-exact there.
+      Q("multimodal_codec_zoo",
+        (s, d) => Multimodal.codecZooFeatures(
+          Multimodal.imageCorpusZoo(docs(s, d))),
+        Some(Multimodal.codecZooFeaturesSql)),
     )
   }
 
@@ -2321,6 +2354,23 @@ object Registry {
           graft.sim.Knn.clusteredEmbeddings(s)),
         Some(graft.sim.Knn.sq8RescoreRecallSql(
           prelude = graft.sim.Knn.clusteredEmbeddingsCte()))),
+      // Residual vs no-residual IVF-PQ at EQUAL nprobe on the clustered
+      // table (r14, VERDICT item 1's experiment): after coarse
+      // assignment every in-cell candidate shares the centroid, so
+      // no-residual codes collapse to near-identical values (the code
+      // budget re-describes the centroid — the PQ analogue of SQ8's
+      // near-tie failure) while residual codes spend the same budget on
+      // the within-cell geometry the ranking needs. Both variants train
+      // their codebooks in-engine; both rows are oracle-exact;
+      // ClusteredRecallSpec pins residual >= no_residual.
+      Q("ivfpq_residual_recall_clustered",
+        (s, _) => graft.sim.Knn.ivfPqResidualRecall(
+          graft.sim.Knn.clusteredEmbeddings(s), residual = true)
+          .unionByName(graft.sim.Knn.ivfPqResidualRecall(
+            graft.sim.Knn.clusteredEmbeddings(s), residual = false))
+          .orderBy("variant"),
+        Some(graft.sim.Knn.ivfPqResidualRecallBothSql(
+          prelude = graft.sim.Knn.clusteredEmbeddingsCte()))),
 
       // G1+A8 pinned by ORACLE through the generator's own output: the
       // per-event provenance JSON is re-parsed and the de-noised demand
@@ -2333,27 +2383,25 @@ object Registry {
       // (they cancel out of this aggregate by construction).
       // Ref: mock_passenger_flow_job.py:18-63,136-166.
       Q("mockflow_invariants",
-        (s, d) => {
-          // parse only the invariant's fields — JacksonParser skips
-          // conversion of unrequested keys (noise/bucket fields), which
-          // matters at 100 events × stops × hours rows
-          val comp = org.apache.spark.sql.types.StructType.fromDDL(
-            "base_demand BIGINT, time_factor DOUBLE, dow_factor DOUBLE, " +
-              "weather_factor DOUBLE, delay_factor DOUBLE")
+        (s, d) =>
+          // r14: the invariant reads the generator's TYPED provenance
+          // columns directly — the former from_json re-parse of the
+          // `components` rendering of the SAME values cost a JSON parse
+          // at event grain (~90k rows) and made this the suite's
+          // slowest, noisiest query (7.8 s trimmed median, 46.8 s
+          // scatter max in r13). The JSON rendering stays pinned:
+          // MockFlowGtfsSpec asserts parsed-components ≡ typed columns
+          // row-for-row, and the typed values themselves are
+          // hash-checked here and in `mockflow_events`.
           mockflowGenerated(s, d)
-            .select(col("stop_id"), from_json(col("components"), comp).as("c"))
-            .groupBy(col("stop_id"), col("c.time_factor").as("time_factor"),
-              col("c.dow_factor").as("dow_factor"),
-              col("c.weather_factor").as("weather_factor"),
-              col("c.delay_factor").as("delay_factor"),
-              col("c.base_demand").as("base_demand"))
+            .groupBy(col("stop_id"), col("time_factor"), col("dow_factor"),
+              col("weather_factor"), col("delay_factor"), col("base_demand"))
             .agg(count(lit(1)).as("n_events"))
             .withColumn("expected_demand",
               col("base_demand") * col("time_factor") * col("dow_factor") *
                 col("weather_factor") * col("delay_factor"))
             .orderBy("stop_id", "time_factor", "dow_factor",
-              "weather_factor", "delay_factor")
-        },
+              "weather_factor", "delay_factor"),
         Some(
           s"""WITH t AS ($TRIP), wx AS ($WEA),
              |dl AS ($DELAY_BODY),

@@ -257,6 +257,21 @@ object JobGraph {
   // hash gate like the edges and waves already do; only the literal
   // act of sleeping until run_after remains deployment-side.
 
+  /** The cadences [[fireSchedule]]/[[fireScheduleSql]] implement. A task
+    * added later with any OTHER cadence would previously be SILENTLY
+    * omitted from the firing timetable — and because the SQL twin shared
+    * the omission, the hash gate could not catch it (ADVICE r13). Both
+    * entry points now fail loudly on an unhandled cadence instead.
+    */
+  private val HandledCadences = Set("@hourly", "@daily", "continuous")
+
+  private def requireHandledCadences(): Unit = {
+    val unhandled = tasks.map(_.cadence).distinct.filterNot(HandledCadences)
+    require(unhandled.isEmpty,
+      s"fireSchedule implements only $HandledCadences; " +
+        s"unhandled cadence(s) would be silently dropped: ${unhandled.mkString(", ")}")
+  }
+
   private def dagsDf(spark: SparkSession): DataFrame = {
     import spark.implicits._
     tasks.map(t => (t.dag, t.cadence)).distinct
@@ -269,6 +284,7 @@ object JobGraph {
     * scheduled at the interval end.
     */
   def fireSchedule(spark: SparkSession, startTs: String, endTs: String): DataFrame = {
+    requireHandledCadences()
     val dags = dagsDf(spark)
     val start = lit(startTs).cast("timestamp_ntz")
     val end = lit(endTs).cast("timestamp_ntz")
@@ -307,6 +323,7 @@ object JobGraph {
 
   /** DuckDB twin of [[fireSchedule]]. */
   def fireScheduleSql(startTs: String, endTs: String): String = {
+    requireHandledCadences()
     val dagVals = tasks.map(t => (t.dag, t.cadence)).distinct
       .map { case (d, c) => s"(${q(d)}, ${q(c)})" }.mkString(",\n    ")
     def leg(cad: String, unit: String) =

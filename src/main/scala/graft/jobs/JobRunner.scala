@@ -161,12 +161,25 @@ object JobRunner {
         .select(col("f.event_id"), col("f.user_id"), col("f.event_type"),
           col("f.observed_at").cast("timestamp_ntz").as("observed_at"),
           col("f.value"))
-    def sinkTo(out: DataFrame, t: String): Unit =
-      out.writeStream.format("parquet")
+    def sinkTo(out: DataFrame, t: String): Unit = {
+      val query = out.writeStream.format("parquet")
         .option("path", p.table(t))
         .option("checkpointLocation", s"${p.outDir}/ckpt/$t")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start().awaitTermination(120000)
+        .start()
+      // AvailableNow terminates on its own once the pinned target drains;
+      // the bounded wait only guards a hang. Its boolean MUST be checked
+      // (ADVICE r13): proceeding past an un-drained consumer would start
+      // the next consumer — and run retention — against a live query,
+      // letting downstream tasks read partial rt tables with no error.
+      val drained = query.awaitTermination(120000)
+      if (!drained) {
+        query.stop()
+        throw new IllegalStateException(
+          s"streaming consumer for $t did not drain within 120s — " +
+            "aborting before dependent consumers/retention run on a partial table")
+      }
+    }
     // one consumer per artifact, each with its own checkpointed offsets —
     // the reference's consumer-group-per-table shape
     sinkTo(consumed(), "rt_frames")

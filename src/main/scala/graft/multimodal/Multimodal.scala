@@ -373,6 +373,82 @@ object Multimodal {
       |  CAST((doc_id * 13) % 256 AS INTEGER) AS avg_b
       |FROM documents WHERE doc_id IS NOT NULL ORDER BY doc_id""".stripMargin
 
+  // ---- full-container codec zoo + quarantine rows (r14) --------------
+
+  final case class CodecZooRow(
+      doc_id: Long, sniffed_format: String, decoded_ok: Boolean,
+      width: Int, height: Int)
+
+  /** Mixed corpus over ALL FOUR containers [[sniffFormat]] classifies —
+    * PNG/BMP/JPEG/GIF, every decoder the JRE ships — plus the two
+    * quarantine shapes a 100 TB crawl actually produces (VERDICT r13
+    * item 4): a TRUNCATED JPEG (valid magic, so it sniffs as jpeg, but
+    * the decode fails — the sniff-then-decode split is what routes it to
+    * quarantine instead of killing the task) and plain non-image bytes
+    * (sniffs unknown, never reaches a decoder). Same [[imageSpec]]
+    * dims/fill formulas; container and quarantine selection are pure
+    * doc_id arithmetic so the oracle recomputes every EXACT column.
+    */
+  def imageCorpusZoo(documents: DataFrame): Dataset[ImagePayload] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).filter(col("doc_id").isNotNull).as[Long]
+      .mapPartitions(_.map { id =>
+        val (w, h, r, g, b) = imageSpec(id)
+        val payload =
+          if (id % 29 == 3) makeImage("jpg", w, h, r, g, b).take(3)
+          else if (id % 29 == 11) s"NOTANIMAGE-$id".getBytes("UTF-8")
+          else (id % 4) match {
+            case 0 => makeImage("png", w, h, r, g, b)
+            case 1 => makeImage("bmp", w, h, r, g, b)
+            case 2 => makeImage("jpg", w, h, r, g, b)
+            case _ => makeImage("gif", w, h, r, g, b)
+          }
+        ImagePayload(id, payload)
+      })
+  }
+
+  /** Sniff-then-decode over the zoo corpus, EXACT columns only: the
+    * sniffed container, whether the real ImageIO decode succeeded, and
+    * the decoded dimensions — dims are container metadata, exact even
+    * for the lossy JPEG path, while JPEG pixel stats are banded in
+    * MultimodalSpec (lossless containers stay pixel-exact there too).
+    * Failures surface as decoded_ok=false rows with zero dims — never a
+    * dropped row, never a task failure.
+    */
+  def codecZooFeatures(images: Dataset[ImagePayload]): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.mapPartitions(_.map { m =>
+      val fmt = sniffFormat(m.payload)
+      imageDims(m.payload) match {
+        case Some((w, h)) => CodecZooRow(m.doc_id, fmt, decoded_ok = true, w, h)
+        case None => CodecZooRow(m.doc_id, fmt, decoded_ok = false, 0, 0)
+      }
+    }).toDF().orderBy("doc_id")
+  }
+
+  /** Oracle twin of imageCorpusZoo→codecZooFeatures: container and
+    * quarantine selection replay from the doc_id arithmetic, decoded
+    * dims from the synthesis formulas; quarantine rows pin
+    * decoded_ok=false with zero dims (and the truncated JPEG pins that
+    * sniffing is MAGIC-BYTE classification, not decodability).
+    */
+  val codecZooFeaturesSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 29 = 3 THEN 'jpeg'
+      |       WHEN doc_id % 29 = 11 THEN 'unknown'
+      |       WHEN doc_id % 4 = 0 THEN 'png'
+      |       WHEN doc_id % 4 = 1 THEN 'bmp'
+      |       WHEN doc_id % 4 = 2 THEN 'jpeg'
+      |       ELSE 'gif' END AS sniffed_format,
+      |  (doc_id % 29 <> 3 AND doc_id % 29 <> 11) AS decoded_ok,
+      |  CAST(CASE WHEN doc_id % 29 IN (3, 11) THEN 0
+      |            ELSE doc_id % 37 + 1 END AS INTEGER) AS width,
+      |  CAST(CASE WHEN doc_id % 29 IN (3, 11) THEN 0
+      |            ELSE doc_id % 23 + 1 END AS INTEGER) AS height
+      |FROM documents WHERE doc_id IS NOT NULL ORDER BY doc_id""".stripMargin
+
   /** Frame sampling for video/audio payloads: one media row explodes to
     * its sampled frames (doc_id, frame_idx, frame_bytes, frame_sha).
     * STUB SLICER: a "frame" is a deterministic fixed-stride byte slice of

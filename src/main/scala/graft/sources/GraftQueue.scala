@@ -59,6 +59,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * available record, and producer stamps never restart below the
   * truncation point. Spec-proven in GraftQueueRetentionSpec (in-flight
   * streaming consumer unaffected across a truncation; disk reclaimed).
+  *
+  * r14 completes Kafka's maintenance triple: [[GraftQueue.retainByAge]]
+  * (`retention.ms` — age-based prefix truncation independent of
+  * consumers, same marker protocol) and [[GraftQueue.compact]]
+  * (`cleanup.policy=compact` — latest-record-per-key prefix rewrite into
+  * a `csegment` that keeps every surviving record's ORIGINAL absolute
+  * offset and the prefix's full logical span, so downstream segments'
+  * offsets and an in-flight consumer's checkpoint both stay valid;
+  * checkpoint boundaries that land inside the compacted span are served
+  * by offset-clamped sub-range reads). All three levers and the readers
+  * share one listing-consistent [[GraftQueue.snapshot]] per planning
+  * call (ADVICE r13). Spec-proven in GraftQueueCompactionSpec.
   */
 object GraftQueue {
   val Schema: StructType = StructType(Seq(
@@ -78,6 +90,18 @@ object GraftQueue {
     new File(path, topic)
 
   private val SegmentName = "segment-(\\d+)".r
+  // Compacted segment (r14): `csegment-<stamp>` replaces the whole
+  // prefix of the log up to (and including) stamp with its latest-
+  // record-per-key rewrite. Format differs from a regular segment:
+  // header = (logical span: Long, physical record count: Long), then
+  // each record carries ITS ORIGINAL ABSOLUTE OFFSET explicitly —
+  // compaction makes offsets sparse, so they can no longer be derived
+  // from position. Shadowing rule: the csegment with the highest stamp
+  // shadows EVERY segment (regular or compacted) with stamp <= its own;
+  // publication is the same atomic hard-link claim as a regular
+  // segment, so a crash after publish but before the shadowed files are
+  // deleted leaves a log every reader already interprets correctly.
+  private val CompactedName = "csegment-(\\d+)".r
   // Retention marker (r13): `truncated-<stamp14>-<base>` records that
   // every segment with sequence number <= stamp is logically removed and
   // that <base> records preceded the first surviving segment — Kafka's
@@ -86,37 +110,60 @@ object GraftQueue {
   // (readers skip marked segments whether or not their files remain).
   private val TruncMarker = "truncated-(\\d+)-(\\d+)".r
 
-  /** (highest truncated stamp, log start offset) for a topic dir —
-    * (0, 0) when no retention has ever run.
+  private[sources] def isCompacted(f: File): Boolean =
+    CompactedName.matches(f.getName)
+
+  /** One consistent view of a topic log, from a SINGLE directory listing
+    * (ADVICE r13): the truncation point, the log start offset, and the
+    * live segment files in offset order — with the csegment shadowing
+    * rule applied. Deriving base and segment list from two separate
+    * listings let a retain()/compact() running between the two mislabel
+    * surviving segments' absolute offsets; every planning entry point
+    * (batch scan, micro-batch latestOffset/planInputPartitions, totals)
+    * now takes exactly one snapshot per call.
     */
-  private[sources] def truncation(dir: File): (Long, Long) = {
-    val ms = Option(dir.listFiles()).getOrElse(Array.empty[File]).flatMap(f =>
-      f.getName match {
-        case TruncMarker(stamp, base) => Some((stamp.toLong, base.toLong))
-        case _ => None
-      })
-    if (ms.isEmpty) (0L, 0L) else ms.maxBy(_._1)
+  private[sources] final case class LogSnapshot(
+      truncStamp: Long, base: Long, segs: Seq[File]) {
+    def total: Long = base + segs.map(spanOf).sum
   }
 
-  private[sources] def segments(path: String, topic: String): Seq[File] = {
+  private[sources] def snapshot(path: String, topic: String): LogSnapshot = {
     val d = topicDir(path, topic)
-    if (!d.isDirectory) Seq.empty
-    else {
-      val all = d.listFiles()
-      // fail FAST on foreign "segment-" files (e.g. a queue dir written
-      // by the retired pre-r12 `segment-<seq>-<uuid>-n<count>` format):
-      // silently reading such a topic as empty/partial corrupts offset
-      // arithmetic with no error signal (ADVICE r12)
-      val foreign = all.filter(f => f.getName.startsWith("segment-") &&
-        !SegmentName.matches(f.getName))
-      require(foreign.isEmpty,
-        s"graftqueue topic $d contains unrecognized segment files " +
-          s"(old format?): ${foreign.take(3).map(_.getName).mkString(", ")}")
-      val (truncStamp, _) = truncation(d)
-      all.filter(f => SegmentName.matches(f.getName) && stampOf(f) > truncStamp)
-        .sortBy(_.getName).toSeq
-    }
+    val all =
+      if (!d.isDirectory) Array.empty[File]
+      else Option(d.listFiles()).getOrElse(Array.empty[File])
+    // fail FAST on foreign "segment-" files (e.g. a queue dir written
+    // by the retired pre-r12 `segment-<seq>-<uuid>-n<count>` format):
+    // silently reading such a topic as empty/partial corrupts offset
+    // arithmetic with no error signal (ADVICE r12)
+    val foreign = all.filter(f =>
+      (f.getName.startsWith("segment-") && !SegmentName.matches(f.getName)) ||
+        (f.getName.startsWith("csegment-") && !CompactedName.matches(f.getName)))
+    require(foreign.isEmpty,
+      s"graftqueue topic $d contains unrecognized segment files " +
+        s"(old format?): ${foreign.take(3).map(_.getName).mkString(", ")}")
+    val ms = all.flatMap(f => f.getName match {
+      case TruncMarker(stamp, base) => Some((stamp.toLong, base.toLong))
+      case _ => None
+    })
+    val (truncStamp, base) = if (ms.isEmpty) (0L, 0L) else ms.maxBy(_._1)
+    val regs = all.filter(f => SegmentName.matches(f.getName) && stampOf(f) > truncStamp)
+    val comps = all.filter(f => isCompacted(f) && stampOf(f) > truncStamp)
+    val live =
+      if (comps.isEmpty) regs.toSeq
+      else {
+        val top = comps.maxBy(stampOf)
+        // the newest csegment shadows everything at or below its stamp
+        top +: regs.filter(f => stampOf(f) > stampOf(top)).toSeq
+      }
+    LogSnapshot(truncStamp, base, live.sortBy(stampOf))
   }
+
+  /** Live segment files in offset order (one fresh snapshot). Planning
+    * paths should call [[snapshot]] ONCE instead and reuse it.
+    */
+  private[sources] def segments(path: String, topic: String): Seq[File] =
+    snapshot(path, topic).segs
 
   /** Log start offset: the absolute offset of the first surviving record
     * (0 until retention runs). All offset arithmetic — batch scan starts,
@@ -124,28 +171,42 @@ object GraftQueue {
     * segments keep their original absolute offsets across truncation.
     */
   private[sources] def baseOffset(path: String, topic: String): Long =
-    truncation(topicDir(path, topic))._2
+    snapshot(path, topic).base
 
-  // Record count = the segment's fixed 8-byte header. Segments are
-  // immutable once published, so one read per (JVM, segment) suffices —
-  // offset arithmetic on the planning hot path stays listing-only after
-  // first contact. Keyed by (path, length, mtime) so a deleted-and-
-  // recreated topic dir (or a reused temp path within one JVM) can never
-  // serve a stale count (ADVICE r12); retention prunes dead entries.
-  private val countCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+  // Segment metadata = the fixed header: (logical span, physical record
+  // count) — identical for a regular segment, where offsets are dense;
+  // a csegment's span covers the whole compacted prefix while its
+  // physical count is the surviving latest-per-key records. Segments
+  // are immutable once published, so one read per (JVM, segment)
+  // suffices — offset arithmetic on the planning hot path stays
+  // listing-only after first contact. Keyed by (path, length, mtime) so
+  // a deleted-and-recreated topic dir (or a reused temp path within one
+  // JVM) can never serve a stale count (ADVICE r12); retention and
+  // compaction prune dead entries.
+  private val metaCache = scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
   private def cacheKey(f: File): String =
     s"${f.getAbsolutePath}:${f.length}:${f.lastModified}"
-  private[sources] def countOf(f: File): Long =
-    countCache.getOrElseUpdate(cacheKey(f), {
+  private[sources] def metaOf(f: File): (Long, Long) =
+    metaCache.getOrElseUpdate(cacheKey(f), {
       val in = new DataInputStream(new FileInputStream(f))
-      try in.readLong() finally in.close()
+      try {
+        if (isCompacted(f)) { val span = in.readLong(); (span, in.readLong()) }
+        else { val n = in.readLong(); (n, n) }
+      } finally in.close()
     })
 
+  /** Logical record span — the width a segment occupies in offset space
+    * (== its record count for a regular segment; the compacted prefix's
+    * original width for a csegment, which keeps every surviving record's
+    * absolute offset stable).
+    */
+  private[sources] def spanOf(f: File): Long = metaOf(f)._1
+
   private[sources] def totalRecords(path: String, topic: String): Long =
-    baseOffset(path, topic) + segments(path, topic).map(countOf).sum
+    snapshot(path, topic).total
 
   private[sources] def stampOf(f: File): Long =
-    f.getName.substring("segment-".length).toLong
+    f.getName.substring(f.getName.indexOf('-') + 1).toLong
 
   /** Next commit stamp for a topic: max existing stamp + 1 — a pure
     * per-topic sequence, NOT a wall-clock read. A millisecond timestamp
@@ -161,9 +222,15 @@ object GraftQueue {
     // the truncation marker's stamp: after a FULL truncation the dir
     // holds no segment files, and restarting at 1 would hand out stamps
     // (and therefore offsets) a checkpointed reader already consumed.
-    val existing = Option(dir.listFiles()).getOrElse(Array.empty[File])
-      .filter(f => SegmentName.matches(f.getName))
-    val (truncStamp, _) = truncation(dir)
+    // csegments count too: a compacted prefix holds the stamp of its
+    // last input, and new segments must sort after it.
+    val all = Option(dir.listFiles()).getOrElse(Array.empty[File])
+    val existing = all
+      .filter(f => SegmentName.matches(f.getName) || isCompacted(f))
+    val truncStamp = all.flatMap(f => f.getName match {
+      case TruncMarker(stamp, _) => Some(stamp.toLong)
+      case _ => None
+    }).foldLeft(0L)(math.max)
     val maxExisting = if (existing.isEmpty) 0L else existing.map(stampOf).max
     math.max(maxExisting, truncStamp) + 1L
   }
@@ -190,24 +257,56 @@ object GraftQueue {
     * checkpoints".
     */
   def retain(path: String, topic: String, minRetainedOffset: Long): RetentionResult = {
-    val dir = topicDir(path, topic)
-    val (_, base) = truncation(dir)
-    var acc = base
-    val removable = segments(path, topic).takeWhile { f =>
-      val end = acc + countOf(f)
+    val snap = snapshot(path, topic)
+    var acc = snap.base
+    val removable = snap.segs.takeWhile { f =>
+      val end = acc + spanOf(f)
       val below = end <= minRetainedOffset
       if (below) acc = end
       below
     }
+    truncatePrefix(topicDir(path, topic), snap.base, removable, acc)
+  }
+
+  /** Age-based retention — Kafka's `retention.ms` next to [[retain]]'s
+    * offset lever: delete the log PREFIX whose segments were all
+    * committed before `nowMs − maxAgeMs` (commit time = the published
+    * file's mtime; the hard-link claim pins it at publication). Prefix-
+    * only by construction (takeWhile): segment order is commit order, so
+    * one young segment stops the scan and a clock step can never punch a
+    * hole mid-log. Unlike [[retain]] this is NOT consumer-cooperative —
+    * age retention deletes data whether or not a consumer has read it
+    * (exactly Kafka's contract); a checkpointed consumer behind the cut
+    * fails loudly on its next fetch rather than silently skipping.
+    * Offsets never move: same marker-before-delete protocol.
+    */
+  def retainByAge(
+      path: String, topic: String, maxAgeMs: Long,
+      nowMs: Long = System.currentTimeMillis()): RetentionResult = {
+    val snap = snapshot(path, topic)
+    val cutoff = nowMs - maxAgeMs
+    var acc = snap.base
+    val removable = snap.segs.takeWhile { f =>
+      val old = f.lastModified() < cutoff
+      if (old) acc += spanOf(f)
+      old
+    }
+    truncatePrefix(topicDir(path, topic), snap.base, removable, acc)
+  }
+
+  /** Shared marker-before-delete tail of [[retain]]/[[retainByAge]]:
+    * durable truncation marker FIRST (readers skip the prefix from that
+    * instant, crash-safe), then reclaim files, cache entries and
+    * superseded markers.
+    */
+  private def truncatePrefix(
+      dir: File, base: Long, removable: Seq[File], newBase: Long): RetentionResult = {
     if (removable.isEmpty) return RetentionResult(0, 0L, base)
     val newStamp = stampOf(removable.last)
-    val newBase = acc
     val marker = new File(dir, f"truncated-$newStamp%014d-$newBase")
     try java.nio.file.Files.createFile(marker.toPath)
     catch { case _: java.nio.file.FileAlreadyExistsException => () }
-    // marker is durable → now reclaim: segment files, their cache
-    // entries, and superseded markers
-    removable.foreach { f => countCache.remove(cacheKey(f)); f.delete() }
+    removable.foreach { f => metaCache.remove(cacheKey(f)); f.delete() }
     Option(dir.listFiles()).getOrElse(Array.empty[File]).foreach { f =>
       f.getName match {
         case TruncMarker(stamp, _) if stamp.toLong < newStamp => f.delete()
@@ -215,6 +314,157 @@ object GraftQueue {
       }
     }
     RetentionResult(removable.size, newBase - base, newBase)
+  }
+
+  /** Result of one [[compact]] pass. */
+  final case class CompactionResult(
+      segmentsCompacted: Int, recordsIn: Long, recordsOut: Long,
+      logStartOffset: Long)
+
+  /** Log compaction — Kafka's `cleanup.policy=compact`, the third
+    * maintenance lever next to offset- and age-based retention: rewrite
+    * the log prefix below `uptoOffset` keeping only the LATEST record
+    * per key (highest offset wins — exactly the S10 latest-wins upsert
+    * semantics, applied inside the transport), into one `csegment` that
+    * occupies the SAME offset span. The invariants retention
+    * established all hold:
+    *
+    *   - absolute offsets never move: surviving records carry their
+    *     original offsets explicitly (the csegment format stores them —
+    *     compaction makes offsets sparse), and the csegment's logical
+    *     span equals the prefix it replaced, so every downstream
+    *     segment's planned start offset is unchanged;
+    *   - an in-flight checkpointed consumer resumes exactly-once: a
+    *     checkpoint boundary that now falls INSIDE the compacted span is
+    *     served by an offset-clamped sub-range read of the csegment
+    *     (compacted records filter by explicit offset — the one reader
+    *     shape dense segments never needed);
+    *   - crash-safe: the csegment publishes via the same atomic
+    *     hard-link claim as a regular segment, and from that instant the
+    *     snapshot's shadowing rule hides every input; deleting the
+    *     shadowed files afterwards is pure reclamation, and a re-run
+    *     (FileAlreadyExists on the claim) just finishes the deletes;
+    *   - whole segments only (takeWhile below `uptoOffset`), so the
+    *     active head keeps receiving appends untouched — Kafka's
+    *     clean/dirty split.
+    *
+    * Keys compare as byte strings; the empty key (this sink's encoding
+    * of a null key) is one key like any other. Memory is O(distinct
+    * keys) in the compacted prefix — Kafka's cleaner dedup-buffer bound;
+    * at broker scale the prefix is compacted in bounded windows.
+    * Like [[retain]], cooperative: run it from the single maintenance
+    * actor, passing an offset at or below the consumer floor unless
+    * Kafka-style lossy-read semantics are intended.
+    */
+  def compact(path: String, topic: String, uptoOffset: Long): CompactionResult = {
+    val dir = topicDir(path, topic)
+    // finish any interrupted predecessor's reclamation first: files the
+    // newest csegment shadows are invisible to every reader already (the
+    // snapshot rule), so deleting them here is pure cleanup — this is
+    // what makes the publish-then-delete protocol crash-safe end to end
+    val all0 = Option(dir.listFiles()).getOrElse(Array.empty[File])
+    val topC = all0.filter(isCompacted)
+    if (topC.nonEmpty) {
+      val topStamp = stampOf(topC.maxBy(stampOf))
+      all0.foreach { f =>
+        val shadowed =
+          (SegmentName.matches(f.getName) && stampOf(f) <= topStamp) ||
+            (isCompacted(f) && stampOf(f) < topStamp)
+        if (shadowed) { metaCache.remove(cacheKey(f)); f.delete() }
+      }
+    }
+    val snap = snapshot(path, topic)
+    var acc = snap.base
+    val prefix = snap.segs.takeWhile { f =>
+      val end = acc + spanOf(f)
+      val in = end <= uptoOffset
+      if (in) acc = end
+      in
+    }
+    val span = acc - snap.base
+    if (prefix.isEmpty || span == 0L)
+      return CompactionResult(0, 0L, 0L, snap.base)
+    // a lone csegment prefix is already compacted — re-running would
+    // rewrite it onto its own stamp (and the adopt path would then
+    // delete it as an input); idempotent no-op instead
+    if (prefix.length == 1 && isCompacted(prefix.head))
+      return CompactionResult(0, 0L, 0L, snap.base)
+    // latest-per-key sweep in offset order (last write wins)
+    val latest = scala.collection.mutable.LinkedHashMap
+      .empty[scala.collection.immutable.ArraySeq[Byte], (Long, Int, Array[Byte], Array[Byte])]
+    var segStart = snap.base
+    prefix.foreach { f =>
+      foreachRecord(f, segStart) { (part, off, key, value) =>
+        latest.put(scala.collection.immutable.ArraySeq.unsafeWrapArray(key),
+          (off, part, key, value))
+      }
+      segStart += spanOf(f)
+    }
+    val out = latest.values.toArray.sortBy(_._1)
+    val tmp = File.createTempFile("inflight-csegment-", "", dir)
+    val os = new DataOutputStream(new FileOutputStream(tmp))
+    try {
+      os.writeLong(span)
+      os.writeLong(out.length.toLong)
+      out.foreach { case (off, part, key, value) =>
+        os.writeInt(part)
+        os.writeLong(off)
+        os.writeInt(key.length); os.write(key)
+        os.writeInt(value.length); os.write(value)
+      }
+    } finally os.close()
+    val newStamp = stampOf(prefix.last)
+    val target = new File(dir, f"csegment-$newStamp%014d")
+    try java.nio.file.Files.createLink(target.toPath, tmp.toPath)
+    catch {
+      // a concurrent/crashed compactor already published this stamp —
+      // the inputs were identical (same immutable prefix), so adopt it
+      case _: java.nio.file.FileAlreadyExistsException => ()
+    }
+    tmp.delete()
+    // published (or adopted) → reclaim everything it shadows: the input
+    // files and any older csegments
+    prefix.foreach { f => metaCache.remove(cacheKey(f)); f.delete() }
+    Option(dir.listFiles()).getOrElse(Array.empty[File]).foreach { f =>
+      if (isCompacted(f) && stampOf(f) < newStamp) {
+        metaCache.remove(cacheKey(f)); f.delete()
+      }
+    }
+    CompactionResult(prefix.size, span, out.length.toLong, snap.base)
+  }
+
+  /** Iterate a segment's records as (partition, absolute offset, key,
+    * value) — dense offsets derived from `startOffset` for a regular
+    * segment, explicit stored offsets for a csegment.
+    */
+  private def foreachRecord(f: File, startOffset: Long)(
+      fn: (Int, Long, Array[Byte], Array[Byte]) => Unit): Unit = {
+    val in = new DataInputStream(new FileInputStream(f))
+    try {
+      if (isCompacted(f)) {
+        in.readLong() // span
+        val phys = in.readLong()
+        var i = 0L
+        while (i < phys) {
+          val part = in.readInt()
+          val off = in.readLong()
+          val key = new Array[Byte](in.readInt()); in.readFully(key)
+          val value = new Array[Byte](in.readInt()); in.readFully(value)
+          fn(part, off, key, value)
+          i += 1
+        }
+      } else {
+        val n = in.readLong()
+        var i = 0L
+        while (i < n) {
+          val part = in.readInt()
+          val key = new Array[Byte](in.readInt()); in.readFully(key)
+          val value = new Array[Byte](in.readInt()); in.readFully(value)
+          fn(part, startOffset + i, key, value)
+          i += 1
+        }
+      }
+    } finally in.close()
   }
 
   /** The minimum committed offset across a set of Structured Streaming
@@ -225,6 +475,15 @@ object GraftQueue {
     * a plain record count). A checkpoint with no committed batch pins
     * the floor at 0 — nothing may be truncated under a consumer that
     * has not durably processed anything yet.
+    *
+    * SINGLE-SOURCE queries only (ADVICE r13): the offsets file carries
+    * "v1" / metadata json / ONE offset line per source, and this parser
+    * takes the LAST line as this topic's offset — a checkpoint from a
+    * multi-source query (e.g. a stream-stream join over two topics)
+    * would surface another source's offset as this topic's floor and
+    * could over-truncate. The 3-line shape is therefore VALIDATED, not
+    * assumed: a checkpoint with more than one source fails loudly here
+    * instead of feeding retain() a foreign offset.
     */
   def consumerFloor(checkpointDirs: Seq[String]): Long =
     if (checkpointDirs.isEmpty) 0L
@@ -242,6 +501,10 @@ object GraftQueue {
             .linesIterator.toSeq
           // format: "v1" / metadata json / one offset json per source;
           // this source serializes QueueOffset as the bare number
+          require(lines.length == 3 && lines.head.trim == "v1",
+            s"$offsetsFile is not a single-source v1 offsets file " +
+              s"(${lines.length} lines) — consumerFloor cannot attribute " +
+              "an offset line to this topic; pass single-source checkpoints")
           scala.util.Try(lines.last.trim.toLong).getOrElse(0L)
         }
       }
@@ -306,12 +569,20 @@ final class GraftQueueTable(path: String, topic: String) extends Table
       override def toBatch: Batch = this
       override def planInputPartitions(): Array[InputPartition] = {
         // one partition per segment; start offsets are the running sum
-        // based at the log start offset (retention never moves offsets)
-        var acc = GraftQueue.baseOffset(path, topic)
-        GraftQueue.segments(path, topic).map { f =>
-          val p = QueueSegmentPartition(f.getAbsolutePath, topic, acc, GraftQueue.countOf(f))
-          acc += GraftQueue.countOf(f)
-          p: InputPartition
+        // based at the log start offset (retention never moves offsets).
+        // ONE snapshot per planning call (ADVICE r13): base and segment
+        // list derive from the same listing, so a concurrent retain()
+        // can't skew the arithmetic between two reads.
+        val snap = GraftQueue.snapshot(path, topic)
+        var acc = snap.base
+        snap.segs.map { f =>
+          val n = GraftQueue.spanOf(f)
+          val p: InputPartition =
+            if (GraftQueue.isCompacted(f))
+              CompactedRangePartition(f.getAbsolutePath, topic, acc, acc + n)
+            else QueueSegmentPartition(f.getAbsolutePath, topic, acc, n)
+          acc += n
+          p
         }.toArray
       }
       override def createReaderFactory(): PartitionReaderFactory = QueueReaderFactory
@@ -347,6 +618,15 @@ final class GraftQueueTable(path: String, topic: String) extends Table
 private case class QueueSegmentPartition(
     file: String, topic: String, startOffset: Long, count: Long) extends InputPartition
 
+/** A sub-range read of a compacted segment: records filter by their
+  * EXPLICIT stored offsets into [lo, hi). Needed because a checkpointed
+  * consumer's batch boundary can fall anywhere inside the compacted
+  * span (it was a segment boundary before compaction merged the
+  * prefix); dense segments never split, so only csegments carry ranges.
+  */
+private case class CompactedRangePartition(
+    file: String, topic: String, lo: Long, hi: Long) extends InputPartition
+
 /** Offset = total committed record count (a single logical log). */
 private case class QueueOffset(n: Long) extends Offset {
   override def json(): String = n.toString
@@ -378,15 +658,18 @@ private final class QueueMicroBatchStream(
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val startN = start.asInstanceOf[QueueOffset].n
-    val target = availableNowTarget.getOrElse(GraftQueue.totalRecords(path, topic))
+    // one snapshot: base, segment list and (absent a pinned AvailableNow
+    // target) the admission target all come from the same listing
+    val snap = GraftQueue.snapshot(path, topic)
+    val target = availableNowTarget.getOrElse(snap.total)
     val cap = limit match {
       case r: ReadMaxRows => startN + r.maxRows()
       case _ => Long.MaxValue
     }
-    var acc = GraftQueue.baseOffset(path, topic)
+    var acc = snap.base
     var hi = startN
-    GraftQueue.segments(path, topic).foreach { f =>
-      acc += GraftQueue.countOf(f)
+    snap.segs.foreach { f =>
+      acc += GraftQueue.spanOf(f)
       // whole segments only; admit the first segment past `start`
       // unconditionally (progress guarantee), further ones while under
       // the row cap, never past the pinned AvailableNow target
@@ -410,14 +693,24 @@ private final class QueueMicroBatchStream(
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[QueueOffset].n
     val hi = end.asInstanceOf[QueueOffset].n
-    // whole segments only: a segment is inside the batch iff its record
-    // range lies in [lo, hi) — counts are immutable once committed, so
-    // ranges never split
-    var acc = GraftQueue.baseOffset(path, topic)
+    // whole segments for dense logs: a segment is inside the batch iff
+    // its record range lies in [lo, hi) — counts are immutable once
+    // committed, so dense ranges never split. A csegment is the one
+    // exception: compaction may have merged segments ACROSS a boundary a
+    // checkpointed consumer committed at, so its read clamps to the
+    // overlap with [lo, hi) and filters by the records' stored offsets —
+    // the consumer resumes exactly where it left off, seeing only the
+    // latest-per-key survivors past its checkpoint (Kafka's compaction
+    // contract). One snapshot per plan (ADVICE r13).
+    val snap = GraftQueue.snapshot(path, topic)
+    var acc = snap.base
     val out = ArrayBuffer.empty[InputPartition]
-    GraftQueue.segments(path, topic).foreach { f =>
-      val n = GraftQueue.countOf(f)
-      if (acc >= lo && acc + n <= hi)
+    snap.segs.foreach { f =>
+      val n = GraftQueue.spanOf(f)
+      if (GraftQueue.isCompacted(f)) {
+        val s = math.max(acc, lo); val e = math.min(acc + n, hi)
+        if (s < e) out += CompactedRangePartition(f.getAbsolutePath, topic, s, e)
+      } else if (acc >= lo && acc + n <= hi)
         out += QueueSegmentPartition(f.getAbsolutePath, topic, acc, n)
       acc += n
     }
@@ -427,9 +720,8 @@ private final class QueueMicroBatchStream(
 }
 
 private object QueueReaderFactory extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[QueueSegmentPartition]
-    new PartitionReader[InternalRow] {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = partition match {
+    case p: QueueSegmentPartition => new PartitionReader[InternalRow] {
       private val in = new DataInputStream(new FileInputStream(p.file))
       in.readLong() // skip the 8-byte record-count header
       private var i = 0L
@@ -446,6 +738,35 @@ private object QueueReaderFactory extends PartitionReaderFactory {
           i += 1
           true
         }
+      override def get(): InternalRow = row
+      override def close(): Unit = in.close()
+    }
+    // compacted segment: records carry explicit (sparse) offsets; the
+    // reader streams the file and keeps those inside [lo, hi). Offsets
+    // are written ascending, so the scan could early-exit past hi; the
+    // single post-compaction segment is read once per batch either way.
+    case p: CompactedRangePartition => new PartitionReader[InternalRow] {
+      private val in = new DataInputStream(new FileInputStream(p.file))
+      in.readLong() // logical span
+      private val phys = in.readLong()
+      private var i = 0L
+      private var row: InternalRow = _
+      override def next(): Boolean = {
+        var found = false
+        while (!found && i < phys) {
+          val part = in.readInt()
+          val off = in.readLong()
+          val key = new Array[Byte](in.readInt()); in.readFully(key)
+          val value = new Array[Byte](in.readInt()); in.readFully(value)
+          i += 1
+          if (off >= p.lo && off < p.hi) {
+            row = new GenericInternalRow(Array[Any](
+              key, value, UTF8String.fromString(p.topic), part, off, null))
+            found = true
+          }
+        }
+        found
+      }
       override def get(): InternalRow = row
       override def close(): Unit = in.close()
     }

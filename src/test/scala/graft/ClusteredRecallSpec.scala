@@ -62,4 +62,19 @@ class ClusteredRecallSpec extends SparkSpec {
       s"two-stage rescore must recover recall on the hard case, got $rescored")
     assert(rescored > raw)
   }
+
+  test("residual IVF-PQ beats no-residual at equal nprobe on clustered data (r14)") {
+    // after coarse assignment every in-cell candidate shares the
+    // centroid: no-residual codes spend the code budget re-describing it
+    // (codes collapse — the PQ analogue of SQ8's near-tie failure), while
+    // residual codes describe the within-cell geometry the final ranking
+    // needs. This is WHY FAISS IndexIVFPQ encodes residuals.
+    val res = Knn.ivfPqResidualRecall(emb, residual = true)
+      .collect().head.getAs[Double]("recall")
+    val raw = Knn.ivfPqResidualRecall(emb, residual = false)
+      .collect().head.getAs[Double]("recall")
+    assert(res >= raw,
+      s"residual must be >= no-residual at equal nprobe: residual=$res raw=$raw")
+    assert(res >= 0.5, s"residual coding should carry real ranking signal, got $res")
+  }
 }

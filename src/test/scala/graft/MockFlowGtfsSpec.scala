@@ -34,6 +34,30 @@ class MockFlowGtfsSpec extends SparkSpec {
     Seq("base_demand", "time_factor", "dow_factor", "weather_factor", "delay_factor",
       "stop_noise", "hourly_passengers", "bucket_weight", "total_weight")
       .foreach(k => assert(c.contains(s""""$k""""), s"missing $k"))
+    // The JSON rendering ≡ the typed provenance columns, row for row —
+    // the coverage `mockflow_invariants` carried while it re-parsed the
+    // JSON (it reads the typed columns directly since r14; this pin
+    // keeps the rendering itself verified, transitively oracle-exact
+    // because the typed values are hash-checked in the registry).
+    val parsed = org.apache.spark.sql.types.StructType.fromDDL(
+      "base_demand BIGINT, time_factor DOUBLE, dow_factor DOUBLE, " +
+        "weather_factor DOUBLE, delay_factor DOUBLE, stop_noise DOUBLE, " +
+        "hourly_passengers BIGINT, bucket_weight DOUBLE, total_weight DOUBLE")
+    val mismatched = ev
+      .withColumn("p", from_json(col("components"), parsed))
+      .filter(
+        col("p.base_demand") =!= col("base_demand") ||
+          col("p.time_factor") =!= col("time_factor") ||
+          col("p.dow_factor") =!= col("dow_factor") ||
+          col("p.weather_factor") =!= col("weather_factor") ||
+          col("p.delay_factor") =!= col("delay_factor") ||
+          col("p.stop_noise") =!= col("stop_noise") ||
+          col("p.hourly_passengers") =!= col("hourly_passengers") ||
+          col("p.bucket_weight") =!= col("bucket_weight") ||
+          col("p.total_weight") =!= col("total_weight"))
+      .count()
+    assert(mismatched == 0,
+      s"$mismatched rows where parsed components JSON != typed provenance columns")
   }
 
   test("G1 factor tables match the reference bands") {

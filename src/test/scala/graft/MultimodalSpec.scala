@@ -189,4 +189,56 @@ class MultimodalSpec extends SparkSpec {
     val dims = Multimodal.imageDims(Multimodal.makeImage("bmp", 7, 4, 9, 8, 7))
     assert(dims.contains((7, 4)))
   }
+
+  test("codec zoo: four containers decode, quarantine rows route, JPEG stats band") {
+    import org.apache.spark.sql.functions._
+    // ids chosen to hit every leg: container by id % 4, truncated JPEG at
+    // id % 29 == 3, unknown bytes at id % 29 == 11
+    val ids = (0L to 120L).map(i => (i, s"t$i", "en", "s", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val zoo = Multimodal.imageCorpusZoo(ids).cache()
+    val feats = Multimodal.codecZooFeatures(zoo).collect()
+    feats.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (w, h, _, _, _) = Multimodal.imageSpec(id)
+      if (id % 29 == 3) {
+        // truncated JPEG: magic bytes sniff as jpeg, decode FAILS —
+        // the sniff/decode split is what makes quarantine routable
+        assert(r.getAs[String]("sniffed_format") == "jpeg" &&
+          !r.getAs[Boolean]("decoded_ok"), s"id=$id: $r")
+      } else if (id % 29 == 11) {
+        assert(r.getAs[String]("sniffed_format") == "unknown" &&
+          !r.getAs[Boolean]("decoded_ok"), s"id=$id: $r")
+      } else {
+        val expect = (id % 4) match {
+          case 0 => "png"; case 1 => "bmp"; case 2 => "jpeg"; case _ => "gif"
+        }
+        assert(r.getAs[String]("sniffed_format") == expect, s"id=$id: $r")
+        assert(r.getAs[Boolean]("decoded_ok") &&
+          r.getAs[Int]("width") == w && r.getAs[Int]("height") == h,
+          s"id=$id dims must be exact for every container incl. lossy JPEG: $r")
+      }
+    }
+    // pixel stats: lossless containers (png/bmp/gif) round-trip the fill
+    // EXACTLY; JPEG is lossy — band it (solid fills decode within a few
+    // units; chroma subsampling is flat on a constant raster)
+    val px = Multimodal.imageFeatures(zoo).collect()
+    px.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      if (id % 29 != 3 && id % 29 != 11) {
+        val (_, _, er, eg, eb) = Multimodal.imageSpec(id)
+        val (ar, ag, ab) =
+          (r.getAs[Int]("avg_r"), r.getAs[Int]("avg_g"), r.getAs[Int]("avg_b"))
+        if (id % 4 == 2) {
+          assert(math.abs(ar - er) <= 8 && math.abs(ag - eg) <= 8 &&
+            math.abs(ab - eb) <= 8,
+            s"id=$id JPEG stats out of band: got ($ar,$ag,$ab) want ~($er,$eg,$eb)")
+        } else {
+          assert((ar, ag, ab) == ((er, eg, eb)),
+            s"id=$id lossless container must be pixel-exact: $r")
+        }
+      }
+    }
+    zoo.unpersist()
+  }
 }

@@ -244,4 +244,20 @@ class PlanBudgetSpec extends SparkSpec {
     assert(!readSchema.contains("l_orderkey") && readSchema.contains("l_extendedprice"),
       s"column pruning failed:\n$readSchema")
   }
+
+  test("ivfpq_topk caches codes, not vectors: no float-corpus cache in the serving plan (r14)") {
+    // VERDICT r13 item 7's done-when: at 100 TB the thing to keep hot is
+    // the 8 B/row codes, never the 256 B/row float corpus. The serving
+    // plan must contain NO InMemoryRelation (the coarse leg reads its
+    // eager checkpoints; the PQ legs are plain scans) and exactly two
+    // parquet reads of the corpus: one feeding the encoder, one
+    // pushdown-filtered read of the nQueries query rows.
+    val qe = SparkEntry.queries("ivfpq_topk")(spark, dir).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(!plan.contains("InMemoryTableScan"),
+      s"float corpus must not be cached into the serving plan:\n$plan")
+    val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 2,
+      s"one corpus scan feeds the encoder + one filtered query scan, got $scans:\n$plan")
+  }
 }

@@ -427,13 +427,21 @@ class ScaleSoakSpec extends SparkSpec {
         val t0 = System.nanoTime()
         graft.jobs.JobRunner.run(spark, srcDir, out)
         val t = (System.nanoTime() - t0) / 1e9
-        // QueryExecutionListener events are async — wait for quiescence
+        // QueryExecutionListener events are async — wait for quiescence.
+        // Exiting on the waited bound with the tally still moving would
+        // silently undercount exchanges/actions and turn the exact
+        // action-count equality pins into flakes (ADVICE r13): fail
+        // loudly instead of using a possibly-incomplete tally.
         var last = -1; var stable = 0; var waited = 0
-        while (stable < 3 && waited < 50) {
+        while (stable < 3 && waited < 150) {
           val c = tally.actions.get
           if (c == last) stable += 1 else { stable = 0; last = c }
           Thread.sleep(200); waited += 1
         }
+        assert(stable >= 3,
+          s"listener tally never quiesced within ${waited * 200} ms " +
+            s"(actions still arriving at ${tally.actions.get}) — " +
+            "exchange/action counts would be undercounted")
         (t, tally.exchanges.get, tally.actions.get)
       } finally spark.listenerManager.unregister(tally)
     }
