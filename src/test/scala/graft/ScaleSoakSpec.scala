@@ -250,6 +250,52 @@ class ScaleSoakSpec extends SparkSpec {
     assert(t30 <= 7.5 * t10 + 10.0,
       f"lloyd t(30x)=$t30%.1fs vs t(10x)=$t10%.1fs — growth outside the linear band")
   }
+
+  // ---- r14 (VERDICT r13 item 5): the r13 ANN additions get the same
+  // soak discipline as the rest of the family. pinPlan=false throughout:
+  // all three ride the persisted/checkpointed Lloyd machinery whose
+  // textual plan is cache-state-dependent.
+
+  // IVF-PQ composition: Lloyd training (linear, soaked above) + encode
+  // (narrow map over codebook literals) + the cell-pruned ADC join whose
+  // CANDIDATE COUNT scales with corpus size (~nprobe/cells · n per
+  // query) — the part that earns the dedicated 10→30× point below
+  soak("ivfpq_topk", pinPlan = false)(
+    e => Knn.ivfPqTopK(e, graft.sim.PqFixture.codebooks))(baseEmb, bigEmb)
+  // residual IVF-PQ: both trainers in-plan — coarse Lloyd + per-subspace
+  // codebook Lloyd over the residual long-form (k·m·64-group integer
+  // aggregations, linear at fixed m·nC·iters) + the per-probe-LUT ADC
+  soak("ivfpq_residual_topk", pinPlan = false)(
+    e => Knn.ivfPqResidualTopK(e))(baseEmb, bigEmb)
+  // incremental attach: train on the corpus carve, O(batch) delta attach.
+  // NOTE the %3 carve makes |batch| ∝ corpus here, so the candidate
+  // product (|batch| · nprobe/cells · |state|) grows with BOTH factors —
+  // measured ~18× at 10× data, inside the band but deliberately worse
+  // than production, where batches are fixed-size increments against the
+  // state (O(batch) per attach — the shape the LSH/bloom incremental
+  // soaks isolate with their fixed-state fixtures) and cells scale ~√n
+  soak("ivf_attach_incremental", pinPlan = false)(
+    e => Knn.ivfAttachIncremental(e))(baseEmb, bigEmb)
+  // two-stage SQ8: int8 retrieve at R=100 (narrow encode + broadcast
+  // query set) + float rescore of exactly nQueries·R candidate rows —
+  // the rescore side must stay CONSTANT-ish as the corpus grows
+  soak("sq8_rescore_topk", pinPlan = false)(
+    e => Knn.sq8RescoreTopK(e))(baseEmb, bigEmb)
+
+  test("ivfpq_topk stays linear from 10x to 30x (candidate pool ~ nprobe/cells of corpus)", Soak) {
+    // per-query ADC work = |cell members probed| ≈ nprobe/cells · n — the
+    // one IVF-PQ cost that grows with corpus size (training is the Lloyd
+    // trainer's, pinned linear above; encode is one narrow map). The
+    // 10×→30× step must stay inside 3× linear growth with the family's
+    // 2.5× slack + fixed grace.
+    val cb = graft.sim.PqFixture.codebooks
+    force(Knn.ivfPqTopK(baseEmb, cb)) // warm codegen/code paths
+    val t10 = Seq.fill(3)(force(Knn.ivfPqTopK(bigEmb, cb))).sorted.apply(1)
+    val t30 = force(Knn.ivfPqTopK(soak30Embs, cb))
+    info(f"ivfpq 10x->30x: t10=$t10%.1fs t30=$t30%.1fs ratio=${t30 / t10}%.1f")
+    assert(t30 <= 7.5 * t10 + 10.0,
+      f"ivfpq t(30x)=$t30%.1fs vs t(10x)=$t10%.1fs — growth outside the linear band")
+  }
   soak("temperature_mixture")(d => TextOps.temperatureMixture(d))(baseDocs, bigDocs)
   soak("corpus_shuffle")(d => HashSplit.corpusShuffle(d))(baseDocs, bigDocs)
   // round-9 addition: the incremental near-dup classify — index build +
