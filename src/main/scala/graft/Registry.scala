@@ -1817,6 +1817,15 @@ object Registry {
       Q("ivfpq_residual_topk",
         (s, d) => Knn.ivfPqResidualTopK(embs(s, d)),
         Some(Knn.ivfPqResidualTopKSql())),
+      // ...and its production serving tail (r14): IndexIVFPQ + refine —
+      // the compressed ADC ranking retrieves a WIDE candidate set
+      // (R=50), and only those rows are re-scored at full quantized
+      // precision. Compressed retrieval is allowed to be approximate
+      // (recall@R ≈ 1 where recall@k reads 0.5 on the clustered table);
+      // the exact stage touches nQueries·R rows, never the corpus.
+      Q("ivfpq_rescore_topk",
+        (s, d) => Knn.ivfPqResidualRescoreTopK(embs(s, d)),
+        Some(Knn.ivfPqResidualRescoreTopKSql())),
       // The IVF maintenance DECISION (r14, VERDICT item 2): per trained
       // cell, training-time vs attached-batch stats under the same
       // centroids (sizes, integer inertia/radius, shares) and the
@@ -2370,6 +2379,16 @@ object Registry {
             graft.sim.Knn.clusteredEmbeddings(s), residual = false))
           .orderBy("variant"),
         Some(graft.sim.Knn.ivfPqResidualRecallBothSql(
+          prelude = graft.sim.Knn.clusteredEmbeddingsCte()))),
+      // ...and the refine stage's recovery on the same table: compressed
+      // retrieval at R=50 covers the true neighbors (cluster-level
+      // separation survives 64-bit residual codes easily), exact rescore
+      // of only those candidates restores recall@5 to 1.0 — the sq8
+      // two-stage story, one level up the ANN stack.
+      Q("ivfpq_rescore_recall_clustered",
+        (s, _) => graft.sim.Knn.ivfPqResidualRescoreRecall(
+          graft.sim.Knn.clusteredEmbeddings(s)),
+        Some(graft.sim.Knn.ivfPqResidualRescoreRecallSql(
           prelude = graft.sim.Knn.clusteredEmbeddingsCte()))),
 
       // G1+A8 pinned by ORACLE through the generator's own output: the

@@ -2466,6 +2466,153 @@ object Knn {
         (col("hits").cast("double") / col("n_exact")).as("recall"))
   }
 
+  /** The COMPLETE production serving stack — FAISS's IndexIVFPQ +
+    * refine (r14): coarse cells prune to ~nprobe/cells of the corpus,
+    * residual-PQ ADC ranks the survivors compressed, and only the top
+    * `rescoreR` candidates per query are re-scored at full (quantized
+    * integer) precision for the final top-k. The same two-stage shape as
+    * [[sq8RescoreTopK]], one level up: compressed retrieval is allowed
+    * to be approximate (recall@R ≈ 1 even where recall@k is mediocre —
+    * the clustered fixture reads 0.5 at k=5), and the exact stage
+    * touches nQueries·rescoreR rows, never the corpus.
+    * `ivfpq_rescore_recall_clustered` measures the recovery: 0.5 → 1.0
+    * on the same table, oracle-exact end to end (both trainers still
+    * in-plan).
+    */
+  def ivfPqResidualRescoreTopK(
+      embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
+      cells: Int = 8, iters: Int = 2, nprobe: Int = 2,
+      m: Int = 16, nC: Int = 16, pqIters: Int = 3,
+      rescoreR: Int = 50): DataFrame = {
+    val cand = ivfPqResidualTopK(embeddings, nQueries, rescoreR, cells,
+      iters, nprobe, m, nC, pqIters)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact stage in the quantized integer domain — no cache, one narrow
+    // corpus scan keyed into by the bounded candidate list
+    val quant = expr(
+      s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $LloydScale.0) AS BIGINT))")
+    val eq = withNorm(embeddings).select(col("vec_id"), quant.as("q"))
+    val q = eq.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+    val c = eq.select(col("vec_id").as("neighbor_id"), col("q").as("cq"))
+    val w = Window.partitionBy("query_id").orderBy(col("d"), col("neighbor_id"))
+    cand.join(broadcast(q), Seq("query_id")).join(c, Seq("neighbor_id"))
+      .withColumn("d",
+        aggregate(zip_with(col("qq"), col("cq"), (x, y) => (x - y) * (x - y)),
+          lit(0L), _ + _))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("d"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** recall@k of the two-stage residual-IVF-PQ path against the exact
+    * integer-L2 ranking — the recovery experiment.
+    */
+  def ivfPqResidualRescoreRecall(
+      embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
+      cells: Int = 8, iters: Int = 2, nprobe: Int = 2,
+      m: Int = 16, nC: Int = 16, pqIters: Int = 3,
+      rescoreR: Int = 50): DataFrame = {
+    val approx = ivfPqResidualRescoreTopK(embeddings, nQueries, k, cells,
+      iters, nprobe, m, nC, pqIters, rescoreR)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    val quant = expr(
+      s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $LloydScale.0) AS BIGINT))")
+    val eq = withNorm(embeddings).select(col("vec_id"), quant.as("q"))
+    val qset = eq.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+    val w = Window.partitionBy("query_id").orderBy(col("d"), col("vec_id"))
+    val exact = eq.crossJoin(broadcast(qset))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("d",
+        aggregate(zip_with(col("qq"), col("q"), (x, y) => (x - y) * (x - y)),
+          lit(0L), _ + _))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).as("hits"))
+      .select(lit(k).as("k"), lit(rescoreR).as("rescore_r"),
+        lit(nprobe).as("nprobe"), lit(cells).as("cells"),
+        col("n_exact"), col("hits"),
+        (col("hits").cast("double") / col("n_exact")).as("recall"))
+  }
+
+  /** DuckDB twin of [[ivfPqResidualRescoreTopK]]: the residual block's
+    * ranked frame sliced at rescoreR, then the exact integer-L2 rescore
+    * of exactly those pairs.
+    */
+  def ivfPqResidualRescoreTopKSql(
+      nQueries: Int = 10, k: Int = 5, cells: Int = 8, iters: Int = 2,
+      nprobe: Int = 2, m: Int = 16, nC: Int = 16, pqIters: Int = 3,
+      rescoreR: Int = 50, prelude: String = ""): String = {
+    val d1 = Dim + 1
+    s"""WITH ${ivfPqResidualPrefix(nQueries, cells, iters, nprobe, prelude)},
+       |${pqResidualCtes("", residual = true, nQueries, rescoreR, iters, nprobe, m, nC, pqIters)},
+       |rsq AS (SELECT query_id, neighbor_id FROM rr WHERE rn <= $rescoreR),
+       |fsc AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    CAST(SUM((q.q[t.i] - c.q[t.i]) * (q.q[t.i] - c.q[t.i])) AS BIGINT) AS d
+       |  FROM rsq s
+       |    JOIN e0 q ON q.vec_id = s.query_id
+       |    JOIN e0 c ON c.vec_id = s.neighbor_id
+       |    CROSS JOIN range(1, $d1) t(i)
+       |  GROUP BY 1, 2),
+       |frk AS (
+       |  SELECT query_id, neighbor_id, d,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rn
+       |  FROM fsc)
+       |SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS "rank", d
+       |FROM frk WHERE rn <= $k ORDER BY query_id, "rank"""".stripMargin
+  }
+
+  /** DuckDB twin of [[ivfPqResidualRescoreRecall]]. */
+  def ivfPqResidualRescoreRecallSql(
+      nQueries: Int = 10, k: Int = 5, cells: Int = 8, iters: Int = 2,
+      nprobe: Int = 2, m: Int = 16, nC: Int = 16, pqIters: Int = 3,
+      rescoreR: Int = 50, prelude: String = ""): String = {
+    val d1 = Dim + 1
+    s"""WITH ${ivfPqResidualPrefix(nQueries, cells, iters, nprobe, prelude)},
+       |${pqResidualCtes("", residual = true, nQueries, rescoreR, iters, nprobe, m, nC, pqIters)},
+       |rsq AS (SELECT query_id, neighbor_id FROM rr WHERE rn <= $rescoreR),
+       |fsc AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    SUM((q.q[t.i] - c.q[t.i]) * (q.q[t.i] - c.q[t.i])) AS d
+       |  FROM rsq s
+       |    JOIN e0 q ON q.vec_id = s.query_id
+       |    JOIN e0 c ON c.vec_id = s.neighbor_id
+       |    CROSS JOIN range(1, $d1) t(i)
+       |  GROUP BY 1, 2),
+       |fr AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rn
+       |    FROM fsc) WHERE rn <= $k),
+       |bscore AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    SUM((q.q[t.i] - c.q[t.i]) * (q.q[t.i] - c.q[t.i])) AS d
+       |  FROM e0 q JOIN e0 c ON c.vec_id <> q.vec_id
+       |    CROSS JOIN range(1, $d1) t(i)
+       |  WHERE q.vec_id < $nQueries
+       |  GROUP BY 1, 2),
+       |br AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rn
+       |    FROM bscore) WHERE rn <= $k),
+       |agg AS (
+       |  SELECT COUNT(*) AS n_exact,
+       |    CAST(SUM(CASE WHEN fr.query_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
+       |  FROM br LEFT JOIN fr
+       |    ON fr.query_id = br.query_id AND fr.neighbor_id = br.neighbor_id)
+       |SELECT CAST($k AS INTEGER) AS k, CAST($rescoreR AS INTEGER) AS rescore_r,
+       |  CAST($nprobe AS INTEGER) AS nprobe, CAST($cells AS INTEGER) AS cells,
+       |  n_exact, hits, CAST(hits AS DOUBLE) / n_exact AS recall
+       |FROM agg""".stripMargin
+  }
+
   /** The variant CTE block of the residual-IVF-PQ twins: residual (or
     * raw) long form, per-subspace Lloyd training unrolled per iteration
     * (px/pa/ps/pu/p — the [[lloydSqlCtes]] scheme with a (sub, c) state

@@ -76,5 +76,14 @@ class ClusteredRecallSpec extends SparkSpec {
     assert(res >= raw,
       s"residual must be >= no-residual at equal nprobe: residual=$res raw=$raw")
     assert(res >= 0.5, s"residual coding should carry real ranking signal, got $res")
+    // ...and the refine stage completes the production stack: compressed
+    // retrieval at R=50 covers the true neighbors (recall@R ≈ 1 even
+    // where recall@k is mediocre), exact rescore of only those rows
+    // restores the ranking — the sq8 two-stage story one level up
+    val rescored = Knn.ivfPqResidualRescoreRecall(emb)
+      .collect().head.getAs[Double]("recall")
+    assert(rescored >= 0.99,
+      s"IndexIVFPQ+refine must recover recall on the hard case, got $rescored")
+    assert(rescored > res)
   }
 }

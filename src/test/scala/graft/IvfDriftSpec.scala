@@ -51,6 +51,26 @@ class IvfDriftSpec extends SparkSpec {
     }, "mean-distance growth is the tripping signal")
   }
 
+  test("the loop closes: retraining on the recent window clears the flag") {
+    // the distribution SHIFTED (every vector +4.0 per dim). Against the
+    // stale cells the drift report demands a retrain...
+    def shifted(df: org.apache.spark.sql.DataFrame) = df.withColumn("embedding",
+      transform(col("embedding"), x => (x + lit(4.0f)).cast("float")))
+    val window1 = shifted(stationary) // ids 300..499, shifted
+    assert(Knn.ivfDriftReport(corpus, window1).collect()
+      .exists(_.getAs[Boolean]("retrain_due")), "stale cells must demand retrain")
+    // ...so retrain on the RECENT window (window1), then monitor the
+    // NEXT window of the same shifted distribution: ratios return to ~1
+    // and no cell trips — the attach/drift/retrain cycle is closed
+    val window2 = shifted(
+      Knn.clusteredEmbeddings(spark, n = 700).filter(col("vec_id") >= 500))
+    val after = Knn.ivfDriftReport(window1, window2).collect()
+    assert(after.forall(!_.getAs[Boolean]("retrain_due")),
+      s"retrained cells must absorb the next same-distribution window: " +
+        after.map(r => (r.getAs[Int]("cell"), r.getAs[Any]("drift_ratio"),
+          r.getAs[Boolean]("retrain_due"))).mkString(", "))
+  }
+
   test("report accounting: exact integer columns are self-consistent") {
     val rep = Knn.ivfDriftReport(corpus, stationary).collect()
     assert(rep.map(_.getAs[Long]("n_train")).sum == 300L)
