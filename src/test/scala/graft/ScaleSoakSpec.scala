@@ -281,6 +281,11 @@ class ScaleSoakSpec extends SparkSpec {
   // the rescore side must stay CONSTANT-ish as the corpus grows
   soak("sq8_rescore_topk", pinPlan = false)(
     e => Knn.sq8RescoreTopK(e))(baseEmb, bigEmb)
+  // IndexIVFPQ + refine: the residual pipeline (soaked above) plus an
+  // exact rescore of exactly nQueries·R rows — the refine stage adds a
+  // corpus-size-INDEPENDENT tail on top of the trainer's linear cost
+  soak("ivfpq_rescore_topk", pinPlan = false)(
+    e => Knn.ivfPqResidualRescoreTopK(e))(baseEmb, bigEmb)
 
   test("ivfpq_topk stays linear from 10x to 30x (candidate pool ~ nprobe/cells of corpus)", Soak) {
     // per-query ADC work = |cell members probed| ≈ nprobe/cells · n — the
