@@ -2550,7 +2550,7 @@ object Knn {
       rescoreR: Int = 50, prelude: String = ""): String = {
     val d1 = Dim + 1
     s"""WITH ${ivfPqResidualPrefix(nQueries, cells, iters, nprobe, prelude)},
-       |${pqResidualCtes("", residual = true, nQueries, rescoreR, iters, nprobe, m, nC, pqIters)},
+       |${pqResidualCtes("", residual = true, m, nC, pqIters)},
        |rsq AS (SELECT query_id, neighbor_id FROM rr WHERE rn <= $rescoreR),
        |fsc AS (
        |  SELECT s.query_id, s.neighbor_id,
@@ -2575,7 +2575,7 @@ object Knn {
       rescoreR: Int = 50, prelude: String = ""): String = {
     val d1 = Dim + 1
     s"""WITH ${ivfPqResidualPrefix(nQueries, cells, iters, nprobe, prelude)},
-       |${pqResidualCtes("", residual = true, nQueries, rescoreR, iters, nprobe, m, nC, pqIters)},
+       |${pqResidualCtes("", residual = true, m, nC, pqIters)},
        |rsq AS (SELECT query_id, neighbor_id FROM rr WHERE rn <= $rescoreR),
        |fsc AS (
        |  SELECT s.query_id, s.neighbor_id,
@@ -2621,8 +2621,7 @@ object Knn {
     * pr, psd) emitted by the callers.
     */
   private def pqResidualCtes(
-      p: String, residual: Boolean, nQueries: Int, k: Int,
-      iters: Int, nprobe: Int, m: Int, nC: Int, pqIters: Int): String = {
+      p: String, residual: Boolean, m: Int, nC: Int, pqIters: Int): String = {
     val subDim = Dim / m
     val d1 = Dim + 1
     val rExpr = if (residual) "e.q[t.i] - c.cd" else "e.q[t.i]"
@@ -2753,7 +2752,7 @@ object Knn {
       nprobe: Int = 2, m: Int = 16, nC: Int = 16, pqIters: Int = 3,
       residual: Boolean = true, prelude: String = ""): String =
     s"""WITH ${ivfPqResidualPrefix(nQueries, cells, iters, nprobe, prelude)},
-       |${pqResidualCtes("", residual, nQueries, k, iters, nprobe, m, nC, pqIters)}
+       |${pqResidualCtes("", residual, m, nC, pqIters)}
        |SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS "rank", adist
        |FROM rr WHERE rn <= $k ORDER BY query_id, "rank"""".stripMargin
 
@@ -2789,8 +2788,8 @@ object Knn {
        |    SELECT query_id, neighbor_id,
        |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rn
        |    FROM bscore) WHERE rn <= $k),
-       |${pqResidualCtes("r_", residual = true, nQueries, k, iters, nprobe, m, nC, pqIters)},
-       |${pqResidualCtes("n_", residual = false, nQueries, k, iters, nprobe, m, nC, pqIters)}
+       |${pqResidualCtes("r_", residual = true, m, nC, pqIters)},
+       |${pqResidualCtes("n_", residual = false, m, nC, pqIters)}
        |SELECT * FROM (
        |${aggLeg("r_", "residual")}
        |UNION ALL

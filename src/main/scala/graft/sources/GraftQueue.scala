@@ -256,7 +256,35 @@ object GraftQueue {
     * contract is exactly "pass the MIN over registered consumer
     * checkpoints".
     */
+  /** Delete files no reader can see anyway — segments/csegments at or
+    * below the truncation marker (a crashed retain/retainByAge lost its
+    * deletes) and anything shadowed by the newest live csegment (a
+    * crashed compact). Every maintenance entry point runs this first, so
+    * re-running ANY of the three passes finishes a predecessor's
+    * interrupted reclamation — without it, a csegment orphaned by a
+    * crashed retain() (marker durable, delete lost) would leak its disk
+    * forever: snapshots exclude it, so no later takeWhile ever selects
+    * it (reviewer finding, r14).
+    */
+  private def reclaimShadowed(dir: File): Unit = {
+    val all = Option(dir.listFiles()).getOrElse(Array.empty[File])
+    val truncStamp = all.flatMap(f => f.getName match {
+      case TruncMarker(stamp, _) => Some(stamp.toLong)
+      case _ => None
+    }).foldLeft(0L)(math.max)
+    val topC = all.filter(isCompacted).map(stampOf)
+      .filter(_ > truncStamp).foldLeft(0L)(math.max)
+    all.foreach { f =>
+      val isSeg = SegmentName.matches(f.getName)
+      val isC = isCompacted(f)
+      val dead = ((isSeg || isC) && stampOf(f) <= truncStamp) ||
+        (isSeg && stampOf(f) <= topC) || (isC && stampOf(f) < topC)
+      if (dead) { metaCache.remove(cacheKey(f)); f.delete() }
+    }
+  }
+
   def retain(path: String, topic: String, minRetainedOffset: Long): RetentionResult = {
+    reclaimShadowed(topicDir(path, topic))
     val snap = snapshot(path, topic)
     var acc = snap.base
     val removable = snap.segs.takeWhile { f =>
@@ -283,6 +311,7 @@ object GraftQueue {
   def retainByAge(
       path: String, topic: String, maxAgeMs: Long,
       nowMs: Long = System.currentTimeMillis()): RetentionResult = {
+    reclaimShadowed(topicDir(path, topic))
     val snap = snapshot(path, topic)
     val cutoff = nowMs - maxAgeMs
     var acc = snap.base
@@ -359,20 +388,10 @@ object GraftQueue {
   def compact(path: String, topic: String, uptoOffset: Long): CompactionResult = {
     val dir = topicDir(path, topic)
     // finish any interrupted predecessor's reclamation first: files the
-    // newest csegment shadows are invisible to every reader already (the
-    // snapshot rule), so deleting them here is pure cleanup — this is
-    // what makes the publish-then-delete protocol crash-safe end to end
-    val all0 = Option(dir.listFiles()).getOrElse(Array.empty[File])
-    val topC = all0.filter(isCompacted)
-    if (topC.nonEmpty) {
-      val topStamp = stampOf(topC.maxBy(stampOf))
-      all0.foreach { f =>
-        val shadowed =
-          (SegmentName.matches(f.getName) && stampOf(f) <= topStamp) ||
-            (isCompacted(f) && stampOf(f) < topStamp)
-        if (shadowed) { metaCache.remove(cacheKey(f)); f.delete() }
-      }
-    }
+    // newest csegment (or a truncation marker) shadows are invisible to
+    // every reader already, so deleting them here is pure cleanup — this
+    // is what makes publish/mark-then-delete crash-safe end to end
+    reclaimShadowed(dir)
     val snap = snapshot(path, topic)
     var acc = snap.base
     val prefix = snap.segs.takeWhile { f =>
@@ -389,12 +408,18 @@ object GraftQueue {
     // delete it as an input); idempotent no-op instead
     if (prefix.length == 1 && isCompacted(prefix.head))
       return CompactionResult(0, 0L, 0L, snap.base)
-    // latest-per-key sweep in offset order (last write wins)
+    // latest-per-key sweep in offset order (last write wins). recordsIn
+    // counts PHYSICAL records read — on a re-compaction over an existing
+    // csegment that is fewer than the logical span (the span keeps holes
+    // from the previous pass), and the in/out ratio is what compaction
+    // effectiveness monitoring reads
     val latest = scala.collection.mutable.LinkedHashMap
       .empty[scala.collection.immutable.ArraySeq[Byte], (Long, Int, Array[Byte], Array[Byte])]
     var segStart = snap.base
+    var physIn = 0L
     prefix.foreach { f =>
       foreachRecord(f, segStart) { (part, off, key, value) =>
+        physIn += 1
         latest.put(scala.collection.immutable.ArraySeq.unsafeWrapArray(key),
           (off, part, key, value))
       }
@@ -430,7 +455,7 @@ object GraftQueue {
         metaCache.remove(cacheKey(f)); f.delete()
       }
     }
-    CompactionResult(prefix.size, span, out.length.toLong, snap.base)
+    CompactionResult(prefix.size, physIn, out.length.toLong, snap.base)
   }
 
   /** Iterate a segment's records as (partition, absolute offset, key,
@@ -661,6 +686,15 @@ private final class QueueMicroBatchStream(
     // one snapshot: base, segment list and (absent a pinned AvailableNow
     // target) the admission target all come from the same listing
     val snap = GraftQueue.snapshot(path, topic)
+    // a checkpointed consumer BELOW the log start means records were
+    // truncated under it (age-based retention is not consumer-
+    // cooperative) — Kafka's OffsetOutOfRange. Fail loudly instead of
+    // silently serving a gappy range (reviewer finding, r14;
+    // auto.offset.reset is deliberately not emulated).
+    require(startN >= snap.base,
+      s"consumer offset $startN is below the log start ${snap.base} for " +
+        s"topic $topic — records were truncated under this consumer " +
+        "(OffsetOutOfRange); reset the checkpoint deliberately instead")
     val target = availableNowTarget.getOrElse(snap.total)
     val cap = limit match {
       case r: ReadMaxRows => startN + r.maxRows()
@@ -670,11 +704,18 @@ private final class QueueMicroBatchStream(
     var hi = startN
     snap.segs.foreach { f =>
       acc += GraftQueue.spanOf(f)
-      // whole segments only; admit the first segment past `start`
-      // unconditionally (progress guarantee), further ones while under
-      // the row cap, never past the pinned AvailableNow target
-      if (acc > startN && acc <= target && (acc <= cap || hi == startN))
-        hi = acc
+      // whole segments only for dense logs; admit the first segment past
+      // `start` unconditionally (progress guarantee), further ones while
+      // under the row cap, never past the pinned AvailableNow target. A
+      // csegment is the exception AGAIN (its reader serves arbitrary
+      // sub-ranges by explicit offset): when compaction merged segments
+      // ACROSS the pinned target — a compact() racing a draining run —
+      // the admission end clamps to the target instead of never
+      // qualifying, which would silently end the run below its pin
+      // (reviewer finding, r14).
+      val end = if (GraftQueue.isCompacted(f)) math.min(acc, target) else acc
+      if (end > startN && end <= target && (end <= cap || hi == startN))
+        hi = end
     }
     QueueOffset(hi)
   }
@@ -703,6 +744,10 @@ private final class QueueMicroBatchStream(
     // latest-per-key survivors past its checkpoint (Kafka's compaction
     // contract). One snapshot per plan (ADVICE r13).
     val snap = GraftQueue.snapshot(path, topic)
+    require(lo >= snap.base,
+      s"batch start $lo is below the log start ${snap.base} for topic " +
+        s"$topic — records were truncated under this consumer " +
+        "(OffsetOutOfRange); reset the checkpoint deliberately instead")
     var acc = snap.base
     val out = ArrayBuffer.empty[InputPartition]
     snap.segs.foreach { f =>
