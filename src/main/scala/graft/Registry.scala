@@ -474,6 +474,50 @@ object Registry {
        |  AND NOT isinf(y_true) AND NOT isinf(y_pred)
        |ORDER BY hour_ts, route_id""".stripMargin
 
+  /** Oracle twin of [[graft.export.Plot.scatterRaster]] over the scatter
+    * series: the matplotlib data→display affine replayed as the same
+    * IEEE double op sequence (subtract, int-promoted multiply, divide,
+    * floor — each correctly rounded, so the floors are bit-identical),
+    * then the overplot collapse. Geometry constants inlined from
+    * Plot.Geom(): 640×480 canvas, margin 40 → inner 559×399, origin
+    * (40, 439), degenerate-span centers (279, 199).
+    */
+  private val VALIDATION_SCATTER_RASTER_SQL =
+    s"""WITH s2r AS ($S2R), f AS ($FLOW), d AS ($DEMAND_BODY), p AS ($PRED_BODY),
+       |pts AS (
+       |  SELECT y_true, y_pred FROM p
+       |  WHERE y_true IS NOT NULL AND y_pred IS NOT NULL
+       |    AND NOT isnan(y_true) AND NOT isnan(y_pred)
+       |    AND NOT isinf(y_true) AND NOT isinf(y_pred)),
+       |b AS (SELECT MIN(y_true) AS xmin, MAX(y_true) AS xmax,
+       |             MIN(y_pred) AS ymin, MAX(y_pred) AS ymax FROM pts)
+       |SELECT px, py, COUNT(*) AS n FROM (
+       |  SELECT
+       |    CAST(40 + CAST(CASE WHEN b.xmax = b.xmin THEN 279
+       |      ELSE FLOOR((pts.y_true - b.xmin) * 559 / (b.xmax - b.xmin)) END AS INTEGER) AS INTEGER) AS px,
+       |    CAST(439 - CAST(CASE WHEN b.ymax = b.ymin THEN 199
+       |      ELSE FLOOR((pts.y_pred - b.ymin) * 399 / (b.ymax - b.ymin)) END AS INTEGER) AS INTEGER) AS py
+       |  FROM pts, b)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Oracle twin of [[graft.export.Plot.byHourPixels]]: the MAE-by-hour
+    * vertices' pixel placement (hour grid on x, the same affine floor on
+    * y). The mae input is the already-oracle-exact validation_by_hour
+    * aggregate.
+    */
+  private val VALIDATION_BY_HOUR_PIXELS_SQL =
+    s"""WITH s2r AS ($S2R), f AS ($FLOW), d AS ($DEMAND_BODY), p AS ($PRED_BODY),
+       |bh AS (
+       |  SELECT CAST(EXTRACT(HOUR FROM hour_ts) AS INTEGER) AS hour_of_day,
+       |    ${davg("abs(y_pred - y_true)")} AS mae
+       |  FROM p WHERE y_true IS NOT NULL AND y_pred IS NOT NULL GROUP BY 1),
+       |b AS (SELECT MIN(mae) AS mmin, MAX(mae) AS mmax FROM bh)
+       |SELECT hour_of_day,
+       |  CAST(40 + CAST(FLOOR(CAST(hour_of_day AS DOUBLE) * 559 / 23.0) AS INTEGER) AS INTEGER) AS px,
+       |  CAST(439 - CAST(CASE WHEN b.mmax = b.mmin THEN 199
+       |    ELSE FLOOR((bh.mae - b.mmin) * 399 / (b.mmax - b.mmin)) END AS INTEGER) AS INTEGER) AS py
+       |FROM bh, b ORDER BY hour_of_day""".stripMargin
+
   private val LABEL_LEAD_SQL =
     s"""WITH s2r AS ($S2R), f AS ($FLOW), d AS ($DEMAND_BODY)
        |SELECT route_id, hour_ts, passengers,
@@ -648,6 +692,21 @@ object Registry {
     Q("validation_scatter_points",
       (s, dir) => Export.validationScatterPoints(predictions(s, dir)),
       Some(VALIDATION_SCATTER_SQL)),
+
+    // A11 render (r14) — the scatter plot's occupied-pixel raster: the
+    // matplotlib data→display transform in-plan, overplot collapsed to
+    // ≤ canvas-size rows. The PNG encode over this exact raster is
+    // PlotSpec-pinned (decode-back set equality + byte determinism).
+    Q("validation_scatter_raster",
+      (s, dir) => graft.export.Plot.scatterRaster(
+        Export.validationScatterPoints(predictions(s, dir)), "y_true", "y_pred"),
+      Some(VALIDATION_SCATTER_RASTER_SQL)),
+
+    // A11 render (r14) — the MAE-by-hour line chart's vertex pixels.
+    Q("validation_by_hour_pixels",
+      (s, dir) => graft.export.Plot.byHourPixels(
+        Export.validationByHour(predictions(s, dir))),
+      Some(VALIDATION_BY_HOUR_PIXELS_SQL)),
 
     Q("label_lead",
       (s, dir) => Relational.labelLead(demandHourly(s, dir))
