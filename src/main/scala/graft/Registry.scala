@@ -2049,6 +2049,19 @@ object Registry {
         (s, d) => Multimodal.codecZooFeatures(
           Multimodal.imageCorpusZoo(docs(s, d))),
         Some(Multimodal.codecZooFeaturesSql)),
+
+      // REAL video codec (r14): RIFF/AVI demux (uncompressed DIB '00db'
+      // frames) + every-Nth-frame sampling — the former stub slicer's
+      // contract over an actual container. Doc-level summary incl.
+      // truncated-AVI quarantine rows…
+      Q("multimodal_avi_decode",
+        (s, d) => Multimodal.videoSummary(Multimodal.videoCorpus(docs(s, d))),
+        Some(Multimodal.videoSummarySql)),
+      // …and the per-sampled-frame table a vision pipeline feeds
+      // downstream (ysum is the bottom-up-row-mapping witness).
+      Q("multimodal_avi_frames",
+        (s, d) => Multimodal.videoFrames(Multimodal.videoCorpus(docs(s, d))),
+        Some(Multimodal.videoFramesSql)),
     )
   }
 

@@ -323,6 +323,12 @@ object Multimodal {
       (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8) "jpeg"
     else if (payload.length >= 4 && payload(0) == 'G' && payload(1) == 'I' &&
       payload(2) == 'F' && payload(3) == '8') "gif"
+    else if (payload.length >= 12 && payload(0) == 'R' && payload(1) == 'I' &&
+      payload(2) == 'F' && payload(3) == 'F' && payload(8) == 'A' &&
+      payload(9) == 'V' && payload(10) == 'I' && payload(11) == ' ') "avi"
+    else if (payload.length >= 12 && payload(0) == 'R' && payload(1) == 'I' &&
+      payload(2) == 'F' && payload(3) == 'F' && payload(8) == 'W' &&
+      payload(9) == 'A' && payload(10) == 'V' && payload(11) == 'E') "wav"
     else "unknown"
 
   /** Mixed-container synthetic corpus: PNG for even doc_ids, BMP for odd
@@ -451,8 +457,11 @@ object Multimodal {
 
   /** Frame sampling for video/audio payloads: one media row explodes to
     * its sampled frames (doc_id, frame_idx, frame_bytes, frame_sha).
-    * STUB SLICER: a "frame" is a deterministic fixed-stride byte slice of
-    * the payload (no video codec in this container); the Spark-side
+    * STUB SLICER kept as the codec-agnostic byte-slice contract (a
+    * "frame" is a deterministic fixed-stride byte slice); the REAL
+    * container-aware form is the RIFF/AVI leg below ([[videoCorpus]] →
+    * [[videoFrames]], r14), which demuxes actual '00db' DIB frames with
+    * the same every-Nth sampling. The Spark-side
     * contract is real — explode to a frames table via a generator over a
     * binary column, per-frame metadata as codegen'd expressions — and a
     * real demuxer drops into the slice lambda. `stride` is the sampling
@@ -676,4 +685,323 @@ object Multimodal {
       |  CASE WHEN doc_id % 97 = 0 THEN 0 ELSE peak_abs END AS peak_abs,
       |  CASE WHEN doc_id % 97 = 0 THEN CAST(0 AS BIGINT) ELSE sum_abs END AS sum_abs
       |FROM agg ORDER BY doc_id""".stripMargin
+
+  // ---- REAL video codec path: RIFF/AVI, the WAV leg's video sibling ----
+  //
+  // The former "no video codec in this container" stub ([[sampleFrames]],
+  // kept as the generic byte-slicer contract) is retired as the only
+  // stubbed decode: AVI is a RIFF container (the same chunk grammar the
+  // WAV leg already walks) and an UNCOMPRESSED stream ('DIB ' handler,
+  // BI_RGB 24-bit bottom-up frames in '00db' chunks) needs no codec
+  // library — container demux + frame decode are both pure byte work,
+  // which is what makes a REAL video leg possible in this sandbox.
+  // Ref shape: the reference treats media as opaque payloads; this leg is
+  // the LLM-pipeline extension (frame sampling for vision training data).
+
+  final case class VideoPayload(doc_id: Long, payload: Array[Byte])
+  final case class VideoSummary(
+      doc_id: Long, decoded_ok: Boolean, width: Int, height: Int,
+      n_frames: Int, frames_sampled: Int, sum_r: Long, sum_g: Long,
+      sum_b: Long, ysum: Long)
+  final case class VideoFrame(
+      doc_id: Long, frame_idx: Int, width: Int, height: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long, ysum: Long)
+
+  /** Deterministic per-doc video spec: 2-14 px wide (so the DIB 4-byte
+    * row padding is actually exercised — 3·w is rarely a multiple of 4),
+    * 1-7 px tall, 1-5 frames.
+    */
+  def videoSpec(id: Long): (Int, Int, Int) =
+    ((id % 13 + 2).toInt, (id % 7 + 1).toInt, (id % 5 + 1).toInt)
+
+  /** Channel values for frame f, pixel (x, y) of doc `id` — a per-frame
+    * gradient (not a solid fill) so the oracle's per-pixel fan-out only
+    * matches if the decoder honors row order, padding, and BGR layout.
+    */
+  def videoPixel(id: Long, f: Int, x: Int, y: Int): (Int, Int, Int) = (
+    ((id + 7L * f + 3L * x + 5L * y) % 256).toInt,
+    ((id * 3 + 11L * f + x + 2L * y) % 256).toInt,
+    ((id * 5 + 13L * f + 2L * x + y) % 256).toInt)
+
+  /** Build a canonical RIFF/AVI file: LIST(hdrl){avih, LIST(strl){strh
+    * 'vids'/'DIB ', strf BITMAPINFOHEADER}}, LIST(movi){n × '00db'
+    * uncompressed bottom-up BGR24 DIB frames, rows padded to 4 bytes},
+    * idx1. Pure ByteBuffer, little-endian throughout.
+    */
+  def makeAvi(width: Int, height: Int, nFrames: Int,
+      pixel: (Int, Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val rowStride = (width * 3 + 3) & ~3
+    val frameSize = rowStride * height
+    val hdrlSize = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+    val moviSize = 4 + nFrames * (8 + frameSize)
+    val idx1Size = nFrames * 16
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize) + (8 + idx1Size)
+    val bb = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(s: String): Unit = bb.put(s.getBytes("US-ASCII"))
+    fourcc("RIFF"); bb.putInt(riffSize); fourcc("AVI ")
+    fourcc("LIST"); bb.putInt(hdrlSize); fourcc("hdrl")
+    fourcc("avih"); bb.putInt(56)
+    bb.putInt(40000) // dwMicroSecPerFrame (25 fps)
+    bb.putInt(frameSize * 25); bb.putInt(0)
+    bb.putInt(0x10) // AVIF_HASINDEX
+    bb.putInt(nFrames); bb.putInt(0); bb.putInt(1) // totalframes, initial, streams
+    bb.putInt(frameSize); bb.putInt(width); bb.putInt(height)
+    bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0) // dwReserved[4]
+    fourcc("LIST"); bb.putInt(4 + (8 + 56) + (8 + 40)); fourcc("strl")
+    fourcc("strh"); bb.putInt(56)
+    fourcc("vids"); fourcc("DIB ")
+    bb.putInt(0); bb.putInt(0); bb.putInt(0) // flags, prio+lang, initial
+    bb.putInt(1); bb.putInt(25) // scale, rate (25 fps)
+    bb.putInt(0); bb.putInt(nFrames) // start, length
+    bb.putInt(frameSize); bb.putInt(-1); bb.putInt(0) // bufsize, quality, samplesize
+    bb.putShort(0); bb.putShort(0)
+    bb.putShort(width.toShort); bb.putShort(height.toShort) // rcFrame
+    fourcc("strf"); bb.putInt(40)
+    bb.putInt(40); bb.putInt(width); bb.putInt(height) // biSize, w, h (bottom-up)
+    bb.putShort(1); bb.putShort(24) // planes, bitcount
+    bb.putInt(0); bb.putInt(frameSize) // BI_RGB, sizeimage
+    bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    fourcc("LIST"); bb.putInt(moviSize); fourcc("movi")
+    var f = 0
+    while (f < nFrames) {
+      fourcc("00db"); bb.putInt(frameSize)
+      var y = height - 1 // bottom-up: last image row first
+      while (y >= 0) {
+        var x = 0
+        while (x < width) {
+          val (r, g, b) = pixel(f, x, y)
+          bb.put(b.toByte); bb.put(g.toByte); bb.put(r.toByte) // BGR
+          x += 1
+        }
+        var pad = width * 3
+        while (pad < rowStride) { bb.put(0.toByte); pad += 1 }
+        y -= 1
+      }
+      f += 1
+    }
+    fourcc("idx1"); bb.putInt(idx1Size)
+    f = 0
+    var off = 4 // idx1 offsets are relative to the start of 'movi' data
+    while (f < nFrames) {
+      fourcc("00db"); bb.putInt(0x10) // AVIIF_KEYFRAME
+      bb.putInt(off); bb.putInt(frameSize)
+      off += 8 + frameSize
+      f += 1
+    }
+    bb.array()
+  }
+
+  /** Proper two-level RIFF walk (the WAV walker's grammar, plus LIST
+    * recursion): validate RIFF/'AVI ', find LIST(hdrl)→avih for
+    * dims/frame count, then LIST(movi) and decode every '00db' chunk as
+    * a bottom-up padded BGR24 DIB, summing each channel per frame.
+    * Unknown chunks (JUNK, vedt, …) skip word-aligned at both levels.
+    * Any malformed payload → None, never a throw — same 100 TB contract
+    * as the image/audio legs. The header frame count must match the
+    * movi walk (a mismatch is corruption, not a dialect).
+    */
+  def parseAvi(bytes: Array[Byte]): Option[(Int, Int, Seq[(Long, Long, Long, Long)])] =
+    try {
+      if (bytes.length < 12) return None
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def str4(off: Int) = new String(bytes, off, 4, "US-ASCII")
+      if (str4(0) != "RIFF" || str4(8) != "AVI ") return None
+      var pos = 12
+      var dims: Option[(Int, Int, Int)] = None // width, height, totalframes
+      var movi: Option[(Int, Int)] = None // payload offset, size
+      while (pos + 8 <= bytes.length && (dims.isEmpty || movi.isEmpty)) {
+        val cid = str4(pos)
+        val sz = bb.getInt(pos + 4)
+        if (sz < 0 || pos + 8 + sz > bytes.length) return None
+        if (cid == "LIST" && sz >= 4) {
+          val listType = str4(pos + 8)
+          if (listType == "hdrl") {
+            // walk the hdrl sublist for the avih header chunk
+            var sub = pos + 12
+            val end = pos + 8 + sz
+            while (sub + 8 <= end && dims.isEmpty) {
+              val scid = str4(sub)
+              val ssz = bb.getInt(sub + 4)
+              if (ssz < 0 || sub + 8 + ssz > end) return None
+              if (scid == "avih" && ssz >= 56)
+                dims = Some((bb.getInt(sub + 8 + 32), bb.getInt(sub + 8 + 36),
+                  bb.getInt(sub + 8 + 16)))
+              sub += 8 + ssz + (ssz & 1)
+            }
+          } else if (listType == "movi") movi = Some((pos + 12, sz - 4))
+        }
+        pos += 8 + sz + (sz & 1)
+      }
+      (dims, movi) match {
+        case (Some((w, h, total)), Some((moff, msz)))
+            if w > 0 && h > 0 && total >= 0 =>
+          val rowStride = (w * 3 + 3) & ~3
+          val frames = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+          var p = moff
+          val end = moff + msz
+          while (p + 8 <= end) {
+            val cid = str4(p)
+            val sz = bb.getInt(p + 4)
+            if (sz < 0 || p + 8 + sz > end) return None
+            if (cid == "00db") {
+              if (sz != rowStride * h) return None // not a full BI_RGB frame
+              var sr = 0L; var sg = 0L; var sb = 0L; var ysum = 0L
+              var row = 0
+              while (row < h) {
+                // DIB rows are bottom-up: stored row `row` is image row
+                // h-1-row — ysum weights by the IMAGE y, so it only
+                // matches the oracle if this mapping is honored
+                val imgY = h - 1 - row
+                val rowOff = p + 8 + row * rowStride
+                var x = 0
+                while (x < w) {
+                  val b = bytes(rowOff + 3 * x) & 0xff
+                  val g = bytes(rowOff + 3 * x + 1) & 0xff
+                  val r = bytes(rowOff + 3 * x + 2) & 0xff
+                  sb += b; sg += g; sr += r
+                  ysum += imgY.toLong * (r + g + b)
+                  x += 1
+                }
+                row += 1
+              }
+              frames += ((sr, sg, sb, ysum))
+            }
+            p += 8 + sz + (sz & 1)
+          }
+          if (frames.length != total) None else Some((w, h, frames.toSeq))
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Synthetic video corpus: one tiny AVI per document (spec/pixels pure
+    * functions of doc_id), rendered inside mapPartitions — distributed,
+    * narrow. Docs with doc_id % 89 == 5 get a TRUNCATED payload (valid
+    * RIFF magic, so it sniffs as avi, but the movi walk runs off the end
+    * — the quarantine negative control, same as the audio leg's % 97).
+    */
+  def videoCorpus(documents: DataFrame): Dataset[VideoPayload] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).filter(col("doc_id").isNotNull).as[Long]
+      .mapPartitions(_.map { id =>
+        val (w, h, n) = videoSpec(id)
+        val avi = makeAvi(w, h, n, (f, x, y) => videoPixel(id, f, x, y))
+        VideoPayload(id, if (id % 89 == 5) avi.take(32) else avi)
+      })
+  }
+
+  /** videoCorpus → demux + doc-level summary with frame SAMPLING (every
+    * `stride`-th frame, the vision-pipeline "every Nth frame" op): dims,
+    * header-consistent frame count, and channel sums over the SAMPLED
+    * frames only. Corrupt rows surface as decoded_ok=false zeros.
+    */
+  def videoSummary(video: Dataset[VideoPayload], stride: Int = 2): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val spark = video.sparkSession
+    import spark.implicits._
+    video.mapPartitions(_.map { v =>
+      parseAvi(v.payload) match {
+        case Some((w, h, frames)) =>
+          val sampled = frames.zipWithIndex.collect {
+            case (s, i) if i % stride == 0 => s
+          }
+          VideoSummary(v.doc_id, decoded_ok = true, w, h, frames.length,
+            sampled.length, sampled.map(_._1).sum, sampled.map(_._2).sum,
+            sampled.map(_._3).sum, sampled.map(_._4).sum)
+        case None =>
+          VideoSummary(v.doc_id, decoded_ok = false, 0, 0, 0, 0, 0L, 0L, 0L, 0L)
+      }
+    }).toDF().orderBy("doc_id")
+  }
+
+  /** videoCorpus → per-SAMPLED-frame rows (doc_id, frame_idx, dims,
+    * channel sums) — the frames table a vision training pipeline feeds
+    * downstream. Quarantined docs contribute no rows (they are the
+    * summary query's decoded_ok=false rows).
+    */
+  def videoFrames(video: Dataset[VideoPayload], stride: Int = 2): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val spark = video.sparkSession
+    import spark.implicits._
+    video.mapPartitions(_.flatMap { v =>
+      parseAvi(v.payload).toSeq.flatMap { case (w, h, frames) =>
+        frames.zipWithIndex.collect { case ((sr, sg, sb, ys), i) if i % stride == 0 =>
+          VideoFrame(v.doc_id, i, w, h, sr, sg, sb, ys)
+        }
+      }
+    }).toDF().orderBy("doc_id", "frame_idx")
+  }
+
+  /** Oracle twin of videoCorpus→videoSummary (stride 2): spec fields
+    * from the doc_id formulas; channel sums recomputed over an explicit
+    * (frame, x, y) fan-out restricted to the sampled frames; corrupt
+    * rows (doc_id % 89 = 5) zeroed.
+    */
+  val videoSummarySql: String =
+    """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL),
+      |spec AS (
+      |  SELECT doc_id,
+      |    CAST(doc_id % 13 + 2 AS INTEGER) AS width,
+      |    CAST(doc_id % 7 + 1 AS INTEGER) AS height,
+      |    CAST(doc_id % 5 + 1 AS INTEGER) AS n_frames
+      |  FROM ids),
+      |px AS (
+      |  SELECT doc_id, width, height, n_frames, f, x, y
+      |  FROM spec,
+      |    LATERAL unnest(generate_series(0, n_frames - 1)) AS tf(f),
+      |    LATERAL unnest(generate_series(0, width - 1)) AS tx(x),
+      |    LATERAL unnest(generate_series(0, height - 1)) AS ty(y)
+      |  WHERE f % 2 = 0),
+      |agg AS (
+      |  SELECT doc_id, width, height, n_frames,
+      |    CAST(n_frames - n_frames // 2 AS INTEGER) AS frames_sampled,
+      |    CAST(SUM((doc_id + 7 * f + 3 * x + 5 * y) % 256) AS BIGINT) AS sum_r,
+      |    CAST(SUM((doc_id * 3 + 11 * f + x + 2 * y) % 256) AS BIGINT) AS sum_g,
+      |    CAST(SUM((doc_id * 5 + 13 * f + 2 * x + y) % 256) AS BIGINT) AS sum_b,
+      |    CAST(SUM(y * ((doc_id + 7 * f + 3 * x + 5 * y) % 256
+      |      + (doc_id * 3 + 11 * f + x + 2 * y) % 256
+      |      + (doc_id * 5 + 13 * f + 2 * x + y) % 256)) AS BIGINT) AS ysum
+      |  FROM px GROUP BY 1, 2, 3, 4, 5)
+      |SELECT doc_id,
+      |  doc_id % 89 <> 5 AS decoded_ok,
+      |  CASE WHEN doc_id % 89 = 5 THEN 0 ELSE width END AS width,
+      |  CASE WHEN doc_id % 89 = 5 THEN 0 ELSE height END AS height,
+      |  CASE WHEN doc_id % 89 = 5 THEN 0 ELSE n_frames END AS n_frames,
+      |  CASE WHEN doc_id % 89 = 5 THEN 0 ELSE frames_sampled END AS frames_sampled,
+      |  CASE WHEN doc_id % 89 = 5 THEN CAST(0 AS BIGINT) ELSE sum_r END AS sum_r,
+      |  CASE WHEN doc_id % 89 = 5 THEN CAST(0 AS BIGINT) ELSE sum_g END AS sum_g,
+      |  CASE WHEN doc_id % 89 = 5 THEN CAST(0 AS BIGINT) ELSE sum_b END AS sum_b,
+      |  CASE WHEN doc_id % 89 = 5 THEN CAST(0 AS BIGINT) ELSE ysum END AS ysum
+      |FROM agg ORDER BY doc_id""".stripMargin
+
+  /** Oracle twin of videoCorpus→videoFrames (stride 2): per sampled
+    * frame, the same pixel-formula fan-out; quarantined docs excluded.
+    */
+  val videoFramesSql: String =
+    """WITH ids AS (
+      |  SELECT doc_id FROM documents
+      |  WHERE doc_id IS NOT NULL AND doc_id % 89 <> 5),
+      |spec AS (
+      |  SELECT doc_id,
+      |    CAST(doc_id % 13 + 2 AS INTEGER) AS width,
+      |    CAST(doc_id % 7 + 1 AS INTEGER) AS height,
+      |    CAST(doc_id % 5 + 1 AS INTEGER) AS n_frames
+      |  FROM ids),
+      |px AS (
+      |  SELECT doc_id, width, height, f, x, y
+      |  FROM spec,
+      |    LATERAL unnest(generate_series(0, n_frames - 1)) AS tf(f),
+      |    LATERAL unnest(generate_series(0, width - 1)) AS tx(x),
+      |    LATERAL unnest(generate_series(0, height - 1)) AS ty(y)
+      |  WHERE f % 2 = 0)
+      |SELECT doc_id, CAST(f AS INTEGER) AS frame_idx, width, height,
+      |  CAST(SUM((doc_id + 7 * f + 3 * x + 5 * y) % 256) AS BIGINT) AS sum_r,
+      |  CAST(SUM((doc_id * 3 + 11 * f + x + 2 * y) % 256) AS BIGINT) AS sum_g,
+      |  CAST(SUM((doc_id * 5 + 13 * f + 2 * x + y) % 256) AS BIGINT) AS sum_b,
+      |  CAST(SUM(y * ((doc_id + 7 * f + 3 * x + 5 * y) % 256
+      |    + (doc_id * 3 + 11 * f + x + 2 * y) % 256
+      |    + (doc_id * 5 + 13 * f + 2 * x + y) % 256)) AS BIGINT) AS ysum
+      |FROM px GROUP BY 1, 2, 3, 4
+      |ORDER BY doc_id, frame_idx""".stripMargin
 }
