@@ -158,7 +158,16 @@ class PlanBudgetSpec extends SparkSpec {
     "heavy_hitters_cms" -> 6,
     // md5-HLL: register max-agg + type-distinct + exact-distinct (2) +
     // output sort; both register/estimate joins are BROADCAST
-    "cardinality_hll" -> 5)
+    "cardinality_hll" -> 5,
+    // r14 plot raster: predictions pipeline (4) + bounds 1-row agg +
+    // px/py overplot agg + output sort; bounds join is BROADCAST and
+    // the collect is canvas-bounded
+    "validation_scatter_raster" -> 7,
+    // same upstream + the by-hour agg feeding both vertices and bounds
+    "validation_by_hour_pixels" -> 8,
+    // r14 AVI codec: narrow mapPartitions demux — the 1 is the output sort
+    "multimodal_avi_decode" -> 1,
+    "multimodal_avi_frames" -> 1)
   // lsh_incremental_newdocs carries NO textual budget: its persisted
   // batch-signature subtree re-prints under every band join, making the
   // string count cache-state-dependent across suite orders (12 by
