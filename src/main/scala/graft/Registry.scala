@@ -1543,6 +1543,12 @@ object Registry {
         Some(Dedup.minhashSignaturesSql)),
       Q("dedup_minhash_pairs", (s, d) => Dedup.minhashPairs(docs(s, d)),
         Some(Dedup.minhashPairsSql)),
+      // r14: LSH banding calibration — actual + S-curve-expected capture
+      // per (bands × rows) factorization of the same 8-hash signatures,
+      // over the shipping banding's pair frame (never all-pairs); the
+      // expected side crosses engines as exact BIGINT numerators /8^8
+      Q("lsh_band_calibration", (s, d) => Dedup.lshBandCalibration(docs(s, d)),
+        Some(Dedup.lshBandCalibrationSql)),
       Q("dedup_ngram_jaccard", (s, d) => Dedup.ngramJaccard(docs(s, d)),
         Some(Dedup.ngramJaccardSql)),
 
@@ -1837,6 +1843,13 @@ object Registry {
         (s, d) => Knn.semDedupKeepPinned(embs(s, d),
           SemDedupFixture.centroids, tau = 0.3),
         Some(Knn.semDedupKeepPinnedSql(SemDedupFixture.centroids, tau = 0.3))),
+      // r14: cluster labeling — top-5 distinctive terms per pinned
+      // embedding cell by cluster-level TF-IDF (cluster-as-document),
+      // text joined 1:1 on vec_id = doc_id
+      Q("cluster_keywords",
+        (s, d) => Knn.clusterKeywords(embs(s, d), docs(s, d),
+          SemDedupFixture.centroids),
+        Some(Knn.clusterKeywordsSql(SemDedupFixture.centroids))),
       // Product quantization ADC top-k, ORACLE-EXACT at the pinned
       // codebook (promoted r11, the knn_ivf pattern): codebooks are the
       // committed trained artifact (PqFixture — the deterministic

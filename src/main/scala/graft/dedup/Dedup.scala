@@ -141,6 +141,115 @@ object Dedup {
   val minhashPairsSql: String =
     s"WITH $PAIRS_CTE SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b"
 
+  // ---- LSH banding calibration (r14) ----------------------------------
+
+  /** The (bands, rows-per-band) factorizations of the 8-hash signature —
+    * every banding a pipeline could redeploy without recomputing
+    * signatures. The shipping config is (4, 2).
+    */
+  val BandConfigs: Seq[(Int, Int)] = Seq((8, 1), (4, 2), (2, 4), (1, 8))
+
+  /** EXACT capture-probability numerator at denominator 8^8: for a pair
+    * whose signatures agree on `k` of the 8 min-hashes, the
+    * signature-agreement Jaccard estimate is ŝ = k/8 and the classic LSH
+    * S-curve gives P(captured | b bands × r rows) = 1 − (1 − ŝ^r)^b
+    * = (8^8 − (8^r − k^r)^b · 8^(8−rb)) / 8^8 — all-integer for every
+    * config with r·b = 8, so the expected-capture SUM crosses engines as
+    * a BIGINT and only ONE double division happens at the end.
+    */
+  def captureNumerator(k: Int, b: Int, r: Int): Long = {
+    require(k >= 0 && k <= NumHashes && b * r == NumHashes,
+      s"need 0<=k<=8 and b*r=8, got k=$k b=$b r=$r")
+    def ipow(base: Long, e: Int): Long = (0 until e).foldLeft(1L)((a, _) => a * base)
+    ipow(8, 8) - ipow(ipow(8, r) - ipow(k.toLong, r), b)
+  }
+
+  /** LSH banding calibration report — the parameter-tuning pass a 100 TB
+    * dedup pipeline runs before changing its banding: over the pair
+    * frame the SHIPPING banding surfaces (never all-pairs), how many
+    * pairs would each alternative (b × r) factorization of the same
+    * 8-hash signatures still capture (recomputed from the per-hash
+    * agreement pattern — a pair is captured iff ANY of the b bands
+    * agrees on ALL its r hashes), and what capture count does the LSH
+    * S-curve predict from each pair's agreement estimate
+    * ([[captureNumerator]] — exact rational, BIGINT-summed). Actual vs
+    * expected per config exposes banding miscalibration; the
+    * more-bands-shorter-rows configs are monotonically more permissive.
+    *
+    * Scale shape: two id-keyed joins of the candidate frame onto the
+    * signature frame, then ONE aggregation per config over a
+    * pairs-sized frame; output is |configs| rows.
+    */
+  def lshBandCalibration(documents: DataFrame): DataFrame = {
+    val sigs = minhashSignaturesFrom(hashedShingles(documents)).persist()
+    val pairs = minhashPairsFrom(sigs)
+    val aSig = sigs.select(col("doc_id").as("doc_a") +:
+      (0 until NumHashes).map(k => col(s"mh$k").as(s"a$k")): _*)
+    val bSig = sigs.select(col("doc_id").as("doc_b") +:
+      (0 until NumHashes).map(k => col(s"mh$k").as(s"b$k")): _*)
+    val agree = pairs.join(aSig, Seq("doc_a")).join(bSig, Seq("doc_b"))
+      .select((0 until NumHashes).map(k =>
+        (col(s"a$k") === col(s"b$k")).cast("int").as(s"ag$k")): _*)
+      .withColumn("k_agree",
+        (0 until NumHashes).map(k => col(s"ag$k")).reduce(_ + _))
+      .persist()
+    val perConfig = BandConfigs.map { case (b, r) =>
+      val captured = (0 until b).map { j =>
+        (0 until r).map(i => col(s"ag${j * r + i}") === 1).reduce(_ && _)
+      }.reduce(_ || _)
+      val pNum = (0 to NumHashes).foldLeft(lit(null).cast("long")) { (acc, k) =>
+        when(col("k_agree") === k, lit(captureNumerator(k, b, r))).otherwise(acc)
+      }
+      agree.agg(
+        count(lit(1)).as("n_pairs"),
+        sum(captured.cast("long")).as("n_captured"),
+        sum(pNum).as("p_num"))
+        .select(
+          lit(b).as("bands"), lit(r).as("rows_per_band"),
+          col("n_pairs"),
+          coalesce(col("n_captured"), lit(0L)).as("n_captured"),
+          when(col("n_pairs") === 0, lit(0.0))
+            .otherwise(col("n_captured") / col("n_pairs")).as("capture_rate"),
+          (coalesce(col("p_num"), lit(0L)) / lit(16777216L) / lit(1.0))
+            .as("expected_captured"))
+    }
+    perConfig.reduce(_ unionByName _).orderBy(col("bands").desc)
+  }
+
+  /** DuckDB twin of [[lshBandCalibration]]: the shared signature/pair
+    * CTEs, the same per-hash agreement pattern, the same band-AND/OR
+    * recompute per config, and the same exact BIGINT capture numerators
+    * (inlined from the same [[captureNumerator]] arithmetic).
+    */
+  val lshBandCalibrationSql: String = {
+    val agreeCols = (0 until NumHashes)
+      .map(k => s"CAST(a.mh$k = b.mh$k AS INTEGER) AS ag$k").mkString(", ")
+    val kAgree = (0 until NumHashes).map(k => s"ag$k").mkString(" + ")
+    val legs = BandConfigs.map { case (b, r) =>
+      val captured = (0 until b).map { j =>
+        "(" + (0 until r).map(i => s"ag${j * r + i} = 1").mkString(" AND ") + ")"
+      }.mkString(" OR ")
+      val pNum = "CASE k_agree " + (0 to NumHashes)
+        .map(k => s"WHEN $k THEN CAST(${captureNumerator(k, b, r)} AS BIGINT)")
+        .mkString(" ") + " END"
+      s"""SELECT $b AS bands, $r AS rows_per_band,
+         |  COUNT(*) AS n_pairs,
+         |  CAST(COALESCE(SUM(CAST($captured AS BIGINT)), 0) AS BIGINT) AS n_captured,
+         |  CASE WHEN COUNT(*) = 0 THEN 0.0
+         |       ELSE CAST(COALESCE(SUM(CAST($captured AS BIGINT)), 0) AS BIGINT) / COUNT(*) END AS capture_rate,
+         |  CAST(COALESCE(SUM($pNum), 0) AS BIGINT) / 16777216 / 1.0 AS expected_captured
+         |FROM agree""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $PAIRS_CTE,
+       |agree0 AS (
+       |  SELECT $agreeCols
+       |  FROM cand c
+       |  JOIN sig a ON a.doc_id = c.doc_a
+       |  JOIN sig b ON b.doc_id = c.doc_b),
+       |agree AS (SELECT *, $kAgree AS k_agree FROM agree0)
+       |SELECT * FROM ($legs) u ORDER BY bands DESC""".stripMargin
+  }
+
   /** n-gram Jaccard similarity for LSH candidate pairs, computed over ONE
     * shared lineage: the persisted hashed-shingle frame feeds the
     * signatures (→ candidates) AND the per-doc shingle sets. The

@@ -1169,6 +1169,73 @@ object Knn {
        |  MIN(sqrt(n2)) AS min_norm, MAX(sqrt(n2)) AS max_norm
        |FROM asg GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Cluster LABELING at the pinned centroids (r14): top-k distinctive
+    * terms per embedding cluster by cluster-level TF-IDF
+    * (cluster-as-document, the sklearn-smoothed idf of
+    * [[graft.text.TextOps.tfidfTopTerms]] with N = number of occupied
+    * cells) — the "what is IN my clusters" report a curation pipeline
+    * runs against its frozen cluster model before acting on per-cluster
+    * decisions (SemDeDup pruning thresholds, mixture reweighting, topic
+    * caps). Text arrives from the documents table joined 1:1 on
+    * vec_id = doc_id (the testdata tables share the id space).
+    *
+    * Scale shape: the argmin assignment is narrow; explode → (cell,term)
+    * agg → df agg → term join → per-cell window over a frame bounded by
+    * cells × vocabulary, not corpus; the cell-count frame broadcasts.
+    * Determinism: tf/df are exact longs and ln over these rational
+    * inputs is bit-identical cross-engine (the tfidfTopTerms contract);
+    * ties break by term.
+    */
+  def clusterKeywords(embeddings: DataFrame, documents: DataFrame,
+      centroids: Array[Array[Double]], k: Int = 5): DataFrame = {
+    val e = withNorm(embeddings)
+      .withColumn("ne", expr("transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(n2))"))
+    val cb = typedLit(centroids.map(_.toSeq).toSeq)
+    val dists = transform(cb, cen => aggregate(
+      zip_with(col("ne"), cen, (x, c) => { val t = x - c; t * t }),
+      lit(0.0), (acc, d) => acc + d))
+    val asg = e.withColumn("ds", dists)
+      .withColumn("cell",
+        (array_position(col("ds"), array_min(col("ds"))) - 1).cast("int"))
+      .select(col("vec_id"), col("cell"))
+    val tok = documents.join(asg, col("doc_id") === col("vec_id"))
+      .select(col("cell"),
+        explode(graft.text.TextOps.toks(col("text"))).as("term"))
+    val tf = tok.groupBy("cell", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = asg.agg(countDistinct(col("cell")).as("n_cells"))
+    val scored = tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("tfidf", col("tf").cast("double") *
+        (log((lit(1.0) + col("n_cells")) / (lit(1.0) + col("df"))) + lit(1.0)))
+    val w = Window.partitionBy("cell").orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("cell", "term", "tf", "df", "tfidf", "rank")
+      .orderBy("cell", "rank")
+  }
+
+  /** DuckDB twin of [[clusterKeywords]]: the shared pinned-assignment
+    * chain, then the exact tfidfTopTermsSql shape at cell grain.
+    */
+  def clusterKeywordsSql(centroids: Array[Array[Double]], k: Int = 5): String =
+    s"""WITH ${pinnedAssignSqlCtes(centroids)},
+       |tok AS (
+       |  SELECT asg.cell,
+       |    unnest(string_split_regex(trim(lower(d.text)), '\\s+')) AS term
+       |  FROM documents d JOIN asg ON d.doc_id = asg.vec_id),
+       |tf AS (SELECT cell, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |ncells AS (SELECT COUNT(DISTINCT cell) AS n_cells FROM asg),
+       |scored AS (
+       |  SELECT tf.cell, tf.term, tf.tf, df.df,
+       |    CAST(tf.tf AS DOUBLE) * (ln((1.0 + ncells.n_cells) / (1.0 + df.df)) + 1.0) AS tfidf
+       |  FROM tf JOIN df USING (term) CROSS JOIN ncells),
+       |r AS (SELECT *,
+       |  ROW_NUMBER() OVER (PARTITION BY cell ORDER BY tfidf DESC, term) AS rank
+       |  FROM scored)
+       |SELECT cell, term, tf, df, tfidf, rank FROM r WHERE rank <= $k
+       |ORDER BY cell, rank""".stripMargin
+
   /** Per-cluster SIMPLIFIED SILHOUETTE at the same pinned centroids —
     * the cluster-quality report a pipeline runs against its frozen
     * cluster model. The classic silhouette needs all-pairs distances

@@ -167,7 +167,17 @@ class PlanBudgetSpec extends SparkSpec {
     "validation_by_hour_pixels" -> 8,
     // r14 AVI codec: narrow mapPartitions demux — the 1 is the output sort
     "multimodal_avi_decode" -> 1,
-    "multimodal_avi_frames" -> 1)
+    "multimodal_avi_frames" -> 1,
+    // r14 cluster labeling: doc⋈assignment + (cell,term) tf agg + term
+    // df agg + tf⋈df term join + per-cell window + output sort; the
+    // n-cells frame broadcasts
+    "cluster_keywords" -> 8)
+  // lsh_band_calibration carries NO textual budget for the same reason
+  // as lsh_incremental_newdocs above: its persisted signature/agreement
+  // subtrees re-print under every band join × config leg (48 textual vs
+  // 6 by formatted count). Its scale shape is the pair frame's (never
+  // all-pairs) and the output is 4 rows; LshCalibrationSpec pins the
+  // layout-independent report.
   // lsh_incremental_newdocs carries NO textual budget: its persisted
   // batch-signature subtree re-prints under every band join, making the
   // string count cache-state-dependent across suite orders (12 by
