@@ -1054,23 +1054,35 @@ object Knn {
     * spec-asserted; the fixture's provenance from
     * [[trainSemDedupCentroids]] is pinned by FixtureSpec.
     */
-  def semDedupKeepPinned(
-      embeddings: DataFrame, centroids: Array[Array[Double]],
-      tau: Double): DataFrame = {
+  /** Shared pinned-centroid argmin assignment — the Scala side of
+    * [[pinnedAssignSqlCtes]], extracted so the four pinned-serving
+    * operators (semDedup prune, sizes, silhouette, cluster keywords)
+    * can never drift from each other or from the SQL chain (r14
+    * review): normalized vectors, per-centroid squared distances `ds`,
+    * first-index-on-ties argmin `cell`. Narrow — no shuffle.
+    */
+  private def pinnedAssign(embeddings: DataFrame,
+      centroids: Array[Array[Double]]): DataFrame = {
     val e = withNorm(embeddings)
       .withColumn("ne", expr("transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(n2))"))
     val cb = typedLit(centroids.map(_.toSeq).toSeq)
     val dists = transform(cb, cen => aggregate(
       zip_with(col("ne"), cen, (x, c) => { val t = x - c; t * t }),
       lit(0.0), (acc, d) => acc + d))
+    e.withColumn("ds", dists)
+      .withColumn("cell",
+        (array_position(col("ds"), array_min(col("ds"))) - 1).cast("int"))
+  }
+
+  def semDedupKeepPinned(
+      embeddings: DataFrame, centroids: Array[Array[Double]],
+      tau: Double): DataFrame = {
     // persisted: pruneCells reads the assignment on both sides of the
     // self-join plus the final left join — without the cache, the
     // 16-centroid × 64-dim argmin subtree re-evaluates three times per
     // action (the frame is |corpus| × ~40 B, and Bench's between-rep
     // cleanup unpersists it)
-    val assigned = e
-      .withColumn("ds", dists)
-      .withColumn("cell", (array_position(col("ds"), array_min(col("ds"))) - 1).cast("int"))
+    val assigned = pinnedAssign(embeddings, centroids)
       .select("vec_id", "embedding", "n2", "cell")
       .persist()
     pruneCells(assigned, tau)
@@ -1147,15 +1159,8 @@ object Knn {
     */
   def kmeansSizesPinned(
       embeddings: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
-    val e = withNorm(embeddings)
-      .withColumn("ne", expr("transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(n2))"))
-    val cb = typedLit(centroids.map(_.toSeq).toSeq)
-    val dists = transform(cb, cen => aggregate(
-      zip_with(col("ne"), cen, (x, c) => { val t = x - c; t * t }),
-      lit(0.0), (acc, d) => acc + d))
-    e.withColumn("ds", dists)
-      .withColumn("cluster",
-        (array_position(col("ds"), array_min(col("ds"))) - 1).cast("int"))
+    pinnedAssign(embeddings, centroids)
+      .withColumnRenamed("cell", "cluster")
       .groupBy("cluster")
       .agg(count(lit(1)).as("n"),
         min(sqrt(col("n2"))).as("min_norm"),
@@ -1188,15 +1193,7 @@ object Knn {
     */
   def clusterKeywords(embeddings: DataFrame, documents: DataFrame,
       centroids: Array[Array[Double]], k: Int = 5): DataFrame = {
-    val e = withNorm(embeddings)
-      .withColumn("ne", expr("transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(n2))"))
-    val cb = typedLit(centroids.map(_.toSeq).toSeq)
-    val dists = transform(cb, cen => aggregate(
-      zip_with(col("ne"), cen, (x, c) => { val t = x - c; t * t }),
-      lit(0.0), (acc, d) => acc + d))
-    val asg = e.withColumn("ds", dists)
-      .withColumn("cell",
-        (array_position(col("ds"), array_min(col("ds"))) - 1).cast("int"))
+    val asg = pinnedAssign(embeddings, centroids)
       .select(col("vec_id"), col("cell"))
     val tok = documents.join(asg, col("doc_id") === col("vec_id"))
       .select(col("cell"),
@@ -1256,16 +1253,9 @@ object Knn {
     */
   def kmeansSilhouettePinned(
       embeddings: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
-    val e = withNorm(embeddings)
-      .withColumn("ne", expr("transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(n2))"))
-    val cb = typedLit(centroids.map(_.toSeq).toSeq)
-    val dists = transform(cb, cen => aggregate(
-      zip_with(col("ne"), cen, (x, c) => { val t = x - c; t * t }),
-      lit(0.0), (acc, d) => acc + d))
     val denom = greatest(col("a"), col("b"))
-    e.withColumn("ds", dists)
-      .withColumn("cluster",
-        (array_position(col("ds"), array_min(col("ds"))) - 1).cast("int"))
+    pinnedAssign(embeddings, centroids)
+      .withColumnRenamed("cell", "cluster")
       .withColumn("sd", array_sort(col("ds")))
       .withColumn("a", sqrt(element_at(col("sd"), 1)))
       .withColumn("b", sqrt(element_at(col("sd"), 2)))
