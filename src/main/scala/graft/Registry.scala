@@ -1480,6 +1480,14 @@ object Registry {
       // spec-asserted on dirty strings
       Q("normalize_text", (s, d) => TextOps.normalizeText(docs(s, d)),
         Some(TextOps.normalizeTextSql)),
+      // r14: HTML → text extraction (the web-corpus front door) — the
+      // generator wraps each doc's text in a full entity-escaped page
+      // (head/nav/script/style boilerplate, bold wraps, entity traps)
+      // and the extractor must invert it exactly; the oracle computes
+      // the expected round trip straight from the source text
+      Q("html_extract",
+        (s, d) => TextOps.extractHtmlText(TextOps.htmlCorpus(docs(s, d))),
+        Some(TextOps.extractHtmlTextSql)),
       Q("props_redacted",
         (s, d) => TextOps.redactDigits(TestdataAdapter.table(s, d, "events"), "props"),
         Some(TextOps.redactDigitsSql("props"))),

@@ -1691,4 +1691,105 @@ object TextOps {
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / t.total AS cum_share
        |FROM top, total t
        |ORDER BY rank""".stripMargin
+
+  // ---- HTML → text extraction (r14) -----------------------------------
+  //
+  // The web-corpus front door (trafilatura/jusText/resiliparse territory):
+  // a crawl arrives as markup, and the FIRST pipeline op is extracting
+  // main-content text — dropping head/script/style/nav blocks, stripping
+  // tags, decoding entities, collapsing whitespace. Same verification
+  // discipline as the image/audio/video codecs: a deterministic generator
+  // wraps each document's text in a full HTML page (entity-escaped, like
+  // any real HTML emitter), the extractor recovers it, and the DuckDB
+  // twin computes the expected round trip STRAIGHT FROM the source text —
+  // the hash gate then proves the extractor inverts the markup exactly.
+
+  /** One deterministic HTML page around a document's text: head with
+    * title+style, nav boilerplate, an h1, the entity-escaped text split
+    * into 12-word paragraphs with every 7th word bold-wrapped, a script
+    * block (with `<`/`&&` inside — the classic naive-strip trap), and a
+    * kept paragraph carrying the five standard entities. Escaping order
+    * (& first) is what makes decode-&-last an exact inverse.
+    */
+  def makeHtml(id: Long, text: String): String = {
+    val esc = Option(text).getOrElse("")
+      .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val words = esc.trim.split("\\s+").filter(_.nonEmpty)
+    val decorated = words.zipWithIndex.map {
+      case (w, i) if i % 7 == 6 => s"<b>$w</b>"
+      case (w, _) => w
+    }
+    val paras = decorated.grouped(12)
+      .map(g => s"<p>${g.mkString(" ")}</p>").mkString("\n")
+    s"""<html><head><title>Doc $id</title><style>p{color:#111;margin:0 0 1em}</style></head>
+       |<body>
+       |<nav><a href="/">home</a> | <a href="/about">about</a></nav>
+       |<h1>Doc $id</h1>
+       |$paras
+       |<script type="text/javascript">var x = $id < 42 && x > 0;</script>
+       |<p>Contact: AT&amp;T &lt;support&gt; &quot;24/7&quot; &#39;line&#39;</p>
+       |</body></html>""".stripMargin
+  }
+
+  /** Synthetic HTML corpus: (doc_id, html) via [[makeHtml]], rendered
+    * inside mapPartitions — distributed, narrow, generator inside the
+    * hash gate like the media corpora.
+    */
+  def htmlCorpus(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text"))
+      .filter(col("doc_id").isNotNull)
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) => (id, makeHtml(id, text)) })
+      .toDF("doc_id", "html")
+  }
+
+  /** The extractor: block removal (head/script/style/nav — dotall
+    * non-greedy, so a `<`/`&&` INSIDE a script cannot leak), tag→SPACE
+    * strip (block boundaries must separate words, not weld them),
+    * entity decode with `&amp;` LAST (the escape inverse), whitespace
+    * collapse. Pure regexp/replace column chain — narrow, whole-stage
+    * codegen, no UDF, no parser object; the plan is a scan + project +
+    * output sort at any corpus size.
+    */
+  def extractHtmlText(htmlDocs: DataFrame): DataFrame = {
+    val noBlocks = Seq("head", "script", "style", "nav")
+      .foldLeft(col("html")) { (c, t) =>
+        regexp_replace(c, s"(?s)<$t\\b[^>]*>.*?</$t>", " ")
+      }
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    // entity names contain no regex metacharacters and the replacements
+    // no $/\ specials, so plain regexp_replace IS a literal replace here
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, ch)) => regexp_replace(c, e, ch) }
+    val extracted = trim(regexp_replace(decoded, "\\s+", " "))
+    htmlDocs.select(
+      col("doc_id"),
+      extracted.as("extracted"),
+      length(extracted).cast("long").as("n_chars_text"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of htmlCorpus→[[extractHtmlText]]: the expected
+    * extraction computed STRAIGHT FROM the source text — 'Doc {id}' +
+    * the whitespace-normalized text + the decoded contact line (in
+    * template order: h1, paragraphs, the kept contact paragraph; head/
+    * nav/script content absent). Hash equality proves the extractor
+    * inverts the generator's markup and escaping exactly.
+    */
+  val extractHtmlTextSql: String =
+    raw"""WITH src AS (
+       |  SELECT doc_id, COALESCE(text, '') AS t FROM documents WHERE doc_id IS NOT NULL),
+       |x AS (
+       |  SELECT doc_id,
+       |    trim(regexp_replace(
+       |      'Doc ' || CAST(doc_id AS VARCHAR) || ' ' || t ||
+       |      ' Contact: AT&T <support> "24/7" ''line''',
+       |      '\s+', ' ', 'g')) AS extracted
+       |  FROM src)
+       |SELECT doc_id, extracted,
+       |  CAST(length(extracted) AS BIGINT) AS n_chars_text
+       |FROM x ORDER BY doc_id""".stripMargin
 }

@@ -171,7 +171,10 @@ class PlanBudgetSpec extends SparkSpec {
     // r14 cluster labeling: doc⋈assignment + (cell,term) tf agg + term
     // df agg + tf⋈df term join + per-cell window + output sort; the
     // n-cells frame broadcasts
-    "cluster_keywords" -> 8)
+    "cluster_keywords" -> 8,
+    // r14 HTML extraction: generator mapPartitions + columnar regexp
+    // extract — the 1 is the output sort
+    "html_extract" -> 1)
   // lsh_band_calibration carries NO textual budget for the same reason
   // as lsh_incremental_newdocs above: its persisted signature/agreement
   // subtrees re-print under every band join × config leg (48 textual vs
