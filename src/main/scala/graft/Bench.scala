@@ -166,7 +166,7 @@ object Bench {
     // this round's fastest rep > 2× the baseline's slowest rep.
     case class B(min: Double, median: Double, max: Double)
     val baselinePath = sys.env.getOrElse(
-      "SPARK_GRAFT_BENCH_BASELINE", "bench_r14_baseline.json")
+      "SPARK_GRAFT_BENCH_BASELINE", "bench_r15_baseline.json")
     val baseline: Map[String, B] =
       try {
         val f = java.nio.file.Paths.get(baselinePath)
@@ -234,9 +234,17 @@ object Bench {
         "\"" + r.name + "\":{\"ratio\":" + fmt(ratio) + ",\"band_ok\":false,\"this_min\":" +
           fmt(r.min) + ",\"baseline_max\":" + fmt(b.max) + "}"
     }.mkString("{", ",", "}")
+    // r15 (VERDICT r14 item 8): the committed round artifact must be the
+    // REPRESENTATIVE sweep, not the last one — the selection rule rides
+    // in the JSON itself so a reader never has to reconstruct it.
+    // SPARK_GRAFT_SWEEP_NOTE overrides with the concrete choice made.
+    val sweepNote = sys.env.getOrElse("SPARK_GRAFT_SWEEP_NOTE",
+      "commit rule: of the round's final sweeps, ship the one whose " +
+        "ratio_median is the median (host drift makes any single sweep " +
+        "unrepresentative; see r14 verdict)").replace("\"", "'")
     val baseBlock =
       if (compared.isEmpty) ""
-      else s""","baseline":"$baselinePath","n_compared":${compared.length},"ratio_median":${fmt(ratioMedian)},"regressions":$regressions,"band_dismissed":$bandDismissed"""
+      else s""","baseline":"$baselinePath","n_compared":${compared.length},"ratio_median":${fmt(ratioMedian)},"regressions":$regressions,"band_dismissed":$bandDismissed,"sweep_note":"$sweepNote""""
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"spread":$spread,"variance_flags":$varianceFlags,"variance_causes":$varianceCauses,"sf":"$sfDir","runs":$runs,"stat":"trimmed_median"$baseBlock,"ratio_vs_baseline":$ratios,"band_ok":$bandOks,"partial_ok":$partial}"""
     // persist the FULL results object (all ~200 per-query timings) to a
     // file; at 200+ queries the one-line form is ~5 KB, which the driver's

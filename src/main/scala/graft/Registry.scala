@@ -25,3293 +25,17 @@ final case class Q(
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String])
 
-object Registry {
 
-  /** One persisted cluster-state (labels + signature index) per scale
-    * dir per JVM — the amortized corpus state `cluster_attach_incremental`
-    * attaches to (see that registration's comment).
-    */
-  private val clusterStateDirs =
-    scala.collection.concurrent.TrieMap.empty[String, Holder[String]]
-
-  /** One persisted mockflow-generator output per scale dir per JVM:
-    * `mockflow_events` and `mockflow_invariants` verify the SAME
-    * generated frame (the invariants query re-parses the events'
-    * provenance JSON), so generating twice — ~90 000 events plus a JSON
-    * render each, the suite's single biggest cost — bought nothing. The
-    * parquet round trip is exact (strings/doubles/timestamps), so both
-    * oracles see byte-identical events. Same amortization pattern as
-    * [[clusterStateDirs]].
-    */
-  private val mockflowDirs =
-    scala.collection.concurrent.TrieMap.empty[String, Holder[String]]
-
-  /** Full-corpus near-dup cluster labels (doc_id, cluster_id,
-    * cluster_size), persisted once per scale dir per JVM — shared by the
-    * r10 cluster-tail queries (`cluster_split_assign`,
-    * `cluster_best_keep`), whose point is the logic ON TOP of the
-    * labels; `dedup_clusters` itself still times the CC pipeline
-    * honestly. Deterministic, so the parquet hop is oracle-transparent.
-    */
-  private val fullClusterDirs =
-    scala.collection.concurrent.TrieMap.empty[String, Holder[String]]
-
-  /** Per-(form, scale dir) state dirs for the two streaming dedup-index
-    * queries — v0 seeds once per JVM, runs share the steady state.
-    */
-  private val dedupStreamStateDirs =
-    scala.collection.concurrent.TrieMap.empty[(String, String), Holder[String]]
-
-  /** Per-key run-at-most-once memoization: TrieMap.getOrElseUpdate may
-    * evaluate its thunk MORE THAN ONCE under concurrent first access
-    * (Verify runs queries on an 8-thread pool), and these thunks are
-    * exactly the expensive per-scale-dir seeds — double-running the
-    * full CC pipeline or the ~90k-event generate into a second temp dir
-    * whose result is then discarded wastes work and disk (ADVICE r10).
-    * The holder trick keeps the guarantee PER KEY: the race can at
-    * worst allocate two empty holders (one discarded unevaluated), the
-    * stored holder's `lazy val` runs the seed exactly once, and a slow
-    * seed for one key never blocks lookups or builds for another
-    * (map-wide `synchronized`, the first fix, did).
-    */
-  private final class Holder[V](thunk: () => V) { lazy val get: V = thunk() }
-
-  private def memo[K, V](
-      m: scala.collection.concurrent.TrieMap[K, Holder[V]])(k: K)(v: => V): V =
-    m.getOrElseUpdate(k, new Holder(() => v)).get
-
-  private def fullClusterLabels(
-      s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
-    val p = memo(fullClusterDirs)(d)({
-      val dir = java.nio.file.Files.createTempDirectory("graft_cc_full").toString
-      graft.dedup.Dedup.dedupClusters(
-        TestdataAdapter.table(s, d, "documents")
-          .select("doc_id", "text", "lang", "source", "n_chars"))
-        .write.mode("overwrite").parquet(s"$dir/labels")
-      dir
-    })
-    s.read.parquet(s"$p/labels")
-  }
-
-  private def mockflowGenerated(
-      s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
-    import graft.mockflow.MockFlow
-    val p = memo(mockflowDirs)(d)({
-      val stops = MockFlow.seedBaseDemand(TestdataAdapter.flowEvents(s, d))
-      val hours = MockFlow.hoursContext(
-        Pipelines.weatherHourly(s, d), Pipelines.delayHourly(s, d))
-      val dir = java.nio.file.Files.createTempDirectory("graft_mockflow").toString
-      MockFlow.generate(stops, hours).write.mode("overwrite").parquet(s"$dir/events")
-      dir
-    })
-    s.read.parquet(s"$p/events")
-  }
-
-  // ---- DuckDB-side adapter CTE bodies (mirror graft.TestdataAdapter) ----
-  // CAST(ts AS TIMESTAMP) truncates the nanosecond parquet column to µs,
-  // matching the Spark side's integer DIV 1000.
-  private val VEH =
-    "SELECT event_type AS route_id, CAST(user_id AS VARCHAR) AS vehicle_id, CAST(ts AS TIMESTAMP) AS observed_at FROM events"
-  private val TRIP =
-    "SELECT event_type AS route_id, CAST(ts AS TIMESTAMP) AS observed_at, value AS delay_seconds FROM events"
-  private val FLOW =
-    "SELECT CAST(user_id AS VARCHAR) AS stop_id, CAST(ts AS TIMESTAMP) AS observed_at, value AS estimated_passengers FROM events"
-  private val WEA =
-    "SELECT CAST(ts AS TIMESTAMP) AS observed_at, value AS temperature_c, value/10.0 AS precipitation_mm, value/100.0 AS wind_speed_mps FROM events"
-  private val S2R =
-    "SELECT DISTINCT CAST(user_id AS VARCHAR) AS stop_id, event_type AS route_id FROM events"
-
-  /** Decimal-exact SUM returned as double — oracle twin of Cols.detSum. */
-  private def dsum(e: String) = s"CAST(SUM(CAST(($e) AS DECIMAL(28,6))) AS DOUBLE)"
-
-  /** Two-batch incremental-dedup oracle: batch 1 vs corpus, batch 2 vs
-    * corpus ∪ batch 1 — shared by the in-plan (`bloom_incremental_newdocs`)
-    * and micro-batch streaming (`streaming_dedup_index_queue`) forms.
-    */
-  private val BLOOM_INCR_SQL =
-    """WITH c0 AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 3 <> 0),
-      |b1 AS (SELECT doc_id, lang, source, n_chars, md5(text) AS h
-      |       FROM documents WHERE doc_id % 3 = 0 AND doc_id % 2 = 0),
-      |b2 AS (SELECT doc_id, lang, source, n_chars, md5(text) AS h
-      |       FROM documents WHERE doc_id % 3 = 0 AND doc_id % 2 <> 0),
-      |c1 AS (SELECT h FROM c0 UNION SELECT h FROM b1),
-      |v1 AS (SELECT b1.doc_id, b1.lang, b1.source, b1.n_chars,
-      |         (c0.h IS NULL) AS is_new_exact, 1 AS batch_seq
-      |       FROM b1 LEFT JOIN c0 ON b1.h = c0.h),
-      |v2 AS (SELECT b2.doc_id, b2.lang, b2.source, b2.n_chars,
-      |         (c1.h IS NULL) AS is_new_exact, 2 AS batch_seq
-      |       FROM b2 LEFT JOIN c1 ON b2.h = c1.h)
-      |SELECT doc_id, lang, source, n_chars, is_new_exact, batch_seq
-      |FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
-      |ORDER BY doc_id""".stripMargin
-
-  /** The ingestor-side schema of the trip-update wire record (S6),
-    * shared by the direct consumer leg and the graftqueue round trip.
-    */
-  private val TRIP_WIRE_SCHEMA = org.apache.spark.sql.types.StructType.fromDDL(
-    "event_type STRING, entity_id STRING, timestamp STRING, " +
-      "ingested_at STRING, source STRING, " +
-      "payload STRUCT<trip_id: STRING, route_id: STRING, " +
-      "delay_seconds: INT, stop_updates: ARRAY<STRUCT<" +
-      "stop_id: STRING, arrival_delay: INT, departure_delay: INT>>>")
-
-  /** Decimal-exact AVG — oracle twin of Cols.detAvg. */
-  private def davg(e: String) = s"${dsum(e)} / COUNT($e)"
-
-  // ---- hourly-view SQL bodies (composed into several oracles) ----
-  private val DEMAND_BODY =
-    s"""SELECT r.route_id AS route_id, date_trunc('hour', f.observed_at) AS hour_ts,
-       |  ${dsum("f.estimated_passengers")} AS passengers
-       |FROM f JOIN s2r r USING (stop_id)
-       |GROUP BY 1, 2""".stripMargin
-
-  private val DELAY_BODY =
-    s"""SELECT route_id, date_trunc('hour', observed_at) AS hour_ts,
-       |  COUNT(*) AS trip_update_events, ${davg("delay_seconds")} AS avg_delay_seconds
-       |FROM t GROUP BY 1, 2""".stripMargin
-
-  private val VEHICLE_BODY =
-    """SELECT route_id, date_trunc('hour', observed_at) AS hour_ts,
-      |  COUNT(*) AS vehicle_events
-      |FROM v GROUP BY 1, 2""".stripMargin
-
-  private val WEATHER_BODY =
-    s"""SELECT date_trunc('hour', observed_at) AS hour_ts,
-       |  ${davg("temperature_c")} AS temperature_c,
-       |  ${davg("precipitation_mm")} AS precipitation_mm,
-       |  ${davg("wind_speed_mps")} AS wind_speed_mps
-       |FROM wx GROUP BY 1""".stripMargin
-
-  private val ML_DATASET_SQL =
-    s"""WITH s2r AS ($S2R), f AS ($FLOW), t AS ($TRIP), v AS ($VEH), wx AS ($WEA),
-       |d AS ($DEMAND_BODY),
-       |dl AS ($DELAY_BODY),
-       |vh AS ($VEHICLE_BODY),
-       |wh AS ($WEATHER_BODY)
-       |SELECT d.route_id, d.hour_ts, d.passengers,
-       |  COALESCE(dl.trip_update_events, 0) AS trip_update_events,
-       |  COALESCE(dl.avg_delay_seconds, 0.0) AS avg_delay_seconds,
-       |  COALESCE(vh.vehicle_events, 0) AS vehicle_events,
-       |  COALESCE(wh.temperature_c, 0.0) AS temperature_c,
-       |  COALESCE(wh.precipitation_mm, 0.0) AS precipitation_mm,
-       |  COALESCE(wh.wind_speed_mps, 0.0) AS wind_speed_mps,
-       |  CAST(EXTRACT(HOUR FROM d.hour_ts) AS INTEGER) AS hour,
-       |  CAST(dayofweek(d.hour_ts) AS INTEGER) AS day_of_week,
-       |  CAST(CASE WHEN EXTRACT(HOUR FROM d.hour_ts) BETWEEN 7 AND 9
-       |       OR EXTRACT(HOUR FROM d.hour_ts) BETWEEN 16 AND 18 THEN 1 ELSE 0 END AS INTEGER) AS is_peak
-       |FROM d
-       |LEFT JOIN dl ON d.route_id = dl.route_id AND d.hour_ts = dl.hour_ts
-       |LEFT JOIN vh ON d.route_id = vh.route_id AND d.hour_ts = vh.hour_ts
-       |LEFT JOIN wh ON d.hour_ts = wh.hour_ts
-       |ORDER BY d.route_id, d.hour_ts""".stripMargin
-
-  // ---- KPI SQL bodies ----
-  private val KPI_ACTIVE_BODY =
-    """SELECT route_id, date_trunc('hour', observed_at) AS hour_ts,
-      |  COUNT(DISTINCT vehicle_id) AS active_vehicles
-      |FROM v WHERE route_id IS NOT NULL GROUP BY 1, 2""".stripMargin
-
-  // Integer-µs headway (mirrors graft.views.Kpi.headwayHourly: exact long
-  // sums, floor to whole µs, one double division — no double→decimal
-  // rounding anywhere, which is engine-specific at half-boundaries).
-  private val KPI_HEADWAY_BODY =
-    """SELECT route_id, hour_ts,
-      |  CAST(floor(CAST(SUM(gap_us) AS DOUBLE) / COUNT(gap_us)) AS BIGINT) AS avg_headway_us,
-      |  CAST(floor(CAST(SUM(gap_us) AS DOUBLE) / COUNT(gap_us)) AS BIGINT) / 60000000.0 AS avg_headway_min
-      |FROM (
-      |  SELECT route_id, hour_ts,
-      |    CASE WHEN gap BETWEEN 30000000 AND 3600000000 THEN gap END AS gap_us
-      |  FROM (
-      |    SELECT route_id, hour_ts,
-      |      epoch_us(first_seen) - epoch_us(LAG(first_seen) OVER
-      |        (PARTITION BY route_id, hour_ts ORDER BY first_seen)) AS gap
-      |    FROM (
-      |      SELECT route_id, date_trunc('hour', observed_at) AS hour_ts, vehicle_id,
-      |        MIN(observed_at) AS first_seen
-      |      FROM v WHERE route_id IS NOT NULL GROUP BY 1, 2, 3)))
-      |GROUP BY 1, 2""".stripMargin
-
-  private val KPI_DELAY_BODY =
-    s"""SELECT route_id, date_trunc('hour', observed_at) AS hour_ts,
-       |  COUNT(*) AS trip_update_events, ${davg("delay_seconds")} AS avg_delay_seconds
-       |FROM t WHERE route_id IS NOT NULL GROUP BY 1, 2""".stripMargin
-
-  private val PRED_BODY =
-    "SELECT route_id, hour_ts, passengers * 0.95 AS y_pred, passengers AS y_true FROM d"
-
-  /** kpi_hourly as CTE `k` (mirrors graft.views.Kpi.kpiHourly over the
-    * deterministic pseudo-predictions of graft.Pipelines.predictions).
-    */
-  private val KPI_CTES =
-    s"""WITH s2r AS ($S2R), f AS ($FLOW), t AS ($TRIP), v AS ($VEH),
-       |d AS ($DEMAND_BODY),
-       |p AS ($PRED_BODY),
-       |av AS ($KPI_ACTIVE_BODY),
-       |hw AS ($KPI_HEADWAY_BODY),
-       |dl AS ($KPI_DELAY_BODY),
-       |k AS (
-       |  SELECT p.route_id, p.hour_ts,
-       |    p.y_pred AS predicted_passengers, p.y_true AS observed_passengers,
-       |    COALESCE(av.active_vehicles, 0) AS active_vehicles,
-       |    hw.avg_headway_min,
-       |    hw.avg_headway_us,
-       |    COALESCE(dl.trip_update_events, 0) AS trip_update_events,
-       |    COALESCE(dl.avg_delay_seconds, 0.0) AS avg_delay_seconds,
-       |    CAST(EXTRACT(HOUR FROM p.hour_ts) AS INTEGER) AS hour_of_day,
-       |    CAST(CASE WHEN EXTRACT(HOUR FROM p.hour_ts) BETWEEN 7 AND 9
-       |         OR EXTRACT(HOUR FROM p.hour_ts) BETWEEN 16 AND 18 THEN 1 ELSE 0 END AS INTEGER) AS is_peak_hour
-       |  FROM p
-       |  LEFT JOIN av ON p.route_id = av.route_id AND p.hour_ts = av.hour_ts
-       |  LEFT JOIN hw ON p.route_id = hw.route_id AND p.hour_ts = hw.hour_ts
-       |  LEFT JOIN dl ON p.route_id = dl.route_id AND p.hour_ts = dl.hour_ts)""".stripMargin
-
-  private val KPI_HOURLY_SQL =
-    s"$KPI_CTES SELECT * FROM k ORDER BY route_id, hour_ts"
-
-  /** Suggestion decision chain as CTEs ending in `s9` (mirrors
-    * graft.suggest.Suggestions.suggest step by step).
-    */
-  private val SUGG_CTES =
-    s"""$KPI_CTES,
-       |s1 AS (SELECT *,
-       |  CASE WHEN avg_headway_min IS NOT NULL AND avg_headway_min BETWEEN 0.5 AND 60.0 THEN avg_headway_min
-       |       WHEN COALESCE(active_vehicles, 0) > 0 THEN LEAST(GREATEST(60.0 / CAST(active_vehicles AS DOUBLE), 3.0), 30.0)
-       |       ELSE 12.0 END AS current_headway_min
-       |  FROM k),
-       |s2 AS (SELECT *, CASE WHEN current_headway_min > 0 THEN 60.0 / current_headway_min END AS trips_per_hour_est FROM s1),
-       |s3 AS (SELECT *, CASE WHEN trips_per_hour_est > 0 THEN 60.0 * trips_per_hour_est END AS capacity_est FROM s2),
-       |s4 AS (SELECT *,
-       |  CASE WHEN capacity_est > 0 AND predicted_passengers IS NOT NULL THEN predicted_passengers / capacity_est END AS load_factor,
-       |  CASE WHEN trips_per_hour_est > 0 AND predicted_passengers IS NOT NULL THEN predicted_passengers / trips_per_hour_est END AS passengers_per_trip_est
-       |  FROM s3),
-       |s5 AS (SELECT *,
-       |  CASE WHEN load_factor IS NULL OR isnan(load_factor) THEN 0.70
-       |       ELSE LEAST(GREATEST(1.0 - abs(load_factor - 1.0) * 0.35, 0.55), 1.0) END AS confidence
-       |  FROM s4),
-       |s6 AS (SELECT *,
-       |  (passengers_per_trip_est IS NULL OR trips_per_hour_est IS NULL) AS missing,
-       |  COALESCE(is_peak_hour, 0) AS peak,
-       |  COALESCE(predicted_passengers, 0.0) AS pred0
-       |  FROM s5),
-       |s7 AS (SELECT *,
-       |  COALESCE(NOT missing AND passengers_per_trip_est > 45.0, FALSE) AS is_increase,
-       |  COALESCE(NOT missing AND NOT (passengers_per_trip_est > 45.0) AND passengers_per_trip_est < 24.0 AND peak = 0, FALSE) AS is_decrease,
-       |  pred0 / 45.0 AS tphr_target
-       |  FROM s6),
-       |s8 AS (SELECT *,
-       |  LEAST(GREATEST(CASE WHEN tphr_target IS NOT NULL AND tphr_target > 0 THEN 60.0 / tphr_target ELSE current_headway_min * 0.85 END, 3.0), 30.0) AS raw_inc,
-       |  LEAST(GREATEST(CASE WHEN tphr_target IS NOT NULL AND tphr_target > 0 THEN 60.0 / tphr_target ELSE current_headway_min * 1.15 END, 3.0), 30.0) AS raw_dec,
-       |  CASE WHEN passengers_per_trip_est IS NOT NULL THEN LEAST(GREATEST((passengers_per_trip_est - 45.0) / 45.0, 0.0), 1.0) ELSE 0.0 END AS over_f,
-       |  LEAST(GREATEST(COALESCE(avg_delay_seconds, 0.0) / 600.0, 0.0), 1.0) AS delay_norm
-       |  FROM s7),
-       |s9 AS (SELECT *,
-       |  CASE WHEN is_increase THEN 'increase_frequency' WHEN is_decrease THEN 'decrease_frequency' ELSE 'keep' END AS action,
-       |  CASE WHEN missing THEN 'missing trip estimate'
-       |       WHEN is_increase THEN 'ppt > cap_target'
-       |       WHEN is_decrease THEN 'ppt < cap_low and off-peak'
-       |       ELSE 'within normal range' END AS rule,
-       |  CASE WHEN is_increase THEN LEAST(GREATEST(current_headway_min * (1.0 - 0.35 * confidence) + raw_inc * (0.35 * confidence), 3.0), 30.0)
-       |       WHEN is_decrease THEN LEAST(GREATEST(current_headway_min * (1.0 - 0.30 * confidence) + raw_dec * (0.30 * confidence), 3.0), 30.0)
-       |       ELSE current_headway_min END AS recommended_headway_min,
-       |  LEAST(GREATEST(0.60 * over_f + 0.20 * peak + 0.20 * delay_norm, 0.0), 1.0) AS priority_score
-       |  FROM s8)""".stripMargin
-
-  private val SUGGESTIONS_SQL =
-    s"""$SUGG_CTES
-       |SELECT route_id, hour_ts, predicted_passengers, observed_passengers, active_vehicles,
-       |  avg_headway_min, trip_update_events, avg_delay_seconds, hour_of_day, is_peak_hour,
-       |  current_headway_min, trips_per_hour_est, capacity_est, load_factor,
-       |  passengers_per_trip_est, confidence, action, rule, recommended_headway_min, priority_score
-       |FROM s9 WHERE action <> 'keep'
-       |ORDER BY route_id, hour_ts""".stripMargin
-
-  /** Full-frame suggestions oracle incl. the D6 reasons JSON, verified
-    * PER KEY: the Spark side re-parses its own `reasons` string with
-    * `from_json` (proving the serialized JSON carries the right value
-    * under the right key — Java shortest-roundtrip double text parses
-    * back bit-exact), and DuckDB computes each key's value directly from
-    * the decision chain. Covers all rows (keep included), all 14 base
-    * keys and the up-to-3 rule-branch keys of
-    * generate_suggestions.py:128-185.
-    */
-  private val SUGGESTIONS_FULL_SQL =
-    s"""$SUGG_CTES
-       |SELECT route_id, hour_ts, action, recommended_headway_min, priority_score,
-       |  predicted_passengers AS r_predicted_passengers,
-       |  observed_passengers AS r_observed_passengers,
-       |  CAST(active_vehicles AS BIGINT) AS r_active_vehicles,
-       |  avg_headway_min AS r_avg_headway_min,
-       |  current_headway_min AS r_current_headway_min,
-       |  trips_per_hour_est AS r_trips_per_hour_est,
-       |  capacity_est AS r_capacity_est_per_hour,
-       |  load_factor AS r_load_factor_per_hour,
-       |  passengers_per_trip_est AS r_passengers_per_trip_est,
-       |  45.0 AS r_cap_target_per_trip,
-       |  24.0 AS r_cap_low_per_trip,
-       |  COALESCE(avg_delay_seconds, 0.0) AS r_avg_delay_seconds,
-       |  CAST(peak AS INTEGER) AS r_is_peak_hour,
-       |  confidence AS r_confidence,
-       |  rule AS r_rule,
-       |  CASE WHEN is_increase OR is_decrease THEN tphr_target END AS r_trips_per_hour_target,
-       |  CASE WHEN is_increase THEN raw_inc WHEN is_decrease THEN raw_dec END
-       |    AS r_raw_recommended_headway_min
-       |FROM s9 ORDER BY route_id, hour_ts""".stripMargin
-
-  private val SUGG_HIST_SQL =
-    s"""$SUGG_CTES
-       |SELECT action, COUNT(*) AS n FROM s9 WHERE action <> 'keep'
-       |GROUP BY 1 ORDER BY 1""".stripMargin
-
-  private val LATEST_SNAPSHOT_SQL =
-    s"""$SUGG_CTES,
-       |mx AS (SELECT MAX(hour_ts) AS hour_ts FROM k),
-       |sg AS (SELECT route_id, hour_ts, action, recommended_headway_min, priority_score
-       |       FROM s9 WHERE action <> 'keep')
-       |SELECT k.route_id, k.hour_ts, k.predicted_passengers, k.observed_passengers,
-       |  k.active_vehicles, k.avg_headway_min, k.is_peak_hour,
-       |  COALESCE(sg.action, 'needs_data') AS action,
-       |  sg.recommended_headway_min,
-       |  COALESCE(sg.priority_score, 0.0) AS priority_score
-       |FROM k JOIN mx ON k.hour_ts = mx.hour_ts
-       |LEFT JOIN sg ON sg.route_id = k.route_id AND sg.hour_ts = k.hour_ts
-       |ORDER BY k.route_id""".stripMargin
-
-  /** D7 export-row CTE chain ending in `xr` (mirrors Export.exportRows:
-    * latest-hour KPI rows LEFT JOIN suggestions + status/message/deltas).
-    */
-  private val EXPORT_ROWS_CTES =
-    s"""$SUGG_CTES,
-       |mx AS (SELECT MAX(hour_ts) AS hour_ts FROM k),
-       |sg AS (SELECT route_id, hour_ts, action, current_headway_min,
-       |       recommended_headway_min, priority_score, confidence
-       |       FROM s9 WHERE action <> 'keep'),
-       |jx AS (
-       |  SELECT k.route_id, k.hour_ts, k.predicted_passengers, k.observed_passengers,
-       |    k.active_vehicles, k.avg_headway_min, k.is_peak_hour,
-       |    COALESCE(sg.action, 'needs_data') AS action,
-       |    sg.current_headway_min, sg.recommended_headway_min,
-       |    COALESCE(sg.priority_score, 0.0) AS priority_score,
-       |    COALESCE(sg.confidence, 0.0) AS confidence,
-       |    (COALESCE(k.active_vehicles, 0) > 0) AS has_veh,
-       |    (k.avg_headway_min IS NOT NULL AND NOT isnan(k.avg_headway_min)) AS has_hw
-       |  FROM k JOIN mx ON k.hour_ts = mx.hour_ts
-       |  LEFT JOIN sg ON sg.route_id = k.route_id AND sg.hour_ts = k.hour_ts),
-       |xr AS (
-       |  SELECT route_id, hour_ts, predicted_passengers, observed_passengers,
-       |    active_vehicles, avg_headway_min, is_peak_hour, action,
-       |    CASE WHEN has_veh AND has_hw THEN 'ok'
-       |         WHEN NOT has_veh AND NOT has_hw THEN 'missing_both'
-       |         WHEN NOT has_veh THEN 'missing_vehicles'
-       |         ELSE 'missing_headway' END AS status,
-       |    CASE WHEN NOT (has_veh AND has_hw) AND action = 'needs_data'
-       |           THEN 'Needs data (no vehicles/headway for this route-hour)'
-       |         WHEN action = 'increase_frequency' THEN 'Increase frequency (over capacity target)'
-       |         WHEN action = 'decrease_frequency' THEN 'Decrease frequency (under-utilized, off-peak)'
-       |         ELSE 'Keep current frequency' END AS message,
-       |    current_headway_min, recommended_headway_min,
-       |    CASE WHEN current_headway_min IS NOT NULL AND recommended_headway_min IS NOT NULL
-       |           AND current_headway_min > 0
-       |         THEN recommended_headway_min - current_headway_min END AS delta_headway_min,
-       |    CASE WHEN current_headway_min IS NOT NULL AND recommended_headway_min IS NOT NULL
-       |           AND current_headway_min > 0
-       |         THEN (recommended_headway_min / current_headway_min - 1.0) * 100.0 END AS delta_headway_pct,
-       |    priority_score, confidence
-       |  FROM jx)""".stripMargin
-
-  private val EXPORT_ROWS_SQL =
-    s"""$EXPORT_ROWS_CTES
-       |SELECT route_id, hour_ts, predicted_passengers, observed_passengers,
-       |  active_vehicles, avg_headway_min, is_peak_hour, action, status, message,
-       |  current_headway_min, recommended_headway_min, delta_headway_min,
-       |  delta_headway_pct, priority_score, confidence
-       |FROM xr ORDER BY route_id""".stripMargin
-
-  private val SUMMARY_TOP_SQL =
-    s"""$EXPORT_ROWS_CTES
-       |SELECT route_id, priority_score, action, message
-       |FROM xr WHERE action <> 'needs_data'
-       |ORDER BY priority_score DESC, route_id LIMIT 10""".stripMargin
-
-  private val PEAK_ROLLUP_SQL =
-    s"""$KPI_CTES,
-       |latest AS (SELECT MAX(hour_ts) AS max_ts FROM k),
-       |win AS (SELECT * FROM k WHERE hour_ts >= (SELECT max_ts FROM latest) - INTERVAL 24 HOURS)
-       |SELECT CAST(EXTRACT(HOUR FROM hour_ts) AS INTEGER) AS hour_of_day,
-       |  CAST(COUNT(*) AS INTEGER) AS n_routes,
-       |  ${davg("predicted_passengers")} AS avg_predicted_passengers,
-       |  ${davg("observed_passengers")} AS avg_observed_passengers,
-       |  ${davg("CASE WHEN active_vehicles > 0 THEN CAST(active_vehicles AS DOUBLE) END")} AS avg_active_vehicles,
-       |  (CAST(SUM(avg_headway_us) AS DOUBLE) / COUNT(avg_headway_us)) / 60000000.0 AS avg_headway_min,
-       |  CAST(SUM(CASE WHEN is_peak_hour = 1 THEN 1 ELSE 0 END) AS INTEGER) AS peak_routes
-       |FROM win GROUP BY 1 ORDER BY 1""".stripMargin
-
-  private val VALIDATION_SQL =
-    s"""WITH s2r AS ($S2R), f AS ($FLOW), d AS ($DEMAND_BODY), p AS ($PRED_BODY)
-       |SELECT COUNT(*) AS n,
-       |  ${davg("abs(y_pred - y_true)")} AS mae,
-       |  sqrt(${davg("(y_pred - y_true) * (y_pred - y_true)")}) AS rmse,
-       |  ${davg("2.0 * abs(y_pred - y_true) / GREATEST(abs(y_true) + abs(y_pred), 0.000001)")} * 100.0 AS smape_pct,
-       |  ${davg("y_pred - y_true")} AS bias
-       |FROM p WHERE y_true IS NOT NULL AND y_pred IS NOT NULL
-       |  AND NOT isnan(y_true) AND NOT isnan(y_pred)""".stripMargin
-
-  private val VALIDATION_BY_ROUTE_SQL =
-    s"""WITH s2r AS ($S2R), f AS ($FLOW), d AS ($DEMAND_BODY), p AS ($PRED_BODY)
-       |SELECT route_id, COUNT(*) AS n,
-       |  ${davg("abs(y_pred - y_true)")} AS mae,
-       |  ${davg("y_pred - y_true")} AS bias,
-       |  ${davg("y_true")} AS mean_true,
-       |  ${davg("y_pred")} AS mean_pred
-       |FROM p WHERE y_true IS NOT NULL AND y_pred IS NOT NULL
-       |GROUP BY 1 ORDER BY 1""".stripMargin
-
-  private val VALIDATION_SCATTER_SQL =
-    s"""WITH s2r AS ($S2R), f AS ($FLOW), d AS ($DEMAND_BODY), p AS ($PRED_BODY)
-       |SELECT route_id, hour_ts, y_true, y_pred
-       |FROM p
-       |WHERE y_true IS NOT NULL AND y_pred IS NOT NULL
-       |  AND NOT isnan(y_true) AND NOT isnan(y_pred)
-       |  AND NOT isinf(y_true) AND NOT isinf(y_pred)
-       |ORDER BY hour_ts, route_id""".stripMargin
-
-  /** Oracle twin of [[graft.export.Plot.scatterRaster]] over the scatter
-    * series: the matplotlib data→display affine replayed as the same
-    * IEEE double op sequence (subtract, int-promoted multiply, divide,
-    * floor — each correctly rounded, so the floors are bit-identical),
-    * then the overplot collapse. Geometry constants inlined from
-    * Plot.Geom(): 640×480 canvas, margin 40 → inner 559×399, origin
-    * (40, 439), degenerate-span centers (279, 199).
-    */
-  private val VALIDATION_SCATTER_RASTER_SQL =
-    s"""WITH s2r AS ($S2R), f AS ($FLOW), d AS ($DEMAND_BODY), p AS ($PRED_BODY),
-       |pts AS (
-       |  SELECT y_true, y_pred FROM p
-       |  WHERE y_true IS NOT NULL AND y_pred IS NOT NULL
-       |    AND NOT isnan(y_true) AND NOT isnan(y_pred)
-       |    AND NOT isinf(y_true) AND NOT isinf(y_pred)),
-       |b AS (SELECT MIN(y_true) AS xmin, MAX(y_true) AS xmax,
-       |             MIN(y_pred) AS ymin, MAX(y_pred) AS ymax FROM pts)
-       |SELECT px, py, COUNT(*) AS n FROM (
-       |  SELECT
-       |    CAST(40 + CAST(CASE WHEN b.xmax = b.xmin THEN 279
-       |      ELSE FLOOR((pts.y_true - b.xmin) * 559 / (b.xmax - b.xmin)) END AS INTEGER) AS INTEGER) AS px,
-       |    CAST(439 - CAST(CASE WHEN b.ymax = b.ymin THEN 199
-       |      ELSE FLOOR((pts.y_pred - b.ymin) * 399 / (b.ymax - b.ymin)) END AS INTEGER) AS INTEGER) AS py
-       |  FROM pts, b)
-       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-
-  /** Oracle twin of [[graft.export.Plot.byHourPixels]]: the MAE-by-hour
-    * vertices' pixel placement (hour grid on x, the same affine floor on
-    * y). The mae input is the already-oracle-exact validation_by_hour
-    * aggregate.
-    */
-  private val VALIDATION_BY_HOUR_PIXELS_SQL =
-    s"""WITH s2r AS ($S2R), f AS ($FLOW), d AS ($DEMAND_BODY), p AS ($PRED_BODY),
-       |bh AS (
-       |  SELECT CAST(EXTRACT(HOUR FROM hour_ts) AS INTEGER) AS hour_of_day,
-       |    ${davg("abs(y_pred - y_true)")} AS mae
-       |  FROM p WHERE y_true IS NOT NULL AND y_pred IS NOT NULL GROUP BY 1),
-       |b AS (SELECT MIN(mae) AS mmin, MAX(mae) AS mmax FROM bh)
-       |SELECT hour_of_day,
-       |  CAST(40 + CAST(FLOOR(CAST(hour_of_day AS DOUBLE) * 559 / 23.0) AS INTEGER) AS INTEGER) AS px,
-       |  CAST(439 - CAST(CASE WHEN b.mmax = b.mmin THEN 199
-       |    ELSE FLOOR((bh.mae - b.mmin) * 399 / (b.mmax - b.mmin)) END AS INTEGER) AS INTEGER) AS py
-       |FROM bh, b ORDER BY hour_of_day""".stripMargin
-
-  private val LABEL_LEAD_SQL =
-    s"""WITH s2r AS ($S2R), f AS ($FLOW), d AS ($DEMAND_BODY)
-       |SELECT route_id, hour_ts, passengers,
-       |  LEAD(passengers, 1) OVER (PARTITION BY route_id ORDER BY hour_ts) AS label_next_hour
-       |FROM d ORDER BY route_id, hour_ts""".stripMargin
-
-  // ---- query registrations ----
-
-  private def ntzCol(c: String) = col(c).cast("timestamp_ntz").as(c)
-
-  import Pipelines._
-  import graft.rel.{Analytics, Relational, Sessionize, Sketches}
-  import graft.export.Export
-
-  private def suggestionsFlat(s: SparkSession, dir: String): DataFrame =
-    suggestionsProjection(suggestions(s, dir, onlyChanges = true))
-
-  /** The flat output shape + ordering shared by the batch `suggestions`
-    * query and the end-to-end streaming chain — both verify against
-    * SUGGESTIONS_SQL, so the projection must be one definition.
-    */
-  private def suggestionsProjection(frame: DataFrame): DataFrame =
-    frame
-      .select(col("route_id"), ntzCol("hour_ts"), col("predicted_passengers"),
-        col("observed_passengers"), col("active_vehicles"), col("avg_headway_min"),
-        col("trip_update_events"), col("avg_delay_seconds"), col("hour_of_day"),
-        col("is_peak_hour"), col("current_headway_min"), col("trips_per_hour_est"),
-        col("capacity_est"), col("load_factor"), col("passengers_per_trip_est"),
-        col("confidence"), col("action"), col("rule"),
-        col("recommended_headway_min"), col("priority_score"))
-      .orderBy("route_id", "hour_ts")
-
-  val reference: Seq[Q] = Seq(
-    Q("stop_to_route",
-      (s, dir) => TestdataAdapter.stopToRouteMapping(s, dir).orderBy("stop_id", "route_id"),
-      Some(s"$S2R ORDER BY stop_id, route_id")),
-
-    Q("demand_hourly",
-      (s, dir) => demandHourly(s, dir)
-        .select(col("route_id"), ntzCol("hour_ts"), col("passengers"))
-        .orderBy("route_id", "hour_ts"),
-      Some(s"WITH s2r AS ($S2R), f AS ($FLOW) $DEMAND_BODY ORDER BY 1, 2")),
-
-    Q("delay_hourly",
-      (s, dir) => delayHourly(s, dir)
-        .select(col("route_id"), ntzCol("hour_ts"),
-          col("trip_update_events"), col("avg_delay_seconds"))
-        .orderBy("route_id", "hour_ts"),
-      Some(s"WITH t AS ($TRIP) $DELAY_BODY ORDER BY 1, 2")),
-
-    Q("vehicle_hourly",
-      (s, dir) => vehicleHourly(s, dir)
-        .select(col("route_id"), ntzCol("hour_ts"), col("vehicle_events"))
-        .orderBy("route_id", "hour_ts"),
-      Some(s"WITH v AS ($VEH) $VEHICLE_BODY ORDER BY 1, 2")),
-
-    Q("weather_hourly",
-      (s, dir) => weatherHourly(s, dir)
-        .select(ntzCol("hour_ts"), col("temperature_c"),
-          col("precipitation_mm"), col("wind_speed_mps"))
-        .orderBy("hour_ts"),
-      Some(s"WITH wx AS ($WEA) $WEATHER_BODY ORDER BY 1")),
-
-    Q("ml_dataset_hourly",
-      (s, dir) => mlDataset(s, dir)
-        .withColumn("hour_ts", col("hour_ts").cast("timestamp_ntz"))
-        .orderBy("route_id", "hour_ts"),
-      Some(ML_DATASET_SQL)),
-
-    Q("kpi_active_vehicles",
-      (s, dir) => kpiActiveVehicles(s, dir)
-        .select(col("route_id"), ntzCol("hour_ts"), col("active_vehicles"))
-        .orderBy("route_id", "hour_ts"),
-      Some(s"WITH v AS ($VEH) $KPI_ACTIVE_BODY ORDER BY 1, 2")),
-
-    Q("kpi_headway",
-      (s, dir) => kpiHeadway(s, dir)
-        .select(col("route_id"), ntzCol("hour_ts"),
-          col("avg_headway_us"), col("avg_headway_min"))
-        .orderBy("route_id", "hour_ts"),
-      Some(s"WITH v AS ($VEH) $KPI_HEADWAY_BODY ORDER BY 1, 2")),
-
-    Q("kpi_delay",
-      (s, dir) => kpiDelay(s, dir)
-        .select(col("route_id"), ntzCol("hour_ts"),
-          col("trip_update_events"), col("avg_delay_seconds"))
-        .orderBy("route_id", "hour_ts"),
-      Some(s"WITH t AS ($TRIP) $KPI_DELAY_BODY ORDER BY 1, 2")),
-
-    Q("kpi_hourly",
-      (s, dir) => kpiHourly(s, dir)
-        .withColumn("hour_ts", col("hour_ts").cast("timestamp_ntz"))
-        .orderBy("route_id", "hour_ts"),
-      Some(KPI_HOURLY_SQL)),
-
-    Q("suggestions", suggestionsFlat, Some(SUGGESTIONS_SQL)),
-
-    // Full suggestions frame incl. the D6 reasons JSON — oracle-exact
-    // per key: the reasons string is re-parsed with from_json and every
-    // extracted field hash-matches DuckDB's direct computation (the JSON
-    // text layout itself stays engine-specific, its CONTENT does not).
-    Q("suggestions_full",
-      (s, dir) => {
-        val reasonsSchema =
-          """predicted_passengers DOUBLE, observed_passengers DOUBLE,
-            |active_vehicles BIGINT, avg_headway_min DOUBLE,
-            |current_headway_min DOUBLE, trips_per_hour_est DOUBLE,
-            |capacity_est_per_hour DOUBLE, load_factor_per_hour DOUBLE,
-            |passengers_per_trip_est DOUBLE, cap_target_per_trip DOUBLE,
-            |cap_low_per_trip DOUBLE, avg_delay_seconds DOUBLE,
-            |is_peak_hour INT, confidence DOUBLE, rule STRING,
-            |trips_per_hour_target DOUBLE, raw_recommended_headway_min DOUBLE""".stripMargin
-        suggestions(s, dir, onlyChanges = false)
-          .withColumn("r", from_json(col("reasons"),
-            org.apache.spark.sql.types.StructType.fromDDL(reasonsSchema.replace("\n", " "))))
-          .select(col("route_id"), ntzCol("hour_ts"), col("action"),
-            col("recommended_headway_min"), col("priority_score"),
-            col("r.predicted_passengers").as("r_predicted_passengers"),
-            col("r.observed_passengers").as("r_observed_passengers"),
-            col("r.active_vehicles").as("r_active_vehicles"),
-            col("r.avg_headway_min").as("r_avg_headway_min"),
-            col("r.current_headway_min").as("r_current_headway_min"),
-            col("r.trips_per_hour_est").as("r_trips_per_hour_est"),
-            col("r.capacity_est_per_hour").as("r_capacity_est_per_hour"),
-            col("r.load_factor_per_hour").as("r_load_factor_per_hour"),
-            col("r.passengers_per_trip_est").as("r_passengers_per_trip_est"),
-            col("r.cap_target_per_trip").as("r_cap_target_per_trip"),
-            col("r.cap_low_per_trip").as("r_cap_low_per_trip"),
-            col("r.avg_delay_seconds").as("r_avg_delay_seconds"),
-            col("r.is_peak_hour").as("r_is_peak_hour"),
-            col("r.confidence").as("r_confidence"),
-            col("r.rule").as("r_rule"),
-            col("r.trips_per_hour_target").as("r_trips_per_hour_target"),
-            col("r.raw_recommended_headway_min").as("r_raw_recommended_headway_min"))
-          .orderBy("route_id", "hour_ts")
-      },
-      Some(SUGGESTIONS_FULL_SQL)),
-
-    Q("latest_hour_snapshot",
-      (s, dir) => {
-        // one persisted kpi frame feeds both the snapshot join and the
-        // suggestions side — without it the whole KPI pipeline executes
-        // three times (kpi + its MAX(hour_ts) scalar + suggestions)
-        val k = kpiHourly(s, dir).persist()
-        Export.latestHourSnapshot(k, graft.suggest.Suggestions.suggest(k))
-          .withColumn("hour_ts", col("hour_ts").cast("timestamp_ntz"))
-          .orderBy("route_id")
-      },
-      Some(LATEST_SNAPSHOT_SQL)),
-
-    Q("peak_hours_rollup",
-      (s, dir) => Export.peakHoursRollup(kpiHourly(s, dir).persist()),
-      Some(PEAK_ROLLUP_SQL)),
-
-    Q("action_histogram",
-      (s, dir) => Export.actionHistogram(suggestions(s, dir)),
-      Some(SUGG_HIST_SQL)),
-
-    Q("validation_metrics",
-      (s, dir) => Export.validationMetrics(predictions(s, dir)),
-      Some(VALIDATION_SQL)),
-
-    Q("validation_by_route",
-      (s, dir) => Export.validationByRoute(predictions(s, dir)),
-      Some(VALIDATION_BY_ROUTE_SQL)),
-
-    // the predicted-vs-observed scatter's exact point series
-    // (validate_predictions.py:84-90); MAE-by-hour, the other plotted
-    // series, is validation_by_hour — with both hash-green the only
-    // un-reproduced part of the reference's validation step is the
-    // matplotlib render call itself
-    Q("validation_scatter_points",
-      (s, dir) => Export.validationScatterPoints(predictions(s, dir)),
-      Some(VALIDATION_SCATTER_SQL)),
-
-    // A11 render (r14) — the scatter plot's occupied-pixel raster: the
-    // matplotlib data→display transform in-plan, overplot collapsed to
-    // ≤ canvas-size rows. The PNG encode over this exact raster is
-    // PlotSpec-pinned (decode-back set equality + byte determinism).
-    Q("validation_scatter_raster",
-      (s, dir) => graft.export.Plot.scatterRaster(
-        Export.validationScatterPoints(predictions(s, dir)), "y_true", "y_pred"),
-      Some(VALIDATION_SCATTER_RASTER_SQL)),
-
-    // A11 render (r14) — the MAE-by-hour line chart's vertex pixels.
-    Q("validation_by_hour_pixels",
-      (s, dir) => graft.export.Plot.byHourPixels(
-        Export.validationByHour(predictions(s, dir))),
-      Some(VALIDATION_BY_HOUR_PIXELS_SQL)),
-
-    Q("label_lead",
-      (s, dir) => Relational.labelLead(demandHourly(s, dir))
-        .withColumn("hour_ts", col("hour_ts").cast("timestamp_ntz")),
-      Some(LABEL_LEAD_SQL)),
-  )
-
-  val relational: Seq[Q] = Seq(
-    Q("q1_pricing", Relational.q1Pricing,
-      Some(
-        s"""SELECT l_returnflag, l_linestatus,
-           |  ${dsum("l_quantity")} AS sum_qty,
-           |  ${dsum("l_extendedprice")} AS sum_base_price,
-           |  ${dsum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
-           |  ${dsum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
-           |  ${davg("l_quantity")} AS avg_qty,
-           |  ${davg("l_extendedprice")} AS avg_price,
-           |  ${davg("l_discount")} AS avg_disc,
-           |  COUNT(*) AS count_order
-           |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
-
-    Q("q3_top_revenue", Relational.q3TopRevenue,
-      Some(
-        s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
-           |  ${dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
-           |FROM lineitem
-           |JOIN orders ON l_orderkey = o_orderkey
-           |JOIN customer ON o_custkey = c_custkey
-           |WHERE c_mktsegment = 'BUILDING'
-           |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
-           |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
-           |GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)),
-
-    Q("q5_region_revenue", Relational.q5RegionRevenue,
-      Some(
-        s"""SELECT n_name, ${dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
-           |FROM lineitem
-           |JOIN orders ON l_orderkey = o_orderkey
-           |JOIN customer ON o_custkey = c_custkey
-           |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-           |JOIN nation ON s_nationkey = n_nationkey
-           |JOIN region ON n_regionkey = r_regionkey
-           |WHERE r_name = 'ASIA'
-           |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-           |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
-           |GROUP BY 1 ORDER BY 1""".stripMargin)),
-
-    Q("top_order_per_customer", Relational.topOrderPerCustomer,
-      Some(
-        """SELECT o_custkey, o_orderkey, o_totalprice FROM (
-          |  SELECT o_custkey, o_orderkey, o_totalprice,
-          |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
-          |  FROM orders) WHERE rn = 1 ORDER BY o_custkey""".stripMargin)),
-
-    Q("customers_without_orders", Relational.customersWithoutOrders,
-      Some(
-        """SELECT c_custkey, c_name, c_mktsegment FROM customer
-          |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-          |ORDER BY c_custkey""".stripMargin)),
-
-    Q("suppliers_with_sales", Relational.suppliersWithSales,
-      Some(
-        """SELECT s_suppkey, s_name, s_nationkey FROM supplier
-          |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
-          |ORDER BY s_suppkey""".stripMargin)),
-
-    Q("stop_to_route_j1", Relational.stopToRouteJ1,
-      Some(
-        """SELECT DISTINCT l_partkey AS stop_id, o_orderpriority AS route_id
-          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-          |ORDER BY stop_id, route_id""".stripMargin)),
-
-    Q("geo_chain", Relational.geoChain,
-      Some(
-        """SELECT DISTINCT r_name, n_name, s_suppkey, s_name
-          |FROM supplier
-          |JOIN nation ON s_nationkey = n_nationkey
-          |JOIN region ON n_regionkey = r_regionkey
-          |ORDER BY r_name, n_name, s_suppkey LIMIT 1000""".stripMargin)),
-
-    Q("latest_event_per_user", Relational.latestEventPerUser,
-      Some(
-        """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM (
-          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-          |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin)),
-
-    Q("upsert_latest_wins", Relational.upsertLatestWins,
-      Some(
-        """SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM (
-          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
-          |  FROM events) WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin)),
-
-    Q("upsert_do_nothing", Relational.upsertDoNothing,
-      Some(
-        """SELECT event_id, user_id, event_type, value FROM events
-          |WHERE event_id >= 5000 AND event_id < 7500 ORDER BY event_id""".stripMargin)),
-
-    Q("orders_above_customer_avg", Relational.ordersAboveCustomerAvg,
-      Some(
-        s"""WITH ca AS (SELECT o_custkey, ${davg("o_totalprice")} AS avg_price
-           |            FROM orders GROUP BY 1)
-           |SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, ca.avg_price
-           |FROM orders o JOIN ca USING (o_custkey)
-           |WHERE o.o_totalprice > ca.avg_price
-           |ORDER BY o.o_orderkey""".stripMargin)),
-
-    Q("q4_order_priority", Relational.q4OrderPriority,
-      Some(
-        """SELECT o_orderpriority, COUNT(*) AS order_count FROM orders o
-          |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
-          |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
-          |  AND EXISTS (SELECT 1 FROM lineitem
-          |              WHERE l_orderkey = o.o_orderkey AND l_shipdate > o.o_orderdate)
-          |GROUP BY 1 ORDER BY 1""".stripMargin)),
-
-    // Q18-style: HAVING over an aggregate, qualifying keys joined back
-    Q("q18_large_orders", Relational.q18LargeOrders,
-      Some(
-        s"""SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
-           |FROM orders
-           |JOIN (
-           |  SELECT l_orderkey, ${dsum("l_quantity")} AS total_qty
-           |  FROM lineitem GROUP BY 1
-           |  HAVING ${dsum("l_quantity")} > 250.0) b ON o_orderkey = b.l_orderkey
-           |JOIN customer ON o_custkey = c_custkey
-           |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
-
-    // Q10-style: returned-item revenue per customer, bounded top-20
-    Q("q10_returned_revenue", Relational.q10ReturnedRevenue,
-      Some(
-        s"""SELECT c_custkey, c_name, c_mktsegment,
-           |  ${dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
-           |FROM lineitem
-           |JOIN orders ON l_orderkey = o_orderkey
-           |JOIN customer ON o_custkey = c_custkey
-           |WHERE l_returnflag = 'R'
-           |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
-           |  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
-           |GROUP BY 1, 2, 3
-           |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
-
-    // Q15-style top supplier — the oracle keeps the scalar-MAX subquery;
-    // the Spark side broadcasts the 1-row max back onto the revenue frame
-    Q("q15_top_supplier", Relational.q15TopSupplier,
-      Some(
-        s"""WITH rev AS (
-           |  SELECT l_suppkey,
-           |    ${dsum("l_extendedprice * (1.0 - l_discount)")} AS total_revenue
-           |  FROM lineitem
-           |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-           |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
-           |  GROUP BY 1)
-           |SELECT s_suppkey, s_name, total_revenue
-           |FROM rev JOIN supplier ON l_suppkey = s_suppkey
-           |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
-           |ORDER BY s_suppkey""".stripMargin)),
-
-    // Q6-style: pushed-down predicates + one decimal-exact scalar agg
-    Q("q6_revenue_delta", Relational.q6RevenueDelta,
-      Some(
-        s"""SELECT ${dsum("l_extendedprice * l_discount")} AS revenue
-           |FROM lineitem
-           |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-           |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
-           |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin)),
-
-    // Q12-style late shipments per priority (no shipmode in testdata)
-    Q("late_shipment_priority", Relational.lateShipmentPriority,
-      Some(
-        """SELECT o_orderpriority, COUNT(*) AS n_late
-          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-          |WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
-          |GROUP BY 1 ORDER BY 1""".stripMargin)),
-
-    // Q14-style promo revenue share (ratio of two exact decimal sums)
-    Q("q14_promo_share", Relational.q14PromoShare,
-      Some(
-        s"""SELECT
-           |  ${dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")} AS promo_revenue,
-           |  ${dsum("l_extendedprice * (1.0 - l_discount)")} AS total_revenue,
-           |  100.0 * ${dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")}
-           |    / ${dsum("l_extendedprice * (1.0 - l_discount)")} AS promo_share_pct
-           |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin)),
-
-    // Q2-style correlated MIN kept correlated in the oracle; the Spark
-    // side decorrelates it to a window MIN over the part key
-    Q("q2_min_cost_supplier", Relational.q2MinCostSupplier,
-      Some(
-        """WITH offers AS (
-          |  SELECT l_partkey, l_suppkey, s_name, n_name,
-          |    MIN(l_extendedprice / l_quantity) AS unit_cost
-          |  FROM lineitem
-          |  JOIN supplier ON l_suppkey = s_suppkey
-          |  JOIN nation ON s_nationkey = n_nationkey
-          |  JOIN region ON n_regionkey = r_regionkey
-          |  WHERE r_name = 'EUROPE'
-          |  GROUP BY 1, 2, 3, 4)
-          |SELECT p_partkey, p_name, l_suppkey AS s_suppkey, s_name, n_name, unit_cost
-          |FROM offers o JOIN part p ON o.l_partkey = p.p_partkey
-          |WHERE p.p_size <= 15
-          |  AND o.unit_cost = (SELECT MIN(o2.unit_cost) FROM offers o2
-          |                     WHERE o2.l_partkey = o.l_partkey)
-          |ORDER BY p_partkey, s_suppkey""".stripMargin)),
-
-    // Q7-style bidirectional nation-pair trade volume by ship year
-    Q("q7_nation_volume", Relational.q7NationVolume(_, _),
-      Some(
-        s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-           |  CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS l_year,
-           |  ${dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
-           |FROM lineitem
-           |JOIN orders ON l_orderkey = o_orderkey
-           |JOIN customer ON o_custkey = c_custkey
-           |JOIN supplier ON l_suppkey = s_suppkey
-           |JOIN nation n1 ON s_nationkey = n1.n_nationkey
-           |JOIN nation n2 ON c_nationkey = n2.n_nationkey
-           |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
-           |  AND TIMESTAMP '1997-12-31 00:00:00'
-           |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-           |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
-           |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
-
-    // Q8-style market share of one nation's suppliers inside one
-    // region's customers for one part type, by order year
-    Q("q8_market_share", Relational.q8MarketShare(_, _),
-      Some(
-        s"""SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
-           |  ${dsum("CASE WHEN n1.n_name = 'NATION_3' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")}
-           |    / ${dsum("l_extendedprice * (1.0 - l_discount)")} AS mkt_share
-           |FROM lineitem
-           |JOIN part ON l_partkey = p_partkey
-           |JOIN orders ON l_orderkey = o_orderkey
-           |JOIN customer ON o_custkey = c_custkey
-           |JOIN nation n2 ON c_nationkey = n2.n_nationkey
-           |JOIN region ON n2.n_regionkey = r_regionkey
-           |JOIN supplier ON l_suppkey = s_suppkey
-           |JOIN nation n1 ON s_nationkey = n1.n_nationkey
-           |WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
-           |  AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
-           |  AND TIMESTAMP '1997-12-31 00:00:00'
-           |GROUP BY 1 ORDER BY 1""".stripMargin)),
-
-    // Q13-style customer order-count distribution (predicate inside the
-    // LEFT join so zero-order customers land in the c_count=0 bucket)
-    Q("q13_customer_distribution", Relational.q13CustomerDistribution,
-      Some(
-        """WITH co AS (
-          |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
-          |  FROM customer LEFT JOIN orders
-          |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
-          |  GROUP BY 1)
-          |SELECT c_count, COUNT(*) AS custdist
-          |FROM co GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin)),
-
-    // Q17-style small-quantity revenue — the oracle keeps the correlated
-    // per-part AVG subquery; the Spark side decorrelates to one
-    // aggregate joined back
-    Q("q17_small_quantity_revenue", Relational.q17SmallQuantityRevenue(_, _),
-      Some(
-        s"""WITH branded AS (
-           |  SELECT l_partkey, l_quantity, l_extendedprice
-           |  FROM lineitem JOIN part ON l_partkey = p_partkey
-           |  WHERE p_brand = 'Brand#1' AND p_size < 10)
-           |SELECT ${dsum("l_extendedprice")} / 7.0 AS avg_yearly
-           |FROM branded b
-           |WHERE l_quantity < 0.2 * (
-           |  SELECT ${davg("l_quantity")} FROM branded b2
-           |  WHERE b2.l_partkey = b.l_partkey)""".stripMargin)),
-
-    // Q19-style disjunctive predicate blocks over the part join
-    Q("q19_discounted_revenue", Relational.q19DiscountedRevenue,
-      Some(
-        s"""SELECT ${dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
-           |FROM lineitem JOIN part ON l_partkey = p_partkey
-           |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
-           |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
-           |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin)),
-
-    // Q21-style sole-late-supplier count — the oracle keeps the
-    // EXISTS / NOT-EXISTS pair, proving the per-order-profile rewrite
-    Q("q21_waiting_supplier", Relational.q21WaitingSupplier(_, _),
-      Some(
-        """WITH l AS (
-          |  SELECT l_orderkey, l_suppkey,
-          |    (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
-          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-          |  WHERE o_orderstatus = 'F')
-          |SELECT s_name, COUNT(*) AS numwait
-          |FROM l l1
-          |JOIN supplier ON l1.l_suppkey = s_suppkey
-          |JOIN nation ON s_nationkey = n_nationkey
-          |WHERE n_name = 'NATION_5' AND l1.late
-          |  AND EXISTS (SELECT 1 FROM l l2
-          |              WHERE l2.l_orderkey = l1.l_orderkey
-          |                AND l2.l_suppkey <> l1.l_suppkey)
-          |  AND NOT EXISTS (SELECT 1 FROM l l3
-          |                  WHERE l3.l_orderkey = l1.l_orderkey
-          |                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
-          |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin)),
-
-    // Q22-style dormant rich customers — the oracle keeps the scalar
-    // cohort-average subquery and NOT EXISTS; Spark broadcasts the
-    // 1-row average and anti-joins orders
-    Q("q22_global_sales", Relational.q22GlobalSales(_, _),
-      Some(
-        s"""SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
-           |  ${dsum("c_acctbal")} AS totacctbal
-           |FROM customer c
-           |WHERE c_nationkey IN (1, 3, 5, 7, 9)
-           |  AND c_acctbal > (
-           |    SELECT ${davg("c_acctbal")} FROM customer
-           |    WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 3, 5, 7, 9))
-           |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey
-           |                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
-           |GROUP BY 1 ORDER BY 1""".stripMargin)),
-
-    // Q9-style profit by supplier nation and order year (supply cost
-    // stand-in 0.6×retail — no partsupp in this schema)
-    Q("q9_product_profit", Relational.q9ProductProfit(_, _),
-      Some(
-        s"""SELECT n_name AS nation,
-           |  CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
-           |  ${dsum("l_extendedprice * (1.0 - l_discount) - 0.6 * p_retailprice * l_quantity")} AS sum_profit
-           |FROM lineitem
-           |JOIN part ON l_partkey = p_partkey
-           |JOIN orders ON l_orderkey = o_orderkey
-           |JOIN supplier ON l_suppkey = s_suppkey
-           |JOIN nation ON s_nationkey = n_nationkey
-           |WHERE p_name LIKE '%red%'
-           |GROUP BY 1, 2 ORDER BY 1, 2 DESC""".stripMargin)),
-
-    // Q11-style important-parts: the oracle keeps the correlated HAVING
-    // scalar the Spark side decorrelates to a broadcast 1-row aggregate
-    Q("q11_important_parts", Relational.q11ImportantParts(_, _),
-      Some(
-        s"""WITH lines AS (
-           |  SELECT p_partkey, 0.6 * p_retailprice * l_quantity AS value
-           |  FROM lineitem
-           |  JOIN supplier ON l_suppkey = s_suppkey
-           |  JOIN nation ON s_nationkey = n_nationkey
-           |  JOIN part ON l_partkey = p_partkey
-           |  WHERE n_name = 'NATION_4')
-           |SELECT p_partkey, ${dsum("value")} AS part_value
-           |FROM lines
-           |GROUP BY 1
-           |HAVING ${dsum("value")} > (SELECT ${dsum("value")} * 0.0005 FROM lines)
-           |ORDER BY part_value DESC, p_partkey""".stripMargin)),
-
-    // Q12-style ship-mode priority counts (mode = linenumber residue
-    // decode; late = shipped >45 days after order date)
-    Q("q12_shipmode_priority", Relational.q12ShipmodePriority(_, _),
-      Some(
-        """WITH l AS (
-          |  SELECT CASE l_linenumber % 3 WHEN 0 THEN 'MAIL' WHEN 1 THEN 'SHIP'
-          |         ELSE 'AIR' END AS l_shipmode, o_orderpriority
-          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-          |  WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
-          |    AND TIMESTAMP '1997-12-31 00:00:00'
-          |    AND l_shipdate > o_orderdate + INTERVAL 45 DAY)
-          |SELECT l_shipmode,
-          |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-          |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
-          |FROM l WHERE l_shipmode IN ('MAIL', 'SHIP')
-          |GROUP BY 1 ORDER BY 1""".stripMargin)),
-
-    // Q16-style supplier counts per part bucket: the oracle keeps the
-    // NOT IN subquery the Spark side turns into a broadcast anti-join
-    Q("q16_part_supplier_counts", Relational.q16PartSupplierCounts(_, _),
-      Some(
-        """SELECT p_brand, p_type, p_size,
-          |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
-          |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
-          |JOIN part ON l_partkey = p_partkey
-          |WHERE p_brand <> 'Brand#5' AND p_type <> 'ECONOMY'
-          |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
-          |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
-          |GROUP BY 1, 2, 3
-          |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)),
-
-    // Q20-style excess-stock suppliers: the oracle keeps the nested IN
-    // + per-part window threshold the Spark side computes once
-    Q("q20_promo_suppliers", Relational.q20PromoSuppliers(_, _),
-      Some(
-        s"""WITH shipped AS (
-           |  SELECT l_partkey, l_suppkey, ${dsum("l_quantity")} AS qty
-           |  FROM lineitem JOIN part ON l_partkey = p_partkey
-           |  WHERE p_name LIKE 'blue%'
-           |    AND l_shipdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
-           |    AND TIMESTAMP '1997-12-31 00:00:00'
-           |  GROUP BY 1, 2),
-           |t AS (SELECT *, AVG(qty) OVER (PARTITION BY l_partkey) AS part_avg FROM shipped)
-           |SELECT s_name, s_acctbal
-           |FROM supplier JOIN nation ON s_nationkey = n_nationkey
-           |WHERE n_name = 'NATION_7'
-           |  AND s_suppkey IN (SELECT l_suppkey FROM t WHERE qty > 0.5 * part_avg)
-           |ORDER BY s_name""".stripMargin)),
-
-    // z-score outlier hours per route — moments from associative decimal
-    // sums (squares in decimal, rounded to scale 6 so the sum stays
-    // double-representable), so even the boolean flag hash-matches
-    Q("delay_anomalies",
-      (s, dir) => Analytics.delayAnomalies(TestdataAdapter.tripUpdates(s, dir)),
-      Some(Analytics.delayAnomaliesSql())),
-
-    Q("running_demand_total",
-      (s, dir) => Relational.runningDemandTotal(demandHourly(s, dir))
-        .withColumn("hour_ts", col("hour_ts").cast("timestamp_ntz")),
-      Some(
-        s"""WITH s2r AS ($S2R), f AS ($FLOW), d AS ($DEMAND_BODY)
-           |SELECT route_id, hour_ts, passengers,
-           |  CAST(SUM(CAST(passengers AS DECIMAL(28,6))) OVER (PARTITION BY route_id ORDER BY hour_ts
-           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_passengers
-           |FROM d ORDER BY route_id, hour_ts""".stripMargin)),
-
-    Q("priority_rollup", Relational.priorityRollup,
-      Some(
-        s"""SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
-           |  COALESCE(o_orderstatus, 'ALL') AS status,
-           |  COUNT(*) AS n, ${dsum("o_totalprice")} AS total_price
-           |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
-           |ORDER BY 1, 2""".stripMargin)),
-
-    // monthly revenue trend + MoM delta (window over the time-bounded
-    // months frame — bounded by construction, not by data volume)
-    Q("monthly_revenue_trend", Relational.monthlyRevenueTrend,
-      Some(Relational.monthlyRevenueTrendSql)),
-    // RFM segmentation via exact-percentile thresholds (broadcast 1-row
-    // agg + narrow comparisons — no global numbering of customers)
-    Q("rfm_scores", Relational.rfmScores,
-      Some(Relational.rfmScoresSql)),
-    Q("priority_cube", Relational.priorityCube,
-      Some(
-        s"""SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
-           |  COALESCE(o_orderstatus, 'ALL') AS status,
-           |  COUNT(*) AS n, ${dsum("o_totalprice")} AS total_price
-           |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
-           |ORDER BY 1, 2""".stripMargin)),
-
-    // Exact (sort-based) percentiles — both engines sort and linearly
-    // interpolate, so the values are reproducible; the approx sketch
-    // (approx_percentile/t-digest) is the 100 TB path but is
-    // engine-specific by construction.
-    Q("value_percentiles",
-      (s, dir) => TestdataAdapter.table(s, dir, "events")
-        .groupBy("event_type")
-        .agg(
-          expr("percentile(value, 0.5)").as("p50"),
-          expr("percentile(value, 0.9)").as("p90"),
-          expr("percentile(value, 0.99)").as("p99"))
-        .orderBy("event_type"),
-      Some(
-        """SELECT event_type,
-          |  quantile_cont(value, 0.5) AS p50,
-          |  quantile_cont(value, 0.9) AS p90,
-          |  quantile_cont(value, 0.99) AS p99
-          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
-
-    // Winsorization (percentile clipping) — the outlier-clamp DQ pass:
-    // per-group exact p05/p95 bounds (groups-sized frame → broadcast)
-    // joined back and applied as LEAST/GREATEST
-    Q("value_winsorized",
-      (s, dir) => {
-        val ev = TestdataAdapter.table(s, dir, "events")
-        val bounds = ev.groupBy("event_type").agg(
-          expr("percentile(value, 0.05)").as("lo"),
-          expr("percentile(value, 0.95)").as("hi"))
-        ev.join(broadcast(bounds), "event_type")
-          .select(col("event_id"), col("event_type"), col("value"),
-            least(greatest(col("value"), col("lo")), col("hi")).as("value_winsorized"))
-          .orderBy("event_id")
-      },
-      Some(
-        """WITH b AS (SELECT event_type,
-          |  quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
-          |  FROM events GROUP BY 1)
-          |SELECT event_id, event_type, value,
-          |  LEAST(GREATEST(value, lo), hi) AS value_winsorized
-          |FROM events JOIN b USING (event_type) ORDER BY event_id""".stripMargin)),
-
-    // Explicit INTERSECT (§2.7 set ops): sources publishing in both of
-    // the two largest languages
-    Q("sources_bilingual",
-      (s, dir) => {
-        val dd = TestdataAdapter.table(s, dir, "documents")
-        dd.filter(col("lang") === "en").select("source").distinct()
-          .intersect(dd.filter(col("lang") === "de").select("source").distinct())
-          .orderBy("source")
-      },
-      Some(
-        """SELECT DISTINCT source FROM documents WHERE lang = 'en'
-          |INTERSECT
-          |SELECT DISTINCT source FROM documents WHERE lang = 'de'
-          |ORDER BY source""".stripMargin)),
-
-    // Equi-width histogram with data-driven bounds (broadcast min/max)
-    Q("value_histogram",
-      (s, dir) => Sketches.valueHistogram(TestdataAdapter.table(s, dir, "events")),
-      Some(Sketches.valueHistogramSql())),
-
-    // Column-profile / data-quality summary: one aggregation pass,
-    // unpivoted to a row per column
-    Q("events_profile",
-      (s, dir) => Sketches.profileEvents(TestdataAdapter.table(s, dir, "events")),
-      Some(Sketches.profileEventsSql)),
-
-    // HLL++/t-digest sketch audit (`Sketches.sketchStats`) is SPEC
-    // coverage, not a registry query (retired r13, same precedent as the
-    // mtime dedup index in r12): builtin-sketch VALUES are
-    // engine-specific, so a rows-only row would read as `err` to the
-    // mechanical gate. Accuracy bands are asserted in ScaleSpec; the
-    // oracle-exact twins below (`sketch_stats_exact`, `cardinality_hll`)
-    // keep the operator itself inside the hash gate.
-    // the exact cardinality+median leg of the sketch audit, hash-checked
-    Q("sketch_stats_exact",
-      (s, dir) => Sketches.sketchStatsExact(TestdataAdapter.table(s, dir, "events")),
-      Some(Sketches.sketchStatsExactSql)),
-    // Builtin Count-Min heavy hitters (`Sketches.heavyHitters`) is SPEC
-    // coverage (retired r13): estimate values are implementation-specific;
-    // the ≥-exact and error-bound contracts are asserted in ScaleSpec, and
-    // the engine-owned md5 CMS twin (`heavy_hitters_cms`) plus the exact
-    // top-k leg below keep the operator oracle-exact.
-    // the exact top-k frequency leg, hash-checked
-    Q("heavy_hitters_exact",
-      (s, dir) => Sketches.heavyHittersExact(TestdataAdapter.table(s, dir, "events")),
-      Some(Sketches.heavyHittersExactSql())),
-    // ENGINE-OWNED md5-hashed Count-Min Sketch: the d×w counter grid and
-    // the min-over-rows estimates are reproduced verbatim in DuckDB, so
-    // the SKETCH itself (not just the exact audit leg) is oracle-exact —
-    // the verifiable twin of the builtin-CMS `heavy_hitters`
-    Q("heavy_hitters_cms",
-      (s, dir) => Sketches.cmsHeavyHitters(TestdataAdapter.table(s, dir, "events")),
-      Some(Sketches.cmsHeavyHittersSql())),
-    // ENGINE-OWNED md5-hashed HyperLogLog: 256-register max-aggregate,
-    // exact-decimal register sum, round-pinned ln/estimate — the estimate is
-    // oracle-exact, the verifiable twin of builtin-HLL `sketch_stats`
-    Q("cardinality_hll",
-      (s, dir) => Sketches.hllCardinality(TestdataAdapter.table(s, dir, "events")),
-      Some(Sketches.hllCardinalitySql())),
-    // Declarative data-quality gate: a rule set compiled into ONE
-    // aggregation pass (Deequ-style), unpivoted to a per-rule report
-    Q("dq_report",
-      (s, dir) => graft.rel.Quality.eventsReport(TestdataAdapter.table(s, dir, "events")),
-      Some(graft.rel.Quality.eventsReportSql)),
-
-    // SCD type 2: validity-interval dimension history maintained by one
-    // full-outer merge of the open slice against a new snapshot
-    Q("scd2_customers", Relational.scd2Customers,
-      Some(Relational.scd2CustomersSql)),
-    // point-in-time lookup against the SCD2 history ("balance as of T")
-    Q("scd2_pit_lookup", Relational.scd2PitLookup,
-      Some(Relational.scd2PitLookupSql)),
-
-    // Snapshot diff: full-outer change classification between a table
-    // and a deterministically perturbed next version
-    Q("events_diff", Relational.eventsDiff,
-      Some(
-        """WITH o AS (SELECT event_id, event_type, value FROM events),
-          |n AS (
-          |  SELECT event_id, event_type,
-          |    CASE WHEN event_id % 7 = 0 THEN value * 2 ELSE value END AS value
-          |  FROM events WHERE event_id % 97 <> 0
-          |  UNION ALL
-          |  SELECT event_id + 10000000, event_type, value
-          |  FROM events WHERE event_id % 89 = 0),
-          |j AS (SELECT o.event_id AS ok, n.event_id AS nk,
-          |        o.event_type AS ot, n.event_type AS nt,
-          |        o.value AS ov, n.value AS nv
-          |      FROM o FULL OUTER JOIN n ON o.event_id = n.event_id),
-          |c AS (SELECT COALESCE(ok, nk) AS event_id,
-          |        CASE WHEN nk IS NULL THEN 'removed'
-          |             WHEN ok IS NULL THEN 'added'
-          |             WHEN ot IS DISTINCT FROM nt
-          |               OR ov IS DISTINCT FROM nv THEN 'changed' END AS change_type
-          |      FROM j)
-          |SELECT event_id, change_type FROM c
-          |WHERE change_type IS NOT NULL ORDER BY event_id""".stripMargin)),
-
-    // Dense hourly gap-fill with forward-filled averages (time-series
-    // completion for the ML feature grid)
-    Q("hourly_gap_fill",
-      (s, dir) => Analytics.hourlyGapFill(TestdataAdapter.userEvents(s, dir)),
-      Some(Analytics.hourlyGapFillSql)),
-    // PSI drift report: per-type value distribution shift between the
-    // first and second half of the observed range (10 reference-range
-    // bins, smoothed, 1e9-quantized terms → order-free sums)
-    Q("drift_psi",
-      (s, dir) => Analytics.driftPsi(TestdataAdapter.userEvents(s, dir)),
-      Some(Analytics.driftPsiSql)),
-    // Incremental view maintenance: history + latest-hour increment
-    // partially aggregated separately, merged via associative decimal
-    // partials; oracle recomputes from scratch — equality proves the
-    // incremental path exact
-    Q("incremental_hourly_merge",
-      (s, dir) => rel.Incremental.incrementalHourlyMerge(TestdataAdapter.userEvents(s, dir)),
-      Some(rel.Incremental.incrementalHourlyMergeSql)),
-    // Ordered 3-step funnel conversion over user activity
-    Q("funnel_signup_purchase",
-      (s, dir) => Analytics.funnel(TestdataAdapter.userEvents(s, dir)),
-      Some(Analytics.funnelSql)),
-    // Weekly cohort retention matrix
-    Q("cohort_retention",
-      (s, dir) => Analytics.cohortRetention(TestdataAdapter.userEvents(s, dir)),
-      Some(Analytics.cohortRetentionSql)),
-
-    // Top-k per group via the custom bounded-heap physical operator
-    // (plans.TopKPerGroup: LogicalPlan+Strategy+SparkPlan, no sort) —
-    // oracle is the window+filter form it replaces
-    Q("topk_events_per_user",
-      (s, dir) => {
-        graft.GraftExtensions.register(s)
-        graft.plans.TopKPerGroup.topK(
-          TestdataAdapter.table(s, dir, "events")
-            .select("user_id", "event_id", "event_type", "value"),
-          groupCols = Seq("user_id"),
-          orderCols = Seq("value" -> true, "event_id" -> false),
-          k = 3)
-          .orderBy(col("user_id"), col("value").desc, col("event_id"))
-      },
-      Some(
-        """SELECT user_id, event_id, event_type, value FROM (
-          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
-          |    ORDER BY value DESC, event_id) AS rn
-          |  FROM events) WHERE rn <= 3
-          |ORDER BY user_id, value DESC, event_id""".stripMargin)),
-
-    // Dense global numbering without a single-partition window (range
-    // repartition + zipWithIndex) — oracle is the window form it avoids
-    Q("global_index",
-      (s, dir) => graft.rel.Scale.globalIndex(
-        TestdataAdapter.table(s, dir, "documents").select("doc_id", "lang", "n_chars"),
-        "doc_id").orderBy("doc_id"),
-      Some(
-        """SELECT doc_id, lang, n_chars,
-          |  ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS global_idx
-          |FROM documents ORDER BY doc_id""".stripMargin)),
-
-    // Gap-based sessionization: one shuffle (user_id), running-sum
-    // session ids, grouped session stats — see rel.Sessionize scaladoc.
-    // per-user behavioral profile over the session frame (bounce rate,
-    // mean session length) — the report sessionization feeds
-    Q("session_stats",
-      (s, dir) => Sessionize.sessionStats(TestdataAdapter.table(s, dir, "events")),
-      Some(Sessionize.sessionStatsSql)),
-    Q("sessionize_events",
-      (s, dir) => Sessionize.sessions(TestdataAdapter.table(s, dir, "events")),
-      Some(Sessionize.sessionsSql)),
-    // SCD2 (Kimball type-2) state history: validity intervals of each
-    // user's event_type, one user_id shuffle for the whole build
-    Q("scd2_history",
-      (s, dir) => Sessionize.scd2History(TestdataAdapter.table(s, dir, "events")),
-      Some(Sessionize.scd2HistorySql)),
-
-    Q("gtfs_time_parse", Relational.gtfsTimeParse,
-      Some(
-        """SELECT event_id,
-          |  CAST(CAST(floor(value * 100) AS BIGINT) % 108000 AS INTEGER) AS seconds_in,
-          |  printf('%02d:%02d:%02d',
-          |    CAST(CAST(floor(value * 100) AS BIGINT) % 108000 AS BIGINT) // 3600,
-          |    (CAST(CAST(floor(value * 100) AS BIGINT) % 108000 AS BIGINT) % 3600) // 60,
-          |    CAST(CAST(floor(value * 100) AS BIGINT) % 108000 AS BIGINT) % 60) AS gtfs_time,
-          |  CAST(CAST(floor(value * 100) AS BIGINT) % 108000 AS INTEGER) AS seconds_parsed
-          |FROM events ORDER BY event_id""".stripMargin)),
-  )
-
-  /** Training-data pipeline operators (text analysis, dedup family,
-    * similarity search, multimodal plumbing) — every one oracle-checked.
-    */
-  val llm: Seq[Q] = {
-    import graft.text.TextOps
-    import graft.dedup.Dedup
-    import graft.sim.{Knn, PcaFixture, PqFixture, SemDedupFixture}
-    import graft.multimodal.Multimodal
-    def docs(s: SparkSession, dir: String) = TestdataAdapter.table(s, dir, "documents")
-    def embs(s: SparkSession, dir: String) = TestdataAdapter.table(s, dir, "embeddings")
-    Seq(
-      Q("text_stats", (s, d) => TextOps.textStats(docs(s, d)), Some(TextOps.textStatsSql)),
-      Q("token_counts", (s, d) => TextOps.tokenCounts(docs(s, d)), Some(TextOps.tokenCountsSql)),
-      Q("lang_id", (s, d) => TextOps.languageId(docs(s, d)), Some(TextOps.languageIdSql)),
-      Q("doc_fingerprint", (s, d) => TextOps.fingerprint(docs(s, d)), Some(TextOps.fingerprintSql)),
-      Q("tfidf_top_terms", (s, d) => TextOps.tfidfTopTerms(docs(s, d)),
-        Some(TextOps.tfidfTopTermsSql())),
-      Q("bigram_topk", (s, d) => TextOps.bigramTopK(docs(s, d)),
-        Some(TextOps.bigramTopKSql())),
-      // BM25 retrieval: fixed query set scored against the corpus, top-k
-      // docs per query — query-term pruning pushed below the tf shuffle
-      Q("search_bm25", (s, d) => TextOps.searchBm25(docs(s, d)),
-        Some(TextOps.searchBm25Sql())),
-      // Hybrid retrieval: BM25 candidates ∪ dense-cosine candidates per
-      // query, fused by Reciprocal Rank Fusion (1/(60+rank) per leg) —
-      // the standard two-tower retrieval re-rank, both legs and the
-      // fusion oracle-exact (integer-denominator double divisions summed
-      // in fixed order)
-      Q("hybrid_search_rrf",
-        (s, d) => Knn.hybridSearchRrf(docs(s, d), embs(s, d)),
-        Some(Knn.hybridSearchRrfSql())),
-      // Zipf / vocab-coverage curve: top-k vocabulary + cumulative share
-      // of all token occurrences (tokenizer-vocab sizing)
-      Q("vocab_coverage", (s, d) => TextOps.vocabCoverage(docs(s, d)),
-        Some(TextOps.vocabCoverageSql())),
-      // BPE merge-pair counting: char-pair frequencies weighted by word
-      // frequency — the argmax step of tokenizer training
-      Q("bpe_merge_pairs", (s, d) => TextOps.bpeMergePairs(docs(s, d)),
-        Some(TextOps.bpeMergePairsSql())),
-      // full BPE trainer: one distributed word-count pass + driver-side
-      // merge loop over the vocab-sized working set — ORACLE-EXACT
-      // (promoted r12): the bounded loop unrolls into per-step DuckDB
-      // CTEs (pair-count → tie-broken argmax → delimited-string merge
-      // apply), replaying the trainer merge-for-merge. The driver
-      // collect is bounded by minCount/maxVocab at scale (defaults off
-      // here — sf corpora are small; the spec pins floor/cap effects).
-      Q("bpe_train", (s, d) => TextOps.bpeTrain(docs(s, d)),
-        Some(TextOps.bpeTrainSql())),
-      // tokenizer APPLY, ORACLE-EXACT at the pinned merge table
-      // (promoted r11): the merge table is the committed trained
-      // artifact (BpeFixture — bpeTrain's sf0.01 output, provenance
-      // spec-pinned; a tokenizer's merges are THE canonical frozen
-      // model file), and the greedy apply is replayed merge-for-merge
-      // by a DuckDB RECURSIVE CTE over symbol lists. The
-      // in-query-trained apply stays spec-asserted (CorpusOpsSpec).
-      Q("bpe_encode_stats",
-        (s, d) => TextOps.bpeEncodeStatsPinned(docs(s, d),
-          graft.text.BpeFixture.merges),
-        Some(TextOps.bpeEncodeStatsPinnedSql(graft.text.BpeFixture.merges))),
-      Q("repetition_stats", (s, d) => TextOps.repetitionStats(docs(s, d)),
-        Some(TextOps.repetitionStatsSql)),
-      // CCNet-style LM quality signal: per-doc cross-entropy under the
-      // corpus-trained add-1 bigram model
-      Q("bigram_lm_nll", (s, d) => TextOps.bigramLmScore(docs(s, d)),
-        Some(TextOps.bigramLmScoreSql)),
-      // CCNet head/middle/tail perplexity terciles per predicted lang,
-      // tier cut by the distributed grouped NTILE (Scale.ntileExactBy)
-      Q("ccnet_buckets", (s, d) => TextOps.ccnetBuckets(docs(s, d)),
-        Some(TextOps.ccnetBucketsSql)),
-      Q("domain_mixture", (s, d) => TextOps.domainMixture(docs(s, d)),
-        Some(TextOps.domainMixtureSql)),
-
-      Q("temperature_mixture", (s, d) => TextOps.temperatureMixture(docs(s, d)),
-        Some(TextOps.temperatureMixtureSql())),
-      // mixture diagnostics: per-source unigram KL vs the corpus mix +
-      // per-source entropy (detSum-rounded log terms, decimal-summed)
-      Q("source_kl_divergence", (s, d) => TextOps.sourceKlDivergence(docs(s, d)),
-        Some(TextOps.sourceKlDivergenceSql)),
-      // per-source distinct/total n-gram ratios for n=1..3 in one pass
-      Q("ngram_diversity", (s, d) => TextOps.ngramDiversity(docs(s, d)),
-        Some(TextOps.ngramDiversitySql)),
-      Q("doc_chunks", (s, d) => TextOps.chunkDocuments(docs(s, d)),
-        Some(TextOps.chunkDocumentsSql())),
-      // concat-and-cut sequence packing: per-doc context-window placement
-      // + fragmentation flags (distributed prefix sum, no global window)
-      Q("packed_sequences", (s, d) => TextOps.packedSequences(docs(s, d)),
-        Some(TextOps.packedSequencesSql())),
-      // benchmark = doc_id % 100 = 7 stands in for a real eval-suite
-      // table; the operator takes any two document frames
-      Q("decontamination",
-        (s, d) => Dedup.contaminationReport(
-          docs(s, d).filter(col("doc_id") % 100 =!= 7),
-          docs(s, d).filter(col("doc_id") % 100 === 7)),
-        Some(Dedup.contaminationReportSql)),
-      // the published 13-gram exact-collision standard (r10): the same
-      // broadcast shape at the width the decontamination literature
-      // actually uses — the 3-gram form is near-dup-grade sensitivity,
-      // this one flags only long verbatim overlaps
-      Q("decontamination_13gram",
-        (s, d) => Dedup.contaminationReportNgram(
-          docs(s, d).filter(col("doc_id") % 100 =!= 7),
-          docs(s, d).filter(col("doc_id") % 100 === 7)),
-        Some(Dedup.contaminationReportNgramSql())),
-      // C4-style mechanical normalization (quotes/dashes/control/ws) —
-      // identity on the already-clean synthetic corpus, behavior
-      // spec-asserted on dirty strings
-      Q("normalize_text", (s, d) => TextOps.normalizeText(docs(s, d)),
-        Some(TextOps.normalizeTextSql)),
-      // r14: HTML → text extraction (the web-corpus front door) — the
-      // generator wraps each doc's text in a full entity-escaped page
-      // (head/nav/script/style boilerplate, bold wraps, entity traps)
-      // and the extractor must invert it exactly; the oracle computes
-      // the expected round trip straight from the source text
-      Q("html_extract",
-        (s, d) => TextOps.extractHtmlText(TextOps.htmlCorpus(docs(s, d))),
-        Some(TextOps.extractHtmlTextSql)),
-      Q("props_redacted",
-        (s, d) => TextOps.redactDigits(TestdataAdapter.table(s, d, "events"), "props"),
-        Some(TextOps.redactDigitsSql("props"))),
-      // PII scrub: planted emails/IPs/phones detected, counted, and
-      // redacted; the whole scrubbed text is md5-compared cross-engine
-      Q("pii_scrub", (s, d) => graft.text.Pii.piiScrub(docs(s, d)),
-        Some(graft.text.Pii.piiScrubSql)),
-      // Per-domain cap — "keep at most K best-quality docs per source",
-      // the curation rule that stops one domain from dominating a
-      // training mix — through the custom bounded-heap top-k operator
-      // (O(n log k), no per-partition sort at corpus scale); the oracle
-      // is the window+filter form it replaces
-      Q("domain_cap",
-        (s, d) => {
-          graft.GraftExtensions.register(s)
-          val scored = docs(s, d).select(
-            col("doc_id"), col("source"), col("n_chars"),
-            TextOps.qualityScore(col("text")).as("quality_score"))
-          graft.plans.TopKPerGroup.topK(scored,
-            groupCols = Seq("source"),
-            orderCols = Seq("quality_score" -> true, "doc_id" -> false),
-            k = 10)
-            .orderBy(col("source"), col("quality_score").desc, col("doc_id"))
-        },
-        Some(
-          s"""WITH s AS (
-             |  SELECT doc_id, source, n_chars,
-             |    ${TextOps.qualityScoreSqlExpr} AS quality_score
-             |  FROM documents)
-             |SELECT doc_id, source, n_chars, quality_score FROM (
-             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
-             |    ORDER BY quality_score DESC, doc_id) AS rn
-             |  FROM s) WHERE rn <= 10
-             |ORDER BY source, quality_score DESC, doc_id""".stripMargin)),
-      Q("doc_simhash", (s, d) => TextOps.simhash(docs(s, d)), Some(TextOps.simhashSql)),
-      Q("dedup_exact", (s, d) => Dedup.exact(docs(s, d)), Some(Dedup.exactSql)),
-      Q("dedup_keep", (s, d) => Dedup.dedupKeep(docs(s, d)), Some(Dedup.dedupKeepSql)),
-      // end-to-end corpus filter: dedup representative → quality floor →
-      // language allowlist, one shuffle total
-      Q("corpus_filter", (s, d) => Dedup.corpusFilter(docs(s, d)),
-        Some(Dedup.corpusFilterSql())),
-      // one-row corpus accounting: doc/token mass, dedup savings,
-      // quality+lang survival — the report a curation run prints
-      Q("corpus_stats", (s, d) => Dedup.corpusStats(docs(s, d)),
-        Some(Dedup.corpusStatsSql())),
-      // the full curation pass fused into one plan: scrub → length floor
-      // → exact dedup of cleaned text → quality + language filters.
-      // minQuality=0.05: the synthetic corpus' tiny vocabulary makes the
-      // scrub strip ~92% of tokens, so the floor is set relative to the
-      // post-scrub token mass (quality ≈ n_tokens/100 here)
-      Q("corpus_curate", (s, d) => Dedup.curateCorpus(docs(s, d), minQuality = 0.05),
-        Some(Dedup.curateCorpusSql(minQuality = 0.05))),
-      // Gopher/C4 rule-by-rule curation flags (minWords=30 so the
-      // 10-99-word synthetic docs exercise both outcomes) + the
-      // per-source failure report
-      Q("quality_rule_flags", (s, d) => TextOps.qualityRuleFlags(docs(s, d)),
-        Some(TextOps.qualityRuleFlagsSql())),
-      Q("quality_rule_report", (s, d) => TextOps.qualityRuleReport(docs(s, d)),
-        Some(TextOps.qualityRuleReportSql())),
-      Q("minhash_signatures", (s, d) => Dedup.minhashSignatures(docs(s, d)),
-        Some(Dedup.minhashSignaturesSql)),
-      Q("dedup_minhash_pairs", (s, d) => Dedup.minhashPairs(docs(s, d)),
-        Some(Dedup.minhashPairsSql)),
-      // r14: LSH banding calibration — actual + S-curve-expected capture
-      // per (bands × rows) factorization of the same 8-hash signatures,
-      // over the shipping banding's pair frame (never all-pairs); the
-      // expected side crosses engines as exact BIGINT numerators /8^8
-      Q("lsh_band_calibration", (s, d) => Dedup.lshBandCalibration(docs(s, d)),
-        Some(Dedup.lshBandCalibrationSql)),
-      Q("dedup_ngram_jaccard", (s, d) => Dedup.ngramJaccard(docs(s, d)),
-        Some(Dedup.ngramJaccardSql)),
-
-      Q("split_leakage", (s, d) => Dedup.splitLeakage(docs(s, d)),
-        Some(Dedup.splitLeakageSql())),
-      // overlap-coefficient leg over the same LSH candidates: the
-      // quote/excerpt (asymmetric containment) catches Jaccard misses
-      Q("dedup_containment", (s, d) => Dedup.containmentPairs(docs(s, d)),
-        Some(Dedup.containmentPairsSql())),
-      Q("dedup_clusters", (s, d) => Dedup.dedupClusters(docs(s, d)),
-        Some(Dedup.dedupClustersSql)),
-      // one representative per near-dup cluster — the keep list the
-      // approximate-dedup pipeline actually ships
-      // rides the amortized label state (r11): the keep list's point is
-      // the representative rule, not the clustering — `dedup_clusters`
-      // still times the CC pipeline honestly
-      Q("near_dedup_keep", (s, d) => Dedup.nearDedupKeepFrom(fullClusterLabels(s, d)),
-        Some(Dedup.nearDedupKeepSql)),
-      // leakage-free split (r10): split key = near-dup cluster rep, so
-      // every transitive near-dup lands in ONE split — cross-split
-      // contamination is structurally zero (spec-asserted), not merely
-      // audited-small. Both r10 cluster queries read the full-corpus
-      // labels persisted once per scale dir (the clusterStateDirs
-      // pattern): three queries re-running the same CC pipeline bought
-      // nothing, and a deployment reads maintained labels anyway.
-      Q("cluster_split_assign",
-        (s, d) => Dedup.clusterSplitAssignFrom(fullClusterLabels(s, d)),
-        Some(Dedup.clusterSplitAssignSql)),
-      // quality-max cluster representative (r10): the near-dup keep list
-      // a TRAINING pipeline wants — per cluster, survive the best-quality
-      // member, not the lowest id
-      Q("cluster_best_keep",
-        (s, d) => Dedup.clusterBestKeepFrom(fullClusterLabels(s, d), docs(s, d)),
-        Some(Dedup.clusterBestKeepSql)),
-      // which sources copy from each other: near-dup pairs per unordered
-      // source pair (cluster-local self-join, |sources|²-sized output)
-      // rides the amortized label state (r11, same contract): the point
-      // is the count combinatorics over per-(cluster,source) aggregates
-      Q("source_overlap", (s, d) => Dedup.sourceOverlapFrom(fullClusterLabels(s, d), docs(s, d)),
-        Some(Dedup.sourceOverlapSql)),
-      // per-source governance dashboard (r10): doc counts, exact- and
-      // near-dup exposure (near side reads the maintained label state),
-      // language spread, rounded-mean quality, token volume — one row
-      // per source, oracle-exact
-      Q("corpus_source_report",
-        (s, d) => Dedup.sourceGovernanceReport(docs(s, d), fullClusterLabels(s, d)),
-        Some(Dedup.sourceGovernanceReportSql)),
-      // the ENFORCEMENT half of the governance report (r11): global token
-      // budget → per-source quotas proportional to clean (best-keeper)
-      // token volume → within-source quality-ordered cap, one plan,
-      // integer-exact quota arithmetic; consumes the same amortized
-      // label state as the report
-      Q("corpus_governed_cap",
-        (s, d) => Dedup.governedCap(docs(s, d), fullClusterLabels(s, d)),
-        Some(Dedup.governedCapSql())),
-      // boilerplate hotspots: 3-grams shared across the most documents
-      Q("duplicate_shingles", (s, d) => Dedup.duplicateShingles(docs(s, d)),
-        Some(Dedup.duplicateShinglesSql())),
-      // span-level boilerplate REMOVAL: rewrite docs with tokens covered
-      // by any cross-document duplicated 3-gram stripped (ExactSubstr at
-      // shingle granularity)
-      Q("boilerplate_scrub", (s, d) => Dedup.boilerplateScrub(docs(s, d)),
-        Some(Dedup.boilerplateScrubSql())),
-      // substring-level exact dedup with KEEP-FIRST semantics (the
-      // published span-dedup pass): every duplicated 8-token span keeps
-      // exactly its corpus-first occurrence; later occurrences are
-      // scrubbed. One copy of each passage always survives — unlike
-      // boilerplate_scrub, which drops template shingles everywhere.
-      Q("dup_span_scrub", (s, d) => Dedup.dupSpanScrub(docs(s, d)),
-        Some(Dedup.dupSpanScrubSql())),
-      // the audit view: maximal merged duplicated spans per document
-      Q("dup_span_report", (s, d) => Dedup.dupSpanReport(docs(s, d)),
-        Some(Dedup.dupSpanReportSql())),
-      // incremental batch-vs-corpus dedup: Bloom pre-filter + exact
-      // residual join on the bloom-positive slice — the sketch's
-      // no-false-negative guarantee makes the composite verdict exact,
-      // so it hash-matches a DuckDB anti-join twin; the bloom column
-      // itself (engine-specific bits) is dropped here and spec-asserted
-      // (corpus = doc_id%3≠0, batch = doc_id%3=0)
-      Q("bloom_new_docs",
-        (s, d) => Dedup.bloomNewDocs(
-          docs(s, d).filter(col("doc_id") % 3 =!= 0),
-          docs(s, d).filter(col("doc_id") % 3 === 0)).drop("is_new_bloom"),
-        Some(Dedup.bloomNewDocsSql("doc_id % 3 <> 0", "doc_id % 3 = 0"))),
-      // The MAINTAINED-index form across two batches (VERDICT r8 item 7):
-      // the corpus is scanned once into a DedupIndex whose hash table
-      // round-trips through parquet (the persisted-state seam); batch 1
-      // is classified against it, folded in via mergeDedupIndex, and
-      // batch 2 classified against the UPDATED state — its plan reads
-      // only the state parquet, never documents (spec-asserted). Oracle:
-      // batch 1 vs corpus, batch 2 vs corpus ∪ batch 1.
-      Q("bloom_incremental_newdocs",
-        (s, d) => {
-          val all = docs(s, d)
-          val corpus = all.filter(col("doc_id") % 3 =!= 0)
-          val b1 = all.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 0)
-          val b2 = all.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 =!= 0)
-          val state = java.nio.file.Files.createTempDirectory("graft_dedup_idx").toString
-          def persist(idx: Dedup.DedupIndex, v: Int): Dedup.DedupIndex = {
-            idx.hashes.write.mode("overwrite").parquet(s"$state/v$v")
-            Dedup.DedupIndex(idx.bloomBits, s.read.parquet(s"$state/v$v"))
-          }
-          val idx0 = persist(Dedup.buildDedupIndex(corpus), 0)
-          val v1 = Dedup.bloomNewDocsIncremental(idx0, b1)
-          val idx1 = persist(Dedup.mergeDedupIndex(idx0, b1), 1)
-          val v2 = Dedup.bloomNewDocsIncremental(idx1, b2)
-          v1.withColumn("batch_seq", lit(1))
-            .unionByName(v2.withColumn("batch_seq", lit(2)))
-            .drop("is_new_bloom")
-            .orderBy("doc_id")
-        },
-        Some(BLOOM_INCR_SQL)),
-      // the same maintained index driven by a REAL micro-batch stream
-      // under the PRODUCTION ordering contract (r10): foreachBatch
-      // classifies each arriving batch against the persisted bloom+hash
-      // state, then folds it in — continuous-ingest dedup, verified
-      // against the identical two-batch oracle. The batches ride a
-      // graftqueue topic as JSON envelopes and drain as offset-ordered
-      // micro-batches via the source's Kafka-style admission control
-      // (maxRecordsPerTrigger admits whole committed segments) — batch
-      // order is the broker's commit order. This is the ONE registered
-      // dedup-index stream (r12): the earlier file-source twin pinned
-      // mtimes to fake that ordering — its own comment called it a
-      // test-harness device — so it now lives only in specs
-      // (DedupStreamParitySpec parity, CrashRecoverySpec recovery,
-      // ScaleSoakSpec growth), not in the benched registry.
-      // The streaming forms get a per-(scale dir, query) cached state
-      // dir: the corpus v0 bootstrap (the one expensive part, seeded only
-      // if absent) is amortized so repeated runs time the per-batch
-      // classify/merge steady state — a deployment maintains the index,
-      // it doesn't rebuild it. Separate dirs per query: Verify runs
-      // queries concurrently and v1+ overwrites must not race.
-      Q("streaming_dedup_index_queue",
-        (s, d) => graft.streaming.Streams.dedupIndexQueueStream(s, d,
-          stateDir = Some(memo(dedupStreamStateDirs)(("queue", d))(
-            java.nio.file.Files.createTempDirectory("graft_dsq_state").toString))),
-        Some(BLOOM_INCR_SQL)),
-      // the NEAR-dup index under the same continuous-ingest machinery
-      // (r11): LSH signature state maintained as base + per-batch
-      // disjoint deltas over offset-ordered graftqueue micro-batches;
-      // verdicts ≡ the two-batch in-plan lsh_incremental_newdocs, whose
-      // DuckDB oracle is reused verbatim; crash recovery proven by
-      // CrashRecoverySpec's LSH leg
-      Q("streaming_lsh_index",
-        (s, d) => graft.streaming.Streams.lshIndexQueueStream(s, d,
-          stateDir = Some(memo(dedupStreamStateDirs)(("lshq", d))(
-            java.nio.file.Files.createTempDirectory("graft_lshq_state").toString))),
-        Some(Dedup.lshIncrementalSql(
-          "doc_id % 3 <> 0",
-          "doc_id % 3 = 0 AND doc_id % 2 = 0",
-          "doc_id % 3 = 0 AND doc_id % 2 <> 0"))),
-      // Frozen-model STREAMING INFERENCE: the committed quality model
-      // scored over graftqueue micro-batches (3 offset-ordered
-      // segments); scoring is stateless per-doc, so the drained union
-      // hash-equals the batch scorer — same oracle as
-      // quality_score_pinned, proving batch ≡ streaming serving
-      Q("streaming_quality_scores",
-        (s, d) => graft.streaming.Streams.qualityScoreQueueStream(s, d),
-        Some(graft.ml.QualityClassifier.scorePinnedSql(
-          graft.ml.QualityFixture.labelThreshold,
-          graft.ml.QualityFixture.interceptE9,
-          graft.ml.QualityFixture.weightsE9))),
-      // Incremental TRANSITIVE clusters: the persisted label table +
-      // signature index absorb a new batch exactly — cross edges
-      // contract matched corpus docs to their cluster representative,
-      // connected components runs on the batch-bounded contracted
-      // subgraph only, and corpus labels remap by an id join (existing
-      // clusters merge when a batch doc bridges them). Oracle: the SAME
-      // full-recompute recursive-CTE closure dedup_clusters verifies
-      // against — incremental ≡ from-scratch, bit-for-bit.
-      Q("cluster_attach_incremental",
-        (s, d) => {
-          val all = docs(s, d)
-          val corpus = all.filter(col("doc_id") % 3 =!= 0)
-          val batch = all.filter(col("doc_id") % 3 === 0)
-          // the corpus-side state (labels + signature index) is exactly
-          // what a deployment amortizes across batches — build it once
-          // per scale dir so repeated runs time the ATTACH, not the
-          // state bootstrap
-          val state = memo(clusterStateDirs)(d)({
-            val p = java.nio.file.Files.createTempDirectory("graft_cc_idx").toString
-            Dedup.dedupClusters(corpus).select("doc_id", "cluster_id")
-              .write.mode("overwrite").parquet(s"$p/labels")
-            Dedup.lshIndex(corpus).write.mode("overwrite").parquet(s"$p/sigs")
-            p
-          })
-          Dedup.attachToClustersWithSizes(
-            s.read.parquet(s"$state/labels"),
-            s.read.parquet(s"$state/sigs"), batch)
-        },
-        Some(Dedup.dedupClustersSql)),
-
-      // The NEAR-dup sibling of the maintained exact index: the LSH
-      // signature table (8 min-hashes + 4 band keys per doc — bounded
-      // state) persisted through parquet; batch 1 classifies against
-      // the corpus index via band joins + signature-agreement Jaccard
-      // estimate, merges in (plain union), batch 2 classifies against
-      // the updated state — no corpus text touched after the one index
-      // build. Oracle recomputes both classifications in DuckDB.
-      Q("lsh_incremental_newdocs",
-        (s, d) => {
-          val all = docs(s, d)
-          val corpus = all.filter(col("doc_id") % 3 =!= 0)
-          val b1 = all.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 0)
-          val b2 = all.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 =!= 0)
-          val state = java.nio.file.Files.createTempDirectory("graft_lsh_idx").toString
-          // DELTA-persisted signature state (r10, same argument as the
-          // exact-dedup stream): each increment writes ONLY the batch's
-          // signatures; the running index is base ∪ deltas. The earlier
-          // form re-persisted base ∪ batch as v1 — an O(corpus) state
-          // rewrite per batch. mergeLshIndex is a plain union, so the
-          // union-of-dirs read IS the merged index, bit-for-bit.
-          def persist(ix: org.apache.spark.sql.DataFrame, name: String) = {
-            ix.write.mode("overwrite").parquet(s"$state/$name")
-            s.read.parquet(s"$state/$name")
-          }
-          val idx0 = persist(Dedup.lshIndex(corpus), "base")
-          val v1 = Dedup.classifyNearDupIncremental(idx0, b1)
-          val idx1 = idx0.unionByName(persist(Dedup.lshIndex(b1), "delta_b1"))
-          val v2 = Dedup.classifyNearDupIncremental(idx1, b2)
-          v1.withColumn("batch_seq", lit(1))
-            .unionByName(v2.withColumn("batch_seq", lit(2)))
-            .orderBy("doc_id")
-        },
-        Some(Dedup.lshIncrementalSql(
-          "doc_id % 3 <> 0",
-          "doc_id % 3 = 0 AND doc_id % 2 = 0",
-          "doc_id % 3 = 0 AND doc_id % 2 <> 0"))),
-      // The learned quality model's in-query TRAINING leg
-      // (`QualityClassifier.trainEval`, hashed BoW → logistic regression)
-      // is SPEC coverage (retired r13): an iterative fitter's weights are
-      // engine-specific. AUC band + determinism are asserted in
-      // CurationOpsSpec; FixtureSpec pins retrain == committed fixture;
-      // the pinned serving twin below stays oracle-exact.
-      // per-doc scores under the COMMITTED quality model (md5-BoW LR,
-      // 1e9-quantized weights, frozen weak-label threshold) — the
-      // serving artifact, ORACLE-EXACT: integer dot product + one
-      // round-pinned sigmoid, mirrored verbatim in DuckDB. The
-      // in-query-trained form stays rows-only (`quality_classifier`);
-      // FixtureSpec pins retrain == fixture.
-      Q("quality_score_pinned",
-        (s, d) => graft.ml.QualityClassifier.scorePinned(docs(s, d),
-          graft.ml.QualityFixture.labelThreshold,
-          graft.ml.QualityFixture.interceptE9,
-          graft.ml.QualityFixture.weightsE9),
-        Some(graft.ml.QualityClassifier.scorePinnedSql(
-          graft.ml.QualityFixture.labelThreshold,
-          graft.ml.QualityFixture.interceptE9,
-          graft.ml.QualityFixture.weightsE9))),
-      // operating-point sweep for the learned filter — PROMOTED r11 to
-      // oracle-exact at the pinned model (the sweep a pipeline runs for
-      // the FROZEN artifact it actually ships; trained-sweep identities
-      // stay spec-asserted in QualitySpec)
-      Q("quality_threshold_sweep",
-        (s, d) => graft.ml.QualityClassifier.thresholdSweepPinned(docs(s, d),
-          graft.ml.QualityFixture.labelThreshold,
-          graft.ml.QualityFixture.interceptE9,
-          graft.ml.QualityFixture.weightsE9),
-        Some(graft.ml.QualityClassifier.thresholdSweepPinnedSql(
-          graft.ml.QualityFixture.labelThreshold,
-          graft.ml.QualityFixture.interceptE9,
-          graft.ml.QualityFixture.weightsE9))),
-      Q("dedup_simhash_pairs", (s, d) => Dedup.simhashPairs(docs(s, d)),
-        Some(Dedup.simhashPairsSql())),
-      Q("knn_bruteforce", (s, d) => Knn.bruteForceTopK(embs(s, d)),
-        Some(Knn.bruteForceTopKSql())),
-      Q("hard_negatives", (s, d) => Knn.hardNegatives(embs(s, d)),
-        Some(Knn.hardNegativesSql())),
-      Q("knn_bucketed", (s, d) => Knn.bucketedTopK(embs(s, d)),
-        Some(Knn.bucketedTopKSql())),
-      // IVF with trained centroids, run at nprobe = numCells: probing
-      // every cell makes IVF ≡ brute force BY CONSTRUCTION, so the whole
-      // trained pipeline (k-means‖ fit, cell assignment, probe ranking,
-      // per-cell candidate join, ADC-free exact scoring) is hash-checked
-      // against the brute-force oracle — the quantizer provably loses
-      // nothing. The sub-linear operating point (nprobe < numCells) stays
-      // spec-asserted in KnnSpec (exact agreement on separated clusters +
-      // recall band on the testdata), where approximation is the point.
-      Q("knn_ivf",
-        (s, d) => Knn.ivfTopK(embs(s, d), nprobe = 16).drop("cell"),
-        Some(Knn.bruteForceTopKSql(nQueries = 50, k = 3))),
-      // SemDeDup-style cluster-then-prune semantic dedup, ORACLE-EXACT at
-      // the pinned-centroid serving point (promoted r11): centroids are a
-      // committed trained-model artifact (SemDedupFixture — MLlib k-means
-      // output, provenance spec-pinned), the argmin assignment and the
-      // within-cell prune are plain arithmetic mirrored in DuckDB. The
-      // in-query-trained k-means path stays in the gate via
-      // `kmeans_clusters` and KnnSpec. tau=0.3 matches
-      // embedding_near_dup's threshold — the synthetic embeddings'
-      // planted near-dups live at cosine ~0.3-0.4
-      Q("semdedup_keep",
-        (s, d) => Knn.semDedupKeepPinned(embs(s, d),
-          SemDedupFixture.centroids, tau = 0.3),
-        Some(Knn.semDedupKeepPinnedSql(SemDedupFixture.centroids, tau = 0.3))),
-      // r14: cluster labeling — top-5 distinctive terms per pinned
-      // embedding cell by cluster-level TF-IDF (cluster-as-document),
-      // text joined 1:1 on vec_id = doc_id
-      Q("cluster_keywords",
-        (s, d) => Knn.clusterKeywords(embs(s, d), docs(s, d),
-          SemDedupFixture.centroids),
-        Some(Knn.clusterKeywordsSql(SemDedupFixture.centroids))),
-      // Product quantization ADC top-k, ORACLE-EXACT at the pinned
-      // codebook (promoted r11, the knn_ivf pattern): codebooks are the
-      // committed trained artifact (PqFixture — the deterministic
-      // sample+Lloyd output, provenance spec-pinned; training offline
-      // and serving frozen IS how production PQ deploys), so the whole
-      // encode + ADC scan pipeline is mirrored in DuckDB. The
-      // in-query-trained form stays spec-asserted in KnnSpec.
-      Q("pq_topk",
-        (s, d) => Knn.pqTopK(embs(s, d), pinned = Some(PqFixture.codebooks)),
-        Some(Knn.pqTopKSql(PqFixture.codebooks))),
-      // IVF-PQ: the production composition (r13) — the in-engine Lloyd
-      // trainer's cells prune candidates (nprobe=2 of 8), the pinned PQ
-      // codebooks score them in the compressed domain (8 LUT reads per
-      // pair instead of 64 float mults; 16× less memory traffic on top
-      // of the pruning). Both halves were already oracle-exact; the
-      // composition replays training, pruning, encoding and ADC ranking
-      // under one hash.
-      Q("ivfpq_topk",
-        (s, d) => Knn.ivfPqTopK(embs(s, d), PqFixture.codebooks),
-        Some(Knn.ivfPqTopKSql(PqFixture.codebooks))),
-      // Incremental IVF index maintenance (r13) — the ANN half of the
-      // maintained-index family (exact/LSH dedup indexes are the text
-      // half): the trained cell-keyed corpus is RUNNING STATE; a new
-      // batch attaches to its nearest existing cell (O(batch) delta, no
-      // retrain) and searches the state-before-batch in nprobe cells.
-      // Same corpus/batch carve as lsh_incremental_newdocs.
-      Q("ivf_attach_incremental",
-        (s, d) => Knn.ivfAttachIncremental(embs(s, d)),
-        Some(Knn.ivfAttachIncrementalSql())),
-      // Residual IVF-PQ with BOTH trained artifacts in the hash gate
-      // (r14, VERDICT item 1 — the true FAISS IndexIVFPQ): the coarse
-      // quantizer is the in-engine Lloyd trainer AND the PQ codebooks
-      // are per-subspace Lloyd fits over the integer residual domain
-      // (x − home-cell centroid), replayed iteration for iteration in
-      // SQL — no pinned model artifact anywhere. Search is ADC with
-      // per-probe residual LUTs. All BIGINT: hash-exact end to end.
-      Q("ivfpq_residual_topk",
-        (s, d) => Knn.ivfPqResidualTopK(embs(s, d)),
-        Some(Knn.ivfPqResidualTopKSql())),
-      // ...and its production serving tail (r14): IndexIVFPQ + refine —
-      // the compressed ADC ranking retrieves a WIDE candidate set
-      // (R=50), and only those rows are re-scored at full quantized
-      // precision. Compressed retrieval is allowed to be approximate
-      // (recall@R ≈ 1 where recall@k reads 0.5 on the clustered table);
-      // the exact stage touches nQueries·R rows, never the corpus.
-      Q("ivfpq_rescore_topk",
-        (s, d) => Knn.ivfPqResidualRescoreTopK(embs(s, d)),
-        Some(Knn.ivfPqResidualRescoreTopKSql())),
-      // The IVF maintenance DECISION (r14, VERDICT item 2): per trained
-      // cell, training-time vs attached-batch stats under the same
-      // centroids (sizes, integer inertia/radius, shares) and the
-      // retrain trigger — drift_ratio (batch mean centroid distance /
-      // training mean) and share imbalance, flags NULLIF-guarded. Same
-      // %3 carve as ivf_attach_incremental, so this report governs
-      // exactly the state that query maintains. IvfDriftSpec proves an
-      // engineered drifted batch trips retrain_due and a stationary
-      // fresh draw does not.
-      Q("ivf_drift_report",
-        (s, d) => Knn.ivfDriftReportCarve(embs(s, d)),
-        Some(Knn.ivfDriftReportCarveSql())),
-      // PCA reduced-space ANN recall vs full-space brute force,
-      // ORACLE-EXACT at the pinned basis (promoted r11, same pattern as
-      // pq_topk/semdedup_keep): the loading matrix is the committed
-      // trained artifact (PcaFixture, provenance spec-pinned), so the
-      // whole shortlist → rerank → recall experiment is mirrored in
-      // DuckDB. The in-query-trained fit stays spec-asserted in KnnSpec.
-      Q("pca_recall",
-        (s, d) => Knn.pcaRecallPinned(embs(s, d),
-          PcaFixture.basis, PcaFixture.explainedVariance),
-        Some(Knn.pcaRecallPinnedSql(
-          PcaFixture.basis, PcaFixture.explainedVariance))),
-      // embedding-space benchmark leakage: cross-side SRP-band candidates
-      // against the carved benchmark slice, exact-cosine verified
-      Q("semantic_decontamination",
-        (s, d) => Knn.semanticDecontamination(embs(s, d)),
-        Some(Knn.semanticDecontaminationSql())),
-      Q("embedding_near_dup", (s, d) => Knn.nearDupPairs(embs(s, d)),
-        Some(Knn.nearDupPairsSql())),
-      // per-group total variance about the centroid + mean pairwise
-      // squared distance from TWO aggregates (variance decomposition) —
-      // the diversity signal curation acts on, with no pair enumeration
-      Q("embedding_diversity", (s, d) => Knn.embeddingDiversity(embs(s, d)),
-        Some(Knn.embeddingDiversitySql)),
-      Q("semantic_split_leakage", (s, d) => Knn.semanticSplitLeakage(embs(s, d)),
-        Some(Knn.semanticSplitLeakageSql())),
-      Q("embedding_label_stats", (s, d) => Knn.labelStats(embs(s, d)),
-        Some(Knn.labelStatsSql)),
-      // Deterministic hash split / stratified sample — narrow, rerun- and
-      // append-stable, reproducible cross-engine (see ml.HashSplit).
-      Q("hash_split_assign", (s, d) => graft.ml.HashSplit.splitAssign(docs(s, d)),
-        Some(graft.ml.HashSplit.splitAssignSql)),
-      // seeded hash-order shuffle + distributed dense numbering
-      Q("corpus_shuffle", (s, d) => graft.ml.HashSplit.corpusShuffle(docs(s, d)),
-        Some(graft.ml.HashSplit.corpusShuffleSql())),
-      // curriculum training order: exact quality tiers (distributed
-      // NTILE), best tier first, seeded md5 permutation within a tier,
-      // dense 0-based position via the range-repartition global index
-      Q("curriculum_order",
-        (s, d) => graft.ml.HashSplit.curriculumOrder(docs(s, d)),
-        Some(graft.ml.HashSplit.curriculumOrderSql(
-          scoreExpr = TextOps.qualityScoreSqlExpr))),
-      // deterministic weighted sampling without replacement (A-ES
-      // ln(u)/w keys over hash uniforms, bounded TakeOrdered)
-      Q("weighted_sample", (s, d) => graft.ml.HashSplit.weightedSample(docs(s, d)),
-        Some(graft.ml.HashSplit.weightedSampleSql())),
-      Q("stratified_sample", (s, d) => graft.ml.HashSplit.stratifiedSample(docs(s, d)),
-        Some(graft.ml.HashSplit.stratifiedSampleSql())),
-      Q("mixture_resample", (s, d) => graft.ml.HashSplit.mixtureResample(docs(s, d)),
-        Some(graft.ml.HashSplit.mixtureResampleSql)),
-      // Token-budget sharding: global prefix sum in doc order via the
-      // two-pass distributed form (no single-partition window), then a
-      // shard cut every 2000 tokens
-      Q("token_shards",
-        (s, d) => {
-          val toks = docs(s, d).select(
-            col("doc_id"), size(TextOps.toks(col("text"))).cast("long").as("n_toks"))
-          graft.rel.Scale.prefixSumShards(toks, "doc_id", "n_toks", budget = 2000L)
-            .select(col("doc_id"), col("n_toks"), col("cum_tokens"),
-              col("shard_id").cast("int").as("shard_id"))
-            .orderBy("doc_id")
-        },
-        Some(
-          raw"""WITH t AS (SELECT doc_id,
-             |  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_toks
-             |  FROM documents),
-             |c AS (SELECT doc_id, n_toks,
-             |  CAST(SUM(n_toks) OVER (ORDER BY doc_id) AS BIGINT) AS cum_tokens FROM t)
-             |SELECT doc_id, n_toks, cum_tokens,
-             |  CAST((cum_tokens - n_toks) // 2000 AS INTEGER) AS shard_id
-             |FROM c ORDER BY doc_id""".stripMargin)),
-      // Quality-tier bucketing: exact NTILE(10) by quality score with no
-      // single-partition window (distributed numbering + positional rule)
-      Q("quality_tiers",
-        (s, d) => {
-          val scored = docs(s, d).select(
-            col("doc_id"), TextOps.qualityScore(col("text")).as("quality_score"))
-          graft.rel.Scale.ntileExact(scored, 10, Seq("quality_score", "doc_id"))
-            .select(col("doc_id"), col("quality_score"),
-              col("tier").cast("int").as("tier"))
-            .orderBy("doc_id")
-        },
-        Some(
-          s"""WITH s AS (SELECT doc_id, ${TextOps.qualityScoreSqlExpr} AS quality_score FROM documents)
-             |SELECT doc_id, quality_score,
-             |  CAST(NTILE(10) OVER (ORDER BY quality_score, doc_id) AS INTEGER) AS tier
-             |FROM s ORDER BY doc_id""".stripMargin)),
-      Q("multimodal_features", (s, d) => Multimodal.extractFeatures(docs(s, d)),
-        Some(Multimodal.extractFeaturesSql)),
-      // frame sampling: binary payload → exploded frames table (stub
-      // slicer; real generator/partitioning/metadata plumbing)
-      Q("multimodal_frames", (s, d) => Multimodal.sampleFrames(docs(s, d)),
-        Some(Multimodal.sampleFramesSql())),
-      // REAL image decode: deterministic solid-color PNGs (dims/fill pure
-      // functions of doc_id) rendered per-partition, decoded back with
-      // the JRE's javax.imageio, pixel averages computed over the raster
-      // — oracle-exact because the synthesis formulas are known
-      Q("multimodal_image_decode",
-        (s, d) => Multimodal.imageFeatures(Multimodal.imageCorpus(docs(s, d))),
-        Some(Multimodal.imageFeaturesSql)),
-      // REAL pixel resize: decode → Graphics2D half-scale → re-encode →
-      // re-decode; solid fills survive interpolation exactly
-      Q("multimodal_image_resize",
-        (s, d) => Multimodal.resizeImages(Multimodal.imageCorpus(docs(s, d))),
-        Some(Multimodal.resizeImagesSql)),
-      // The codec TEMPLATE itself (mapPartitions, one decoder instance
-      // per partition) on its positive path: real ImageIO decode of the
-      // deterministic PNG corpus — dims are doc_id formulas, so the
-      // oracle pins the template's plumbing (per-partition batching,
-      // row shape, ok-flag) end-to-end; payload-digest columns are
-      // dropped (PNG bytes are engine-side)
-      Q("multimodal_codec_template",
-        (s, d) => Multimodal.extractFeaturesWithCodec(
-          Multimodal.imageCorpus(docs(s, d)).toDF(),
-          payloadCol = "payload", mediaType = "image/png")(Multimodal.imageDims)
-          .select("doc_id", "media_type", "decoded_ok", "width", "height"),
-        Some(
-          """SELECT doc_id, 'image/png' AS media_type, TRUE AS decoded_ok,
-            |  CAST(doc_id % 37 + 1 AS INTEGER) AS width,
-            |  CAST(doc_id % 23 + 1 AS INTEGER) AS height
-            |FROM documents WHERE doc_id IS NOT NULL
-            |ORDER BY doc_id""".stripMargin)),
-      // REAL audio decode (r10, the PNG leg's sibling): deterministic
-      // RIFF/WAVE PCM-int16 files built per-partition (pure ByteBuffer,
-      // no codec lib needed for the WAV container), parsed back by a
-      // proper chunk walk + one pass of PCM peak/sum stats; corrupt
-      // (truncated) payloads every 97th doc surface as decoded_ok=false
-      // rows, never task failures. Oracle recomputes every field incl.
-      // the per-sample stats from doc_id arithmetic.
-      Q("multimodal_wav_decode",
-        (s, d) => Multimodal.audioFeatures(Multimodal.audioCorpus(docs(s, d))),
-        Some(Multimodal.audioFeaturesSql)),
-      // Mixed-container corpus (PNG even ids / BMP odd ids) + magic-byte
-      // format sniffing BEFORE the decoder — the dispatch step a real
-      // crawl needs (extensions/content types are untrustworthy at
-      // 100 TB). The sniffed container column is oracle-recomputed from
-      // the parity that chose the encoder; the pixel stats round-trip
-      // the synthesis formulas through BOTH JRE codecs.
-      Q("multimodal_mixed_codecs",
-        (s, d) => Multimodal.mixedCodecFeatures(
-          Multimodal.imageCorpusMixed(docs(s, d))),
-        Some(Multimodal.mixedCodecFeaturesSql)),
-      // The full codec zoo (r14, VERDICT item 4): all four containers
-      // sniffFormat classifies — PNG/BMP/JPEG/GIF, every decoder the JRE
-      // ships — plus the two quarantine shapes (truncated JPEG: valid
-      // magic, failed decode; non-image bytes: sniffs unknown). EXACT
-      // columns only here (container, decode outcome, dims — exact even
-      // for lossy JPEG); JPEG pixel stats are banded in MultimodalSpec,
-      // lossless containers stay pixel-exact there.
-      Q("multimodal_codec_zoo",
-        (s, d) => Multimodal.codecZooFeatures(
-          Multimodal.imageCorpusZoo(docs(s, d))),
-        Some(Multimodal.codecZooFeaturesSql)),
-
-      // REAL video codec (r14): RIFF/AVI demux (uncompressed DIB '00db'
-      // frames) + every-Nth-frame sampling — the former stub slicer's
-      // contract over an actual container. Doc-level summary incl.
-      // truncated-AVI quarantine rows…
-      Q("multimodal_avi_decode",
-        (s, d) => Multimodal.videoSummary(Multimodal.videoCorpus(docs(s, d))),
-        Some(Multimodal.videoSummarySql)),
-      // …and the per-sampled-frame table a vision pipeline feeds
-      // downstream (ysum is the bottom-up-row-mapping witness).
-      Q("multimodal_avi_frames",
-        (s, d) => Multimodal.videoFrames(Multimodal.videoCorpus(docs(s, d))),
-        Some(Multimodal.videoFramesSql)),
-    )
-  }
-
-  /** Streaming + ML + generator queries. The streaming aggregations are
-    * checked against the SAME batch oracle SQL — stream and batch answers
-    * must be identical. RF metrics and the seeded generator are rows-only
-    * (tree ensembles and rand() are engine-specific by design).
-    */
-  val dynamic: Seq[Q] = {
-    import graft.streaming.Streams
-    import graft.ml.DemandModel
-    import graft.mockflow.MockFlow
-    Seq(
-      Q("streaming_vehicle_hourly",
-        (s, d) => Streams.vehicleHourlyStream(s, d),
-        Some(s"WITH v AS ($VEH) $VEHICLE_BODY ORDER BY 1, 2")),
-
-      // S5 producer wire record as a stateless append-mode stream —
-      // same code and same byte-level JSON oracle as the batch twin
-      Q("streaming_kafka_envelope",
-        (s, d) => Streams.kafkaEnvelopeStream(s, d),
-        Some(graft.streaming.Envelope.producerEnvelopeSql)),
-
-      // S7 weather render→parse as a stateless append-mode stream —
-      // same code and same oracle as the batch weather_ingest twin
-      Q("streaming_weather_ingest",
-        (s, d) => Streams.weatherIngestStream(s, d),
-        Some(graft.ingest.OpenMeteo.weatherIngestSql)),
-
-      // A3 windowed + watermarked (bounded state, update mode) — same
-      // batch oracle as the complete-mode twin
-      Q("streaming_windowed_vehicle",
-        (s, d) => Streams.vehicleHourlyWindowedStream(s, d),
-        Some(s"WITH v AS ($VEH) $VEHICLE_BODY ORDER BY 1, 2")),
-
-      // A1 as a stream-static broadcast enrichment join — same batch
-      // demand oracle as the batch view
-      Q("streaming_demand_hourly",
-        (s, d) => Streams.demandHourlyStream(s, d),
-        Some(s"WITH s2r AS ($S2R), f AS ($FLOW) $DEMAND_BODY ORDER BY 1, 2")),
-
-      // S9 streaming: redelivered input deduped to exactly-once counts
-      Q("streaming_exactly_once",
-        (s, d) => Streams.exactlyOnceDedupStream(s, d),
-        Some(
-          """SELECT event_type, COUNT(*) AS n_events
-            |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
-      // watermark-bounded dedup state (the unbounded-stream form of
-      // exactly-once; same redelivery setup, same batch oracle)
-      Q("streaming_dedup_watermark",
-        (s, d) => Streams.dedupWatermarkStream(s, d),
-        Some(
-          """SELECT event_type, COUNT(*) AS n_events
-            |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
-
-      // mapGroupsWithState custom state, oracle = batch GROUP BY
-      // Gap sessionization as a stream: native session_window (mergeable
-      // keyed state, watermark-bounded) vs a window-function oracle with
-      // session_window's ≥-gap split convention
-      Q("streaming_sessions",
-        (s, d) => Streams.sessionizedStream(s, d),
-        Some(
-          s"""WITH e AS (
-             |  SELECT user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
-             |  FROM events),
-             |f AS (
-             |  SELECT *, CASE WHEN LAG(ts_us) OVER w IS NULL
-             |                   OR ts_us - LAG(ts_us) OVER w >= ${graft.rel.Sessionize.GapUs}
-             |                 THEN 1 ELSE 0 END AS new_s
-             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
-             |g AS (
-             |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
-             |    ROWS UNBOUNDED PRECEDING) AS sid
-             |  FROM f)
-             |SELECT user_id,
-             |  make_timestamp(MIN(ts_us)) AS session_start,
-             |  make_timestamp(MAX(ts_us)) AS session_end,
-             |  COUNT(*) AS n_events,
-             |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
-             |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)),
-
-      // flatMapGroupsWithState custom state machine: completed sessions
-      // emitted exactly once (gap-close on a successor event;
-      // timeout-close when the ms-floored watermark strictly passes
-      // last + gap — the oracle mirrors both rules)
-      Q("streaming_closed_sessions",
-        (s, d) => Streams.closedSessionsStream(s, d),
-        Some(
-          s"""WITH e AS (
-             |  SELECT user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
-             |  FROM events),
-             |mx AS (SELECT MAX(ts_us) // 1000 AS max_ms FROM e),
-             |f AS (
-             |  SELECT *, CASE WHEN LAG(ts_us) OVER w IS NULL
-             |                   OR ts_us - LAG(ts_us) OVER w > ${graft.rel.Sessionize.GapUs}
-             |                 THEN 1 ELSE 0 END AS new_s
-             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
-             |g AS (
-             |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
-             |    ROWS UNBOUNDED PRECEDING) AS sid
-             |  FROM f),
-             |s AS (
-             |  SELECT user_id, sid,
-             |    MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
-             |    COUNT(*) AS n_events,
-             |    CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value,
-             |    sid = MAX(sid) OVER (PARTITION BY user_id) AS is_last
-             |  FROM g GROUP BY user_id, sid)
-             |SELECT user_id,
-             |  make_timestamp(start_us) AS session_start,
-             |  make_timestamp(end_us) AS session_end,
-             |  n_events, total_value
-             |FROM s, mx
-             |WHERE NOT is_last
-             |   OR mx.max_ms - 3600000 > end_us // 1000 + ${graft.rel.Sessionize.GapUs / 1000}
-             |ORDER BY user_id, session_start""".stripMargin)),
-
-      // Stream-stream inner join (watermarked both sides): AvailableNow
-      // over the in-order feed equals the batch join — the oracle. The
-      // hour-bucket equality makes the Spark-side ±1 h range condition a
-      // no-op on results (state-eviction bound only), so it is absent
-      // from the SQL.
-      Q("streaming_join_enrich",
-        (s, d) => Streams.vehicleWeatherJoinStream(s, d),
-        Some(
-          """WITH v AS (SELECT CAST(user_id AS VARCHAR) AS vehicle_id, CAST(ts AS TIMESTAMP) AS observed_at
-            |           FROM events WHERE event_type = 'click'),
-            |w AS (SELECT CAST(ts AS TIMESTAMP) AS weather_at, value AS temperature_c
-            |      FROM events WHERE value > 200)
-            |SELECT vehicle_id, observed_at, weather_at, temperature_c
-            |FROM v JOIN w ON date_trunc('hour', observed_at) = date_trunc('hour', weather_at)
-            |ORDER BY vehicle_id, observed_at, weather_at, temperature_c""".stripMargin)),
-
-      Q("streaming_user_state",
-        (s, d) => Streams.userStateStream(s, d),
-        Some(
-          """SELECT user_id, COUNT(*) AS n_events, MAX(CAST(ts AS TIMESTAMP)) AS last_ts
-            |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
-
-      Q("streaming_upsert_latest",
-        (s, d) => Streams.upsertLatestWinsStream(s, d),
-        Some(
-          """SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM (
-            |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
-            |  FROM events) WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin)),
-
-      // Incremental view maintenance across REAL micro-batch boundaries:
-      // foreachBatch merges each batch's partial aggregate with a stored
-      // partials table (no history rescan); the finalized state must
-      // equal the from-scratch recompute — the SAME oracle SQL the
-      // in-plan incremental_hourly_merge verifies against (VERDICT r8
-      // item 6: two-batch ≡ one-batch, proven by hash)
-      Q("streaming_incremental_hourly",
-        (s, d) => Streams.incrementalHourlyStream(s, d),
-        Some(graft.rel.Incremental.incrementalHourlyMergeSql)),
-
-      // §3.2 lifecycle as ONE chain: protobuf feed bytes → wire decode →
-      // producer envelope → graftqueue V2 sink → micro-batch consumers →
-      // KPI views → suggestion engine. The oracle is the SAME SQL the
-      // batch `suggestions` query verifies against — hash-equality
-      // proves every hop of the realtime path preserves the analytics
-      // bit-for-bit (streaming/EndToEnd.scala for the fidelity
-      // contract). Ref lifecycle: poller.py:196-218 → ingestor.py:171-190
-      // → kpi_views.sql:19-98 → generate_suggestions.py:106-191.
-      Q("streaming_suggestions_e2e",
-        (s, d) => suggestionsProjection(
-          graft.streaming.EndToEnd.suggestionsE2E(s, d)),
-        Some(SUGGESTIONS_SQL)),
-
-      // The lifecycle's last hop (VERDICT r9 item 1): the SAME streaming
-      // chain continued through the frontend export shaping — snapshot
-      // join, status/message, headway deltas — hash-equal to the batch
-      // `export_rows` oracle, so the reference's full
-      // poller → ingestor → kpi → suggest → export-json lifecycle
-      // (export_suggestions_json.py:204-252 being the final leg) is now
-      // covered by ONE oracle-checked plan that consumes the
-      // streaming-fed frames.
-      Q("streaming_export_e2e",
-        (s, d) => graft.streaming.EndToEnd.exportRowsE2E(s, d)
-          .withColumn("hour_ts", col("hour_ts").cast("timestamp_ntz")),
-        Some(EXPORT_ROWS_SQL)),
-
-      // The in-query-trained 200-tree RF (`DemandModel.runMetrics`) is
-      // SPEC coverage (retired r13): MLlib ensemble values are
-      // engine-specific by design (SURVEY §2.12 prescribes tolerance).
-      // RfTrainedSpec asserts the MAE band + split sizes; FixtureSpec pins
-      // retrain == committed forest; `rf_pinned_mae` below is the
-      // oracle-exact serving twin.
-
-      // MAE of the COMMITTED serving forest (RfFixture: 20 trees as
-      // preorder literal triples) — ORACLE-EXACT: the forest is one
-      // shared CASE expression evaluated identically by both engines,
-      // the temporal cut is computed in-plan, and per-row errors go
-      // through round(.,6) before the exact decimal sum. The
-      // in-query-trained 200-tree form stays rows-only above;
-      // FixtureSpec pins retrain == fixture.
-      Q("rf_pinned_mae",
-        (s, d) => DemandModel.pinnedMae(mlDataset(s, d),
-          graft.ml.RfFixture.trees),
-        Some(DemandModel.pinnedMaeSql(ML_DATASET_SQL,
-          graft.ml.RfFixture.trees))),
-
-      // The trained-RF ml_runs lineage record (`DemandModel.runRecord`)
-      // is SPEC coverage (retired r13): its MAE field comes from the
-      // engine-specific trained forest. RfTrainedSpec asserts the record's
-      // deterministic fields (run_id derivation, split sizes, features
-      // JSON) and the MAE band; `ml_run_record_pinned` below is the
-      // oracle-exact twin.
-
-      // the lineage record at the PINNED forest — ORACLE-EXACT down to
-      // the run_id: nameUUIDFromBytes is a v3 (md5) UUID, rebuilt in
-      // both engines by hex surgery on md5(name) (digit 13 -> '3',
-      // digit 17 -> (v AND 3) OR 8), with the name composed in-plan
-      // from the split sizes
-      Q("ml_run_record_pinned",
-        (s, d) => DemandModel.pinnedRunRecord(mlDataset(s, d),
-          graft.ml.RfFixture.trees),
-        Some(DemandModel.pinnedRunRecordSql(ML_DATASET_SQL,
-          graft.ml.RfFixture.trees))),
-
-      // predictions history → latest upsert, oracle-checked over two
-      // deterministic pseudo-runs (run 2 re-predicts afternoon hours
-      // only, so the latest table mixes both runs per the upsert rule)
-      Q("predictions_latest",
-        (s, d) => {
-          val base = predictions(s, d) // route_id, hour_ts, y_pred=0.95x, y_true
-          def run(seq: Long, factor: Double, version: String) =
-            base.select(col("route_id"), col("hour_ts"), col("y_true"),
-              (col("y_true") * factor).as("y_pred"), lit(seq).as("run_seq"),
-              lit("rf_demand").as("model_name"), lit(version).as("model_version"))
-          val history = run(1L, 0.9, "1")
-            .unionByName(run(2L, 0.95, "2").filter(hour(col("hour_ts")) >= 12))
-          DemandModel.predictionsLatest(history)
-            .withColumn("hour_ts", col("hour_ts").cast("timestamp_ntz"))
-        },
-        Some(
-          s"""WITH s2r AS ($S2R), f AS ($FLOW), d AS ($DEMAND_BODY),
-             |hist AS (
-             |  SELECT route_id, hour_ts, passengers AS y_true, passengers * 0.9 AS y_pred,
-             |    CAST(1 AS BIGINT) AS run_seq, 'rf_demand' AS model_name, '1' AS model_version
-             |  FROM d
-             |  UNION ALL
-             |  SELECT route_id, hour_ts, passengers, passengers * 0.95,
-             |    CAST(2 AS BIGINT), 'rf_demand', '2'
-             |  FROM d WHERE EXTRACT(HOUR FROM hour_ts) >= 12)
-             |SELECT route_id, hour_ts, y_true, y_pred, run_seq, model_name, model_version
-             |FROM (
-             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY route_id, hour_ts ORDER BY run_seq DESC) AS rn
-             |  FROM hist) WHERE rn = 1
-             |ORDER BY route_id, hour_ts""".stripMargin)),
-
-      // MLlib k-means|| over embeddings (`Knn.kmeansClusterSizes`) is
-      // SPEC coverage (retired r13): k-means|| centroids are
-      // seed+layout-dependent, never SQL-expressible. KnnSpec asserts the
-      // partition-count/size invariants; the operator stays inside the
-      // hash gate twice over — `kmeans_sizes_pinned` (frozen trained
-      // artifact) and `kmeans_lloyd_train` (the in-engine trainer itself).
-
-      // the k-means reporting surface at PINNED centroids
-      // (SemDedupFixture — the committed trained artifact), ORACLE-EXACT:
-      // literal-centroid argmin assignment + plain size/norm rollup
-      Q("kmeans_sizes_pinned",
-        (s, d) => graft.sim.Knn.kmeansSizesPinned(
-          TestdataAdapter.table(s, d, "embeddings"),
-          graft.sim.SemDedupFixture.centroids),
-        Some(graft.sim.Knn.kmeansSizesPinnedSql(
-          graft.sim.SemDedupFixture.centroids))),
-
-      // cluster-QUALITY report for the same frozen cluster model:
-      // per-cluster simplified silhouette (point-to-centroid a/b — one
-      // narrow scan, no all-pairs), oracle-exact off the shared sorted
-      // centroid-distance list
-      Q("kmeans_silhouette_pinned",
-        (s, d) => graft.sim.Knn.kmeansSilhouettePinned(
-          TestdataAdapter.table(s, d, "embeddings"),
-          graft.sim.SemDedupFixture.centroids),
-        Some(graft.sim.Knn.kmeansSilhouettePinnedSql(
-          graft.sim.SemDedupFixture.centroids))),
-
-      // k-means trained FROM SCRATCH inside the engine, ORACLE-EXACT: a
-      // deterministic Lloyd loop in pure BIGINT arithmetic (floor(x·1e6)
-      // quantization, md5-ranked seeds, integer argmin, exactly-divisible
-      // floor-means) that the DuckDB twin replays iteration-for-iteration
-      // as unrolled CTE blocks — the trainer itself inside the hash gate,
-      // where the MLlib leg above can only ever be rows-only
-      Q("kmeans_lloyd_train",
-        (s, d) => graft.sim.Knn.kmeansLloydTrain(
-          TestdataAdapter.table(s, d, "embeddings")),
-        Some(graft.sim.Knn.kmeansLloydTrainSql())),
-
-      // the convergence trace of the same trainer: per-iteration
-      // assigned/moved/inertia/nonempty-clusters diagnostics — the
-      // training log itself inside the hash gate
-      Q("kmeans_lloyd_trace",
-        (s, d) => graft.sim.Knn.kmeansLloydTrace(
-          TestdataAdapter.table(s, d, "embeddings")),
-        Some(graft.sim.Knn.kmeansLloydTraceSql())),
-
-      // IVF whose coarse quantizer is the in-engine Lloyd trainer: the
-      // whole trained-ANN pipeline — training, probe selection, pruned
-      // cell-restricted search — oracle-exact at a genuinely sub-linear
-      // nprobe < cells point (knn_ivf's MLlib centroids force its
-      // oracle to the degenerate nprobe = numCells configuration)
-      Q("ivf_lloyd_topk",
-        (s, d) => graft.sim.Knn.ivfLloydTopK(
-          TestdataAdapter.table(s, d, "embeddings")),
-        Some(graft.sim.Knn.ivfLloydTopKSql())),
-
-      // the nprobe operating-point experiment for the same trained
-      // index: pruned-vs-exhaustive recall@k, one training pass, one
-      // row, fully in-plan (completes the pca_recall/sq8_recall
-      // measurement-query pattern for the IVF path)
-      Q("ivf_lloyd_recall",
-        (s, d) => graft.sim.Knn.ivfLloydRecall(
-          TestdataAdapter.table(s, d, "embeddings")),
-        Some(graft.sim.Knn.ivfLloydRecallSql())),
-
-      // SQ8 scalar-quantized ANN — the third compression path next to
-      // IVF (cell pruning) and PQ (codebook ADC): SYMMETRIC int8 of the
-      // normalized vector, code = round(x/‖x‖·127) — pure-integer
-      // dot-product scoring (4× memory cut, SIMD-shaped, zero rounding
-      // anywhere → hash-exact). An affine per-dim [min,max] draft was
-      // killed by the sq8_recall experiment at 0.04 recall (r12).
-      Q("sq8_topk",
-        (s, d) => graft.sim.Knn.sq8TopK(
-          TestdataAdapter.table(s, d, "embeddings")),
-        Some(graft.sim.Knn.sq8TopKSql())),
-
-      // the switch-to-SQ8 experiment: recall@k of the quantized ranking
-      // vs the exact cosine top-k, one row, fully in-plan — both legs
-      // ARE the registered operators, so the number measures the
-      // production path
-      Q("sq8_recall",
-        (s, d) => graft.sim.Knn.sq8Recall(
-          TestdataAdapter.table(s, d, "embeddings")),
-        Some(graft.sim.Knn.sq8RecallSql())),
-
-      // The SAME recall experiments over a deterministically CLUSTERED
-      // embedding table (VERDICT r12 item 4): the testdata embeddings
-      // are structureless random vectors, so `ivf_lloyd_recall` reads
-      // 0.44 at nprobe=2/16 — no cluster structure to find. Real
-      // embedding corpora are clustered (why IVF works at all); the
-      // generator (Knn.clusteredEmbeddings — md5-seeded axis-block
-      // mixture, MockFlow style, exact in both engines down to the one
-      // float cast) makes the trade-off the operator exists to measure
-      // visible: high recall at nprobe << cells. The DuckDB prelude CTE
-      // shadows the `embeddings` table, so the oracle replays generator,
-      // trainer and both search legs end to end.
-      Q("ivf_lloyd_recall_clustered",
-        (s, _) => graft.sim.Knn.ivfLloydRecall(
-          graft.sim.Knn.clusteredEmbeddings(s), cells = 8, nprobe = 2),
-        Some(graft.sim.Knn.ivfLloydRecallSql(cells = 8, nprobe = 2,
-          prelude = graft.sim.Knn.clusteredEmbeddingsCte()))),
-      // The clustered table is SQ8's HARD case, and the experiment says
-      // so: intra-cluster candidates are near-ties below the 1/127
-      // quantization step, so raw int8 ranking reads ~0.2 here vs 0.98
-      // on the random table — the measurement that motivates two-stage
-      // serving (both values oracle-exact; the operator family's full
-      // operating envelope is now inside the gate).
-      Q("sq8_recall_clustered",
-        (s, _) => graft.sim.Knn.sq8Recall(
-          graft.sim.Knn.clusteredEmbeddings(s)),
-        Some(graft.sim.Knn.sq8RecallSql(
-          prelude = graft.sim.Knn.clusteredEmbeddingsCte()))),
-      // ...and the production mitigation, proven on the same table:
-      // int8 retrieve at R=100 (covers the near-dup set — cluster-level
-      // separation survives int8 trivially) + full-precision rescore of
-      // only those candidates restores recall to 1.0.
-      Q("sq8_rescore_recall_clustered",
-        (s, _) => graft.sim.Knn.sq8RescoreRecall(
-          graft.sim.Knn.clusteredEmbeddings(s)),
-        Some(graft.sim.Knn.sq8RescoreRecallSql(
-          prelude = graft.sim.Knn.clusteredEmbeddingsCte()))),
-      // Residual vs no-residual IVF-PQ at EQUAL nprobe on the clustered
-      // table (r14, VERDICT item 1's experiment): after coarse
-      // assignment every in-cell candidate shares the centroid, so
-      // no-residual codes collapse to near-identical values (the code
-      // budget re-describes the centroid — the PQ analogue of SQ8's
-      // near-tie failure) while residual codes spend the same budget on
-      // the within-cell geometry the ranking needs. Both variants train
-      // their codebooks in-engine; both rows are oracle-exact;
-      // ClusteredRecallSpec pins residual >= no_residual.
-      Q("ivfpq_residual_recall_clustered",
-        (s, _) => graft.sim.Knn.ivfPqResidualRecall(
-          graft.sim.Knn.clusteredEmbeddings(s), residual = true)
-          .unionByName(graft.sim.Knn.ivfPqResidualRecall(
-            graft.sim.Knn.clusteredEmbeddings(s), residual = false))
-          .orderBy("variant"),
-        Some(graft.sim.Knn.ivfPqResidualRecallBothSql(
-          prelude = graft.sim.Knn.clusteredEmbeddingsCte()))),
-      // ...and the refine stage's recovery on the same table: compressed
-      // retrieval at R=50 covers the true neighbors (cluster-level
-      // separation survives 64-bit residual codes easily), exact rescore
-      // of only those candidates restores recall@5 to 1.0 — the sq8
-      // two-stage story, one level up the ANN stack.
-      Q("ivfpq_rescore_recall_clustered",
-        (s, _) => graft.sim.Knn.ivfPqResidualRescoreRecall(
-          graft.sim.Knn.clusteredEmbeddings(s)),
-        Some(graft.sim.Knn.ivfPqResidualRescoreRecallSql(
-          prelude = graft.sim.Knn.clusteredEmbeddingsCte()))),
-
-      // G1+A8 pinned by ORACLE through the generator's own output: the
-      // per-event provenance JSON is re-parsed and the de-noised demand
-      // expectation base × tf × df × wf × rf is recomputed per
-      // (stop, factor-combo) group — every factor table (time-of-day
-      // band, Postgres-DOW weekend, weather bands, delay bands), the
-      // base-demand clamp, and the 100-events-per-hour fan-out are
-      // hash-checked against DuckDB computing the same from the raw
-      // tables. Only the xxhash-seeded noise terms stay engine-side
-      // (they cancel out of this aggregate by construction).
-      // Ref: mock_passenger_flow_job.py:18-63,136-166.
-      Q("mockflow_invariants",
-        (s, d) =>
-          // r14: the invariant reads the generator's TYPED provenance
-          // columns directly — the former from_json re-parse of the
-          // `components` rendering of the SAME values cost a JSON parse
-          // at event grain (~90k rows) and made this the suite's
-          // slowest, noisiest query (7.8 s trimmed median, 46.8 s
-          // scatter max in r13). The JSON rendering stays pinned:
-          // MockFlowGtfsSpec asserts parsed-components ≡ typed columns
-          // row-for-row, and the typed values themselves are
-          // hash-checked here and in `mockflow_events`.
-          mockflowGenerated(s, d)
-            .groupBy(col("stop_id"), col("time_factor"), col("dow_factor"),
-              col("weather_factor"), col("delay_factor"), col("base_demand"))
-            .agg(count(lit(1)).as("n_events"))
-            .withColumn("expected_demand",
-              col("base_demand") * col("time_factor") * col("dow_factor") *
-                col("weather_factor") * col("delay_factor"))
-            .orderBy("stop_id", "time_factor", "dow_factor",
-              "weather_factor", "delay_factor"),
-        Some(
-          s"""WITH t AS ($TRIP), wx AS ($WEA),
-             |dl AS ($DELAY_BODY),
-             |wh AS ($WEATHER_BODY),
-             |hrs AS (
-             |  SELECT wh.hour_ts, wh.temperature_c, wh.precipitation_mm, d.avg_delay_seconds
-             |  FROM wh LEFT JOIN (
-             |    SELECT hour_ts, AVG(avg_delay_seconds) AS avg_delay_seconds
-             |    FROM dl GROUP BY 1) d USING (hour_ts)
-             |  ORDER BY hour_ts LIMIT 6),
-             |hf AS (
-             |  SELECT
-             |    CAST(CASE WHEN EXTRACT(HOUR FROM hour_ts) >= 6 AND EXTRACT(HOUR FROM hour_ts) < 9 THEN 1.9
-             |              WHEN EXTRACT(HOUR FROM hour_ts) >= 9 AND EXTRACT(HOUR FROM hour_ts) < 16 THEN 1.0
-             |              WHEN EXTRACT(HOUR FROM hour_ts) >= 16 AND EXTRACT(HOUR FROM hour_ts) < 19 THEN 2.1
-             |              WHEN EXTRACT(HOUR FROM hour_ts) >= 19 AND EXTRACT(HOUR FROM hour_ts) < 23 THEN 0.8
-             |              WHEN EXTRACT(HOUR FROM hour_ts) >= 23 THEN 0.4
-             |              ELSE 0.3 END AS DOUBLE) AS time_factor,
-             |    CAST(CASE WHEN EXTRACT(dow FROM hour_ts) = 6 THEN 0.75
-             |              WHEN EXTRACT(dow FROM hour_ts) = 0 THEN 0.6
-             |              ELSE 1.0 END AS DOUBLE) AS dow_factor,
-             |    CAST(CASE WHEN precipitation_mm >= 5 THEN 1.25
-             |              WHEN precipitation_mm >= 1 THEN 1.15
-             |              WHEN temperature_c <= -5 THEN 0.85
-             |              WHEN temperature_c >= 30 THEN 0.9
-             |              ELSE 1.0 END AS DOUBLE) AS weather_factor,
-             |    CAST(CASE WHEN avg_delay_seconds IS NULL THEN 1.0
-             |              WHEN avg_delay_seconds > 600 THEN 0.75
-             |              WHEN avg_delay_seconds > 300 THEN 0.85
-             |              ELSE 1.0 END AS DOUBLE) AS delay_factor
-             |  FROM hrs),
-             |hg AS (SELECT time_factor, dow_factor, weather_factor, delay_factor,
-             |         COUNT(*) AS nh
-             |       FROM hf GROUP BY 1, 2, 3, 4),
-             |base AS (
-             |  SELECT CAST(user_id AS VARCHAR) AS stop_id,
-             |    LEAST(50, GREATEST(5, COUNT(*) * 3)) AS base_demand
-             |  FROM events GROUP BY 1)
-             |SELECT b.stop_id, h.time_factor, h.dow_factor, h.weather_factor, h.delay_factor,
-             |  b.base_demand,
-             |  CAST(100 * h.nh AS BIGINT) AS n_events,
-             |  b.base_demand * h.time_factor * h.dow_factor * h.weather_factor * h.delay_factor
-             |    AS expected_demand
-             |FROM base b CROSS JOIN hg h
-             |ORDER BY stop_id, time_factor, dow_factor, weather_factor, delay_factor"""
-            .stripMargin)),
-
-      // The FULL event table, oracle-exact (promoted r11 — it was the
-      // largest rows-only query): every md5-seeded draw, 9-dp rounded
-      // transcendental, quantized bucket weight and rounding rule is
-      // recomputed in DuckDB at stop × hour × minute-bucket grain and
-      // hash-compared, typed-column for typed-column (the JSON
-      // `components` rendering of the same values stays verified through
-      // `mockflow_invariants`' re-parse). See MockFlow's object scaladoc
-      // for the three cross-engine design rules that make this possible.
-      Q("mockflow_events",
-        (s, d) => mockflowGenerated(s, d)
-          .select(col("stop_id"), col("observed_at").cast("timestamp_ntz").as("observed_at"),
-            col("estimated_passengers"),
-            col("hour_ts").cast("timestamp_ntz").as("hour_ts"),
-            col("base_demand"), col("time_factor"), col("dow_factor"),
-            col("weather_factor"), col("delay_factor"), col("stop_noise"),
-            col("hourly_passengers"), col("bucket_weight"), col("total_weight"))
-          // hour_ts in the key: buckets 60-99 of hour H collide with
-          // buckets 0-39 of hour H+1 on observed_at alone
-          .orderBy("stop_id", "hour_ts", "observed_at"),
-        Some(
-          s"""WITH t AS ($TRIP), wx AS ($WEA),
-             |dl AS ($DELAY_BODY),
-             |wh AS ($WEATHER_BODY),
-             |hrs AS (
-             |  SELECT wh.hour_ts, wh.temperature_c, wh.precipitation_mm, d.avg_delay_seconds
-             |  FROM wh LEFT JOIN (
-             |    SELECT hour_ts, AVG(avg_delay_seconds) AS avg_delay_seconds
-             |    FROM dl GROUP BY 1) d USING (hour_ts)
-             |  ORDER BY hour_ts LIMIT 6),
-             |base AS (
-             |  SELECT CAST(user_id AS VARCHAR) AS stop_id,
-             |    LEAST(50, GREATEST(5, COUNT(*) * 3)) AS base_demand
-             |  FROM events GROUP BY 1),
-             |""".stripMargin + graft.mockflow.MockFlow.eventsSqlTail())),
-    )
-  }
-
-  /** Remaining SURVEY §2 inventory items: event-envelope validation
-    * (P6/P7), JSON field access (F12), trailing-window context lookups
-    * (J7), export shaping (O3/D8/D9), per-hour validation breakdown (A11).
-    */
-  val coverage: Seq[Q] = {
-    import graft.streaming.Envelope
-    Seq(
-      Q("envelope_vehicle",
-        (s, d) => Envelope.vehicleEnvelope(TestdataAdapter.table(s, d, "events")),
-        Some(Envelope.vehicleEnvelopeSql)),
-
-      // S5 producer wire record: the reference's Kafka envelope JSON,
-      // byte-verified against a string-built DuckDB twin (key order,
-      // null carriage, decimal scale and ISO timestamps all checked)
-      Q("kafka_envelope",
-        (s, d) => Envelope.producerEnvelope(TestdataAdapter.table(s, d, "events")),
-        Some(Envelope.producerEnvelopeSql)),
-
-      // S5 topic 2: trip-update envelope with a NESTED ARRAY of
-      // per-stop structs in the payload — byte-verified
-      Q("kafka_envelope_trip",
-        (s, d) => Envelope.tripUpdateEnvelope(TestdataAdapter.table(s, d, "events")),
-        Some(Envelope.tripUpdateEnvelopeSql)),
-
-      // S5 topic 3: service-alert envelope (entity.id fallback,
-      // missing-translation description → null) — byte-verified
-      Q("kafka_envelope_alert",
-        (s, d) => Envelope.alertEnvelope(TestdataAdapter.table(s, d, "events")),
-        Some(Envelope.alertEnvelopeSql)),
-
-      // S6 consumer leg: the ingestor's schema-on-read of the trip
-      // wire record — from_json with the full nested schema, the
-      // stop_updates array exploded to per-stop rows. Goes THROUGH the
-      // serialized JSON text; the oracle derives the same rows straight
-      // from the source, so any drift in either codec surfaces here.
-      Q("kafka_ingest_trip",
-        (s, d) => {
-          val wire = Envelope.tripUpdateEnvelope(TestdataAdapter.table(s, d, "events"))
-          wire
-            .withColumn("r", from_json(col("kafka_value"), TRIP_WIRE_SCHEMA))
-            .select(col("event_id"),
-              col("r.payload.trip_id").as("trip_id"),
-              col("r.payload.route_id").as("route_id"),
-              col("r.payload.delay_seconds").as("delay_seconds"),
-              posexplode(col("r.payload.stop_updates")).as(Seq("stop_idx", "stu")))
-            .select(col("event_id"), col("trip_id"), col("route_id"),
-              col("delay_seconds"), col("stop_idx").cast("int").as("stop_idx"),
-              col("stu.stop_id").as("stop_id"),
-              col("stu.arrival_delay").as("arrival_delay"),
-              col("stu.departure_delay").as("departure_delay"))
-            .orderBy("event_id", "stop_idx")
-        },
-        Some(
-          """WITH t AS (SELECT event_id, user_id FROM events WHERE event_id % 13 <> 0),
-            |s AS (
-            |  SELECT event_id,
-            |    'trip_' || CAST(user_id % 100 AS VARCHAR) AS trip_id,
-            |    'route_' || CAST(user_id % 5 AS VARCHAR) AS route_id,
-            |    CAST((event_id % 1200) - 120 AS INTEGER) AS delay_seconds,
-            |    0 AS stop_idx,
-            |    'stop_' || CAST(user_id % 50 AS VARCHAR) AS stop_id,
-            |    CASE WHEN event_id % 3 <> 0 THEN CAST(event_id % 300 AS INTEGER) END AS arrival_delay,
-            |    CASE WHEN event_id % 4 <> 0 THEN CAST(event_id % 240 AS INTEGER) END AS departure_delay
-            |  FROM t
-            |  UNION ALL
-            |  SELECT event_id,
-            |    'trip_' || CAST(user_id % 100 AS VARCHAR),
-            |    'route_' || CAST(user_id % 5 AS VARCHAR),
-            |    CAST((event_id % 1200) - 120 AS INTEGER),
-            |    1,
-            |    'stop_' || CAST((user_id + 1) % 50 AS VARCHAR),
-            |    CASE WHEN event_id % 5 <> 0 THEN CAST(event_id % 180 AS INTEGER) END,
-            |    CASE WHEN event_id % 6 <> 0 THEN CAST(event_id % 120 AS INTEGER) END
-            |  FROM t)
-            |SELECT event_id, trip_id, route_id, delay_seconds,
-            |  CAST(stop_idx AS INTEGER) AS stop_idx, stop_id, arrival_delay, departure_delay
-            |FROM s ORDER BY event_id, stop_idx""".stripMargin)),
-
-      // S5→S6 THROUGH the broker seam: producer envelope bytes go into
-      // the graftqueue topic emulation via its V2 sink and come back
-      // through format("graftqueue") with Kafka's reader schema; the
-      // consumer aggregates what survived the wire. The oracle derives
-      // the same rollup straight from the source table, so a byte lost
-      // or mangled anywhere in the sink→segment→scan path breaks the
-      // hash. (The queue carries only key/value — per-event identity
-      // rides inside the payload, hence the per-route aggregate shape.)
-      Q("queue_roundtrip_trip",
-        (s, d) => {
-          val path = java.nio.file.Files.createTempDirectory("graftqueue").toString
-          Envelope.tripUpdateEnvelope(TestdataAdapter.table(s, d, "events"))
-            .select(col("kafka_key").cast("binary").as("key"),
-              col("kafka_value").cast("binary").as("value"))
-            .write.format("graftqueue").option("path", path)
-            .option("topic", "gtfs.rt.trip_updates").mode("append").save()
-          s.read.format("graftqueue").option("path", path)
-            .option("topic", "gtfs.rt.trip_updates").load()
-            .select(from_json(col("value").cast("string"), TRIP_WIRE_SCHEMA).as("r"))
-            .groupBy(col("r.payload.route_id").as("route_id"))
-            .agg(
-              count(lit(1)).as("n_updates"),
-              sum(size(col("r.payload.stop_updates"))).as("n_stop_updates"),
-              sum(col("r.payload.delay_seconds")).as("total_delay"))
-            .orderBy("route_id")
-        },
-        Some(
-          """SELECT 'route_' || CAST(user_id % 5 AS VARCHAR) AS route_id,
-            |  COUNT(*) AS n_updates,
-            |  CAST(COUNT(*) * 2 AS BIGINT) AS n_stop_updates,
-            |  CAST(SUM((event_id % 1200) - 120) AS BIGINT) AS total_delay
-            |FROM events WHERE event_id % 13 <> 0
-            |GROUP BY 1 ORDER BY 1""".stripMargin)),
-
-      // S7 consumer leg: Open-Meteo response bodies → normalize_weather's
-      // exact field mapping (request-constant lat/lon strings, km/h
-      // stored unconverted as mps — both reference quirks kept). Goes
-      // THROUGH rendered JSON text; the oracle derives the same rows
-      // straight from the source table.
-      Q("weather_ingest",
-        (s, d) => graft.ingest.OpenMeteo.weatherIngest(
-          TestdataAdapter.table(s, d, "events")),
-        Some(graft.ingest.OpenMeteo.weatherIngestSql)),
-
-      // S3 version stamp: sha256(feed bytes) as version_id, stamped on
-      // every ingested row — digest and stamp both in-plan, hex-equal
-      // across engines (sha2 vs sha256)
-      Q("gtfs_version_stamp",
-        (s, d) => graft.ingest.GtfsStatic.versionStamp(
-          TestdataAdapter.table(s, d, "region"),
-          TestdataAdapter.table(s, d, "nation")),
-        Some(graft.ingest.GtfsStatic.versionStampSql)),
-
-      // S2 THROUGH disk: events rendered to a fixture CSV (header,
-      // unquoted empties, whitespace kept), read back by the all-string
-      // scan — pinning the pandas contract dtype=str + na_values ["", " "]
-      // (gtfs-static-job.py:66-71): "" and " " cells → NULL, interior/
-      // edge whitespace of non-blank cells preserved verbatim, digits
-      // stay strings. The oracle derives the post-scan rows straight
-      // from the source table, so any drift in writer quoting, reader
-      // null handling, or implicit trimming breaks the hash.
-      Q("gtfs_csv_scan",
-        (s, d) => {
-          val path = java.nio.file.Files.createTempDirectory("graft_csv_s2").toString
-          val cols = Seq("service_id", "flag_cell", "note", "start_date")
-          graft.ingest.GtfsStatic.writeCsvFixture(
-            TestdataAdapter.table(s, d, "events").select(
-              concat(lit("svc_"), col("event_id")).as("service_id"),
-              when(col("event_id") % 3 === 0, concat(lit("v"), col("event_id")))
-                .when(col("event_id") % 3 === 1, lit(""))
-                .otherwise(lit(" ")).as("flag_cell"),
-              concat(lit("  note_"), col("user_id"), lit(" ")).as("note"),
-              concat(lit("2024010"), col("event_id") % 10).as("start_date")),
-            path)
-          graft.ingest.GtfsStatic.readCsv(s, path, cols).orderBy("service_id")
-        },
-        Some(
-          """SELECT 'svc_' || CAST(event_id AS VARCHAR) AS service_id,
-            |  CASE WHEN event_id % 3 = 0 THEN 'v' || CAST(event_id AS VARCHAR) END AS flag_cell,
-            |  '  note_' || CAST(user_id AS VARCHAR) || ' ' AS note,
-            |  '2024010' || CAST(event_id % 10 AS VARCHAR) AS start_date
-            |FROM events ORDER BY service_id""".stripMargin)),
-
-      // F20 THROUGH disk: calendar day flags over the same fixture-CSV
-      // round trip — TRUE iff the cell is exactly "1"; "0", "2", "true",
-      // "", " " (the last two null at the scan) are all FALSE, the
-      // reference's `c.get(day) == "1"` Python comparison
-      // (gtfs-static-job.py:276-282)
-      Q("gtfs_calendar_booleans",
-        (s, d) => {
-          val path = java.nio.file.Files.createTempDirectory("graft_csv_f20").toString
-          val days = Seq("monday", "tuesday", "wednesday", "thursday",
-            "friday", "saturday", "sunday")
-          graft.ingest.GtfsStatic.writeCsvFixture(
-            TestdataAdapter.table(s, d, "events").select(
-              concat(lit("svc_"), col("event_id")).as("service_id"),
-              when(col("event_id") % 3 === 0, lit("1"))
-                .when(col("event_id") % 3 === 1, lit("0"))
-                .otherwise(lit("")).as("monday"),
-              when(col("event_id") % 4 === 0, lit(" ")).otherwise(lit("1")).as("tuesday"),
-              when(col("event_id") % 5 === 0, lit("2")).otherwise(lit("1")).as("wednesday"),
-              when(col("event_id") % 2 === 0, lit("true")).otherwise(lit("1")).as("thursday"),
-              lit("1").as("friday"),
-              lit("0").as("saturday"),
-              when(col("event_id") % 7 === 0, lit("")).otherwise(lit("0")).as("sunday")),
-            path)
-          graft.ingest.GtfsStatic.typedCalendar(
-            graft.ingest.GtfsStatic.readCsv(s, path, "service_id" +: days))
-            .orderBy("service_id")
-        },
-        Some(
-          """SELECT 'svc_' || CAST(event_id AS VARCHAR) AS service_id,
-            |  event_id % 3 = 0 AS monday,
-            |  event_id % 4 <> 0 AS tuesday,
-            |  event_id % 5 <> 0 AS wednesday,
-            |  event_id % 2 <> 0 AS thursday,
-            |  TRUE AS friday,
-            |  FALSE AS saturday,
-            |  FALSE AS sunday
-            |FROM events ORDER BY service_id""".stripMargin)),
-
-      // P1 + F19 THROUGH disk (promoted from spec-only, VERDICT r9): ID
-      // normalization (trim + string cast) over the fixture-CSV round
-      // trip — id cells arrive with leading/trailing/NBSP-free padding
-      // and normalizeIds strips exactly them, while the NON-id column's
-      // whitespace survives verbatim (the reference trims only its id
-      // columns, gtfs-static-job.py:111-121); ""-cell ids null at the
-      // scan and stay null through the trim
-      Q("gtfs_id_normalize",
-        (s, d) => {
-          val path = java.nio.file.Files.createTempDirectory("graft_csv_p1").toString
-          val cols = Seq("route_id", "agency_id", "route_name")
-          graft.ingest.GtfsStatic.writeCsvFixture(
-            TestdataAdapter.table(s, d, "events").select(
-              concat(lit("  r_"), col("event_id"), lit(" ")).as("route_id"),
-              when(col("event_id") % 5 === 0, lit(""))
-                .otherwise(concat(lit(" "), col("user_id"), lit("  "))).as("agency_id"),
-              concat(lit("  name_"), col("user_id"), lit(" ")).as("route_name")),
-            path)
-          graft.ingest.GtfsStatic.normalizeIds(
-            graft.ingest.GtfsStatic.readCsv(s, path, cols),
-            Seq("route_id", "agency_id"))
-            .orderBy("route_id")
-        },
-        Some(
-          """SELECT 'r_' || CAST(event_id AS VARCHAR) AS route_id,
-            |  CASE WHEN event_id % 5 = 0 THEN NULL
-            |       ELSE CAST(user_id AS VARCHAR) END AS agency_id,
-            |  '  name_' || CAST(user_id AS VARCHAR) || ' ' AS route_name
-            |FROM events ORDER BY route_id""".stripMargin)),
-
-      // P3 + F8 THROUGH disk (promoted from spec-only, VERDICT r9): the
-      // typed-cast step over the fixture-CSV round trip — lat/lon decimal
-      // strings → DOUBLE (IEEE round-to-nearest parse, bit-equal across
-      // engines), stop_sequence → INT with ""→NULL, and GTFS clocks
-      // (including >24:00:00 service-day hours) → seconds-since-midnight
-      // via the shipped typedStops/typedStopTimes functions
-      // (gtfs-static-job.py:128-131,182-186)
-      Q("gtfs_typed_casts",
-        (s, d) => {
-          val path = java.nio.file.Files.createTempDirectory("graft_csv_p3").toString
-          val cols = Seq("stop_id", "stop_sequence", "arrival_time",
-            "departure_time", "stop_lat", "stop_lon")
-          graft.ingest.GtfsStatic.writeCsvFixture(
-            TestdataAdapter.table(s, d, "events").select(
-              concat(lit("s_"), col("event_id")).as("stop_id"),
-              when(col("event_id") % 11 === 0, lit(""))
-                .otherwise((col("event_id") % 50).cast("string")).as("stop_sequence"),
-              format_string("%02d:%02d:%02d", col("event_id") % 30,
-                col("user_id") % 60, col("event_id") % 60).as("arrival_time"),
-              when(col("event_id") % 13 === 0, lit(""))
-                .otherwise(format_string("%02d:%02d:%02d", col("event_id") % 30 + 1,
-                  col("user_id") % 60, col("event_id") % 60)).as("departure_time"),
-              when(col("event_id") % 7 === 0, lit(""))
-                .otherwise(concat((col("event_id") % 10 + 40).cast("string"), lit("."),
-                  lpad((col("user_id") % 10000).cast("string"), 4, "0"))).as("stop_lat"),
-              concat(lit("-"), (col("event_id") % 20 + 70).cast("string"), lit("."),
-                lpad((col("user_id") % 100).cast("string"), 2, "0")).as("stop_lon")),
-            path)
-          graft.ingest.GtfsStatic.typedStopTimes(
-            graft.ingest.GtfsStatic.typedStops(
-              graft.ingest.GtfsStatic.readCsv(s, path, cols)))
-            .orderBy("stop_id")
-        },
-        Some(
-          """SELECT 's_' || CAST(event_id AS VARCHAR) AS stop_id,
-            |  CASE WHEN event_id % 11 = 0 THEN NULL
-            |       ELSE CAST(event_id % 50 AS INTEGER) END AS stop_sequence,
-            |  printf('%02d:%02d:%02d', event_id % 30, user_id % 60, event_id % 60)
-            |    AS arrival_time,
-            |  CASE WHEN event_id % 13 = 0 THEN NULL
-            |       ELSE printf('%02d:%02d:%02d', event_id % 30 + 1, user_id % 60, event_id % 60)
-            |       END AS departure_time,
-            |  CASE WHEN event_id % 7 = 0 THEN NULL
-            |       ELSE CAST(CAST(event_id % 10 + 40 AS VARCHAR) || '.' ||
-            |              lpad(CAST(user_id % 10000 AS VARCHAR), 4, '0') AS DOUBLE)
-            |       END AS stop_lat,
-            |  CAST('-' || CAST(event_id % 20 + 70 AS VARCHAR) || '.' ||
-            |    lpad(CAST(user_id % 100 AS VARCHAR), 2, '0') AS DOUBLE) AS stop_lon,
-            |  CAST((event_id % 30) * 3600 + (user_id % 60) * 60 + event_id % 60
-            |    AS INTEGER) AS arrival_seconds,
-            |  CASE WHEN event_id % 13 = 0 THEN NULL
-            |       ELSE CAST((event_id % 30 + 1) * 3600 + (user_id % 60) * 60 + event_id % 60
-            |              AS INTEGER) END AS departure_seconds
-            |FROM events ORDER BY stop_id""".stripMargin)),
-
-      // S6 payload format: the reference's ingestor consumes JSON event
-      // envelopes off Kafka — serialize events to JSON text, parse back
-      // with schema-on-read from_json, aggregate; oracle = the same
-      // aggregation straight off the table (the JSON hop loses nothing)
-      Q("json_roundtrip_events",
-        (s, d) => {
-          val ev = TestdataAdapter.table(s, d, "events")
-            .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-          val packed = ev.select(to_json(struct(
-            col("event_id"), col("user_id"), col("event_type"), col("value"))).as("payload"))
-          val parsed = packed.select(from_json(col("payload"),
-            org.apache.spark.sql.types.StructType.fromDDL(
-              "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")).as("e"))
-            .select("e.*")
-          parsed.groupBy("event_type")
-            .agg(count(lit(1)).as("n"),
-              countDistinct(col("user_id")).as("n_users"),
-              graft.functions.Cols.detSum(col("value")).as("total_value"))
-            .orderBy("event_type")
-        },
-        Some(
-          s"""SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
-             |  ${dsum("value")} AS total_value
-             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
-
-      Q("json_extract_props",
-        (s, d) => TestdataAdapter.table(s, d, "events")
-          .select(col("event_id"),
-            get_json_object(col("props"), "$.k").cast("long").as("k"))
-          .orderBy("event_id"),
-        Some(
-          """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-            |FROM events ORDER BY event_id""".stripMargin)),
-
-      // As-of temporal enrichment: every event matched to the latest
-      // weather reading at-or-before it, with the weather feed thinned to
-      // every 3rd hour so the as-of genuinely spans hours. The staleness
-      // bound is derived from the quote feed itself (asofJoinHourlyAuto)
-      // so sparse feeds with multi-hour holes still match DuckDB's
-      // unbounded native ASOF JOIN, the oracle.
-      Q("asof_weather_enrich",
-        (s, d) => {
-          val probes = TestdataAdapter.timedEvents(s, d)
-          val quotes = weatherHourly(s, d)
-            .filter(hour(col("hour_ts")) % 3 === 0)
-            .select(col("hour_ts").cast("timestamp_ntz").as("hour_ts"),
-              col("temperature_c"))
-          Relational.asofJoinHourlyAuto(probes, "observed_at", "event_id",
-            quotes, "hour_ts")
-            .select(col("event_id"), col("route_id"), col("observed_at"),
-              col("hour_ts").as("weather_hour_ts"), col("temperature_c"))
-            .orderBy("event_id")
-        },
-        Some(
-          s"""WITH wx AS ($WEA),
-             |wh0 AS ($WEATHER_BODY),
-             |wh AS (SELECT hour_ts, temperature_c FROM wh0 WHERE EXTRACT(HOUR FROM hour_ts) % 3 = 0),
-             |e AS (SELECT event_id, event_type AS route_id, CAST(ts AS TIMESTAMP) AS observed_at FROM events)
-             |SELECT e.event_id, e.route_id, e.observed_at,
-             |  w.hour_ts AS weather_hour_ts, w.temperature_c
-             |FROM e ASOF JOIN wh w ON e.observed_at >= w.hour_ts
-             |ORDER BY e.event_id""".stripMargin)),
-
-      // Interval-overlap (range) join: deterministic 90-minute windows
-      // anchored 15 min past every 6th hour, each trip update matched to
-      // the window containing it, rolled up per window. Spark side is the
-      // bucketed equi-join shape (Relational.rangeJoinHourly — never a
-      // broadcast-nested-loop inequality join); DuckDB's native
-      // inequality join is the oracle twin.
-      Q("range_join_windows",
-        (s, d) => {
-          val t = TestdataAdapter.tripUpdates(s, d)
-          val w = t.filter(hour(col("observed_at")) % 6 === 0)
-            .select(date_trunc("hour", col("observed_at")).as("h")).distinct()
-            .select(
-              (col("h") + expr("INTERVAL 15 MINUTES")).as("window_start"),
-              (col("h") + expr("INTERVAL 105 MINUTES")).as("window_end"))
-          Relational.rangeJoinHourly(t, "observed_at", w, "window_start", "window_end")
-            .groupBy("window_start")
-            .agg(count(lit(1)).as("n_events"),
-              graft.functions.Cols.detSum(col("delay_seconds")).as("total_delay"))
-            .select(ntzCol("window_start"), col("n_events"), col("total_delay"))
-            .orderBy("window_start")
-        },
-        Some(
-          s"""WITH t AS ($TRIP),
-             |w AS (SELECT DISTINCT
-             |        date_trunc('hour', observed_at) + INTERVAL 15 MINUTE AS window_start,
-             |        date_trunc('hour', observed_at) + INTERVAL 105 MINUTE AS window_end
-             |      FROM t WHERE EXTRACT(HOUR FROM observed_at) % 6 = 0)
-             |SELECT w.window_start, COUNT(*) AS n_events,
-             |  ${dsum("t.delay_seconds")} AS total_delay
-             |FROM w JOIN t ON t.observed_at >= w.window_start AND t.observed_at < w.window_end
-             |GROUP BY 1 ORDER BY 1""".stripMargin)),
-
-      // Skew-salted equi-join surfaced at the correctness gate: salting
-      // only changes partitioning (hot fact keys spread across 8
-      // reducers), so the result — and therefore the oracle — is exactly
-      // the plain join. Plan shape asserted separately in ScaleSpec.
-      Q("salted_join_user_stats",
-        (s, d) => {
-          val ev = TestdataAdapter.table(s, d, "events")
-            .select(col("event_id"), col("user_id"))
-          val dim = ev.groupBy("user_id").agg(count(lit(1)).as("user_events"))
-          graft.rel.Scale.saltedJoin(ev, dim, "user_id", salts = 8)
-            .select(col("event_id"), col("user_id"), col("user_events"))
-            .orderBy("event_id")
-        },
-        Some(
-          """WITH dim AS (SELECT user_id, COUNT(*) AS user_events FROM events GROUP BY 1)
-            |SELECT e.event_id, e.user_id, d.user_events
-            |FROM events e JOIN dim d USING (user_id)
-            |ORDER BY e.event_id""".stripMargin)),
-
-      // Feature-matrix reshaping: hourly demand pivoted to one row per
-      // route with a column per day-of-week (Postgres DOW numbering,
-      // Sunday=0). pivot() with explicit values keeps the plan a single
-      // groupBy (no distinct-values pre-job); empty cells default to 0.0
-      // like every other view. Oracle = conditional aggregation.
-      Q("demand_pivot_dow",
-        (s, d) => {
-          val base = demandHourly(s, d)
-            .withColumn("dow", graft.functions.Cols.pgDow(col("hour_ts")))
-          val p = base.groupBy("route_id")
-            .pivot("dow", 0 to 6)
-            .agg(graft.functions.Cols.detSum(col("passengers")))
-          p.select(col("route_id") +:
-              (0 to 6).map(i => coalesce(col(i.toString), lit(0.0)).as(s"dow_$i")): _*)
-            .orderBy("route_id")
-        },
-        Some {
-          val cells = (0 to 6).map(i =>
-            s"COALESCE(CAST(SUM(CASE WHEN dow = $i THEN CAST(passengers AS DECIMAL(28,6)) END) AS DOUBLE), 0.0) AS dow_$i")
-            .mkString(",\n             |  ")
-          s"""WITH s2r AS ($S2R), f AS ($FLOW), d AS ($DEMAND_BODY)
-             |SELECT route_id,
-             |  $cells
-             |FROM (SELECT route_id, dayofweek(hour_ts) AS dow, passengers FROM d)
-             |GROUP BY route_id ORDER BY route_id""".stripMargin
-        }),
-
-      Q("trailing_context",
-        (s, d) => {
-          val trips = TestdataAdapter.tripUpdates(s, d)
-          val wx = TestdataAdapter.weather(s, d)
-          val mx = trips.agg(max("observed_at").as("max_ts"))
-          val avgDelay = trips.crossJoin(broadcast(mx))
-            .filter(col("observed_at") >= col("max_ts") - expr("INTERVAL 1 HOUR"))
-            .agg(graft.functions.Cols.detAvg(col("delay_seconds")).as("avg_delay_trailing_1h"))
-          val latest = wx
-            .agg(max(struct(col("observed_at"), col("temperature_c"))).as("w"))
-            .select(col("w.observed_at").cast("timestamp_ntz").as("latest_observed_at"),
-              col("w.temperature_c").as("latest_temperature_c"))
-          avgDelay.crossJoin(latest)
-        },
-        Some(
-          s"""WITH t AS ($TRIP), wx AS ($WEA),
-             |mx AS (SELECT MAX(observed_at) AS max_ts FROM t)
-             |SELECT
-             |  (SELECT ${davg("delay_seconds")} FROM t, mx
-             |   WHERE observed_at >= max_ts - INTERVAL 1 HOUR) AS avg_delay_trailing_1h,
-             |  (SELECT observed_at FROM wx ORDER BY observed_at DESC, temperature_c DESC LIMIT 1) AS latest_observed_at,
-             |  (SELECT temperature_c FROM wx ORDER BY observed_at DESC, temperature_c DESC LIMIT 1) AS latest_temperature_c""".stripMargin)),
-
-      Q("export_top_priority",
-        (s, dir) => {
-          val k = kpiHourly(s, dir).persist()
-          Export.topPriority(graft.suggest.Suggestions.suggest(k))
-            .withColumn("hour_ts", col("hour_ts").cast("timestamp_ntz"))
-        },
-        Some(
-          s"""$SUGG_CTES
-             |SELECT route_id, hour_ts, action, priority_score, recommended_headway_min, confidence
-             |FROM s9 WHERE action <> 'keep'
-             |ORDER BY priority_score DESC, route_id, hour_ts LIMIT 20""".stripMargin)),
-
-      Q("export_summary",
-        (s, dir) => {
-          val k = kpiHourly(s, dir).persist()
-          Export.summary(Export.latestHourSnapshot(k, graft.suggest.Suggestions.suggest(k)))
-            .withColumn("hour_ts", col("hour_ts").cast("timestamp_ntz"))
-        },
-        Some(
-          s"""$SUGG_CTES,
-             |mx AS (SELECT MAX(hour_ts) AS hour_ts FROM k),
-             |sg AS (SELECT route_id, hour_ts, action, priority_score FROM s9 WHERE action <> 'keep'),
-             |snap AS (
-             |  SELECT k.hour_ts, COALESCE(sg.action, 'needs_data') AS action,
-             |    COALESCE(sg.priority_score, 0.0) AS priority_score
-             |  FROM k JOIN mx ON k.hour_ts = mx.hour_ts
-             |  LEFT JOIN sg ON sg.route_id = k.route_id AND sg.hour_ts = k.hour_ts)
-             |SELECT MAX(hour_ts) AS hour_ts, COUNT(*) AS n_routes,
-             |  CAST(SUM(CASE WHEN action = 'increase_frequency' THEN 1 ELSE 0 END) AS BIGINT) AS n_increase,
-             |  CAST(SUM(CASE WHEN action = 'decrease_frequency' THEN 1 ELSE 0 END) AS BIGINT) AS n_decrease,
-             |  CAST(SUM(CASE WHEN action = 'needs_data' THEN 1 ELSE 0 END) AS BIGINT) AS n_needs_data,
-             |  CAST(SUM(CASE WHEN action <> 'needs_data' THEN 1 ELSE 0 END) AS BIGINT) AS n_suggestions,
-             |  ${davg("priority_score")} AS avg_priority
-             |FROM snap""".stripMargin)),
-
-      // D7 — full frontend export rows (status/message/deltas), flat for
-      // the hash compare; the nested {kpi,suggestion} twin is spec-covered.
-      Q("export_rows",
-        (s, dir) => {
-          val k = kpiHourly(s, dir).persist()
-          Export.exportRows(k, graft.suggest.Suggestions.suggest(k))
-            .withColumn("hour_ts", col("hour_ts").cast("timestamp_ntz"))
-        },
-        Some(EXPORT_ROWS_SQL)),
-
-      // D8 — the summary's top-10 priority embed
-      Q("export_summary_top",
-        (s, dir) => {
-          val k = kpiHourly(s, dir).persist()
-          Export.summaryTop(Export.exportRows(k, graft.suggest.Suggestions.suggest(k)))
-        },
-        Some(SUMMARY_TOP_SQL)),
-
-      // A11 — peak vs off-peak validation breakdown
-      Q("validation_by_peak",
-        (s, dir) => Export.validationByPeak(predictions(s, dir)),
-        Some(
-          s"""WITH s2r AS ($S2R), f AS ($FLOW), d AS ($DEMAND_BODY), p AS ($PRED_BODY)
-             |SELECT CAST(CASE WHEN EXTRACT(HOUR FROM hour_ts) BETWEEN 7 AND 9
-             |    OR EXTRACT(HOUR FROM hour_ts) BETWEEN 16 AND 18 THEN 1 ELSE 0 END AS INTEGER) AS is_peak_hour,
-             |  COUNT(*) AS n,
-             |  ${davg("abs(y_pred - y_true)")} AS mae,
-             |  ${davg("y_pred - y_true")} AS bias
-             |FROM p WHERE y_true IS NOT NULL AND y_pred IS NOT NULL
-             |GROUP BY 1 ORDER BY 1""".stripMargin)),
-
-      Q("validation_by_hour",
-        (s, dir) => Export.validationByHour(predictions(s, dir)),
-        Some(
-          s"""WITH s2r AS ($S2R), f AS ($FLOW), d AS ($DEMAND_BODY), p AS ($PRED_BODY)
-             |SELECT CAST(EXTRACT(HOUR FROM hour_ts) AS INTEGER) AS hour_of_day, COUNT(*) AS n,
-             |  ${davg("abs(y_pred - y_true)")} AS mae,
-             |  ${davg("y_pred - y_true")} AS bias
-             |FROM p WHERE y_true IS NOT NULL AND y_pred IS NOT NULL
-             |GROUP BY 1 ORDER BY 1""".stripMargin)),
-
-      // S4/S5 round trip: vehicle events → per-hour protobuf FeedMessage
-      // frames (producer-side encoder) → wire-format decode → aggregate;
-      // oracle = the same aggregation straight off the events table, so
-      // the binary encode/decode provably loses nothing
-      Q("protobuf_roundtrip_vehicle",
-        (s, d) => {
-          import s.implicits._
-          import graft.streaming.GtfsRt
-          val veh = TestdataAdapter.vehiclePositions(s, d)
-            .select(col("route_id"), col("vehicle_id"),
-              unix_micros(col("observed_at").cast("timestamp")).as("ts_us"))
-            .as[(String, String, Long)]
-          val feeds = veh.groupByKey(_._3 / 3600000000L)
-            .mapGroups { (_, it) =>
-              GtfsRt.encodeVehicleFeed(it.toSeq.map { case (r, v, t) =>
-                GtfsRt.VehicleRecord(v, Some(v), None, Some(r),
-                  Some(44.43f), Some(26.10f), None, None, Some(t / 1000000L))
-              })
-            }.toDF("payload")
-          GtfsRt.decodeVehicleFeed(feeds)
-            .groupBy("route_id")
-            .agg(count(lit(1)).as("n_events"),
-              countDistinct(col("vehicle_id")).as("n_vehicles"))
-            .orderBy("route_id")
-        },
-        Some(
-          s"""WITH v AS ($VEH)
-             |SELECT route_id, COUNT(*) AS n_events, COUNT(DISTINCT vehicle_id) AS n_vehicles
-             |FROM v GROUP BY 1 ORDER BY 1""".stripMargin)),
-
-      // S4 round trip, trip-update topic: events → per-hour protobuf
-      // FeedMessage frames (nested TripDescriptor + repeated
-      // StopTimeUpdate, NEGATIVE int32 delays as 10-byte sign-extended
-      // varints) → wire decode → aggregate; oracle = the same integer
-      // aggregation straight off the events table
-      Q("protobuf_roundtrip_trip",
-        (s, d) => {
-          import s.implicits._
-          import graft.streaming.GtfsRt
-          val ev = TestdataAdapter.table(s, d, "events")
-            .select(col("event_id"), col("user_id"),
-              graft.functions.Cols.microsFromNanos(col("ts")).as("ts_us"))
-            .as[(Long, Long, Long)]
-          val feeds = ev.groupByKey(_._3 / 3600000000L)
-            .mapGroups { (_, it) =>
-              GtfsRt.encodeTripFeed(it.toSeq.map { case (eid, uid, _) =>
-                val delay = (eid % 1200 - 120).toInt
-                GtfsRt.TripUpdateRecord(
-                  s"trip_${uid % 100}", Some(s"trip_${uid % 100}"),
-                  Some(s"route_${uid % 5}"), Some(delay),
-                  Seq(
-                    GtfsRt.StopTimeUpdateRecord(Some(s"stop_${uid % 50}"),
-                      if (eid % 3 != 0) Some(delay + 30) else None,
-                      if (eid % 4 != 0) Some(delay - 15) else None),
-                    GtfsRt.StopTimeUpdateRecord(Some(s"stop_${(uid + 1) % 50}"),
-                      if (eid % 5 != 0) Some((eid % 180).toInt) else None,
-                      if (eid % 6 != 0) Some((eid % 120).toInt) else None)))
-              })
-            }.toDF("payload")
-          GtfsRt.decodeTripFeed(feeds)
-            .groupBy("route_id")
-            .agg(
-              count(lit(1)).as("n_updates"),
-              sum(col("delay_seconds").cast("long")).as("sum_delay"),
-              sum(size(col("stop_updates")).cast("long")).as("n_stop_updates"),
-              sum(expr("aggregate(stop_updates, 0L, (a, x) -> a + coalesce(x.arrival_delay, 0))")).as("sum_arrival_delay"),
-              sum(expr("aggregate(stop_updates, 0L, (a, x) -> a + coalesce(x.departure_delay, 0))")).as("sum_departure_delay"))
-            .orderBy("route_id")
-        },
-        Some(
-          """WITH t AS (
-            |  SELECT 'route_' || CAST(user_id % 5 AS VARCHAR) AS route_id,
-            |    (event_id % 1200) - 120 AS delay,
-            |    CASE WHEN event_id % 3 <> 0 THEN (event_id % 1200) - 120 + 30 ELSE 0 END
-            |      + CASE WHEN event_id % 5 <> 0 THEN event_id % 180 ELSE 0 END AS arr,
-            |    CASE WHEN event_id % 4 <> 0 THEN (event_id % 1200) - 120 - 15 ELSE 0 END
-            |      + CASE WHEN event_id % 6 <> 0 THEN event_id % 120 ELSE 0 END AS dep
-            |  FROM events)
-            |SELECT route_id, COUNT(*) AS n_updates,
-            |  CAST(SUM(delay) AS BIGINT) AS sum_delay,
-            |  CAST(2 * COUNT(*) AS BIGINT) AS n_stop_updates,
-            |  CAST(SUM(arr) AS BIGINT) AS sum_arrival_delay,
-            |  CAST(SUM(dep) AS BIGINT) AS sum_departure_delay
-            |FROM t GROUP BY 1 ORDER BY 1""".stripMargin)),
-
-      // S4 round trip, alerts topic: enum causes/effects + the
-      // TranslatedString header (translation[0].text) through the wire
-      // format; missing description ≡ absent field, decoded as null
-      Q("protobuf_roundtrip_alert",
-        (s, d) => {
-          import s.implicits._
-          import graft.streaming.GtfsRt
-          val ev = TestdataAdapter.table(s, d, "events")
-            .select(col("event_id"), col("user_id"),
-              graft.functions.Cols.microsFromNanos(col("ts")).as("ts_us"))
-            .as[(Long, Long, Long)]
-          val feeds = ev.groupByKey(_._3 / 3600000000L)
-            .mapGroups { (_, it) =>
-              GtfsRt.encodeAlertFeed(it.toSeq.map { case (eid, uid, _) =>
-                GtfsRt.AlertRecord(
-                  if (eid % 17 == 0) "unknown" else s"alert_${eid % 1000}",
-                  Some((uid % 12).toInt), Some((uid % 9).toInt),
-                  if (eid % 7 != 0) Some(s"Service alert ${eid % 1000}") else None)
-              })
-            }.toDF("payload")
-          GtfsRt.decodeAlertFeed(feeds)
-            .groupBy("cause")
-            .agg(
-              count(lit(1)).as("n_alerts"),
-              count(col("description")).as("n_with_description"),
-              sum(col("effect").cast("long")).as("sum_effect"))
-            .orderBy("cause")
-        },
-        Some(
-          """SELECT CAST(user_id % 12 AS INTEGER) AS cause, COUNT(*) AS n_alerts,
-            |  CAST(SUM(CASE WHEN event_id % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_description,
-            |  CAST(SUM(user_id % 9) AS BIGINT) AS sum_effect
-            |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
-
-      // D9 geo grouping, verified flat: the nested sort_array(collect_list
-      // (struct)) runs first, then posexplode flattens it back so the
-      // array CONTENTS AND ORDER are hash-compared against a DuckDB
-      // row_number oracle (the nested frame itself is not pandas-sortable
-      // in the driver harness — r02/r03 'unhashable numpy.ndarray').
-      Q("geo_grouped",
-        (s, d) => {
-          val stops = TestdataAdapter.table(s, d, "customer").select(
-            col("c_mktsegment").as("route_id"),
-            col("c_custkey").cast("string").as("stop_id"),
-            col("c_name").as("stop_name"),
-            (col("c_acctbal") / 100.0).as("lat"),
-            col("c_nationkey").cast("double").as("lon"))
-          Export.geoGrouping(stops)
-            .select(col("route_id"), posexplode(col("stops")).as(Seq("pos", "st")))
-            .select(col("route_id"), col("pos").cast("int").as("pos"),
-              col("st.stop_id").as("stop_id"), col("st.stop_name").as("stop_name"),
-              col("st.lat").as("lat"), col("st.lon").as("lon"))
-            .orderBy("route_id", "pos")
-        },
-        Some(
-          """WITH stops AS (
-            |  SELECT c_mktsegment AS route_id, CAST(c_custkey AS VARCHAR) AS stop_id,
-            |    c_name AS stop_name, c_acctbal / 100.0 AS lat,
-            |    CAST(c_nationkey AS DOUBLE) AS lon
-            |  FROM customer)
-            |SELECT route_id,
-            |  CAST(ROW_NUMBER() OVER (PARTITION BY route_id
-            |    ORDER BY stop_id, stop_name, lat, lon) - 1 AS INTEGER) AS pos,
-            |  stop_id, stop_name, lat, lon
-            |FROM stops ORDER BY route_id, pos""".stripMargin)),
-
-      // ---- orchestration (jobs.JobGraph): the reference's Airflow
-      // deployment as a declarative job graph. Both queries are pure
-      // metadata derivations (no scale-dir read): edge inference is the
-      // produces⋈consumes equi-join, the schedule is the longest-path
-      // wave recursion — each hash-checked against a DuckDB twin over
-      // the same task literals, so the scheduler's SEMANTICS sit inside
-      // the oracle gate (the executable side is JobRunner + JobGraphSpec)
-      Q("job_graph_edges",
-        (s, _) => graft.jobs.JobGraph.edges(s),
-        Some(graft.jobs.JobGraph.edgesSql)),
-
-      Q("job_graph_schedule",
-        (s, _) => graft.jobs.JobGraph.schedule(s),
-        Some(graft.jobs.JobGraph.scheduleSql)),
-
-      // Wall-clock trigger semantics (r13 — the one Airflow contribution
-      // previously left as metadata): every DAG run whose data interval
-      // starts inside a simulated 30-hour clock window, with Airflow's
-      // interval model exact (@daily's [D, D+1d) run fires AT the
-      // interval END — the run_after column); continuous services are
-      // always-on rows at the window start. Pure sequence() algebra,
-      // so firing itself is now inside the hash gate; only the literal
-      // sleep-until-run_after stays deployment-side.
-      Q("job_fire_schedule",
-        (s, _) => graft.jobs.JobGraph.fireSchedule(
-          s, "2024-03-01 00:00:00", "2024-03-02 06:00:00"),
-        Some(graft.jobs.JobGraph.fireScheduleSql(
-          "2024-03-01 00:00:00", "2024-03-02 06:00:00"))),
-
-      // ...and the full task-level RUN BOOK for the same window: fires ×
-      // wave schedule, run_after-then-wave order — the exact sequence a
-      // single-worker deployment executes, one hash-checked frame.
-      Q("job_runbook",
-        (s, _) => graft.jobs.JobGraph.runBook(
-          s, "2024-03-01 00:00:00", "2024-03-02 06:00:00"),
-        Some(graft.jobs.JobGraph.runBookSql(
-          "2024-03-01 00:00:00", "2024-03-02 06:00:00"))),
-    )
-  }
+/** The query registry: every driver-checked query, one `Q` per operator,
+  * split by family into the graft/registry traits (RegistryBase carries
+  * the shared oracle-SQL bodies and memoized seed state).
+  */
+object Registry
+    extends ReferenceQueries
+    with RelationalQueries
+    with LlmQueries
+    with DynamicQueries
+    with CoverageQueries {
 
   def all: Seq[Q] = reference ++ relational ++ llm ++ dynamic ++ coverage
 }

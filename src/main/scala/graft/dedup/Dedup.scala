@@ -213,7 +213,12 @@ object Dedup {
           (coalesce(col("p_num"), lit(0L)) / lit(16777216L) / lit(1.0))
             .as("expected_captured"))
     }
-    perConfig.reduce(_ unionByName _).orderBy(col("bands").desc)
+    // |configs| rows total — eagerly materialize the union so both cached
+    // frames can be released here rather than leaking to the caller
+    val out = perConfig.reduce(_ unionByName _).localCheckpoint()
+    sigs.unpersist()
+    agree.unpersist()
+    out.orderBy(col("bands").desc)
   }
 
   /** DuckDB twin of [[lshBandCalibration]]: the shared signature/pair
@@ -1719,10 +1724,16 @@ object Dedup {
     * EVERY document — here one copy of each duplicated passage always
     * survives, so no corpus content is lost, only repetition.
     */
-  def dupSpanScrub(documents: DataFrame, n: Int = 8): DataFrame = {
-    val cov = removableStarts(documents, n)
-      .select(col("doc_id"), explode(expr(s"sequence(i, i + ${n - 1})")).as("p"))
-      .groupBy("doc_id").agg(collect_set(col("p")).as("cov"))
+  def dupSpanScrub(documents: DataFrame, n: Int = 8): DataFrame =
+    scrubByCoverage(documents,
+      removableStarts(documents, n)
+        .select(col("doc_id"), explode(expr(s"sequence(i, i + ${n - 1})")).as("p"))
+        .groupBy("doc_id").agg(collect_set(col("p")).as("cov")))
+
+  /** Shared scrub tail: documents joined to their per-doc covered
+    * position sets, uncovered tokens re-joined in order.
+    */
+  private def scrubByCoverage(documents: DataFrame, cov: DataFrame): DataFrame =
     documents.select(col("doc_id"), TextOps.toks(col("text")).as("w"))
       .join(cov, Seq("doc_id"), "left")
       .withColumn("cov", coalesce(col("cov"), expr("CAST(array() AS ARRAY<INT>)")))
@@ -1737,7 +1748,68 @@ object Dedup {
                      p -> IF(array_contains(cov, p), CAST(NULL AS STRING), element_at(w, p))),
                    t -> t IS NOT NULL), ' ')""").as("cleaned_text"))
       .orderBy("doc_id")
+
+  /** [[dupSpanScrub]] at the PUBLISHED ExactSubstr operating point (r15,
+    * VERDICT item 5): overlapping duplicated n-grams merge into MAXIMAL
+    * spans first ([[dupSpanReport]]'s gaps-and-islands), and only spans
+    * of at least `minLen` tokens are scrubbed — short incidental
+    * repeats (a 49-token quote at the default threshold) survive, long
+    * verbatim duplication (50+) is removed keep-first. The island merge
+    * runs per (doc, ordered starts) — the same gram-keyed shuffle as the
+    * base scrub, plus one doc-keyed window over removable starts.
+    */
+  def dupSpanScrubMinLen(
+      documents: DataFrame, n: Int = 8, minLen: Int = 50): DataFrame = {
+    val wD = Window.partitionBy("doc_id").orderBy("i")
+    val lagI = lag(col("i"), 1).over(wD)
+    val spans = removableStarts(documents, n)
+      .withColumn("brk",
+        when(lagI.isNull || col("i") > lagI + n, 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("brk")).over(wD.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "island")
+      .agg(min("i").as("s"), (max(col("i")) + (n - 1)).as("e"))
+      .filter(col("e") - col("s") + 1 >= minLen)
+    scrubByCoverage(documents,
+      spans.select(col("doc_id"), explode(expr("sequence(s, e)")).as("p"))
+        .groupBy("doc_id").agg(collect_set(col("p")).as("cov")))
   }
+
+  /** DuckDB twin of [[dupSpanScrubMinLen]]: the shared span-start CTEs,
+    * the report's island merge with a HAVING length floor, per-span
+    * position fan-out, and the same uncovered-token rejoin.
+    */
+  def dupSpanScrubMinLenSql(n: Int = 8, minLen: Int = 50): String =
+    raw"""WITH ${spanStartsSqlCtes(n)},
+       |brks AS (SELECT doc_id, i,
+       |           CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+       |                  OR i > lag(i) OVER (PARTITION BY doc_id ORDER BY i) + $n
+       |                THEN 1 ELSE 0 END AS brk
+       |         FROM rem),
+       |isl AS (SELECT doc_id, i,
+       |          SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
+       |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |        FROM brks),
+       |spans AS (SELECT doc_id, MIN(i) AS s, MAX(i) + ${n - 1} AS e
+       |          FROM isl GROUP BY doc_id, island
+       |          HAVING MAX(i) + ${n - 1} - MIN(i) + 1 >= $minLen),
+       |cov AS (SELECT DISTINCT doc_id, p FROM (
+       |          SELECT doc_id, unnest(generate_series(s, e)) AS p FROM spans)),
+       |covn AS (SELECT doc_id, COUNT(*) AS n_removed FROM cov GROUP BY 1),
+       |pos AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS p FROM toks),
+       |kept AS (SELECT pos.doc_id, pos.p, pos.w[pos.p] AS tok
+       |         FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+       |         WHERE cov.p IS NULL),
+       |cleaned AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS cleaned_text
+       |            FROM kept GROUP BY 1)
+       |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_toks,
+       |  CAST(COALESCE(c.n_removed, 0) AS BIGINT) AS n_removed,
+       |  CAST(len(t.w) - COALESCE(c.n_removed, 0) AS BIGINT) AS n_kept,
+       |  COALESCE(cl.cleaned_text, '') AS cleaned_text
+       |FROM toks t
+       |LEFT JOIN covn c USING (doc_id)
+       |LEFT JOIN cleaned cl USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin
 
   def dupSpanScrubSql(n: Int = 8): String =
     raw"""WITH ${spanStartsSqlCtes(n)},

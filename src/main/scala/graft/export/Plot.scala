@@ -68,9 +68,11 @@ object Plot {
       .otherwise(floor((v - vmin) * lit(inner) / (vmax - vmin)))
       .cast("int")
 
-  /** Scatter series → occupied-pixel raster (px, py, n) — the exact
-    * pixels `plt.scatter` would ink (marker size aside), with n carrying
-    * the overplot count. Bounds come from one 1-row aggregate broadcast
+  /** Scatter series → occupied-pixel raster (px, py, n) — the same
+    * data→pixel affine a `plt.scatter` render computes, minus
+    * matplotlib's autoscale margin padding (~5% data-limit expansion)
+    * and its multi-pixel markers: one pixel per distinct mapped point,
+    * with n carrying the overplot count. Bounds come from one 1-row aggregate broadcast
     * back over the series (the established 1-row crossJoin pattern); the
     * output is ≤ width×height rows by construction.
     */

@@ -795,7 +795,8 @@ object Multimodal {
   /** Proper two-level RIFF walk (the WAV walker's grammar, plus LIST
     * recursion): validate RIFF/'AVI ', find LIST(hdrl)→avih for
     * dims/frame count, then LIST(movi) and decode every '00db' chunk as
-    * a bottom-up padded BGR24 DIB, summing each channel per frame.
+    * a bottom-up padded BGR24 DIB and every '00dc' chunk as one whole
+    * JPEG (r15 — the MJPEG stream), summing each channel per frame.
     * Unknown chunks (JUNK, vedt, …) skip word-aligned at both levels.
     * Any malformed payload → None, never a throw — same 100 TB contract
     * as the image/audio legs. The header frame count must match the
@@ -866,6 +867,36 @@ object Multimodal {
                 row += 1
               }
               frames += ((sr, sg, sb, ysum))
+            } else if (cid == "00dc") {
+              // compressed frame (r15: MJPEG — each chunk is one whole
+              // JPEG, decoded by the JRE reader like the image zoo's
+              // jpeg leg). Decoded dims must match the header; a failed
+              // or truncated frame quarantines the whole payload —
+              // container-level strictness, same as the frame-count rule.
+              val img =
+                try Option(javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(bytes, p + 8, sz)))
+                catch { case scala.util.control.NonFatal(_) => None }
+              img match {
+                case Some(im) if im.getWidth == w && im.getHeight == h =>
+                  var sr = 0L; var sg = 0L; var sb = 0L; var ysum = 0L
+                  var y = 0
+                  while (y < h) {
+                    var x = 0
+                    while (x < w) {
+                      val rgb = im.getRGB(x, y)
+                      val r = (rgb >> 16) & 0xff
+                      val g = (rgb >> 8) & 0xff
+                      val b = rgb & 0xff
+                      sr += r; sg += g; sb += b
+                      ysum += y.toLong * (r + g + b)
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  frames += ((sr, sg, sb, ysum))
+                case _ => return None
+              }
             }
             p += 8 + sz + (sz & 1)
           }
@@ -1004,4 +1035,150 @@ object Multimodal {
       |    + (doc_id * 5 + 13 * f + 2 * x + y) % 256)) AS BIGINT) AS ysum
       |FROM px GROUP BY 1, 2, 3, 4
       |ORDER BY doc_id, frame_idx""".stripMargin
+
+  // ───────────── MJPEG ('00dc') video (r15, VERDICT item 3) ────────────
+  //
+  // Real crawl video is COMPRESSED; the r14 demuxer only carried
+  // uncompressed '00db' DIB frames. MJPEG is the compressed stream this
+  // sandbox can do honestly: each frame is one whole JPEG, and the JRE
+  // ships a JPEG codec the image zoo already exercises. The container
+  // walk is shared with the DIB leg; only the per-frame decode differs.
+  // JPEG is lossy, so the ORACLE pins the exact columns (decoded_ok,
+  // dims, frame count) while pixel stats are banded in MultimodalSpec —
+  // the codec-zoo discipline.
+
+  final case class MjpegRow(
+      doc_id: Long, decoded_ok: Boolean, width: Int, height: Int,
+      n_frames: Int)
+
+  /** Build an MJPEG AVI: the same RIFF skeleton as [[makeAvi]] but with
+    * an 'MJPG' handler/biCompression and variable-size '00dc' chunks,
+    * each one whole ImageIO-encoded JPEG (word-aligned, actual size in
+    * the chunk header and idx1). `truncateLastFrame` keeps only the
+    * first 24 bytes of the final JPEG — the chunk stays well-formed at
+    * the container level (it still sniffs as a JPEG by magic), but the
+    * entropy-coded body is gone and the decode must fail: the
+    * truncated-FRAME quarantine shape.
+    */
+  def makeMjpegAvi(width: Int, height: Int, nFrames: Int,
+      pixel: (Int, Int, Int) => (Int, Int, Int),
+      truncateLastFrame: Boolean = false): Array[Byte] = {
+    val jpegs: Seq[Array[Byte]] = (0 until nFrames).map { f =>
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val (r, g, b) = pixel(f, x, y)
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      val full = bos.toByteArray
+      if (truncateLastFrame && f == nFrames - 1) full.take(24) else full
+    }
+    val hdrlSize = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+    val moviSize = 4 + jpegs.map(j => 8 + j.length + (j.length & 1)).sum
+    val idx1Size = nFrames * 16
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize) + (8 + idx1Size)
+    val maxJpeg = jpegs.map(_.length).max
+    val bb = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(s: String): Unit = bb.put(s.getBytes("US-ASCII"))
+    fourcc("RIFF"); bb.putInt(riffSize); fourcc("AVI ")
+    fourcc("LIST"); bb.putInt(hdrlSize); fourcc("hdrl")
+    fourcc("avih"); bb.putInt(56)
+    bb.putInt(40000) // dwMicroSecPerFrame (25 fps)
+    bb.putInt(maxJpeg * 25); bb.putInt(0)
+    bb.putInt(0x10) // AVIF_HASINDEX
+    bb.putInt(nFrames); bb.putInt(0); bb.putInt(1)
+    bb.putInt(maxJpeg); bb.putInt(width); bb.putInt(height)
+    bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    fourcc("LIST"); bb.putInt(4 + (8 + 56) + (8 + 40)); fourcc("strl")
+    fourcc("strh"); bb.putInt(56)
+    fourcc("vids"); fourcc("MJPG")
+    bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    bb.putInt(1); bb.putInt(25)
+    bb.putInt(0); bb.putInt(nFrames)
+    bb.putInt(maxJpeg); bb.putInt(-1); bb.putInt(0)
+    bb.putShort(0); bb.putShort(0)
+    bb.putShort(width.toShort); bb.putShort(height.toShort)
+    fourcc("strf"); bb.putInt(40)
+    bb.putInt(40); bb.putInt(width); bb.putInt(height)
+    bb.putShort(1); bb.putShort(24)
+    fourcc("MJPG") // biCompression: the MJPEG fourcc, not BI_RGB
+    bb.putInt(maxJpeg) // sizeimage (largest frame)
+    bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    fourcc("LIST"); bb.putInt(moviSize); fourcc("movi")
+    jpegs.foreach { j =>
+      fourcc("00dc"); bb.putInt(j.length)
+      bb.put(j)
+      if ((j.length & 1) == 1) bb.put(0.toByte) // word alignment
+    }
+    fourcc("idx1"); bb.putInt(idx1Size)
+    var off = 4
+    jpegs.foreach { j =>
+      fourcc("00dc"); bb.putInt(0x10)
+      bb.putInt(off); bb.putInt(j.length)
+      off += 8 + j.length + (j.length & 1)
+    }
+    bb.array()
+  }
+
+  /** Synthetic MJPEG video corpus: same spec/pixel formulas as the DIB
+    * corpus ([[videoSpec]]/[[videoPixel]]), rendered through the JPEG
+    * encoder. Docs with doc_id % 83 == 7 carry a truncated FINAL frame
+    * (container intact, entropy body gone) — the per-frame quarantine
+    * negative control.
+    */
+  def mjpegCorpus(documents: DataFrame): Dataset[VideoPayload] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).filter(col("doc_id").isNotNull).as[Long]
+      .mapPartitions(_.map { id =>
+        val (w, h, n) = videoSpec(id)
+        VideoPayload(id, makeMjpegAvi(w, h, n,
+          (f, x, y) => videoPixel(id, f, x, y),
+          truncateLastFrame = id % 83 == 7))
+      })
+  }
+
+  /** mjpegCorpus → demux + decode, EXACT columns only (the codec-zoo
+    * rule for lossy containers): decode success, dims, header frame
+    * count. A truncated frame fails the WHOLE payload — production
+    * quarantines the file, not half of it. Pixel sums over decoded
+    * MJPEG frames are banded in MultimodalSpec.
+    */
+  def mjpegDecode(video: Dataset[VideoPayload]): DataFrame = {
+    val spark = video.sparkSession
+    import spark.implicits._
+    video.mapPartitions(_.map { v =>
+      parseAvi(v.payload) match {
+        case Some((w, h, frames)) =>
+          MjpegRow(v.doc_id, decoded_ok = true, w, h, frames.length)
+        case None => MjpegRow(v.doc_id, decoded_ok = false, 0, 0, 0)
+      }
+    }).toDF().orderBy("doc_id")
+  }
+
+  /** Oracle twin of mjpegCorpus→[[mjpegDecode]]: spec columns from the
+    * doc_id formulas, quarantine rows (doc_id % 83 = 7) pinned to
+    * decoded_ok=false with zero dims — proving the demux + JPEG decode
+    * chain recovers exactly the generated container metadata and the
+    * truncated-frame detection is airtight.
+    */
+  val mjpegDecodeSql: String =
+    """SELECT doc_id,
+      |  doc_id % 83 <> 7 AS decoded_ok,
+      |  CAST(CASE WHEN doc_id % 83 = 7 THEN 0
+      |            ELSE doc_id % 13 + 2 END AS INTEGER) AS width,
+      |  CAST(CASE WHEN doc_id % 83 = 7 THEN 0
+      |            ELSE doc_id % 7 + 1 END AS INTEGER) AS height,
+      |  CAST(CASE WHEN doc_id % 83 = 7 THEN 0
+      |            ELSE doc_id % 5 + 1 END AS INTEGER) AS n_frames
+      |FROM documents WHERE doc_id IS NOT NULL ORDER BY doc_id""".stripMargin
 }

@@ -44,7 +44,7 @@ object Knn {
       .withColumn("n2", dot("embedding", "embedding"))
       .filter(col("n2") > 0)
 
-  private val NORM_CTE =
+  private[sim] val NORM_CTE =
     s"""n AS (SELECT vec_id, embedding, label, ${dotSql("embedding", "embedding")} AS n2
        |       FROM embeddings),
        |e AS (SELECT * FROM n WHERE n2 > 0)""".stripMargin
@@ -1465,7 +1465,7 @@ object Knn {
     * floor(x·1e6) — every subsequent sum/difference/square/mean is BIGINT
     * arithmetic, order-free and replayable bit-for-bit by any engine.
     */
-  private val LloydScale = 1000000L
+  private[sim] val LloydScale = 1000000L
 
   /** K-means trained FROM SCRATCH inside the engine — a deterministic
     * Lloyd's loop whose every iteration is exact integer arithmetic, so
@@ -1506,7 +1506,7 @@ object Knn {
   /** Quantized corpus (vec_id, q: 64 BIGINT micro-units), persisted — it
     * feeds every iteration's assign + update legs and the final report.
     */
-  private def lloydQuantized(embeddings: DataFrame): DataFrame = {
+  private[sim] def lloydQuantized(embeddings: DataFrame): DataFrame = {
     val quant = expr(
       s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $LloydScale.0) AS BIGINT))")
     withNorm(embeddings).select(col("vec_id"), quant.as("q")).persist()
@@ -1516,7 +1516,7 @@ object Knn {
     * already-LIMITed k-row frame — bounded by construction, not a
     * corpus-wide single-partition sort (the heavy ranking is TakeOrdered).
     */
-  private def lloydSeeds(e0: DataFrame, k: Int): DataFrame = {
+  private[sim] def lloydSeeds(e0: DataFrame, k: Int): DataFrame = {
     val seedW = Window.orderBy("h", "vec_id")
     e0.withColumn("h", md5(col("vec_id").cast("string")))
       .orderBy("h", "vec_id").limit(k)
@@ -1528,7 +1528,7 @@ object Knn {
     * centroid frame: the centroids collapse to a one-row k×64 grid
     * (ordered by j) and broadcast — KB-sized at any corpus size.
     */
-  private def lloydAssign(e0: DataFrame, cen: DataFrame): DataFrame = {
+  private[sim] def lloydAssign(e0: DataFrame, cen: DataFrame): DataFrame = {
     val grid = cen.groupBy().agg(
       transform(array_sort(collect_list(struct(col("j"), col("c")))),
         s => s.getField("c")).as("cb"))
@@ -1547,7 +1547,7 @@ object Knn {
     * re-embeds and re-optimizes every earlier iteration's aggregation
     * subtree twice over.
     */
-  private def lloydUpdate(cen: DataFrame, asg: DataFrame): DataFrame = {
+  private[sim] def lloydUpdate(cen: DataFrame, asg: DataFrame): DataFrame = {
     val sums = asg
       .select(col("j"), posexplode(col("q")).as(Seq("i", "v")))
       .groupBy("j", "i")
@@ -1645,44 +1645,46 @@ object Knn {
     * needed; (s − m)/n is exactly divisible, so DuckDB's double
     * division reproduces the BIGINT floor-mean exactly.
     */
-  private def lloydSqlCtes(k: Int, iters: Int, where: String = "TRUE"): String = {
+  private[sim] def lloydSqlCtes(k: Int, iters: Int, where: String = "TRUE",
+      prefix: String = "", includeNorm: Boolean = true): String = {
     val d1 = Dim + 1
+    val P = prefix
     val iterCtes = (1 to iters).map { it =>
       val p = it - 1
-      s"""x$it AS (
+      s"""${P}x$it AS (
          |  SELECT e.vec_id, c.j, SUM((e.q[t.i] - c.cd) * (e.q[t.i] - c.cd)) AS d
-         |  FROM e0 e CROSS JOIN range(1, $d1) t(i) JOIN c$p c ON c.i = t.i
+         |  FROM ${P}e0 e CROSS JOIN range(1, $d1) t(i) JOIN ${P}c$p c ON c.i = t.i
          |  GROUP BY 1, 2),
-         |a$it AS (
+         |${P}a$it AS (
          |  SELECT vec_id, j, d FROM (
          |    SELECT vec_id, j, d,
          |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, j) AS rk
-         |    FROM x$it) WHERE rk = 1),
-         |s$it AS (
+         |    FROM ${P}x$it) WHERE rk = 1),
+         |${P}s$it AS (
          |  SELECT a.j, t.i, SUM(e.q[t.i]) AS s, COUNT(*) AS cnt
-         |  FROM a$it a JOIN e0 e USING (vec_id) CROSS JOIN range(1, $d1) t(i)
+         |  FROM ${P}a$it a JOIN ${P}e0 e USING (vec_id) CROSS JOIN range(1, $d1) t(i)
          |  GROUP BY 1, 2),
-         |u$it AS (
+         |${P}u$it AS (
          |  SELECT j, i,
          |    CAST((s - (((s % cnt) + cnt) % cnt)) / cnt AS BIGINT) AS cd
-         |  FROM s$it),
-         |c$it AS (
+         |  FROM ${P}s$it),
+         |${P}c$it AS (
          |  SELECT p.j, p.i, COALESCE(u.cd, p.cd) AS cd
-         |  FROM c$p p LEFT JOIN u$it u ON u.j = p.j AND u.i = p.i)""".stripMargin
+         |  FROM ${P}c$p p LEFT JOIN ${P}u$it u ON u.j = p.j AND u.i = p.i)""".stripMargin
     }.mkString(",\n")
-    s"""$NORM_CTE,
-       |e0 AS (
+    val normPart = if (includeNorm) s"$NORM_CTE,\n" else ""
+    s"""$normPart${P}e0 AS (
        |  SELECT vec_id,
        |    list_transform(embedding,
        |      x -> CAST(floor(CAST(x AS DOUBLE) * $LloydScale.0) AS BIGINT)) AS q
        |  FROM e WHERE $where),
-       |sd AS (
+       |${P}sd AS (
        |  SELECT vec_id, q,
        |    ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
-       |  FROM e0),
-       |c0 AS (
+       |  FROM ${P}e0),
+       |${P}c0 AS (
        |  SELECT CAST(rn - 1 AS INTEGER) AS j, t.i, q[t.i] AS cd
-       |  FROM sd CROSS JOIN range(1, $d1) t(i) WHERE rn <= $k),
+       |  FROM ${P}sd CROSS JOIN range(1, $d1) t(i) WHERE rn <= $k),
        |$iterCtes""".stripMargin
   }
 

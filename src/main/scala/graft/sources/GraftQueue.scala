@@ -598,14 +598,32 @@ final class GraftQueueTable(path: String, topic: String) extends Table
         // ONE snapshot per planning call (ADVICE r13): base and segment
         // list derive from the same listing, so a concurrent retain()
         // can't skew the arithmetic between two reads.
+        // `startingOffset` (r15) is Kafka's seek()/replay-from-X: serve
+        // only records at offset >= X — a skip-count partial read when X
+        // falls inside a dense segment, an offset-clamped sub-range when
+        // it falls inside a compacted span, a whole-segment drop below.
         val snap = GraftQueue.snapshot(path, topic)
+        val from = Option(options.get("startingOffset"))
+          .map(_.toLong).getOrElse(snap.base)
+        require(from >= snap.base,
+          s"startingOffset $from is below the log start ${snap.base} for " +
+            s"topic $topic — those records were truncated " +
+            "(OffsetOutOfRange); replay from the log start instead")
         var acc = snap.base
-        snap.segs.map { f =>
+        snap.segs.flatMap { f =>
           val n = GraftQueue.spanOf(f)
-          val p: InputPartition =
-            if (GraftQueue.isCompacted(f))
-              CompactedRangePartition(f.getAbsolutePath, topic, acc, acc + n)
-            else QueueSegmentPartition(f.getAbsolutePath, topic, acc, n)
+          val p: Option[InputPartition] =
+            if (GraftQueue.isCompacted(f)) {
+              val lo = math.max(acc, from)
+              if (lo < acc + n)
+                Some(CompactedRangePartition(f.getAbsolutePath, topic, lo, acc + n))
+              else None
+            } else if (acc >= from)
+              Some(QueueSegmentPartition(f.getAbsolutePath, topic, acc, n))
+            else if (acc + n > from)
+              Some(QueueSegmentPartition(f.getAbsolutePath, topic, acc, n,
+                skip = from - acc))
+            else None
           acc += n
           p
         }.toArray
@@ -613,7 +631,8 @@ final class GraftQueueTable(path: String, topic: String) extends Table
       override def createReaderFactory(): PartitionReaderFactory = QueueReaderFactory
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
         new QueueMicroBatchStream(path, topic,
-          Option(options.get("maxRecordsPerTrigger")).map(_.toLong))
+          Option(options.get("maxRecordsPerTrigger")).map(_.toLong),
+          Option(options.get("startingOffset")).map(_.toLong))
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -641,7 +660,8 @@ final class GraftQueueTable(path: String, topic: String) extends Table
 }
 
 private case class QueueSegmentPartition(
-    file: String, topic: String, startOffset: Long, count: Long) extends InputPartition
+    file: String, topic: String, startOffset: Long, count: Long,
+    skip: Long = 0L) extends InputPartition
 
 /** A sub-range read of a compacted segment: records filter by their
   * EXPLICIT stored offsets into [lo, hi). Needed because a checkpointed
@@ -670,7 +690,8 @@ private case class QueueOffset(n: Long) extends Offset {
   * draining run).
   */
 private final class QueueMicroBatchStream(
-    path: String, topic: String, maxPerTrigger: Option[Long])
+    path: String, topic: String, maxPerTrigger: Option[Long],
+    startingOffset: Option[Long] = None)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
   @volatile private var availableNowTarget: Option[Long] = None
@@ -722,9 +743,16 @@ private final class QueueMicroBatchStream(
 
   // a NEW consumer starts at the earliest AVAILABLE record — the log
   // start offset, which is 0 until retention has truncated a prefix
-  // (Kafka's auto.offset.reset=earliest against logStartOffset)
-  override def initialOffset(): Offset =
-    QueueOffset(GraftQueue.baseOffset(path, topic))
+  // (Kafka's auto.offset.reset=earliest against logStartOffset) — or at
+  // an explicit `startingOffset` seek (r15: Kafka's startingOffsets /
+  // consumer.seek for replay), validated against the log start
+  override def initialOffset(): Offset = {
+    val base = GraftQueue.baseOffset(path, topic)
+    startingOffset.foreach(x => require(x >= base,
+      s"startingOffset $x is below the log start $base for topic $topic " +
+        "(OffsetOutOfRange); replay from the log start instead"))
+    QueueOffset(startingOffset.getOrElse(base))
+  }
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "latestOffset(start, readLimit) drives this source (SupportsAdmissionControl)")
@@ -757,6 +785,12 @@ private final class QueueMicroBatchStream(
         if (s < e) out += CompactedRangePartition(f.getAbsolutePath, topic, s, e)
       } else if (acc >= lo && acc + n <= hi)
         out += QueueSegmentPartition(f.getAbsolutePath, topic, acc, n)
+      else if (acc < lo && acc + n > lo && acc + n <= hi)
+        // a seek start inside a dense segment (startingOffset replay —
+        // admission never splits dense segments, so only the FIRST
+        // batch of a seeking consumer can land here): skip-count read
+        out += QueueSegmentPartition(f.getAbsolutePath, topic, acc, n,
+          skip = lo - acc)
       acc += n
     }
     out.toArray
@@ -770,6 +804,24 @@ private object QueueReaderFactory extends PartitionReaderFactory {
       private val in = new DataInputStream(new FileInputStream(p.file))
       in.readLong() // skip the 8-byte record-count header
       private var i = 0L
+      // consumer seek (r15): discard the records below the requested
+      // start — dense records are length-prefixed, so a seek IS a
+      // bounded read-and-drop; offsets stay startOffset + i.
+      // (skipBytes may skip short; loop until done.)
+      private def skipFully(n: Int): Unit = {
+        var left = n
+        while (left > 0) {
+          val k = in.skipBytes(left)
+          require(k > 0, s"unexpected EOF seeking in ${p.file}")
+          left -= k
+        }
+      }
+      while (i < p.skip) {
+        in.readInt() // partition
+        skipFully(in.readInt()) // key
+        skipFully(in.readInt()) // value
+        i += 1
+      }
       private var row: InternalRow = _
       override def next(): Boolean =
         if (i >= p.count) false

@@ -1704,28 +1704,57 @@ object TextOps {
   // twin computes the expected round trip STRAIGHT FROM the source text —
   // the hash gate then proves the extractor inverts the markup exactly.
 
+  /** Hosts in the synthetic web corpus: every page lives on host
+    * `h{doc_id % HtmlHosts}.example` (declared by its canonical link)
+    * and links to [[HtmlLinksPerDoc]] other documents at ids
+    * `(doc_id·31 + 7j + 3) mod HtmlLinkMod` — deterministic,
+    * sf-independent arithmetic both engines replay, giving the corpus a
+    * real cross-host link graph for [[graft.text.WebGraph]] (r15,
+    * VERDICT item 2). Targets above the live id range are dangling
+    * links — which a real crawl graph has too.
+    */
+  val HtmlHosts = 16
+  val HtmlLinksPerDoc = 3
+  val HtmlLinkMod = 997L
+
+  /** The related-links targets of one page (shared by the generator,
+    * the oracle builders and the specs).
+    */
+  def htmlLinkTargets(id: Long): Seq[Long] =
+    (0 until HtmlLinksPerDoc).map(j => (id * 31 + 7 * j + 3) % HtmlLinkMod)
+
   /** One deterministic HTML page around a document's text: head with
-    * title+style, nav boilerplate, an h1, the entity-escaped text split
-    * into 12-word paragraphs with every 7th word bold-wrapped, a script
-    * block (with `<`/`&&` inside — the classic naive-strip trap), and a
-    * kept paragraph carrying the five standard entities. Escaping order
-    * (& first) is what makes decode-&-last an exact inverse.
+    * title+style and the canonical host link, nav boilerplate, an h1,
+    * the entity-escaped text split into 12-word paragraphs with every
+    * 7th word bold-wrapped, a related-links paragraph (the cross-doc
+    * edges of the corpus link graph), a script block (with `<`/`&&`
+    * inside — the classic naive-strip trap), and a kept paragraph
+    * carrying the five standard entities. Escaping order (& first) is
+    * what makes decode-&-last an exact inverse.
     */
   def makeHtml(id: Long, text: String): String = {
     val esc = Option(text).getOrElse("")
       .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
-    val words = esc.trim.split("\\s+").filter(_.nonEmpty)
+    // explicit whitespace class (= Java \s) — Java \s includes \x0B but
+    // RE2 (the DuckDB oracle) excludes it; spelling the class out keeps
+    // generator, extractor and oracle byte-identical on exotic whitespace
+    val words = esc.trim.split("[ \\t\\n\\x0B\\f\\r]+").filter(_.nonEmpty)
     val decorated = words.zipWithIndex.map {
       case (w, i) if i % 7 == 6 => s"<b>$w</b>"
       case (w, _) => w
     }
     val paras = decorated.grouped(12)
       .map(g => s"<p>${g.mkString(" ")}</p>").mkString("\n")
-    s"""<html><head><title>Doc $id</title><style>p{color:#111;margin:0 0 1em}</style></head>
+    val related = htmlLinkTargets(id)
+      .map(t => s"""<a href="https://h${t % HtmlHosts}.example/doc/$t">doc $t</a>""")
+      .mkString(" ")
+    s"""<html><head><title>Doc $id</title><style>p{color:#111;margin:0 0 1em}</style>
+       |<link rel="canonical" href="https://h${id % HtmlHosts}.example/doc/$id"></head>
        |<body>
        |<nav><a href="/">home</a> | <a href="/about">about</a></nav>
        |<h1>Doc $id</h1>
        |$paras
+       |<p>Related: $related</p>
        |<script type="text/javascript">var x = $id < 42 && x > 0;</script>
        |<p>Contact: AT&amp;T &lt;support&gt; &quot;24/7&quot; &#39;line&#39;</p>
        |</body></html>""".stripMargin
@@ -1764,7 +1793,8 @@ object TextOps {
     val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (e, ch)) => regexp_replace(c, e, ch) }
-    val extracted = trim(regexp_replace(decoded, "\\s+", " "))
+    // same explicit class as makeHtml's split — see the \x0B note there
+    val extracted = trim(regexp_replace(decoded, "[ \\t\\n\\x0B\\f\\r]+", " "))
     htmlDocs.select(
       col("doc_id"),
       extracted.as("extracted"),
@@ -1774,22 +1804,29 @@ object TextOps {
 
   /** DuckDB twin of htmlCorpus→[[extractHtmlText]]: the expected
     * extraction computed STRAIGHT FROM the source text — 'Doc {id}' +
-    * the whitespace-normalized text + the decoded contact line (in
-    * template order: h1, paragraphs, the kept contact paragraph; head/
-    * nav/script content absent). Hash equality proves the extractor
-    * inverts the generator's markup and escaping exactly.
+    * the whitespace-normalized text + the related-links anchor texts
+    * (the generator's link-target arithmetic replayed) + the decoded
+    * contact line (in template order: h1, paragraphs, related, the kept
+    * contact paragraph; head/nav/script content absent). Hash equality
+    * proves the extractor inverts the generator's markup and escaping
+    * exactly.
     */
-  val extractHtmlTextSql: String =
+  val extractHtmlTextSql: String = {
+    val related = (0 until HtmlLinksPerDoc)
+      .map(j => s"'doc ' || CAST((doc_id * 31 + ${7 * j + 3}) % $HtmlLinkMod AS VARCHAR)")
+      .mkString(" || ' ' || ")
     raw"""WITH src AS (
        |  SELECT doc_id, COALESCE(text, '') AS t FROM documents WHERE doc_id IS NOT NULL),
        |x AS (
        |  SELECT doc_id,
        |    trim(regexp_replace(
        |      'Doc ' || CAST(doc_id AS VARCHAR) || ' ' || t ||
+       |      ' Related: ' || $related ||
        |      ' Contact: AT&T <support> "24/7" ''line''',
-       |      '\s+', ' ', 'g')) AS extracted
+       |      '[ \t\n\x0B\f\r]+', ' ', 'g')) AS extracted
        |  FROM src)
        |SELECT doc_id, extracted,
        |  CAST(length(extracted) AS BIGINT) AS n_chars_text
        |FROM x ORDER BY doc_id""".stripMargin
+  }
 }

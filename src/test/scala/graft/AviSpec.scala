@@ -104,4 +104,45 @@ class AviSpec extends SparkSpec {
     val frames = Multimodal.videoFrames(Multimodal.videoCorpus(docs)).collect()
     assert(frames.forall(_.getLong(0) == 6L))
   }
+
+  // ───────────── MJPEG '00dc' leg (r15, VERDICT item 3) ────────────────
+
+  test("MJPEG round trip: exact dims/count, pixel sums banded (lossy)") {
+    // solid fill — chroma subsampling is flat on a constant raster, so
+    // the decode bands within a few units per channel (the codec-zoo
+    // JPEG rule); dims and frame count must be EXACT
+    val (w, h, n) = (6, 4, 3)
+    val avi = Multimodal.makeMjpegAvi(w, h, n, (_, _, _) => (100, 150, 200))
+    val Some((pw, ph, frames)) = Multimodal.parseAvi(avi)
+    assert(pw == w && ph == h && frames.length == n)
+    frames.foreach { case (sr, sg, sb, _) =>
+      val px = (w * h).toLong
+      assert(math.abs(sr / px - 100) <= 8 && math.abs(sg / px - 150) <= 8 &&
+        math.abs(sb / px - 200) <= 8,
+        s"MJPEG solid-fill sums out of band: ($sr,$sg,$sb) over $px px")
+    }
+    // the container declares the MJPEG stream, not a DIB one
+    val s = new String(avi, 0, avi.length, "ISO-8859-1")
+    assert(s.contains("MJPG") && s.contains("00dc") && !s.contains("00db"))
+  }
+
+  test("MJPEG truncated final frame quarantines the whole payload") {
+    val ok = Multimodal.makeMjpegAvi(5, 3, 2, (f, x, y) => (x * 40, y * 60, f * 90))
+    assert(Multimodal.parseAvi(ok).isDefined)
+    val bad = Multimodal.makeMjpegAvi(5, 3, 2, (f, x, y) => (x * 40, y * 60, f * 90),
+      truncateLastFrame = true)
+    assert(Multimodal.parseAvi(bad).isEmpty,
+      "a truncated entropy body must fail the whole payload")
+  }
+
+  test("mjpeg corpus quarantine parity: % 83 == 7 rows flag, others decode") {
+    val docs = Seq(7L, 8L, 90L).toDF("doc_id") // 7 and 90 quarantine
+    val out = Multimodal.mjpegDecode(Multimodal.mjpegCorpus(docs)).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!out(7L).getBoolean(1) && !out(90L).getBoolean(1))
+    assert(out(7L).getInt(2) == 0 && out(7L).getInt(4) == 0)
+    assert(out(8L).getBoolean(1))
+    val (w, h, n) = Multimodal.videoSpec(8L)
+    assert((out(8L).getInt(2), out(8L).getInt(3), out(8L).getInt(4)) == (w, h, n))
+  }
 }

@@ -354,4 +354,31 @@ class DedupTextSpec extends SparkSpec {
         r.getAs[Int]("span_end"), r.getAs[Long]("n_starts")))
     assert(rep.toSet == Set((2L, 3, 10, 1L), (4L, 9, 16, 1L)))
   }
+
+  test("min-span scrub (l50): a 49-token repeat survives, a 50-token one scrubs keep-first") {
+    // doc 1: the source passages; doc 2 repeats 49 tokens of passage A
+    // then fresh words; doc 3 repeats 50 tokens of passage B
+    val passA = (1 to 49).map(i => s"a$i").mkString(" ")
+    val passB = (1 to 50).map(i => s"b$i").mkString(" ")
+    val d = Seq(
+      (1L, s"$passA $passB", "en", "s", 0L),
+      (2L, s"$passA fresh tail words here", "en", "s", 0L),
+      (3L, s"intro words then $passB", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.dedup.Dedup.dupSpanScrubMinLen(d, n = 8, minLen = 50)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_removed"), r.getAs[String]("cleaned_text"))).toMap
+    // corpus-first doc never scrubs
+    assert(out(1L)._1 == 0L)
+    // 49-token maximal span < 50 → SURVIVES in full
+    assert(out(2L) == ((0L, s"$passA fresh tail words here")))
+    // 50-token maximal span ≥ 50 → scrubbed, keep-first (doc 1 keeps it)
+    assert(out(3L) == ((50L, "intro words then")))
+    // ...and at the base 8-gram scrub both would have been removed —
+    // the length floor is what changed the verdict
+    val base = graft.dedup.Dedup.dupSpanScrub(d, n = 8).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_removed")).toMap
+    assert(base(2L) == 49L && base(3L) == 50L)
+  }
 }

@@ -17,6 +17,11 @@ class HtmlExtractSpec extends SparkSpec {
     TextOps.extractHtmlText(TextOps.htmlCorpus(docs)).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
 
+  /** The related-links anchor texts the page template inserts (r15). */
+  private def rel(id: Long) =
+    TextOps.htmlLinkTargets(id).map(t => s"doc $t")
+      .mkString("Related: ", " ", "")
+
   test("round trip survives entity-hostile and whitespace-dirty source text") {
     val docs = Seq(
       (1L, "plain words here"),
@@ -25,12 +30,13 @@ class HtmlExtractSpec extends SparkSpec {
       (4L, "   many   spaces\t\tand\nnewlines   "),
       (5L, "")).toDF("doc_id", "text")
     val out = extract(docs)
-    assert(out(1L) == "Doc 1 plain words here Contact: AT&T <support> \"24/7\" 'line'")
-    assert(out(2L) == "Doc 2 a & b < c > d Contact: AT&T <support> \"24/7\" 'line'")
+    val tail = "Contact: AT&T <support> \"24/7\" 'line'"
+    assert(out(1L) == s"Doc 1 plain words here ${rel(1)} $tail")
+    assert(out(2L) == s"Doc 2 a & b < c > d ${rel(2)} $tail")
     assert(out(3L) ==
-      "Doc 3 literal &amp; entity &lt;kept&gt; Contact: AT&T <support> \"24/7\" 'line'")
-    assert(out(4L) == "Doc 4 many spaces and newlines Contact: AT&T <support> \"24/7\" 'line'")
-    assert(out(5L) == "Doc 5 Contact: AT&T <support> \"24/7\" 'line'")
+      s"Doc 3 literal &amp; entity &lt;kept&gt; ${rel(3)} $tail")
+    assert(out(4L) == s"Doc 4 many spaces and newlines ${rel(4)} $tail")
+    assert(out(5L) == s"Doc 5 ${rel(5)} $tail")
   }
 
   test("script/style/nav/head content never leaks, including < and && inside script") {
