@@ -140,6 +140,13 @@ private[graft] trait LlmQueries extends RegistryBase {
       Q("link_authority",
         (s, d) => graft.text.WebGraph.linkAuthority(TextOps.htmlCorpus(docs(s, d))),
         Some(graft.text.WebGraph.linkAuthoritySql())),
+      // ...composed into the signal the graph exists for: per-doc
+      // quality weighted by host authority (authority up-weights
+      // well-linked hosts; no-in-link spam farms sink). The hosts-sized
+      // authority frame BROADCASTS onto the documents scan.
+      Q("authority_weighted_quality",
+        (s, d) => graft.text.WebGraph.authorityWeightedQuality(docs(s, d)),
+        Some(graft.text.WebGraph.authorityWeightedQualitySql())),
       Q("props_redacted",
         (s, d) => TextOps.redactDigits(TestdataAdapter.table(s, d, "events"), "props"),
         Some(TextOps.redactDigitsSql("props"))),

@@ -216,9 +216,20 @@ object IvfMaintenance {
     */
   def maintenanceBatch(spark: SparkSession, dir: String,
       cells: Int = 8, iters: Int = 2,
+      driftRatio: Double = 1.5, shareRatio: Double = 2.0): DataFrame =
+    maintenanceBatchFrom(
+      graft.TestdataAdapter.table(spark, dir, "embeddings"),
+      cells, iters, driftRatio, shareRatio)
+
+  /** [[maintenanceBatch]] over any embeddings frame (the soak harness's
+    * entry — fresh state per call, so every call times the FULL loop:
+    * seed train + two attach/verdict/gate steps).
+    */
+  def maintenanceBatchFrom(emb: DataFrame,
+      cells: Int = 8, iters: Int = 2,
       driftRatio: Double = 1.5, shareRatio: Double = 2.0): DataFrame = {
-    val (corpus, b1, b2) = carve(
-      graft.TestdataAdapter.table(spark, dir, "embeddings"))
+    val spark = emb.sparkSession
+    val (corpus, b1, b2) = carve(emb)
     val staged = java.nio.file.Files
       .createTempDirectory("graft_ivfm_batch").toString
     val (state, verd) = (s"$staged/state", s"$staged/verdicts")

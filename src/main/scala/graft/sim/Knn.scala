@@ -1,9 +1,5 @@
 package graft.sim
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions._
-
 /** Similarity search over the `embeddings` table (Array[Float], dim 64):
   * brute-force cosine top-k as the baseline, sign-bit-bucketed (LSH/IVF
   * style) variants as the scale path, plus embedding-cosine near-dup
@@ -19,3193 +15,10 @@ import org.apache.spark.sql.functions._
   * shuffle of the big side) for brute force; the bucketed variants turn
   * search into an equality join on a small bucket key. Norms are computed
   * once per vector, not per pair.
+  *
+  * Split by family (r15): [[KnnCore]] (search/dedup/retrieval),
+  * [[KnnQuant]] (Lloyd trainer, SQ8, IVF-PQ and their SQL twins),
+  * [[KnnMaintenance]] (attach/drift + the clustered fixture) — one
+  * object, zero behavior change.
   */
-object Knn {
-
-  val Dim = 64
-
-  /** Σ aᵢ·bᵢ via the native fused-loop expression (graft.functions
-    * .DotProductFloat) — bit-identical to the explicit left-assoc
-    * 64-term sum it replaced (same ascending order, same exact
-    * float→double products; equivalence spec-asserted in KnnSpec), but
-    * one tight codegen loop instead of a 64-node expression tree.
-    */
-  private def dot(a: String, b: String): Column =
-    graft.functions.DotProductFloat.dotProduct(col(a), col(b))
-
-  /** Same expression for DuckDB (1-based subscripts). */
-  private def dotSql(a: String, b: String): String =
-    (1 to Dim).map(i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)")
-      .mkString(" + ")
-
-  /** Vectors + squared norm, zero-norm vectors dropped (cosine undefined). */
-  private def withNorm(embeddings: DataFrame): DataFrame =
-    embeddings
-      .withColumn("n2", dot("embedding", "embedding"))
-      .filter(col("n2") > 0)
-
-  private[sim] val NORM_CTE =
-    s"""n AS (SELECT vec_id, embedding, label, ${dotSql("embedding", "embedding")} AS n2
-       |       FROM embeddings),
-       |e AS (SELECT * FROM n WHERE n2 > 0)""".stripMargin
-
-  /** Sign-bit bucket over the first 8 dimensions (IVF-style coarse
-    * quantization: 256 cells, equality-joinable).
-    */
-  private def bucket(arr: String): Column =
-    (0 until 8).map(j =>
-      when(col(arr).getItem(j) >= 0f, lit(1 << j)).otherwise(lit(0)))
-      .reduceLeft(_ + _)
-
-  private def bucketSql(arr: String): String =
-    (0 until 8).map(j =>
-      s"CASE WHEN $arr[${j + 1}] >= 0 THEN ${1 << j} ELSE 0 END")
-      .mkString(" + ")
-
-  /** Brute-force cosine top-k for the query set (vec_id < nQueries over
-    * all candidates). The baseline every approximate method is judged
-    * against.
-    */
-  def bruteForceTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val e = withNorm(embeddings)
-    val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("n2").as("qn2"))
-    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("n2").as("cn2"))
-    val scored = c.crossJoin(broadcast(q))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", dot("qe", "ce") / (sqrt(col("qn2")) * sqrt(col("cn2"))))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
-      .orderBy("query_id", "rank")
-  }
-
-  def bruteForceTopKSql(nQueries: Int = 10, k: Int = 5): String =
-    s"""WITH $NORM_CTE,
-       |q AS (SELECT vec_id AS query_id, embedding AS qe, n2 AS qn2 FROM e WHERE vec_id < $nQueries),
-       |s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
-       |        (${dotSql("q.qe", "c.embedding")}) / (sqrt(q.qn2) * sqrt(c.n2)) AS cosine
-       |      FROM q, e c WHERE c.vec_id <> q.query_id),
-       |r AS (SELECT query_id, neighbor_id, cosine,
-       |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
-       |      FROM s)
-       |SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS "rank", cosine
-       |FROM r WHERE rn <= $k ORDER BY query_id, "rank"""".stripMargin
-
-  /** Hard-negative mining for contrastive / retrieval training: for
-    * each anchor (vec_id < nAnchors), the k most cosine-similar vectors
-    * carrying a DIFFERENT label — the "close but wrong" examples that
-    * move a margin loss the most (random negatives are trivially
-    * separable; these are not). Same execution shape as
-    * [[bruteForceTopK]]: the bounded anchor set broadcasts, candidates
-    * stream through one scan, per-anchor top-k is a window over the
-    * scored frame. At corpus scale the candidate side swaps to the
-    * SRP-bucketed generation ([[bucketedTopK]]) with this exact scoring
-    * and label-filter tail.
-    */
-  def hardNegatives(embeddings: DataFrame, nAnchors: Int = 10, k: Int = 5): DataFrame = {
-    val e = withNorm(embeddings)
-    val q = e.filter(col("vec_id") < nAnchors)
-      .select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"),
-        col("embedding").as("qe"), col("n2").as("qn2"))
-    val c = e.select(col("vec_id").as("negative_id"), col("label").as("negative_label"),
-      col("embedding").as("ce"), col("n2").as("cn2"))
-    val w = Window.partitionBy("anchor_id").orderBy(col("cosine").desc, col("negative_id"))
-    c.crossJoin(broadcast(q))
-      .filter(col("negative_label") =!= col("anchor_label"))
-      .withColumn("cosine", dot("qe", "ce") / (sqrt(col("qn2")) * sqrt(col("cn2"))))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("anchor_id"), col("anchor_label"), col("negative_id"),
-        col("negative_label"), col("rank"), col("cosine"))
-      .orderBy("anchor_id", "rank")
-  }
-
-  def hardNegativesSql(nAnchors: Int = 10, k: Int = 5): String =
-    s"""WITH $NORM_CTE,
-       |q AS (SELECT vec_id AS anchor_id, label AS anchor_label, embedding AS qe, n2 AS qn2
-       |      FROM e WHERE vec_id < $nAnchors),
-       |s AS (SELECT q.anchor_id, q.anchor_label, c.vec_id AS negative_id,
-       |        c.label AS negative_label,
-       |        (${dotSql("q.qe", "c.embedding")}) / (sqrt(q.qn2) * sqrt(c.n2)) AS cosine
-       |      FROM q, e c WHERE c.label <> q.anchor_label),
-       |r AS (SELECT *,
-       |        ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY cosine DESC, negative_id) AS rn
-       |      FROM s)
-       |SELECT anchor_id, anchor_label, negative_id, negative_label,
-       |  CAST(rn AS INTEGER) AS "rank", cosine
-       |FROM r WHERE rn <= $k ORDER BY anchor_id, "rank"""".stripMargin
-
-  /** Bucketed ANN: candidates restricted to the query's sign-bucket —
-    * an equality join on the bucket key instead of a cross join; recall
-    * is approximate by construction. The untrained baseline of the
-    * bucketed family; production ANN at scale is [[ivfTopK]], whose
-    * trained centroids track the data distribution instead of fixed
-    * sign-cells.
-    */
-  def bucketedTopK(embeddings: DataFrame, nQueries: Int = 50, k: Int = 3): DataFrame = {
-    // persisted: both join sides derive from it (the 64-term norm/bucket
-    // projection would otherwise run twice)
-    val e = withNorm(embeddings).withColumn("bucket", bucket("embedding").cast("int"))
-      .persist()
-    val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        col("n2").as("qn2"), col("bucket"))
-    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
-      col("n2").as("cn2"), col("bucket"))
-    val scored = c.join(broadcast(q), Seq("bucket"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", dot("qe", "ce") / (sqrt(col("qn2")) * sqrt(col("cn2"))))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("bucket"), col("neighbor_id"), col("rank"), col("cosine"))
-      .orderBy("query_id", "rank")
-  }
-
-  def bucketedTopKSql(nQueries: Int = 50, k: Int = 3): String =
-    s"""WITH $NORM_CTE,
-       |b AS (SELECT *, CAST(${bucketSql("embedding")} AS INTEGER) AS bucket FROM e),
-       |q AS (SELECT vec_id AS query_id, embedding AS qe, n2 AS qn2, bucket
-       |      FROM b WHERE vec_id < $nQueries),
-       |s AS (SELECT q.query_id, q.bucket, c.vec_id AS neighbor_id,
-       |        (${dotSql("q.qe", "c.embedding")}) / (sqrt(q.qn2) * sqrt(c.n2)) AS cosine
-       |      FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.query_id),
-       |r AS (SELECT query_id, bucket, neighbor_id, cosine,
-       |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
-       |      FROM s)
-       |SELECT query_id, bucket, neighbor_id, CAST(rn AS INTEGER) AS "rank", cosine
-       |FROM r WHERE rn <= $k ORDER BY query_id, "rank"""".stripMargin
-
-  // ---- SRP-LSH (sparse signed random projections) ----
-  // Deterministic sparse ±1 hyperplane matrix, seeded once: each
-  // hyperplane touches 16 of the 64 dims (Achlioptas-style sparse
-  // projections — LSH collision behavior is near-identical to dense at a
-  // quarter of the arithmetic, and a quarter of the generated-code size,
-  // which is what bounds codegen time here). The SAME literal signs are
-  // inlined into the Spark expressions and the DuckDB twin, so both
-  // engines compute identical projections (float terms are exact in
-  // double; addition order is pinned by the parse tree). Band width
-  // (SrpBits → 2^12 = 4096 cells/band) sets the scaling behavior; band
-  // count (SrpBands) buys recall via OR-amplification — both decoupled
-  // from the embedding dimension, unlike raw-dim sign buckets.
-  private val SrpBands = 6
-  private val SrpBits = 10
-  private val SrpNnz = 16
-  /** (dim, sign) pairs per hyperplane, dims ascending for a pinned order. */
-  private val srpPlanes: Array[Array[(Int, Int)]] = {
-    val rnd = new scala.util.Random(42)
-    Array.fill(SrpBands * SrpBits) {
-      rnd.shuffle((0 until Dim).toList).take(SrpNnz).sorted
-        .map(d => (d, if (rnd.nextBoolean()) 1 else -1)).toArray
-    }
-  }
-
-  private def srpProj(arr: String, k: Int): Column =
-    srpPlanes(k).map { case (d, s) =>
-      val t = col(arr).getItem(d).cast("double")
-      if (s > 0) t else -t
-    }.reduceLeft(_ + _)
-
-  private def srpProjSql(arr: String, k: Int): String =
-    srpPlanes(k).zipWithIndex.map { case ((d, s), i) =>
-      val term = s"CAST($arr[${d + 1}] AS DOUBLE)"
-      val sgn = if (s > 0) "+" else "-"
-      if (i == 0) (if (sgn == "+") term else s"- $term") else s"$sgn $term"
-    }.mkString(" ")
-
-  private def srpBand(arr: String, b: Int): Column =
-    (0 until SrpBits).map(i =>
-      when(srpProj(arr, b * SrpBits + i) >= 0, lit(1 << i)).otherwise(lit(0)))
-      .reduceLeft(_ + _)
-
-  private def srpBandSql(arr: String, b: Int): String =
-    (0 until SrpBits).map(i =>
-      s"CASE WHEN (${srpProjSql(arr, b * SrpBits + i)}) >= 0 THEN ${1 << i} ELSE 0 END")
-      .mkString(" + ")
-
-  /** Embedding-cosine near-dup pairs above `threshold` via SRP-LSH:
-    * 8 bands × 12 signed-random-projection bits (4096 cells per band),
-    * candidates = vectors sharing ANY band. OR-amplification across
-    * bands buys recall; the 4096-cell bands keep per-cell populations —
-    * and therefore the per-cell self-join — sub-linear as n grows (the
-    * old single 8-bit raw-dim bucket capped at 256 cells and went
-    * quadratic per cell). This is the honest trade-off every 100 TB
-    * near-dup pass makes vs the n² exact pair join, without the cell
-    * ceiling, and with recall tunable by band count instead of being
-    * pinned to the embedding dimension.
-    */
-  /** Band-stamp an embedding frame with the `SrpBands` SRP band columns
-    * (plus the squared norm). Callers persist — every band join and the
-    * vector join-back re-derive this frame otherwise.
-    */
-  private def srpBanded(embeddings: DataFrame): DataFrame =
-    (0 until SrpBands).foldLeft(withNorm(embeddings)) { (df, j) =>
-      df.withColumn(s"band$j", srpBand("embedding", j).cast("int"))
-    }
-
-  /** Shared SRP-LSH candidate + verify scaffolding: per-band equality
-    * joins between two banded sides (OR-amplified across bands, deduped),
-    * then the exact fixed-associativity cosine joined back from each
-    * side's vectors. `pairCond` narrows the per-band join (e.g. the
-    * `a < b` half-matrix for self-joins); both near-dup and
-    * decontamination are thin layers over this one copy.
-    */
-  private def srpPairCosines(left: DataFrame, right: DataFrame,
-      leftId: String, rightId: String,
-      pairCond: (Column, Column) => Column): DataFrame = {
-    val cand = (0 until SrpBands).map { j =>
-      left.as("x").join(right.as("y"),
-        col(s"x.band$j") === col(s"y.band$j") &&
-          pairCond(col("x.vec_id"), col("y.vec_id")))
-        .select(col("x.vec_id").as(leftId), col("y.vec_id").as(rightId))
-    }.reduce(_ unionByName _).distinct()
-    cand
-      .join(left.select(col("vec_id").as(leftId), col("embedding").as("ea"),
-        col("n2").as("na")), Seq(leftId))
-      .join(right.select(col("vec_id").as(rightId), col("embedding").as("eb"),
-        col("n2").as("nb")), Seq(rightId))
-      .withColumn("cosine", dot("ea", "eb") / (sqrt(col("na")) * sqrt(col("nb"))))
-  }
-
-  def nearDupPairs(embeddings: DataFrame, threshold: Double = 0.3): DataFrame = {
-    val e = srpBanded(embeddings).persist()
-    srpPairCosines(e, e, "vec_a", "vec_b", _ < _)
-      .filter(col("cosine") > threshold)
-      .select(col("vec_a"), col("vec_b"), col("cosine"))
-      .orderBy("vec_a", "vec_b")
-  }
-
-  /** Embedding-space split-leakage audit — the semantic twin of
-    * [[graft.dedup.Dedup.splitLeakage]]: SRP-LSH near-dup vector pairs
-    * (cosine > threshold) that straddle the train/val/test hash-split
-    * boundary. Lexical leakage checks miss paraphrases; a test vector
-    * whose near-twin (in embedding space) sits in train still leaks
-    * evaluation signal. Same deterministic hash split as the document
-    * splitter (md5 buckets over the id, 80/10/10), composed with the
-    * banded pair frame — two id-keyed joins of a near-linear frame
-    * against a narrow projection, splits²-bounded output.
-    */
-  def semanticSplitLeakage(embeddings: DataFrame, threshold: Double = 0.3): DataFrame = {
-    val b = graft.ml.HashSplit.hashBucket(col("vec_id"), 100)
-    val sp = embeddings.select(col("vec_id"),
-      when(b < 80, "train").when(b < 90, "val").otherwise("test").as("split"))
-    nearDupPairs(embeddings, threshold)
-      .join(sp.select(col("vec_id").as("vec_a"), col("split").as("sa")), Seq("vec_a"))
-      .join(sp.select(col("vec_id").as("vec_b"), col("split").as("sb")), Seq("vec_b"))
-      .select(
-        least(col("sa"), col("sb")).as("split_x"),
-        greatest(col("sa"), col("sb")).as("split_y"))
-      .groupBy("split_x", "split_y")
-      .agg(count(lit(1)).as("n_pairs"))
-      .withColumn("leaks", col("split_x") =!= col("split_y"))
-      .orderBy("split_x", "split_y")
-  }
-
-  /** DuckDB twin of [[semanticSplitLeakage]]. */
-  def semanticSplitLeakageSql(threshold: Double = 0.3): String = {
-    val bucket = graft.ml.HashSplit.hashBucketSql("vec_id", 100)
-    s"""WITH p AS (${nearDupPairsSql(threshold)}),
-       |sp AS (
-       |  SELECT vec_id,
-       |    CASE WHEN ($bucket) < 80 THEN 'train'
-       |         WHEN ($bucket) < 90 THEN 'val' ELSE 'test' END AS split
-       |  FROM embeddings)
-       |SELECT LEAST(pa.split, pb.split) AS split_x,
-       |  GREATEST(pa.split, pb.split) AS split_y,
-       |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
-       |  LEAST(pa.split, pb.split) <> GREATEST(pa.split, pb.split) AS leaks
-       |FROM p
-       |JOIN sp pa ON pa.vec_id = p.vec_a
-       |JOIN sp pb ON pb.vec_id = p.vec_b
-       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-  }
-
-  /** SQL twin of [[srpBanded]]: the banded-column list of the `b` CTE. */
-  private def srpBandedSqlCols: String =
-    (0 until SrpBands)
-      .map(j => s"CAST(${srpBandSql("embedding", j)} AS INTEGER) AS band$j").mkString(",\n  ")
-
-  /** SQL twin of [[srpPairCosines]]'s candidate union: per-band joins of
-    * `leftFrom`/`rightFrom` (each a FROM-able fragment over the banded
-    * `b` CTE), `UNION ALL`ed for the outer DISTINCT.
-    */
-  private def srpCandSql(leftFrom: String, rightFrom: String,
-      leftId: String, rightId: String, extraOn: String): String =
-    (0 until SrpBands).map(j =>
-      s"SELECT x.vec_id AS $leftId, y.vec_id AS $rightId FROM $leftFrom x " +
-        s"JOIN $rightFrom y ON x.band$j = y.band$j$extraOn")
-      .mkString(" UNION ALL ")
-
-  def nearDupPairsSql(threshold: Double = 0.3): String = {
-    val sels = srpCandSql("b", "b", "vec_a", "vec_b", " AND x.vec_id < y.vec_id")
-    s"""WITH $NORM_CTE,
-       |b AS (SELECT *,
-       |  $srpBandedSqlCols
-       |FROM e),
-       |cand AS (SELECT DISTINCT vec_a, vec_b FROM ($sels)),
-       |p AS (SELECT c.vec_a, c.vec_b,
-       |        (${dotSql("x.embedding", "y.embedding")}) / (sqrt(x.n2) * sqrt(y.n2)) AS cosine
-       |      FROM cand c JOIN e x ON x.vec_id = c.vec_a JOIN e y ON y.vec_id = c.vec_b)
-       |SELECT vec_a, vec_b, cosine FROM p WHERE cosine > $threshold
-       |ORDER BY vec_a, vec_b""".stripMargin
-  }
-
-  /** Semantic decontamination: flag corpus documents whose embedding is
-    * near a benchmark document's — the embedding-space complement of the
-    * exact-shingle [[graft.dedup.Dedup.decontamination]] (paraphrased or
-    * reformatted leakage that shares no 3-gram). The benchmark side is
-    * carved deterministically (`vec_id % benchMod = 0`, a stand-in for a
-    * real eval-set table). Candidates are CROSS-side SRP-band matches —
-    * the same 6×10-bit banding as [[nearDupPairs]], but only
-    * corpus×benchmark pairs survive, so the join output is bounded by
-    * band-bucket collision mass against the (small) benchmark side, never
-    * corpus×corpus. Exact cosine (fixed-associativity dot) verifies each
-    * candidate; per corpus doc the report carries how many benchmark
-    * neighbors cleared the threshold and the tightest match. The default
-    * threshold is calibrated to the synthetic embeddings (max cross-side
-    * cosine ~0.36), matching [[nearDupPairs]]; production data wants
-    * ~0.9+. Recall
-    * contract is the banding's, same as nearDupPairs (the oracle mirrors
-    * the identical candidate generation).
-    */
-  def semanticDecontamination(embeddings: DataFrame, benchMod: Int = 20,
-      threshold: Double = 0.3): DataFrame = {
-    val e = srpBanded(embeddings)
-      .withColumn("is_bench", col("vec_id") % benchMod === 0).persist()
-    val bench = e.filter(col("is_bench"))
-    val corpus = e.filter(!col("is_bench"))
-    srpPairCosines(corpus, bench, "corpus_id", "bench_id", (_, _) => lit(true))
-      .filter(col("cosine") >= threshold)
-      .groupBy("corpus_id")
-      .agg(count(lit(1)).as("n_matches"), max("cosine").as("max_cosine"))
-      .orderBy("corpus_id")
-  }
-
-  def semanticDecontaminationSql(benchMod: Int = 20, threshold: Double = 0.3): String = {
-    val sels = srpCandSql(
-      "(SELECT * FROM b WHERE NOT is_bench)", "(SELECT * FROM b WHERE is_bench)",
-      "corpus_id", "bench_id", "")
-    s"""WITH $NORM_CTE,
-       |b AS (SELECT *,
-       |  $srpBandedSqlCols,
-       |  (vec_id % $benchMod = 0) AS is_bench
-       |FROM e),
-       |cand AS (SELECT DISTINCT corpus_id, bench_id FROM ($sels)),
-       |p AS (SELECT c.corpus_id,
-       |        (${dotSql("x.embedding", "y.embedding")}) / (sqrt(x.n2) * sqrt(y.n2)) AS cosine
-       |      FROM cand c JOIN e x ON x.vec_id = c.corpus_id JOIN e y ON y.vec_id = c.bench_id)
-       |SELECT corpus_id, CAST(COUNT(*) AS BIGINT) AS n_matches, MAX(cosine) AS max_cosine
-       |FROM p WHERE cosine >= $threshold GROUP BY 1 ORDER BY 1""".stripMargin
-  }
-
-  /** K-means clustering over the embedding column (MLlib; array<float> →
-    * Vector via array_to_vector, k-means|| init, fixed seed). Returns
-    * cluster sizes + per-cluster norm range — the IVF coarse-quantizer
-    * building block (bucketedTopK's sign-buckets are the degenerate
-    * no-training version of these centroids).
-    */
-  def kmeansClusterSizes(embeddings: DataFrame, k: Int = 10, seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val feats = withNorm(embeddings)
-      .withColumn("features", array_to_vector(col("embedding")))
-      .persist()
-    // cache scoped to the EAGER fit (which iterates over feats); the lazy
-    // transform leg re-derives the narrow projection at action time — one
-    // extra map pass instead of a leaked corpus handle (r14 sweep)
-    val model =
-      try new KMeans().setK(k).setSeed(seed).setFeaturesCol("features").fit(feats)
-      finally feats.unpersist(blocking = false)
-    model.transform(feats)
-      .groupBy(col("prediction").as("cluster"))
-      .agg(count(lit(1)).as("n"),
-        min(sqrt(col("n2"))).as("min_norm"),
-        max(sqrt(col("n2"))).as("max_norm"))
-      .orderBy("cluster")
-  }
-
-  /** IVF ANN: k-means centroids as the trained coarse quantizer (the
-    * production upgrade of [[bucketedTopK]]'s untrained sign-buckets).
-    * Every vector is assigned to its nearest centroid; a query probes its
-    * `nprobe` nearest cells and scores only those cells' members. Cell
-    * populations track the data distribution — ~n/numCells per cell with
-    * numCells chosen ~√n at scale — so the per-cell join stays sub-linear
-    * in n, and nprobe trades recall for cost. Tie-breaks are pinned
-    * everywhere (cell id on equal centroid distance, neighbor id on equal
-    * cosine). Rows-only in the registry: k-means‖ centroids are not
-    * SQL-expressible; the spec checks exact agreement with bruteForceTopK
-    * on separated clusters plus cell balance on the testdata.
-    */
-  def ivfTopK(
-      embeddings: DataFrame, nQueries: Int = 50, k: Int = 3,
-      numCells: Int = 16, nprobe: Int = 2, seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    // cache scoped to the EAGER k-means fit (r14 sweep): the fit iterates
-    // over e, so it caches under try/finally; the assigned frame both
-    // join sides read re-derives lazily — a narrow model-broadcast map —
-    // rather than holding a second leaked handle on the float corpus
-    val e = withNorm(embeddings)
-      .withColumn("features", array_to_vector(col("embedding")))
-      .persist()
-    val model =
-      try new KMeans().setK(numCells).setSeed(seed)
-        .setFeaturesCol("features").fit(e)
-      finally e.unpersist(blocking = false)
-    val assigned = model.transform(e)
-      .select(col("vec_id"), col("embedding"), col("n2"),
-        col("prediction").cast("int").as("cell"))
-    val centroids = model.clusterCenters.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toArray) }.toDF("cell", "centroid")
-    // nprobe nearest cells per query: the centroid table is numCells rows,
-    // so the distance scan is a broadcast cross join, never a shuffle
-    val q = assigned.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("n2").as("qn2"))
-    val qd = q.crossJoin(broadcast(centroids))
-      .withColumn("d2", expr(
-        "aggregate(zip_with(qe, centroid, (a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)), 0D, (acc, x) -> acc + x)"))
-    val wp = Window.partitionBy("query_id").orderBy(col("d2"), col("cell"))
-    val probes = qd.withColumn("pr", row_number().over(wp))
-      .filter(col("pr") <= nprobe)
-      .select("query_id", "qe", "qn2", "cell")
-    val c = assigned.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("ce"), col("n2").as("cn2"), col("cell"))
-    val scored = c.join(broadcast(probes), Seq("cell"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", dot("qe", "ce") / (sqrt(col("qn2")) * sqrt(col("cn2"))))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("cell"), col("neighbor_id"), col("rank"), col("cosine"))
-      .orderBy("query_id", "rank")
-  }
-
-  /** Product quantization top-k: the compression half of a production
-    * IVF-PQ index ([[ivfTopK]] is the routing half). The Dim-dim vector
-    * splits into `m` subvectors; each subspace trains its own k-means
-    * codebook (`codebookSize` centroids, fixed seed, layout-pinned input
-    * — MLlib init is partition-layout sensitive), and every vector is
-    * encoded as `m` small integer codes: 64 floats (256 B) → 8 codes
-    * (8 B here), a 32× compression, which is what lets a 100 TB corpus'
-    * index live in cluster memory. Scoring is asymmetric (ADC): each
-    * query precomputes an `m × codebookSize` lookup table of partial
-    * squared distances to every sub-centroid, and a candidate's
-    * approximate distance is m table reads + adds instead of Dim
-    * multiplies — candidates are scanned compressed, never decoded.
-    * Encoding is a pure codegen expression over driver-side centroid
-    * literals (argmin over codebookSize per-subspace distances), not a
-    * per-subspace transform/join chain. Rows-only in the registry
-    * (k-means centroids are not SQL-expressible); the spec pins exact
-    * agreement with the uncompressed L2 top-k on separated clusters.
-    */
-  /** Deterministic driver-side Lloyd's iteration for PQ codebooks:
-    * init = evenly spaced points of the (vec_id-ordered) sample,
-    * nearest-center assignment with lowest-index tie-break, empty
-    * clusters keep their previous center. Pure double arithmetic in a
-    * fixed order — byte-reproducible regardless of cluster layout.
-    */
-  private def lloyd(pts: Array[Array[Double]], k: Int, iters: Int = 20): Array[Array[Double]] = {
-    val n = pts.length
-    val d = pts.head.length
-    val kk = math.min(k, n)
-    var centers = Array.tabulate(kk)(t => pts(t * n / kk).clone())
-    for (_ <- 0 until iters) {
-      val sums = Array.fill(centers.length)(new Array[Double](d))
-      val counts = new Array[Long](centers.length)
-      var i = 0
-      while (i < n) {
-        var best = 0; var bestD = Double.MaxValue
-        var c = 0
-        while (c < centers.length) {
-          var dist = 0.0; var t = 0
-          while (t < d) { val x = pts(i)(t) - centers(c)(t); dist += x * x; t += 1 }
-          if (dist < bestD) { bestD = dist; best = c }
-          c += 1
-        }
-        var t = 0
-        while (t < d) { sums(best)(t) += pts(i)(t); t += 1 }
-        counts(best) += 1
-        i += 1
-      }
-      centers = centers.zipWithIndex.map { case (old, c) =>
-        if (counts(c) == 0) old
-        else Array.tabulate(d)(t => sums(c)(t) / counts(c))
-      }
-    }
-    centers
-  }
-
-  /** The sample + per-subspace Lloyd's codebook fit of [[pqTopK]],
-    * exposed on its own so the committed serving fixture
-    * ([[PqFixture]]) can be regenerated ([[FixtureGen]]) and
-    * staleness-checked against the data (FixtureSpec).
-    *
-    * Codebooks are KB-sized and train on a BOUNDED sample (the standard
-    * product-quantization recipe: fit on ~10⁵ sampled vectors
-    * in-memory, encode the full corpus distributed). The sample is the
-    * first `sampleN` vectors in vec_id order — a pure function of the
-    * data, so codebooks are byte-reproducible across any cluster
-    * layout, and the driver does m tiny Lloyd's runs instead of m
-    * iterative distributed fits (which cost more in job scheduling
-    * than arithmetic at any scale).
-    */
-  def trainPqCodebooks(
-      embeddings: DataFrame, m: Int = 8, codebookSize: Int = 16,
-      sampleN: Int = 2048): Array[Array[Array[Double]]] = {
-    require(Dim % m == 0, s"m=$m must divide Dim=$Dim")
-    val subDim = Dim / m
-    val sample: Array[Array[Float]] = withNorm(embeddings).orderBy("vec_id")
-      .select("embedding").limit(sampleN)
-      .collect().map(_.getSeq[Float](0).toArray)
-    (0 until m).toArray.map { j =>
-      val pts = sample.map(v => Array.tabulate(subDim)(i => v(j * subDim + i).toDouble))
-      lloyd(pts, codebookSize)
-    }
-  }
-
-  /** @param pinned when supplied, the codebooks are taken as a TRAINED
-    *   MODEL ARTIFACT instead of being fit in-query — the production
-    *   serving mode (PQ codebooks are trained offline once and frozen;
-    *   every later corpus is encoded against them), and the operating
-    *   point at which the whole encode + ADC pipeline is SQL-expressible
-    *   and therefore oracle-checked (the registry passes [[PqFixture]];
-    *   its provenance from [[trainPqCodebooks]] is spec-pinned). With
-    *   `pinned = None` the codebooks are fit on the input itself — the
-    *   train-time mode, exactness spec-asserted in KnnSpec.
-    */
-  /** Per-subspace LUT: squared distance of `embedding`'s j-th subvector
-    * to every centroid of codebook j, via higher-order functions over
-    * the codebook as a LITERAL nested array — a ~10-node expression with
-    * runtime loops instead of the fully unrolled 16×subDim×3-node tree,
-    * whose whole-stage codegen alone cost ~4.5 s of fixed overhead per
-    * run (measured; results are byte-identical: zip_with walks dims in
-    * index order and aggregate folds left exactly like the unrolled
-    * reduceLeft, with 0.0 + t0 == t0 for the non-negative squares).
-    * Shared by [[pqTopK]] and [[ivfPqTopK]].
-    */
-  private def pqLutArr(codebooks: Array[Array[Array[Double]]], j: Int): Column = {
-    val subDim = Dim / codebooks.length
-    val cb = typedLit(codebooks(j).map(_.toSeq).toSeq)
-    val sub = slice(col("embedding"), j * subDim + 1, subDim)
-    transform(cb, cen => aggregate(
-      zip_with(sub, cen, (x, c) => { val t = x.cast("double") - c; t * t }),
-      lit(0.0), (acc, e) => acc + e))
-  }
-
-  /** PQ code for subspace j = argmin over [[pqLutArr]] (first index on
-    * ties — deterministic; array_position compares the min to itself, so
-    * double equality is exact).
-    */
-  private def pqCodeCol(codebooks: Array[Array[Array[Double]]], j: Int): Column = {
-    val a = pqLutArr(codebooks, j)
-    (array_position(a, array_min(a)) - 1).cast("int")
-  }
-
-  def pqTopK(
-      embeddings: DataFrame, nQueries: Int = 20, k: Int = 3,
-      m: Int = 8, codebookSize: Int = 16, sampleN: Int = 2048,
-      pinned: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
-    require(Dim % m == 0, s"m=$m must divide Dim=$Dim")
-    // no corpus cache (r14): codebook training collects a BOUNDED sample
-    // eagerly (driver-side Lloyd), and each serving side — codes for
-    // candidates, LUTs for queries — is one narrow scan of its own.
-    // Caching the 256 B/row float frame shared only the norm projection
-    // and held a leaked handle on the raw corpus (VERDICT r13 item 7).
-    val e = withNorm(embeddings)
-    val codebooks: Array[Array[Array[Double]]] =
-      pinned.getOrElse(trainPqCodebooks(e, m, codebookSize, sampleN))
-    def lutArr(j: Int): Column = pqLutArr(codebooks, j)
-    // code = argmin over the subspace's centroid distances (first index on
-    // ties — deterministic; array_position compares the min to itself, so
-    // double equality is exact)
-    def codeCol(j: Int): Column = {
-      val a = lutArr(j)
-      (array_position(a, array_min(a)) - 1).cast("int")
-    }
-    val cand = (0 until m).foldLeft(
-      e.select(col("vec_id").as("neighbor_id"), col("embedding"))) {
-      (df, j) => df.withColumn(s"code$j", codeCol(j))
-    }.drop("embedding")
-    val q = (0 until m).foldLeft(
-      e.filter(col("vec_id") < nQueries).select(col("vec_id").as("query_id"), col("embedding"))) {
-      (df, j) => df.withColumn(s"lut$j", lutArr(j))
-    }.drop("embedding")
-    // ADC scan: broadcast the per-query LUTs over the compressed
-    // candidate stream — m element_at reads per pair
-    val adist = (0 until m)
-      .map(j => element_at(col(s"lut$j"), col(s"code$j") + 1))
-      .reduceLeft(_ + _)
-    val scored = cand.crossJoin(broadcast(q))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("adist", adist)
-    val w = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("adist"))
-      .orderBy("query_id", "rank")
-  }
-
-  /** DuckDB twin of [[pqTopK]] at a pinned codebook (the serving
-    * operating point): the centroids become literals, after which
-    * encode — per-subspace argmin over unrolled (x−c)² sums, first
-    * index on ties — and the ADC scan — per-pair sum of 16-way CASE
-    * lookups into the query's own distance columns — are plain SQL
-    * arithmetic, term-for-term in Spark's evaluation order (ascending
-    * dims, left-associated sums, 0.0 + t₀ = t₀). The distance CTE `cd`
-    * is shared by both sides of the join: a candidate's code_j is the
-    * argmin over its d_j_c columns, and a query's LUT IS its d_j_c row.
-    */
-  def pqTopKSql(
-      codebooks: Array[Array[Array[Double]]], nQueries: Int = 20,
-      k: Int = 3): String = {
-    val m = codebooks.length
-    val subDim = Dim / m
-    // centroid literals go through a VARCHAR→DOUBLE cast: a bare
-    // 17-digit literal parses as DECIMAL(38,17), whose scaled integer
-    // exceeds 2^53, so the decimal→double conversion DOUBLE-ROUNDS and
-    // drifts a last ulp off the strtod value Spark's typedLit holds
-    // (the SKILL decimal-ceiling gotcha, observed on ~7% of adist rows)
-    def distExpr(j: Int, c: Int): String =
-      (0 until subDim).map { t =>
-        val x = s"CAST(embedding[${j * subDim + t + 1}] AS DOUBLE)"
-        val cen = s"CAST('${codebooks(j)(c)(t)}' AS DOUBLE)"
-        s"(($x - $cen) * ($x - $cen))"
-      }.mkString(" + ")
-    val nC = codebooks.head.length
-    val cdCols = (for { j <- 0 until m; c <- 0 until nC }
-      yield s"(${distExpr(j, c)}) AS d_${j}_$c").mkString(",\n    ")
-    val mCols = (0 until m).map(j =>
-      s"LEAST(${(0 until nC).map(c => s"d_${j}_$c").mkString(", ")}) AS m_$j")
-      .mkString(",\n    ")
-    val codeCols = (0 until m).map { j =>
-      val whens = (0 until nC).map(c => s"WHEN d_${j}_$c = m_$j THEN $c").mkString(" ")
-      s"CASE $whens END AS code_$j"
-    }.mkString(",\n    ")
-    val adist = (0 until m).map { j =>
-      val whens = (0 until nC).map(c => s"WHEN $c THEN q.d_${j}_$c").mkString(" ")
-      s"(CASE c.code_$j $whens END)"
-    }.mkString(" + ")
-    s"""WITH $NORM_CTE,
-       |cd AS (
-       |  SELECT vec_id,
-       |    $cdCols
-       |  FROM e),
-       |cm AS (
-       |  SELECT *,
-       |    $mCols
-       |  FROM cd),
-       |codes AS (
-       |  SELECT *,
-       |    $codeCols
-       |  FROM cm),
-       |s AS (
-       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-       |    $adist AS adist
-       |  FROM codes c JOIN codes q
-       |    ON q.vec_id < $nQueries AND c.vec_id <> q.vec_id),
-       |r AS (
-       |  SELECT query_id, neighbor_id, adist,
-       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rn
-       |  FROM s)
-       |SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS "rank", adist
-       |FROM r WHERE rn <= $k ORDER BY query_id, "rank"""".stripMargin
-  }
-
-  /** Per-label embedding statistics: count + norm aggregates (norms are
-    * per-row deterministic doubles; min/max are order-independent).
-    */
-  def labelStats(embeddings: DataFrame): DataFrame =
-    withNorm(embeddings)
-      .withColumn("norm", sqrt(col("n2")))
-      .groupBy("label")
-      .agg(count(lit(1)).as("n"),
-        min("norm").as("min_norm"),
-        max("norm").as("max_norm"))
-      .orderBy("label")
-
-  val labelStatsSql: String =
-    s"""WITH $NORM_CTE
-       |SELECT label, COUNT(*) AS n, MIN(sqrt(n2)) AS min_norm, MAX(sqrt(n2)) AS max_norm
-       |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
-
-  /** PCA shortlist + full-space rerank — the two-stage ANN a reduced
-    * representation is actually used for at scale: project 64-dim
-    * vectors to `dimOut` principal components, scan the CHEAP reduced
-    * space for a `shortlistFactor × k` candidate shortlist per query,
-    * then rerank only the shortlist with exact full-space cosine. The
-    * reduced vectors are what a 100 TB deployment stores and shuffles
-    * (dimOut/Dim of the bytes; the scan cost drops by the same factor);
-    * the full vectors are touched for shortlist×k rows per query, not
-    * n. Reported: variance kept and recall@k of the reranked result
-    * against full-space brute force.
-    *
-    * Shape: covariance is one treeAggregate pass (all-reduce, no data
-    * shuffle); the eigendecomposition is a driver-side Dim×Dim solve;
-    * projection is a narrow per-row matmul; the rerank join is keyed by
-    * neighbor_id. The layout pin fixes covariance summation order,
-    * making components — and recall — byte-reproducible across cluster
-    * sizes. Rows-only in the registry (trained projection not
-    * SQL-expressible); recall band spec-asserted.
-    */
-  def pcaRecall(
-      embeddings: DataFrame, nQueries: Int = 50, k: Int = 5,
-      dimOut: Int = 16, shortlistFactor: Int = 8): DataFrame = {
-    import org.apache.spark.ml.feature.PCA
-    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    val e = withNorm(embeddings)
-      .repartition(8, col("vec_id")).sortWithinPartitions("vec_id")
-      .withColumn("features", array_to_vector(col("embedding")))
-      .persist()
-    try {
-      val model = new PCA().setK(dimOut).setInputCol("features")
-        .setOutputCol("pc").fit(e)
-      val explained = model.explainedVariance.toArray.sum
-      val red = model.transform(e)
-        .select(col("vec_id"), vector_to_array(col("pc")).as("re"))
-      recallFromReduced(embeddings, e, red, explained,
-        nQueries, k, dimOut, shortlistFactor)
-    } finally e.unpersist(blocking = false)
-  }
-
-  /** The shortlist → rerank → recall-vs-brute-force tail shared by the
-    * trained and pinned-basis PCA forms.
-    */
-  private def recallFromReduced(
-      embeddings: DataFrame, e: DataFrame, red: DataFrame, explained: Double,
-      nQueries: Int, k: Int, dimOut: Int, shortlistFactor: Int): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    val rdot = expr("aggregate(zip_with(qe, ce, (x, y) -> x * y), 0D, (a, x) -> a + x)")
-    val qn = expr("aggregate(zip_with(qe, qe, (x, y) -> x * y), 0D, (a, x) -> a + x)")
-    val cn = expr("aggregate(zip_with(ce, ce, (x, y) -> x * y), 0D, (a, x) -> a + x)")
-    val q = red.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("re").as("qe"))
-    val c = red.select(col("vec_id").as("neighbor_id"), col("re").as("ce"))
-    val wr = Window.partitionBy("query_id").orderBy(col("rcos").desc, col("neighbor_id"))
-    val shortlist = c.crossJoin(broadcast(q))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("rcos", rdot / (sqrt(qn) * sqrt(cn)))
-      .withColumn("srank", row_number().over(wr))
-      .filter(col("srank") <= k * shortlistFactor)
-      .select("query_id", "neighbor_id")
-    // full-space rerank of the shortlist only: two keyed joins to pull
-    // the exact vectors, one bounded per-query window
-    val full = e.select(col("vec_id"), col("embedding"), col("n2"))
-    val reranked = shortlist
-      .join(full.select(col("vec_id").as("query_id"),
-        col("embedding").as("qfe"), col("n2").as("qn2")), Seq("query_id"))
-      .join(full.select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("cfe"), col("n2").as("cn2")), Seq("neighbor_id"))
-      .withColumn("cosine", dot("qfe", "cfe") / (sqrt(col("qn2")) * sqrt(col("cn2"))))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id")
-    val exact = bruteForceTopK(embeddings, nQueries, k)
-      .select("query_id", "neighbor_id")
-    val hits = reranked.join(exact, Seq("query_id", "neighbor_id")).count()
-    val denom = exact.count()
-    Seq((Dim, dimOut, k * shortlistFactor, explained, hits.toDouble / denom, denom))
-      .toDF("dim_in", "dim_out", "shortlist", "explained_variance", "recall_at_k", "n_pairs")
-  }
-
-  /** The trained PCA basis of [[pcaRecall]] (same layout-pinned fit),
-    * as `dimOut` rows of `Dim` loadings plus the explained-variance sum
-    * — the serving fixture [[PcaFixture]]'s provenance
-    * ([[FixtureGen]] writes it, FixtureSpec pins it).
-    */
-  def trainPcaBasis(
-      embeddings: DataFrame, dimOut: Int = 16): (Array[Array[Double]], Double) = {
-    import org.apache.spark.ml.feature.PCA
-    import org.apache.spark.ml.functions.array_to_vector
-    val e = withNorm(embeddings)
-      .repartition(8, col("vec_id")).sortWithinPartitions("vec_id")
-      .withColumn("features", array_to_vector(col("embedding")))
-      .persist()
-    try {
-      val model = new PCA().setK(dimOut).setInputCol("features")
-        .setOutputCol("pc").fit(e)
-      val basis = Array.tabulate(dimOut)(kk =>
-        Array.tabulate(Dim)(t => model.pc(t, kk)))
-      (basis, model.explainedVariance.toArray.sum)
-    } finally e.unpersist(blocking = false)
-  }
-
-  /** [[pcaRecall]] at a PINNED basis — the serving operating point (a
-    * PCA projection is a trained model artifact: fit offline, frozen,
-    * applied to every later corpus), and the point at which the whole
-    * reduced-space-shortlist → full-space-rerank → recall-vs-brute-force
-    * experiment is SQL-expressible: the projection becomes `dimOut`
-    * unrolled Σ xᵗ·bᵗ sums over basis literals (computed by our own
-    * fold, not BLAS, so the arithmetic order is pinned), and every
-    * downstream cosine already has a proven SQL twin. MLlib's PCA
-    * transform is plain multiplication by the loading matrix (no
-    * centering), so the pinned projection is semantically the trained
-    * one with the basis frozen.
-    */
-  def pcaRecallPinned(
-      embeddings: DataFrame, basis: Array[Array[Double]],
-      explainedVariance: Double, nQueries: Int = 50, k: Int = 5,
-      shortlistFactor: Int = 8): DataFrame = {
-    val e = withNorm(embeddings).persist()
-    try {
-      val bk = typedLit(basis.map(_.toSeq).toSeq)
-      val red = e.select(col("vec_id"),
-        transform(bk, b => aggregate(
-          zip_with(col("embedding"), b, (x, bb) => x.cast("double") * bb),
-          lit(0.0), (a, v) => a + v)).as("re"))
-      recallFromReduced(embeddings, e, red, explainedVariance,
-        nQueries, k, basis.length, shortlistFactor)
-    } finally e.unpersist(blocking = false)
-  }
-
-  /** DuckDB twin of [[pcaRecallPinned]]: unrolled projection sums in
-    * Spark's fold order, reduced-space shortlist window, full-space
-    * rerank on the proven fused dot, brute-force reference, one-row
-    * recall summary. Basis literals ride VARCHAR→DOUBLE casts (the
-    * DECIMAL double-rounding dodge, see [[pqTopKSql]]).
-    */
-  def pcaRecallPinnedSql(
-      basis: Array[Array[Double]], explainedVariance: Double,
-      nQueries: Int = 50, k: Int = 5, shortlistFactor: Int = 8): String = {
-    val dimOut = basis.length
-    def projExpr(kk: Int): String =
-      (0 until Dim).map { t =>
-        s"(CAST(embedding[${t + 1}] AS DOUBLE) * CAST('${basis(kk)(t)}' AS DOUBLE))"
-      }.mkString(" + ")
-    val prCols = (0 until dimOut).map(kk => s"(${projExpr(kk)}) AS re_$kk")
-      .mkString(",\n    ")
-    def rDot(a: String, b: String): String =
-      (0 until dimOut).map(kk => s"$a.re_$kk * $b.re_$kk").mkString(" + ")
-    def rN(a: String): String =
-      (0 until dimOut).map(kk => s"$a.re_$kk * $a.re_$kk").mkString(" + ")
-    s"""WITH $NORM_CTE,
-       |pr AS (
-       |  SELECT vec_id, embedding, n2,
-       |    $prCols
-       |  FROM e),
-       |sl AS (
-       |  SELECT query_id, neighbor_id FROM (
-       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-       |        (${rDot("q", "c")}) / (sqrt(${rN("q")}) * sqrt(${rN("c")})) DESC,
-       |        c.vec_id) AS srank
-       |    FROM pr q JOIN pr c ON q.vec_id < $nQueries AND c.vec_id <> q.vec_id)
-       |  WHERE srank <= ${k * shortlistFactor}),
-       |rr AS (
-       |  SELECT query_id, neighbor_id FROM (
-       |    SELECT sl.query_id, sl.neighbor_id,
-       |      ROW_NUMBER() OVER (PARTITION BY sl.query_id ORDER BY
-       |        (${dotSql("q.embedding", "c.embedding")}) / (sqrt(q.n2) * sqrt(c.n2)) DESC,
-       |        sl.neighbor_id) AS rnk
-       |    FROM sl JOIN pr q ON q.vec_id = sl.query_id
-       |            JOIN pr c ON c.vec_id = sl.neighbor_id)
-       |  WHERE rnk <= $k),
-       |ex AS (
-       |  SELECT query_id, neighbor_id FROM (
-       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-       |        (${dotSql("q.embedding", "c.embedding")}) / (sqrt(q.n2) * sqrt(c.n2)) DESC,
-       |        c.vec_id) AS rnk
-       |    FROM e q JOIN e c ON q.vec_id < $nQueries AND c.vec_id <> q.vec_id)
-       |  WHERE rnk <= $k),
-       |h AS (SELECT COUNT(*) AS hits FROM rr JOIN ex USING (query_id, neighbor_id)),
-       |d AS (SELECT COUNT(*) AS denom FROM ex)
-       |SELECT CAST($Dim AS INTEGER) AS dim_in, CAST($dimOut AS INTEGER) AS dim_out,
-       |  CAST(${k * shortlistFactor} AS INTEGER) AS shortlist,
-       |  CAST('$explainedVariance' AS DOUBLE) AS explained_variance,
-       |  CAST(h.hits AS DOUBLE) / CAST(d.denom AS DOUBLE) AS recall_at_k,
-       |  CAST(d.denom AS BIGINT) AS n_pairs
-       |FROM h CROSS JOIN d""".stripMargin
-  }
-
-  /** SemDeDup-style semantic dedup: k-means the embedding space, then
-    * prune within each cluster — a vector is DROPPED when some lower-id
-    * member of its own cluster sits above the cosine threshold, so each
-    * semantic-duplicate group keeps exactly its minimum surviving id
-    * (pinned, deterministic tie-break). This is the cluster-then-prune
-    * recipe that makes semantic dedup tractable at corpus scale: the
-    * quadratic comparison never crosses cluster boundaries, so with
-    * numClusters grown ~n/1000 the per-cell self-join stays bounded
-    * (~cluster-size² per cell, embarrassingly parallel across cells)
-    * instead of n² — the same reason [[ivfTopK]] beats brute force.
-    * Complements [[nearDupPairs]] (LSH finds textual near-copies at high
-    * cosine; trained clusters catch semantic redundancy at lower
-    * thresholds where random-projection bands lose recall).
-    *
-    * Determinism: the k-means input layout is pinned (fixed-count hash
-    * repartition + in-partition sort — MLlib init is layout-sensitive),
-    * cosine is the fused [[graft.functions.DotProductFloat]] expression,
-    * and drop decisions compare ids, so output is byte-identical across
-    * cluster layouts. Rows-only in the registry (trained centroids are
-    * not SQL-expressible); the prune rule is spec-asserted.
-    *
-    * `numClusters = 0` (the default) auto-scales k ≈ max(16, n/1000)
-    * from a count, so the expected per-cell population — and with it the
-    * |cell|² prune cost — stays ~constant as the corpus grows instead of
-    * silently degrading to all-pairs at a fixed k. Pass an explicit k to
-    * pin it (tests do).
-    */
-  // normalized, layout-pinned k-means input: cosine geometry lives on
-  // the unit sphere, and raw-magnitude k-means would split a semantic
-  // group by scale before direction
-  private def kmeansInput(embeddings: DataFrame): DataFrame = {
-    import org.apache.spark.ml.functions.array_to_vector
-    withNorm(embeddings)
-      .repartition(8, col("vec_id")).sortWithinPartitions("vec_id")
-      .withColumn("features", array_to_vector(
-        expr("transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(n2))")))
-  }
-
-  private def assignCells(e: DataFrame, numClusters: Int, seed: Long): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    val k = if (numClusters > 0) numClusters
-      else math.max(16L, e.count() / 1000L).toInt
-    val model = new KMeans().setK(k).setSeed(seed)
-      .setFeaturesCol("features").fit(e)
-    model.transform(e)
-      .select(col("vec_id"), col("embedding"), col("n2"),
-        col("prediction").cast("int").as("cell"))
-  }
-
-  /** The cell assignment alone (vec_id, cell) with the same auto-scaled
-    * k as [[semDedupKeep]] — the surface the cluster-size-bound spec
-    * asserts on without paying the within-cell prune.
-    */
-  def semDedupCells(
-      embeddings: DataFrame, numClusters: Int = 0, seed: Long = 42L): DataFrame = {
-    // persist the pinned k-means input (count + fit + transform all read
-    // it); the eager localCheckpoint makes the small (vec_id, cell)
-    // result a leaf so the input can unpersist before returning
-    val e = kmeansInput(embeddings).persist()
-    try assignCells(e, numClusters, seed).select("vec_id", "cell").localCheckpoint()
-    finally e.unpersist(blocking = false)
-  }
-
-  /** The within-cell prune tail shared by the trained and
-    * pinned-centroid forms: a vector is dropped when a lower-id member
-    * of its own cell clears the cosine threshold.
-    */
-  private def pruneCells(assigned: DataFrame, tau: Double): DataFrame = {
-    val a = assigned.select(col("cell"), col("vec_id"),
-      col("embedding").as("ea"), col("n2").as("na"))
-    val b = assigned.select(col("cell"), col("vec_id").as("vec_b"),
-      col("embedding").as("eb"), col("n2").as("nb"))
-    val near = a.join(b, Seq("cell"))
-      .filter(col("vec_b") < col("vec_id"))
-      .withColumn("cosine", dot("ea", "eb") / (sqrt(col("na")) * sqrt(col("nb"))))
-      .filter(col("cosine") >= tau)
-      .groupBy("cell", "vec_id")
-      .agg(min("vec_b").as("dup_of"), count(lit(1)).as("n_near"))
-    assigned.select("vec_id", "cell")
-      .join(near, Seq("cell", "vec_id"), "left")
-      .select(
-        col("vec_id"), col("cell"),
-        col("dup_of").isNull.as("keep"),
-        col("dup_of"),
-        coalesce(col("n_near"), lit(0L)).as("n_near"))
-      .orderBy("vec_id")
-  }
-
-  def semDedupKeep(
-      embeddings: DataFrame, numClusters: Int = 0, tau: Double = 0.7,
-      seed: Long = 42L): DataFrame = {
-    val e = kmeansInput(embeddings).persist()
-    try pruneCells(assignCells(e, numClusters, seed).persist(), tau)
-    finally e.unpersist(blocking = false)
-  }
-
-  /** The trained MLlib centroids of [[semDedupKeep]]'s k-means (same
-    * layout-pinned input, same seed), exposed so the committed serving
-    * fixture ([[SemDedupFixture]]) can be regenerated ([[FixtureGen]])
-    * and staleness-checked (FixtureSpec). Centroids live in the
-    * NORMALIZED space the assignment runs in.
-    */
-  def trainSemDedupCentroids(
-      embeddings: DataFrame, k: Int = 16, seed: Long = 42L): Array[Array[Double]] = {
-    import org.apache.spark.ml.clustering.KMeans
-    val e = kmeansInput(embeddings).persist()
-    try {
-      new KMeans().setK(k).setSeed(seed).setFeaturesCol("features").fit(e)
-        .clusterCenters.map(_.toArray)
-    } finally e.unpersist(blocking = false)
-  }
-
-  /** [[semDedupKeep]] at PINNED centroids — the production serving mode
-    * (cluster centroids are a trained model artifact: fit offline once,
-    * then every corpus batch is assigned and pruned against the frozen
-    * cells), and the operating point at which the whole
-    * assign-then-prune pipeline is SQL-expressible and hence
-    * oracle-exact: assignment is an argmin of plain (x−c)² arithmetic
-    * over centroid literals (first index on ties, like the PQ encoder),
-    * computed on the same normalized vectors the trained fit uses, and
-    * the prune tail is the shared [[pruneCells]]. The in-query-trained
-    * form stays registered rows-only (`kmeans_clusters`) and
-    * spec-asserted; the fixture's provenance from
-    * [[trainSemDedupCentroids]] is pinned by FixtureSpec.
-    */
-  /** Shared pinned-centroid argmin assignment — the Scala side of
-    * [[pinnedAssignSqlCtes]], extracted so the four pinned-serving
-    * operators (semDedup prune, sizes, silhouette, cluster keywords)
-    * can never drift from each other or from the SQL chain (r14
-    * review): normalized vectors, per-centroid squared distances `ds`,
-    * first-index-on-ties argmin `cell`. Narrow — no shuffle.
-    */
-  private def pinnedAssign(embeddings: DataFrame,
-      centroids: Array[Array[Double]]): DataFrame = {
-    val e = withNorm(embeddings)
-      .withColumn("ne", expr("transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(n2))"))
-    val cb = typedLit(centroids.map(_.toSeq).toSeq)
-    val dists = transform(cb, cen => aggregate(
-      zip_with(col("ne"), cen, (x, c) => { val t = x - c; t * t }),
-      lit(0.0), (acc, d) => acc + d))
-    e.withColumn("ds", dists)
-      .withColumn("cell",
-        (array_position(col("ds"), array_min(col("ds"))) - 1).cast("int"))
-  }
-
-  def semDedupKeepPinned(
-      embeddings: DataFrame, centroids: Array[Array[Double]],
-      tau: Double): DataFrame = {
-    // persisted: pruneCells reads the assignment on both sides of the
-    // self-join plus the final left join — without the cache, the
-    // 16-centroid × 64-dim argmin subtree re-evaluates three times per
-    // action (the frame is |corpus| × ~40 B, and Bench's between-rep
-    // cleanup unpersists it)
-    val assigned = pinnedAssign(embeddings, centroids)
-      .select("vec_id", "embedding", "n2", "cell")
-      .persist()
-    pruneCells(assigned, tau)
-  }
-
-  /** DuckDB twin of [[semDedupKeepPinned]]: normalized vectors via
-    * list_transform (elementwise — no summation-order seam), unrolled
-    * per-centroid 64-term (x−c)² sums in Spark's fold order, LEAST +
-    * first-match CASE argmin, then the standard pair-join prune with
-    * the proven fused dot product.
-    */
-  /** Shared CTE chain (`e` → `nv` → `cd` → `asg`) assigning every
-    * vector to its nearest PINNED centroid: normalized vectors via
-    * list_transform (elementwise — no summation-order seam), unrolled
-    * per-centroid (x−c)² sums in Spark's fold order, LEAST +
-    * first-match CASE argmin. VARCHAR→DOUBLE literal casts for the same
-    * decimal double-rounding reason as pqTopKSql (a bare 17-digit
-    * literal is DECIMAL(38,17)).
-    */
-  private def pinnedAssignSqlCtes(
-      centroids: Array[Array[Double]], withSorted: Boolean = false): String = {
-    val nC = centroids.length
-    def distExpr(c: Int): String =
-      (0 until Dim).map { t =>
-        val cen = s"CAST('${centroids(c)(t)}' AS DOUBLE)"
-        s"((ne[${t + 1}] - $cen) * (ne[${t + 1}] - $cen))"
-      }.mkString(" + ")
-    val dCols = (0 until nC).map(c => s"(${distExpr(c)}) AS d_$c").mkString(",\n    ")
-    val least = s"LEAST(${(0 until nC).map(c => s"d_$c").mkString(", ")})"
-    val cases = (0 until nC).map(c => s"WHEN d_$c = md THEN $c").mkString(" ")
-    // optional: the full centroid-distance list, sorted ascending — the
-    // silhouette oracle reads a = sd[1], b = sd[2] off it
-    val sortedCol =
-      if (withSorted)
-        s",\n    list_sort([${(0 until nC).map(c => s"d_$c").mkString(", ")}]) AS sd"
-      else ""
-    s"""$NORM_CTE,
-       |nv AS (
-       |  SELECT vec_id, embedding, n2,
-       |    list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(n2)) AS ne
-       |  FROM e),
-       |cd AS (
-       |  SELECT vec_id, embedding, n2,
-       |    $dCols
-       |  FROM nv),
-       |asg AS (
-       |  SELECT vec_id, embedding, n2, CAST(CASE $cases END AS INTEGER) AS cell$sortedCol
-       |  FROM (SELECT *, $least AS md FROM cd))""".stripMargin
-  }
-
-  def semDedupKeepPinnedSql(
-      centroids: Array[Array[Double]], tau: Double): String = {
-    s"""WITH ${pinnedAssignSqlCtes(centroids)},
-       |p AS (
-       |  SELECT a.cell, a.vec_id, b.vec_id AS vec_b,
-       |    (${dotSql("a.embedding", "b.embedding")}) / (sqrt(a.n2) * sqrt(b.n2)) AS cosine
-       |  FROM asg a JOIN asg b ON a.cell = b.cell AND b.vec_id < a.vec_id),
-       |nears AS (
-       |  SELECT cell, vec_id, MIN(vec_b) AS dup_of, COUNT(*) AS n_near
-       |  FROM p WHERE cosine >= $tau GROUP BY 1, 2)
-       |SELECT a.vec_id, a.cell, (n.dup_of IS NULL) AS keep, n.dup_of,
-       |  CAST(COALESCE(n.n_near, 0) AS BIGINT) AS n_near
-       |FROM asg a LEFT JOIN nears n ON n.cell = a.cell AND n.vec_id = a.vec_id
-       |ORDER BY a.vec_id""".stripMargin
-  }
-
-  /** [[kmeansClusterSizes]]'s reporting surface at PINNED centroids —
-    * the k-means family's oracle-exact operating point: assignment is
-    * the same literal-centroid argmin as [[semDedupKeepPinned]]
-    * (normalized space), and the per-cluster size + norm-range rollup
-    * is plain aggregation (sqrt is IEEE correctly-rounded, so min/max
-    * over sqrt(n2) are cross-engine exact). The in-query-trained
-    * k-means|| form stays registered rows-only (`kmeans_clusters`).
-    */
-  def kmeansSizesPinned(
-      embeddings: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
-    pinnedAssign(embeddings, centroids)
-      .withColumnRenamed("cell", "cluster")
-      .groupBy("cluster")
-      .agg(count(lit(1)).as("n"),
-        min(sqrt(col("n2"))).as("min_norm"),
-        max(sqrt(col("n2"))).as("max_norm"))
-      .orderBy("cluster")
-  }
-
-  def kmeansSizesPinnedSql(centroids: Array[Array[Double]]): String =
-    s"""WITH ${pinnedAssignSqlCtes(centroids)}
-       |SELECT cell AS cluster, COUNT(*) AS n,
-       |  MIN(sqrt(n2)) AS min_norm, MAX(sqrt(n2)) AS max_norm
-       |FROM asg GROUP BY 1 ORDER BY 1""".stripMargin
-
-  /** Cluster LABELING at the pinned centroids (r14): top-k distinctive
-    * terms per embedding cluster by cluster-level TF-IDF
-    * (cluster-as-document, the sklearn-smoothed idf of
-    * [[graft.text.TextOps.tfidfTopTerms]] with N = number of occupied
-    * cells) — the "what is IN my clusters" report a curation pipeline
-    * runs against its frozen cluster model before acting on per-cluster
-    * decisions (SemDeDup pruning thresholds, mixture reweighting, topic
-    * caps). Text arrives from the documents table joined 1:1 on
-    * vec_id = doc_id (the testdata tables share the id space).
-    *
-    * Scale shape: the argmin assignment is narrow; explode → (cell,term)
-    * agg → df agg → term join → per-cell window over a frame bounded by
-    * cells × vocabulary, not corpus; the cell-count frame broadcasts.
-    * Determinism: tf/df are exact longs and ln over these rational
-    * inputs is bit-identical cross-engine (the tfidfTopTerms contract);
-    * ties break by term.
-    */
-  def clusterKeywords(embeddings: DataFrame, documents: DataFrame,
-      centroids: Array[Array[Double]], k: Int = 5): DataFrame = {
-    val asg = pinnedAssign(embeddings, centroids)
-      .select(col("vec_id"), col("cell"))
-    val tok = documents.join(asg, col("doc_id") === col("vec_id"))
-      .select(col("cell"),
-        explode(graft.text.TextOps.toks(col("text"))).as("term"))
-    val tf = tok.groupBy("cell", "term").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val n = asg.agg(countDistinct(col("cell")).as("n_cells"))
-    val scored = tf.join(df, "term").crossJoin(broadcast(n))
-      .withColumn("tfidf", col("tf").cast("double") *
-        (log((lit(1.0) + col("n_cells")) / (lit(1.0) + col("df"))) + lit(1.0)))
-    val w = Window.partitionBy("cell").orderBy(col("tfidf").desc, col("term"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("cell", "term", "tf", "df", "tfidf", "rank")
-      .orderBy("cell", "rank")
-  }
-
-  /** DuckDB twin of [[clusterKeywords]]: the shared pinned-assignment
-    * chain, then the exact tfidfTopTermsSql shape at cell grain.
-    */
-  def clusterKeywordsSql(centroids: Array[Array[Double]], k: Int = 5): String =
-    s"""WITH ${pinnedAssignSqlCtes(centroids)},
-       |tok AS (
-       |  SELECT asg.cell,
-       |    unnest(string_split_regex(trim(lower(d.text)), '\\s+')) AS term
-       |  FROM documents d JOIN asg ON d.doc_id = asg.vec_id),
-       |tf AS (SELECT cell, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
-       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-       |ncells AS (SELECT COUNT(DISTINCT cell) AS n_cells FROM asg),
-       |scored AS (
-       |  SELECT tf.cell, tf.term, tf.tf, df.df,
-       |    CAST(tf.tf AS DOUBLE) * (ln((1.0 + ncells.n_cells) / (1.0 + df.df)) + 1.0) AS tfidf
-       |  FROM tf JOIN df USING (term) CROSS JOIN ncells),
-       |r AS (SELECT *,
-       |  ROW_NUMBER() OVER (PARTITION BY cell ORDER BY tfidf DESC, term) AS rank
-       |  FROM scored)
-       |SELECT cell, term, tf, df, tfidf, rank FROM r WHERE rank <= $k
-       |ORDER BY cell, rank""".stripMargin
-
-  /** Per-cluster SIMPLIFIED SILHOUETTE at the same pinned centroids —
-    * the cluster-quality report a pipeline runs against its frozen
-    * cluster model. The classic silhouette needs all-pairs distances
-    * (O(n²) — a non-starter at corpus scale); the simplified form
-    * (Hruschka et al.) replaces mean-to-cluster distances with
-    * point-to-CENTROID distances:
-    *
-    *   a = ‖x − c_own‖,  b = min_{c ≠ own} ‖x − c‖,
-    *   s = (b − a) / max(a, b)            (0 when both are 0)
-    *
-    * — one narrow map over the corpus (the k-centroid distance list is
-    * already computed for the argmin), no pairwise anything, so the
-    * whole report is a single scan + one k-row aggregation at any
-    * corpus size. Cross-engine exact: a and b come off the SAME sorted
-    * distance list in both engines (ties collapse identically), sqrt
-    * is IEEE correctly-rounded, the per-row s is one subtract/divide,
-    * and the per-cluster mean rides detAvg's order-free decimal sum.
-    */
-  def kmeansSilhouettePinned(
-      embeddings: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
-    val denom = greatest(col("a"), col("b"))
-    pinnedAssign(embeddings, centroids)
-      .withColumnRenamed("cell", "cluster")
-      .withColumn("sd", array_sort(col("ds")))
-      .withColumn("a", sqrt(element_at(col("sd"), 1)))
-      .withColumn("b", sqrt(element_at(col("sd"), 2)))
-      .withColumn("sil",
-        when(denom === 0.0, lit(0.0)).otherwise((col("b") - col("a")) / denom))
-      .groupBy("cluster")
-      .agg(
-        count(lit(1)).as("n"),
-        graft.functions.Cols.detAvg(col("sil")).as("mean_sil"),
-        min(col("sil")).as("min_sil"),
-        max(col("sil")).as("max_sil"))
-      .orderBy("cluster")
-  }
-
-  def kmeansSilhouettePinnedSql(centroids: Array[Array[Double]]): String =
-    s"""WITH ${pinnedAssignSqlCtes(centroids, withSorted = true)},
-       |sil AS (
-       |  SELECT cell AS cluster,
-       |    CASE WHEN GREATEST(sqrt(sd[1]), sqrt(sd[2])) = 0 THEN 0.0
-       |         ELSE (sqrt(sd[2]) - sqrt(sd[1]))
-       |              / GREATEST(sqrt(sd[1]), sqrt(sd[2])) END AS s
-       |  FROM asg)
-       |SELECT cluster, COUNT(*) AS n,
-       |  CAST(SUM(CAST(s AS DECIMAL(28,6))) AS DOUBLE) / COUNT(s) AS mean_sil,
-       |  MIN(s) AS min_sil, MAX(s) AS max_sil
-       |FROM sil GROUP BY 1 ORDER BY 1""".stripMargin
-
-  /** Hybrid lexical+semantic retrieval fused by Reciprocal Rank Fusion —
-    * the standard two-tower retrieval shape (BM25 candidates ∪ dense
-    * candidates, RRF re-rank): per query, the BM25 top-`candK` over
-    * `documents` and the cosine top-`candK` over `embeddings` (anchor =
-    * the query's own vector, vec_id = query_id — the 1:1 doc↔vec id
-    * mapping of the testdata) full-outer-join on (query, doc) and score
-    *
-    *   rrf = Σ_leg 1 / (rrfK + rank_leg)     (absent leg contributes 0),
-    *
-    * top-`k` by fused score, doc_id tie-break. Cross-engine exact: both
-    * rank terms are integer-denominator double divisions summed in fixed
-    * (lex, sem) order, and the cosine leg rides the same fused-loop dot
-    * product every other Knn oracle proves bit-identical.
-    *
-    * Scale notes: both legs are already bounded — BM25's query terms
-    * broadcast into the token stream and top-k is a bounded heap; the
-    * dense leg broadcasts the |queries|-row anchor set against one
-    * candidate scan. Fusion joins two (|queries| × candK)-row frames —
-    * trivially broadcastable at any corpus size. At corpus scale the
-    * dense leg swaps brute force for [[ivfTopK]]/[[bucketedTopK]]
-    * candidates; the fusion tail is unchanged.
-    */
-  def hybridSearchRrf(
-      documents: DataFrame, embeddings: DataFrame,
-      queries: Seq[(Int, String)] = graft.text.TextOps.Bm25Queries,
-      k: Int = 10, candK: Int = 20, rrfK: Int = 60): DataFrame = {
-    val lex = graft.text.TextOps.searchBm25(documents, queries, k = candK)
-      .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
-    val e = withNorm(embeddings)
-    val q = e.filter(col("vec_id").isInCollection(queries.map(_._1)))
-      .select(col("vec_id").cast("int").as("query_id"),
-        col("embedding").as("qe"), col("n2").as("qn2"))
-    val c = e.select(col("vec_id").as("doc_id"),
-      col("embedding").as("ce"), col("n2").as("cn2"))
-    val ws = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("doc_id"))
-    val sem = c.crossJoin(broadcast(q))
-      .filter(col("doc_id") =!= col("query_id"))
-      .withColumn("cosine", dot("qe", "ce") / (sqrt(col("qn2")) * sqrt(col("cn2"))))
-      .withColumn("sem_rank", row_number().over(ws).cast("long"))
-      .filter(col("sem_rank") <= candK)
-      .select("query_id", "doc_id", "sem_rank")
-    val wf = Window.partitionBy("query_id").orderBy(col("rrf_score").desc, col("doc_id"))
-    lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
-      .withColumn("rrf_score",
-        coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(rrfK) + col("sem_rank")), lit(0.0)))
-      .withColumn("rrf_rank", row_number().over(wf).cast("long"))
-      .filter(col("rrf_rank") <= k)
-      .select("query_id", "doc_id", "lex_rank", "sem_rank", "rrf_score", "rrf_rank")
-      .orderBy("query_id", "rrf_rank")
-  }
-
-  /** DuckDB twin of [[hybridSearchRrf]] (the BM25 leg nests
-    * TextOps.searchBm25Sql verbatim as a subquery).
-    */
-  def hybridSearchRrfSql(
-      queries: Seq[(Int, String)] = graft.text.TextOps.Bm25Queries,
-      k: Int = 10, candK: Int = 20, rrfK: Int = 60): String = {
-    val qids = queries.map(_._1).mkString(", ")
-    s"""WITH lex AS (
-       |  SELECT query_id, doc_id, rank AS lex_rank
-       |  FROM (${graft.text.TextOps.searchBm25Sql(queries, k = candK)})),
-       |$NORM_CTE,
-       |qv AS (SELECT CAST(vec_id AS INTEGER) AS query_id, embedding AS qe, n2 AS qn2
-       |       FROM e WHERE vec_id IN ($qids)),
-       |sc AS (SELECT qv.query_id, c.vec_id AS doc_id,
-       |         (${dotSql("qv.qe", "c.embedding")}) / (sqrt(qv.qn2) * sqrt(c.n2)) AS cosine
-       |       FROM qv, e c WHERE c.vec_id <> qv.query_id),
-       |sem AS (SELECT query_id, doc_id,
-       |          CAST(ROW_NUMBER() OVER (
-       |            PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS BIGINT) AS sem_rank
-       |        FROM sc QUALIFY sem_rank <= $candK),
-       |f AS (SELECT COALESCE(l.query_id, s.query_id) AS query_id,
-       |        COALESCE(l.doc_id, s.doc_id) AS doc_id,
-       |        l.lex_rank, s.sem_rank,
-       |        COALESCE(CAST(1 AS DOUBLE) / ($rrfK + l.lex_rank), CAST(0 AS DOUBLE))
-       |          + COALESCE(CAST(1 AS DOUBLE) / ($rrfK + s.sem_rank), CAST(0 AS DOUBLE)) AS rrf_score
-       |      FROM lex l FULL OUTER JOIN sem s
-       |        ON l.query_id = s.query_id AND l.doc_id = s.doc_id)
-       |SELECT query_id, doc_id, lex_rank, sem_rank, rrf_score,
-       |  CAST(ROW_NUMBER() OVER (
-       |    PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rrf_rank
-       |FROM f QUALIFY rrf_rank <= $k
-       |ORDER BY query_id, rrf_rank""".stripMargin
-  }
-
-  /** Quantum for centroid-coordinate squares: a 1e-12 grid stored as
-    * scaled BIGINTs so the 64-term ‖centroid‖² sum is an order-free
-    * integer sum (the mockflow bucket-weight pattern — a double sum of 64
-    * per-dimension terms would re-introduce summation-order ulps between
-    * the engines' unordered GROUP BY folds).
-    */
-  private val DivScale = 1000000000000L
-
-  /** Per-group embedding diversity — the curation signal diversity-aware
-    * sampling and SemDeDup-style pruning act on (a group whose vectors
-    * collapse onto their centroid carries near-duplicate content; one
-    * with high spread is information-rich). Exact variance decomposition,
-    * no pair enumeration:
-    *
-    *   diversity = E‖x‖² − ‖E[x]‖²   (total variance about the centroid)
-    *   E‖x−y‖²  = 2·n/(n−1)·diversity over distinct pairs
-    *
-    * so the all-pairs mean distance comes from two aggregates. Scale
-    * shape: one 64-way posexplode with map-side combine onto (label,
-    * dim) — key space |labels|×64 however big the corpus — one
-    * label-keyed agg for norms, and a labels-sized join; nothing
-    * pairwise anywhere.
-    *
-    * Cross-engine exactness: per-row squared norms are the proven fused
-    * dot product (bit-identical); components and norms are rounded to
-    * 6 dp before the associative decimal sums; per-dimension means and
-    * their squares are then identical double bits, and the final
-    * 64-term centroid-norm sum crosses the engines as scaled-BIGINT
-    * integers ([[DivScale]]).
-    */
-  def embeddingDiversity(embeddings: DataFrame): DataFrame = {
-    val e = withNorm(embeddings)
-    val perDim = e
-      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "comp")))
-      .groupBy("label", "dim")
-      .agg(
-        graft.functions.Cols.detSum(round(col("comp").cast("double"), 6)).as("s1"),
-        count(lit(1)).as("n"))
-      .withColumn("mean_d", col("s1") / col("n"))
-      .withColumn("q",
-        round(col("mean_d") * col("mean_d") * DivScale).cast("long"))
-    val centroid = perDim.groupBy("label")
-      .agg((sum(col("q")).cast("double") / DivScale).as("centroid_sq_norm"))
-    val norms = e.groupBy("label")
-      .agg(
-        count(lit(1)).as("n_vectors"),
-        (graft.functions.Cols.detSum(round(col("n2"), 6)) / count(lit(1)))
-          .as("avg_sq_norm"))
-    norms.join(centroid, Seq("label"))
-      .withColumn("diversity", col("avg_sq_norm") - col("centroid_sq_norm"))
-      .select(col("label"), col("n_vectors"), col("avg_sq_norm"),
-        col("centroid_sq_norm"), col("diversity"),
-        when(col("n_vectors") > 1,
-          lit(2.0) * col("n_vectors") / (col("n_vectors") - lit(1.0)) *
-            col("diversity")).as("mean_pairwise_sq_dist"))
-      .orderBy("label")
-  }
-
-  /** DuckDB twin of [[embeddingDiversity]]: the 64-way explode is a
-    * lateral range(1,65), everything else mirrors term for term.
-    */
-  def embeddingDiversitySql: String =
-    s"""WITH $NORM_CTE,
-       |pd AS (
-       |  SELECT label, i,
-       |    CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE), 6)
-       |                  AS DECIMAL(28,6))) AS DOUBLE) AS s1,
-       |    COUNT(*) AS n
-       |  FROM e, range(1, ${Dim + 1}) t(i)
-       |  GROUP BY 1, 2),
-       |cen AS (
-       |  SELECT label,
-       |    CAST(SUM(CAST(round((s1 / n) * (s1 / n) * $DivScale) AS BIGINT))
-       |         AS DOUBLE) / $DivScale AS centroid_sq_norm
-       |  FROM pd GROUP BY 1),
-       |nm AS (
-       |  SELECT label, COUNT(*) AS n_vectors,
-       |    CAST(SUM(CAST(round(n2, 6) AS DECIMAL(28,6))) AS DOUBLE)
-       |      / COUNT(*) AS avg_sq_norm
-       |  FROM e GROUP BY 1)
-       |SELECT nm.label, n_vectors, avg_sq_norm, centroid_sq_norm,
-       |  avg_sq_norm - centroid_sq_norm AS diversity,
-       |  CASE WHEN n_vectors > 1
-       |       THEN 2.0 * n_vectors / (n_vectors - 1.0)
-       |            * (avg_sq_norm - centroid_sq_norm) END
-       |    AS mean_pairwise_sq_dist
-       |FROM nm JOIN cen USING (label)
-       |ORDER BY label""".stripMargin
-
-  // ───────────────────────── engine-owned Lloyd trainer ──────────────────────
-
-  /** Scale for the Lloyd trainer's integer domain: embedding components
-    * (|x| < 1 on this table) quantize to micro-units via
-    * floor(x·1e6) — every subsequent sum/difference/square/mean is BIGINT
-    * arithmetic, order-free and replayable bit-for-bit by any engine.
-    */
-  private[sim] val LloydScale = 1000000L
-
-  /** K-means trained FROM SCRATCH inside the engine — a deterministic
-    * Lloyd's loop whose every iteration is exact integer arithmetic, so
-    * the TRAINER itself (not just a frozen-centroid serving point) is
-    * replayable step-for-step by the SQL oracle. This closes the gap the
-    * MLlib leg can't ([[kmeansClusterSizes]] stays rows-only: k-means‖
-    * init + double accumulation are not SQL-expressible); the same move
-    * that promoted the BPE trainer (`bpe_train`) and the HLL estimate
-    * (`cardinality_hll`) to oracle-exact.
-    *
-    * Determinism contract, mirrored term-for-term in [[kmeansLloydTrainSql]]:
-    *   - vectors quantize to BIGINT micro-units (floor(x·1e6): float→double
-    *     widening is exact, one IEEE multiply, floor — identical in both
-    *     engines);
-    *   - seeds = the k vectors ranked first by md5(vec_id) (md5 is
-    *     engine-independent; ties impossible, vec_id appended anyway);
-    *   - assignment = argmin of the INTEGER squared distance, ties to the
-    *     lowest cluster id (array_position takes the first minimum; the
-    *     oracle's ROW_NUMBER orders by (d, j));
-    *   - update = per-dimension floor-mean computed as (s − m)/n with
-    *     m = ((s mod n) + n) mod n, so the numerator is exactly divisible
-    *     and trunc-vs-floor division semantics can't diverge;
-    *   - a cluster that loses all members keeps its previous centroid
-    *     (the LEFT JOIN + COALESCE leg, same rule both engines).
-    *
-    * Scale shape: one quantize pass over the corpus, then per iteration
-    * one broadcast of k·64 longs (the k×64 centroid grid — KB-sized at
-    * any corpus size), one narrow argmin map, and one (k×64)-group
-    * partial-aggregated sum — no shuffle ever carries vectors, and
-    * nothing is all-pairs. The driver never sees the data (centroids stay
-    * in-plan; the seed window runs on a LIMIT-k frame, bounded by
-    * construction). iters unrolls the loop into one declarative plan —
-    * at production scale you'd persist each iteration's assignment, which
-    * is exactly what the registered query's persisted base frame does.
-    * Output is pure-integer (sizes, inertia, centroid checksum), so the
-    * hash gate needs no rounding at all.
-    */
-  /** Quantized corpus (vec_id, q: 64 BIGINT micro-units), persisted — it
-    * feeds every iteration's assign + update legs and the final report.
-    */
-  private[sim] def lloydQuantized(embeddings: DataFrame): DataFrame = {
-    val quant = expr(
-      s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $LloydScale.0) AS BIGINT))")
-    withNorm(embeddings).select(col("vec_id"), quant.as("q")).persist()
-  }
-
-  /** k seed centroids in md5 order. The global window is over the
-    * already-LIMITed k-row frame — bounded by construction, not a
-    * corpus-wide single-partition sort (the heavy ranking is TakeOrdered).
-    */
-  private[sim] def lloydSeeds(e0: DataFrame, k: Int): DataFrame = {
-    val seedW = Window.orderBy("h", "vec_id")
-    e0.withColumn("h", md5(col("vec_id").cast("string")))
-      .orderBy("h", "vec_id").limit(k)
-      .withColumn("j", (row_number().over(seedW) - 1).cast("int"))
-      .select(col("j"), col("q").as("c"))
-  }
-
-  /** Argmin assignment of the quantized corpus against the k-row
-    * centroid frame: the centroids collapse to a one-row k×64 grid
-    * (ordered by j) and broadcast — KB-sized at any corpus size.
-    */
-  private[sim] def lloydAssign(e0: DataFrame, cen: DataFrame): DataFrame = {
-    val grid = cen.groupBy().agg(
-      transform(array_sort(collect_list(struct(col("j"), col("c")))),
-        s => s.getField("c")).as("cb"))
-    e0.crossJoin(broadcast(grid))
-      .withColumn("ds", transform(col("cb"), cenA =>
-        aggregate(zip_with(col("q"), cenA, (x, c) => (x - c) * (x - c)),
-          lit(0L), _ + _)))
-      .withColumn("j", (array_position(col("ds"), array_min(col("ds"))) - 1).cast("int"))
-  }
-
-  /** One Lloyd update step: per-(cluster, dim) integer sums off an
-    * assignment frame carrying (j, q), exactly-divisible floor-means,
-    * empty-cluster-keeps-previous, lineage truncated (localCheckpoint,
-    * never persist — the grown plan, not the data, is the cost; see the
-    * connected-components loop for the same rule), otherwise iteration N
-    * re-embeds and re-optimizes every earlier iteration's aggregation
-    * subtree twice over.
-    */
-  private[sim] def lloydUpdate(cen: DataFrame, asg: DataFrame): DataFrame = {
-    val sums = asg
-      .select(col("j"), posexplode(col("q")).as(Seq("i", "v")))
-      .groupBy("j", "i")
-      .agg(sum("v").as("s"), count(lit(1)).as("cnt"))
-    val newCen = sums
-      .withColumn("m", ((col("s") % col("cnt")) + col("cnt")) % col("cnt"))
-      .withColumn("cd", ((col("s") - col("m")).cast("double") / col("cnt")).cast("long"))
-      .groupBy("j")
-      .agg(transform(array_sort(collect_list(struct(col("i"), col("cd")))),
-        s => s.getField("cd")).as("nc"))
-    cen.join(newCen, Seq("j"), "left")
-      .select(col("j"), coalesce(col("nc"), col("c")).as("c"))
-      .localCheckpoint()
-  }
-
-  def kmeansLloydTrain(embeddings: DataFrame, k: Int = 4, iters: Int = 3): DataFrame = {
-    val e0 = lloydQuantized(embeddings)
-    var cen = lloydSeeds(e0, k)
-    for (_ <- 1 to iters)
-      cen = lloydUpdate(cen, lloydAssign(e0, cen))
-
-    // final assignment checkpoints eagerly (vec_id, cluster, distance —
-    // no vectors), freeing the quantized-corpus cache (r14 sweep)
-    val fin = lloydAssign(e0, cen)
-      .withColumn("d", array_min(col("ds")))
-      .select("vec_id", "j", "d")
-      .localCheckpoint()
-    e0.unpersist(blocking = false)
-    val stats = fin
-      .groupBy(col("j").as("cluster"))
-      .agg(count(lit(1)).as("n"), sum("d").as("inertia"))
-    cen
-      .select(col("j").as("cluster"),
-        aggregate(col("c"), lit(0L), _ + _).as("c_sum"))
-      .join(stats, Seq("cluster"), "left")
-      .select(col("cluster"), coalesce(col("n"), lit(0L)).as("n"),
-        coalesce(col("inertia"), lit(0L)).as("inertia"), col("c_sum"))
-      .orderBy("cluster")
-  }
-
-  /** The training-convergence diagnostics a pipeline logs per Lloyd
-    * iteration — one row per iteration: how many vectors were assigned,
-    * how many CHANGED cluster vs the previous iteration (NULL on the
-    * first — there is no previous assignment), the total inertia under
-    * the incoming centroids, and how many clusters are nonempty. Same
-    * determinism contract as [[kmeansLloydTrain]], so the whole trace
-    * sits inside the hash gate; each iteration's assignment
-    * localCheckpoints (a deployment persists assignments anyway) and the
-    * movement count is a narrow self-join on vec_id.
-    */
-  def kmeansLloydTrace(embeddings: DataFrame, k: Int = 4, iters: Int = 3): DataFrame = {
-    val e0 = lloydQuantized(embeddings)
-    var cen = lloydSeeds(e0, k)
-    var prevAsg: Option[DataFrame] = None
-    var out: Option[DataFrame] = None
-    for (it <- 1 to iters) {
-      val asg = lloydAssign(e0, cen)
-        .withColumn("d", array_min(col("ds")))
-        .select("vec_id", "j", "d", "q")
-        .localCheckpoint()
-      val base = asg.agg(
-        count(lit(1)).as("n_assigned"),
-        sum("d").as("inertia"),
-        countDistinct("j").as("nonempty_clusters"))
-      val row = (prevAsg match {
-        case None => base.withColumn("n_moved", lit(null).cast("long"))
-        case Some(p) =>
-          val mv = asg.select(col("vec_id"), col("j").as("cj"))
-            .join(p.select(col("vec_id"), col("j").as("pj")), Seq("vec_id"))
-            .filter(col("cj") =!= col("pj"))
-            .agg(count(lit(1)).as("n_moved"))
-          base.crossJoin(broadcast(mv))
-      }).select(lit(it).as("iter"), col("n_assigned"), col("n_moved"),
-        col("inertia"), col("nonempty_clusters"))
-      out = Some(out.fold(row)(_.unionByName(row)))
-      prevAsg = Some(asg)
-      cen = lloydUpdate(cen, asg)
-    }
-    // every per-iteration frame the trace reads is checkpointed above —
-    // the quantized-corpus cache has no remaining reader (r14 sweep)
-    e0.unpersist(blocking = false)
-    out.get.orderBy("iter")
-  }
-
-  /** DuckDB twin of [[kmeansLloydTrain]]: the trainer loop unrolls into
-    * per-iteration CTE blocks (distance/argmin/per-dim sum/floor-mean/
-    * coalesce), with centroid state in LONG form (j, i, cd) so no list
-    * aggregation is needed. (s − m)/n is exactly divisible, so DuckDB's
-    * double division reproduces the BIGINT floor-mean exactly.
-    */
-  /** The shared CTE prefix for the Lloyd twins: quantize, md5 seeds,
-    * then per-iteration blocks x/a/s/u/c (distance, argmin WITH its
-    * min-distance kept, per-dim sum, floor-mean, coalesce). Centroid
-    * state stays in LONG form (j, i, cd) so no list aggregation is
-    * needed; (s − m)/n is exactly divisible, so DuckDB's double
-    * division reproduces the BIGINT floor-mean exactly.
-    */
-  private[sim] def lloydSqlCtes(k: Int, iters: Int, where: String = "TRUE",
-      prefix: String = "", includeNorm: Boolean = true): String = {
-    val d1 = Dim + 1
-    val P = prefix
-    val iterCtes = (1 to iters).map { it =>
-      val p = it - 1
-      s"""${P}x$it AS (
-         |  SELECT e.vec_id, c.j, SUM((e.q[t.i] - c.cd) * (e.q[t.i] - c.cd)) AS d
-         |  FROM ${P}e0 e CROSS JOIN range(1, $d1) t(i) JOIN ${P}c$p c ON c.i = t.i
-         |  GROUP BY 1, 2),
-         |${P}a$it AS (
-         |  SELECT vec_id, j, d FROM (
-         |    SELECT vec_id, j, d,
-         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, j) AS rk
-         |    FROM ${P}x$it) WHERE rk = 1),
-         |${P}s$it AS (
-         |  SELECT a.j, t.i, SUM(e.q[t.i]) AS s, COUNT(*) AS cnt
-         |  FROM ${P}a$it a JOIN ${P}e0 e USING (vec_id) CROSS JOIN range(1, $d1) t(i)
-         |  GROUP BY 1, 2),
-         |${P}u$it AS (
-         |  SELECT j, i,
-         |    CAST((s - (((s % cnt) + cnt) % cnt)) / cnt AS BIGINT) AS cd
-         |  FROM ${P}s$it),
-         |${P}c$it AS (
-         |  SELECT p.j, p.i, COALESCE(u.cd, p.cd) AS cd
-         |  FROM ${P}c$p p LEFT JOIN ${P}u$it u ON u.j = p.j AND u.i = p.i)""".stripMargin
-    }.mkString(",\n")
-    val normPart = if (includeNorm) s"$NORM_CTE,\n" else ""
-    s"""$normPart${P}e0 AS (
-       |  SELECT vec_id,
-       |    list_transform(embedding,
-       |      x -> CAST(floor(CAST(x AS DOUBLE) * $LloydScale.0) AS BIGINT)) AS q
-       |  FROM e WHERE $where),
-       |${P}sd AS (
-       |  SELECT vec_id, q,
-       |    ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
-       |  FROM ${P}e0),
-       |${P}c0 AS (
-       |  SELECT CAST(rn - 1 AS INTEGER) AS j, t.i, q[t.i] AS cd
-       |  FROM ${P}sd CROSS JOIN range(1, $d1) t(i) WHERE rn <= $k),
-       |$iterCtes""".stripMargin
-  }
-
-  def kmeansLloydTrainSql(k: Int = 4, iters: Int = 3): String = {
-    val d1 = Dim + 1
-    s"""WITH ${lloydSqlCtes(k, iters)},
-       |fx AS (
-       |  SELECT e.vec_id, c.j, SUM((e.q[t.i] - c.cd) * (e.q[t.i] - c.cd)) AS d
-       |  FROM e0 e CROSS JOIN range(1, $d1) t(i) JOIN c$iters c ON c.i = t.i
-       |  GROUP BY 1, 2),
-       |fa AS (
-       |  SELECT vec_id, j, d FROM (
-       |    SELECT vec_id, j, d,
-       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, j) AS rk
-       |    FROM fx) WHERE rk = 1),
-       |st AS (SELECT j AS cluster, COUNT(*) AS n,
-       |         CAST(SUM(d) AS BIGINT) AS inertia FROM fa GROUP BY 1),
-       |cs AS (SELECT j AS cluster, CAST(SUM(cd) AS BIGINT) AS c_sum
-       |       FROM c$iters GROUP BY 1)
-       |SELECT cs.cluster, COALESCE(st.n, 0) AS n,
-       |  COALESCE(st.inertia, 0) AS inertia, cs.c_sum
-       |FROM cs LEFT JOIN st USING (cluster)
-       |ORDER BY cs.cluster""".stripMargin
-  }
-
-  /** DuckDB twin of [[kmeansLloydTrace]]: one aggregate row per
-    * iteration off the shared a{it} assignment CTEs; the movement count
-    * is a scalar subquery joining successive assignments on vec_id.
-    */
-  def kmeansLloydTraceSql(k: Int = 4, iters: Int = 3): String = {
-    val rows = (1 to iters).map { it =>
-      val moved =
-        if (it == 1) "CAST(NULL AS BIGINT)"
-        else
-          s"""(SELECT COUNT(*) FROM a$it x JOIN a${it - 1} p USING (vec_id)
-             |     WHERE x.j <> p.j)""".stripMargin
-      s"""SELECT $it AS iter, COUNT(*) AS n_assigned,
-         |  $moved AS n_moved,
-         |  CAST(SUM(d) AS BIGINT) AS inertia,
-         |  COUNT(DISTINCT j) AS nonempty_clusters
-         |FROM a$it""".stripMargin
-    }.mkString("\nUNION ALL\n")
-    s"""WITH ${lloydSqlCtes(k, iters)}
-       |SELECT * FROM ($rows)
-       |ORDER BY iter""".stripMargin
-  }
-
-  /** IVF search whose coarse quantizer is the IN-ENGINE Lloyd trainer —
-    * the whole trained-ANN pipeline (training included) inside the hash
-    * gate, at a genuinely PRUNED operating point. [[ivfTopK]]'s MLlib
-    * centroids force its oracle to the degenerate nprobe = numCells
-    * configuration (where IVF ≡ brute force); here the centroids
-    * themselves replay in SQL, so the sub-linear nprobe < cells search —
-    * probe selection, cell-restricted candidates, integer L2 ranking —
-    * is oracle-exact end to end. All arithmetic stays in the trainer's
-    * BIGINT micro-unit domain: zero rounding anywhere.
-    *
-    * Scale shape: training as [[kmeansLloydTrain]]; search is one
-    * equality join on the cell key (candidates ≈ nprobe/cells of the
-    * corpus per query), with the bounded probe set broadcast.
-    */
-  def ivfLloydTopK(
-      embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
-      cells: Int = 16, iters: Int = 2, nprobe: Int = 2): DataFrame = {
-    val e0 = lloydQuantized(embeddings)
-    var cen = lloydSeeds(e0, cells)
-    for (_ <- 1 to iters) cen = lloydUpdate(cen, lloydAssign(e0, cen))
-    // corpus → cell assignment under the final centroids, materialized:
-    // it feeds the candidate side of every probe
-    val asg = lloydAssign(e0, cen)
-      .select(col("vec_id"), col("j").as("cell"), col("q"))
-      .localCheckpoint()
-    // each query probes its nprobe nearest cells (same distance list
-    // the assignment argmin reads; ties to the lower cell id) — eager
-    // checkpoint (nQueries × nprobe rows), after which the quantized
-    // corpus cache has no remaining reader and unpersists (r14 sweep)
-    val probes = lloydAssign(e0.filter(col("vec_id") < nQueries), cen)
-      .select(col("vec_id").as("query_id"), col("q").as("qq"),
-        posexplode(col("ds")).as(Seq("cell", "cd")))
-      .withColumn("pr", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("cd"), col("cell"))))
-      .filter(col("pr") <= nprobe)
-      .select("query_id", "qq", "cell")
-      .localCheckpoint()
-    e0.unpersist(blocking = false)
-    val w = Window.partitionBy("query_id").orderBy(col("d"), col("vec_id"))
-    asg.join(broadcast(probes), Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("d",
-        aggregate(zip_with(col("qq"), col("q"), (x, y) => (x - y) * (x - y)),
-          lit(0L), _ + _))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("rank"), col("d"))
-      .orderBy("query_id", "rank")
-  }
-
-  /** DuckDB twin of [[ivfLloydTopK]]: the shared Lloyd CTE prefix, a
-    * final-centroid distance block, probe ranking, the cell-key
-    * candidate join, and the integer L2 rank — term for term.
-    */
-  def ivfLloydTopKSql(
-      nQueries: Int = 10, k: Int = 5,
-      cells: Int = 16, iters: Int = 2, nprobe: Int = 2): String = {
-    val d1 = Dim + 1
-    s"""WITH ${lloydSqlCtes(cells, iters)},
-       |fcx AS (
-       |  SELECT e.vec_id, c.j, SUM((e.q[t.i] - c.cd) * (e.q[t.i] - c.cd)) AS d
-       |  FROM e0 e CROSS JOIN range(1, $d1) t(i) JOIN c$iters c ON c.i = t.i
-       |  GROUP BY 1, 2),
-       |fca AS (
-       |  SELECT vec_id, j AS cell FROM (
-       |    SELECT vec_id, j,
-       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, j) AS rk
-       |    FROM fcx) WHERE rk = 1),
-       |pr AS (
-       |  SELECT vec_id AS query_id, j AS cell FROM (
-       |    SELECT vec_id, j,
-       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, j) AS rk
-       |    FROM fcx WHERE vec_id < $nQueries) WHERE rk <= $nprobe),
-       |cand AS (
-       |  SELECT p.query_id, a.vec_id AS neighbor_id
-       |  FROM pr p JOIN fca a ON a.cell = p.cell AND a.vec_id <> p.query_id),
-       |sc AS (
-       |  SELECT c.query_id, c.neighbor_id,
-       |    CAST(SUM((qe.q[t.i] - ce.q[t.i]) * (qe.q[t.i] - ce.q[t.i]))
-       |         AS BIGINT) AS d
-       |  FROM cand c
-       |    JOIN e0 qe ON qe.vec_id = c.query_id
-       |    JOIN e0 ce ON ce.vec_id = c.neighbor_id
-       |    CROSS JOIN range(1, $d1) t(i)
-       |  GROUP BY 1, 2),
-       |r AS (
-       |  SELECT query_id, neighbor_id, d,
-       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rn
-       |  FROM sc)
-       |SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS "rank", d
-       |FROM r WHERE rn <= $k ORDER BY query_id, "rank"""".stripMargin
-  }
-
-  /** The nprobe-operating-point experiment for the Lloyd IVF: recall@k
-    * of the PRUNED search against the exhaustive integer-L2 ranking over
-    * the same trained index — one training pass feeds both legs, one row
-    * out, fully in-plan. Completes the measurement-query pattern every
-    * approximate path here ships ([[pcaRecall]], [[sq8Recall]]).
-    */
-  def ivfLloydRecall(
-      embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
-      cells: Int = 16, iters: Int = 2, nprobe: Int = 2): DataFrame = {
-    val e0 = lloydQuantized(embeddings)
-    var cen = lloydSeeds(e0, cells)
-    for (_ <- 1 to iters) cen = lloydUpdate(cen, lloydAssign(e0, cen))
-    val asg = lloydAssign(e0, cen)
-      .select(col("vec_id"), col("j").as("cell"), col("q"))
-      .localCheckpoint()
-    val probes = lloydAssign(e0.filter(col("vec_id") < nQueries), cen)
-      .select(col("vec_id").as("query_id"), col("q").as("qq"),
-        posexplode(col("ds")).as(Seq("cell", "cd")))
-      .withColumn("pr", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("cd"), col("cell"))))
-      .filter(col("pr") <= nprobe)
-      .select("query_id", "qq", "cell")
-      .localCheckpoint()
-    // bounded query frames checkpoint eagerly; the corpus cache then has
-    // no remaining reader (asg holds the vectors) and unpersists (r14)
-    val qset = e0.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("q").as("qq"))
-      .localCheckpoint()
-    e0.unpersist(blocking = false)
-    val intDist =
-      aggregate(zip_with(col("qq"), col("q"), (x, y) => (x - y) * (x - y)),
-        lit(0L), _ + _)
-    val w = Window.partitionBy("query_id").orderBy(col("d"), col("vec_id"))
-    val approx = asg.join(broadcast(probes), Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("d", intDist)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), lit(1).as("hit"))
-    val exact = asg.select("vec_id", "q").crossJoin(broadcast(qset))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("d", intDist)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"))
-    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
-      .agg(count(lit(1)).as("n_exact"),
-        sum(coalesce(col("hit"), lit(0))).as("hits"))
-      .select(lit(k).as("k"), lit(nprobe).as("nprobe"), lit(cells).as("cells"),
-        col("n_exact"), col("hits"),
-        (col("hits").cast("double") / col("n_exact")).as("recall"))
-  }
-
-  /** DuckDB twin of [[ivfLloydRecall]]: the shared Lloyd prefix, the
-    * pruned leg exactly as in [[ivfLloydTopKSql]], the exhaustive leg a
-    * plain integer-L2 rank over e0, one LEFT-JOIN aggregate row.
-    */
-  def ivfLloydRecallSql(
-      nQueries: Int = 10, k: Int = 5,
-      cells: Int = 16, iters: Int = 2, nprobe: Int = 2,
-      prelude: String = ""): String = {
-    val d1 = Dim + 1
-    s"""WITH $prelude${lloydSqlCtes(cells, iters)},
-       |fcx AS (
-       |  SELECT e.vec_id, c.j, SUM((e.q[t.i] - c.cd) * (e.q[t.i] - c.cd)) AS d
-       |  FROM e0 e CROSS JOIN range(1, $d1) t(i) JOIN c$iters c ON c.i = t.i
-       |  GROUP BY 1, 2),
-       |fca AS (
-       |  SELECT vec_id, j AS cell FROM (
-       |    SELECT vec_id, j,
-       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, j) AS rk
-       |    FROM fcx) WHERE rk = 1),
-       |pr AS (
-       |  SELECT vec_id AS query_id, j AS cell FROM (
-       |    SELECT vec_id, j,
-       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, j) AS rk
-       |    FROM fcx WHERE vec_id < $nQueries) WHERE rk <= $nprobe),
-       |ascore AS (
-       |  SELECT p.query_id, a.vec_id AS neighbor_id,
-       |    SUM((qe.q[t.i] - ce.q[t.i]) * (qe.q[t.i] - ce.q[t.i])) AS d
-       |  FROM pr p JOIN fca a ON a.cell = p.cell AND a.vec_id <> p.query_id
-       |    JOIN e0 qe ON qe.vec_id = p.query_id
-       |    JOIN e0 ce ON ce.vec_id = a.vec_id
-       |    CROSS JOIN range(1, $d1) t(i)
-       |  GROUP BY 1, 2),
-       |ar AS (
-       |  SELECT query_id, neighbor_id FROM (
-       |    SELECT query_id, neighbor_id,
-       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rn
-       |    FROM ascore) WHERE rn <= $k),
-       |bscore AS (
-       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-       |    SUM((q.q[t.i] - c.q[t.i]) * (q.q[t.i] - c.q[t.i])) AS d
-       |  FROM e0 q JOIN e0 c ON c.vec_id <> q.vec_id
-       |    CROSS JOIN range(1, $d1) t(i)
-       |  WHERE q.vec_id < $nQueries
-       |  GROUP BY 1, 2),
-       |br AS (
-       |  SELECT query_id, neighbor_id FROM (
-       |    SELECT query_id, neighbor_id,
-       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rn
-       |    FROM bscore) WHERE rn <= $k),
-       |agg AS (
-       |  SELECT COUNT(*) AS n_exact,
-       |    CAST(SUM(CASE WHEN ar.query_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
-       |  FROM br LEFT JOIN ar
-       |    ON ar.query_id = br.query_id AND ar.neighbor_id = br.neighbor_id)
-       |SELECT CAST($k AS INTEGER) AS k, CAST($nprobe AS INTEGER) AS nprobe,
-       |  CAST($cells AS INTEGER) AS cells,
-       |  n_exact, hits, CAST(hits AS DOUBLE) / n_exact AS recall
-       |FROM agg""".stripMargin
-  }
-
-  // ─────────────────────── SQ8 scalar-quantized ANN ──────────────────────────
-
-  /** SQ8 scalar quantization + top-k search — the third production ANN
-    * compression path next to IVF (cell pruning, [[ivfTopK]]) and PQ
-    * (codebook ADC, [[pqTopK]]): SYMMETRIC int8 over the NORMALIZED
-    * vector, code = round(x/‖x‖ · 127) ∈ [−127, 127] — the standard
-    * cosine-serving scheme, cutting vector memory 4× vs float32. The
-    * integer dot product of two code vectors is ≈ 127²·cosine with
-    * rounding error only; an AFFINE per-dim [min,max]→[0,255] code here
-    * would inject offset cross-terms that destroy the cosine ranking —
-    * the registered `sq8_recall` experiment is exactly the guard that
-    * catches that mistake (it did: 0.04 recall on the affine draft vs
-    * ~1 symmetric). Scoring is overflow-free integer SIMD shape
-    * (127²·64 < 2²⁰).
-    *
-    * Cross-engine exactness: x/‖x‖ is the fixed IEEE expression tree
-    * both engines already share (kmeansSizesPinned's ne); floor(·127 +
-    * 0.5) is deterministic round-half-up; scores are BIGINT sums of int
-    * products — the result hash-checks with no rounding anywhere.
-    *
-    * Scale shape: encoding is one fully NARROW map (symmetric codes
-    * need no corpus-wide statistics pass at all), and the bounded query
-    * set broadcasts against the candidate stream exactly like
-    * [[bruteForceTopK]] — at corpus scale the candidate side swaps to
-    * the IVF/bucketed generators with this integer scorer unchanged.
-    */
-  def sq8TopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val e = withNorm(embeddings)
-    val codeExpr =
-      "transform(embedding, x -> " +
-        "CAST(floor((CAST(x AS DOUBLE) / sqrt(n2)) * 127.0D + 0.5D) AS INT))"
-    // persisted: both join sides derive from it (same rule as
-    // bucketedTopK's shared projection) — without it the norm+encode
-    // pass runs once per side
-    val coded = e
-      .select(col("vec_id"), expr(codeExpr).as("code"))
-      .persist()
-    val q = coded.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("code").as("qc"))
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
-    coded.select(col("vec_id").as("neighbor_id"), col("code").as("cc"))
-      .crossJoin(broadcast(q))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("score",
-        aggregate(zip_with(col("qc"), col("cc"),
-          (a, b) => a.cast("long") * b.cast("long")), lit(0L), _ + _))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
-      .orderBy("query_id", "rank")
-  }
-
-  /** The experiment a pipeline runs before switching its serving path to
-    * SQ8: recall@k of the quantized ranking against the exact cosine
-    * top-k, computed entirely in-plan (one row out — no driver counts).
-    * Both legs are the registered operators themselves, so the measured
-    * number is the production code path's recall, not a simulation's.
-    */
-  def sq8Recall(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val approx = sq8TopK(embeddings, nQueries, k)
-      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
-    val exact = bruteForceTopK(embeddings, nQueries, k)
-      .select("query_id", "neighbor_id")
-    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
-      .agg(count(lit(1)).as("n_exact"),
-        sum(coalesce(col("hit"), lit(0))).as("hits"))
-      .select(lit(k).as("k"), lit(nQueries).as("n_queries"),
-        col("n_exact"), col("hits"),
-        (col("hits").cast("double") / col("n_exact")).as("recall"))
-  }
-
-  /** DuckDB twin of [[sq8Recall]]: both legs' pipelines inlined under one
-    * WITH (brute-force CTEs prefixed b_, SQ8 CTEs prefixed s_).
-    */
-  def sq8RecallSql(nQueries: Int = 10, k: Int = 5, prelude: String = ""): String =
-    s"""WITH $prelude$NORM_CTE,
-       |bq AS (SELECT vec_id AS query_id, embedding AS qe, n2 AS qn2
-       |       FROM e WHERE vec_id < $nQueries),
-       |bs AS (SELECT bq.query_id, c.vec_id AS neighbor_id,
-       |         (${dotSql("bq.qe", "c.embedding")}) / (sqrt(bq.qn2) * sqrt(c.n2)) AS cosine
-       |       FROM bq, e c WHERE c.vec_id <> bq.query_id),
-       |br AS (SELECT query_id, neighbor_id FROM (
-       |         SELECT query_id, neighbor_id,
-       |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
-       |         FROM bs) WHERE rn <= $k),
-       |cd AS (
-       |  SELECT e.vec_id, t.i,
-       |    CAST(floor((CAST(e.embedding[t.i] AS DOUBLE) / sqrt(e.n2))
-       |               * 127.0 + 0.5) AS INTEGER) AS code
-       |  FROM e CROSS JOIN range(1, ${Dim + 1}) t(i)),
-       |ss AS (
-       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-       |    CAST(SUM(CAST(q.code AS BIGINT) * c.code) AS BIGINT) AS score
-       |  FROM cd q JOIN cd c ON c.i = q.i AND c.vec_id <> q.vec_id
-       |  WHERE q.vec_id < $nQueries
-       |  GROUP BY 1, 2),
-       |sr AS (SELECT query_id, neighbor_id FROM (
-       |         SELECT query_id, neighbor_id,
-       |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
-       |         FROM ss) WHERE rn <= $k),
-       |agg AS (
-       |  SELECT COUNT(*) AS n_exact,
-       |    CAST(SUM(CASE WHEN sr.query_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
-       |  FROM br LEFT JOIN sr
-       |    ON sr.query_id = br.query_id AND sr.neighbor_id = br.neighbor_id)
-       |SELECT CAST($k AS INTEGER) AS k, CAST($nQueries AS INTEGER) AS n_queries,
-       |  n_exact, hits, CAST(hits AS DOUBLE) / n_exact AS recall
-       |FROM agg""".stripMargin
-
-  /** DuckDB twin of [[sq8TopK]] — symmetric int8 codes in long form
-    * (vec_id, i, code), the score join groups the 64 per-dimension int
-    * products back into one BIGINT per (query, candidate) pair.
-    */
-  def sq8TopKSql(nQueries: Int = 10, k: Int = 5): String =
-    s"""WITH $NORM_CTE,
-       |cd AS (
-       |  SELECT e.vec_id, t.i,
-       |    CAST(floor((CAST(e.embedding[t.i] AS DOUBLE) / sqrt(e.n2))
-       |               * 127.0 + 0.5) AS INTEGER) AS code
-       |  FROM e CROSS JOIN range(1, ${Dim + 1}) t(i)),
-       |s AS (
-       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-       |    CAST(SUM(CAST(q.code AS BIGINT) * c.code) AS BIGINT) AS score
-       |  FROM cd q JOIN cd c ON c.i = q.i AND c.vec_id <> q.vec_id
-       |  WHERE q.vec_id < $nQueries
-       |  GROUP BY 1, 2),
-       |r AS (
-       |  SELECT query_id, neighbor_id, score,
-       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
-       |  FROM s)
-       |SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS "rank", score
-       |FROM r WHERE rn <= $k ORDER BY query_id, "rank"""".stripMargin
-
-  // ───────────── SQ8 two-stage serving: int8 retrieve + rescore ─────────
-
-  /** Two-stage SQ8 serving — the production mitigation for scalar
-    * quantization's one known failure mode, which the clustered fixture
-    * exposes (r13): among NEAR-DUPLICATE candidates (intra-cluster
-    * cosines within ~1e-3 of each other), int8 codes collapse to
-    * near-ties below the 1/127 quantization step, so the top-k among
-    * them is essentially arbitrary — `sq8_recall_clustered` measures
-    * ~0.2 where the structureless-random table reads 0.98. The standard
-    * fix is exactly this operator: retrieve a WIDER candidate set by
-    * int8 score (stage 1 — cheap, 4× less memory traffic), then rescore
-    * only those `rescoreR` candidates at full float precision and take
-    * the true top-k. Cluster-level separation survives int8 easily, so
-    * stage 1's recall@R is ~1 whenever R covers the near-dup set, and
-    * the exact stage-2 ranking restores recall@k — the experiment
-    * (`sq8_rescore_recall_clustered`) reads 1.0 on the same table.
-    *
-    * Scale shape: stage 1 is [[sq8TopK]] (narrow encode, broadcast
-    * query set); stage 2 touches only nQueries·rescoreR rows — the
-    * full-precision vectors are fetched for a bounded candidate list,
-    * never the corpus.
-    */
-  def sq8RescoreTopK(
-      embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
-      rescoreR: Int = 100): DataFrame = {
-    val e = withNorm(embeddings)
-    val cand = sq8TopK(embeddings, nQueries, rescoreR)
-      .select(col("query_id"), col("neighbor_id"))
-    val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        col("n2").as("qn2"))
-    val c = e.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("ce"), col("n2").as("cn2"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    cand.join(broadcast(q), Seq("query_id")).join(c, Seq("neighbor_id"))
-      .withColumn("cosine",
-        dot("qe", "ce") / (sqrt(col("qn2")) * sqrt(col("cn2"))))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
-      .orderBy("query_id", "rank")
-  }
-
-  /** recall@k of the two-stage path against exact cosine top-k — the
-    * experiment that proves rescoring recovers what raw int8 ranking
-    * loses on near-duplicate candidates.
-    */
-  def sq8RescoreRecall(
-      embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
-      rescoreR: Int = 100): DataFrame = {
-    val approx = sq8RescoreTopK(embeddings, nQueries, k, rescoreR)
-      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
-    val exact = bruteForceTopK(embeddings, nQueries, k)
-      .select("query_id", "neighbor_id")
-    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
-      .agg(count(lit(1)).as("n_exact"),
-        sum(coalesce(col("hit"), lit(0))).as("hits"))
-      .select(lit(k).as("k"), lit(rescoreR).as("rescore_r"),
-        col("n_exact"), col("hits"),
-        (col("hits").cast("double") / col("n_exact")).as("recall"))
-  }
-
-  /** DuckDB twin of [[sq8RescoreRecall]]: int8 stage (cd/ss/sr at rn ≤
-    * rescoreR), full-precision rescore of exactly those candidates, and
-    * the brute-force leg, one LEFT-JOIN overlap row.
-    */
-  def sq8RescoreRecallSql(
-      nQueries: Int = 10, k: Int = 5, rescoreR: Int = 100,
-      prelude: String = ""): String =
-    s"""WITH $prelude$NORM_CTE,
-       |cd AS (
-       |  SELECT e.vec_id, t.i,
-       |    CAST(floor((CAST(e.embedding[t.i] AS DOUBLE) / sqrt(e.n2))
-       |               * 127.0 + 0.5) AS INTEGER) AS code
-       |  FROM e CROSS JOIN range(1, ${Dim + 1}) t(i)),
-       |ss AS (
-       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-       |    CAST(SUM(CAST(q.code AS BIGINT) * c.code) AS BIGINT) AS score
-       |  FROM cd q JOIN cd c ON c.i = q.i AND c.vec_id <> q.vec_id
-       |  WHERE q.vec_id < $nQueries
-       |  GROUP BY 1, 2),
-       |sr AS (SELECT query_id, neighbor_id FROM (
-       |         SELECT query_id, neighbor_id,
-       |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
-       |         FROM ss) WHERE rn <= $rescoreR),
-       |rs AS (
-       |  SELECT s.query_id, s.neighbor_id,
-       |    (${dotSql("q.embedding", "c.embedding")}) / (sqrt(q.n2) * sqrt(c.n2)) AS cosine
-       |  FROM sr s
-       |    JOIN e q ON q.vec_id = s.query_id
-       |    JOIN e c ON c.vec_id = s.neighbor_id),
-       |rr AS (SELECT query_id, neighbor_id FROM (
-       |         SELECT query_id, neighbor_id,
-       |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
-       |         FROM rs) WHERE rn <= $k),
-       |bq AS (SELECT vec_id AS query_id, embedding AS qe, n2 AS qn2
-       |       FROM e WHERE vec_id < $nQueries),
-       |bs AS (SELECT bq.query_id, c.vec_id AS neighbor_id,
-       |         (${dotSql("bq.qe", "c.embedding")}) / (sqrt(bq.qn2) * sqrt(c.n2)) AS cosine
-       |       FROM bq, e c WHERE c.vec_id <> bq.query_id),
-       |br AS (SELECT query_id, neighbor_id FROM (
-       |         SELECT query_id, neighbor_id,
-       |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
-       |         FROM bs) WHERE rn <= $k),
-       |agg AS (
-       |  SELECT COUNT(*) AS n_exact,
-       |    CAST(SUM(CASE WHEN rr.query_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
-       |  FROM br LEFT JOIN rr
-       |    ON rr.query_id = br.query_id AND rr.neighbor_id = br.neighbor_id)
-       |SELECT CAST($k AS INTEGER) AS k, CAST($rescoreR AS INTEGER) AS rescore_r,
-       |  n_exact, hits, CAST(hits AS DOUBLE) / n_exact AS recall
-       |FROM agg""".stripMargin
-
-  // ───────────── IVF-PQ: coarse pruning × compressed scoring (r13) ──────
-
-  /** The production ANN composition (FAISS's IndexIVFPQ shape): the
-    * in-engine Lloyd trainer supplies the COARSE quantizer (cell
-    * assignment + nprobe pruning, integer micro-unit domain — exactly
-    * [[ivfLloydTopK]]'s front half), and the PINNED PQ codebooks supply
-    * the COMPRESSED scorer (8 subspace codes per vector, per-query LUT,
-    * ADC scan — exactly [[pqTopK]]'s back half, no-residual variant).
-    * Both halves are individually oracle-exact, so the composition is
-    * too: training, cell pruning, encoding and ADC ranking all replay in
-    * SQL under one hash.
-    *
-    * Scale shape: candidates ≈ nprobe/cells of the corpus per query
-    * (the IVF join), each scored by m=8 LUT reads against codes instead
-    * of 64 float mults against raw vectors — memory traffic drops 16×
-    * (8 bytes of codes vs 256 bytes of float32) on top of the cell
-    * pruning, which is the whole point of the composition at 100 TB.
-    */
-  def ivfPqTopK(
-      embeddings: DataFrame,
-      codebooks: Array[Array[Array[Double]]],
-      nQueries: Int = 10, k: Int = 5,
-      cells: Int = 8, iters: Int = 2, nprobe: Int = 2): DataFrame = {
-    val m = codebooks.length
-    // coarse leg: Lloyd cells + per-query probe sets (integer domain)
-    val e0 = lloydQuantized(embeddings)
-    var cen = lloydSeeds(e0, cells)
-    for (_ <- 1 to iters) cen = lloydUpdate(cen, lloydAssign(e0, cen))
-    val asg = lloydAssign(e0, cen)
-      .select(col("vec_id"), col("j").as("cell")).localCheckpoint()
-    val probes = lloydAssign(e0.filter(col("vec_id") < nQueries), cen)
-      .select(col("vec_id").as("query_id"), posexplode(col("ds")).as(Seq("cell", "cd")))
-      .withColumn("pr", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("cd"), col("cell"))))
-      .filter(col("pr") <= nprobe)
-      .select("query_id", "cell")
-      // eager: nQueries × cells rows — after this the coarse leg is fully
-      // materialized (asg/cen already checkpoint) and e0's cache can go
-      .localCheckpoint()
-    e0.unpersist(blocking = false)
-    // compressed leg (r14, VERDICT item 7): the 256 B/row float corpus is
-    // NEVER cached — at 100 TB the thing to keep hot is the m-byte codes,
-    // not the raw vectors. One corpus scan feeds the encoder, whose coded
-    // output the candidate join consumes exactly once; the query-side LUT
-    // scan is a pushdown-filtered nQueries-row read of its own.
-    val e = withNorm(embeddings)
-    val coded = (0 until m).foldLeft(
-      e.select(col("vec_id"), col("embedding"))) {
-      (df, j) => df.withColumn(s"code$j", pqCodeCol(codebooks, j))
-    }.drop("embedding")
-    val q = (0 until m).foldLeft(
-      e.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("query_id"), col("embedding"))) {
-      (df, j) => df.withColumn(s"lut$j", pqLutArr(codebooks, j))
-    }.drop("embedding")
-    val adist = (0 until m)
-      .map(j => element_at(col(s"lut$j"), col(s"code$j") + 1))
-      .reduceLeft(_ + _)
-    val w = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
-    // cell-pruned candidates (equality join on the cell key, probe set
-    // broadcast) → codes join → ADC rank
-    asg.join(broadcast(probes), Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"))
-      .join(coded.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
-      .join(broadcast(q), Seq("query_id"))
-      .withColumn("adist", adist)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("adist"))
-      .orderBy("query_id", "rank")
-  }
-
-  /** DuckDB twin of [[ivfPqTopK]]: the Lloyd CTE prefix + probe/cell
-    * blocks verbatim from [[ivfLloydTopKSql]], the PQ encode blocks
-    * verbatim from [[pqTopKSql]] (VARCHAR→DOUBLE centroid literals — the
-    * decimal-ceiling gotcha), joined on the pruned candidate set.
-    */
-  def ivfPqTopKSql(
-      codebooks: Array[Array[Array[Double]]],
-      nQueries: Int = 10, k: Int = 5,
-      cells: Int = 8, iters: Int = 2, nprobe: Int = 2): String = {
-    val m = codebooks.length
-    val subDim = Dim / m
-    val d1 = Dim + 1
-    def distExpr(j: Int, c: Int): String =
-      (0 until subDim).map { t =>
-        val x = s"CAST(embedding[${j * subDim + t + 1}] AS DOUBLE)"
-        val cen = s"CAST('${codebooks(j)(c)(t)}' AS DOUBLE)"
-        s"(($x - $cen) * ($x - $cen))"
-      }.mkString(" + ")
-    val nC = codebooks.head.length
-    val cdCols = (for { j <- 0 until m; c <- 0 until nC }
-      yield s"(${distExpr(j, c)}) AS d_${j}_$c").mkString(",\n    ")
-    val mCols = (0 until m).map(j =>
-      s"LEAST(${(0 until nC).map(c => s"d_${j}_$c").mkString(", ")}) AS m_$j")
-      .mkString(",\n    ")
-    val codeCols = (0 until m).map { j =>
-      val whens = (0 until nC).map(c => s"WHEN d_${j}_$c = m_$j THEN $c").mkString(" ")
-      s"CASE $whens END AS code_$j"
-    }.mkString(",\n    ")
-    val adist = (0 until m).map { j =>
-      val whens = (0 until nC).map(c => s"WHEN $c THEN q.d_${j}_$c").mkString(" ")
-      s"(CASE c.code_$j $whens END)"
-    }.mkString(" + ")
-    s"""WITH ${lloydSqlCtes(cells, iters)},
-       |fcx AS (
-       |  SELECT e.vec_id, c.j, SUM((e.q[t.i] - c.cd) * (e.q[t.i] - c.cd)) AS d
-       |  FROM e0 e CROSS JOIN range(1, $d1) t(i) JOIN c$iters c ON c.i = t.i
-       |  GROUP BY 1, 2),
-       |fca AS (
-       |  SELECT vec_id, j AS cell FROM (
-       |    SELECT vec_id, j,
-       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, j) AS rk
-       |    FROM fcx) WHERE rk = 1),
-       |pr AS (
-       |  SELECT vec_id AS query_id, j AS cell FROM (
-       |    SELECT vec_id, j,
-       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, j) AS rk
-       |    FROM fcx WHERE vec_id < $nQueries) WHERE rk <= $nprobe),
-       |pqd AS (
-       |  SELECT vec_id,
-       |    $cdCols
-       |  FROM e),
-       |pqm AS (
-       |  SELECT *,
-       |    $mCols
-       |  FROM pqd),
-       |codes AS (
-       |  SELECT *,
-       |    $codeCols
-       |  FROM pqm),
-       |cand AS (
-       |  SELECT p.query_id, a.vec_id AS neighbor_id
-       |  FROM pr p JOIN fca a ON a.cell = p.cell AND a.vec_id <> p.query_id),
-       |s AS (
-       |  SELECT cd2.query_id, cd2.neighbor_id,
-       |    $adist AS adist
-       |  FROM cand cd2
-       |    JOIN codes c ON c.vec_id = cd2.neighbor_id
-       |    JOIN codes q ON q.vec_id = cd2.query_id),
-       |r AS (
-       |  SELECT query_id, neighbor_id, adist,
-       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rn
-       |  FROM s)
-       |SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS "rank", adist
-       |FROM r WHERE rn <= $k ORDER BY query_id, "rank"""".stripMargin
-  }
-
-  // ───── residual IVF-PQ: in-engine-trained codebooks (r14) ─────────────
-
-  /** The TRUE FAISS IndexIVFPQ (VERDICT r13 item 1), with BOTH trained
-    * artifacts inside the hash gate: the coarse quantizer is the
-    * in-engine Lloyd trainer (as [[ivfLloydTopK]]), and the PQ codebooks
-    * are now ALSO trained in-plan — per-subspace Lloyd's over the
-    * integer micro-unit domain, same determinism contract as
-    * [[kmeansLloydTrain]] (md5 seeds, argmin ties to the lowest code,
-    * exactly-divisible floor-means, empty-codeword-keeps-previous) — so
-    * unlike [[ivfPqTopK]] (pinned offline codebooks, no-residual), there
-    * is no model artifact anywhere whose training the oracle cannot
-    * replay. And the codebooks encode the RESIDUAL x − c(home cell)
-    * rather than x: after coarse assignment every vector in a cell
-    * shares the centroid, so quantizing the raw vector spends the whole
-    * code budget re-describing the centroid (intra-cell candidates
-    * collapse to identical codes — the same near-tie failure mode SQ8
-    * shows on the clustered fixture), while quantizing the residual
-    * spends it on exactly the within-cell geometry the final ranking
-    * needs. `ivfpq_residual_recall_clustered` measures both variants on
-    * the clustered table under equal nprobe and shows residual ≥
-    * no-residual — the reason IndexIVFPQ serves at low nprobe.
-    *
-    * Search is ADC with PER-PROBE LUTs: a query computes its residual
-    * against EACH probed cell's centroid (the candidate's codes were
-    * taken against that same centroid, so table lookups compare like
-    * with like), m×nC partial squared distances per (query, cell), then
-    * each candidate costs m lookups + adds. All arithmetic stays BIGINT
-    * (residuals are differences of micro-unit longs): zero rounding,
-    * hash-exact end to end.
-    *
-    * Scale shape: coarse training as [[kmeansLloydTrain]]; PQ training
-    * is per-(subspace, codeword, dim) partial-aggregated integer sums
-    * over the residual long-form — k·m·64 groups, no vector shuffle; at
-    * 100 TB both trainers run over a bounded sample (pass the sample as
-    * `embeddings` — production PQ fits on ~10⁵ vectors) while encode and
-    * search stay full-corpus: candidates ≈ nprobe/cells of the corpus
-    * per query, each scored by m byte-code lookups. The float corpus is
-    * never cached (codes and bounded probe/LUT frames are the only
-    * reused state — the [[ivfPqTopK]] r14 rule).
-    */
-  def ivfPqResidualTopK(
-      embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
-      cells: Int = 8, iters: Int = 2, nprobe: Int = 2,
-      m: Int = 16, nC: Int = 16, pqIters: Int = 3,
-      residual: Boolean = true): DataFrame = {
-    require(Dim % m == 0, s"m=$m must divide Dim=$Dim")
-    val subDim = Dim / m
-    // ---- coarse leg: trained cells, home assignment, probe sets ----
-    val e0 = lloydQuantized(embeddings)
-    var cen = lloydSeeds(e0, cells)
-    for (_ <- 1 to iters) cen = lloydUpdate(cen, lloydAssign(e0, cen))
-    val asg = lloydAssign(e0, cen)
-      .select(col("vec_id"), col("j").as("cell"), col("q"))
-      .localCheckpoint()
-    val qprobes = lloydAssign(e0.filter(col("vec_id") < nQueries), cen)
-      .select(col("vec_id").as("query_id"), col("q").as("qq"),
-        posexplode(col("ds")).as(Seq("cell", "cd")))
-      .withColumn("pr", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("cd"), col("cell"))))
-      .filter(col("pr") <= nprobe)
-      .select("query_id", "qq", "cell")
-      .localCheckpoint()
-    e0.unpersist(blocking = false)
-    // ---- residual training set, long form (vec_id, cell, sub, rs) ----
-    val cenB = cen.select(col("j").as("cell"), col("c"))
-    def subSplit(arr: Column): Column =
-      transform(sequence(lit(0), lit(m - 1)),
-        jj => slice(arr, jj * lit(subDim) + lit(1), lit(subDim)))
-    val resArr =
-      if (residual) zip_with(col("q"), col("c"), (a, b) => a - b)
-      else col("q")
-    // eager: the PQ trainer iterates over it (the bounded-sample frame at
-    // production scale), and the final encode reads it once more
-    val rsub = asg.join(broadcast(cenB), Seq("cell"))
-      .select(col("vec_id"), posexplode(subSplit(resArr)).as(Seq("sub", "rs")))
-      .localCheckpoint()
-    // ---- per-subspace Lloyd codebooks (sub, cidx, pc) ----------------
-    val seedW = Window.orderBy("h", "vec_id")
-    val seedIds = asg.select("vec_id")
-      .withColumn("h", md5(col("vec_id").cast("string")))
-      .orderBy("h", "vec_id").limit(nC)
-      .withColumn("cidx", (row_number().over(seedW) - 1).cast("int"))
-      .select("vec_id", "cidx")
-    var pcb = rsub.join(broadcast(seedIds), Seq("vec_id"))
-      .select(col("sub"), col("cidx"), col("rs").as("pc"))
-      .localCheckpoint()
-    def grid(cb: DataFrame): DataFrame = cb.groupBy("sub").agg(
-      transform(array_sort(collect_list(struct(col("cidx"), col("pc")))),
-        s => s.getField("pc")).as("cb"))
-    def pqAssign(cb: DataFrame): DataFrame =
-      rsub.join(broadcast(grid(cb)), Seq("sub"))
-        .withColumn("ds", transform(col("cb"), cw =>
-          aggregate(zip_with(col("rs"), cw, (x, c) => (x - c) * (x - c)),
-            lit(0L), _ + _)))
-        .withColumn("cidx",
-          (array_position(col("ds"), array_min(col("ds"))) - 1).cast("int"))
-    def pqUpdate(cb: DataFrame, pasg: DataFrame): DataFrame = {
-      val sums = pasg
-        .select(col("sub"), col("cidx"), posexplode(col("rs")).as(Seq("i", "v")))
-        .groupBy("sub", "cidx", "i")
-        .agg(sum("v").as("s"), count(lit(1)).as("cnt"))
-      val upd = sums
-        .withColumn("mm", ((col("s") % col("cnt")) + col("cnt")) % col("cnt"))
-        .withColumn("cd",
-          ((col("s") - col("mm")).cast("double") / col("cnt")).cast("long"))
-        .groupBy("sub", "cidx")
-        .agg(transform(array_sort(collect_list(struct(col("i"), col("cd")))),
-          s => s.getField("cd")).as("npc"))
-      cb.join(upd, Seq("sub", "cidx"), "left")
-        .select(col("sub"), col("cidx"), coalesce(col("npc"), col("pc")).as("pc"))
-        .localCheckpoint()
-    }
-    for (_ <- 1 to pqIters) pcb = pqUpdate(pcb, pqAssign(pcb))
-    // ---- encode the corpus: m codes per vector -----------------------
-    val codesW = pqAssign(pcb)
-      .select(col("vec_id"), col("sub"), col("cidx").as("code"))
-      .groupBy("vec_id")
-      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
-        s => s.getField("code")).as("codes"))
-    // ---- per-(query, probed cell) residual LUTs ----------------------
-    val qResArr =
-      if (residual) zip_with(col("qq"), col("c"), (a, b) => a - b)
-      else col("qq")
-    val qsub = qprobes.join(broadcast(cenB), Seq("cell"))
-      .select(col("query_id"), col("cell"),
-        posexplode(subSplit(qResArr)).as(Seq("sub", "qs")))
-    val luts = qsub.join(broadcast(grid(pcb)), Seq("sub"))
-      .withColumn("ds", transform(col("cb"), cw =>
-        aggregate(zip_with(col("qs"), cw, (x, c) => (x - c) * (x - c)),
-          lit(0L), _ + _)))
-      .groupBy("query_id", "cell")
-      .agg(transform(array_sort(collect_list(struct(col("sub"), col("ds")))),
-        s => s.getField("ds")).as("luts"))
-      .localCheckpoint()
-    // ---- cell-pruned candidates, ADC rank ----------------------------
-    val w = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
-    asg.select(col("vec_id"), col("cell"))
-      .join(broadcast(luts), Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("luts"))
-      .join(codesW.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
-      .withColumn("adist",
-        aggregate(zip_with(col("luts"), col("codes"),
-          (l, cd) => element_at(l, cd + lit(1))), lit(0L), _ + _))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("adist"))
-      .orderBy("query_id", "rank")
-  }
-
-  /** recall@k of [[ivfPqResidualTopK]] against the exact integer-L2
-    * ranking over the same quantized domain (the [[ivfLloydRecall]]
-    * exact leg) — one row, with the variant labeled so residual and
-    * no-residual runs union into one comparable frame.
-    */
-  def ivfPqResidualRecall(
-      embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
-      cells: Int = 8, iters: Int = 2, nprobe: Int = 2,
-      m: Int = 16, nC: Int = 16, pqIters: Int = 3,
-      residual: Boolean = true): DataFrame = {
-    val approx = ivfPqResidualTopK(embeddings, nQueries, k, cells, iters,
-      nprobe, m, nC, pqIters, residual)
-      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
-    // exact leg: quantized-domain brute force, no cache (one corpus scan
-    // plus a pushdown-filtered query scan)
-    val quant = expr(
-      s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $LloydScale.0) AS BIGINT))")
-    val eq = withNorm(embeddings).select(col("vec_id"), quant.as("q"))
-    val qset = eq.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("q").as("qq"))
-    val w = Window.partitionBy("query_id").orderBy(col("d"), col("vec_id"))
-    val exact = eq.crossJoin(broadcast(qset))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("d",
-        aggregate(zip_with(col("qq"), col("q"), (x, y) => (x - y) * (x - y)),
-          lit(0L), _ + _))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"))
-    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
-      .agg(count(lit(1)).as("n_exact"),
-        sum(coalesce(col("hit"), lit(0))).as("hits"))
-      .select(
-        lit(if (residual) "residual" else "no_residual").as("variant"),
-        lit(k).as("k"), lit(nprobe).as("nprobe"), lit(cells).as("cells"),
-        lit(m).as("m"), lit(nC).as("code_k"),
-        col("n_exact"), col("hits"),
-        (col("hits").cast("double") / col("n_exact")).as("recall"))
-  }
-
-  /** The COMPLETE production serving stack — FAISS's IndexIVFPQ +
-    * refine (r14): coarse cells prune to ~nprobe/cells of the corpus,
-    * residual-PQ ADC ranks the survivors compressed, and only the top
-    * `rescoreR` candidates per query are re-scored at full (quantized
-    * integer) precision for the final top-k. The same two-stage shape as
-    * [[sq8RescoreTopK]], one level up: compressed retrieval is allowed
-    * to be approximate (recall@R ≈ 1 even where recall@k is mediocre —
-    * the clustered fixture reads 0.5 at k=5), and the exact stage
-    * touches nQueries·rescoreR rows, never the corpus.
-    * `ivfpq_rescore_recall_clustered` measures the recovery: 0.5 → 1.0
-    * on the same table, oracle-exact end to end (both trainers still
-    * in-plan).
-    */
-  def ivfPqResidualRescoreTopK(
-      embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
-      cells: Int = 8, iters: Int = 2, nprobe: Int = 2,
-      m: Int = 16, nC: Int = 16, pqIters: Int = 3,
-      rescoreR: Int = 50): DataFrame = {
-    val cand = ivfPqResidualTopK(embeddings, nQueries, rescoreR, cells,
-      iters, nprobe, m, nC, pqIters)
-      .select(col("query_id"), col("neighbor_id"))
-    // exact stage in the quantized integer domain — no cache, one narrow
-    // corpus scan keyed into by the bounded candidate list
-    val quant = expr(
-      s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $LloydScale.0) AS BIGINT))")
-    val eq = withNorm(embeddings).select(col("vec_id"), quant.as("q"))
-    val q = eq.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("q").as("qq"))
-    val c = eq.select(col("vec_id").as("neighbor_id"), col("q").as("cq"))
-    val w = Window.partitionBy("query_id").orderBy(col("d"), col("neighbor_id"))
-    cand.join(broadcast(q), Seq("query_id")).join(c, Seq("neighbor_id"))
-      .withColumn("d",
-        aggregate(zip_with(col("qq"), col("cq"), (x, y) => (x - y) * (x - y)),
-          lit(0L), _ + _))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("d"))
-      .orderBy("query_id", "rank")
-  }
-
-  /** recall@k of the two-stage residual-IVF-PQ path against the exact
-    * integer-L2 ranking — the recovery experiment.
-    */
-  def ivfPqResidualRescoreRecall(
-      embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
-      cells: Int = 8, iters: Int = 2, nprobe: Int = 2,
-      m: Int = 16, nC: Int = 16, pqIters: Int = 3,
-      rescoreR: Int = 50): DataFrame = {
-    val approx = ivfPqResidualRescoreTopK(embeddings, nQueries, k, cells,
-      iters, nprobe, m, nC, pqIters, rescoreR)
-      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
-    val quant = expr(
-      s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $LloydScale.0) AS BIGINT))")
-    val eq = withNorm(embeddings).select(col("vec_id"), quant.as("q"))
-    val qset = eq.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("q").as("qq"))
-    val w = Window.partitionBy("query_id").orderBy(col("d"), col("vec_id"))
-    val exact = eq.crossJoin(broadcast(qset))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("d",
-        aggregate(zip_with(col("qq"), col("q"), (x, y) => (x - y) * (x - y)),
-          lit(0L), _ + _))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"))
-    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
-      .agg(count(lit(1)).as("n_exact"),
-        sum(coalesce(col("hit"), lit(0))).as("hits"))
-      .select(lit(k).as("k"), lit(rescoreR).as("rescore_r"),
-        lit(nprobe).as("nprobe"), lit(cells).as("cells"),
-        col("n_exact"), col("hits"),
-        (col("hits").cast("double") / col("n_exact")).as("recall"))
-  }
-
-  /** DuckDB twin of [[ivfPqResidualRescoreTopK]]: the residual block's
-    * ranked frame sliced at rescoreR, then the exact integer-L2 rescore
-    * of exactly those pairs.
-    */
-  def ivfPqResidualRescoreTopKSql(
-      nQueries: Int = 10, k: Int = 5, cells: Int = 8, iters: Int = 2,
-      nprobe: Int = 2, m: Int = 16, nC: Int = 16, pqIters: Int = 3,
-      rescoreR: Int = 50, prelude: String = ""): String = {
-    val d1 = Dim + 1
-    s"""WITH ${ivfPqResidualPrefix(nQueries, cells, iters, nprobe, prelude)},
-       |${pqResidualCtes("", residual = true, m, nC, pqIters)},
-       |rsq AS (SELECT query_id, neighbor_id FROM rr WHERE rn <= $rescoreR),
-       |fsc AS (
-       |  SELECT s.query_id, s.neighbor_id,
-       |    CAST(SUM((q.q[t.i] - c.q[t.i]) * (q.q[t.i] - c.q[t.i])) AS BIGINT) AS d
-       |  FROM rsq s
-       |    JOIN e0 q ON q.vec_id = s.query_id
-       |    JOIN e0 c ON c.vec_id = s.neighbor_id
-       |    CROSS JOIN range(1, $d1) t(i)
-       |  GROUP BY 1, 2),
-       |frk AS (
-       |  SELECT query_id, neighbor_id, d,
-       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rn
-       |  FROM fsc)
-       |SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS "rank", d
-       |FROM frk WHERE rn <= $k ORDER BY query_id, "rank"""".stripMargin
-  }
-
-  /** DuckDB twin of [[ivfPqResidualRescoreRecall]]. */
-  def ivfPqResidualRescoreRecallSql(
-      nQueries: Int = 10, k: Int = 5, cells: Int = 8, iters: Int = 2,
-      nprobe: Int = 2, m: Int = 16, nC: Int = 16, pqIters: Int = 3,
-      rescoreR: Int = 50, prelude: String = ""): String = {
-    val d1 = Dim + 1
-    s"""WITH ${ivfPqResidualPrefix(nQueries, cells, iters, nprobe, prelude)},
-       |${pqResidualCtes("", residual = true, m, nC, pqIters)},
-       |rsq AS (SELECT query_id, neighbor_id FROM rr WHERE rn <= $rescoreR),
-       |fsc AS (
-       |  SELECT s.query_id, s.neighbor_id,
-       |    SUM((q.q[t.i] - c.q[t.i]) * (q.q[t.i] - c.q[t.i])) AS d
-       |  FROM rsq s
-       |    JOIN e0 q ON q.vec_id = s.query_id
-       |    JOIN e0 c ON c.vec_id = s.neighbor_id
-       |    CROSS JOIN range(1, $d1) t(i)
-       |  GROUP BY 1, 2),
-       |fr AS (
-       |  SELECT query_id, neighbor_id FROM (
-       |    SELECT query_id, neighbor_id,
-       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rn
-       |    FROM fsc) WHERE rn <= $k),
-       |bscore AS (
-       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-       |    SUM((q.q[t.i] - c.q[t.i]) * (q.q[t.i] - c.q[t.i])) AS d
-       |  FROM e0 q JOIN e0 c ON c.vec_id <> q.vec_id
-       |    CROSS JOIN range(1, $d1) t(i)
-       |  WHERE q.vec_id < $nQueries
-       |  GROUP BY 1, 2),
-       |br AS (
-       |  SELECT query_id, neighbor_id FROM (
-       |    SELECT query_id, neighbor_id,
-       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rn
-       |    FROM bscore) WHERE rn <= $k),
-       |agg AS (
-       |  SELECT COUNT(*) AS n_exact,
-       |    CAST(SUM(CASE WHEN fr.query_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
-       |  FROM br LEFT JOIN fr
-       |    ON fr.query_id = br.query_id AND fr.neighbor_id = br.neighbor_id)
-       |SELECT CAST($k AS INTEGER) AS k, CAST($rescoreR AS INTEGER) AS rescore_r,
-       |  CAST($nprobe AS INTEGER) AS nprobe, CAST($cells AS INTEGER) AS cells,
-       |  n_exact, hits, CAST(hits AS DOUBLE) / n_exact AS recall
-       |FROM agg""".stripMargin
-  }
-
-  /** The variant CTE block of the residual-IVF-PQ twins: residual (or
-    * raw) long form, per-subspace Lloyd training unrolled per iteration
-    * (px/pa/ps/pu/p — the [[lloydSqlCtes]] scheme with a (sub, c) state
-    * key instead of j), final encode, per-(query, probe) LUTs, and the
-    * ADC score/rank. Shares the coarse CTEs (e0, c{iters}, fcx, fca,
-    * pr, psd) emitted by the callers.
-    */
-  private def pqResidualCtes(
-      p: String, residual: Boolean, m: Int, nC: Int, pqIters: Int): String = {
-    val subDim = Dim / m
-    val d1 = Dim + 1
-    val rExpr = if (residual) "e.q[t.i] - c.cd" else "e.q[t.i]"
-    val qrExpr = if (residual) "qe.q[t.i] - c.cd" else "qe.q[t.i]"
-    // AS MATERIALIZED on every multiply-referenced or chain-state CTE is
-    // load-bearing (the r13 clusteredEmbeddingsCte lesson, compounded):
-    // each p{it} references p{it-1} TWICE (distance chain + the COALESCE
-    // left join), and rsub feeds every iteration — inlined, the plan
-    // replays the residual derivation (which itself replays the COARSE
-    // trainer) 2^pqIters times and the oracle runs minutes instead of
-    // seconds (measured: >300 s → ~5 s).
-    val iterCtes = (1 to pqIters).map { it =>
-      val prev = it - 1
-      s"""${p}px$it AS (
-         |  SELECT r.vec_id, r.sub, q.c, SUM((r.r - q.cd) * (r.r - q.cd)) AS d
-         |  FROM ${p}rsub r JOIN ${p}p$prev q ON q.sub = r.sub AND q.si = r.si
-         |  GROUP BY 1, 2, 3),
-         |${p}pa$it AS (
-         |  SELECT vec_id, sub, c FROM (
-         |    SELECT vec_id, sub, c,
-         |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d, c) AS rk
-         |    FROM ${p}px$it) WHERE rk = 1),
-         |${p}ps$it AS (
-         |  SELECT a.sub, a.c, r.si, SUM(r.r) AS s, COUNT(*) AS cnt
-         |  FROM ${p}pa$it a JOIN ${p}rsub r
-         |    ON r.vec_id = a.vec_id AND r.sub = a.sub
-         |  GROUP BY 1, 2, 3),
-         |${p}pu$it AS (
-         |  SELECT sub, c, si,
-         |    CAST((s - (((s % cnt) + cnt) % cnt)) / cnt AS BIGINT) AS cd
-         |  FROM ${p}ps$it),
-         |${p}p$it AS MATERIALIZED (
-         |  SELECT q.sub, q.c, q.si, COALESCE(u.cd, q.cd) AS cd
-         |  FROM ${p}p$prev q LEFT JOIN ${p}pu$it u
-         |    ON u.sub = q.sub AND u.c = q.c AND u.si = q.si)""".stripMargin
-    }.mkString(",\n")
-    s"""${p}res AS (
-       |  SELECT e.vec_id, t.i, $rExpr AS r
-       |  FROM e0 e JOIN fca a ON a.vec_id = e.vec_id
-       |    CROSS JOIN range(1, $d1) t(i)
-       |    JOIN cfin c ON c.j = a.cell AND c.i = t.i),
-       |${p}rsub AS MATERIALIZED (
-       |  SELECT vec_id, CAST((i - 1) // $subDim AS INTEGER) AS sub,
-       |    ((i - 1) % $subDim) + 1 AS si, r
-       |  FROM ${p}res),
-       |${p}p0 AS MATERIALIZED (
-       |  SELECT r.sub, CAST(s.rn - 1 AS INTEGER) AS c, r.si, r.r AS cd
-       |  FROM ${p}rsub r JOIN psd s ON s.vec_id = r.vec_id
-       |  WHERE s.rn <= $nC),
-       |$iterCtes,
-       |${p}pfx AS (
-       |  SELECT r.vec_id, r.sub, q.c, SUM((r.r - q.cd) * (r.r - q.cd)) AS d
-       |  FROM ${p}rsub r JOIN ${p}p$pqIters q
-       |    ON q.sub = r.sub AND q.si = r.si
-       |  GROUP BY 1, 2, 3),
-       |${p}codes AS MATERIALIZED (
-       |  SELECT vec_id, sub, c AS code FROM (
-       |    SELECT vec_id, sub, c,
-       |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d, c) AS rk
-       |    FROM ${p}pfx) WHERE rk = 1),
-       |${p}qres AS (
-       |  SELECT q.query_id, q.cell, t.i, $qrExpr AS r
-       |  FROM pr q JOIN e0 qe ON qe.vec_id = q.query_id
-       |    CROSS JOIN range(1, $d1) t(i)
-       |    JOIN cfin c ON c.j = q.cell AND c.i = t.i),
-       |${p}qsub AS (
-       |  SELECT query_id, cell, CAST((i - 1) // $subDim AS INTEGER) AS sub,
-       |    ((i - 1) % $subDim) + 1 AS si, r
-       |  FROM ${p}qres),
-       |${p}lut AS MATERIALIZED (
-       |  SELECT s.query_id, s.cell, s.sub, q.c,
-       |    SUM((s.r - q.cd) * (s.r - q.cd)) AS d
-       |  FROM ${p}qsub s JOIN ${p}p$pqIters q
-       |    ON q.sub = s.sub AND q.si = s.si
-       |  GROUP BY 1, 2, 3, 4),
-       |${p}sc AS (
-       |  SELECT q.query_id, a.vec_id AS neighbor_id,
-       |    CAST(SUM(l.d) AS BIGINT) AS adist
-       |  FROM pr q
-       |    JOIN fca a ON a.cell = q.cell AND a.vec_id <> q.query_id
-       |    JOIN ${p}codes cd2 ON cd2.vec_id = a.vec_id
-       |    JOIN ${p}lut l ON l.query_id = q.query_id AND l.cell = q.cell
-       |      AND l.sub = cd2.sub AND l.c = cd2.code
-       |  GROUP BY 1, 2),
-       |${p}rr AS MATERIALIZED (
-       |  SELECT query_id, neighbor_id, adist,
-       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rn
-       |  FROM ${p}sc)""".stripMargin
-  }
-
-  /** The shared coarse prefix of the residual-IVF-PQ twins: the Lloyd
-    * CTEs plus final cells (fcx/fca), probe sets (pr) and the global
-    * md5 seed ranking (psd) both variants and both query shapes read.
-    */
-  private def ivfPqResidualPrefix(
-      nQueries: Int, cells: Int, iters: Int, nprobe: Int,
-      prelude: String = ""): String = {
-    val d1 = Dim + 1
-    // cfin pins the trained coarse centroids behind ONE materialization:
-    // the variant blocks reference the centroid state repeatedly, and
-    // every inlined reference would otherwise replay the whole unrolled
-    // Lloyd chain (see the MATERIALIZED note in pqResidualCtes)
-    s"""$prelude${lloydSqlCtes(cells, iters)},
-       |cfin AS MATERIALIZED (SELECT j, i, cd FROM c$iters),
-       |fcx AS (
-       |  SELECT e.vec_id, c.j, SUM((e.q[t.i] - c.cd) * (e.q[t.i] - c.cd)) AS d
-       |  FROM e0 e CROSS JOIN range(1, $d1) t(i) JOIN cfin c ON c.i = t.i
-       |  GROUP BY 1, 2),
-       |fca AS MATERIALIZED (
-       |  SELECT vec_id, j AS cell FROM (
-       |    SELECT vec_id, j,
-       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, j) AS rk
-       |    FROM fcx) WHERE rk = 1),
-       |pr AS MATERIALIZED (
-       |  SELECT vec_id AS query_id, j AS cell FROM (
-       |    SELECT vec_id, j,
-       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, j) AS rk
-       |    FROM fcx WHERE vec_id < $nQueries) WHERE rk <= $nprobe),
-       |psd AS MATERIALIZED (
-       |  SELECT vec_id,
-       |    ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
-       |  FROM e0)""".stripMargin
-  }
-
-  /** DuckDB twin of [[ivfPqResidualTopK]]. */
-  def ivfPqResidualTopKSql(
-      nQueries: Int = 10, k: Int = 5, cells: Int = 8, iters: Int = 2,
-      nprobe: Int = 2, m: Int = 16, nC: Int = 16, pqIters: Int = 3,
-      residual: Boolean = true, prelude: String = ""): String =
-    s"""WITH ${ivfPqResidualPrefix(nQueries, cells, iters, nprobe, prelude)},
-       |${pqResidualCtes("", residual, m, nC, pqIters)}
-       |SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS "rank", adist
-       |FROM rr WHERE rn <= $k ORDER BY query_id, "rank"""".stripMargin
-
-  /** DuckDB twin of the two-variant [[ivfPqResidualRecall]] union: one
-    * shared coarse prefix + exact leg, the residual (r_) and raw (n_)
-    * training/encode/search blocks side by side, one recall row each.
-    */
-  def ivfPqResidualRecallBothSql(
-      nQueries: Int = 10, k: Int = 5, cells: Int = 8, iters: Int = 2,
-      nprobe: Int = 2, m: Int = 16, nC: Int = 16, pqIters: Int = 3,
-      prelude: String = ""): String = {
-    val d1 = Dim + 1
-    def aggLeg(p: String, variant: String) =
-      s"""SELECT '$variant' AS variant, CAST($k AS INTEGER) AS k,
-         |  CAST($nprobe AS INTEGER) AS nprobe, CAST($cells AS INTEGER) AS cells,
-         |  CAST($m AS INTEGER) AS m, CAST($nC AS INTEGER) AS code_k,
-         |  COUNT(*) AS n_exact,
-         |  CAST(SUM(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
-         |  CAST(SUM(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-         |    / COUNT(*) AS recall
-         |FROM br b LEFT JOIN (SELECT query_id, neighbor_id FROM ${p}rr WHERE rn <= $k) a
-         |  ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id""".stripMargin
-    s"""WITH ${ivfPqResidualPrefix(nQueries, cells, iters, nprobe, prelude)},
-       |bscore AS (
-       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-       |    SUM((q.q[t.i] - c.q[t.i]) * (q.q[t.i] - c.q[t.i])) AS d
-       |  FROM e0 q JOIN e0 c ON c.vec_id <> q.vec_id
-       |    CROSS JOIN range(1, $d1) t(i)
-       |  WHERE q.vec_id < $nQueries
-       |  GROUP BY 1, 2),
-       |br AS MATERIALIZED (
-       |  SELECT query_id, neighbor_id FROM (
-       |    SELECT query_id, neighbor_id,
-       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rn
-       |    FROM bscore) WHERE rn <= $k),
-       |${pqResidualCtes("r_", residual = true, m, nC, pqIters)},
-       |${pqResidualCtes("n_", residual = false, m, nC, pqIters)}
-       |SELECT * FROM (
-       |${aggLeg("r_", "residual")}
-       |UNION ALL
-       |${aggLeg("n_", "no_residual")})
-       |ORDER BY variant""".stripMargin
-  }
-
-  // ────────── incremental IVF index maintenance (r13) ───────────────────
-
-  /** The ANN half of the maintained-index-as-running-state family (the
-    * exact/LSH dedup indexes already live there): the IVF index — cells
-    * trained by the in-engine Lloyd trainer, one (vec_id, cell, vector)
-    * row per corpus vector — is RUNNING STATE, and a new batch attaches
-    * to it without retraining or rescanning: each batch vector is
-    * assigned to its nearest EXISTING cell (the home cell its index row
-    * joins the state under — an O(batch) delta append, exactly how
-    * production IVF serves between periodic retrains) and searched
-    * against the state-before-batch restricted to its nprobe nearest
-    * cells. Output: one row per (batch vector, top-k state neighbor)
-    * with the home cell and the integer L2 distance.
-    *
-    * Scale shape: training and state touch only the corpus; the batch
-    * side is bounded by construction (probes broadcast, candidates ≈
-    * nprobe/cells of the state per batch vector); nothing rescans the
-    * corpus per batch and nothing is all-pairs.
-    */
-  def ivfAttachIncremental(
-      embeddings: DataFrame, cells: Int = 8, iters: Int = 2,
-      nprobe: Int = 2, k: Int = 3): DataFrame = {
-    // the same corpus/batch carve the LSH incremental twin uses
-    val corpus = embeddings.filter(col("vec_id") % 3 =!= 0)
-    val batch = embeddings.filter(col("vec_id") % 3 === 0)
-    val e0 = lloydQuantized(corpus)
-    var cen = lloydSeeds(e0, cells)
-    for (_ <- 1 to iters) cen = lloydUpdate(cen, lloydAssign(e0, cen))
-    // the index STATE: cell-keyed corpus vectors under the trained cells
-    val index = lloydAssign(e0, cen)
-      .select(col("vec_id"), col("j").as("cell"), col("q"))
-      .localCheckpoint()
-    val eb = lloydQuantized(batch)
-    // eager: batch × cells rows — probes and home both read it, and once
-    // it is materialized neither quantized cache has a reader (r14 sweep)
-    val ranked = lloydAssign(eb, cen)
-      .select(col("vec_id").as("batch_id"), col("q").as("bq"),
-        posexplode(col("ds")).as(Seq("cell", "cd")))
-      .withColumn("pr", row_number().over(
-        Window.partitionBy("batch_id").orderBy(col("cd"), col("cell"))))
-      .localCheckpoint()
-    e0.unpersist(blocking = false)
-    eb.unpersist(blocking = false)
-    val probes = ranked.filter(col("pr") <= nprobe).select("batch_id", "bq", "cell")
-    val home = ranked.filter(col("pr") === 1)
-      .select(col("batch_id"), col("cell").as("home_cell"))
-    val w = Window.partitionBy("batch_id").orderBy(col("d"), col("vec_id"))
-    index.join(broadcast(probes), Seq("cell"))
-      .withColumn("d",
-        aggregate(zip_with(col("bq"), col("q"), (x, y) => (x - y) * (x - y)),
-          lit(0L), _ + _))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .join(broadcast(home), Seq("batch_id"))
-      .select(col("batch_id"), col("home_cell"),
-        col("vec_id").as("neighbor_id"), col("rank"), col("d"))
-      .orderBy("batch_id", "rank")
-  }
-
-  /** DuckDB twin of [[ivfAttachIncremental]]: the Lloyd prefix trains on
-    * the CORPUS carve only (the `where` filter on e0), the batch
-    * quantizes in its own CTE, and attach/probe/search replay term for
-    * term.
-    */
-  def ivfAttachIncrementalSql(
-      cells: Int = 8, iters: Int = 2, nprobe: Int = 2, k: Int = 3): String = {
-    val d1 = Dim + 1
-    s"""WITH ${lloydSqlCtes(cells, iters, where = "vec_id % 3 <> 0")},
-       |fcx AS (
-       |  SELECT e.vec_id, c.j, SUM((e.q[t.i] - c.cd) * (e.q[t.i] - c.cd)) AS d
-       |  FROM e0 e CROSS JOIN range(1, $d1) t(i) JOIN c$iters c ON c.i = t.i
-       |  GROUP BY 1, 2),
-       |fca AS (
-       |  SELECT vec_id, j AS cell FROM (
-       |    SELECT vec_id, j,
-       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, j) AS rk
-       |    FROM fcx) WHERE rk = 1),
-       |e0b AS (
-       |  SELECT vec_id,
-       |    list_transform(embedding,
-       |      x -> CAST(floor(CAST(x AS DOUBLE) * $LloydScale.0) AS BIGINT)) AS q
-       |  FROM e WHERE vec_id % 3 = 0),
-       |bx AS (
-       |  SELECT b.vec_id AS batch_id, c.j, SUM((b.q[t.i] - c.cd) * (b.q[t.i] - c.cd)) AS d
-       |  FROM e0b b CROSS JOIN range(1, $d1) t(i) JOIN c$iters c ON c.i = t.i
-       |  GROUP BY 1, 2),
-       |br AS (
-       |  SELECT batch_id, j AS cell,
-       |    ROW_NUMBER() OVER (PARTITION BY batch_id ORDER BY d, j) AS pr
-       |  FROM bx),
-       |home AS (SELECT batch_id, cell AS home_cell FROM br WHERE pr = 1),
-       |cand AS (
-       |  SELECT p.batch_id, a.vec_id AS neighbor_id
-       |  FROM br p JOIN fca a ON a.cell = p.cell
-       |  WHERE p.pr <= $nprobe),
-       |sc AS (
-       |  SELECT c.batch_id, c.neighbor_id,
-       |    CAST(SUM((bq.q[t.i] - cq.q[t.i]) * (bq.q[t.i] - cq.q[t.i]))
-       |         AS BIGINT) AS d
-       |  FROM cand c
-       |    JOIN e0b bq ON bq.vec_id = c.batch_id
-       |    JOIN e0 cq ON cq.vec_id = c.neighbor_id
-       |    CROSS JOIN range(1, $d1) t(i)
-       |  GROUP BY 1, 2),
-       |r AS (
-       |  SELECT batch_id, neighbor_id, d,
-       |    ROW_NUMBER() OVER (PARTITION BY batch_id ORDER BY d, neighbor_id) AS rn
-       |  FROM sc)
-       |SELECT r.batch_id, h.home_cell, r.neighbor_id,
-       |  CAST(r.rn AS INTEGER) AS "rank", r.d
-       |FROM r JOIN home h ON h.batch_id = r.batch_id
-       |WHERE r.rn <= $k ORDER BY r.batch_id, "rank"""".stripMargin
-  }
-
-  // ────────── IVF drift report: the retrain decision (r14) ─────────────
-
-  /** The maintenance half [[ivfAttachIncremental]] was missing (VERDICT
-    * r13 item 2): serving between retrains is O(batch), but production
-    * IVF also has to decide WHEN the trained cells have drifted enough
-    * to retrain. This report compares, per trained cell, the
-    * training-time population against the attached batch under the SAME
-    * centroids — sizes, integer inertia and radius (max centroid
-    * distance), population shares — and derives the decision inputs:
-    * `drift_ratio` (batch mean centroid distance / training mean — ≈1
-    * for a stationary batch, ≫1 when the batch no longer matches the
-    * trained geometry) and `retrain_due`, true when the ratio crosses
-    * `driftRatio` or a cell's batch share outgrows `shareRatio` × its
-    * training share (the imbalance signal: traffic is piling into cells
-    * the quantizer carved small). IvfDriftSpec proves the contract: an
-    * engineered drifted batch trips the flag, a stationary fresh draw
-    * from the same mixture does not.
-    *
-    * Everything upstream of the two ratio columns is exact BIGINT
-    * (counts, inertia sums, radii in micro-unit² domain); the ratios are
-    * single IEEE divisions of those integers — deterministic in both
-    * engines, so the whole report is hash-exact. Scale shape: train as
-    * [[kmeansLloydTrain]]; the batch side is one narrow argmin pass +
-    * one cells-sized aggregate; the report is cells rows.
-    */
-  def ivfDriftReport(
-      corpus: DataFrame, batch: DataFrame, cells: Int = 8, iters: Int = 2,
-      driftRatio: Double = 1.5, shareRatio: Double = 2.0): DataFrame = {
-    def nullifZero(c: Column): Column =
-      when(c === 0, lit(null)).otherwise(c)
-    val e0 = lloydQuantized(corpus)
-    var cen = lloydSeeds(e0, cells)
-    for (_ <- 1 to iters) cen = lloydUpdate(cen, lloydAssign(e0, cen))
-    val trainAsg = lloydAssign(e0, cen)
-      .withColumn("d", array_min(col("ds")))
-      .select(col("vec_id"), col("j").as("cell"), col("d"))
-      .localCheckpoint()
-    e0.unpersist(blocking = false)
-    val eb = lloydQuantized(batch)
-    val batchAsg = lloydAssign(eb, cen)
-      .withColumn("d", array_min(col("ds")))
-      .select(col("vec_id"), col("j").as("cell"), col("d"))
-      .localCheckpoint()
-    eb.unpersist(blocking = false)
-    val ts = trainAsg.groupBy("cell").agg(
-      count(lit(1)).as("n_train"), sum("d").as("inertia_train"),
-      max("d").as("radius_train"))
-    val bs = batchAsg.groupBy("cell").agg(
-      count(lit(1)).as("n_batch"), sum("d").as("inertia_batch"),
-      max("d").as("radius_batch"))
-    // 1-row totals, broadcast (the trailing_context crossJoin rule)
-    val totals = trainAsg.agg(count(lit(1)).as("nt_total"))
-      .crossJoin(batchAsg.agg(count(lit(1)).as("nb_total")))
-    cen.select(col("j").as("cell"))
-      .join(ts, Seq("cell"), "left")
-      .join(bs, Seq("cell"), "left")
-      .crossJoin(broadcast(totals))
-      .select(col("cell"),
-        coalesce(col("n_train"), lit(0L)).as("n_train"),
-        coalesce(col("n_batch"), lit(0L)).as("n_batch"),
-        coalesce(col("inertia_train"), lit(0L)).as("inertia_train"),
-        coalesce(col("inertia_batch"), lit(0L)).as("inertia_batch"),
-        coalesce(col("radius_train"), lit(0L)).as("radius_train"),
-        coalesce(col("radius_batch"), lit(0L)).as("radius_batch"),
-        col("nt_total"), col("nb_total"))
-      .withColumn("mean_d_train",
-        col("inertia_train").cast("double") / nullifZero(col("n_train")))
-      .withColumn("mean_d_batch",
-        col("inertia_batch").cast("double") / nullifZero(col("n_batch")))
-      .withColumn("share_train",
-        col("n_train").cast("double") / nullifZero(col("nt_total")))
-      .withColumn("share_batch",
-        col("n_batch").cast("double") / nullifZero(col("nb_total")))
-      .withColumn("drift_ratio",
-        col("mean_d_batch") / nullifZero(col("mean_d_train")))
-      .withColumn("retrain_due",
-        coalesce(col("drift_ratio") > lit(driftRatio), lit(false)) ||
-          coalesce(col("share_batch") > lit(shareRatio) * col("share_train"),
-            lit(false)))
-      .drop("nt_total", "nb_total")
-      .orderBy("cell")
-  }
-
-  /** [[ivfDriftReport]] over the registry's standard corpus/batch carve
-    * (vec_id % 3 — the same split [[ivfAttachIncremental]] and the LSH
-    * incremental twin use), so `ivf_drift_report` measures drift for
-    * exactly the state `ivf_attach_incremental` maintains.
-    */
-  def ivfDriftReportCarve(
-      embeddings: DataFrame, cells: Int = 8, iters: Int = 2): DataFrame =
-    ivfDriftReport(
-      embeddings.filter(col("vec_id") % 3 =!= 0),
-      embeddings.filter(col("vec_id") % 3 === 0), cells, iters)
-
-  /** DuckDB twin of [[ivfDriftReportCarve]]: Lloyd prefix on the corpus
-    * carve, train/batch argmin assignments with their min distances,
-    * per-cell integer aggregates, scalar totals, and the same NULLIF'd
-    * ratio/flag algebra.
-    */
-  def ivfDriftReportCarveSql(
-      cells: Int = 8, iters: Int = 2,
-      driftRatio: Double = 1.5, shareRatio: Double = 2.0): String = {
-    val d1 = Dim + 1
-    s"""WITH ${lloydSqlCtes(cells, iters, where = "vec_id % 3 <> 0")},
-       |fcx AS (
-       |  SELECT e.vec_id, c.j, SUM((e.q[t.i] - c.cd) * (e.q[t.i] - c.cd)) AS d
-       |  FROM e0 e CROSS JOIN range(1, $d1) t(i) JOIN c$iters c ON c.i = t.i
-       |  GROUP BY 1, 2),
-       |fa AS (
-       |  SELECT vec_id, j AS cell, d FROM (
-       |    SELECT vec_id, j, d,
-       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, j) AS rk
-       |    FROM fcx) WHERE rk = 1),
-       |e0b AS (
-       |  SELECT vec_id,
-       |    list_transform(embedding,
-       |      x -> CAST(floor(CAST(x AS DOUBLE) * $LloydScale.0) AS BIGINT)) AS q
-       |  FROM e WHERE vec_id % 3 = 0),
-       |bx AS (
-       |  SELECT b.vec_id, c.j, SUM((b.q[t.i] - c.cd) * (b.q[t.i] - c.cd)) AS d
-       |  FROM e0b b CROSS JOIN range(1, $d1) t(i) JOIN c$iters c ON c.i = t.i
-       |  GROUP BY 1, 2),
-       |ba AS (
-       |  SELECT vec_id, j AS cell, d FROM (
-       |    SELECT vec_id, j, d,
-       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, j) AS rk
-       |    FROM bx) WHERE rk = 1),
-       |ts AS (
-       |  SELECT cell, COUNT(*) AS n_train, CAST(SUM(d) AS BIGINT) AS inertia_train,
-       |    CAST(MAX(d) AS BIGINT) AS radius_train
-       |  FROM fa GROUP BY 1),
-       |bsx AS (
-       |  SELECT cell, COUNT(*) AS n_batch, CAST(SUM(d) AS BIGINT) AS inertia_batch,
-       |    CAST(MAX(d) AS BIGINT) AS radius_batch
-       |  FROM ba GROUP BY 1),
-       |cl AS (SELECT DISTINCT j AS cell FROM c$iters),
-       |tot AS (SELECT (SELECT COUNT(*) FROM fa) AS nt_total,
-       |               (SELECT COUNT(*) FROM ba) AS nb_total),
-       |rep AS (
-       |  SELECT c.cell,
-       |    COALESCE(ts.n_train, 0) AS n_train,
-       |    COALESCE(bsx.n_batch, 0) AS n_batch,
-       |    COALESCE(ts.inertia_train, 0) AS inertia_train,
-       |    COALESCE(bsx.inertia_batch, 0) AS inertia_batch,
-       |    COALESCE(ts.radius_train, 0) AS radius_train,
-       |    COALESCE(bsx.radius_batch, 0) AS radius_batch,
-       |    tot.nt_total, tot.nb_total
-       |  FROM cl c LEFT JOIN ts USING (cell) LEFT JOIN bsx USING (cell)
-       |    CROSS JOIN tot),
-       |rep2 AS (
-       |  SELECT *,
-       |    CAST(inertia_train AS DOUBLE) / NULLIF(n_train, 0) AS mean_d_train,
-       |    CAST(inertia_batch AS DOUBLE) / NULLIF(n_batch, 0) AS mean_d_batch,
-       |    CAST(n_train AS DOUBLE) / NULLIF(nt_total, 0) AS share_train,
-       |    CAST(n_batch AS DOUBLE) / NULLIF(nb_total, 0) AS share_batch
-       |  FROM rep)
-       |SELECT cell, n_train, n_batch, inertia_train, inertia_batch,
-       |  radius_train, radius_batch, mean_d_train, mean_d_batch,
-       |  share_train, share_batch,
-       |  mean_d_batch / NULLIF(mean_d_train, 0.0) AS drift_ratio,
-       |  COALESCE(mean_d_batch / NULLIF(mean_d_train, 0.0) > $driftRatio, FALSE)
-       |    OR COALESCE(share_batch > $shareRatio * share_train, FALSE) AS retrain_due
-       |FROM rep2 ORDER BY cell""".stripMargin
-  }
-
-  // ─────────────── clustered-embedding fixture (r13) ───────────────────
-
-  /** Deterministic CLUSTERED embedding table — the honest input for ANN
-    * operating-point experiments (VERDICT r12 item 4): the testdata
-    * embeddings are structureless random vectors, on which
-    * `ivf_lloyd_recall` reads 0.44 at nprobe=2/16 — not because the
-    * operator is weak but because there is no cluster structure for the
-    * coarse quantizer to find. Real embedding corpora ARE clustered
-    * (that's why IVF works in production), so the recall trade-off the
-    * operator exists to measure needs a clustered table to be visible.
-    *
-    * Generator (MockFlow's md5-draw style — both engines share the hash,
-    * [[clusteredEmbeddingsCte]] is the verbatim DuckDB twin):
-    *   - vec_id 0..n-1; true cluster g = int(md5("cg|"+id)[0:6 hex]) % k;
-    *   - embedding[i] = center + noise, center = 8.0 iff i % k == g else
-    *     0 (k disjoint axis blocks — separated by construction), noise =
-    *     (u48("ce|"+id+"|"+i) − 0.5)·0.5 ∈ [−0.25, 0.25);
-    *   - label = g (same role as the testdata's label column).
-    * Every arithmetic step is exact in double (48-bit dyadic uniforms,
-    * power-of-two scales, 8+noise fits 52 mantissa bits), and the one
-    * rounding — the final float cast — is the same IEEE operation in
-    * both engines, so the TABLE ITSELF is oracle-exact, not just the
-    * queries over it.
-    */
-  def clusteredEmbeddings(spark: org.apache.spark.sql.SparkSession,
-      n: Int = 500, kTrue: Int = 8): DataFrame = {
-    def u48(key: Column): Column =
-      conv(substring(md5(key), 1, 12), 16, 10).cast("long")
-        .cast("double") / lit((1L << 48).toDouble)
-    spark.range(n).select(col("id").as("vec_id"))
-      .withColumn("g",
-        (conv(substring(md5(concat(lit("cg|"), col("vec_id").cast("string"))), 1, 6), 16, 10)
-          .cast("long") % kTrue).cast("int"))
-      .withColumn("embedding",
-        transform(sequence(lit(0), lit(Dim - 1)), i =>
-          (when(pmod(i, lit(kTrue)) === col("g"), lit(8.0d)).otherwise(lit(0.0d))
-            + (u48(concat(lit("ce|"), col("vec_id").cast("string"),
-                lit("|"), i.cast("string"))) - lit(0.5d)) * lit(0.5d))
-            .cast("float")))
-      .select(col("vec_id"), col("embedding"), col("g").as("label"))
-  }
-
-  /** DuckDB twin of [[clusteredEmbeddings]], as a WITH prelude that
-    * SHADOWS the `embeddings` table (CTE names take precedence), so any
-    * existing oracle SQL runs unchanged over the generated table. Ends
-    * with a comma — splice as the `prelude` of [[ivfLloydRecallSql]] /
-    * [[sq8RecallSql]].
-    */
-  def clusteredEmbeddingsCte(n: Int = 500, kTrue: Int = 8): String = {
-    def hexSum(key: String, digits: Int): String =
-      (0 until digits).map(j =>
-        s"CAST(${graft.text.TextOps.hexValSql(s"substr(md5($key), ${j + 1}, 1)")} AS BIGINT) * ${1L << (4 * (digits - 1 - j))}")
-        .mkString("(", " + ", ")")
-    def u48(key: String): String =
-      s"(${hexSum(key, 12)} / CAST(${1L << 48} AS DOUBLE))"
-    val gExpr =
-      s"CAST(${hexSum("'cg|' || CAST(t.vec_id AS VARCHAR)", 6)} % $kTrue AS INTEGER)"
-    val dimKey = "'ce|' || CAST(vec_id AS VARCHAR) || '|' || CAST(i AS VARCHAR)"
-    val noise = s"(${u48(dimKey)} - 0.5) * 0.5"
-    // AS MATERIALIZED is load-bearing: a plain CTE gets INLINED into
-    // every one of the Lloyd chain's ~10 references to the source table,
-    // and DuckDB's optimizer loses the cardinality of the computed
-    // subquery — the inlined plan exhausted memory where the same chain
-    // over a base table runs in seconds. Materializing restores
-    // base-table behavior (measured: OOM → 1.8 s).
-    s"""embeddings AS MATERIALIZED (
-       |  SELECT vec_id,
-       |    list_transform(range(0, $Dim), i ->
-       |      CAST((CASE WHEN i % $kTrue = g THEN 8.0 ELSE 0.0 END + $noise) AS REAL)) AS embedding,
-       |    g AS label
-       |  FROM (SELECT t.vec_id, $gExpr AS g FROM range(0, $n) t(vec_id))),
-       |""".stripMargin
-  }
-}
+object Knn extends KnnCore with KnnQuant with KnnMaintenance

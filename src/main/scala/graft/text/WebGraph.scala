@@ -104,8 +104,14 @@ object WebGraph {
     * standard simplified-PageRank behavior. Output carries the exact
     * numerator and its single-division double rendering.
     */
-  def linkAuthority(htmlDocs: DataFrame, iters: Int = 5): DataFrame = {
-    val edges = linkHostGraph(htmlLinks(htmlDocs)).persist()
+  def linkAuthority(htmlDocs: DataFrame, iters: Int = 5): DataFrame =
+    linkAuthorityFromLinks(htmlLinks(htmlDocs), iters)
+
+  /** [[linkAuthority]] off an already-extracted link frame (reused by
+    * the authority-weighted-quality composition).
+    */
+  def linkAuthorityFromLinks(links: DataFrame, iters: Int = 5): DataFrame = {
+    val edges = linkHostGraph(links).persist()
     val hosts = edges.select(col("src_host").as("host"))
       .unionByName(edges.select(col("dst_host").as("host")))
       .distinct()
@@ -152,7 +158,13 @@ object WebGraph {
     * (iterative chains referencing their predecessor twice explode
     * exponentially when inlined; the residual-PQ lesson).
     */
-  def linkAuthoritySql(iters: Int = 5): String = {
+  /** The shared CTE prefix of the authority twins: generator-arithmetic
+    * edges, hosts, out-weights, and the unrolled pr0..pr{iters} chain —
+    * each state MATERIALIZED (iterative chains referencing their
+    * predecessor twice explode exponentially when inlined; the
+    * residual-PQ lesson). No trailing comma.
+    */
+  def linkAuthorityCtes(iters: Int = 5): String = {
     val S = AuthorityScale
     val iterCtes = (1 to iters).map { t =>
       val p = t - 1
@@ -169,11 +181,13 @@ object WebGraph {
          |    GROUP BY 1) s ON s.host = h.host)""".stripMargin
     }.mkString(",\n")
     val rel = (0 until HtmlLinksPerDoc).map(j => s"(${7 * j + 3})").mkString(", ")
-    s"""WITH d AS (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL),
+    // the dst_host expression stays on ONE line: this fragment is
+    // spliced into outer stripMargin builders, which would strip a
+    // leading `||` continuation down to `|` (the r13 gotcha)
+    s"""d AS (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL),
        |lk AS (
        |  SELECT 'h' || CAST(doc_id % $HtmlHosts AS VARCHAR) || '.example' AS src_host,
-       |    'h' || CAST(((doc_id * 31 + o.v) % $HtmlLinkMod) % $HtmlHosts AS VARCHAR)
-       |      || '.example' AS dst_host
+       |    'h' || CAST(((doc_id * 31 + o.v) % $HtmlLinkMod) % $HtmlHosts AS VARCHAR) || '.example' AS dst_host
        |  FROM d CROSS JOIN (VALUES $rel) o(v)),
        |edges AS MATERIALIZED (
        |  SELECT src_host, dst_host, COUNT(*) AS n_links FROM lk GROUP BY 1, 2),
@@ -189,18 +203,63 @@ object WebGraph {
        |  SELECT host, CAST($S // n_hosts AS BIGINT) AS r,
        |    CAST(($S * 15) // (100 * n_hosts) AS BIGINT) AS base
        |  FROM hosts CROSS JOIN nb),
-       |$iterCtes,
+       |$iterCtes""".stripMargin
+  }
+
+  def linkAuthoritySql(iters: Int = 5): String =
+    s"""WITH ${linkAuthorityCtes(iters)},
        |inl AS (SELECT dst_host, CAST(SUM(n_links) AS BIGINT) AS in_w
        |        FROM edges GROUP BY 1)
        |SELECT h.host,
        |  COALESCE(o.out_w, 0) AS out_links,
        |  COALESCE(i.in_w, 0) AS in_links,
        |  r.r AS rank_scaled,
-       |  CAST(r.r AS DOUBLE) / $S.0 AS "rank"
+       |  CAST(r.r AS DOUBLE) / $AuthorityScale.0 AS "rank"
        |FROM hosts h
        |  JOIN pr$iters r ON r.host = h.host
        |  LEFT JOIN outs o ON o.src_host = h.host
        |  LEFT JOIN inl i ON i.dst_host = h.host
        |ORDER BY h.host""".stripMargin
+
+  /** The curation signal item-2 exists for: each document's rule-based
+    * quality score weighted by its HOST's link authority — the standard
+    * crawl-corpus move (authority up-weights content from well-linked
+    * hosts; spam farms with no in-links sink even when their text looks
+    * clean). Both factors are deterministic doubles from single
+    * divisions of exact integers, and the weighting is one IEEE
+    * multiply of identical inputs — hash-exact. Scale shape: the
+    * authority side is hosts-sized and BROADCASTS onto the documents
+    * scan; the per-doc side is one narrow projection.
+    */
+  def authorityWeightedQuality(documents: DataFrame): DataFrame = {
+    val corpus = TextOps.htmlCorpus(documents)
+    val auth = linkAuthority(corpus)
+      .select(col("host"), col("rank").as("host_authority"))
+    documents.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        concat(lit("h"), pmod(col("doc_id"), lit(HtmlHosts)).cast("string"),
+          lit(".example")).as("host"),
+        TextOps.qualityScore(col("text")).as("quality_score"))
+      .join(broadcast(auth), Seq("host"))
+      .select(col("doc_id"), col("host"), col("quality_score"),
+        col("host_authority"),
+        (col("quality_score") * col("host_authority")).as("weighted_quality"))
+      .orderBy("doc_id")
   }
+
+  /** DuckDB twin of [[authorityWeightedQuality]]: the authority CTE
+    * chain + the same per-doc quality expression and host arithmetic.
+    */
+  def authorityWeightedQualitySql(iters: Int = 5): String =
+    s"""WITH ${linkAuthorityCtes(iters)},
+       |q AS (
+       |  SELECT doc_id,
+       |    'h' || CAST(doc_id % $HtmlHosts AS VARCHAR) || '.example' AS host,
+       |    ${TextOps.qualityScoreSqlExpr} AS quality_score
+       |  FROM documents WHERE doc_id IS NOT NULL)
+       |SELECT q.doc_id, q.host, q.quality_score,
+       |  CAST(r.r AS DOUBLE) / $AuthorityScale.0 AS host_authority,
+       |  q.quality_score * (CAST(r.r AS DOUBLE) / $AuthorityScale.0) AS weighted_quality
+       |FROM q JOIN pr$iters r ON r.host = q.host
+       |ORDER BY q.doc_id""".stripMargin
 }

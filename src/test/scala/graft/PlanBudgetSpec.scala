@@ -174,7 +174,22 @@ class PlanBudgetSpec extends SparkSpec {
     "cluster_keywords" -> 8,
     // r14 HTML extraction: generator mapPartitions + columnar regexp
     // extract — the 1 is the output sort
-    "html_extract" -> 1)
+    "html_extract" -> 1,
+    // r15 link extraction: same corpus, regexp_extract_all + posexplode
+    // (both narrow) — the 1 is the output sort
+    "html_links" -> 1,
+    // r15 MJPEG: narrow mapPartitions demux+decode — the 1 is the sort
+    "multimodal_mjpeg_decode" -> 1)
+  // link_authority carries NO textual budget: its persisted edge frame
+  // re-prints under every one of the 5 unrolled iteration joins (the
+  // lsh_band_calibration rule). Scale shape: per-iteration state is
+  // hosts-sized, the one data-sized pass is the initial groupBy off the
+  // extracted links.
+  // ivf_maintenance_batch / streaming_ivf_maintenance / queue_replay /
+  // ivf_maintenance_retrain run their folds EAGERLY at construction
+  // (disk state between micro-batches) — the returned verdict-read plan
+  // says nothing about the fold; their scale shape is soaked instead
+  // (ScaleSoakSpec "ivf_maintenance").
   // lsh_band_calibration carries NO textual budget for the same reason
   // as lsh_incremental_newdocs above: its persisted signature/agreement
   // subtrees re-print under every band join × config leg (48 textual vs

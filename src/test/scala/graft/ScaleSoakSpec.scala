@@ -218,6 +218,14 @@ class ScaleSoakSpec extends SparkSpec {
   // nprobe/cells of the corpus — the whole chain must stay linear-ish
   soak("ivf_lloyd_topk", pinPlan = false)(
     e => Knn.ivfLloydTopK(e))(baseEmb, bigEmb)
+  // r15: the full maintenance LOOP (seed train + 2× attach/verdict/gate
+  // over fresh disk state per call) — cost model is the Lloyd trainer's
+  // (linear at fixed k·dim·iters) plus two O(batch) attach passes;
+  // pinPlan=false: the fold runs eagerly at construction (disk state,
+  // localCheckpoints), so the textual plan of the returned verdict read
+  // says nothing about the fold's shape — the time band is the guard
+  soak("ivf_maintenance", pinPlan = false)(
+    e => graft.sim.IvfMaintenance.maintenanceBatchFrom(e))(baseEmb, bigEmb)
 
   // r12 second scale point for the in-engine Lloyd trainer, the same
   // multi-point treatment dedup_containment got in r11: per-iteration
