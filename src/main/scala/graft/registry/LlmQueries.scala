@@ -147,6 +147,15 @@ private[graft] trait LlmQueries extends RegistryBase {
       Q("authority_weighted_quality",
         (s, d) => graft.text.WebGraph.authorityWeightedQuality(docs(s, d)),
         Some(graft.text.WebGraph.authorityWeightedQualitySql())),
+      // ...and the graph family's MAINTENANCE loop (the %3 carve): a
+      // crawl batch folds into the edge state and authority refreshes
+      // by WARM-STARTING the power iteration from the prior ranks (2
+      // steps) instead of recomputing; prior/warm/full ranks AND the
+      // exact integer gaps |warm−full| vs |prior−full| sit inside one
+      // hash — the convergence evidence is the query output
+      Q("link_authority_incremental",
+        (s, d) => graft.text.WebGraph.linkAuthorityIncremental(docs(s, d)),
+        Some(graft.text.WebGraph.linkAuthorityIncrementalSql())),
       Q("props_redacted",
         (s, d) => TextOps.redactDigits(TestdataAdapter.table(s, d, "events"), "props"),
         Some(TextOps.redactDigitsSql("props"))),

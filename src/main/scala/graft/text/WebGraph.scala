@@ -110,34 +110,46 @@ object WebGraph {
   /** [[linkAuthority]] off an already-extracted link frame (reused by
     * the authority-weighted-quality composition).
     */
-  def linkAuthorityFromLinks(links: DataFrame, iters: Int = 5): DataFrame = {
-    val edges = linkHostGraph(links).persist()
+  /** Out-weights per source host. */
+  private def outsOf(edges: DataFrame): DataFrame =
+    edges.groupBy("src_host").agg(sum("n_links").as("out_w"))
+
+  /** r₀ = S div N per host, with the damping base carried as a column. */
+  private def initRanks(edges: DataFrame): DataFrame = {
     val hosts = edges.select(col("src_host").as("host"))
       .unionByName(edges.select(col("dst_host").as("host")))
       .distinct()
-    val outs = edges.groupBy("src_host").agg(sum("n_links").as("out_w"))
-      .persist()
-    var ranks = hosts
+    hosts
       .crossJoin(broadcast(hosts.agg(count(lit(1)).as("n_hosts"))))
       .select(col("host"),
         expr(s"${AuthorityScale}L div n_hosts").as("r"),
         expr(s"(${AuthorityScale}L * 15) div (100 * n_hosts)").as("base"))
       .localCheckpoint()
-    for (_ <- 1 to iters) {
-      val contrib = edges
-        .join(ranks.select(col("host").as("src_host"), col("r")), "src_host")
-        .join(outs, "src_host")
-        .select(col("dst_host").as("host"),
-          expr("(r * n_links) div out_w").as("c"))
-        .groupBy("host").agg(sum("c").as("c"))
-      ranks = ranks.select("host", "base")
-        .join(contrib, Seq("host"), "left")
-        .select(col("host"),
-          (col("base") +
-            expr("(85 * coalesce(c, CAST(0 AS BIGINT))) div 100")).as("r"),
-          col("base"))
-        .localCheckpoint()
-    }
+  }
+
+  /** One power-iteration step of the scaled-BIGINT update rule. */
+  private def iterStep(ranks: DataFrame, edges: DataFrame,
+      outs: DataFrame): DataFrame = {
+    val contrib = edges
+      .join(ranks.select(col("host").as("src_host"), col("r")), "src_host")
+      .join(outs, "src_host")
+      .select(col("dst_host").as("host"),
+        expr("(r * n_links) div out_w").as("c"))
+      .groupBy("host").agg(sum("c").as("c"))
+    ranks.select("host", "base")
+      .join(contrib, Seq("host"), "left")
+      .select(col("host"),
+        (col("base") +
+          expr("(85 * coalesce(c, CAST(0 AS BIGINT))) div 100")).as("r"),
+        col("base"))
+      .localCheckpoint()
+  }
+
+  def linkAuthorityFromLinks(links: DataFrame, iters: Int = 5): DataFrame = {
+    val edges = linkHostGraph(links).persist()
+    val outs = outsOf(edges).persist()
+    var ranks = initRanks(edges)
+    for (_ <- 1 to iters) ranks = iterStep(ranks, edges, outs)
     val inl = edges.groupBy("dst_host").agg(sum("n_links").as("in_w"))
     val out = ranks
       .join(outs.withColumnRenamed("src_host", "host"), Seq("host"), "left")
@@ -153,6 +165,93 @@ object WebGraph {
     out
   }
 
+  /** Incremental authority maintenance — the web-graph member of the
+    * maintained-state family (exact/LSH text indexes, IVF cells): a new
+    * crawl batch (the standard %3 carve) lands, its links fold into the
+    * edge weights, and the authority refreshes by WARM-STARTING the
+    * power iteration from the PREVIOUS ranks for `warmIters` steps
+    * instead of recomputing from scratch — the standard incremental
+    * PageRank serving move (each step contracts the distance to the
+    * fixed point by ~the damping factor, so a small delta needs 1-2
+    * steps, not a full rerun). Output per host: the prior ranks, the
+    * warm-refreshed ranks, the full 5-iteration recompute (the retrain
+    * twin), and the exact integer gaps |warm−full| / |prior−full| — the
+    * convergence evidence, all inside the hash.
+    *
+    * Scale shape: the delta fold is one batch-sized groupBy merged into
+    * the hosts²-bounded edge state; each warm step is the hosts-sized
+    * join + aggregate; the full chain here is the EXPERIMENT's control
+    * leg, not the serving path.
+    */
+  def linkAuthorityIncremental(documents: DataFrame,
+      warmIters: Int = 2, iters: Int = 5): DataFrame = {
+    val base = documents
+      .filter(col("doc_id").isNotNull && col("doc_id") % 3 =!= 0)
+    val full = documents.filter(col("doc_id").isNotNull)
+    // prior state: the base graph's converged ranks
+    val bEdges = linkHostGraph(htmlLinks(TextOps.htmlCorpus(base))).persist()
+    val bOuts = outsOf(bEdges).persist()
+    var prior = initRanks(bEdges)
+    for (_ <- 1 to iters) prior = iterStep(prior, bEdges, bOuts)
+    bEdges.unpersist(blocking = false)
+    bOuts.unpersist(blocking = false)
+    // the delta folds in: full-corpus edges (state ∪ batch)
+    val fEdges = linkHostGraph(htmlLinks(TextOps.htmlCorpus(full))).persist()
+    val fOuts = outsOf(fEdges).persist()
+    var warm = prior
+    for (_ <- 1 to warmIters) warm = iterStep(warm, fEdges, fOuts)
+    var fullPr = initRanks(fEdges)
+    for (_ <- 1 to iters) fullPr = iterStep(fullPr, fEdges, fOuts)
+    val out = prior.select(col("host"), col("r").as("rank_prior_scaled"))
+      .join(warm.select(col("host"), col("r").as("rank_warm_scaled")), "host")
+      .join(fullPr.select(col("host"), col("r").as("rank_full_scaled")), "host")
+      .select(col("host"),
+        col("rank_prior_scaled"), col("rank_warm_scaled"),
+        col("rank_full_scaled"),
+        abs(col("rank_prior_scaled") - col("rank_full_scaled")).as("gap_prior"),
+        abs(col("rank_warm_scaled") - col("rank_full_scaled")).as("gap_warm"))
+      .orderBy("host")
+    fEdges.unpersist(blocking = false)
+    fOuts.unpersist(blocking = false)
+    out
+  }
+
+  /** DuckDB twin of [[linkAuthorityIncremental]]: the base chain
+    * (prefix `b`, %3 carve), the full-graph chain (prefix `f`), and the
+    * warm steps written against the full edges starting from `bpr5`.
+    */
+  def linkAuthorityIncrementalSql(warmIters: Int = 2, iters: Int = 5): String = {
+    def step(cur: String, prev: String, edges: String, outs: String) =
+      s"""$cur AS MATERIALIZED (
+         |  SELECT h.host,
+         |    CAST(h.base + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS r,
+         |    h.base
+         |  FROM $prev h LEFT JOIN (
+         |    SELECT e.dst_host AS host,
+         |      SUM((p.r * e.n_links) // o.out_w) AS c
+         |    FROM $edges e
+         |      JOIN $prev p ON p.host = e.src_host
+         |      JOIN $outs o ON o.src_host = e.src_host
+         |    GROUP BY 1) s ON s.host = h.host)""".stripMargin
+    val warmCtes = (1 to warmIters).map(t =>
+      step(s"w$t", if (t == 1) s"bpr$iters" else s"w${t - 1}",
+        "fedges", "fouts")).mkString(",\n")
+    s"""WITH ${linkAuthorityCtes(iters,
+          where = "doc_id IS NOT NULL AND doc_id % 3 <> 0", prefix = "b")},
+       |${linkAuthorityCtes(iters, prefix = "f")},
+       |$warmCtes
+       |SELECT b.host,
+       |  b.r AS rank_prior_scaled,
+       |  w.r AS rank_warm_scaled,
+       |  f.r AS rank_full_scaled,
+       |  CAST(abs(b.r - f.r) AS BIGINT) AS gap_prior,
+       |  CAST(abs(w.r - f.r) AS BIGINT) AS gap_warm
+       |FROM bpr$iters b
+       |  JOIN w$warmIters w ON w.host = b.host
+       |  JOIN fpr$iters f ON f.host = b.host
+       |ORDER BY b.host""".stripMargin
+  }
+
   /** DuckDB twin of [[linkAuthority]]: edges from the generator
     * arithmetic, then the iteration unrolled — each r{t} MATERIALIZED
     * (iterative chains referencing their predecessor twice explode
@@ -164,45 +263,47 @@ object WebGraph {
     * predecessor twice explode exponentially when inlined; the
     * residual-PQ lesson). No trailing comma.
     */
-  def linkAuthorityCtes(iters: Int = 5): String = {
+  def linkAuthorityCtes(iters: Int = 5,
+      where: String = "doc_id IS NOT NULL", prefix: String = ""): String = {
     val S = AuthorityScale
+    val P = prefix
     val iterCtes = (1 to iters).map { t =>
       val p = t - 1
-      s"""pr$t AS MATERIALIZED (
+      s"""${P}pr$t AS MATERIALIZED (
          |  SELECT h.host,
          |    CAST(h.base + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS r,
          |    h.base
-         |  FROM pr$p h LEFT JOIN (
+         |  FROM ${P}pr$p h LEFT JOIN (
          |    SELECT e.dst_host AS host,
          |      SUM((p.r * e.n_links) // o.out_w) AS c
-         |    FROM edges e
-         |      JOIN pr$p p ON p.host = e.src_host
-         |      JOIN outs o ON o.src_host = e.src_host
+         |    FROM ${P}edges e
+         |      JOIN ${P}pr$p p ON p.host = e.src_host
+         |      JOIN ${P}outs o ON o.src_host = e.src_host
          |    GROUP BY 1) s ON s.host = h.host)""".stripMargin
     }.mkString(",\n")
     val rel = (0 until HtmlLinksPerDoc).map(j => s"(${7 * j + 3})").mkString(", ")
     // the dst_host expression stays on ONE line: this fragment is
     // spliced into outer stripMargin builders, which would strip a
     // leading `||` continuation down to `|` (the r13 gotcha)
-    s"""d AS (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL),
-       |lk AS (
+    s"""${P}d AS (SELECT doc_id FROM documents WHERE $where),
+       |${P}lk AS (
        |  SELECT 'h' || CAST(doc_id % $HtmlHosts AS VARCHAR) || '.example' AS src_host,
        |    'h' || CAST(((doc_id * 31 + o.v) % $HtmlLinkMod) % $HtmlHosts AS VARCHAR) || '.example' AS dst_host
-       |  FROM d CROSS JOIN (VALUES $rel) o(v)),
-       |edges AS MATERIALIZED (
-       |  SELECT src_host, dst_host, COUNT(*) AS n_links FROM lk GROUP BY 1, 2),
-       |hosts AS MATERIALIZED (
+       |  FROM ${P}d CROSS JOIN (VALUES $rel) o(v)),
+       |${P}edges AS MATERIALIZED (
+       |  SELECT src_host, dst_host, COUNT(*) AS n_links FROM ${P}lk GROUP BY 1, 2),
+       |${P}hosts AS MATERIALIZED (
        |  SELECT DISTINCT host FROM (
-       |    SELECT src_host AS host FROM edges
-       |    UNION ALL SELECT dst_host FROM edges)),
-       |outs AS MATERIALIZED (
+       |    SELECT src_host AS host FROM ${P}edges
+       |    UNION ALL SELECT dst_host FROM ${P}edges)),
+       |${P}outs AS MATERIALIZED (
        |  SELECT src_host, CAST(SUM(n_links) AS BIGINT) AS out_w
-       |  FROM edges GROUP BY 1),
-       |nb AS (SELECT COUNT(*) AS n_hosts FROM hosts),
-       |pr0 AS MATERIALIZED (
+       |  FROM ${P}edges GROUP BY 1),
+       |${P}nb AS (SELECT COUNT(*) AS n_hosts FROM ${P}hosts),
+       |${P}pr0 AS MATERIALIZED (
        |  SELECT host, CAST($S // n_hosts AS BIGINT) AS r,
        |    CAST(($S * 15) // (100 * n_hosts) AS BIGINT) AS base
-       |  FROM hosts CROSS JOIN nb),
+       |  FROM ${P}hosts CROSS JOIN ${P}nb),
        |$iterCtes""".stripMargin
   }
 
