@@ -132,6 +132,16 @@ private[graft] trait LlmQueries extends RegistryBase {
       Q("html_links",
         (s, d) => graft.text.WebGraph.htmlLinks(TextOps.htmlCorpus(docs(s, d))),
         Some(graft.text.WebGraph.htmlLinksSql)),
+      // r15: URL canonicalization — the FIRST dedup of any crawl is at
+      // the URL. The generator writes each link in one of four real-web
+      // spellings (case + default port, dot segments + fragment,
+      // unsorted + tracking query); the columnar normalizer must
+      // collapse every spelling to the arithmetic-derived canonical
+      // form, relative nav links passing through untouched
+      Q("url_normalize",
+        (s, d) => graft.text.WebGraph.urlNormalize(
+          graft.text.WebGraph.htmlLinks(TextOps.htmlCorpus(docs(s, d)))),
+        Some(graft.text.WebGraph.urlNormalizeSql)),
       // ...and the curation signal on top: host-level link graph →
       // fixed-iteration weighted PageRank in QUANTIZED BIGINT (rank
       // numerators at 10^12, floor-division contributions, ×85 div 100

@@ -1723,6 +1723,25 @@ object TextOps {
   def htmlLinkTargets(id: Long): Seq[Long] =
     (0 until HtmlLinksPerDoc).map(j => (id * 31 + 7 * j + 3) % HtmlLinkMod)
 
+  /** The raw href a page writes for its j-th related link (r15): real
+    * crawl markup is MESSY, so the generator emits one of four
+    * deterministic spellings of the same canonical URL — clean,
+    * uppercased-host + default port, dot-segment + fragment, unsorted
+    * query with a tracking param — selected by (id + j) mod 4. The URL
+    * normalizer must collapse all four back to the canonical form
+    * (variant 3 keeps its sorted non-tracking params).
+    */
+  def htmlLinkHref(id: Long, j: Int): String = {
+    val t = htmlLinkTargets(id)(j)
+    val host = s"h${t % HtmlHosts}.example"
+    ((id + j) % 4) match {
+      case 0 => s"https://$host/doc/$t"
+      case 1 => s"HTTPS://${host.toUpperCase}:443/doc/$t"
+      case 2 => s"https://$host/a/../doc/$t#sec"
+      case _ => s"https://$host/doc/$t?b=2&a=1&utm_source=feed"
+    }
+  }
+
   /** One deterministic HTML page around a document's text: head with
     * title+style and the canonical host link, nav boilerplate, an h1,
     * the entity-escaped text split into 12-word paragraphs with every
@@ -1745,8 +1764,8 @@ object TextOps {
     }
     val paras = decorated.grouped(12)
       .map(g => s"<p>${g.mkString(" ")}</p>").mkString("\n")
-    val related = htmlLinkTargets(id)
-      .map(t => s"""<a href="https://h${t % HtmlHosts}.example/doc/$t">doc $t</a>""")
+    val related = htmlLinkTargets(id).zipWithIndex
+      .map { case (t, j) => s"""<a href="${htmlLinkHref(id, j)}">doc $t</a>""" }
       .mkString(" ")
     s"""<html><head><title>Doc $id</title><style>p{color:#111;margin:0 0 1em}</style>
        |<link rel="canonical" href="https://h${id % HtmlHosts}.example/doc/$id"></head>

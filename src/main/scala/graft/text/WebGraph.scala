@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Link/metadata extraction and web-graph authority over the HTML corpus
@@ -67,14 +67,41 @@ object WebGraph {
     * [[TextOps.HtmlLinksPerDoc]] related links at
     * (id·31 + 7j + 3) mod [[TextOps.HtmlLinkMod]].
     */
+  /** SQL for the RAW href the generator writes for related link j —
+    * [[TextOps.htmlLinkHref]]'s four spellings replayed (built on one
+    * line: these splice into stripMargin builders).
+    */
+  private def relHrefSql(j: Int): String = {
+    val t = s"((doc_id * 31 + ${7 * j + 3}) % $HtmlLinkMod)"
+    val host = s"'h' || CAST($t % $HtmlHosts AS VARCHAR) || '.example'"
+    val hostUp = s"'H' || CAST($t % $HtmlHosts AS VARCHAR) || '.EXAMPLE'"
+    val ts = s"CAST($t AS VARCHAR)"
+    Seq(
+      s"CASE CAST((doc_id + $j) % 4 AS INTEGER)",
+      s"WHEN 0 THEN 'https://' || $host || '/doc/' || $ts",
+      s"WHEN 1 THEN 'HTTPS://' || $hostUp || ':443/doc/' || $ts",
+      s"WHEN 2 THEN 'https://' || $host || '/a/../doc/' || $ts || '#sec'",
+      s"ELSE 'https://' || $host || '/doc/' || $ts || '?b=2&a=1&utm_source=feed'",
+      "END").mkString(" ")
+  }
+
+  /** SQL for related link j's CANONICAL form — straight arithmetic, the
+    * target the normalizer must recover from every raw spelling.
+    */
+  private def relCanonSql(j: Int): String = {
+    val t = s"((doc_id * 31 + ${7 * j + 3}) % $HtmlLinkMod)"
+    val base = s"'https://h' || CAST($t % $HtmlHosts AS VARCHAR) || '.example/doc/' || CAST($t AS VARCHAR)"
+    s"CASE WHEN (doc_id + $j) % 4 = 3 THEN $base || '?a=1&b=2' ELSE $base END"
+  }
+
   val htmlLinksSql: String = {
     val navRows = Seq(("/", "home", 1), ("/about", "about", 2)).map {
       case (h, a, r) => s"SELECT doc_id, $r AS link_rank, '$h' AS href, '$a' AS anchor FROM d"
     }
     val relRows = (0 until HtmlLinksPerDoc).map { j =>
-      val t = s"(doc_id * 31 + ${7 * j + 3}) % $HtmlLinkMod"
+      val t = s"((doc_id * 31 + ${7 * j + 3}) % $HtmlLinkMod)"
       s"""SELECT doc_id, ${3 + j} AS link_rank,
-         |  'https://h' || CAST(($t) % $HtmlHosts AS VARCHAR) || '.example/doc/' || CAST($t AS VARCHAR) AS href,
+         |  ${relHrefSql(j)} AS href,
          |  'doc ' || CAST($t AS VARCHAR) AS anchor FROM d""".stripMargin
     }
     s"""WITH d AS (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL),
@@ -86,14 +113,93 @@ object WebGraph {
        |FROM lk ORDER BY doc_id, link_rank""".stripMargin
   }
 
-  /** Host-level link graph off the extracted anchors: absolute links
-    * only (site-relative nav stays out of the cross-host graph), edge
-    * weight = link count.
+  /** URL canonicalization over the extracted links: raw href → canonical
+    * URL, with the canonical host and a messiness flag. Nav links pass
+    * through the normalizer unchanged (totality on relative URLs).
+    */
+  def urlNormalize(links: DataFrame): DataFrame = {
+    val u = normalizeUrl(col("href"))
+    links.select(col("doc_id"), col("link_rank"), col("href"),
+      u.as("url_canonical"),
+      when(u.startsWith("https://"),
+        regexp_extract(u, "https://([^/\"]*)/", 1)).otherwise(lit(null))
+        .as("dst_host"),
+      (col("href") =!= u).as("was_messy"))
+      .orderBy("doc_id", "link_rank")
+  }
+
+  /** DuckDB twin of htmlCorpus→htmlLinks→[[urlNormalize]]: RAW hrefs
+    * from the generator's variant arithmetic, canonical forms from the
+    * same arithmetic — hash equality proves the normalizer collapses
+    * every spelling (case, default port, dot segments + fragment,
+    * unsorted + tracking query) to exactly the canonical URL, and
+    * leaves the relative nav links untouched.
+    */
+  val urlNormalizeSql: String = {
+    val navRows = Seq(("/", 1), ("/about", 2)).map { case (h, r) =>
+      s"SELECT doc_id, $r AS link_rank, '$h' AS href, '$h' AS url_canonical, CAST(NULL AS VARCHAR) AS dst_host, FALSE AS was_messy FROM d"
+    }
+    val relRows = (0 until HtmlLinksPerDoc).map { j =>
+      val t = s"((doc_id * 31 + ${7 * j + 3}) % $HtmlLinkMod)"
+      val host = s"'h' || CAST($t % $HtmlHosts AS VARCHAR) || '.example'"
+      s"""SELECT doc_id, ${3 + j} AS link_rank,
+         |  ${relHrefSql(j)} AS href,
+         |  ${relCanonSql(j)} AS url_canonical,
+         |  $host AS dst_host,
+         |  (doc_id + $j) % 4 <> 0 AS was_messy FROM d""".stripMargin
+    }
+    s"""WITH d AS (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL),
+       |lk AS (${(navRows ++ relRows).mkString("\nUNION ALL\n")})
+       |SELECT doc_id, CAST(link_rank AS INTEGER) AS link_rank,
+       |  href, url_canonical, dst_host, was_messy
+       |FROM lk ORDER BY doc_id, link_rank""".stripMargin
+  }
+
+  /** URL canonicalization (r15) — the FIRST dedup of any crawl is at the
+    * URL, before a byte of content is compared, and raw crawl markup
+    * spells the same resource many ways. One columnar chain, no UDF:
+    * drop the fragment, lowercase the scheme://authority prefix, strip
+    * the scheme's default port (:443/:80), resolve `/x/../` dot
+    * segments (two passes — handles the nesting real markup has; a full
+    * RFC 3986 resolver loops to fixpoint), and canonicalize the query —
+    * params split, `utm_*` tracking params dropped, the rest SORTED and
+    * rejoined (no params left → no `?`). Total on relative URLs (they
+    * pass through with the same path/query treatment).
+    */
+  def normalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val prefix = regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    val rest = noFrag.substr(length(prefix) + 1, lit(1 << 20))
+    val lp = lower(prefix)
+    val noPort =
+      when(lp.startsWith("https://") && lp.endsWith(":443"),
+        lp.substr(lit(1), length(lp) - 4))
+        .when(lp.startsWith("http://") && lp.endsWith(":80"),
+          lp.substr(lit(1), length(lp) - 3))
+        .otherwise(lp)
+    val dots1 = regexp_replace(rest, "/[^/]+/\\.\\./", "/")
+    val dots = regexp_replace(dots1, "/[^/]+/\\.\\./", "/")
+    val path = substring_index(dots, "?", 1)
+    val query = when(instr(dots, "?") > 0,
+      dots.substr(length(path) + 2, lit(1 << 20))).otherwise(lit(""))
+    val params = array_join(
+      array_sort(filter(split(query, "&"),
+        x => !x.startsWith("utm_") && x =!= "")), "&")
+    concat(noPort, path,
+      when(params === "", lit("")).otherwise(concat(lit("?"), params)))
+  }
+
+  /** Host-level link graph off the extracted anchors, through the URL
+    * normalizer first (raw crawl hrefs spell hosts in mixed case with
+    * default ports — the graph must key on the canonical host):
+    * absolute links only (site-relative nav stays out of the cross-host
+    * graph), edge weight = link count.
     */
   def linkHostGraph(links: DataFrame): DataFrame =
-    links.filter(col("href").startsWith("https://"))
+    links.select(col("src_host"), normalizeUrl(col("href")).as("u"))
+      .filter(col("u").startsWith("https://"))
       .select(col("src_host"),
-        regexp_extract(col("href"), "https://([^/\"]*)/", 1).as("dst_host"))
+        regexp_extract(col("u"), "https://([^/\"]*)/", 1).as("dst_host"))
       .groupBy("src_host", "dst_host").agg(count(lit(1)).as("n_links"))
 
   /** Fixed-iteration weighted PageRank over the host graph, entirely in

@@ -22,13 +22,36 @@ class WebGraphSpec extends SparkSpec {
     assert(rows.forall(_.getAs[String]("src_host") ==
       s"h${5 % TextOps.HtmlHosts}.example"))
     // nav boilerplate first, then the related links at the generator's
-    // target arithmetic
+    // target arithmetic (hrefs in their RAW variant spellings)
     val byRank = rows.sortBy(_.getAs[Int]("link_rank"))
       .map(r => (r.getAs[String]("href"), r.getAs[String]("anchor")))
     assert(byRank(0) == (("/", "home")) && byRank(1) == (("/about", "about")))
     TextOps.htmlLinkTargets(5L).zipWithIndex.foreach { case (t, j) =>
-      assert(byRank(2 + j) ==
-        ((s"https://h${t % TextOps.HtmlHosts}.example/doc/$t", s"doc $t")))
+      assert(byRank(2 + j) == ((TextOps.htmlLinkHref(5L, j), s"doc $t")))
+    }
+  }
+
+  test("normalizeUrl collapses every variant spelling; total on edge shapes") {
+    val cases = Seq(
+      // the four generator spellings of one resource
+      "https://h3.example/doc/96" -> "https://h3.example/doc/96",
+      "HTTPS://H3.EXAMPLE:443/doc/96" -> "https://h3.example/doc/96",
+      "https://h3.example/a/../doc/96#sec" -> "https://h3.example/doc/96",
+      "https://h3.example/doc/96?b=2&a=1&utm_source=feed" ->
+        "https://h3.example/doc/96?a=1&b=2",
+      // beyond the generator: http default port, nested dot segments,
+      // all-tracking query (the '?' must go), relative URLs untouched
+      "HTTP://Host.X:80/p" -> "http://host.x/p",
+      "https://h.x/a/b/../../doc/1" -> "https://h.x/doc/1",
+      "https://h.x/doc/1?utm_a=1&utm_b=2" -> "https://h.x/doc/1",
+      "https://h.x:8080/p" -> "https://h.x:8080/p", // non-default port kept
+      "/about" -> "/about",
+      "/" -> "/")
+    val out = cases.map(_._1).toDF("href")
+      .select(col("href"), WebGraph.normalizeUrl(col("href")).as("u"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) =>
+      assert(out(in) == want, s"normalizeUrl($in) = ${out(in)}, want $want")
     }
   }
 
