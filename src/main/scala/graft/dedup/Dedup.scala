@@ -215,7 +215,10 @@ object Dedup {
     }
     // |configs| rows total — eagerly materialize the union so both cached
     // frames can be released here rather than leaking to the caller
-    val out = perConfig.reduce(_ unionByName _).localCheckpoint()
+    // (ADVICE r14). coalesce(1) first: the raw union carries 4×shuffle-
+    // partitions near-empty partitions, and checkpointing them all cost
+    // ~1.3 s of empty-task overhead per call (r15 sweep 1).
+    val out = perConfig.reduce(_ unionByName _).coalesce(1).localCheckpoint()
     sigs.unpersist()
     agree.unpersist()
     out.orderBy(col("bands").desc)
