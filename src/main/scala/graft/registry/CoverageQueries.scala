@@ -196,6 +196,102 @@ private[graft] trait CoverageQueries extends RegistryBase {
             |FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb)
             |ORDER BY replay, "offset"""".stripMargin)),
 
+      // Timestamp-indexed seek — Kafka's offsetsForTimes (r16, VERDICT
+      // item 3): the same three-segment latest-wins log, each envelope
+      // carrying a producer-stamped event ts (nondecreasing in offset
+      // order); the first two segments COMPACT into one sparse
+      // csegment. Target A's ts resolves INSIDE the compacted span (to
+      // the first SURVIVOR at or past it — sparse-offset resolution),
+      // target B's inside the live dense tail (skip-count replay); both
+      // replays ride the r15 startingOffset machinery from the resolved
+      // offsets, one hash over both. The oracle recomputes resolution +
+      // replay from the produce-order and survivor arithmetic, so a
+      // mis-resolved ts, a lost record, or a shifted offset anywhere in
+      // the probe→scan→seek path breaks the hash.
+      // (ts-below-retention raising the OffsetOutOfRange analogue is
+      // GraftQueueTimeSeekSpec's leg — it needs a truncation.)
+      Q("queue_replay_from_timestamp",
+        (s, d) => {
+          val path = java.nio.file.Files
+            .createTempDirectory("graftqueue_tseek").toString
+          val ev = TestdataAdapter.table(s, d, "events")
+            .select(col("event_id"), col("user_id"))
+            .withColumn("ts",
+              (col("event_id") % 3) * 10000000L + col("event_id"))
+          (0 to 2).foreach { k =>
+            ev.filter(col("event_id") % 3 === k)
+              .repartition(1).sortWithinPartitions("event_id")
+              .select(
+                concat(lit("u"), (col("user_id") % 7).cast("string"))
+                  .cast("binary").as("key"),
+                to_json(struct(col("event_id"), col("user_id"), col("ts")))
+                  .cast("binary").as("value"))
+              .write.format("graftqueue").option("path", path)
+              .option("topic", "ev.tseek").mode("append").save()
+          }
+          val bounds = ev.agg(
+            sum(when(col("event_id") % 3 === 0, 1L).otherwise(0L)),
+            sum(when(col("event_id") % 3 <= 1, 1L).otherwise(0L)),
+            max(when(col("event_id") % 3 === 1, col("event_id"))),
+            max(when(col("event_id") % 3 === 2, col("event_id")))).head()
+          val (n01, maxE1, maxE2) =
+            (bounds.getLong(1), bounds.getLong(2), bounds.getLong(3))
+          graft.sources.GraftQueue.compact(path, "ev.tseek", n01)
+          val tsA = 10000000L + maxE1 / 2
+          val tsB = 20000000L + (maxE2 * 3) / 4
+          val tsRe = """"ts":(\d+)""".r
+          def tsOf(k: Array[Byte], v: Array[Byte]): Long =
+            tsRe.findFirstMatchIn(new String(v, "UTF-8"))
+              .map(_.group(1).toLong)
+              .getOrElse(sys.error("envelope without ts"))
+          val wire = org.apache.spark.sql.types.StructType.fromDDL(
+            "event_id BIGINT, user_id BIGINT, ts BIGINT")
+          def replay(tag: String, target: Long) =
+            s.read.format("graftqueue").option("path", path)
+              .option("topic", "ev.tseek")
+              .option("startingOffset", graft.sources.GraftQueue
+                .offsetForTime(path, "ev.tseek", target, tsOf).toString)
+              .load()
+              .select(lit(tag).as("replay"), col("offset"),
+                col("key").cast("string").as("key"),
+                from_json(col("value").cast("string"), wire).as("r"))
+              .select(col("replay"), col("offset"), col("key"),
+                col("r.event_id").as("event_id"),
+                col("r.user_id").as("user_id"), col("r.ts").as("ts"))
+          replay("A", tsA)
+            .unionByName(replay("B", tsB))
+            .orderBy("replay", "offset")
+        },
+        Some(
+          """WITH ord AS (
+            |  SELECT event_id, user_id, event_id % 3 AS seg,
+            |    (event_id % 3) * 10000000 + event_id AS ts,
+            |    ROW_NUMBER() OVER (ORDER BY event_id % 3, event_id) - 1 AS off
+            |  FROM events),
+            |ns AS (
+            |  SELECT
+            |    (SELECT COUNT(*) FROM ord WHERE seg <= 1) AS n01,
+            |    (SELECT 10000000 + MAX(event_id) // 2 FROM ord WHERE seg = 1) AS tsa,
+            |    (SELECT 20000000 + (MAX(event_id) * 3) // 4 FROM ord WHERE seg = 2) AS tsb),
+            |pre AS (
+            |  SELECT o.event_id, o.user_id, o.ts, o.off,
+            |    ROW_NUMBER() OVER (PARTITION BY o.user_id % 7
+            |                       ORDER BY o.off DESC) AS rk
+            |  FROM ord o, ns WHERE o.off < ns.n01),
+            |lg AS (
+            |  SELECT event_id, user_id, ts, off FROM pre WHERE rk = 1
+            |  UNION ALL
+            |  SELECT o.event_id, o.user_id, o.ts, o.off
+            |  FROM ord o, ns WHERE o.off >= ns.n01),
+            |fa AS (SELECT MIN(off) AS o FROM lg, ns WHERE lg.ts >= ns.tsa),
+            |fb AS (SELECT MIN(off) AS o FROM lg, ns WHERE lg.ts >= ns.tsb),
+            |ra AS (SELECT 'A' AS replay, l.* FROM lg l, fa WHERE l.off >= fa.o),
+            |rb AS (SELECT 'B' AS replay, l.* FROM lg l, fb WHERE l.off >= fb.o)
+            |SELECT replay, off AS "offset",
+            |  'u' || CAST(user_id % 7 AS VARCHAR) AS key, event_id, user_id, ts
+            |FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb)
+            |ORDER BY replay, "offset"""".stripMargin)),
+
       // S7 consumer leg: Open-Meteo response bodies → normalize_weather's
       // exact field mapping (request-constant lat/lon strings, km/h
       // stored unconverted as mps — both reference quirks kept). Goes

@@ -56,6 +56,25 @@ private[graft] trait LlmQueries extends RegistryBase {
       // here — sf corpora are small; the spec pins floor/cap effects).
       Q("bpe_train", (s, d) => TextOps.bpeTrain(docs(s, d)),
         Some(TextOps.bpeTrainSql())),
+      // Unigram-LM (SentencePiece-style) trainer (r16, VERDICT item 4)
+      // — the second published tokenizer family: substring seed vocab →
+      // N hard-EM rounds (Viterbi segmentation of the distinct-word
+      // table under scaled-BIGINT log-prob scores → usage counts →
+      // prune to the cap + add-one re-estimate). The oracle replays the
+      // WHOLE loop: the Viterbi DP unrolls per character position with
+      // the trainer's exact (score DESC, backpointer ASC) tie-break,
+      // and the ln() arithmetic sits on the proven round(·,9) seam
+      // quantized to BIGINT before any comparison.
+      Q("unigram_train",
+        (s, d) => graft.text.Unigram.unigramTrain(docs(s, d)),
+        Some(graft.text.Unigram.unigramTrainSql())),
+      // ...and the served encoder: one more Viterbi pass under the
+      // final vocab, per-word piece counts broadcast onto the exploded
+      // corpus, per-document rollup (words past the trained length
+      // bound excluded, both engines).
+      Q("unigram_encode_stats",
+        (s, d) => graft.text.Unigram.unigramEncodeStats(docs(s, d)),
+        Some(graft.text.Unigram.unigramEncodeStatsSql())),
       // tokenizer APPLY, ORACLE-EXACT at the pinned merge table
       // (promoted r11): the merge table is the committed trained
       // artifact (BpeFixture — bpeTrain's sf0.01 output, provenance
@@ -166,6 +185,41 @@ private[graft] trait LlmQueries extends RegistryBase {
       Q("link_authority_incremental",
         (s, d) => graft.text.WebGraph.linkAuthorityIncremental(docs(s, d)),
         Some(graft.text.WebGraph.linkAuthorityIncrementalSql())),
+      // ...and the family's full PRODUCTION loop as running disk state
+      // (r16, VERDICT item 1): versioned edge-state + rank-state, per
+      // batch an edge merge + warm-start refresh, a CONVERGENCE verdict
+      // (one probe step — the drift-gate analogue), and a full
+      // recompute GATED on the probe residual. This is the in-plan
+      // BATCH twin; `streaming_link_authority` runs the identical
+      // maintenanceStep fold over graftqueue micro-batches under the
+      // SAME oracle, so stream ≡ batch is itself hash-checked. The
+      // oracle encodes the gate structurally both ways: the ranks
+      // serving batch 2 union warm-rows (gate closed) with
+      // full-recompute rows (gate open), so a gate disagreement
+      // corrupts report 2 and fails the hash loudly.
+      Q("link_authority_maintenance",
+        (s, d) => graft.text.WebGraphMaintenance.maintenanceBatch(s, d),
+        Some(graft.text.WebGraphMaintenance.maintenanceCarveSql())),
+      // the same fold on REAL transport: crawl-delta document batches
+      // ride the queue as JSON envelopes and drain offset-ordered;
+      // crash recovery proven by WebGraphMaintenanceSpec's
+      // kill-between-verdict-and-state leg. Memoized state dir
+      // amortizes the corpus seed across reps (the dedup-stream rule).
+      Q("streaming_link_authority",
+        (s, d) => graft.streaming.WebGraphStream.webGraphQueueStream(s, d,
+          stateDir = Some(memo(dedupStreamStateDirs)(("wgq", d))(
+            java.nio.file.Files.createTempDirectory("graft_wgq_state").toString))),
+        Some(graft.text.WebGraphMaintenance.maintenanceCarveSql())),
+      // ...and the retrain-FIRING leg: batch 1 is a spam-burst link
+      // farm (a never-seen host absorbing a huge share of every host's
+      // out-mass — the warm refresh cannot re-converge, the gate MUST
+      // fire and the serving ranks recompute from init), batch 2 a
+      // small organic delta against the retrained state (gate closed
+      // again). Both gate directions sit inside one hash, plus the
+      // new-host cold start.
+      Q("link_authority_retrain",
+        (s, _) => graft.text.WebGraphMaintenance.maintenanceRetrain(s),
+        Some(graft.text.WebGraphMaintenance.maintenanceRetrainSql())),
       Q("props_redacted",
         (s, d) => TextOps.redactDigits(TestdataAdapter.table(s, d, "events"), "props"),
         Some(TextOps.redactDigitsSql("props"))),
@@ -643,6 +697,26 @@ private[graft] trait LlmQueries extends RegistryBase {
       Q("ivf_maintenance_retrain",
         (s, _) => graft.sim.IvfMaintenance.maintenanceRetrain(s),
         Some(graft.sim.IvfMaintenance.maintenanceRetrainSql())),
+      // Graph-based ANN (r16, VERDICT item 2) — the index family the
+      // engine lacked beside IVF/PQ/SQ8: a deterministic NSW-style
+      // proximity graph, built ROUND-BATCHED (each round's insertions
+      // beam-search the graph FROZEN at the previous round, then the
+      // degree bound re-prunes set-wise) so build AND search replay in
+      // the oracle like the Lloyd loop: BIGINT quantized distances,
+      // (d, id) tie-breaks, fixed rounds via vec_id mod R — one oracle
+      // string at every scale factor.
+      Q("knn_graph_topk",
+        (s, d) => graft.sim.KnnGraph.graphTopK(embs(s, d)),
+        Some(graft.sim.KnnGraph.graphTopKSql())),
+      // ...and its operating-point experiment on the clustered fixture:
+      // graph vs IVF recall with the HONEST per-query candidate budget
+      // (distinct vectors actually scored) inside the hash — the
+      // "graph ≥ IVF at a matched budget" claim is query output, not a
+      // doc sentence. KnnGraphSpec asserts the inequality.
+      Q("knn_graph_recall_clustered",
+        (s, _) => graft.sim.KnnGraph.graphRecall(Knn.clusteredEmbeddings(s)),
+        Some(graft.sim.KnnGraph.graphRecallSql(
+          prelude = Knn.clusteredEmbeddingsCte()))),
       // PCA reduced-space ANN recall vs full-space brute force,
       // ORACLE-EXACT at the pinned basis (promoted r11, same pattern as
       // pq_topk/semdedup_keep): the loading matrix is the committed
@@ -816,6 +890,20 @@ private[graft] trait LlmQueries extends RegistryBase {
       Q("multimodal_mjpeg_decode",
         (s, d) => Multimodal.mjpegDecode(Multimodal.mjpegCorpus(docs(s, d))),
         Some(Multimodal.mjpegDecodeSql)),
+      // Video NEAR-DUP (r16, VERDICT item 5) — the two mature families
+      // composed: the real AVI demuxer's per-frame channel signatures
+      // feed the dedup machinery's df-bounded posting-list containment
+      // join. The planted fixture replays clips exactly (id%11=4) and
+      // TRIMMED (id%7=3, frame 0 dropped — different bytes, contained
+      // frame set: the case frame-level dedup exists for); the oracle
+      // regenerates the expected frame table from the source-mapped
+      // pixel arithmetic and replays the same fingerprint/containment
+      // algebra — trims read containment 1.0 / same_sequence false,
+      // exact replays 1.0 / true, all inside one hash.
+      Q("video_near_dup",
+        (s, d) => graft.multimodal.VideoDedup.videoNearDup(
+          graft.multimodal.VideoDedup.nearDupCorpus(docs(s, d))),
+        Some(graft.multimodal.VideoDedup.videoNearDupSql())),
     )
   }
 

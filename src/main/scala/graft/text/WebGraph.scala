@@ -217,11 +217,11 @@ object WebGraph {
     * the authority-weighted-quality composition).
     */
   /** Out-weights per source host. */
-  private def outsOf(edges: DataFrame): DataFrame =
+  private[text] def outsOf(edges: DataFrame): DataFrame =
     edges.groupBy("src_host").agg(sum("n_links").as("out_w"))
 
   /** r₀ = S div N per host, with the damping base carried as a column. */
-  private def initRanks(edges: DataFrame): DataFrame = {
+  private[text] def initRanks(edges: DataFrame): DataFrame = {
     val hosts = edges.select(col("src_host").as("host"))
       .unionByName(edges.select(col("dst_host").as("host")))
       .distinct()
@@ -234,7 +234,7 @@ object WebGraph {
   }
 
   /** One power-iteration step of the scaled-BIGINT update rule. */
-  private def iterStep(ranks: DataFrame, edges: DataFrame,
+  private[text] def iterStep(ranks: DataFrame, edges: DataFrame,
       outs: DataFrame): DataFrame = {
     val contrib = edges
       .join(ranks.select(col("host").as("src_host"), col("r")), "src_host")

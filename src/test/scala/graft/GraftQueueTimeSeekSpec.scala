@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.GraftQueue
+
+/** Timestamp-indexed seek (r16, VERDICT item 3 — Kafka's
+  * `offsetsForTimes`): resolution to the first record-ts ≥ target
+  * inside a dense segment, inside a compacted span (sparse survivor
+  * offsets), at the boundaries (exact hit, past-the-end), and the
+  * OffsetOutOfRange analogue when the target predates the retained log.
+  */
+class GraftQueueTimeSeekSpec extends SparkSpec {
+
+  private val topic = "ts.seek"
+
+  private val tsRe = """"ts":(\d+)""".r
+  private def tsOf(k: Array[Byte], v: Array[Byte]): Long =
+    tsRe.findFirstMatchIn(new String(v, "UTF-8")).get.group(1).toLong
+
+  /** Produce one segment of (key=k{id%3}, value={"id":id,"ts":ts}) rows
+    * with ts = 100·id — ids ascending within the segment.
+    */
+  private def produce(path: String, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    ids.toDF("id")
+      .repartition(1).sortWithinPartitions("id")
+      .select(
+        concat(lit("k"), (col("id") % 3).cast("string"))
+          .cast("binary").as("key"),
+        to_json(struct(col("id"), (col("id") * 100).as("ts")))
+          .cast("binary").as("value"))
+      .write.format("graftqueue").option("path", path)
+      .option("topic", topic).mode("append").save()
+  }
+
+  test("dense log: resolves to the first record ts >= target; exact hit; past-end") {
+    val path = Files.createTempDirectory("graft_tseek").toString
+    produce(path, 0L to 9L)    // offsets 0..9,  ts 0..900
+    produce(path, 10L to 19L)  // offsets 10..19, ts 1000..1900
+    // strictly between records: ts 250 → first >= is id 3 at offset 3
+    assert(GraftQueue.offsetForTime(path, topic, 250L, tsOf) == 3L)
+    // exact hit on a record: ts 1200 → offset 12 (second segment)
+    assert(GraftQueue.offsetForTime(path, topic, 1200L, tsOf) == 12L)
+    // at/below the first record: earliest offset
+    assert(GraftQueue.offsetForTime(path, topic, 0L, tsOf) == 0L)
+    assert(GraftQueue.offsetForTime(path, topic, -5L, tsOf) == 0L)
+    // past the last record: the log end — an empty replay, not an error
+    assert(GraftQueue.offsetForTime(path, topic, 99999L, tsOf) == 20L)
+  }
+
+  test("compacted span: resolves to the first SURVIVOR at or past the target") {
+    val path = Files.createTempDirectory("graft_tseek_c").toString
+    produce(path, 0L to 9L)
+    produce(path, 10L to 19L)
+    GraftQueue.compact(path, topic, 20L)
+    // keys cycle id % 3 → the only survivors of the prefix are the
+    // latest per key: ids 17, 18, 19 at offsets 17, 18, 19
+    produce(path, 20L to 24L) // live dense tail
+    // ts 250 (id 3's stamp) fell in the compacted hole → the first
+    // survivor past it is offset 17
+    assert(GraftQueue.offsetForTime(path, topic, 250L, tsOf) == 17L)
+    // inside the dense tail still resolves record-exact
+    assert(GraftQueue.offsetForTime(path, topic, 2250L, tsOf) == 23L)
+    // the resolved offset feeds the existing seek machinery: replay
+    // from ts 250 sees exactly survivors 17.. + the tail
+    val ids = spark.read.format("graftqueue").option("path", path)
+      .option("topic", topic)
+      .option("startingOffset",
+        GraftQueue.offsetForTime(path, topic, 250L, tsOf).toString)
+      .load().select(col("offset")).collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == (17L to 24L))
+  }
+
+  test("target below the retained log raises the OffsetOutOfRange analogue") {
+    val path = Files.createTempDirectory("graft_tseek_r").toString
+    produce(path, 0L to 9L)
+    produce(path, 10L to 19L)
+    val r = GraftQueue.retain(path, topic, 10L) // first segment truncated
+    assert(r.logStartOffset == 10L)
+    // the records that held ts<=900 are gone: fail loudly
+    val ex = intercept[IllegalArgumentException] {
+      GraftQueue.offsetForTime(path, topic, 250L, tsOf)
+    }
+    assert(ex.getMessage.contains("OffsetOutOfRange"))
+    // targets inside the surviving suffix still resolve
+    assert(GraftQueue.offsetForTime(path, topic, 1250L, tsOf) == 13L)
+    // a fully-truncated log has no answer for any target
+    val r2 = GraftQueue.retain(path, topic, 20L)
+    assert(r2.logStartOffset == 20L)
+    val ex2 = intercept[IllegalArgumentException] {
+      GraftQueue.offsetForTime(path, topic, 1250L, tsOf)
+    }
+    assert(ex2.getMessage.contains("OffsetOutOfRange"))
+  }
+}
