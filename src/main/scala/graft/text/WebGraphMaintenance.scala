@@ -182,9 +182,20 @@ object WebGraphMaintenance {
     */
   def maintenanceBatch(spark: SparkSession, dir: String,
       warmIters: Int = 2, iters: Int = 5,
+      gapThreshold: Long = GapThreshold): DataFrame =
+    maintenanceBatchFrom(
+      graft.TestdataAdapter.table(spark, dir, "documents"),
+      warmIters, iters, gapThreshold)
+
+  /** [[maintenanceBatch]] over any documents frame (the soak harness's
+    * entry — fresh state per call, so every call times the FULL loop:
+    * corpus seed + two extract/merge/refresh/gate steps).
+    */
+  def maintenanceBatchFrom(docs: DataFrame,
+      warmIters: Int = 2, iters: Int = 5,
       gapThreshold: Long = GapThreshold): DataFrame = {
-    val (corpus, b1, b2) = carve(
-      graft.TestdataAdapter.table(spark, dir, "documents"))
+    val spark = docs.sparkSession
+    val (corpus, b1, b2) = carve(docs)
     val staged = java.nio.file.Files
       .createTempDirectory("graft_wgm_batch").toString
     val (state, verd) = (s"$staged/state", s"$staged/verdicts")

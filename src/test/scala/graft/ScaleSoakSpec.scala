@@ -536,4 +536,45 @@ class ScaleSoakSpec extends SparkSpec {
     assert(a10 == a1 && a30 == a1,
       s"action count must be scale-invariant: $a1/$a10/$a30")
   }
+
+  // r16: the web-graph maintenance FULL loop at 10x crawl — extraction
+  // scales with the documents, the edge merge with the batch, and every
+  // power step stays hosts-bounded (the amplified ids keep the same 16
+  // hosts, so the rank state does not grow at all: the point of
+  // host-level authority at 100 TB).
+  test("web-graph maintenance full loop absorbs 10x crawl sub-quadratically", Soak) {
+    def run(docs: DataFrame): Double = {
+      val t0 = System.nanoTime()
+      graft.text.WebGraphMaintenance.maintenanceBatchFrom(docs)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    run(baseDocs) // warm
+    val t1 = Seq.fill(3)(run(baseDocs)).sorted.apply(1)
+    val t10 = run(bigDocs)
+    info(f"webgraph_maintenance: t1=$t1%.1fs t10=$t10%.1fs ratio=${t10 / t1}%.1f")
+    assert(t10 <= 25.0 * t1 + 10.0,
+      f"web-graph maintenance t(10x)=$t10%.1fs vs t(1x)=$t1%.1fs — super-linear blowup")
+  }
+
+  // r16: graph-ANN build + search at 10x corpus — the seed block and the
+  // entry set stay FIXED-size, every round is batch-sized beam searches
+  // against the degree-bounded adjacency, and the serving walk's budget
+  // is per-query-bounded; cost must track the insert volume, not the
+  // pair count. (No textual shuffle pin: the build localCheckpoints per
+  // round, the lsh_incremental rule.)
+  test("knn_graph build+search absorbs 10x corpus sub-quadratically", Soak) {
+    def run(emb: DataFrame): Double = {
+      val t0 = System.nanoTime()
+      graft.sim.KnnGraph.graphTopK(emb)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    run(baseEmb) // warm
+    val t1 = Seq.fill(3)(run(baseEmb)).sorted.apply(1)
+    val t10 = run(bigEmb)
+    info(f"knn_graph: t1=$t1%.1fs t10=$t10%.1fs ratio=${t10 / t1}%.1f")
+    assert(t10 <= 25.0 * t1 + 10.0,
+      f"knn_graph t(10x)=$t10%.1fs vs t(1x)=$t1%.1fs — super-linear blowup")
+  }
 }
