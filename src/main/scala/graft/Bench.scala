@@ -25,7 +25,7 @@ import org.apache.spark.sql.SparkSession
   *
   * Round-over-round comparison (r13): when a committed round-start
   * baseline file exists (SPARK_GRAFT_BENCH_BASELINE, default
-  * bench_r13_baseline.json — the unchanged round-start build swept on
+  * bench_r16_baseline.json — the unchanged round-start build swept on
   * THIS machine), the results carry per-query `ratio_vs_baseline`
   * (this trimmed median / baseline trimmed median) and a `regressions`
   * list with a drift-immune criterion: a query is a regression only if
@@ -166,7 +166,7 @@ object Bench {
     // this round's fastest rep > 2× the baseline's slowest rep.
     case class B(min: Double, median: Double, max: Double)
     val baselinePath = sys.env.getOrElse(
-      "SPARK_GRAFT_BENCH_BASELINE", "bench_r15_baseline.json")
+      "SPARK_GRAFT_BENCH_BASELINE", "bench_r16_baseline.json")
     val baseline: Map[String, B] =
       try {
         val f = java.nio.file.Paths.get(baselinePath)
