@@ -597,6 +597,23 @@ object GraftQueue {
     if (best >= 0L) best else snap.total
   }
 
+  /** The option-friendly timestamp extractor for [[offsetForTime]]:
+    * `tsPattern` is a regex with ONE capture group applied to the
+    * record value's UTF-8 text (the envelope convention is JSON, so
+    * `"ts":(\d+)` reads a payload-embedded stamp). A DataSource option
+    * cannot carry a function, so the pattern IS the wire contract for
+    * `startingTimestamp` reads.
+    */
+  private[sources] def regexTsOf(
+      pattern: String): (Array[Byte], Array[Byte]) => Long = {
+    val re = pattern.r
+    (_, v) => re.findFirstMatchIn(new String(v, "UTF-8"))
+      .map(_.group(1).toLong)
+      .getOrElse(throw new IllegalArgumentException(
+        s"record value does not match tsPattern $pattern — " +
+          "offsetForTime needs every retained record to carry the stamp"))
+  }
+
   /** Publish a fully-written temp file as the next segment of `dir`'s
     * topic — CROSS-PROCESS safe, lock-free. The claimed name is a pure
     * function of the stamp, and the claim is a hard link (atomic O_EXCL
@@ -664,9 +681,21 @@ final class GraftQueueTable(path: String, topic: String) extends Table
         // only records at offset >= X — a skip-count partial read when X
         // falls inside a dense segment, an offset-clamped sub-range when
         // it falls inside a compacted span, a whole-segment drop below.
+        // `startingTimestamp` (r16) is Kafka's startingOffsetsByTimestamp:
+        // resolve event time → offset via offsetForTime (tsPattern reads
+        // the payload stamp), then ride the same seek machinery.
         val snap = GraftQueue.snapshot(path, topic)
         val from = Option(options.get("startingOffset"))
-          .map(_.toLong).getOrElse(snap.base)
+          .map(_.toLong)
+          .orElse(Option(options.get("startingTimestamp")).map { ts =>
+            val pat = options.get("tsPattern")
+            require(pat != null, "startingTimestamp requires " +
+              "option(\"tsPattern\", ...) — one capture group over the " +
+              "record value text")
+            GraftQueue.offsetForTime(path, topic, ts.toLong,
+              GraftQueue.regexTsOf(pat))
+          })
+          .getOrElse(snap.base)
         require(from >= snap.base,
           s"startingOffset $from is below the log start ${snap.base} for " +
             s"topic $topic — those records were truncated " +
@@ -694,7 +723,9 @@ final class GraftQueueTable(path: String, topic: String) extends Table
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
         new QueueMicroBatchStream(path, topic,
           Option(options.get("maxRecordsPerTrigger")).map(_.toLong),
-          Option(options.get("startingOffset")).map(_.toLong))
+          Option(options.get("startingOffset")).map(_.toLong),
+          Option(options.get("startingTimestamp")).map(_.toLong),
+          Option(options.get("tsPattern")))
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -753,7 +784,9 @@ private case class QueueOffset(n: Long) extends Offset {
   */
 private final class QueueMicroBatchStream(
     path: String, topic: String, maxPerTrigger: Option[Long],
-    startingOffset: Option[Long] = None)
+    startingOffset: Option[Long] = None,
+    startingTimestamp: Option[Long] = None,
+    tsPattern: Option[String] = None)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
   @volatile private var availableNowTarget: Option[Long] = None
@@ -813,7 +846,18 @@ private final class QueueMicroBatchStream(
     startingOffset.foreach(x => require(x >= base,
       s"startingOffset $x is below the log start $base for topic $topic " +
         "(OffsetOutOfRange); replay from the log start instead"))
-    QueueOffset(startingOffset.getOrElse(base))
+    // startingTimestamp (r16): resolved HERE — initialOffset is only
+    // consulted on a checkpoint-less first start, so a restarted
+    // consumer never re-resolves against a log the target may have
+    // aged out of. offsetForTime raises the OffsetOutOfRange analogue
+    // itself when the target predates the retained log.
+    val fromTs = startingTimestamp.map { ts =>
+      val pat = tsPattern.getOrElse(throw new IllegalArgumentException(
+        "startingTimestamp requires option(\"tsPattern\", ...) — one " +
+          "capture group over the record value text"))
+      GraftQueue.offsetForTime(path, topic, ts, GraftQueue.regexTsOf(pat))
+    }
+    QueueOffset(startingOffset.orElse(fromTs).getOrElse(base))
   }
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(

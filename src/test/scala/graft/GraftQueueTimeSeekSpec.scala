@@ -74,6 +74,45 @@ class GraftQueueTimeSeekSpec extends SparkSpec {
     assert(ids.toSeq == (17L to 24L))
   }
 
+  test("startingTimestamp option: batch and streaming reads seek by event time") {
+    val path = Files.createTempDirectory("graft_tseek_o").toString
+    produce(path, 0L to 9L)
+    produce(path, 10L to 19L)
+    // batch: option-driven ts seek ≡ the equivalent offset seek
+    def offsets(reader: org.apache.spark.sql.DataFrameReader) = reader
+      .format("graftqueue").option("path", path).option("topic", topic)
+      .load().select(col("offset")).collect().map(_.getLong(0)).sorted.toSeq
+    val viaTs = offsets(spark.read
+      .option("startingTimestamp", "1200")
+      .option("tsPattern", """"ts":(\d+)"""))
+    assert(viaTs == (12L to 19L),
+      s"batch startingTimestamp read returned $viaTs")
+    assert(viaTs == offsets(spark.read.option("startingOffset", "12")))
+    // missing tsPattern fails loudly, never a silent full read
+    val ex = intercept[Exception] {
+      offsets(spark.read.option("startingTimestamp", "1200"))
+    }
+    assert(ex.getMessage.contains("tsPattern"))
+    // streaming: the first batch of a ts-seeking consumer starts at the
+    // resolved offset (a mid-segment skip-count read)
+    import spark.implicits._
+    val got = spark.readStream.format("graftqueue")
+      .option("path", path).option("topic", topic)
+      .option("startingTimestamp", "1500")
+      .option("tsPattern", """"ts":(\d+)""")
+      .load().select(col("offset"))
+    val q = got.writeStream.format("memory").queryName("tseek_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_tseek_ck").toString)
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("tseek_stream")
+      .as[Long].collect().sorted.toSeq
+    assert(streamed == (15L to 19L),
+      s"streaming startingTimestamp drain returned $streamed")
+  }
+
   test("target below the retained log raises the OffsetOutOfRange analogue") {
     val path = Files.createTempDirectory("graft_tseek_r").toString
     produce(path, 0L to 9L)
