@@ -29,5 +29,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // r17: the whole-stage-codegen class cache defaults to 100 entries —
+  // a rounding error against 268 registered queries whose iterative
+  // chains each carry dozens of codegen units, so back-to-back reps
+  // recompile (janino) the same sources every time. Scale-neutral: any
+  // long-lived driver serving many distinct queries wants this; the
+  // cached classes are KB-sized. (Static SQL conf, hence a JVM prop.)
+  "-Dspark.sql.codegen.cache.maxEntries=8192",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -388,10 +388,11 @@ private[graft] trait DynamicQueries extends RegistryBase {
       // their codebooks in-engine; both rows are oracle-exact;
       // ClusteredRecallSpec pins residual >= no_residual.
       Q("ivfpq_residual_recall_clustered",
-        (s, _) => graft.sim.Knn.ivfPqResidualRecall(
-          graft.sim.Knn.clusteredEmbeddings(s), residual = true)
-          .unionByName(graft.sim.Knn.ivfPqResidualRecall(
-            graft.sim.Knn.clusteredEmbeddings(s), residual = false))
+        // r17: both variants off ONE coarse train + ONE exact ranking
+        // (they share them by construction; the two-call form duplicated
+        // the identical Lloyd chain and brute-force leg) — rows unchanged
+        (s, _) => graft.sim.Knn.ivfPqResidualRecallBoth(
+          graft.sim.Knn.clusteredEmbeddings(s))
           .orderBy("variant"),
         Some(graft.sim.Knn.ivfPqResidualRecallBothSql(
           prelude = graft.sim.Knn.clusteredEmbeddingsCte()))),

@@ -51,6 +51,29 @@ object IvfMaintenance {
   private def exists(p: String): Boolean =
     java.nio.file.Files.exists(java.nio.file.Paths.get(p))
 
+  /** Byte-identical copy of a (flat) parquet state dir — the gate-closed
+    * version bump (r17): when `retrain_due` is false the next version IS
+    * the current one, so re-reading and re-writing it through two Spark
+    * jobs per batch bought nothing. Overwrite semantics match the Spark
+    * write (delete target, then copy), so redelivered batches stay
+    * replay-idempotent.
+    */
+  private def copyState(src: String, dst: String): Unit = {
+    val s = java.nio.file.Paths.get(src)
+    val d = java.nio.file.Paths.get(dst)
+    if (java.nio.file.Files.exists(d)) {
+      val walk = java.nio.file.Files.walk(d)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+      finally walk.close()
+    }
+    java.nio.file.Files.createDirectories(d)
+    val list = java.nio.file.Files.list(s)
+    try list.filter(p => java.nio.file.Files.isRegularFile(p))
+      .forEach(p => java.nio.file.Files.copy(p, d.resolve(p.getFileName)))
+    finally list.close()
+  }
+
   private def train(e0: DataFrame, cells: Int, iters: Int): DataFrame = {
     var cen = lloydSeeds(e0, cells)
     for (_ <- 1 to iters) cen = lloydUpdate(cen, lloydAssign(e0, cen))
@@ -190,10 +213,8 @@ object IvfMaintenance {
       win.unpersist(blocking = false)
       corpusQ.unpersist(blocking = false)
     } else {
-      cen.coalesce(1).write.mode("overwrite")
-        .parquet(cenPath(stateDir, batchId + 1))
-      ts.coalesce(1).write.mode("overwrite")
-        .parquet(statsPath(stateDir, batchId + 1))
+      copyState(cenPath(stateDir, batchId), cenPath(stateDir, batchId + 1))
+      copyState(statsPath(stateDir, batchId), statsPath(stateDir, batchId + 1))
     }
     ()
   }

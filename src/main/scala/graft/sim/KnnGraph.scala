@@ -102,7 +102,7 @@ object KnnGraph {
     * scored (the honest candidate-budget accounting for the recall
     * experiment).
     */
-  private def beamSearch(queries: DataFrame, adj: DataFrame, e0: DataFrame,
+  private[graft] def beamSearch(queries: DataFrame, adj: DataFrame, e0: DataFrame,
       entries: DataFrame, beamW: Int, hops: Int,
       withVisited: Boolean = false): (DataFrame, DataFrame) = {
     val vecs = e0.select(col("vec_id").as("cand"), col("q").as("cq"))
@@ -110,35 +110,44 @@ object KnnGraph {
     def score(cands: DataFrame): DataFrame = cands
       .join(queries, "qid").join(vecs, "cand")
       .select(col("qid"), col("cand"), pdist(col("qq"), col("cq")).as("d"))
-    // discovered = every (query, candidate) scored so far; beam = its
-    // best beamW; expanded = nodes whose adjacency was already walked.
-    // Each hop expands only the beam's UNEXPANDED nodes — the batch
-    // form of NSW's ef-search (a node's neighborhood is walked once;
-    // the beam never oscillates over the same expansions).
+    // discovered = every (query, candidate) scored so far, carrying an
+    // `exp` flag — true once the node's adjacency has been walked; the
+    // beam is its best beamW. Each hop expands only the beam's
+    // UNEXPANDED nodes — the batch form of NSW's ef-search (a node's
+    // neighborhood is walked once; the beam never oscillates over the
+    // same expansions). r17 (guide §2.4): the expanded set used to be a
+    // SECOND accumulated frame with its own eager checkpoint and an
+    // anti-join per hop; folding it into `discovered` as a flag costs
+    // one flip-join and saves one checkpoint job + one anti-join
+    // exchange per hop, with identical set membership
+    // (OptimizationEquivalenceSpec pins beam ≡ the two-frame form).
     var discovered = score(
       queries.crossJoin(broadcast(entries)).select("qid", "cand"))
+      .withColumn("exp", lit(false))
       .localCheckpoint()
     // the first beam keeps only the EnterW nearest entries: the rest
     // are other clusters' medoids, and expanding them scores whole
     // far neighborhoods for nothing (measured: ~60 wasted candidates
     // per query at 16 entries)
-    var beam = discovered
+    def beamOf(d: DataFrame, width: Int): DataFrame = d
       .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= EnterW).drop("rk")
-    var expanded = beam.select("qid", "cand").limit(0)
+      .filter(col("rk") <= width).drop("rk")
+    var beam = beamOf(discovered, EnterW)
     for (_ <- 1 to hops) {
-      val frontier = beam.select("qid", "cand")
-        .join(expanded, Seq("qid", "cand"), "left_anti")
-      expanded = expanded.unionByName(frontier).localCheckpoint()
+      val frontier = beam.filter(!col("exp")).select("qid", "cand")
       val fresh = frontier.join(adj, frontier("cand") === adj("src"))
         .select(col("qid"), col("dst").as("cand")).distinct()
         .join(discovered.select("qid", "cand"), Seq("qid", "cand"), "left_anti")
-      discovered = discovered.unionByName(score(fresh)).localCheckpoint()
-      beam = discovered
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= beamW).drop("rk")
+      discovered = discovered
+        .join(frontier.withColumn("fr", lit(true)), Seq("qid", "cand"), "left")
+        .select(col("qid"), col("cand"), col("d"),
+          (col("exp") || coalesce(col("fr"), lit(false))).as("exp"))
+        .unionByName(score(fresh).withColumn("exp", lit(false)))
+        .localCheckpoint()
+      beam = beamOf(discovered, beamW)
     }
-    (beam, if (withVisited) discovered.select("qid", "cand") else beam)
+    (beam.drop("exp"),
+      if (withVisited) discovered.select("qid", "cand") else beam.drop("exp"))
   }
 
   /** Build the proximity graph over a quantized corpus. Returns
@@ -154,7 +163,7 @@ object KnnGraph {
     * prune pool, the DiskANN-style reachability guarantee. Duplicate
     * edges the floor re-adds are harmless: expansion dedups candidates.
     */
-  private def buildGraph(e0: DataFrame, seedSize: Int, rounds: Int,
+  private[graft] def buildGraph(e0: DataFrame, seedSize: Int, rounds: Int,
       m: Int, beamW: Int, hops: Int,
       cells: Int, iters: Int): (DataFrame, DataFrame) = {
     val seed = seedOf(e0, seedSize).localCheckpoint()

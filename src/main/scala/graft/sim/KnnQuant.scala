@@ -58,7 +58,7 @@ private[sim] trait KnnQuant extends KnnCore {
   /** Quantized corpus (vec_id, q: 64 BIGINT micro-units), persisted — it
     * feeds every iteration's assign + update legs and the final report.
     */
-  private[sim] def lloydQuantized(embeddings: DataFrame): DataFrame = {
+  private[graft] def lloydQuantized(embeddings: DataFrame): DataFrame = {
     val quant = expr(
       s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $LloydScale.0) AS BIGINT))")
     withNorm(embeddings).select(col("vec_id"), quant.as("q")).persist()
@@ -68,7 +68,7 @@ private[sim] trait KnnQuant extends KnnCore {
     * already-LIMITed k-row frame — bounded by construction, not a
     * corpus-wide single-partition sort (the heavy ranking is TakeOrdered).
     */
-  private[sim] def lloydSeeds(e0: DataFrame, k: Int): DataFrame = {
+  private[graft] def lloydSeeds(e0: DataFrame, k: Int): DataFrame = {
     val seedW = Window.orderBy("h", "vec_id")
     e0.withColumn("h", md5(col("vec_id").cast("string")))
       .orderBy("h", "vec_id").limit(k)
@@ -80,7 +80,7 @@ private[sim] trait KnnQuant extends KnnCore {
     * centroid frame: the centroids collapse to a one-row k×64 grid
     * (ordered by j) and broadcast — KB-sized at any corpus size.
     */
-  private[sim] def lloydAssign(e0: DataFrame, cen: DataFrame): DataFrame = {
+  private[graft] def lloydAssign(e0: DataFrame, cen: DataFrame): DataFrame = {
     val grid = cen.groupBy().agg(
       transform(array_sort(collect_list(struct(col("j"), col("c")))),
         s => s.getField("c")).as("cb"))
@@ -99,17 +99,23 @@ private[sim] trait KnnQuant extends KnnCore {
     * re-embeds and re-optimizes every earlier iteration's aggregation
     * subtree twice over.
     */
-  private[sim] def lloydUpdate(cen: DataFrame, asg: DataFrame): DataFrame = {
-    val sums = asg
-      .select(col("j"), posexplode(col("q")).as(Seq("i", "v")))
-      .groupBy("j", "i")
-      .agg(sum("v").as("s"), count(lit(1)).as("cnt"))
-    val newCen = sums
-      .withColumn("m", ((col("s") % col("cnt")) + col("cnt")) % col("cnt"))
-      .withColumn("cd", ((col("s") - col("m")).cast("double") / col("cnt")).cast("long"))
-      .groupBy("j")
-      .agg(transform(array_sort(collect_list(struct(col("i"), col("cd")))),
-        s => s.getField("cd")).as("nc"))
+  private[graft] def lloydUpdate(cen: DataFrame, asg: DataFrame): DataFrame = {
+    // r17 (guide §2.3/§2.4): the per-(cluster, dim) sums as Dim aggregate
+    // expressions over ONE partial-aggregated hash shuffle of k rows —
+    // the previous posexplode form pushed k×Dim exploded rows through
+    // TWO aggregations (sum, then collect_list+array_sort rebuild) plus
+    // the same join. Exactly-divisible floor-means are computed per
+    // dimension from the identical integer sums, so every centroid bit
+    // is unchanged (OptimizationEquivalenceSpec pins it).
+    val sums = asg.groupBy("j").agg(
+      count(lit(1)).as("cnt"),
+      (0 until Dim).map(i => sum(col("q").getItem(i)).as(s"s$i")): _*)
+    val newCen = sums.select(col("j"),
+      array((0 until Dim).map { i =>
+        val s = col(s"s$i")
+        val m = ((s % col("cnt")) + col("cnt")) % col("cnt")
+        ((s - m).cast("double") / col("cnt")).cast("long")
+      }: _*).as("nc"))
     cen.join(newCen, Seq("j"), "left")
       .select(col("j"), coalesce(col("nc"), col("c")).as("c"))
       .localCheckpoint()
@@ -927,14 +933,17 @@ private[sim] trait KnnQuant extends KnnCore {
     * never cached (codes and bounded probe/LUT frames are the only
     * reused state — the [[ivfPqTopK]] r14 rule).
     */
-  def ivfPqResidualTopK(
-      embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
-      cells: Int = 8, iters: Int = 2, nprobe: Int = 2,
-      m: Int = 16, nC: Int = 16, pqIters: Int = 3,
-      residual: Boolean = true): DataFrame = {
-    require(Dim % m == 0, s"m=$m must divide Dim=$Dim")
-    val subDim = Dim / m
-    // ---- coarse leg: trained cells, home assignment, probe sets ----
+  /** Coarse IVF state shared across the residual-PQ variants (r17): the
+    * trained centroid frame, the checkpointed home assignment, and the
+    * checkpointed query probe sets. Extracting it lets the
+    * recall-comparison query train the coarse quantizer ONCE for its two
+    * PQ variants instead of running the identical Lloyd chain twice.
+    */
+  private[sim] final case class IvfCoarse(
+      cen: DataFrame, asg: DataFrame, qprobes: DataFrame)
+
+  private[sim] def ivfCoarseOf(embeddings: DataFrame, nQueries: Int,
+      cells: Int, iters: Int, nprobe: Int): IvfCoarse = {
     val e0 = lloydQuantized(embeddings)
     var cen = lloydSeeds(e0, cells)
     for (_ <- 1 to iters) cen = lloydUpdate(cen, lloydAssign(e0, cen))
@@ -950,6 +959,26 @@ private[sim] trait KnnQuant extends KnnCore {
       .select("query_id", "qq", "cell")
       .localCheckpoint()
     e0.unpersist(blocking = false)
+    IvfCoarse(cen, asg, qprobes)
+  }
+
+  def ivfPqResidualTopK(
+      embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
+      cells: Int = 8, iters: Int = 2, nprobe: Int = 2,
+      m: Int = 16, nC: Int = 16, pqIters: Int = 3,
+      residual: Boolean = true): DataFrame =
+    ivfPqResidualTopKFrom(
+      ivfCoarseOf(embeddings, nQueries, cells, iters, nprobe),
+      k, nprobe, m, nC, pqIters, residual)
+
+  /** [[ivfPqResidualTopK]] over a prebuilt coarse state. */
+  private[sim] def ivfPqResidualTopKFrom(
+      coarse: IvfCoarse, k: Int, nprobe: Int,
+      m: Int, nC: Int, pqIters: Int,
+      residual: Boolean): DataFrame = {
+    require(Dim % m == 0, s"m=$m must divide Dim=$Dim")
+    val subDim = Dim / m
+    val IvfCoarse(cen, asg, qprobes) = coarse
     // ---- residual training set, long form (vec_id, cell, sub, rs) ----
     val cenB = cen.select(col("j").as("cell"), col("c"))
     def subSplit(arr: Column): Column =
@@ -984,17 +1013,19 @@ private[sim] trait KnnQuant extends KnnCore {
         .withColumn("cidx",
           (array_position(col("ds"), array_min(col("ds"))) - 1).cast("int"))
     def pqUpdate(cb: DataFrame, pasg: DataFrame): DataFrame = {
-      val sums = pasg
-        .select(col("sub"), col("cidx"), posexplode(col("rs")).as(Seq("i", "v")))
-        .groupBy("sub", "cidx", "i")
-        .agg(sum("v").as("s"), count(lit(1)).as("cnt"))
-      val upd = sums
-        .withColumn("mm", ((col("s") % col("cnt")) + col("cnt")) % col("cnt"))
-        .withColumn("cd",
-          ((col("s") - col("mm")).cast("double") / col("cnt")).cast("long"))
-        .groupBy("sub", "cidx")
-        .agg(transform(array_sort(collect_list(struct(col("i"), col("cd")))),
-          s => s.getField("cd")).as("npc"))
+      // r17: subDim per-dimension sums as aggregate expressions over ONE
+      // partial-aggregated shuffle — the posexplode form shuffled
+      // subDim× the rows through two aggregations (the lloydUpdate
+      // rewrite, one level down; same exact integers).
+      val sums = pasg.groupBy("sub", "cidx").agg(
+        count(lit(1)).as("cnt"),
+        (0 until subDim).map(i => sum(col("rs").getItem(i)).as(s"s$i")): _*)
+      val upd = sums.select(col("sub"), col("cidx"),
+        array((0 until subDim).map { i =>
+          val s = col(s"s$i")
+          val mm = ((s % col("cnt")) + col("cnt")) % col("cnt")
+          ((s - mm).cast("double") / col("cnt")).cast("long")
+        }: _*).as("npc"))
       cb.join(upd, Seq("sub", "cidx"), "left")
         .select(col("sub"), col("cidx"), coalesce(col("npc"), col("pc")).as("pc"))
         .localCheckpoint()
@@ -1042,23 +1073,19 @@ private[sim] trait KnnQuant extends KnnCore {
     * exact leg) — one row, with the variant labeled so residual and
     * no-residual runs union into one comparable frame.
     */
-  def ivfPqResidualRecall(
-      embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
-      cells: Int = 8, iters: Int = 2, nprobe: Int = 2,
-      m: Int = 16, nC: Int = 16, pqIters: Int = 3,
-      residual: Boolean = true): DataFrame = {
-    val approx = ivfPqResidualTopK(embeddings, nQueries, k, cells, iters,
-      nprobe, m, nC, pqIters, residual)
-      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
-    // exact leg: quantized-domain brute force, no cache (one corpus scan
-    // plus a pushdown-filtered query scan)
+  /** Exact integer-L2 top-k over the quantized domain, no cache (one
+    * corpus scan plus a pushdown-filtered query scan) — the recall
+    * experiments' ground-truth leg.
+    */
+  private def exactIntTopK(embeddings: DataFrame,
+      nQueries: Int, k: Int): DataFrame = {
     val quant = expr(
       s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $LloydScale.0) AS BIGINT))")
     val eq = withNorm(embeddings).select(col("vec_id"), quant.as("q"))
     val qset = eq.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("q").as("qq"))
     val w = Window.partitionBy("query_id").orderBy(col("d"), col("vec_id"))
-    val exact = eq.crossJoin(broadcast(qset))
+    eq.crossJoin(broadcast(qset))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("d",
         aggregate(zip_with(col("qq"), col("q"), (x, y) => (x - y) * (x - y)),
@@ -1066,6 +1093,17 @@ private[sim] trait KnnQuant extends KnnCore {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
+  }
+
+  /** One recall row for one PQ variant against a prebuilt coarse state
+    * and exact ranking.
+    */
+  private def ivfPqResidualRecallRow(coarse: IvfCoarse, exact: DataFrame,
+      k: Int, cells: Int, nprobe: Int, m: Int, nC: Int, pqIters: Int,
+      residual: Boolean): DataFrame = {
+    val approx = ivfPqResidualTopKFrom(coarse, k, nprobe, m, nC, pqIters,
+      residual)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
     exact.join(approx, Seq("query_id", "neighbor_id"), "left")
       .agg(count(lit(1)).as("n_exact"),
         sum(coalesce(col("hit"), lit(0))).as("hits"))
@@ -1075,6 +1113,35 @@ private[sim] trait KnnQuant extends KnnCore {
         lit(m).as("m"), lit(nC).as("code_k"),
         col("n_exact"), col("hits"),
         (col("hits").cast("double") / col("n_exact")).as("recall"))
+  }
+
+  def ivfPqResidualRecall(
+      embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
+      cells: Int = 8, iters: Int = 2, nprobe: Int = 2,
+      m: Int = 16, nC: Int = 16, pqIters: Int = 3,
+      residual: Boolean = true): DataFrame =
+    ivfPqResidualRecallRow(
+      ivfCoarseOf(embeddings, nQueries, cells, iters, nprobe),
+      exactIntTopK(embeddings, nQueries, k),
+      k, cells, nprobe, m, nC, pqIters, residual)
+
+  /** Both variants of the residual-vs-no-residual experiment off ONE
+    * coarse train and ONE exact ranking (r17; the registration formerly
+    * ran [[ivfPqResidualRecall]] twice, duplicating the identical Lloyd
+    * chain, home assignment, probe sets and brute-force leg — only the
+    * PQ codebooks differ between the variants). Output rows are
+    * bit-identical to the two independent runs.
+    */
+  def ivfPqResidualRecallBoth(
+      embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
+      cells: Int = 8, iters: Int = 2, nprobe: Int = 2,
+      m: Int = 16, nC: Int = 16, pqIters: Int = 3): DataFrame = {
+    val coarse = ivfCoarseOf(embeddings, nQueries, cells, iters, nprobe)
+    val exact = exactIntTopK(embeddings, nQueries, k).localCheckpoint()
+    ivfPqResidualRecallRow(coarse, exact, k, cells, nprobe, m, nC, pqIters,
+        residual = true)
+      .unionByName(ivfPqResidualRecallRow(coarse, exact, k, cells, nprobe,
+        m, nC, pqIters, residual = false))
   }
 
   /** The COMPLETE production serving stack — FAISS's IndexIVFPQ +

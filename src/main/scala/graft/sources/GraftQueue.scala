@@ -463,34 +463,69 @@ object GraftQueue {
     * segment, explicit stored offsets for a csegment.
     */
   private def foreachRecord(f: File, startOffset: Long)(
-      fn: (Int, Long, Array[Byte], Array[Byte]) => Unit): Unit = {
+      fn: (Int, Long, Array[Byte], Array[Byte]) => Unit): Unit =
+    foreachRecordUntil(f, startOffset) { (p, o, k, v) => fn(p, o, k, v); false }
+
+  /** [[foreachRecord]] with early termination: stop reading the moment
+    * `fn` returns true. Records are length-prefixed, so stopping after
+    * record i means exactly i+1 records were deserialized — the bounded
+    * read [[offsetForTime]]'s probe contract depends on (r17; the prior
+    * probe read every record of every live segment).
+    */
+  private def foreachRecordUntil(f: File, startOffset: Long)(
+      fn: (Int, Long, Array[Byte], Array[Byte]) => Boolean): Unit = {
     val in = new DataInputStream(new FileInputStream(f))
     try {
       if (isCompacted(f)) {
         in.readLong() // span
         val phys = in.readLong()
         var i = 0L
-        while (i < phys) {
+        var stop = false
+        while (i < phys && !stop) {
           val part = in.readInt()
           val off = in.readLong()
           val key = new Array[Byte](in.readInt()); in.readFully(key)
           val value = new Array[Byte](in.readInt()); in.readFully(value)
-          fn(part, off, key, value)
+          stop = fn(part, off, key, value)
           i += 1
         }
       } else {
         val n = in.readLong()
         var i = 0L
-        while (i < n) {
+        var stop = false
+        while (i < n && !stop) {
           val part = in.readInt()
           val key = new Array[Byte](in.readInt()); in.readFully(key)
           val value = new Array[Byte](in.readInt()); in.readFully(value)
-          fn(part, startOffset + i, key, value)
+          stop = fn(part, startOffset + i, key, value)
           i += 1
         }
       }
     } finally in.close()
   }
+
+  /** A segment's FIRST record as (absolute offset, key, value) — one
+    * length-prefixed read after the header, nothing else deserialized
+    * (None only for a degenerate empty segment). This is the per-segment
+    * index-probe read: Kafka answers `offsetsForTimes` from the time
+    * index without touching the log; this emulation's analogue is "one
+    * record per segment file".
+    */
+  private def firstRecordOf(f: File, startOffset: Long)
+      : Option[(Long, Array[Byte], Array[Byte])] = {
+    var out: Option[(Long, Array[Byte], Array[Byte])] = None
+    foreachRecordUntil(f, startOffset) { (_, off, k, v) =>
+      out = Some((off, k, v)); true
+    }
+    out
+  }
+
+  /** Records deserialized by [[offsetForTime]] calls in this JVM —
+    * test-only instrumentation that lets GraftQueueTimeSeekSpec pin the
+    * probe's cost contract (≤ one record per live segment + the boundary
+    * segment's span + one) instead of trusting scaladoc prose.
+    */
+  private[graft] val probeRecordsRead = new java.util.concurrent.atomic.AtomicLong
 
   /** The minimum committed offset across a set of Structured Streaming
     * checkpoint locations consuming this topic — the safe
@@ -567,14 +602,16 @@ object GraftQueue {
           "exists (OffsetOutOfRange)")
       return 0L
     }
-    // index probe: (file, segment start offset, first record's ts)
+    // index probe: (file, segment start offset, first record's ts) —
+    // exactly ONE length-prefixed record read per live segment (r17; the
+    // prior foreachRecord probe deserialized every record of every
+    // segment, an O(total records) driver read at plan time that the
+    // scaladoc's own contract disclaimed)
     var acc = snap.base
     val probe = snap.segs.map { f =>
-      var first = Long.MaxValue
-      var done = false
-      foreachRecord(f, acc) { (_, _, k, v) =>
-        if (!done) { first = tsOf(k, v); done = true }
-      }
+      val first = firstRecordOf(f, acc).map { case (_, k, v) =>
+        probeRecordsRead.incrementAndGet(); tsOf(k, v)
+      }.getOrElse(Long.MaxValue)
       val e = (f, acc, first)
       acc += spanOf(f)
       e
@@ -585,13 +622,17 @@ object GraftQueue {
         s"start ${snap.base}) — records holding the answer were " +
         "truncated (OffsetOutOfRange)")
     // boundary = the last segment whose first record is still below the
-    // target (the answer is inside it or in a later segment)
+    // target (the answer is inside it or in a later segment). Stamps are
+    // nondecreasing in offset order, so scanning stops at the first
+    // record with ts >= target; a segment past the boundary whose first
+    // record qualifies costs exactly one read.
     val startIdx = math.max(0, probe.lastIndexWhere(_._3 < ts))
     var best = -1L
     probe.drop(startIdx).foreach { case (f, segStart, _) =>
       if (best < 0L)
-        foreachRecord(f, segStart) { (_, off, k, v) =>
-          if (best < 0L && tsOf(k, v) >= ts) best = off
+        foreachRecordUntil(f, segStart) { (_, off, k, v) =>
+          probeRecordsRead.incrementAndGet()
+          if (tsOf(k, v) >= ts) { best = off; true } else false
         }
     }
     if (best >= 0L) best else snap.total
@@ -607,6 +648,14 @@ object GraftQueue {
   private[sources] def regexTsOf(
       pattern: String): (Array[Byte], Array[Byte]) => Long = {
     val re = pattern.r
+    // validate the one-capture-group contract ONCE, up front: a matching
+    // pattern with zero groups would otherwise surface as an opaque
+    // IndexOutOfBounds from group(1) on the first record instead of the
+    // descriptive misconfiguration error this contract promises (r17,
+    // ADVICE r16)
+    require(re.pattern.matcher("").groupCount() >= 1,
+      s"tsPattern $pattern has no capture group — offsetForTime reads " +
+        "the timestamp from the pattern's FIRST capture group")
     (_, v) => re.findFirstMatchIn(new String(v, "UTF-8"))
       .map(_.group(1).toLong)
       .getOrElse(throw new IllegalArgumentException(
@@ -850,14 +899,16 @@ private final class QueueMicroBatchStream(
     // consulted on a checkpoint-less first start, so a restarted
     // consumer never re-resolves against a log the target may have
     // aged out of. offsetForTime raises the OffsetOutOfRange analogue
-    // itself when the target predates the retained log.
-    val fromTs = startingTimestamp.map { ts =>
+    // itself when the target predates the retained log. Resolution is
+    // LAZY inside orElse (r17, ADVICE r16): when startingOffset wins,
+    // the losing timestamp leg must not probe the log or throw — the
+    // batch path's orElse already behaved this way.
+    QueueOffset(startingOffset.orElse(startingTimestamp.map { ts =>
       val pat = tsPattern.getOrElse(throw new IllegalArgumentException(
         "startingTimestamp requires option(\"tsPattern\", ...) — one " +
           "capture group over the record value text"))
       GraftQueue.offsetForTime(path, topic, ts, GraftQueue.regexTsOf(pat))
-    }
-    QueueOffset(startingOffset.orElse(fromTs).getOrElse(base))
+    }).getOrElse(base))
   }
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(

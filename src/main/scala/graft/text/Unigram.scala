@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions._
   *
   * Determinism contract, mirrored term-for-term by the SQL twins:
   *   - the working set is the DISTINCT-WORD table (the bpeTrain rule:
-  *     that is what real tokenizer trainers hold, bounded here by the
-  *     `maxWordLen` filter — on 100 TB you add the same minCount /
-  *     maxVocab knobs bpeTrain exposes);
+  *     that is what real tokenizer trainers hold), bounded by the
+  *     `maxWordLen` filter plus the same `minCount` frequency floor and
+  *     `maxWords` top-K cap bpeTrain exposes (r17) — both applied
+  *     DISTRIBUTED before the collect, so the driver working set and
+  *     every EM round are ≤ maxWords rows at any corpus size;
   *   - piece scores are log-probs in SCALED BIGINT: ln() is rounded to
   *     9 dp immediately (the cross-engine transcendental rule), the
   *     difference of two such roundings is exact in double, and the
@@ -52,13 +54,30 @@ object Unigram {
   private def scoreExprSql(cnt: String, tot: String): String =
     s"CAST(round((round(ln(CAST($cnt AS DOUBLE)), 9) - round(ln(CAST($tot AS DOUBLE)), 9)) * 1000000000.0, 0) AS BIGINT)"
 
-  /** Bounded distinct-word table, deterministically ordered. */
-  private def wordTable(documents: DataFrame): Array[(String, Long)] =
-    documents.select(explode(TextOps.toks(col("text"))).as("word"))
+  /** Bounded distinct-word table, deterministically ordered. The bound
+    * is applied DISTRIBUTED, before anything reaches the driver (r17,
+    * the bpeTrain discipline the r16 verdict asked for): `minCount` is a
+    * frequency floor on the aggregated counts, `maxWords` a top-K cap by
+    * (f DESC, word) — orderBy+limit plans as TakeOrdered, never a
+    * single-partition sort — so the driver working set (and every
+    * EM round's Viterbi loop over it) is ≤ maxWords rows no matter the
+    * corpus size. Defaults are off, like bpeTrain's: the sf corpora are
+    * small and the registered queries' outputs stay bit-identical;
+    * UnigramSpec pins the floor/cap effects.
+    */
+  private def wordTable(documents: DataFrame,
+      minCount: Long, maxWords: Int): Array[(String, Long)] = {
+    val counted = documents
+      .select(explode(TextOps.toks(col("text"))).as("word"))
       .filter(length(col("word")).between(1, MaxWordLen))
       .groupBy("word").agg(count(lit(1)).as("f"))
-      .orderBy("word")
+      .filter(col("f") >= minCount)
+    val capped =
+      if (maxWords == Int.MaxValue) counted
+      else counted.orderBy(col("f").desc, col("word")).limit(maxWords)
+    capped.orderBy("word")
       .collect().map(r => (r.getString(0), r.getLong(1)))
+  }
 
   /** Seed counts: every substring occurrence of length 1..MaxPieceLen,
     * weighted by word frequency (an occurrence per start position —
@@ -130,10 +149,10 @@ object Unigram {
     chars ++ multi
   }
 
-  private def trainVocab(documents: DataFrame,
-      iters: Int): (Array[(String, Long)], Seq[(String, Long)]) = {
+  private def trainVocab(documents: DataFrame, iters: Int,
+      minCount: Long, maxWords: Int): (Array[(String, Long)], Seq[(String, Long)]) = {
     val spark = documents.sparkSession
-    val words = wordTable(documents)
+    val words = wordTable(documents, minCount, maxWords)
     var vocab = seedVocab(words)
     for (_ <- 1 to iters) vocab = emStep(spark, words, vocab)
     (words, vocab)
@@ -143,10 +162,11 @@ object Unigram {
     * EM+prune rounds, with each piece's re-estimated count and final
     * scaled-BIGINT score.
     */
-  def unigramTrain(documents: DataFrame, iters: Int = Iters): DataFrame = {
+  def unigramTrain(documents: DataFrame, iters: Int = Iters,
+      minCount: Long = 1L, maxWords: Int = Int.MaxValue): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val (_, vocab) = trainVocab(documents, iters)
+    val (_, vocab) = trainVocab(documents, iters, minCount, maxWords)
     val total = vocab.map(_._2).sum
     vocab.toDF("piece", "cnt")
       .select(col("piece"),
@@ -162,11 +182,11 @@ object Unigram {
     * both engines). The distinct-word segmentation table broadcasts
     * onto the exploded corpus — the corpus itself is touched once.
     */
-  def unigramEncodeStats(documents: DataFrame,
-      iters: Int = Iters): DataFrame = {
+  def unigramEncodeStats(documents: DataFrame, iters: Int = Iters,
+      minCount: Long = 1L, maxWords: Int = Int.MaxValue): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val (words, vocab) = trainVocab(documents, iters)
+    val (words, vocab) = trainVocab(documents, iters, minCount, maxWords)
     val sc = scoresOf(spark, vocab)
     val enc = words.map { case (w, _) => (w, viterbi(w, sc).length.toLong) }
       .toSeq.toDF("word", "n_pieces")
@@ -233,7 +253,18 @@ object Unigram {
     * then per round t the scores `g{t}sc`, the DP, the usage counts
     * `g{t}u`, and the pruned/smoothed vocab `v{t}`.
     */
-  private def trainCtes(iters: Int): String = {
+  private def trainCtes(iters: Int, minCount: Long = 1L,
+      maxWords: Int = Int.MaxValue): String = {
+    // the wordTable floor/cap, mirrored (default-off → the CTE text and
+    // its result are unchanged; active → HAVING floor + (f DESC, word)
+    // top-K, identical to the Spark side's distributed bound)
+    val floor = if (minCount <= 1L) "" else s" HAVING COUNT(*) >= $minCount"
+    val cap = if (maxWords == Int.MaxValue) identity[String] _
+      else (body: String) =>
+        s"""SELECT word, f FROM (
+           |  SELECT word, f, ROW_NUMBER() OVER (ORDER BY f DESC, word) AS wrk
+           |  FROM ($body))
+           |WHERE wrk <= $maxWords""".stripMargin
     val emCtes = (1 to iters).map { t =>
       s"""g${t}tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM v${t - 1}),
          |g${t}sc AS MATERIALIZED (
@@ -257,11 +288,13 @@ object Unigram {
          |      WHERE length(u.piece) >= 2)
          |    WHERE rk <= $VocabCap))""".stripMargin
     }.mkString(",\n")
+    val wdBody = cap(
+      "SELECT word, CAST(COUNT(*) AS BIGINT) AS f FROM (\n" +
+        "    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word\n" +
+        "    FROM documents)\n" +
+        s"  WHERE length(word) BETWEEN 1 AND $MaxWordLen GROUP BY 1$floor")
     s"""wd AS MATERIALIZED (
-       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS f FROM (
-       |    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
-       |    FROM documents)
-       |  WHERE length(word) BETWEEN 1 AND $MaxWordLen GROUP BY 1),
+       |  $wdBody),
        |sub AS (
        |  SELECT substr(w.word, CAST(s.i AS INTEGER), CAST(l.v AS INTEGER)) AS piece, w.f
        |  FROM wd w
@@ -280,8 +313,9 @@ object Unigram {
   }
 
   /** DuckDB twin of [[unigramTrain]]. */
-  def unigramTrainSql(iters: Int = Iters): String =
-    s"""WITH ${trainCtes(iters)},
+  def unigramTrainSql(iters: Int = Iters, minCount: Long = 1L,
+      maxWords: Int = Int.MaxValue): String =
+    s"""WITH ${trainCtes(iters, minCount, maxWords)},
        |ftot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM v$iters)
        |SELECT piece, CAST(length(piece) AS INTEGER) AS piece_len, cnt,
        |  ${scoreExprSql("cnt", "total")} AS score_scaled
@@ -292,8 +326,9 @@ object Unigram {
     * more scored DP under the final vocab, the per-word piece counts,
     * and the per-document rollup.
     */
-  def unigramEncodeStatsSql(iters: Int = Iters): String =
-    s"""WITH ${trainCtes(iters)},
+  def unigramEncodeStatsSql(iters: Int = Iters, minCount: Long = 1L,
+      maxWords: Int = Int.MaxValue): String =
+    s"""WITH ${trainCtes(iters, minCount, maxWords)},
        |fxtot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM v$iters),
        |fxsc AS MATERIALIZED (
        |  SELECT piece, ${scoreExprSql("cnt", "total")} AS s

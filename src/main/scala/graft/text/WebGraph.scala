@@ -233,7 +233,13 @@ object WebGraph {
       .localCheckpoint()
   }
 
-  /** One power-iteration step of the scaled-BIGINT update rule. */
+  /** One power-iteration step of the scaled-BIGINT update rule. r17: no
+    * internal localCheckpoint — chains go through [[powerChain]], which
+    * checkpoints every second step instead of every step (each eager
+    * checkpoint is a full job submission; two fused steps run as one job
+    * whose duplicated ranks subtree is deduped by exchange reuse). Pure
+    * lineage placement: every rank bit is unchanged.
+    */
   private[text] def iterStep(ranks: DataFrame, edges: DataFrame,
       outs: DataFrame): DataFrame = {
     val contrib = edges
@@ -248,14 +254,26 @@ object WebGraph {
         (col("base") +
           expr("(85 * coalesce(c, CAST(0 AS BIGINT))) div 100")).as("r"),
         col("base"))
-      .localCheckpoint()
+  }
+
+  /** `steps` power iterations with a lineage checkpoint every second
+    * step and at the end (the end frame is always multiply-referenced by
+    * consumers).
+    */
+  private[text] def powerChain(r0: DataFrame, edges: DataFrame,
+      outs: DataFrame, steps: Int): DataFrame = {
+    var r = r0
+    for (t <- 1 to steps) {
+      r = iterStep(r, edges, outs)
+      if (t % 2 == 0 || t == steps) r = r.localCheckpoint()
+    }
+    r
   }
 
   def linkAuthorityFromLinks(links: DataFrame, iters: Int = 5): DataFrame = {
     val edges = linkHostGraph(links).persist()
     val outs = outsOf(edges).persist()
-    var ranks = initRanks(edges)
-    for (_ <- 1 to iters) ranks = iterStep(ranks, edges, outs)
+    val ranks = powerChain(initRanks(edges), edges, outs, iters)
     val inl = edges.groupBy("dst_host").agg(sum("n_links").as("in_w"))
     val out = ranks
       .join(outs.withColumnRenamed("src_host", "host"), Seq("host"), "left")
@@ -291,23 +309,38 @@ object WebGraph {
     */
   def linkAuthorityIncremental(documents: DataFrame,
       warmIters: Int = 2, iters: Int = 5): DataFrame = {
-    val base = documents
-      .filter(col("doc_id").isNotNull && col("doc_id") % 3 =!= 0)
     val full = documents.filter(col("doc_id").isNotNull)
-    // prior state: the base graph's converged ranks
-    val bEdges = linkHostGraph(htmlLinks(TextOps.htmlCorpus(base))).persist()
+    // r17 (guide §2.3/§1.2): ONE link-extraction pass over the corpus —
+    // the regex chain is the only data-sized work here, and the r16 form
+    // ran it twice (base carve, then full). Per-(src,dst) counts come
+    // out of one conditional aggregation with the carve flag; the
+    // persisted frame is the hosts²-bounded aggregate, never link-level.
+    // bEdges ≡ linkHostGraph(links of base docs) exactly: the extraction
+    // chain is per-doc row arithmetic, so filtering the aggregate's
+    // conditional count equals aggregating the filtered docs.
+    val perDoc = htmlLinks(TextOps.htmlCorpus(full))
+      .select(col("doc_id"), col("src_host"),
+        normalizeUrl(col("href")).as("u"))
+      .filter(col("u").startsWith("https://"))
+      .select(col("doc_id"), col("src_host"),
+        regexp_extract(col("u"), "https://([^/\"]*)/", 1).as("dst_host"))
+    val edgeAgg = perDoc
+      .groupBy("src_host", "dst_host")
+      .agg(count(lit(1)).as("n_full"),
+        sum(when(col("doc_id") % 3 =!= 0, 1L).otherwise(0L)).as("n_base"))
+      .persist()
+    val bEdges = edgeAgg.filter(col("n_base") > 0L)
+      .select(col("src_host"), col("dst_host"), col("n_base").as("n_links"))
     val bOuts = outsOf(bEdges).persist()
-    var prior = initRanks(bEdges)
-    for (_ <- 1 to iters) prior = iterStep(prior, bEdges, bOuts)
-    bEdges.unpersist(blocking = false)
+    // prior state: the base graph's converged ranks
+    val prior = powerChain(initRanks(bEdges), bEdges, bOuts, iters)
     bOuts.unpersist(blocking = false)
     // the delta folds in: full-corpus edges (state ∪ batch)
-    val fEdges = linkHostGraph(htmlLinks(TextOps.htmlCorpus(full))).persist()
+    val fEdges = edgeAgg
+      .select(col("src_host"), col("dst_host"), col("n_full").as("n_links"))
     val fOuts = outsOf(fEdges).persist()
-    var warm = prior
-    for (_ <- 1 to warmIters) warm = iterStep(warm, fEdges, fOuts)
-    var fullPr = initRanks(fEdges)
-    for (_ <- 1 to iters) fullPr = iterStep(fullPr, fEdges, fOuts)
+    val warm = powerChain(prior, fEdges, fOuts, warmIters)
+    val fullPr = powerChain(initRanks(fEdges), fEdges, fOuts, iters)
     val out = prior.select(col("host"), col("r").as("rank_prior_scaled"))
       .join(warm.select(col("host"), col("r").as("rank_warm_scaled")), "host")
       .join(fullPr.select(col("host"), col("r").as("rank_full_scaled")), "host")
@@ -317,7 +350,7 @@ object WebGraph {
         abs(col("rank_prior_scaled") - col("rank_full_scaled")).as("gap_prior"),
         abs(col("rank_warm_scaled") - col("rank_full_scaled")).as("gap_warm"))
       .orderBy("host")
-    fEdges.unpersist(blocking = false)
+    edgeAgg.unpersist(blocking = false)
     fOuts.unpersist(blocking = false)
     out
   }

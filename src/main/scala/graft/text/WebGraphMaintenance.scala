@@ -45,7 +45,7 @@ import org.apache.spark.sql.functions._
   * size except the batch's own link extraction.
   */
 object WebGraphMaintenance {
-  import WebGraph.{AuthorityScale, outsOf, initRanks, iterStep}
+  import WebGraph.{AuthorityScale, outsOf, initRanks, iterStep, powerChain}
 
   def edgesPath(stateDir: String, v: Long): String = s"$stateDir/edges_v$v"
   def ranksPath(stateDir: String, v: Long): String = s"$stateDir/ranks_v$v"
@@ -68,8 +68,7 @@ object WebGraphMaintenance {
     if (!exists(edgesPath(stateDir, 0))) {
       val edges = corpusEdges.persist()
       val outs = outsOf(edges)
-      var ranks = initRanks(edges)
-      for (_ <- 1 to iters) ranks = iterStep(ranks, edges, outs)
+      val ranks = powerChain(initRanks(edges), edges, outs, iters)
       edges.coalesce(1).write.mode("overwrite")
         .parquet(edgesPath(stateDir, 0))
       ranks.coalesce(1).write.mode("overwrite")
@@ -115,16 +114,19 @@ object WebGraphMaintenance {
           expr(s"${AuthorityScale}L div n_hosts")).as("r"),
         expr(s"(${AuthorityScale}L * 15) div (100 * n_hosts)").as("base"))
       .localCheckpoint()
-    var warm = warm0
-    for (_ <- 1 to warmIters) warm = iterStep(warm, merged, outs)
+    val warm = powerChain(warm0, merged, outs, warmIters)
     // the gate probe: one step further; the residual is how far the
-    // warm state still moves — exact scaled-BIGINT, order-free
+    // warm state still moves — exact scaled-BIGINT, order-free. gaps is
+    // the checkpointed frame (it is read twice: the verdict join and the
+    // residual max); the probe step lives inside its lineage (r17 — one
+    // eager job here instead of the probe's own).
     val probe = iterStep(warm, merged, outs)
     val gaps = warm.select(col("host"), col("r").as("rank_warm_scaled"))
       .join(probe.select(col("host"), col("r").as("rank_probe_scaled")),
         "host")
       .withColumn("gap_step",
         abs(col("rank_probe_scaled") - col("rank_warm_scaled")))
+      .localCheckpoint()
     val verdict = warm0.select(col("host"), col("r").as("rank_prior_scaled"))
       .join(gaps, "host")
       .crossJoin(broadcast(gaps.agg(max("gap_step").as("residual_max"))))
@@ -142,11 +144,8 @@ object WebGraphMaintenance {
     val due = s.read.parquet(s"$verdictsDir/b$batchId")
       .filter(col("retrain_due")).limit(1).count() > 0
     val next =
-      if (due) {
-        var r = initRanks(merged)
-        for (_ <- 1 to iters) r = iterStep(r, merged, outs)
-        r
-      } else warm
+      if (due) powerChain(initRanks(merged), merged, outs, iters)
+      else warm
     next.coalesce(1).write.mode("overwrite")
       .parquet(ranksPath(stateDir, batchId + 1))
     merged.unpersist(blocking = false)

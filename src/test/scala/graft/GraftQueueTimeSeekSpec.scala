@@ -93,6 +93,18 @@ class GraftQueueTimeSeekSpec extends SparkSpec {
       offsets(spark.read.option("startingTimestamp", "1200"))
     }
     assert(ex.getMessage.contains("tsPattern"))
+    // a matching pattern with NO capture group is a descriptive
+    // misconfiguration error, not an IndexOutOfBounds (r17, ADVICE r16)
+    val exg = intercept[Exception] {
+      offsets(spark.read.option("startingTimestamp", "1200")
+        .option("tsPattern", """"ts":\d+"""))
+    }
+    assert(exg.getMessage.contains("capture group"))
+    // startingOffset WINS over startingTimestamp, and the losing leg is
+    // never resolved (r17, ADVICE r16: resolution is lazy — a missing
+    // tsPattern beside a winning startingOffset must not throw)
+    assert(offsets(spark.read.option("startingOffset", "14")
+      .option("startingTimestamp", "1200")) == (14L to 19L))
     // streaming: the first batch of a ts-seeking consumer starts at the
     // resolved offset (a mid-segment skip-count read)
     import spark.implicits._
@@ -111,6 +123,48 @@ class GraftQueueTimeSeekSpec extends SparkSpec {
       .as[Long].collect().sorted.toSeq
     assert(streamed == (15L to 19L),
       s"streaming startingTimestamp drain returned $streamed")
+    // streaming initialOffset is lazy too (r17, ADVICE r16): with both
+    // options set, startingOffset wins and the timestamp leg is never
+    // resolved — no tsPattern needed, no probe, no throw
+    val q2 = spark.readStream.format("graftqueue")
+      .option("path", path).option("topic", topic)
+      .option("startingOffset", "18")
+      .option("startingTimestamp", "1200")
+      .load().select(col("offset"))
+      .writeStream.format("memory").queryName("tseek_stream_lazy")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_tseek_ck2").toString)
+      .start()
+    q2.awaitTermination()
+    val streamed2 = spark.table("tseek_stream_lazy")
+      .as[Long].collect().sorted.toSeq
+    assert(streamed2 == (18L to 19L),
+      s"streaming startingOffset-wins drain returned $streamed2")
+  }
+
+  test("probe cost: one record per segment + a bounded boundary scan (r17)") {
+    val path = Files.createTempDirectory("graft_tseek_p").toString
+    produce(path, 0L to 9L)    // ts 0..900
+    produce(path, 10L to 19L)  // ts 1000..1900
+    produce(path, 20L to 29L)  // ts 2000..2900
+    def reads(ts: Long): (Long, Long) = {
+      GraftQueue.probeRecordsRead.set(0L)
+      val off = GraftQueue.offsetForTime(path, topic, ts, tsOf)
+      (off, GraftQueue.probeRecordsRead.get)
+    }
+    // mid-segment target: 3 probe reads (one per segment) + the boundary
+    // segment scanned up to the match (records 10, 11, 12) — the r16
+    // implementation read all 30 records here, twice over
+    assert(reads(1200L) == ((12L, 3L + 3L)))
+    // target at/below every record: probe + ONE boundary read
+    assert(reads(0L) == ((0L, 3L + 1L)))
+    // target between segments (ts 950): the boundary segment scans dry
+    // (10 reads) and the NEXT segment's first record answers (1 read) —
+    // the worst case is segments + boundary span + 1, never O(total)
+    assert(reads(950L) == ((10L, 3L + 10L + 1L)))
+    // past the end: every segment's first probed, the last scanned dry
+    assert(reads(99999L) == ((30L, 3L + 10L)))
   }
 
   test("target below the retained log raises the OffsetOutOfRange analogue") {
