@@ -111,43 +111,57 @@ object KnnGraph {
       .join(queries, "qid").join(vecs, "cand")
       .select(col("qid"), col("cand"), pdist(col("qq"), col("cq")).as("d"))
     // discovered = every (query, candidate) scored so far, carrying an
-    // `exp` flag — true once the node's adjacency has been walked; the
-    // beam is its best beamW. Each hop expands only the beam's
-    // UNEXPANDED nodes — the batch form of NSW's ef-search (a node's
-    // neighborhood is walked once; the beam never oscillates over the
-    // same expansions). r17 (guide §2.4): the expanded set used to be a
-    // SECOND accumulated frame with its own eager checkpoint and an
-    // anti-join per hop; folding it into `discovered` as a flag costs
-    // one flip-join and saves one checkpoint job + one anti-join
-    // exchange per hop, with identical set membership
-    // (OptimizationEquivalenceSpec pins beam ≡ the two-frame form).
-    var discovered = score(
+    // `exp` flag — true once the node's adjacency has been walked — AND
+    // its rank rk by (d, cand) within the query; the beam is rk ≤ beamW.
+    // Each hop expands only the beam's UNEXPANDED nodes — the batch
+    // form of NSW's ef-search (a node's neighborhood is walked once;
+    // the beam never oscillates over the same expansions). r17 batch 2
+    // (guide §2.4): the hop is now ONE shuffle. The frontier is
+    // rank-defined (rk ≤ width && !exp), so the flag flip is the
+    // projection `exp || rk ≤ width` — no flip-join; freshly walked
+    // candidates are scored WITHOUT the distinct + anti-join
+    // (re-scores of known candidates are bounded by the constant
+    // beam·m volume and produce identical d), and the per-(qid, cand)
+    // min/max aggregate dedups the union exactly as the anti-join form
+    // did. The rank window runs INSIDE the hop, on top of the
+    // aggregate: the explicit repartition(qid) is the hop's single
+    // exchange (hash(qid) satisfies the (qid, cand) clustering of the
+    // aggregate and the window alike), and the next hop reads
+    // frontier, flag and beam straight off the checkpointed leaf —
+    // localCheckpoint under AQE reports UnknownPartitioning, so a rank
+    // window AFTER the checkpoint would re-shuffle what the stored rk
+    // gets for free (OptimizationEquivalenceSpec pins beam ≡ the r16
+    // two-frame anti-join form).
+    def rankIt(d: DataFrame): DataFrame =
+      d.withColumn("rk", row_number().over(w))
+    var discovered = rankIt(score(
       queries.crossJoin(broadcast(entries)).select("qid", "cand"))
       .withColumn("exp", lit(false))
+      .repartition(col("qid")))
       .localCheckpoint()
     // the first beam keeps only the EnterW nearest entries: the rest
     // are other clusters' medoids, and expanding them scores whole
     // far neighborhoods for nothing (measured: ~60 wasted candidates
     // per query at 16 entries)
-    def beamOf(d: DataFrame, width: Int): DataFrame = d
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= width).drop("rk")
-    var beam = beamOf(discovered, EnterW)
+    var width = EnterW
     for (_ <- 1 to hops) {
-      val frontier = beam.filter(!col("exp")).select("qid", "cand")
+      val frontier = discovered
+        .filter(col("rk") <= width && !col("exp")).select("qid", "cand")
       val fresh = frontier.join(adj, frontier("cand") === adj("src"))
-        .select(col("qid"), col("dst").as("cand")).distinct()
-        .join(discovered.select("qid", "cand"), Seq("qid", "cand"), "left_anti")
-      discovered = discovered
-        .join(frontier.withColumn("fr", lit(true)), Seq("qid", "cand"), "left")
+        .select(col("qid"), col("dst").as("cand"))
+      discovered = rankIt(discovered
         .select(col("qid"), col("cand"), col("d"),
-          (col("exp") || coalesce(col("fr"), lit(false))).as("exp"))
+          (col("exp") || col("rk") <= width).as("exp"))
         .unionByName(score(fresh).withColumn("exp", lit(false)))
+        .repartition(col("qid"))
+        .groupBy("qid", "cand").agg(min("d").as("d"), max("exp").as("exp")))
         .localCheckpoint()
-      beam = beamOf(discovered, beamW)
+      width = beamW
     }
-    (beam.drop("exp"),
-      if (withVisited) discovered.select("qid", "cand") else beam.drop("exp"))
+    val beam = discovered
+      .filter(col("rk") <= (if (hops == 0) EnterW else beamW))
+      .drop("rk", "exp")
+    (beam, if (withVisited) discovered.select("qid", "cand") else beam)
   }
 
   /** Build the proximity graph over a quantized corpus. Returns
@@ -174,42 +188,62 @@ object KnnGraph {
         col("src") =!= col("dst"))
       .select(col("src"), col("dst"), pdist(col("sq"), col("dq")).as("d"))
       .localCheckpoint()
-    var adj = pairs
+    // r17 batch 2 (guide §2.4/§5): the pruned adjacency and the in-link
+    // floors used to be TWO accumulated frames, each eagerly
+    // checkpointed per round (plus a third checkpoint on the rank
+    // frame) — three job submissions per round over KB-sized state.
+    // They now ride in ONE frame with an `fl` flag (floors are kept
+    // OUTSIDE the degree prune, exactly as before: the prune pool is
+    // the fl=false rows). One checkpoint per round; the rank window is
+    // recomputed from the walk's checkpointed state (a leaf read) for
+    // its two consumers instead of being checkpointed itself. The
+    // repartition(src) is the update's single exchange — hash(src)
+    // satisfies both the (src, dst) min-aggregate and the degree-prune
+    // window. Edge multiset ≡ the r16 two-frame form (duplicate edges
+    // the floor re-adds stay harmless: expansion dedups candidates).
+    var adjf = pairs
       .withColumn("rk", row_number().over(wsrc))
       .filter(col("rk") <= m).drop("rk")
-      .localCheckpoint()
-    // seed floor: every seed node keeps its best in-edge
-    var floors = pairs
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("dst").orderBy(col("d"), col("src"))))
-      .filter(col("rk") === 1).drop("rk")
+      .withColumn("fl", lit(false))
+      .unionByName(pairs
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("dst").orderBy(col("d"), col("src"))))
+        .filter(col("rk") === 1).drop("rk")
+        .withColumn("fl", lit(true)))
       .localCheckpoint()
     for (r <- 1 to rounds) {
+      // checkpointed: every hop of the walk re-broadcasts the query
+      // frame, and without the checkpoint each of those broadcast
+      // builds re-ran this anti-join subtree (guide §1.2: don't
+      // compute things twice)
       val batch = e0.join(seed.select("vec_id"), Seq("vec_id"), "left_anti")
         .filter(col("vec_id") % rounds === (r - 1))
         .select(col("vec_id").as("qid"), col("q").as("qq"))
-      val (beam, _) = beamSearch(batch, adj.unionByName(floors), e0,
+        .localCheckpoint()
+      val (beam, _) = beamSearch(batch, adjf.select("src", "dst", "d"), e0,
         entries, beamW, hops)
       val ranked = beam.filter(col("cand") =!= col("qid"))
         .withColumn("rk", row_number().over(
           Window.partitionBy("qid").orderBy(col("d"), col("cand"))))
-        .localCheckpoint()
       val fwd = ranked.filter(col("rk") <= m)
         .select(col("qid").as("src"), col("cand").as("dst"), col("d"))
       // inserted-node floor: its nearest found neighbor points back
-      floors = floors.unionByName(ranked.filter(col("rk") === 1)
-        .select(col("cand").as("src"), col("qid").as("dst"), col("d")))
-        .localCheckpoint()
-      adj = adj
+      val newFloor = ranked.filter(col("rk") === 1)
+        .select(col("cand").as("src"), col("qid").as("dst"), col("d"))
+      adjf = adjf.filter(!col("fl")).select("src", "dst", "d")
         .unionByName(fwd)
         .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst"),
           col("d")))
+        .repartition(col("src"))
         .groupBy("src", "dst").agg(min("d").as("d"))
         .withColumn("rk", row_number().over(wsrc))
         .filter(col("rk") <= m).drop("rk")
+        .withColumn("fl", lit(false))
+        .unionByName(adjf.filter(col("fl")).unionByName(
+          newFloor.withColumn("fl", lit(true))))
         .localCheckpoint()
     }
-    (adj.unionByName(floors), entries)
+    (adjf.select("src", "dst", "d"), entries)
   }
 
   /** The served graph-ANN query: build the index, then beam-search
@@ -226,6 +260,7 @@ object KnnGraph {
       buildGraph(e0, seedSize, rounds, m, beamW, hops, cells, iters)
     val queries = e0.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("q").as("qq"))
+      .localCheckpoint()
     val (beam, _) = beamSearch(queries, adj, e0, entries, beamW, hops)
     e0.unpersist(blocking = false)
     beam.filter(col("cand") =!= col("qid"))
