@@ -246,9 +246,13 @@ private[graft] trait TextRank extends TextCore {
       carry: Seq[(String, Column)]): DataFrame = {
     val carryCols = carry.map { case (n, _) => col(n) }
     val keyCols = col("doc_id") +: carryCols
+    // r17 (guide §1.2): the tokenized base is persisted — it feeds the
+    // instance explode AND the unigram/vocab aggregations, and without
+    // the persist the regex tokenization of the whole corpus re-ran
+    // once per consumer subtree
     val base = documents.select(
       col("doc_id") +: carry.map { case (n, c) => c.as(n) } :+
-        toks(col("text")).as("w"): _*)
+        toks(col("text")).as("w"): _*).persist()
     val inst = base
       .filter(size(col("w")) >= 2)
       .select(keyCols :+ explode(expr(
@@ -258,8 +262,15 @@ private[graft] trait TextRank extends TextCore {
     val tokens = base.select(explode(col("w")).as("tok"))
     val uni = tokens.groupBy(col("tok").as("w1")).agg(count(lit(1)).as("c1"))
     val vocab = tokens.agg(countDistinct(col("tok")).as("v"))
+    // r17 (guide §2.3/§2.4): c12 as a window count over (w1, w2) — one
+    // pass of the instance frame through the (w1, w2) exchange, where
+    // the aggregate + self-join form shuffled the instances through it
+    // twice (aggregate input + join probe) and re-derived the probe
+    // side from scratch. Same exact integer count per row
+    // (OptimizationEquivalenceSpec pins the r16 form).
     val scored = inst
-      .join(inst.groupBy("w1", "w2").agg(count(lit(1)).as("c12")), Seq("w1", "w2"))
+      .withColumn("c12",
+        count(lit(1)).over(Window.partitionBy("w1", "w2")))
       .join(uni, Seq("w1"))
       .crossJoin(broadcast(vocab))
       .withColumn("nll", round(

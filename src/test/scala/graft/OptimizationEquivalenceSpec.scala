@@ -60,6 +60,40 @@ class OptimizationEquivalenceSpec extends SparkSpec {
     e0.unpersist(blocking = false)
   }
 
+  test("bigramNllCore: window-count form ≡ the r16 aggregate+self-join form") {
+    // r16 reference: c12 via groupBy(w1, w2) + join back onto the
+    // instance frame (the instances crossed the (w1, w2) exchange twice)
+    val docs = TestdataAdapter.table(spark, sfDir, "documents")
+    def toksOf(c: org.apache.spark.sql.Column) =
+      split(trim(lower(c)), "\\s+")
+    val base = docs.select(col("doc_id"), toksOf(col("text")).as("w"))
+    val inst = base
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val tokens = base.select(explode(col("w")).as("tok"))
+    val uni = tokens.groupBy(col("tok").as("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = tokens.agg(countDistinct(col("tok")).as("v"))
+    val old = inst
+      .join(inst.groupBy("w1", "w2").agg(count(lit(1)).as("c12")), Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("nll", round(
+        -log((col("c12") + lit(1).cast("double")) / (col("c1") + col("v"))), 6))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("nll").cast("decimal(28,6)")).cast("double") / count(lit(1)))
+          .as("avg_nll"))
+      .orderBy("doc_id")
+    val neu = graft.text.TextOps.bigramLmScore(docs)
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows(neu) == rows(old),
+      "window-count bigram NLL diverged from the r16 aggregate+self-join form")
+  }
+
   test("beamSearch: flagged single-frame fold ≡ the r16 two-frame form") {
     import graft.sim.KnnGraph
     // r16 reference walk: discovered + a SEPARATE expanded frame, an
