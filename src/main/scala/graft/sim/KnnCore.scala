@@ -1174,9 +1174,13 @@ private[sim] trait KnnCore {
     * caps). Text arrives from the documents table joined 1:1 on
     * vec_id = doc_id (the testdata tables share the id space).
     *
-    * Scale shape: the argmin assignment is narrow; explode → (cell,term)
-    * agg → df agg → term join → per-cell window over a frame bounded by
-    * cells × vocabulary, not corpus; the cell-count frame broadcasts.
+    * Scale shape (r17): the argmin assignment is narrow; explode →
+    * (cell,term) agg → df as a window count over term → per-cell window
+    * over a frame bounded by cells × vocabulary, not corpus; the
+    * cell-count frame broadcasts. (The r16 form computed df as a
+    * separate groupBy joined back onto tf, re-running the
+    * assignment-join + explode + tf subtree on the probe side — same
+    * exact longs, one pass instead of two; the tfidfTopTerms rewrite.)
     * Determinism: tf/df are exact longs and ln over these rational
     * inputs is bit-identical cross-engine (the tfidfTopTerms contract);
     * ties break by term.
@@ -1189,9 +1193,10 @@ private[sim] trait KnnCore {
       .select(col("cell"),
         explode(graft.text.TextOps.toks(col("text"))).as("term"))
     val tf = tok.groupBy("cell", "term").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = asg.agg(countDistinct(col("cell")).as("n_cells"))
-    val scored = tf.join(df, "term").crossJoin(broadcast(n))
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      .crossJoin(broadcast(n))
       .withColumn("tfidf", col("tf").cast("double") *
         (log((lit(1.0) + col("n_cells")) / (lit(1.0) + col("df"))) + lit(1.0)))
     val w = Window.partitionBy("cell").orderBy(col("tfidf").desc, col("term"))

@@ -15,12 +15,15 @@ private[graft] trait TextRank extends TextCore {
     * pipeline derives per document for search, clustering labels, and
     * near-topic dedup.
     *
-    * Scale shape: explode → tf groupBy (shuffle on (doc_id, term)) →
-    * df groupBy (shuffle on term, map-side partials first) → tf⋈df on
-    * term (shuffle join — the term dictionary is NOT broadcastable at
-    * corpus scale) → per-doc window (shuffle on doc_id). Four exchanges,
-    * each on a high-cardinality key: the canonical distributed TF-IDF
-    * plan. N arrives as a broadcast 1-row aggregate, not a collect.
+    * Scale shape (r17): explode → tf groupBy (shuffle on
+    * (doc_id, term)) → df as a WINDOW count over term (one shuffle on
+    * term) → per-doc window (shuffle on doc_id). Three exchanges, one
+    * corpus pass. The r16 form computed df as a separate groupBy joined
+    * back onto tf — the tf aggregation subtree (explode included) ran
+    * TWICE (once feeding df, once as the join probe) and the tf rows
+    * crossed the term exchange twice; the window count is the same
+    * exact long per row (OptimizationEquivalenceSpec pins the r16
+    * form). N arrives as a broadcast 1-row aggregate, not a collect.
     *
     * Determinism: tf/df are exact longs; Java's Math.log and DuckDB's ln
     * are bit-identical over these rational inputs (verified for the whole
@@ -30,9 +33,10 @@ private[graft] trait TextRank extends TextCore {
     import org.apache.spark.sql.expressions.Window
     val tok = documents.select(col("doc_id"), explode(toks(col("text"))).as("term"))
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = documents.agg(count(lit(1)).as("n"))
-    val scored = tf.join(df, "term").crossJoin(broadcast(n))
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      .crossJoin(broadcast(n))
       .withColumn("tfidf",
         col("tf").cast("double") *
           (log((lit(1.0) + col("n")) / (lit(1.0) + col("df"))) + lit(1.0)))
@@ -105,8 +109,9 @@ private[graft] trait TextRank extends TextCore {
     * tf shuffle carries only query-term postings — output is bounded by
     * |matching docs|·|query terms|, never corpus-vocabulary-sized. Doc
     * length is a narrow `size(tokens)` per row (no second corpus shuffle);
-    * N and avgdl are one broadcast row; df is a vocab-of-the-query-sized
-    * aggregate of the pruned tf frame. Final top-k is a per-query
+    * N and avgdl are one broadcast row; df is a window count over the
+    * pruned tf frame (r17 — one corpus pass; the r16 aggregate+join-back
+    * form paid a second). Final top-k is a per-query
     * row_number over the bounded score set. Cross-engine exactness: each
     * term contribution is identical IEEE arithmetic on integer counts
     * (same parenthesization both sides), rounded to 6 dp, then summed per
@@ -132,12 +137,19 @@ private[graft] trait TextRank extends TextCore {
     val tf = tok
       .filter(col("term").isInCollection(qterms.map(_._2).distinct))
       .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // r17: df as a window count over the pruned tf frame, computed
+    // BEFORE the query-term fan-out (a term serving several queries
+    // duplicates tf rows, so counting after the join would overcount) —
+    // the r16 groupBy+join-back form re-ran the corpus tokenize/filter/
+    // aggregate subtree a second time just to build the df side. Same
+    // exact longs (OptimizationEquivalenceSpec pins the tfidf instance
+    // of this rewrite; search_bm25's oracle pins this one end to end).
+    val tfd = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy("term")))
     val stats = documents.agg(
       count(lit(1)).as("n"), avg(size(toks(col("text"))).cast("long")).as("avgdl"))
     val idf = log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    val scored = broadcast(qterm).join(tf, "term")
-      .join(broadcast(df), "term")
+    val scored = broadcast(qterm).join(tfd, "term")
       .crossJoin(broadcast(stats))
       .withColumn("c", round(
         idf * (col("tf") * lit(k1 + 1.0)) /

@@ -60,6 +60,33 @@ class OptimizationEquivalenceSpec extends SparkSpec {
     e0.unpersist(blocking = false)
   }
 
+  test("tfidfTopTerms: window-count df ≡ the r16 aggregate+join-back form") {
+    // r16 reference: df via groupBy(term) over tf, joined back (the tf
+    // subtree — explode included — ran twice)
+    val docs = TestdataAdapter.table(spark, sfDir, "documents")
+    val tok = docs.select(col("doc_id"),
+      explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term"))
+    val old = tf.join(dfc, "term").crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf").cast("double") *
+          (log((lit(1.0) + col("n")) / (lit(1.0) + col("df"))) + lit(1.0)))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+      .orderBy("doc_id", "rank")
+    val neu = graft.text.TextOps.tfidfTopTerms(docs)
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5))).toSeq
+    assert(rows(neu) == rows(old),
+      "window-count tfidf diverged from the r16 aggregate+join-back form")
+  }
+
   test("bigramNllCore: window-count form ≡ the r16 aggregate+self-join form") {
     // r16 reference: c12 via groupBy(w1, w2) + join back onto the
     // instance frame (the instances crossed the (w1, w2) exchange twice)
